@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Core
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.Events
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented operator family:
+  *  - graft.queries.Core      — the reference's full relational inventory
+  *    (SURVEY §2) plus the standard-SQL surface it lacks (§2.7);
+  *  - graft.ext.Dedup         — exact / n-gram Jaccard / MinHash-LSH / SimHash;
+  *  - graft.ext.Similarity    — brute-force cosine top-k, LSH ANN, near-dup;
+  *  - graft.ext.TextOps       — token/quality stats, lang-ID, fingerprints;
+  *  - graft.ext.Multimodal    — binary media columns with stubbed decode;
+  *  - graft.streaming.Events  — windowed/sliding/session aggregations
+  *    (batch forms; streaming twins live beside them).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's own "complex" shape: scan→filter→join→agg→sort→limit
+    * (/root/reference/README.md:127-133, tests/test_execution.cpp:254-270).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Core.q3TopRevenue(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Core.queries ++ Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
+      Multimodal.queries ++ Events.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops that aren't SQL-expressible
+    * (SimHash / LSH ANN / multimodal / sliding windows) → rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Core.oracles ++ Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
+      Events.oracles
 }

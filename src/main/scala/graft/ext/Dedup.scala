@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Deduplication operators for a large-scale training-data pipeline, over
+  * the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Four tiers, all pure DataFrame plans (no collect, no driver loops):
+  *  - exact:          hash-groupBy on the full text — one shuffle on text.
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle inverted
+  *                    index (explode → self-join on shingle → count).
+  *                    Quadratic in the worst case; the ORACLE for the
+  *                    approximate tiers below.
+  *  - MinHash + LSH:  64 minhashes → 32 bands × 2 rows → candidates only
+  *                    where a band collides → exact verify. This is the
+  *                    100 TB path: cost is O(docs × shingles) for
+  *                    signatures plus the (tiny) candidate set, never
+  *                    all-pairs. P[missing a pair with J=0.5] =
+  *                    (1−0.5²)³² ≈ 1e-4, so its verified output equals the
+  *                    exact query's with overwhelming probability.
+  *  - SimHash:        64-bit signature, near-dups = Hamming ≤ 3 found by
+  *                    4×16-bit band blocking (any pair at distance ≤ 3
+  *                    shares at least one intact 16-bit quarter — pigeonhole).
+  *
+  * All randomness is derived from xxhash64 with fixed integer salts, so
+  * results are deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document. Documents are
+    * single-space word salads (FIXTURES.md §2); ≥10 tokens each, but we
+    * still guard size ≥ 3 so `sequence` never sees a negative bound
+    * (ANSI mode).
+    */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles",
+        array_distinct(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .drop("w")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup: keep the lowest doc_id per identical text. At scale this
+    * is one shuffle on (a hash of) the text; grouping by md5(text) instead
+    * of the raw text would shrink shuffle width for long documents — here
+    * texts are short, so group on text directly (simpler, same plan shape).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val exactSql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- exact jaccard
+  /** Exact word-3-gram Jaccard pairs with J ≥ 0.5, via an inverted index:
+    * explode shingles, self-join on shingle (shuffle keyed on shingle —
+    * co-partitioned, no broadcast of the corpus), count intersections,
+    * then J = |∩| / (|A|+|B|−|∩|). Deterministic: integer counts and one
+    * int/int double division.
+    *
+    * Scale note: this is the verification oracle. At 100 TB you never run
+    * it standalone — `minhashLsh` generates candidates first. Hot shingles
+    * would be capped/salted there; with this corpus' vocabulary the
+    * inverted-index buckets stay small.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(docs(spark, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("x.sz") + col("y.sz") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(x.sz + y.sz - c) AS jaccard
+      |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------- minhash + lsh
+  /** MinHash signatures (64 hashes = xxhash64(shingle, salt i)) banded
+    * into 32 bands of 2; docs sharing any band bucket become candidates;
+    * candidates are verified with the exact Jaccard on their shingle sets
+    * (array_intersect on the two already-distinct arrays). Output schema
+    * and (w.h.p.) contents match `ngramJaccard` — it shares that oracle.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+    val sig = d.withColumn("mh", expr(
+      "transform(sequence(0, 63), i -> array_min(transform(shingles, s -> xxhash64(s, i))))"))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 31), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))"))
+        .as(Seq("band", "bh")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id"), col("shingles").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(d.select(col("doc_id"), col("shingles").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------- simhash
+  /** 64-bit SimHash over word tokens: bit i of the signature is the sign
+    * of Σ_tokens (±1 from bit i of xxhash64(token)). Near-dup = Hamming
+    * distance ≤ 3, blocked on four 16-bit quarters (pigeonhole: distance
+    * ≤ 3 ⇒ one quarter intact), verified with bit_count(xor). No SQL
+    * oracle (xxhash64 is Spark-specific) → rows-only check.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("sim", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) ->
+          |  acc | (case when aggregate(w, 0L,
+          |      (s, t) -> s + (shiftright(xxhash64(t), i) & 1L) * 2L - 1L) > 0L
+          |    then shiftleft(1L, i) else 0L end))""".stripMargin))
+      .select(col("doc_id"), col("sim"))
+    val blocks = d.select(col("doc_id"), col("sim"),
+      posexplode(expr(
+        "transform(sequence(0, 3), q -> shiftright(sim, q*16) & 65535L)")).as(Seq("q", "qv")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.q") === col("b.q") && col("a.qv") === col("b.qv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> ngramJaccardSql)
+}

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+
+/** Similarity search over the `embeddings` table
+  * (vec_id: long, embedding: array<float> [64-dim], label: int).
+  *
+  * Two tiers:
+  *  - `cosineTopK`: exact brute-force top-k for a query set — the
+  *    correctness baseline. The query side is broadcast, so the corpus is
+  *    scanned once with no shuffle; cost O(|Q|·N). Fine for |Q| small even
+  *    at 100 TB corpus; never all-pairs.
+  *  - `annLsh`: random-hyperplane (sign) LSH — corpus is bucketed by a
+  *    16-bit signature, each query probes only its own bucket. The scale
+  *    path: bucketing is one shuffle of (id, sig, vec); probe cost is
+  *    O(|bucket|). Approximate → rows-only check (no oracle).
+  *
+  * All arithmetic is double-precision folds in array order (zip_with +
+  * aggregate), matching the DuckDB oracle's list_transform/list_aggregate
+  * fold bit-for-bit. "Random" hyperplanes derive from xxhash64(plane, dim)
+  * — deterministic, no RNG state to ship.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Sequential-fold dot product in double precision (deterministic). */
+  private val dotExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+  private def normExpr(c: String) =
+    s"sqrt(aggregate($c, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+
+  // ------------------------------------------------------- brute force
+  /** Exact cosine top-5 neighbors for query vectors vec_id < 10. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos",
+        expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
+  val cosineTopKSql: String =
+    """WITH cos AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn FROM cos)
+      |SELECT vec_id, neighbor_id, round(cos, 6) AS cos_sim
+      |FROM rk WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
+
+  // --------------------------------------------------------------- ann
+  /** Sign-LSH bucketed ANN: 16 deterministic pseudo-random hyperplanes;
+    * signature bit p = sign(Σ_d emb[d] · u(p,d)) with
+    * u(p,d) = xxhash64(p,d)/2⁶³ ∈ [−1,1). Candidates = same-bucket pairs;
+    * top-5 by exact cosine within the bucket. Returns (vec_id,
+    * neighbor_id, cos_sim, bucket) for vec_id < 10.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigExpr =
+      """aggregate(sequence(0, 15), 0L, (acc, p) ->
+        |  acc | (case when aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),
+        |      (s, d) -> s + cast(embedding[d] as double) *
+        |                (cast(xxhash64(p, d) as double) / cast(9223372036854775807 as double))) > cast(0.0 as double)
+        |    then shiftleft(1L, p) else 0L end))""".stripMargin
+    val e = emb(spark, dir).withColumn("bucket", expr(sigExpr))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("bucket").as("cbucket"))
+    val scored = c.join(broadcast(q),
+        col("bucket") === col("cbucket") && col("qid") =!= col("cid"))
+      .withColumn("cos",
+        expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("bucket"))
+      .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all-pairs within LSH buckets,
+    * cos ≥ 0.95) — the embedding variant of dedup. Bucketed, so never a
+    * full cross join.
+    */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sigExpr =
+      """aggregate(sequence(0, 7), 0L, (acc, p) ->
+        |  acc | (case when aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),
+        |      (s, d) -> s + cast(embedding[d] as double) *
+        |                (cast(xxhash64(p, d) as double) / cast(9223372036854775807 as double))) > cast(0.0 as double)
+        |    then shiftleft(1L, p) else 0L end))""".stripMargin
+    val e = emb(spark, dir).withColumn("bucket", expr(sigExpr))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("qe"), col("bucket"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("ce"),
+      col("bucket").as("bb"))
+    a.join(b, col("bucket") === col("bb") && col("va") < col("vb"))
+      .withColumn("cos", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+      .filter(col("cos") >= 0.95)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_cosine_neardup" -> (cosineNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> cosineTopKSql)
+}

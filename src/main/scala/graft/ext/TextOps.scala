@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Text analysis operators over `documents` (doc_id, text, lang, source,
+  * n_chars): token counting (whitespace + BPE-ish regex), quality scoring,
+  * language-ID by stopword profiles, and document fingerprinting.
+  *
+  * Everything is a narrow per-row projection — embarrassingly parallel,
+  * no shuffle except the final presentation sort; at 100 TB these run at
+  * scan speed inside whole-stage codegen.
+  *
+  * Determinism: only integer counts, exact ratios of those integers, and
+  * hash digests — every query here is oracle-checkable except the rolling
+  * hash (kept SQL-expressible on both sides anyway).
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // -------------------------------------------------------------- stats
+  /** Token counts + quality signals: whitespace tokens, distinct tokens,
+    * type-token ratio, BPE-ish regex token count (letter runs / digit
+    * runs / single punctuation — a crude byte-pair-style segmentation),
+    * stopword ratio, mean token length.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_uniq"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .as("n_bpe_tokens"),
+        expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+          .as("n_stop"),
+        (expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+          .cast("double") / size(col("w"))).as("stop_ratio"),
+        (expr("aggregate(w, 0, (acc, x) -> acc + length(x))").cast("double")
+          / size(col("w"))).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+
+  val statsSql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars_m,
+      |  CAST(len(w) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(w)) AS INT) AS n_uniq,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens,
+      |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS n_stop,
+      |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+      |  CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'sum') AS DOUBLE) / len(w) AS mean_tok_len
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- langid
+  /** Stopword-profile language ID: score each language by occurrences of
+    * its function words among the tokens; argmax with a fixed tie-break
+    * cascade (en > de > fr > es). The synthetic corpus is label-agnostic
+    * word salad, so this demonstrates the operator (and hash-matches its
+    * oracle) rather than recovering the synthetic `lang` column.
+    */
+  private val profiles = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).withColumn("w", split(col("text"), " "))
+    val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        expr(s"size(filter(w, x -> array_contains(array(${words.map("'" + _ + "'").mkString(",")}), x)))"))
+    }
+    scored.select(
+      col("doc_id"), col("lang").as("lang_actual"),
+      col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
+      when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr")
+          && col("score_en") >= col("score_es"), "en")
+        .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
+        .when(col("score_fr") >= col("score_es"), "fr")
+        .otherwise("es").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    def sc(lang: String, words: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x))) AS INT) AS score_$lang"
+    s"""WITH s AS (SELECT doc_id, lang AS lang_actual,
+       |  ${profiles.map { case (l, ws) => sc(l, ws) }.mkString(",\n  ")}
+       |FROM documents)
+       |SELECT doc_id, lang_actual, score_en, score_de, score_fr, score_es,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+       |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+       |       WHEN score_fr >= score_es THEN 'fr'
+       |       ELSE 'es' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- fingerprint
+  /** Document fingerprints: md5 digest + a 31-ary polynomial rolling hash
+    * mod 1e9+7 over the character codepoints (the classic Rabin-Karp
+    * shape, fold kept under 2⁶³ so ANSI arithmetic never overflows).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_md5"),
+        expr("aggregate(split(text, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+          .as("fp_roll"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (stats _),
+    "text_langid" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> statsSql,
+    "text_langid" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql)
+}

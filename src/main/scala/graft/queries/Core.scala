@@ -1,0 +1,499 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+
+/** Core relational operator coverage — the reference's complete operator
+  * inventory (SURVEY.md §2: scan, filter/expressions, inner hash join,
+  * hash aggregate SUM/COUNT/AVG, order by, limit, projection) plus the
+  * standard-SQL surface the reference lacks but Spark gives natively
+  * (SURVEY.md §2.7: DISTINCT, HAVING, outer/semi/anti joins, set ops,
+  * window functions, rollup, subqueries). Reference semantics arbitration
+  * per SURVEY.md §7.5: standard Spark/DuckDB SQL everywhere.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - every query ends in a total ORDER BY (ties broken by a key column);
+  *  - double-typed aggregates go through an exact decimal accumulation and
+  *    a single final cast to double (`dsum`) so partial-aggregation order
+  *    (32-way local[32] here, 1000 executors at scale) cannot perturb the
+  *    result vs the single-threaded oracle;
+  *  - column names are aliased identically on both sides.
+  *
+  * Scale posture (100 TB): all queries are single-pass declarative plans.
+  * Joins against `Tables.dims` are broadcast (no shuffle of the fact
+  * table); fact-fact joins shuffle on the join key only after filters are
+  * pushed to the scan. No collect(), no driver-side loops.
+  */
+object Core {
+
+  /** Exact, order-insensitive sum of a double column: per-row cast to
+    * decimal (exact base-10, deterministic round at `scale` digits), exact
+    * decimal addition in any order, one final cast back to double. The
+    * oracle spells the identical expression, so values hash-match bit-wise.
+    */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def dsumSql(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1 shape: scan → filter → hash aggregate (SUM/AVG/COUNT) →
+    * sort. Mirrors the reference's HashAggregate + OrderBy stack
+    * (/root/reference/src/exec/operator.cpp:860-1161). Catalyst plans a
+    * partial+final HashAggregateExec, so only the (tiny) per-group partial
+    * state shuffles — the pattern that survives 100 TB.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", 6)} AS sum_disc_price,
+       |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** Filter + expression projection (reference Selection + Project,
+    * operator.cpp:388-559). The predicate reaches the parquet scan as
+    * PushedFilters; only 4 of 6 columns are read (ReadSchema pruning).
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 400000.0)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_totalprice") * lit(0.1)).as("tax10"))
+      .orderBy(col("o_orderkey"))
+
+  val q2Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  o_totalprice * CAST(0.1 AS DOUBLE) AS tax10
+      |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > CAST(400000.0 AS DOUBLE)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** The reference's own flagship shape (README.md:127-133; SURVEY §7.2):
+    * fact⋈fact equi-join → filtered aggregate → top-k. The orders filter
+    * is pushed below the join; both sides shuffle on the join key (at
+    * 100 TB this is the one unavoidable shuffle; AQE handles skew).
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_partkey,
+       |  ${dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderstatus = 'F'
+       |GROUP BY l_partkey
+       |ORDER BY revenue DESC, l_partkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** ORDER BY + LIMIT → Catalyst fuses into TakeOrderedAndProjectExec
+    * (per-partition top-k, then k·partitions rows to the driver — O(k)
+    * traffic at any scale; the reference materializes+sorts everything,
+    * operator.cpp:1076-1161).
+    */
+  def q4TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q4Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Global (no-key) aggregate — the reference's empty-group-key path
+    * (operator.cpp:984-1014, exercised by SELECT COUNT(*),
+    * tests/test_execution.cpp:210-225). MIN/MAX on doubles are exact
+    * order statistics, safe to compare raw.
+    */
+  def q5GlobalAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      dsum(col("l_quantity")).as("sum_qty"))
+
+  val q5Sql: String =
+    s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+       |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** Arithmetic expression coverage: + - * / %, mixed int/double promotion
+    * (reference expression.cpp:24-58; divergences adopted per SURVEY §7.5.3).
+    */
+  def q6Expressions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0 && col("l_linenumber") <= 3)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 2.0).as("qty2"),
+        (col("l_extendedprice") + col("l_tax")).as("gross"),
+        (col("l_extendedprice") - col("l_discount") * col("l_extendedprice")).as("net"),
+        (col("l_orderkey") % 7).as("bucket"),
+        (col("l_extendedprice") / 100.0).as("price_h"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q6Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity * CAST(2.0 AS DOUBLE) AS qty2,
+      |  l_extendedprice + l_tax AS gross,
+      |  l_extendedprice - l_discount * l_extendedprice AS net,
+      |  l_orderkey % 7 AS bucket,
+      |  l_extendedprice / CAST(100.0 AS DOUBLE) AS price_h
+      |FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber <= 3
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** GROUP BY + HAVING. The reference parses HAVING but never executes it
+    * (SURVEY §2.4); capability parity beats bug parity, so we implement it
+    * (one post-aggregation filter — map-side partial agg still applies).
+    */
+  def q7Having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+
+  val q7Sql: String =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS spend
+       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+       |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Star join: fact table joined through three broadcastable dimensions.
+    * customer/nation/region are each orders of magnitude below lineitem,
+    * so Catalyst broadcasts them (verified in plan) — the fact table never
+    * shuffles for the dims, only for the orders join. This is THE shape
+    * that must hold at 100 TB; the reference can only do one join
+    * (planner.cpp:66-67).
+    */
+  def q8StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = broadcast(t(spark, dir, "customer"))
+    val n = broadcast(t(spark, dir, "nation"))
+    val r = broadcast(t(spark, dir, "region"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q8Sql: String =
+    s"""SELECT r_name, n_name,
+       |  ${dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** Multi-key sort, mixed ASC/DESC (reference OrderBy comparator,
+    * operator.cpp:1115-1122) + limit.
+    */
+  def q9MultiSort(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(100)
+
+  val q9Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** DISTINCT (absent in the reference, SURVEY §2.7) — planned as a
+    * hash aggregate on all columns; partial distinct runs map-side.
+    */
+  def q10Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  val q10Sql: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Rich predicate surface the reference lacks entirely (SURVEY §2.2:
+    * no IN/BETWEEN/LIKE/CASE): all pushed to the scan where possible.
+    */
+  def q11Predicates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        && col("o_orderkey").between(100, 8000)
+        && col("o_orderstatus").like("F%"))
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy(col("o_orderkey"))
+
+  val q11Sql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > CAST(300000.0 AS DOUBLE) THEN 'big'
+      |       WHEN o_totalprice > CAST(100000.0 AS DOUBLE) THEN 'mid'
+      |       ELSE 'small' END AS bucket
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      |  AND o_orderkey BETWEEN 100 AND 8000
+      |  AND o_orderstatus LIKE 'F%'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Date bucketing (reference DATE32 is a bare yyyymmdd int, SURVEY
+    * §1.2; we adopt real temporal types per §7.5.2).
+    */
+  def q12RevenueByMonth(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("month"))
+
+  val q12Sql: String =
+    s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** String scalar functions (reference has none, SURVEY §2.7). */
+  def q13StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 10, 5).as("name_sub"),
+        length(col("c_name")).as("name_len"),
+        concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast("string")).as("seg_key"))
+      .orderBy(col("c_custkey"))
+      .limit(200)
+
+  val q13Sql: String =
+    """SELECT c_custkey, upper(c_name) AS name_upper,
+      |  substr(c_name, 10, 5) AS name_sub,
+      |  CAST(length(c_name) AS INT) AS name_len,
+      |  c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_key
+      |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Set operations (absent in reference, SURVEY §2.7). UNION ALL then a
+    * distinct UNION via the same pair.
+    */
+  def q14SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9900.0)
+      .select(col("c_nationkey").cast("int").as("nkey"), lit("customer").as("src"))
+    val s = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") > 9000.0)
+      .select(col("s_nationkey").cast("int").as("nkey"), lit("supplier").as("src"))
+    c.unionAll(s).distinct().orderBy(col("src"), col("nkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT DISTINCT * FROM (
+      |  SELECT CAST(c_nationkey AS INT) AS nkey, 'customer' AS src FROM customer WHERE c_acctbal > CAST(9900.0 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT CAST(s_nationkey AS INT) AS nkey, 'supplier' AS src FROM supplier WHERE s_acctbal > CAST(9000.0 AS DOUBLE)
+      |) ORDER BY src, nkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Window functions (absent in reference, SURVEY §2.7): top-2 orders
+    * per customer. One shuffle on the partition key; ties broken so the
+    * frame is deterministic.
+    */
+  def q15WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q15Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Left-semi join (absent in reference). Planned as a broadcast/hash
+    * semi join — customers stream, orders build only the key set.
+    */
+  def q16SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val bigOrders = t(spark, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > CAST(450000.0 AS DOUBLE))
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Left-anti join (absent in reference): customers with no big order. */
+  def q17AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val bigOrders = t(spark, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q17Sql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > CAST(400000.0 AS DOUBLE))
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Left-outer join + null-skipping COUNT(col) (reference has neither,
+    * SURVEY §2.7 / §7.5.7).
+    */
+  def q18OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 9500.0)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_rich"))
+      .orderBy(col("n_name"))
+  }
+
+  val q18Sql: String =
+    """SELECT n_name, COUNT(c_custkey) AS n_rich
+      |FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > CAST(9500.0 AS DOUBLE)) c
+      |  ON n_nationkey = c_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** ROLLUP grouping sets (absent in reference). NULL ordering pinned to
+    * NULLS FIRST on both sides (Spark's ASC default; DuckDB defaults LAST).
+    */
+  def q19Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q19Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Scalar subquery in a predicate (absent in reference). Threshold uses
+    * MAX (an exact order statistic) so the comparison is bit-deterministic.
+    */
+  def q20ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val thr = o.agg((max(col("o_totalprice")) * lit(0.9)).as("thr"))
+    o.join(broadcast(thr), col("o_totalprice") > col("thr"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * CAST(0.9 AS DOUBLE)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_top_revenue" -> (q3TopRevenue _),
+    "q4_topk" -> (q4TopK _),
+    "q5_global_agg" -> (q5GlobalAgg _),
+    "q6_expressions" -> (q6Expressions _),
+    "q7_having" -> (q7Having _),
+    "q8_star_join" -> (q8StarJoin _),
+    "q9_multi_sort" -> (q9MultiSort _),
+    "q10_distinct" -> (q10Distinct _),
+    "q11_predicates" -> (q11Predicates _),
+    "q12_revenue_by_month" -> (q12RevenueByMonth _),
+    "q13_string_funcs" -> (q13StringFuncs _),
+    "q14_set_ops" -> (q14SetOps _),
+    "q15_window_topn" -> (q15WindowTopN _),
+    "q16_semi_join" -> (q16SemiJoin _),
+    "q17_anti_join" -> (q17AntiJoin _),
+    "q18_outer_join" -> (q18OuterJoin _),
+    "q19_rollup" -> (q19Rollup _),
+    "q20_scalar_subquery" -> (q20ScalarSubquery _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_top_revenue" -> q3Sql,
+    "q4_topk" -> q4Sql,
+    "q5_global_agg" -> q5Sql,
+    "q6_expressions" -> q6Sql,
+    "q7_having" -> q7Sql,
+    "q8_star_join" -> q8Sql,
+    "q9_multi_sort" -> q9Sql,
+    "q10_distinct" -> q10Sql,
+    "q11_predicates" -> q11Sql,
+    "q12_revenue_by_month" -> q12Sql,
+    "q13_string_funcs" -> q13Sql,
+    "q14_set_ops" -> q14Sql,
+    "q15_window_topn" -> q15Sql,
+    "q16_semi_join" -> q16Sql,
+    "q17_anti_join" -> q17Sql,
+    "q18_outer_join" -> q18Sql,
+    "q19_rollup" -> q19Sql,
+    "q20_scalar_subquery" -> q20Sql)
+}

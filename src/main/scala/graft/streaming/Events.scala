@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Tables
+
+/** Event-stream processing over `events` (event_id, ts, user_id,
+  * event_type, value, props). The same windowed logic is exposed twice:
+  *
+  *  - batch form (the `queries` entries below) — runs on the static table
+  *    and is DuckDB-oracle checkable;
+  *  - streaming form (`streamingWindowedCounts`, `streamingDedup`) — the
+  *    identical transformation over `readStream`, with watermarks bounding
+  *    state. Structured Streaming guarantees the batch/stream results
+  *    agree for append-mode windowed aggregates, which is exactly why the
+  *    batch form is the right correctness proxy.
+  *
+  * Scale: windowed aggregation shuffles on (window, key) with partial
+  * aggregation map-side; watermark(1 hour) caps state at
+  * O(active windows × keys).
+  */
+object Events {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  // ------------------------------------------------------ tumbling window
+  /** Tumbling 1-hour windows per event_type (batch form of the streaming
+    * aggregation; `window().start` ≡ date_trunc('hour') for hour-aligned
+    * tumbling windows).
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val windowedCountsSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------------- sliding window
+  /** Sliding windows (1 h length, 30 min slide) — each event lands in two
+    * windows. Rows-only check (the 2-way window explosion is tedious to
+    * mirror in portable SQL).
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ------------------------------------------------------- sessionization
+  /** Session windows with a 5-minute inactivity gap per user
+    * (`session_window` in batch form; gaps-and-islands in the oracle).
+    * Emits per-session start, event count, and value total. Timestamps
+    * are truncated to milliseconds on both sides because the parquet
+    * source is nanosecond-precision and Spark reads microseconds.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+      .select(
+        date_trunc("millisecond", col("win.start")).as("session_start"),
+        col("user_id"), col("n_events"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 5 MINUTE OR
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT CAST(date_trunc('millisecond', MIN(ts)) AS TIMESTAMP) AS session_start,
+      |  user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------- streaming forms
+  /** Streaming twin of `windowedCounts`: parquet file stream → watermark →
+    * tumbling window aggregation. Caller picks the sink (tests use
+    * Trigger.AvailableNow + memory sink).
+    */
+  def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"), col("total"))
+  }
+
+  /** Streaming exactly-once-style dedup on event_id within the watermark
+    * (state is bounded by the 1-hour horizon).
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "events").schema
+    spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window_1h" -> (windowedCounts _),
+    "events_sliding_window" -> (slidingWindow _),
+    "events_sessionize" -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "events_window_1h" -> windowedCountsSql,
+    "events_sessionize" -> sessionizeSql)
+}
