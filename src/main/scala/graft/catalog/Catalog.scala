@@ -1,0 +1,45 @@
+package graft.catalog
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.CsvInference.TableMeta
+
+/** Name → (view, metadata) registry mirroring the reference's Catalog
+  * (/root/reference/include/catalog/catalog.h:46-62): register_table
+  * overwrites on re-register (catalog.cpp:5-8), list, describe.
+  *
+  * The data itself lives in Spark's session catalog as temp views — this
+  * class only adds the reference's statistics surface (DESCRIBE with
+  * ndv/min/max, main.cpp:188-208), which Spark's ANALYZE keeps internal.
+  */
+class Catalog(spark: SparkSession) {
+  private val metas = mutable.LinkedHashMap.empty[String, TableMeta]
+
+  def registerCsv(name: String, path: String): TableMeta = {
+    val (df, meta) = CsvInference.load(spark, path, name)
+    register(name, df, meta)
+  }
+
+  def registerParquet(name: String, path: String): TableMeta = {
+    val df = spark.read.parquet(path)
+    val (_, meta) = CsvInference.typed(df.selectExpr(df.columns.map(c => s"cast(`$c` as string) as `$c`").toIndexedSeq: _*), name)
+    // keep the parquet types (already typed); stats from the string pass
+    df.createOrReplaceTempView(name)
+    metas(name) = meta
+    meta
+  }
+
+  def register(name: String, df: DataFrame, meta: TableMeta): TableMeta = {
+    df.createOrReplaceTempView(name)
+    metas(name) = meta
+    meta
+  }
+
+  def tables: Seq[String] = metas.keys.toSeq
+
+  def describe(name: String): Option[TableMeta] = metas.get(name)
+
+  def table(name: String): DataFrame = spark.table(name)
+}

@@ -1,0 +1,128 @@
+package graft.cli
+
+import scala.io.StdIn
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.Catalog
+import graft.format.Formatters
+
+/** The reference's CLI surface (/root/reference/src/cli/main.cpp:59-274)
+  * rebuilt on `spark.sql`:
+  *
+  *  REPL commands — LOAD TABLE n FROM 'f.csv' | SHOW TABLES | DESCRIBE t
+  *    | EXPLAIN <sql> | SELECT ... | SET FORMAT markdown|csv | EXIT/QUIT
+  *  Batch mode — `--sql "<query>"` with a positional CSV file (or stdin)
+  *    registered as table `table` (main.cpp:104-128), and
+  *    `--output-format markdown|csv`.
+  *
+  * Differences by design (SURVEY §3): the SQL dialect is full Spark SQL
+  * (no hand-written parser), and EXPLAIN prints both the optimized
+  * logical and the physical plan — a superset of the reference's
+  * logical-only output (main.cpp:209-228).
+  */
+object Repl {
+
+  def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .appName("graft-sql")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    var sqlArg: Option[String] = None
+    var format = "markdown"
+    var csvPath: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--sql" => sqlArg = Some(args(i + 1)); i += 2
+        case "--output-format" => format = args(i + 1); i += 2
+        case flag if flag.startsWith("--") =>
+          System.err.println(s"error: unknown flag $flag"); sys.exit(2)
+        case path => csvPath = Some(path); i += 1
+      }
+    }
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    val catalog = new Catalog(spark)
+
+    sqlArg match {
+      case Some(sql) =>
+        // batch: positional CSV (or stdin) becomes table "table"
+        // (main.cpp:104-128 parity)
+        val path = csvPath.getOrElse {
+          val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".csv")
+          val in = scala.io.Source.stdin.mkString
+          java.nio.file.Files.writeString(tmp, in)
+          tmp.toString
+        }
+        catalog.registerCsv("table", path)
+        print(render(spark.sql(sql), format))
+      case None => loop(spark, catalog, format)
+    }
+    spark.stop()
+  }
+
+  private def render(df: DataFrame, format: String): String =
+    if (format == "csv") Formatters.csv(df) else Formatters.markdown(df)
+
+  private val LoadRe = """(?i)^LOAD\s+TABLE\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
+  private val DescribeRe = """(?i)^DESCRIBE\s+(\w+)\s*;?\s*$""".r
+  private val SetFormatRe = """(?i)^SET\s+FORMAT\s+(\w+)\s*;?\s*$""".r
+  private val ExplainRe = """(?is)^EXPLAIN\s+(.+)$""".r
+
+  def loop(spark: SparkSession, catalog: Catalog, initialFormat: String): Unit = {
+    println("graft-sql - Spark-native SQL engine (EXIT to quit)")
+    var format = initialFormat
+    var done = false
+    while (!done) {
+      print("sql> ")
+      Console.flush()
+      val line = StdIn.readLine()
+      if (line == null) done = true
+      else {
+        val trimmed = line.trim
+        try {
+          trimmed match {
+            case "" =>
+            case t if t.equalsIgnoreCase("EXIT") || t.equalsIgnoreCase("QUIT") =>
+              done = true
+            case t if t.equalsIgnoreCase("SHOW TABLES") || t.equalsIgnoreCase("SHOW TABLES;") =>
+              catalog.tables.foreach(println)
+              if (catalog.tables.isEmpty) println("(no tables)")
+            case LoadRe(name, path) =>
+              val meta = catalog.registerCsv(name, path)
+              println(s"loaded ${meta.name}: ${meta.rowCount} rows, ${meta.columns.size} columns")
+            case DescribeRe(name) =>
+              catalog.describe(name) match {
+                case None => println(s"error: unknown table $name")
+                case Some(m) =>
+                  println(s"${m.name}: ${m.rowCount} rows")
+                  m.columns.foreach { c =>
+                    println(f"  ${c.name}%-20s ${c.typeName}%-10s ndv=${c.ndv}%-8d min=${c.min} max=${c.max}")
+                  }
+              }
+            case SetFormatRe(f) =>
+              if (Set("markdown", "csv")(f.toLowerCase)) { format = f.toLowerCase; println(s"format=$format") }
+              else println(s"error: unknown format $f (markdown|csv)")
+            case ExplainRe(sql) =>
+              val qe = spark.sql(sql).queryExecution
+              println("== Optimized Logical Plan ==")
+              println(qe.optimizedPlan.toString)
+              println("== Physical Plan ==")
+              println(qe.executedPlan.toString)
+            case sql =>
+              print(render(spark.sql(sql), format))
+          }
+        } catch {
+          case NonFatal(e) => println(s"error: ${e.getMessage}")
+        }
+      }
+    }
+  }
+}

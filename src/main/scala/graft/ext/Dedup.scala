@@ -54,7 +54,10 @@ object Dedup {
     * texts are short, so group on text directly (simpler, same plan shape).
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    exactOn(docs(spark, dir))
+
+  def exactOn(documents: DataFrame): DataFrame =
+    documents
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
@@ -76,8 +79,11 @@ object Dedup {
     * would be capped/salted there; with this corpus' vocabulary the
     * inverted-index buckets stay small.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(docs(spark, dir))
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(docs(spark, dir))
+
+  def ngramJaccardOn(documents: DataFrame): DataFrame = {
+    val sh = withShingles(documents)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
@@ -115,8 +121,11 @@ object Dedup {
     * (array_intersect on the two already-distinct arrays). Output schema
     * and (w.h.p.) contents match `ngramJaccard` — it shares that oracle.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(docs(spark, dir))
+
+  def minhashLshOn(documents: DataFrame): DataFrame = {
+    val d = withShingles(documents).select(col("doc_id"), col("shingles"))
     val sig = d.withColumn("mh", expr(
       "transform(sequence(0, 63), i -> array_min(transform(shingles, s -> xxhash64(s, i))))"))
     val bands = sig.select(
@@ -147,8 +156,11 @@ object Dedup {
     * ≤ 3 ⇒ one quarter intact), verified with bit_count(xor). No SQL
     * oracle (xxhash64 is Spark-specific) → rows-only check.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(docs(spark, dir))
+
+  def simhashOn(documents: DataFrame): DataFrame = {
+    val d = documents
       .withColumn("w", split(col("text"), " "))
       .withColumn("sim", expr(
         """aggregate(sequence(0, 63), 0L, (acc, i) ->

@@ -37,9 +37,11 @@ object Similarity {
 
   // ------------------------------------------------------- brute force
   /** Exact cosine top-5 neighbors for query vectors vec_id < 10. */
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val q = e.filter(col("vec_id") < 10)
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopKOn(emb(spark, dir), nQueries = 10, k = 5)
+
+  def cosineTopKOn(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
@@ -47,7 +49,7 @@ object Similarity {
         expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("vec_id"), col("neighbor_id"))

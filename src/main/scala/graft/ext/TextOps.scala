@@ -29,7 +29,10 @@ object TextOps {
     * stopword ratio, mean token length.
     */
   def stats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    statsOn(docs(spark, dir))
+
+  def statsOn(documents: DataFrame): DataFrame =
+    documents
       .withColumn("w", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -73,8 +76,11 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir).withColumn("w", split(col("text"), " "))
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(docs(spark, dir))
+
+  def langIdOn(documents: DataFrame): DataFrame = {
+    val base = documents.withColumn("w", split(col("text"), " "))
     val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang",
         expr(s"size(filter(w, x -> array_contains(array(${words.map("'" + _ + "'").mkString(",")}), x)))"))
@@ -110,7 +116,10 @@ object TextOps {
     * shape, fold kept under 2⁶³ so ANSI arithmetic never overflows).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    fingerprintOn(docs(spark, dir))
+
+  def fingerprintOn(documents: DataFrame): DataFrame =
+    documents
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),

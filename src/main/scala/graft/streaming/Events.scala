@@ -35,7 +35,10 @@ object Events {
     * tumbling windows).
     */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    windowedCountsOn(events(spark, dir))
+
+  def windowedCountsOn(ev: DataFrame): DataFrame =
+    ev
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("win.start").as("window_start"), col("event_type"), col("n"), col("total"))
@@ -67,7 +70,10 @@ object Events {
     * source is nanosecond-precision and Spark reads microseconds.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    sessionizeOn(events(spark, dir))
+
+  def sessionizeOn(ev: DataFrame): DataFrame =
+    ev
       .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
       .select(
@@ -95,14 +101,23 @@ object Events {
       |ORDER BY user_id, session_start""".stripMargin
 
   // ---------------------------------------------------- streaming forms
+  /** Parquet file-stream of events from a DIRECTORY of parquet files (the
+    * file source requires a directory, unlike the batch reader). Handles
+    * the source's nanosecond timestamps the same way Tables.load does.
+    */
+  private def eventStream(spark: SparkSession, filesDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(filesDir) // schema probe (ts as raw nanos)
+    spark.readStream.schema(raw.schema).parquet(filesDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Streaming twin of `windowedCounts`: parquet file stream → watermark →
     * tumbling window aggregation. Caller picks the sink (tests use
     * Trigger.AvailableNow + memory sink).
     */
-  def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.load(spark, dir, "events").schema
-    spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+  def streamingWindowedCounts(spark: SparkSession, filesDir: String): DataFrame = {
+    eventStream(spark, filesDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -112,13 +127,10 @@ object Events {
   /** Streaming exactly-once-style dedup on event_id within the watermark
     * (state is bounded by the 1-hour horizon).
     */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.load(spark, dir, "events").schema
-    spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+  def streamingDedup(spark: SparkSession, filesDir: String): DataFrame =
+    eventStream(spark, filesDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_1h" -> (windowedCounts _),

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Ports of the reference's end-to-end execution tests
+  * (/root/reference/tests/test_execution.cpp:127-270, fixtures per
+  * FIXTURES.md §1a) expressed against spark.sql, plus smoke checks of the
+  * Core query set on the sf0.001 parquet data.
+  */
+class CoreQueriesSpec extends SparkSpecBase {
+
+  private def fixtures(): Unit = {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "qty")
+      .createOrReplaceTempView("orders_t")
+    Seq((1L, "north"), (2L, "south"), (4L, "west")).toDF("id", "region")
+      .createOrReplaceTempView("detail_t")
+  }
+
+  test("filter: qty > 15 (test_execution.cpp:127-138)") {
+    fixtures()
+    val rows = spark.sql("SELECT id FROM orders_t WHERE qty > 15 ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("expression projection: qty * 2 AS double_qty (:140-153)") {
+    fixtures()
+    val rows = spark.sql("SELECT id, qty * 2 AS double_qty FROM orders_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 20L), (2L, 40L), (3L, 60L)))
+  }
+
+  test("limit (:155-166)") {
+    fixtures()
+    assert(spark.sql("SELECT id FROM orders_t ORDER BY id LIMIT 2").count() == 2)
+  }
+
+  test("inner hash join (:168-185)") {
+    fixtures()
+    val rows = spark.sql(
+      """SELECT o.id, d.region FROM orders_t o JOIN detail_t d ON o.id = d.id
+        |ORDER BY o.id""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "north"), (2L, "south")))
+  }
+
+  test("join + group by + sum (:187-208)") {
+    fixtures()
+    val rows = spark.sql(
+      """SELECT d.region, SUM(o.qty) AS total
+        |FROM orders_t o JOIN detail_t d ON o.id = d.id
+        |GROUP BY d.region ORDER BY d.region""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("north", 10L), ("south", 20L)))
+  }
+
+  test("global COUNT(*) (:210-225)") {
+    fixtures()
+    val rows = spark.sql("SELECT COUNT(*) FROM orders_t").collect()
+    assert(rows.head.getLong(0) == 3L)
+  }
+
+  test("order by desc + limit = top-1 (:227-252)") {
+    fixtures()
+    val rows = spark.sql(
+      "SELECT id, qty FROM orders_t ORDER BY qty DESC LIMIT 1").collect()
+    assert(rows.head.getLong(0) == 3L && rows.head.getLong(1) == 30L)
+  }
+
+  test("complex: join+group+order+limit top region (:254-270)") {
+    fixtures()
+    val rows = spark.sql(
+      """SELECT d.region, SUM(o.qty) AS total
+        |FROM orders_t o JOIN detail_t d ON o.id = d.id
+        |GROUP BY d.region ORDER BY total DESC LIMIT 1""".stripMargin).collect()
+    assert(rows.head.getString(0) == "south" && rows.head.getLong(1) == 20L)
+  }
+
+  test("all Core queries execute and return rows on sf0.001") {
+    graft.queries.Core.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf()).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or is documented rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the intentionally non-SQL-expressible set
+    assert(noOracle == Set("dedup_simhash", "sim_ann_lsh", "sim_cosine_neardup",
+      "multimodal_features", "events_sliding_window"))
+  }
+}

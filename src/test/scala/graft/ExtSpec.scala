@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit tests for the extension operators on tiny hand-built corpora with
+  * known answers.
+  */
+class ExtSpec extends SparkSpecBase {
+
+  private def tinyDocs() = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today", "en", "s", 10L),
+      (1L, "the quick brown fox jumps over the lazy dog again today", "en", "s", 10L), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat again today", "en", "s", 10L), // near dup of 0
+      (3L, "completely different words appear inside this very unusual sentence here", "en", "s", 10L),
+      (4L, "el gato y el perro y los pajaros es aqui", "es", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val r = Dedup.exactOn(tinyDocs()).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(0L, 2L, 3L, 4L))
+    assert(r.find(_.getLong(0) == 0L).get.getLong(1) == 2L) // two copies
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardOn(tinyDocs()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical: J = 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH verified pairs equal exact jaccard pairs on tiny corpus") {
+    val exact = Dedup.ngramJaccardOn(tinyDocs()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshOn(tinyDocs()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val r = Dedup.simhashOn(tinyDocs()).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(r.get((0L, 1L)).contains(0))
+  }
+
+  test("cosine top-k: orthogonal vs parallel vectors rank correctly") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0), // nearly parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1), // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f), 2)) // opposite to 0
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.cosineTopKOn(e, nQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // neighbors of vec 0 ordered by id in output; check scores
+    val m = r.toMap
+    assert(math.abs(m(1L) - 0.993884) < 1e-6)
+    assert(m(2L) == 0.0 && m(3L) == -1.0)
+  }
+
+  test("text stats: token counts on a known string") {
+    import spark.implicits._
+    val d = Seq((7L, "the cat the cat runs", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.statsOn(d).collect().head
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Int]("n_uniq") == 3)
+    assert(r.getAs[Int]("n_stop") == 2) // 'the' twice
+    assert(math.abs(r.getAs[Double]("ttr") - 0.6) < 1e-12)
+  }
+
+  test("langid picks the profile with most stopword hits") {
+    val r = TextOps.langIdOn(tinyDocs()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(r(0L) == "en") // 'the' twice
+    assert(r(4L) == "es") // el/y/los/es hits
+  }
+
+  test("fingerprints are stable and distinguish texts") {
+    val r = TextOps.fingerprintOn(tinyDocs()).collect()
+    val byId = r.map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(byId(0L) == byId(1L)) // identical text, identical fingerprints
+    assert(byId(0L) != byId(2L))
+    // rolling hash: h("ab") = (0*31+97)*31+98 mod 1e9+7 = 3105
+    import spark.implicits._
+    val ab = TextOps.fingerprintOn(
+      Seq((0L, "ab", "en", "s", 2L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().head.getLong(2)
+    assert(ab == 97L * 31 + 98)
+  }
+
+  test("multimodal: decode stub + feature extraction through mapPartitions") {
+    import spark.implicits._
+    val items = Seq(
+      Multimodal.MediaItem(1L, "img/fake", Array[Byte](1, 2, 3), 2, 2),
+      Multimodal.MediaItem(2L, "img/fake", Array[Byte](), 0, 0)).toDS()
+    val f = Multimodal.extractFeatures(items).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).n_bytes == 3 && f(1L).checksum == 6L && math.abs(f(1L).mean_byte - 2.0) < 1e-12)
+    assert(f(2L).n_bytes == 0 && f(2L).checksum == 0L)
+  }
+
+  test("multimodal: frame sampling strides over payload") {
+    import spark.implicits._
+    val payload = Array.fill[Byte](5000)(7)
+    val items = Seq(Multimodal.MediaItem(1L, "vid/fake", payload, 0, 0)).toDS()
+    val frames = Multimodal.sampleFrames(items, stride = 2).collect()
+    // chunks 0,1,2,3,4 (last partial) -> sampled 0,2,4
+    assert(frames.map(_.getInt(1)).toSet == Set(0, 2, 4))
+    assert(frames.forall(_.getInt(3) == 7))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Events
+
+/** Structured Streaming twins must agree with their batch forms: run the
+  * streaming pipeline with Trigger.AvailableNow into a memory sink and
+  * compare against the batch query on the same files.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  /** The file stream source needs a directory; stage the single events
+    * parquet file into one.
+    */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed counts == batch windowed counts (sf0.001)") {
+    val q = Events.streamingWindowedCounts(spark, eventsDir)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_counts").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Events.windowedCounts(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming dedup within watermark preserves distinct event count") {
+    val q = Events.streamingDedup(spark, eventsDir)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("deduped").count()
+    val batchDistinct = graft.engine.Tables.load(spark, sf(), "events")
+      .dropDuplicates("event_id").count()
+    assert(streamed == batchDistinct)
+  }
+}
