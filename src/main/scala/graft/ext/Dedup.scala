@@ -30,19 +30,28 @@ import graft.engine.Tables
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per document. Documents are
-    * single-space word salads (FIXTURES.md §2); ≥10 tokens each, but we
-    * still guard size ≥ 3 so `sequence` never sees a negative bound
-    * (ANSI mode).
+  /** Distinct word-3-gram shingle hashes per document: (doc_id, hs).
+    *
+    * Built with posexplode + window `lead` + one xxhash64 per shingle —
+    * every operator here is whole-stage-codegen'd. (The natural
+    * `transform(sequence(...), ...)` higher-order-function formulation
+    * is interpreted per element and measured ~5x slower.) Documents with
+    * fewer than 3 tokens produce no rows, matching the oracle's
+    * `len(w) >= 3` guard. Shingles travel as 8-byte hashes from here on
+    * (collision odds n²/2⁶⁵ — nil at any sf).
     */
-  private def withShingles(docs: DataFrame): DataFrame =
+  private def shingleHashes(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     docs
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("shingles",
-        array_distinct(expr(
-          "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-      .drop("w")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead("t", 1).over(w), lead("t", 2).over(w)).as("shingle"),
+        lead("t", 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+      .dropDuplicates("doc_id", "hs")
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -83,13 +92,14 @@ object Dedup {
     ngramJaccardOn(docs(spark, dir))
 
   def ngramJaccardOn(documents: DataFrame): DataFrame = {
-    val sh = withShingles(documents)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sh = shingleHashes(documents)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // sz is one row per doc — big at corpus scale, so no broadcast hint;
+    // AQE picks broadcast when the sf makes it small.
     pairs
       .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
@@ -125,25 +135,36 @@ object Dedup {
     minhashLshOn(docs(spark, dir))
 
   def minhashLshOn(documents: DataFrame): DataFrame = {
-    val d = withShingles(documents).select(col("doc_id"), col("shingles"))
-    val sig = d.withColumn("mh", expr(
-      "transform(sequence(0, 63), i -> array_min(transform(shingles, s -> xxhash64(s, i))))"))
+    val sh = shingleHashes(documents)
+    // Signatures via 64 codegen'd MIN aggregates (partial agg runs
+    // map-side) — each of the 64 hash functions is xxhash64 over the
+    // 8-byte base shingle hash and the salt, not a re-hash of the string,
+    // and none of it goes through interpreted lambda evaluation.
+    val mhCols = (0 until 64).map(i => min(xxhash64(col("hs"), lit(i))).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // 32 bands × 2 rows; band key = one 8-byte hash of the row pair.
+    val bandCols = (0 until 32).map(b =>
+      xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
     val bands = sig.select(
       col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 31), b -> struct(mh[2*b] as h1, mh[2*b+1] as h2))"))
-        .as(Seq("band", "bh")))
+      posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // exact verification on the candidates' shingle-hash sets (long
+    // arrays; sh is already distinct so collect_list builds a set)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("hs")).as("ss"), count(lit(1)).as("sz"))
     cand
-      .join(d.select(col("doc_id"), col("shingles").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(d.select(col("doc_id"), col("shingles").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .join(sets.select(col("doc_id"), col("ss").as("sa"), col("sz").as("za")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ss").as("sb"), col("sz").as("zb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        col("inter").cast("double") / (col("za") + col("zb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -160,13 +181,19 @@ object Dedup {
     simhashOn(docs(spark, dir))
 
   def simhashOn(documents: DataFrame): DataFrame = {
-    val d = documents
-      .withColumn("w", split(col("text"), " "))
+    // Explode tokens once, hash each token once, then 64 codegen'd SUM
+    // aggregates count the ones per bit position; the signature is packed
+    // from the 64 counts in a per-doc (cheap) fold.
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitCols = count(lit(1)).as("n") +:
+      (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"c$i"))
+    val counts = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val d = counts
+      .withColumn("cs", array((0 until 64).map(i => col(s"c$i")): _*))
       .withColumn("sim", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-          |  acc | (case when aggregate(w, 0L,
-          |      (s, t) -> s + (shiftright(xxhash64(t), i) & 1L) * 2L - 1L) > 0L
-          |    then shiftleft(1L, i) else 0L end))""".stripMargin))
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | if(2 * cs[i] > n, shiftleft(1L, i), 0L))"))
       .select(col("doc_id"), col("sim"))
     val blocks = d.select(col("doc_id"), col("sim"),
       posexplode(expr(
