@@ -29,11 +29,13 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** Sequential-fold dot product in double precision (deterministic). */
-  private val dotExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
-  private def normExpr(c: String) =
-    s"sqrt(aggregate($c, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+  /** Cosine via the native codegen expression (graft.functions.CosineSimF32)
+    * — bit-identical to the sequential double fold but whole-stage-codegen'd.
+    */
+  private def cosine(df: DataFrame): org.apache.spark.sql.Column = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    expr("cosine_f32(qe, ce)")
+  }
 
   // ------------------------------------------------------- brute force
   /** Exact cosine top-5 neighbors for query vectors vec_id < 10. */
@@ -45,8 +47,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos",
-        expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+      .withColumn("cos", cosine(e))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -88,8 +89,7 @@ object Similarity {
       col("bucket").as("cbucket"))
     val scored = c.join(broadcast(q),
         col("bucket") === col("cbucket") && col("qid") =!= col("cid"))
-      .withColumn("cos",
-        expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+      .withColumn("cos", cosine(e))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -114,15 +114,61 @@ object Similarity {
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("ce"),
       col("bucket").as("bb"))
     a.join(b, col("bucket") === col("bb") && col("va") < col("vb"))
-      .withColumn("cos", expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+      .withColumn("cos", cosine(e))
       .filter(col("cos") >= 0.95)
       .select(col("va").as("doc_a"), col("vb").as("doc_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** IVF (inverted-file) ANN: KMeans centroids partition the corpus into
+    * coarse cells; each query probes only the `nprobe` nearest cells.
+    * The centroid table is tiny (k × dim) and broadcast; the corpus is
+    * scanned once to assign cells (one shuffle on cell id at scale), and
+    * probe cost is nprobe/k of the corpus per query. Approximate →
+    * rows-only check.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    graft.plans.GraftExtensions.register(spark)
+    val e = emb(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e)
+    val assigned = model.transform(e)
+    val centroids = {
+      import spark.implicits._
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+        .toDF("cent_cell", "ce")
+    }
+    // rank cells per query by centroid cosine, keep nprobe = 4
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cos_c").desc, col("cent_cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", expr("cosine_f32(qe, ce)"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= 4)
+      .select(col("qid"), col("qe"), col("cent_cell"))
+    // search only the probed cells
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce2"),
+      col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(probed), col("cell") === col("cent_cell") && col("qid") =!= col("cid"))
+      .withColumn("cos", expr("cosine_f32(qe, ce2)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("cell"))
+      .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_ivf" -> (annIvf _),
     "sim_cosine_neardup" -> (cosineNearDup _))
 
   val oracles: Map[String, String] = Map(

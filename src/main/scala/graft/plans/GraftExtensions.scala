@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimF32, DotProductF32}
+
+/** SparkSessionExtensions injector for graft's native expressions —
+  * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * call [[GraftExtensions.register]] on an existing session (idempotent;
+  * used by the operators themselves so any session works).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("dot_f32"),
+      info("dot_f32", "dot_f32(a, b) - double dot product of two float arrays"),
+      (es: Seq[Expression]) => DotProductF32(es(0), es(1))),
+    (FunctionIdentifier("cosine_f32"),
+      info("cosine_f32", "cosine_f32(a, b) - cosine similarity of two float arrays"),
+      (es: Seq[Expression]) => CosineSimF32(es(0), es(1))))
+
+  /** Register on an already-built session (temp functions, idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}

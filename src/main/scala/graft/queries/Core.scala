@@ -452,8 +452,21 @@ object Core {
       |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * CAST(0.9 AS DOUBLE)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** Sketch aggregates: HyperLogLog++ approximate NDV next to the exact
+    * count. At 100 TB the sketch is the only affordable NDV — fixed-size
+    * state, one pass, mergeable across partitions. Approximate → rows-only
+    * check (DuckDB's approx_distinct uses a different sketch).
+    */
+  def q21ApproxNdv(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("ndv_partkey_hll"),
+      countDistinct(col("l_partkey")).as("ndv_partkey_exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ndv_orderkey_hll"))
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_approx_ndv" -> (q21ApproxNdv _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_top_revenue" -> (q3TopRevenue _),

@@ -132,6 +132,36 @@ object Events {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Typed row/state shapes for the arbitrary-stateful op below. */
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserStats(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom arbitrary state via KeyValueGroupedDataset.mapGroupsWithState:
+    * per-user running (count, total) maintained across micro-batches —
+    * the shape session/state logic takes when windows can't express it.
+    * State is one small struct per user (bounded by #users), partitioned
+    * by the group key — scales horizontally like any keyed state store.
+    */
+  def streamingUserStats(spark: SparkSession, filesDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    eventStream(spark, filesDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserStats](GroupStateTimeout.NoTimeout()) {
+        (uid, events, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          events.foreach { e => n += 1; total += e.value }
+          state.update(UserState(n, total))
+          UserStats(uid, n, total)
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),

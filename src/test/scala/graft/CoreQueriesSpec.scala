@@ -90,7 +90,8 @@ class CoreQueriesSpec extends SparkSpecBase {
   test("every query has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the intentionally non-SQL-expressible set
-    assert(noOracle == Set("dedup_simhash", "sim_ann_lsh", "sim_cosine_neardup",
-      "multimodal_features", "events_sliding_window"))
+    assert(noOracle == Set("dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
+      "sim_cosine_neardup", "multimodal_features", "events_sliding_window",
+      "q21_approx_ndv"))
   }
 }

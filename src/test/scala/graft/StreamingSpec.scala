@@ -33,6 +33,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("mapGroupsWithState per-user stats == batch groupBy on final state") {
+    val q = Events.streamingUserStats(spark, eventsDir)
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per user is the final state
+    val streamed = spark.table("user_stats")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.engine.Tables.load(spark, sf(), "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")

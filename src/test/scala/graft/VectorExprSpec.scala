@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftExtensions
+
+/** Native codegen expressions (dot_f32 / cosine_f32) must be
+  * bit-identical to the sequential higher-order-function double fold
+  * they replaced, and reject wrong input types at analysis time.
+  */
+class VectorExprSpec extends SparkSpecBase {
+
+  test("cosine_f32 bit-equals the zip_with/aggregate fold on real embeddings") {
+    GraftExtensions.register(spark)
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings").limit(50)
+    val pairs = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(e.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      .filter(col("qid") < col("cid"))
+    val fold =
+      "aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)" +
+        " / (sqrt(aggregate(qe, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))" +
+        " * sqrt(aggregate(ce, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))))"
+    val diff = pairs
+      .select(expr("cosine_f32(qe, ce)").as("fast"), expr(fold).as("slow"),
+        expr("dot_f32(qe, ce)").as("dfast"),
+        expr("aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)").as("dslow"))
+      .filter(col("fast") =!= col("slow") || col("dfast") =!= col("dslow"))
+    assert(diff.count() == 0)
+  }
+
+  test("null inputs yield null") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
+    val r = df.select(expr("cosine_f32(a, b)")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("wrong input type fails analysis") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[Exception](df.select(expr("cosine_f32(a, b)")).collect())
+    assert(e.getMessage.contains("array<float>"))
+  }
+}
