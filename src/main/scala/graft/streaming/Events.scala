@@ -162,6 +162,67 @@ object Events {
       .toDF()
   }
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionAcc(start: Long, last: Long, n: Long, total: Double)
+  case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+    n_events: Long, total: Double)
+
+  /** Sessionization as an explicit state machine via
+    * flatMapGroupsWithState + event-time timeout: sessions close either
+    * when a later event arrives past the gap (emitted immediately) or
+    * when the watermark passes last+gap (emitted on timeout). This is the
+    * unbounded-stream form of `sessionize` — state per user is one open
+    * session, evicted by watermark, so it holds at any stream length.
+    */
+  def streamingSessionize(spark: SparkSession, filesDir: String,
+      gapMinutes: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def toRow(uid: Long, s: SessionAcc): SessionRow =
+      SessionRow(uid, new java.sql.Timestamp(s.start), s.n, s.total)
+
+    def fn(uid: Long, events: Iterator[SessionEvent],
+        state: GroupState[SessionAcc]): Iterator[SessionRow] = {
+      if (!state.hasTimedOut) {
+        val sorted = events.toSeq.sortBy(_.ts.getTime)
+        var open = state.getOption
+        val closed = Seq.newBuilder[SessionRow]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          open match {
+            case Some(s) if t - s.last <= gapMs =>
+              open = Some(SessionAcc(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += toRow(uid, s)
+              open = Some(SessionAcc(t, t, 1L, e.value))
+            case None =>
+              open = Some(SessionAcc(t, t, 1L, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.result().iterator
+      } else {
+        val s = state.get
+        state.remove()
+        Iterator.single(toRow(uid, s))
+      }
+    }
+
+    eventStream(spark, filesDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),

@@ -48,6 +48,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionize matches batch session_window (closed sessions)") {
+    import org.apache.spark.sql.functions._
+    val q = Events.streamingSessionize(spark, eventsDir)
+      .writeStream.format("memory").queryName("fmgs_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("fmgs_sessions")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    // Batch truth. Every streamed session must match a batch session
+    // exactly; the only sessions allowed to be missing from the stream
+    // are each user's final one (it may stay open in state if the last
+    // watermark didn't pass its gap — timeout firing depends on how
+    // AvailableNow advances the watermark).
+    val batch = Events.sessionize(spark, sf())
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val batchSet = batch.toSet
+    val lastPerUser = batch.groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).max) }.toSet
+    val missing = batchSet -- streamed
+    assert((streamed -- batchSet).isEmpty,
+      s"streamed sessions not in batch truth: ${(streamed -- batchSet).take(5)}")
+    assert(missing.forall(x => lastPerUser.contains((x._1, x._2))),
+      s"non-final sessions missing from stream: ${missing.filterNot(x => lastPerUser.contains((x._1, x._2))).take(5)}")
+    assert(streamed.size >= batchSet.size - lastPerUser.size)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Black-box CLI smoke suite — port of the reference's smoke.sh
+# (/root/reference/smoke.sh): REPL banner, CSV load, --sql one-shot, csv
+# formatter header, stdin CSV, SET FORMAT, bad-flag error.
+# Usage: bash tools/cli_smoke.sh   (needs `sbt compile` done first)
+set -u
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+run() { java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx2g -cp "$CP" graft.cli.Repl "$@" 2>/dev/null; }
+
+pass=0; fail=0
+check() { # name, expected-grep, actual
+  if echo "$3" | grep -q "$2"; then pass=$((pass+1)); echo "ok   - $1"
+  else fail=$((fail+1)); echo "FAIL - $1 (wanted /$2/):"; echo "$3" | head -5; fi
+}
+
+CSV=$(mktemp --suffix=.csv)
+printf 'id,name,value\n1,Alice,100\n2,Bob,200\n3,Charlie,300\n' > "$CSV"
+
+# 1. REPL banner
+out=$(echo "EXIT" | run)
+check "repl banner" "graft-sql" "$out"
+
+# 2. LOAD TABLE + SELECT
+out=$(printf "LOAD TABLE t FROM '%s'\nSELECT name FROM t WHERE value > 150\nEXIT\n" "$CSV" | run)
+check "csv load + select" "Charlie" "$out"
+
+# 3. --sql one-shot with positional file
+out=$(run "$CSV" --sql "SELECT COUNT(*) AS n FROM table")
+check "--sql one-shot" "| 3" "$out"
+
+# 4. csv formatter header
+out=$(run "$CSV" --sql "SELECT id, name FROM table ORDER BY id" --output-format csv)
+check "csv formatter header" "^id,name" "$out"
+
+# 5. stdin CSV as table
+out=$(printf 'id,name\n1,Alice\n2,Bob\n' | run --sql "SELECT name FROM table ORDER BY id")
+check "stdin csv" "Bob" "$out"
+
+# 6. SET FORMAT
+out=$(printf "LOAD TABLE t FROM '%s'\nSET FORMAT csv\nSELECT id FROM t ORDER BY id LIMIT 1\nEXIT\n" "$CSV" | run)
+check "set format" "format=csv" "$out"
+
+# 7. bad flag → error exit
+run --definitely-not-a-flag >/dev/null 2>&1
+rc=$?
+if [ "$rc" = "2" ]; then pass=$((pass+1)); echo "ok   - bad flag exit code"
+else fail=$((fail+1)); echo "FAIL - bad flag exit code (got $rc)"; fi
+
+# 8. DESCRIBE with stats
+out=$(printf "LOAD TABLE t FROM '%s'\nDESCRIBE t\nEXIT\n" "$CSV" | run)
+check "describe stats" "ndv=3" "$out"
+
+echo "---"
+echo "$pass passed, $fail failed"
+exit $([ "$fail" = "0" ] && echo 0 || echo 1)
