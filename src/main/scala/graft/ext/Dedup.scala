@@ -139,8 +139,11 @@ object Dedup {
     // Signatures via 64 codegen'd MIN aggregates (partial agg runs
     // map-side) — each of the 64 hash functions is xxhash64 over the
     // 8-byte base shingle hash and the salt, not a re-hash of the string,
-    // and none of it goes through interpreted lambda evaluation.
-    val mhCols = (0 until 64).map(i => min(xxhash64(col("hs"), lit(i))).as(s"mh$i"))
+    // and none of it goes through interpreted lambda evaluation. The same
+    // pass also collects the shingle-hash set + size used for exact
+    // verification, so the corpus is shingled exactly once.
+    val mhCols = (0 until 64).map(i => min(xxhash64(col("hs"), lit(i))).as(s"mh$i")) ++
+      Seq(collect_list(col("hs")).as("ss"), count(lit(1)).as("sz"))
     val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     // 32 bands × 2 rows; band key = one 8-byte hash of the row pair.
     val bandCols = (0 until 32).map(b =>
@@ -154,9 +157,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verification on the candidates' shingle-hash sets (long
-    // arrays; sh is already distinct so collect_list builds a set)
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("hs")).as("ss"), count(lit(1)).as("sz"))
+    // arrays; sh is distinct per doc so collect_list built a set above)
+    val sets = sig.select(col("doc_id"), col("ss"), col("sz"))
     cand
       .join(sets.select(col("doc_id"), col("ss").as("sa"), col("sz").as("za")),
         col("doc_a") === col("doc_id")).drop("doc_id")

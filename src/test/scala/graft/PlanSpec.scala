@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.Core
+
+/** Locks in the physical-plan properties the 100 TB design depends on:
+  * filter pushdown into the scan, column pruning, broadcast dimension
+  * joins, partial aggregation, and orderBy+limit fusing to top-k. If a
+  * refactor silently loses one of these, the query still passes its
+  * oracle — this spec is what catches the plan regression.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q2: filters are pushed into the parquet scan and columns pruned") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p.take(500))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+    // 4 of 6 orders columns read
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"))
+  }
+
+  test("q8: dimension joins broadcast (fact side never shuffles for dims)") {
+    val p = plan("q8_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q4: orderBy+limit fuses to TakeOrderedAndProject") {
+    assert(plan("q4_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: hash aggregation is partial+final") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q16: semi join planned as a real semi join") {
+    assert(plan("q16_semi_join").contains("LeftSemi"))
+  }
+
+  test("cosine_f32 stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("sim_cosine_topk")(spark, sf())
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("cosine_f32"), p.take(800))
+    // the Project computing cos carries a codegen id — i.e. it's inside a
+    // WholeStageCodegen stage, not interpreted
+    assert(p.split("\n").exists(l => l.contains("Project") && l.contains("codegen id")), p.take(1500))
+  }
+}
