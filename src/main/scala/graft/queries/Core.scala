@@ -464,9 +464,48 @@ object Core {
       countDistinct(col("l_partkey")).as("ndv_partkey_exact"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("ndv_orderkey_hll"))
 
+  // ---------------------------------------------------------------- q22
+  /** As-of join — an operator Spark lacks natively (and the reference
+    * lacks entirely): for each event, the most recent order date of the
+    * same customer at or before the event time. Composed from existing
+    * ops (preference (a) of the extension ladder): tag + union both
+    * sides, one shuffle on the key, and a running `last(ignoreNulls)`
+    * window ordered by (time, side) so an order at exactly the event
+    * time wins (>= semantics, matching DuckDB's ASOF JOIN oracle).
+    * Cost at scale: one shuffle + one per-key sort — the standard
+    * distributed as-of; no range cross-product ever materializes.
+    */
+  def q22AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .distinct()
+      .select(col("k"), col("t"), lit(null).cast("long").as("event_id"),
+        col("t").as("odate"), lit(1).as("side"))
+    val ev = t(spark, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+        lit(null).cast("timestamp").as("odate"), lit(0).as("side"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("last_order_date", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0 && col("last_order_date").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  val q22Sql: String =
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  o.o_orderdate AS last_order_date
+      |FROM events e ASOF JOIN (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
+    "q22_asof_join" -> (q22AsofJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_top_revenue" -> (q3TopRevenue _),
@@ -489,6 +528,7 @@ object Core {
     "q20_scalar_subquery" -> (q20ScalarSubquery _))
 
   val oracles: Map[String, String] = Map(
+    "q22_asof_join" -> q22Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_top_revenue" -> q3Sql,
