@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkewJoin
+
+/** The scale techniques that don't show up in small-sf oracle results:
+  * salted joins for hot keys and bucketed tables for shuffle-free
+  * co-located joins. These tests pin the *mechanism* (result equivalence,
+  * plan shape) so it's ready when data actually skews.
+  */
+class ScaleTechniquesSpec extends SparkSpecBase {
+
+  test("salted join equals plain join on a skewed corpus") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail, joined to a dim table
+    val left = ((1 to 10000).map(i => (1L, s"v$i")) ++
+      (1 to 100).map(i => (i.toLong, s"t$i"))).toDF("k", "payload")
+    val right = (1 to 100).map(i => (i.toLong, s"dim$i")).toDF("rk", "attr")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select(col("k"), col("payload"), col("attr"))
+    val salted = SkewJoin.saltedInnerJoin(left, "k", right, "rk", buckets = 8)
+      .select(col("k"), col("payload"), col("attr"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads the hot key across buckets") {
+    import spark.implicits._
+    val left = (1 to 10000).map(i => (1L, s"v$i")).toDF("k", "payload")
+    val salts = left.withColumn("__salt",
+      pmod(xxhash64(col("k"), col("payload")), lit(8L)).cast("int"))
+      .groupBy("__salt").count().collect()
+    assert(salts.length == 8)
+    assert(salts.map(_.getLong(1)).max < 10000L * 0.25) // no bucket dominates
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    import spark.implicits._ // tables land in the default ./spark-warehouse
+    (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "a")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+    (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "b")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+    val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    // disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1200))
+      assert(j.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
