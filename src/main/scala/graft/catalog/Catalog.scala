@@ -24,11 +24,12 @@ class Catalog(spark: SparkSession) {
 
   def registerParquet(name: String, path: String): TableMeta = {
     val df = spark.read.parquet(path)
-    val (_, meta) = CsvInference.typed(df.selectExpr(df.columns.map(c => s"cast(`$c` as string) as `$c`").toIndexedSeq: _*), name)
-    // keep the parquet types (already typed); stats from the string pass
-    df.createOrReplaceTempView(name)
-    metas(name) = meta
-    meta
+    register(name, df, CsvInference.statsFor(df, name))
+  }
+
+  def registerJson(name: String, path: String): TableMeta = {
+    val df = spark.read.json(path)
+    register(name, df, CsvInference.statsFor(df, name))
   }
 
   def register(name: String, df: DataFrame, meta: TableMeta): TableMeta = {

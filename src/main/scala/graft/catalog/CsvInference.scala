@@ -82,9 +82,15 @@ object CsvInference {
       else col(c)
     }
     val typedDf = raw.select(cols.toIndexedSeq: _*)
+    (typedDf, statsFor(typedDf, tableName))
+  }
 
-    // one distributed pass for the reference's DESCRIBE stats
-    // (csv_loader.cpp:73-159): exact NDV + typed min/max + row count.
+  /** One distributed pass for the reference's DESCRIBE stats
+    * (csv_loader.cpp:73-159): exact NDV + typed min/max + row count.
+    * Works on any already-typed frame (CSV-inferred, parquet, JSON).
+    * At 100 TB, swap countDistinct for approx_count_distinct.
+    */
+  def statsFor(typedDf: DataFrame, tableName: String): TableMeta = {
     val statAggs: Seq[Column] = count(lit(1)).as("__rows") +: typedDf.columns.flatMap { c =>
       Seq(
         countDistinct(col(c)).as(s"${c}__ndv"),
@@ -98,6 +104,6 @@ object CsvInference {
         Option(s.getAs[String](s"${f.name}__min")).getOrElse(""),
         Option(s.getAs[String](s"${f.name}__max")).getOrElse(""))
     }
-    (typedDf, TableMeta(tableName, s.getAs[Long]("__rows"), metas.toIndexedSeq))
+    TableMeta(tableName, s.getAs[Long]("__rows"), metas.toIndexedSeq)
   }
 }

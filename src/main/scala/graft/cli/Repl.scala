@@ -96,7 +96,12 @@ object Repl {
               catalog.tables.foreach(println)
               if (catalog.tables.isEmpty) println("(no tables)")
             case LoadRe(name, path) =>
-              val meta = catalog.registerCsv(name, path)
+              // format by extension: .parquet / .json load natively,
+              // anything else goes through reference CSV inference
+              val meta =
+                if (path.endsWith(".parquet")) catalog.registerParquet(name, path)
+                else if (path.endsWith(".json")) catalog.registerJson(name, path)
+                else catalog.registerCsv(name, path)
               println(s"loaded ${meta.name}: ${meta.rowCount} rows, ${meta.columns.size} columns")
             case DescribeRe(name) =>
               catalog.describe(name) match {

@@ -58,6 +58,23 @@ object Multimodal {
     }
   }
 
+  /** "Resize" a media payload: deterministic downsample keeping every
+    * `factor`-th byte — a stand-in for image resizing with the same
+    * pipeline shape (binary in, smaller binary out, metadata updated).
+    */
+  def resizeStub(items: Dataset[MediaItem], factor: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val resized = m.payload.zipWithIndex.collect {
+          case (b, i) if i % factor == 0 => b
+        }
+        m.copy(payload = resized,
+          width = m.width / factor, height = m.height / factor)
+      }
+    }
+  }
+
   /** "Frame sampling" over a binary payload: deterministic stride slices
     * standing in for video frame extraction (every `stride`-th kilobyte).
     */

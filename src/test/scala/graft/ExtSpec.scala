@@ -105,6 +105,28 @@ class ExtSpec extends SparkSpecBase {
     assert(f(2L).n_bytes == 0 && f(2L).checksum == 0L)
   }
 
+  test("multimodal: resize stub downsamples payload and metadata") {
+    import spark.implicits._
+    val items = Seq(Multimodal.MediaItem(1L, "img/fake",
+      Array.tabulate[Byte](100)(_.toByte), 10, 10)).toDS()
+    val r = Multimodal.resizeStub(items, factor = 2).collect().head
+    assert(r.payload.length == 50 && r.width == 5 && r.height == 5)
+    assert(r.payload(1) == 2.toByte) // kept every 2nd byte
+  }
+
+  test("sqlapi QueryEngine: sql + explain over a registered catalog") {
+    val qe = new graft.sqlapi.QueryEngine(spark)
+    val csv = java.nio.file.Files.createTempFile("qe", ".csv")
+    java.nio.file.Files.writeString(csv, "id,v\n1,2.5\n2,3.5\n")
+    qe.catalog.registerCsv("qe_t", csv.toString)
+    val rows = qe.sql("SELECT id, v * 2 AS v2 FROM qe_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 5.0), (2L, 7.0)))
+    val plan = qe.explain("SELECT COUNT(*) FROM qe_t")
+    assert(plan.contains("Optimized Logical Plan") && plan.contains("Physical Plan"))
+    assert(qe.sql("SELECT cosine_f32(array(cast(1.0 as float)), array(cast(1.0 as float)))")
+      .collect().head.getDouble(0) == 1.0)
+  }
+
   test("multimodal: frame sampling strides over payload") {
     import spark.implicits._
     val payload = Array.fill[Byte](5000)(7)
