@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("q16_semi_join").contains("LeftSemi"))
   }
 
+  test("golden logical shape: Limit(Sort(Aggregate(Filter(Scan)))) (FIXTURES §1c)") {
+    // the reference's golden plan-string test (tests/test_logical.cpp:53-59),
+    // kept structural: operator presence + nesting order, not byte-exact
+    graft.engine.Tables.registerAll(spark, sf())
+    val plan = spark.sql(
+      """SELECT l_partkey, SUM(l_quantity) AS q FROM lineitem
+        |WHERE l_quantity > 10 GROUP BY l_partkey ORDER BY q DESC LIMIT 5""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    val order = Seq("GlobalLimit", "Sort", "Aggregate", "Filter", "Relation")
+      .map(op => plan.indexOf(op))
+    assert(order.forall(_ >= 0), plan)
+    assert(order == order.sorted, s"operator nesting out of order: $order\n$plan")
+  }
+
   test("cosine_f32 stays inside whole-stage codegen") {
     val df = SparkEntry.queries("sim_cosine_topk")(spark, sf())
     df.collect() // finalize the AQE plan
