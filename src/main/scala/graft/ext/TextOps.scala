@@ -134,13 +134,79 @@ object TextOps {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- corpus n-grams
+  /** Distinct word bigrams per doc (codegen posexplode + lead, same
+    * pattern as Dedup.shingleHashes but keeping the string for output).
+    */
+  private def bigrams(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead("t", 1).over(w)).as("ngram"),
+        lead("t", 1).over(w).as("w1"))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("ngram"))
+      .distinct()
+  }
+
+  /** Top word-bigrams by document frequency — corpus vocabulary /
+    * boilerplate analysis. One shuffle on the n-gram; partial counts
+    * map-side; top-k fused.
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    bigrams(docs(spark, dir))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+
+  val topNgramsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+      |       FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+      |       WHERE len(w) >= 2)
+      |SELECT ngram, COUNT(*) AS df FROM bg GROUP BY ngram
+      |ORDER BY df DESC, ngram LIMIT 20""".stripMargin
+
+  /** Benchmark-contamination probe: which documents contain any of a
+    * fixed probe-phrase set as a token bigram. The probe set is tiny and
+    * broadcast; the corpus is scanned once — the shape contamination
+    * checks take against eval suites at 100 TB.
+    */
+  private val probePhrases = Seq(
+    "hash join", "sort merge", "query plan", "table scan", "group by")
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = probePhrases.toDF("probe")
+    bigrams(docs(spark, dir))
+      .join(broadcast(probes), col("ngram") === col("probe"))
+      .select(col("doc_id"), col("probe"))
+      .orderBy(col("doc_id"), col("probe"))
+  }
+
+  val contaminationSql: String = {
+    val values = probePhrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+       |       FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+       |       WHERE len(w) >= 2)
+       |SELECT doc_id, probe FROM bg JOIN (VALUES $values) p(probe) ON ngram = probe
+       |ORDER BY doc_id, probe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_top_ngrams" -> (topNgrams _),
+    "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_top_ngrams" -> topNgramsSql,
+    "text_contamination" -> contaminationSql)
 }

@@ -502,10 +502,76 @@ object Core {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** Deterministic sampling (reference lacks sample/tablesample, SURVEY
+    * §2.7): the reproducible-at-scale trick — order by a hash of the key
+    * and take k. Unlike TABLESAMPLE/rand(), the same rows come back on
+    * any cluster, any partitioning, any retry; md5 keeps the oracle in
+    * agreement (DuckDB lacks xxhash64).
+    */
+  def q23DeterministicSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        md5(col("o_orderkey").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val q23Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_totalprice, md5(CAST(o_orderkey AS VARCHAR)) AS h
+      |  FROM orders ORDER BY h, o_orderkey LIMIT 100)
+      |ORDER BY h, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** CUBE grouping sets (absent in reference, SURVEY §2.7). */
+  def q24Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q24Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** INTERSECT / EXCEPT set operations (absent in reference, §2.7):
+    * nations that have both a rich customer and a rich supplier, and the
+    * customer-only remainder, tagged and unioned.
+    */
+  def q25IntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val custN = t(spark, dir, "customer").filter(col("c_acctbal") > 8000.0)
+      .select(col("c_nationkey").cast("int").as("nkey"))
+    val suppN = t(spark, dir, "supplier").filter(col("s_acctbal") > 8000.0)
+      .select(col("s_nationkey").cast("int").as("nkey"))
+    val both = custN.intersect(suppN).withColumn("which", lit("both"))
+    val custOnly = custN.except(suppN).withColumn("which", lit("cust_only"))
+    both.unionByName(custOnly).orderBy(col("which"), col("nkey"))
+  }
+
+  val q25Sql: String =
+    """SELECT * FROM (
+      |  SELECT nkey, 'both' AS which FROM (
+      |    SELECT CAST(c_nationkey AS INT) AS nkey FROM customer WHERE c_acctbal > CAST(8000.0 AS DOUBLE)
+      |    INTERSECT
+      |    SELECT CAST(s_nationkey AS INT) FROM supplier WHERE s_acctbal > CAST(8000.0 AS DOUBLE))
+      |  UNION ALL
+      |  SELECT nkey, 'cust_only' AS which FROM (
+      |    SELECT CAST(c_nationkey AS INT) AS nkey FROM customer WHERE c_acctbal > CAST(8000.0 AS DOUBLE)
+      |    EXCEPT
+      |    SELECT CAST(s_nationkey AS INT) FROM supplier WHERE s_acctbal > CAST(8000.0 AS DOUBLE)))
+      |ORDER BY which, nkey""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
     "q22_asof_join" -> (q22AsofJoin _),
+    "q23_deterministic_sample" -> (q23DeterministicSample _),
+    "q24_cube" -> (q24Cube _),
+    "q25_intersect_except" -> (q25IntersectExcept _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_top_revenue" -> (q3TopRevenue _),
@@ -529,6 +595,9 @@ object Core {
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
+    "q23_deterministic_sample" -> q23Sql,
+    "q24_cube" -> q24Sql,
+    "q25_intersect_except" -> q25Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_top_revenue" -> q3Sql,
