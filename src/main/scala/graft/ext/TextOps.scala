@@ -196,7 +196,32 @@ object TextOps {
        |ORDER BY doc_id, probe""".stripMargin
   }
 
+  /** TF-IDF top-3 terms per document: token explode → per-(doc, term) tf,
+    * per-term df (one aggregate each, map-side partials), idf joined back
+    * broadcast-or-shuffle by Catalyst. Deterministic tie-breaks; log()
+    * makes cross-engine bit-equality fragile, so this is a rows-only op.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),

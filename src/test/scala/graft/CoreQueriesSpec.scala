@@ -92,6 +92,6 @@ class CoreQueriesSpec extends SparkSpecBase {
     // the intentionally non-SQL-expressible set
     assert(noOracle == Set("dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
       "sim_cosine_neardup", "multimodal_features", "events_sliding_window",
-      "q21_approx_ndv"))
+      "q21_approx_ndv", "text_tfidf"))
   }
 }
