@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, JoinedRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Whole-operator Catalyst extension (tier (c) of the extension ladder,
+  * SURVEY §7.4): a native AS-OF JOIN — for each left row, the single
+  * right row with equal key and the greatest right-time ≤ left-time
+  * (inner semantics: unmatched left rows drop).
+  *
+  * Why a custom operator: Spark has no as-of join; the composition
+  * (union + running-last window, `Core.q22AsofJoin`) works but pays a
+  * union, a window, and a filter. This node asks Catalyst for exactly
+  * what the algorithm needs — co-partitioning on the key and per-
+  * partition (key, time) order (EnsureRequirements inserts the
+  * exchanges/sorts) — then streams BOTH sides once per partition with a
+  * single buffered merge. No window state, no union blowup; at 100 TB
+  * it is one shuffle per side, same as a sort-merge join.
+  *
+  * Correctness oracle: the same DuckDB native ASOF JOIN that checks the
+  * composed form (q22/q26 share the oracle SQL).
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy lowering the logical node (inject via
+  * `spark.experimental.extraStrategies` or SparkSessionExtensions).
+  */
+object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: children are hash-clustered on the key and
+  * sorted by (key, time); each partition pair merges in one pass,
+  * carrying the most recent right row per key.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeBound = BindReferences.bindReference(leftTime, left.output)
+      val rTimeBound = BindReferences.bindReference(rightTime, right.output)
+      val keyOrd =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(output, output)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      new Iterator[InternalRow] {
+        private var lastMatch: InternalRow = null
+        private var lastMatchKey: InternalRow = null
+        private var pending: InternalRow = null
+
+        private def computeNext(): Unit = {
+          while (pending == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lt = lTimeBound.eval(l)
+            if (lt != null) {
+              val ltv = lt.asInstanceOf[Long]
+              val lk = lKeyProj(l)
+              // advance the right side up to (key, time ≤ lt)
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val rk = rKeyProj(rBuf.head)
+                val c = keyOrd.compare(rk, lk)
+                val rt = rTimeBound.eval(rBuf.head)
+                val timeOk = rt != null && rt.asInstanceOf[Long] <= ltv
+                // null right-times sort first and can never match — consume
+                // them so they don't stall the merge for their key
+                if (c < 0 || (c == 0 && (timeOk || rt == null))) {
+                  val r = rBuf.next()
+                  if (c == 0 && timeOk) {
+                    lastMatch = r.copy()
+                    lastMatchKey = rKeyProj(lastMatch).copy()
+                  }
+                } else advancing = false
+              }
+              if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyProj(l)) == 0) {
+                pending = resultProj(joined(l, lastMatch))
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { computeNext(); pending != null }
+        override def next(): InternalRow = {
+          computeNext()
+          val r = pending; pending = null; r
+        }
+      }
+    }
+  }
+}

@@ -502,6 +502,24 @@ object Core {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** The SAME as-of join as q22, through the native custom operator
+    * (graft.plans.AsofJoinPlan → AsofJoinExec): one shuffle per side,
+    * single-pass partition merge, no union/window machinery. Shares
+    * q22's DuckDB ASOF JOIN oracle — the strongest possible check for a
+    * hand-written physical operator.
+    */
+  def q26AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate")).distinct()
+    graft.ops.Asof.join(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderdate").as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- q23
   /** Deterministic sampling (reference lacks sample/tablesample, SURVEY
     * §2.7): the reproducible-at-scale trick — order by a hash of the key
@@ -572,6 +590,7 @@ object Core {
     "q23_deterministic_sample" -> (q23DeterministicSample _),
     "q24_cube" -> (q24Cube _),
     "q25_intersect_except" -> (q25IntersectExcept _),
+    "q26_asof_native" -> (q26AsofNative _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_top_revenue" -> (q3TopRevenue _),
@@ -595,6 +614,7 @@ object Core {
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
+    "q26_asof_native" -> q22Sql, // the native operator answers the same oracle
     "q23_deterministic_sample" -> q23Sql,
     "q24_cube" -> q24Sql,
     "q25_intersect_except" -> q25Sql,

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Asof
+
+/** Edge cases for the native as-of join operator (AsofJoinExec), beyond
+  * the 10k-row DuckDB ASOF oracle check (q26).
+  */
+class AsofJoinSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("picks the greatest right time <= left time; inner semantics; exact-time tie matches") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:10:00"), 102.0),
+      (2L, ts("2024-01-01 10:07:00"), 200.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:06:00")), // between quotes -> 101.0
+      (11L, 1L, ts("2024-01-01 10:05:00")), // exact tie -> 101.0
+      (12L, 1L, ts("2024-01-01 09:59:00")), // before all -> no match
+      (13L, 2L, ts("2024-01-01 11:00:00")), // after last -> 200.0
+      (14L, 3L, ts("2024-01-01 10:00:00"))) // key with no quotes -> no match
+      .toDF("trade_id", "t_key", "t_ts")
+    val r = Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(10L -> 101.0, 11L -> 101.0, 13L -> 200.0))
+  }
+
+  test("physical plan uses AsofJoinExec with exchanges and sorts injected") {
+    import spark.implicits._
+    val l = (1 to 100).map(i => (i.toLong % 5, ts(f"2024-01-01 10:${i % 60}%02d:00"), i))
+      .toDF("k", "t", "v")
+    val r = (1 to 20).map(i => (i.toLong % 5, ts(f"2024-01-01 09:${i % 60}%02d:00"), i))
+      .toDF("k2", "t2", "w")
+    val j = Asof.join(l, r, "k", "k2", "t", "t2")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(600))
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(600))
+    assert(plan.contains("Sort ["), plan.take(600))
+    assert(j.count() > 0)
+  }
+
+  test("missing column gives a clear error") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    val e = intercept[IllegalArgumentException](
+      Asof.join(l, l, "nope", "k", "t", "t"))
+    assert(e.getMessage.contains("nope"))
+  }
+}
