@@ -42,8 +42,12 @@ object CsvInference {
     val aggs: Seq[Column] = raw.columns.flatMap { c =>
       val v = col(c)
       val asD = expr(s"try_cast(`$c` as double)")
-      val dateOk = (length(v) === 8) &&
-        expr(s"try_cast(`$c` as bigint)").between(DateLo, DateHi)
+      // Strict boolean vote: a null/empty cell or an 8-char cell that fails
+      // the bigint parse must veto DATE32 (reference csv_loader.cpp:49-66
+      // throws on stoi / size != 8 → column flips to STRING). Without the
+      // coalesce, the vote is NULL for those cells and min() skips them.
+      val dateOk = v.isNotNull && (length(v) === 8) &&
+        coalesce(expr(s"try_cast(`$c` as bigint)").between(DateLo, DateHi), lit(false))
       // "parses as a double that is integral and in i64 range"
       val intOk = asD.isNotNull && (asD === expr("floor(" + s"try_cast(`$c` as double)" + ")")) &&
         abs(asD) <= lit(9.223372036854775E18)

@@ -138,3 +138,94 @@ case class CosineSimF32(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimF32 =
     copy(left = newLeft, right = newRight)
 }
+
+/** Deterministic pseudo-random hyperplane weights for sign-LSH.
+  * splitmix64 finalizer over (plane, dim) — reproducible on any cluster
+  * size with no RNG state to ship. A top-level object gets Java static
+  * forwarders, so generated code can call
+  * `graft.functions.LshHash.weight(p, d)` directly.
+  */
+object LshHash {
+  /** u(p, d) ∈ [−1, 1), uniform, deterministic. */
+  def weight(p: Int, d: Int): Double = {
+    var z = ((p.toLong << 32) | (d.toLong & 0xFFFFFFFFL)) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / 9.223372036854775807E18
+  }
+}
+
+/** sign_lsh(vec, nBits): random-hyperplane signature of a float32 vector —
+  * bit p of the result is `sign(Σ_d vec[d] · u(p, d))` with u from
+  * [[LshHash.weight]]. One fused O(nBits × dim) pass in generated code;
+  * the higher-order-function formulation this replaces was interpreted
+  * per element (HOF tax, see round-1 bench notes).
+  */
+case class SignLsh(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (!arrOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh expects array<float> as first argument, got ${left.dataType.simpleString}")
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure("sign_lsh expects a literal int bit count")
+    else {
+      val bits = right.eval().asInstanceOf[Int]
+      if (bits >= 1 && bits <= 64) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"sign_lsh bit count must be in [1, 64], got $bits")
+    }
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_lsh"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val bits = b.asInstanceOf[Int]
+    val n = x.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        s += x.getFloat(d).toDouble * LshHash.weight(p, d)
+        d += 1
+      }
+      if (s > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $b; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $s += ((double) $a.getFloat($d)) * graft.functions.LshHash.weight($p, $d);
+         |  }
+         |  if ($s > 0.0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignLsh =
+    copy(left = newLeft, right = newRight)
+}

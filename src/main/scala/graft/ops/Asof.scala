@@ -26,13 +26,36 @@ object Asof {
     val spark = left.sparkSession
     register(spark)
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    val rpRaw = right.queryExecution.analyzed
+    // Self-join / shared-lineage dedup: Spark's analyzer rewrites duplicate
+    // exprIds for Join nodes but cannot for a custom node — re-alias the
+    // right side with fresh exprIds (mirrors Dataset.join's withPlan dedup).
+    val rp = if (rpRaw.outputSet.intersect(lp.outputSet).nonEmpty) {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      Project(rpRaw.output.map(a => Alias(a, a.name)()), rpRaw)
+    } else rpRaw
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val lt = attr(lp, leftTime)
+    // Reconcile timestamp-family mismatches by casting the right side to
+    // the left's type (timestamp_ntz → timestamp is identity on micros in
+    // a UTC session). Only within the family — an int yyyymmdd against a
+    // timestamp must still fail fast, not be misread as epoch seconds.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tsFamily: Set[org.apache.spark.sql.types.DataType] =
+      Set(TimestampType, TimestampNTZType)
+    val rt0 = attr(rp, rightTime)
+    val rt: org.apache.spark.sql.catalyst.expressions.Expression =
+      if (rt0.dataType != lt.dataType &&
+          tsFamily(rt0.dataType) && tsFamily(lt.dataType))
+        org.apache.spark.sql.catalyst.expressions.Cast(rt0, lt.dataType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+      else rt0
     Bridge.ofRows(spark, AsofJoinPlan(lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      lt, rt))
   }
 }

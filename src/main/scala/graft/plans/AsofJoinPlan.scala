@@ -29,6 +29,18 @@ case class AsofJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression)
   extends BinaryNode {
+  // Fail fast at plan construction (not executor runtime): the merge
+  // compares times through an ordering derived from the dataType, which
+  // requires both sides to agree and be orderable.
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must have the same type, got " +
+      s"${leftTime.dataType.simpleString} vs ${rightTime.dataType.simpleString}")
+  require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(leftTime.dataType),
+    s"as-of time type ${leftTime.dataType.simpleString} is not orderable")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.dataType.simpleString)} vs ${rightKeys.map(_.dataType.simpleString)}")
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
@@ -72,6 +84,7 @@ case class AsofJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -80,6 +93,11 @@ case class AsofJoinExec(
       val keyOrd =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .createNaturalAscendingOrdering(keyTypes)
+      // Compare times through the type's own ordering — works for
+      // timestamp (Long), date/int (Int), and any other orderable atomic
+      // type, instead of a hardcoded asInstanceOf[Long].
+      val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(timeType)
       val resultProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
@@ -93,25 +111,32 @@ case class AsofJoinExec(
           while (pending == null && lIter.hasNext) {
             val l = lIter.next()
             val lt = lTimeBound.eval(l)
-            if (lt != null) {
-              val ltv = lt.asInstanceOf[Long]
-              val lk = lKeyProj(l)
+            val lk = lKeyProj(l)
+            // SQL equi-join null semantics: a null key (or null time) on
+            // the left can never match — skip the row entirely.
+            if (lt != null && !lk.anyNull) {
               // advance the right side up to (key, time ≤ lt)
               var advancing = true
               while (advancing && rBuf.hasNext) {
                 val rk = rKeyProj(rBuf.head)
-                val c = keyOrd.compare(rk, lk)
-                val rt = rTimeBound.eval(rBuf.head)
-                val timeOk = rt != null && rt.asInstanceOf[Long] <= ltv
-                // null right-times sort first and can never match — consume
-                // them so they don't stall the merge for their key
-                if (c < 0 || (c == 0 && (timeOk || rt == null))) {
-                  val r = rBuf.next()
-                  if (c == 0 && timeOk) {
-                    lastMatch = r.copy()
-                    lastMatchKey = rKeyProj(lastMatch).copy()
-                  }
-                } else advancing = false
+                if (rk.anyNull) {
+                  // null keys sort first in ascending order and can never
+                  // equal anything (NULL != NULL) — consume and drop
+                  rBuf.next()
+                } else {
+                  val c = keyOrd.compare(rk, lk)
+                  val rt = rTimeBound.eval(rBuf.head)
+                  val timeOk = rt != null && timeOrd.compare(rt, lt) <= 0
+                  // null right-times sort first and can never match — consume
+                  // them so they don't stall the merge for their key
+                  if (c < 0 || (c == 0 && (timeOk || rt == null))) {
+                    val r = rBuf.next()
+                    if (c == 0 && timeOk) {
+                      lastMatch = r.copy()
+                      lastMatchKey = rKeyProj(lastMatch).copy()
+                    }
+                  } else advancing = false
+                }
               }
               if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyProj(l)) == 0) {
                 pending = resultProj(joined(l, lastMatch))

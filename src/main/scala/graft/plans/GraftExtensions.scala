@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimF32, DotProductF32}
+import graft.functions.{CosineSimF32, DotProductF32, SignLsh}
 
 /** SparkSessionExtensions injector for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -31,7 +31,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => DotProductF32(es(0), es(1))),
     (FunctionIdentifier("cosine_f32"),
       info("cosine_f32", "cosine_f32(a, b) - cosine similarity of two float arrays"),
-      (es: Seq[Expression]) => CosineSimF32(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSimF32(es(0), es(1))),
+    (FunctionIdentifier("sign_lsh"),
+      info("sign_lsh", "sign_lsh(vec, nBits) - random-hyperplane sign-LSH signature"),
+      (es: Seq[Expression]) => SignLsh(es(0), es(1))))
 
   /** Register on an already-built session (temp functions, idempotent). */
   def register(spark: SparkSession): Unit =

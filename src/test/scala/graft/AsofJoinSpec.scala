@@ -46,6 +46,61 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(j.count() > 0)
   }
 
+  test("DateType time column works (no Long hardcoding)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_date
+    val l = Seq((1L, "2024-03-10", 7), (1L, "2024-03-01", 8))
+      .toDF("k", "d", "v").withColumn("d", to_date($"d"))
+    val r = Seq((1L, "2024-03-05", 50.0), (1L, "2024-03-09", 90.0))
+      .toDF("k2", "d2", "w").withColumn("d2", to_date($"d2"))
+    val out = Asof.join(l, r, "k", "k2", "d", "d2")
+      .select("v", "w").collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    // v=7 @03-10 -> latest quote 03-09 (90.0); v=8 @03-01 -> none
+    assert(out == Map(7 -> 90.0))
+  }
+
+  test("IntegerType yyyymmdd time column works") {
+    import spark.implicits._
+    val l = Seq((1L, 20240310, 7)).toDF("k", "d", "v")
+    val r = Seq((1L, 20240305, 50.0), (1L, 20240401, 99.0)).toDF("k2", "d2", "w")
+    val out = Asof.join(l, r, "k", "k2", "d", "d2")
+      .select("v", "w").collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(out == Map(7 -> 50.0))
+  }
+
+  test("NULL keys never match (SQL equi-join semantics, not RowOrdering null==null)") {
+    import spark.implicits._
+    val l = Seq((Option(1L), ts("2024-01-01 10:00:00"), 1),
+                (Option.empty[Long], ts("2024-01-01 10:00:00"), 2))
+      .toDF("k", "t", "v")
+    val r = Seq((Option(1L), ts("2024-01-01 09:00:00"), 10.0),
+                (Option.empty[Long], ts("2024-01-01 09:00:00"), 20.0))
+      .toDF("k2", "t2", "w")
+    val out = Asof.join(l, r, "k", "k2", "t", "t2")
+      .select("v", "w").collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(out == Map(1 -> 10.0)) // null-key left row 2 matches nothing
+  }
+
+  test("self-join (shared lineage) dedups attributes and runs") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+                 (1L, ts("2024-01-01 11:00:00"), 2.0)).toDF("k", "t", "x")
+    val j = Asof.join(df, df, "k", "k", "t", "t")
+    // every row as-of-matches itself (greatest t' <= t is t itself)
+    val got = j.collect()
+    assert(got.length == 2 && j.columns.length == 6)
+    assert(got.forall(r => r.getTimestamp(1) == r.getTimestamp(4)))
+  }
+
+  test("mismatched time types fail fast at plan construction") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val r = Seq((1L, 20240101)).toDF("k2", "d")
+    val e = intercept[IllegalArgumentException](
+      Asof.join(l, r, "k", "k2", "t", "d"))
+    assert(e.getMessage.contains("same type"))
+  }
+
   test("missing column gives a clear error") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")

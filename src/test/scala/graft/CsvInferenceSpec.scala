@@ -54,6 +54,18 @@ class CsvInferenceSpec extends SparkSpecBase {
     assert(df.schema("v").dataType.simpleString == "string")
   }
 
+  test("8-char non-numeric cell vetoes DATE32 → STRING (csv_loader.cpp:49-66 stoi throws)") {
+    val path = tmpCsv("d\n20240101\nabcdefgh\n")
+    val (df, _) = CsvInference.load(spark, path, "t")
+    assert(df.schema("d").dataType.simpleString == "string")
+  }
+
+  test("empty/null cell vetoes DATE32 → STRING (reference never produces nulls)") {
+    val path = tmpCsv("d,x\n20240101,1\n,2\n")
+    val (df, _) = CsvInference.load(spark, path, "t")
+    assert(df.schema("d").dataType.simpleString == "string")
+  }
+
   test("catalog register/list/describe round-trip (test_catalog.cpp:7-52)") {
     val cat = new Catalog(spark)
     val path = tmpCsv("id,value\n10,1.1\n20,2.2\n")

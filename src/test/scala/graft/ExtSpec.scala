@@ -64,6 +64,28 @@ class ExtSpec extends SparkSpecBase {
     assert(m(2L) == 0.0 && m(3L) == -1.0)
   }
 
+  test("banded sign-LSH ANN returns a nonempty, high-recall neighbor set (ADVICE r1)") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val lsh = Similarity.annLshOn(e, nQueries = 10, k = 5, nBands = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH candidates must collide on the fixture data")
+    val exact = Similarity.cosineTopKOn(e, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic hyperplanes → deterministic recall; require a real
+    // overlap with the exact top-5 sets, not just any rows
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (lsh=${lsh.size}, exact=${exact.size})")
+  }
+
+  test("cosine near-dup (banded LSH + exact verify) is nonempty and precise (ADVICE r1)") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val got = Similarity.cosineNearDupOn(e, tau = 0.4, nBands = 16, bandBits = 4).collect()
+    assert(got.nonEmpty, "fixture has 66 pairs with cos >= 0.4 at sf0.001")
+    // precision is exact by construction (candidates verified with cosine_f32)
+    assert(got.forall(_.getDouble(2) >= 0.4))
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("text stats: token counts on a known string") {
     import spark.implicits._
     val d = Seq((7L, "the cat the cat runs", "en", "s", 20L))
