@@ -30,27 +30,21 @@ import graft.engine.Tables
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingle hashes per document: (doc_id, hs).
-    *
-    * Built with posexplode + window `lead` + one xxhash64 per shingle —
-    * every operator here is whole-stage-codegen'd. (The natural
-    * `transform(sequence(...), ...)` higher-order-function formulation
-    * is interpreted per element and measured ~5x slower.) Documents with
-    * fewer than 3 tokens produce no rows, matching the oracle's
-    * `len(w) >= 3` guard. Shingles travel as 8-byte hashes from here on
-    * (collision odds n²/2⁶⁵ — nil at any sf).
+  /** (doc_id, ss = distinct word-3-gram shingle hashes) — computed
+    * entirely map-side by the native `shingle_hashes` expression
+    * (graft.functions.ShingleHashes): one pass per document, dedup
+    * inside the expression. Round 1 built the same set with posexplode +
+    * a `lead` window + dropDuplicates, which shuffled the full token
+    * stream twice before any candidate existed; now the first exchange
+    * in every dedup plan is the (small) candidate/index join. Documents
+    * with fewer than 3 tokens yield an empty set, matching the oracle's
+    * `len(w) >= 3` guard. Shingles travel as 8-byte hashes (collision
+    * odds n²/2⁶⁵ — nil at any sf).
     */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), lead("t", 1).over(w), lead("t", 2).over(w)).as("shingle"),
-        lead("t", 2).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
-      .dropDuplicates("doc_id", "hs")
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("shingle_hashes(text)").as("ss"))
+      .filter(size(col("ss")) > 0)
   }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -92,8 +86,9 @@ object Dedup {
     ngramJaccardOn(docs(spark, dir))
 
   def ngramJaccardOn(documents: DataFrame): DataFrame = {
-    val sh = shingleHashes(documents)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sets = shingleSets(documents)
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("hs"))
+    val sz = sets.select(col("doc_id"), size(col("ss")).cast("long").as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -125,7 +120,8 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------- minhash + lsh
-  /** MinHash signatures (64 hashes = xxhash64(shingle, salt i)) banded
+  /** MinHash signatures (64 hashes = splitmix64 family over the 8-byte
+    * shingle hash, graft.functions.SketchHash) banded
     * into 32 bands of 2; docs sharing any band bucket become candidates;
     * candidates are verified with the exact Jaccard on their shingle sets
     * (array_intersect on the two already-distinct arrays). Output schema
@@ -135,19 +131,20 @@ object Dedup {
     minhashLshOn(docs(spark, dir))
 
   def minhashLshOn(documents: DataFrame): DataFrame = {
-    val sh = shingleHashes(documents)
-    // Signatures via 64 codegen'd MIN aggregates (partial agg runs
-    // map-side) — each of the 64 hash functions is xxhash64 over the
-    // 8-byte base shingle hash and the salt, not a re-hash of the string,
-    // and none of it goes through interpreted lambda evaluation. The same
-    // pass also collects the shingle-hash set + size used for exact
-    // verification, so the corpus is shingled exactly once.
-    val mhCols = (0 until 64).map(i => min(xxhash64(col("hs"), lit(i))).as(s"mh$i")) ++
-      Seq(collect_list(col("hs")).as("ss"), count(lit(1)).as("sz"))
-    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // Signature, shingle set, and set size all come out of the scan-side
+    // projection (shingle_hashes + minhash_arr, both native codegen
+    // expressions) — no shuffle at all until the band join. Round 1
+    // aggregated 64 MIN expressions over exploded shingles: correct, but
+    // it shuffled every token and its giant generated class made Janino
+    // compilation dominate cold runs. (For pre-exploded or streaming
+    // inputs the aggregate form still exists: graft.functions
+    // .MinHashSigAgg, registered as minhash_sig.)
+    val sig = shingleSets(documents)
+      .withColumn("mh", expr("minhash_arr(ss)"))
+      .withColumn("sz", size(col("ss")).cast("long"))
     // 32 bands × 2 rows; band key = one 8-byte hash of the row pair.
     val bandCols = (0 until 32).map(b =>
-      xxhash64(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+      xxhash64(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
     val bands = sig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
@@ -183,20 +180,17 @@ object Dedup {
     simhashOn(docs(spark, dir))
 
   def simhashOn(documents: DataFrame): DataFrame = {
-    // Explode tokens once, hash each token once, then 64 codegen'd SUM
-    // aggregates count the ones per bit position; the signature is packed
-    // from the 64 counts in a per-doc (cheap) fold.
-    val toks = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitCols = count(lit(1)).as("n") +:
-      (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"c$i"))
-    val counts = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val d = counts
-      .withColumn("cs", array((0 until 64).map(i => col(s"c$i")): _*))
-      .withColumn("sim", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | if(2 * cs[i] > n, shiftleft(1L, i), 0L))"))
-      .select(col("doc_id"), col("sim"))
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    // The whole signature is one scan-side native expression
+    // (graft.functions.SimHash64): tokenize, hash, majority-bit in a
+    // single per-document pass — no explode, no aggregation, no shuffle
+    // before the block join. Round 1's 64 SUM aggregates over exploded
+    // tokens were correct but shuffled every token, and their generated
+    // code was so large that Janino compilation dominated the cold bench
+    // (17.3s at sf0.1, mostly plan compile). (For pre-exploded or
+    // streaming token rows the aggregate form remains available:
+    // graft.functions.SimHashSigAgg, registered as simhash_sig.)
+    val d = documents.select(col("doc_id"), expr("simhash64(text)").as("sim"))
     val blocks = d.select(col("doc_id"), col("sim"),
       posexplode(expr(
         "transform(sequence(0, 3), q -> shiftright(sim, q*16) & 65535L)")).as(Seq("q", "qv")))

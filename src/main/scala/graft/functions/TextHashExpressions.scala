@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document text-sketch expressions.
+  *
+  * These move the WHOLE signature computation into the scan-side
+  * projection: a document row goes in, its (deduplicated) shingle-hash
+  * set / simhash / minhash signature comes out — no explode, no window,
+  * no groupBy. Round 1 computed the same values with posexplode + a
+  * `lead` window + dropDuplicates + a 64-aggregate groupBy, which cost
+  * THREE shuffles of the full token stream before the first candidate
+  * was generated. At 100 TB the difference is the whole game: signatures
+  * are embarrassingly parallel per document, and the first exchange in
+  * the plan is the (tiny) LSH band join.
+  *
+  * Codegen: each expression emits a single static call into
+  * [[TextHashUtil]] — the loop itself gains nothing from inlining into
+  * generated Java, but staying inside whole-stage codegen avoids the
+  * CodegenFallback row-iterator break.
+  *
+  * Hashing: FNV-1a 64 over UTF-8 token bytes, combined/finalized with
+  * splitmix64 ([[SketchHash.mix]]). Only equality classes matter
+  * downstream (Jaccard over hash sets, signature bits); the DuckDB
+  * oracle works on the string shingles and agrees w.h.p. (collision odds
+  * n²/2⁶⁵).
+  */
+object TextHashUtil {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  private def hashBytes(b: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xffL)) * FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Tokenize exactly like Spark's `split(text, ' ')`: single-space
+    * regex, keep empty tokens (limit -1), so results agree with the
+    * oracle's string_split.
+    */
+  private def tokenHashes(s: UTF8String): Array[Long] = {
+    val toks = s.toString.split(" ", -1)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      th(i) = hashBytes(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    th
+  }
+
+  /** Distinct word-3-gram shingle hashes, sorted (order is irrelevant to
+    * every consumer; sorted keeps output deterministic). Documents with
+    * fewer than 3 tokens yield an empty array.
+    */
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val th = tokenHashes(s)
+    val n = th.length
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val raw = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      var c = th(i)
+      c = c * FnvPrime ^ th(i + 1)
+      c = c * FnvPrime ^ th(i + 2)
+      raw(i) = SketchHash.mix(c, 0)
+      i += 1
+    }
+    java.util.Arrays.sort(raw)
+    var w = 1
+    var r = 1
+    while (r < raw.length) {
+      if (raw(r) != raw(r - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  /** 64-bit SimHash over ALL token occurrences (not deduplicated): bit i
+    * is set iff a strict majority of tokens have bit i set.
+    */
+  def simhash(s: UTF8String): Long = {
+    val th = tokenHashes(s)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < th.length) {
+      val h = th(t)
+      var i = 0
+      while (i < 64) {
+        counts(i) += ((h >>> i) & 1L).toInt
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (2L * counts(i) > th.length) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** 64 minhash minima over an array of 8-byte element hashes, using the
+    * same splitmix64 family as [[MinHashSigAgg]].
+    */
+  def minhashArr(arr: ArrayData): ArrayData = {
+    val out = Array.fill(64)(Long.MaxValue)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      val h = arr.getLong(e)
+      var i = 0
+      while (i < 64) {
+        val hi = SketchHash.mix(h, i)
+        if (hi < out(i)) out(i) = hi
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** shingle_hashes(text): array<bigint> of distinct word-3-gram hashes. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.shingleHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingleHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** simhash64(text): 64-bit SimHash signature of the document's tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** minhash_arr(arr): 64 minhash minima of an array<bigint> hash set. */
+case class MinHashArr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_arr expects array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_arr"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.minhashArr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhashArr($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashArr =
+    copy(child = newChild)
+}

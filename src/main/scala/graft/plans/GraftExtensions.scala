@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimF32, DotProductF32, SignLsh}
+import graft.functions.{CosineSimF32, DotProductF32, MinHashArr, MinHashSigAgg, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg}
 
 /** SparkSessionExtensions injector for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -34,7 +34,22 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSimF32(es(0), es(1))),
     (FunctionIdentifier("sign_lsh"),
       info("sign_lsh", "sign_lsh(vec, nBits) - random-hyperplane sign-LSH signature"),
-      (es: Seq[Expression]) => SignLsh(es(0), es(1))))
+      (es: Seq[Expression]) => SignLsh(es(0), es(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hash) - aggregate: 64 minhash minima as array<bigint>"),
+      (es: Seq[Expression]) => MinHashSigAgg(es(0))),
+    (FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "simhash_sig(hash) - aggregate: 64-bit simhash signature"),
+      (es: Seq[Expression]) => SimHashSigAgg(es(0))),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text) - distinct word-3-gram hashes as array<bigint>"),
+      (es: Seq[Expression]) => ShingleHashes(es(0))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit simhash of the document's tokens"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("minhash_arr"),
+      info("minhash_arr", "minhash_arr(arr) - 64 minhash minima of an array<bigint>"),
+      (es: Seq[Expression]) => MinHashArr(es(0))))
 
   /** Register on an already-built session (temp functions, idempotent). */
   def register(spark: SparkSession): Unit =

@@ -86,6 +86,37 @@ class ExtSpec extends SparkSpecBase {
     assert(got.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("sketch expressions: shingle_hashes dedups + simhash64 majority bits + aggregate twins") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq((1L, "a b c d"), (2L, "a b c a b c"), (3L, "x y")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("sketch_docs")
+    val rows = spark.sql(
+      "SELECT doc_id, shingle_hashes(text) AS ss, simhash64(text) AS sim FROM sketch_docs")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(rows(1L)._1.length == 2) // "a b c", "b c d"
+    // "a b c a b c" → shingles {abc, bca, cab, abc} → 3 distinct
+    assert(rows(2L)._1.length == 3)
+    assert(rows(3L)._1.isEmpty) // < 3 tokens
+    // identical docs get identical signatures; the aggregate twin
+    // (simhash_sig over exploded token hashes) must not disagree in
+    // Hamming by construction when fed the same hash family — here we
+    // just check the aggregates run and are deterministic
+    val agg = spark.sql(
+      """SELECT doc_id, simhash_sig(h) AS s, minhash_sig(h) AS mh FROM (
+        |  SELECT doc_id, xxhash64(t) AS h FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS t FROM sketch_docs))
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toList
+    assert(agg.length == 3 && agg.forall(_._3.length == 64))
+    val again = spark.sql(
+      "SELECT simhash_sig(xxhash64(t)) FROM (SELECT explode(split('a b c', ' ')) AS t)")
+      .head().getLong(0)
+    assert(again == spark.sql(
+      "SELECT simhash_sig(xxhash64(t)) FROM (SELECT explode(split('a b c', ' ')) AS t)")
+      .head().getLong(0))
+  }
+
   test("text stats: token counts on a known string") {
     import spark.implicits._
     val d = Seq((7L, "the cat the cat runs", "en", "s", 20L))
