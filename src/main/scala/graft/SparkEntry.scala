@@ -33,10 +33,10 @@ object SparkEntry {
       Multimodal.queries ++ Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops that aren't SQL-expressible
-    * (SimHash / LSH ANN / multimodal / sliding windows) → rows-only check.
+    * the same parquet tables. Omitted only for genuinely approximate ops
+    * (SimHash / LSH ANN / HLL NDV) → rows-only check.
     */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
-      Events.oracles
+      Multimodal.oracles ++ Events.oracles
 }

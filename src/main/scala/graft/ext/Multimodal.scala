@@ -109,5 +109,26 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatures _))
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB twin of `mediaFeatures`: the payload is the utf-8 encoding of
+    * `text`, so the byte checksum is recomputed from the blob's hex dump
+    * (two nibbles per byte via strpos on the hex alphabet) — fully
+    * deterministic, covering checksum and mean_byte, not just lengths.
+    */
+  val mediaFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, 'text/fake' AS kind,
+      |    octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |    CAST(COALESCE(list_aggregate(list_transform(generate_series(0, n_bytes - 1),
+      |      i -> (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+      |         + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)), 'sum'), 0) AS BIGINT) AS checksum
+      |  FROM b)
+      |SELECT media_id, kind, n_bytes, checksum,
+      |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(checksum AS DOUBLE) / n_bytes END AS mean_byte
+      |FROM s ORDER BY media_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_features" -> mediaFeaturesSql)
 }

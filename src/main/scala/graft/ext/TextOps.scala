@@ -220,6 +220,23 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** DuckDB twin of `tfidf`: integer tf/df, natural log, round-6 scores,
+    * (tfidf DESC, term) tie-breaks — deterministic across engines because
+    * equal (tf, df) pairs produce bit-equal scores and unequal ones
+    * differ by far more than one ulp.
+    */
+  val tfidfSql: String =
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |        tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM s)
+      |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rk
+      |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
@@ -229,6 +246,7 @@ object TextOps {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,

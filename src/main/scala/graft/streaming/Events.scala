@@ -51,9 +51,10 @@ object Events {
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   // ------------------------------------------------------- sliding window
-  /** Sliding windows (1 h length, 30 min slide) — each event lands in two
-    * windows. Rows-only check (the 2-way window explosion is tedious to
-    * mirror in portable SQL).
+  /** Sliding windows (1 h length, 30 min slide) — each event lands in
+    * exactly two windows (starts at floor₃₀(ts) and floor₃₀(ts) − 30 min,
+    * both epoch-aligned like Spark's `window()`), which is how the DuckDB
+    * oracle mirrors the explosion.
     */
   def slidingWindow(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -61,6 +62,14 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("window_start"), col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
+
+  val slidingWindowSql: String =
+    """WITH x AS (
+      |  SELECT event_type,
+      |    make_timestamp((CAST(floor(epoch(ts)/1800) AS BIGINT)*1800 - k.k) * 1000000) AS window_start
+      |  FROM events, (SELECT UNNEST([0, 1800]) AS k) AS k)
+      |SELECT window_start, event_type, COUNT(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   // ------------------------------------------------------- sessionization
   /** Session windows with a 5-minute inactivity gap per user
@@ -230,5 +239,6 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_window_1h" -> windowedCountsSql,
+    "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql)
 }
