@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimF32, DotProductF32, MinHashArr, MinHashSigAgg, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg}
+import graft.functions.{CosineSimF32, DotProductF32, MinHashArr, MinHashSigAgg, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, TopKByAgg}
 
 /** SparkSessionExtensions injector for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -49,7 +49,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     (FunctionIdentifier("minhash_arr"),
       info("minhash_arr", "minhash_arr(arr) - 64 minhash minima of an array<bigint>"),
-      (es: Seq[Expression]) => MinHashArr(es(0))))
+      (es: Seq[Expression]) => MinHashArr(es(0))),
+    (FunctionIdentifier("topk_by"),
+      info("topk_by", "topk_by(ord, id, k) - aggregate: k largest (ord, id) pairs, map-side pruned"),
+      (es: Seq[Expression]) => TopKByAgg(es(0), es(1), es(2))))
 
   /** Register on an already-built session (temp functions, idempotent). */
   def register(spark: SparkSession): Unit =

@@ -583,6 +583,277 @@ object Core {
       |    SELECT CAST(s_nationkey AS INT) FROM supplier WHERE s_acctbal > CAST(8000.0 AS DOUBLE)))
       |ORDER BY which, nkey""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** Per-key top-k via the native bounded-heap aggregate
+    * (graft.functions.TopKByAgg, registered as `topk_by`). The window
+    * row_number formulation (q15) sorts EVERY row after a full shuffle;
+    * this aggregate prunes map-side, so the exchange carries at most
+    * k·keys·partitions entries and no sort materializes — the per-key
+    * analogue of TakeOrderedAndProject. The oracle is the window
+    * formulation in DuckDB, so both strategies answer the same check.
+    */
+  def q27TopkPerKey(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(expr("topk_by(l_extendedprice, l_orderkey * 10 + l_linenumber, 3)").as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "x")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rk"),
+        col("x.ord").as("price"), col("x.id").as("item_id"))
+      .orderBy(col("l_suppkey"), col("rk"))
+  }
+
+  val q27Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey, l_extendedprice AS price,
+      |    l_orderkey * 10 + l_linenumber AS item_id,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rk
+      |  FROM lineitem)
+      |SELECT l_suppkey, rk, price, item_id FROM r WHERE rk <= 3
+      |ORDER BY l_suppkey, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** PIVOT (absent in reference): event counts per user bucket by type.
+    * Explicit pivot values keep the schema static (no driver-side
+    * distinct scan — required at 100 TB).
+    */
+  def q28Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy((col("user_id") % 100).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy(col("user_bucket"))
+
+  val q28Sql: String =
+    """SELECT user_id % 100 AS user_bucket,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Correlated EXISTS / NOT EXISTS subqueries (reference has no
+    * subqueries at all, SURVEY §2.7). Catalyst decorrelates both into
+    * semi/anti joins — check the plan, not the nested loop.
+    */
+  def q29Exists(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q29_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("q29_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM q29_customer c
+        |WHERE EXISTS (SELECT 1 FROM q29_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM q29_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > CAST(300000.0 AS DOUBLE))
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q29Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > CAST(300000.0 AS DOUBLE))
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Range (interval) join: activity around the 5 busiest 10-minute
+    * spikes. The spike dimension is tiny and broadcast, so the range
+    * predicate runs as a BroadcastNestedLoopJoin over 5 rows — the right
+    * plan at any corpus size (a shuffle range-join would bucket time
+    * instead; see SCALING.md).
+    */
+  def q30RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val spikes = e.groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("spike_n"))
+      .orderBy(col("spike_n").desc, col("w.start"))
+      .limit(5)
+      .select(col("w.start").as("spike_start"), col("spike_n"))
+    e.join(broadcast(spikes),
+        col("ts") >= col("spike_start") - expr("INTERVAL 30 MINUTES") &&
+        col("ts") < col("spike_start") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("spike_start"), col("spike_n"))
+      .agg(count(lit(1)).as("n_nearby"), dsum(col("value")).as("total_value"))
+      .orderBy(col("spike_start"))
+  }
+
+  val q30Sql: String =
+    s"""WITH b AS (
+       |  SELECT make_timestamp(CAST(floor(epoch(ts)/600) AS BIGINT)*600*1000000) AS ws,
+       |    COUNT(*) AS spike_n
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT ws AS spike_start, spike_n FROM b ORDER BY spike_n DESC, ws LIMIT 5)
+       |SELECT s.spike_start, s.spike_n, COUNT(*) AS n_nearby,
+       |  ${dsumSql("value")} AS total_value
+       |FROM events e JOIN s ON e.ts >= s.spike_start - INTERVAL 30 MINUTE
+       |                    AND e.ts < s.spike_start + INTERVAL 30 MINUTE
+       |GROUP BY 1, 2 ORDER BY spike_start""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Array functions over grouped data: collect_set → sort_array →
+    * array_join (deterministic despite collect_set's arrival order).
+    */
+  def q31ArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources"),
+        countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val q31Sql: String =
+    """SELECT lang,
+      |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+      |  COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Explicit GROUPING SETS with grouping() markers (rollup/cube cover
+    * the generated forms; this is the free-form one).
+    */
+  def q32GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("q32_orders")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM q32_orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q32Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+       |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Analytic window functions beyond row_number (q15): lag, ntile,
+    * percent_rank, cume_dist over per-customer order history.
+    */
+  def q33WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q33Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders WHERE o_custkey < 300
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Conditional / filtered aggregation: per-priority counts and totals
+    * under different predicates in one pass (COUNT FILTER ≡ count(when)).
+    */
+  def q34FilteredAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_totalprice") > 200000.0, 1)).as("n_big"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("total_f"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q34Sql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       |  COUNT(*) FILTER (o_totalprice > CAST(200000.0 AS DOUBLE)) AS n_big,
+       |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE CAST(0.0 AS DOUBLE) END")} AS total_f,
+       |  COUNT(*) AS n
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Exact order statistics: interpolated percentiles per group, matching
+    * DuckDB `quantile_cont` (position p·(n−1), linear interpolation;
+    * round-6 absorbs last-ulp arithmetic skew).
+    *
+    * Implementation is rank-based — one per-group sort (row_number +
+    * count windows), then conditional aggregates pick the two bracketing
+    * ranks per percentile and interpolate. Spark's builtin `percentile`
+    * materializes a value→count map per group (ObjectHashAggregate),
+    * which measured 6.1s at sf0.1 on mostly-unique doubles vs ~1s for
+    * the sort form; the sort also spills gracefully at 100 TB where the
+    * map would not.
+    */
+  def q35Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Window.partitionBy(col("f")).orderBy(col("v"))
+    val wp = Window.partitionBy(col("f"))
+    val ranked = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
+      .withColumn("rn", row_number().over(ws).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(wp))
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val pickAggs = ps.flatMap { case (p, nm) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      Seq(
+        max(when(col("rn") === floor(pos).cast("long"), col("v"))).as(s"${nm}_lo"),
+        max(when(col("rn") === ceil(pos).cast("long"), col("v"))).as(s"${nm}_hi"))
+    } ++ Seq(min(col("v")).as("lo"), max(col("v")).as("hi"), max(col("n")).as("nn"))
+    val agg = ranked.groupBy(col("f")).agg(pickAggs.head, pickAggs.tail: _*)
+    val outCols = col("f").as("l_returnflag") +: ps.map { case (p, nm) =>
+      val pos = lit(p) * (col("nn") - 1).cast("double")
+      val frac = pos - floor(pos)
+      round(col(s"${nm}_lo") + frac * (col(s"${nm}_hi") - col(s"${nm}_lo")), 6).as(nm)
+    } :+ col("lo") :+ col("hi")
+    agg.select(outCols: _*).orderBy(col("l_returnflag"))
+  }
+
+  val q35Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+      |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Semi-structured JSON column: extract a typed field from the `props`
+    * JSON string and aggregate it (get_json_object ≡ json_extract).
+    */
+  def q36Json(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q36Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -610,7 +881,17 @@ object Core {
     "q17_anti_join" -> (q17AntiJoin _),
     "q18_outer_join" -> (q18OuterJoin _),
     "q19_rollup" -> (q19Rollup _),
-    "q20_scalar_subquery" -> (q20ScalarSubquery _))
+    "q20_scalar_subquery" -> (q20ScalarSubquery _),
+    "q27_topk_per_key" -> (q27TopkPerKey _),
+    "q28_pivot" -> (q28Pivot _),
+    "q29_exists" -> (q29Exists _),
+    "q30_range_join" -> (q30RangeJoin _),
+    "q31_array_funcs" -> (q31ArrayFuncs _),
+    "q32_grouping_sets" -> (q32GroupingSets _),
+    "q33_window_analytics" -> (q33WindowAnalytics _),
+    "q34_filtered_agg" -> (q34FilteredAgg _),
+    "q35_percentiles" -> (q35Percentiles _),
+    "q36_json" -> (q36Json _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -637,5 +918,15 @@ object Core {
     "q17_anti_join" -> q17Sql,
     "q18_outer_join" -> q18Sql,
     "q19_rollup" -> q19Sql,
-    "q20_scalar_subquery" -> q20Sql)
+    "q20_scalar_subquery" -> q20Sql,
+    "q27_topk_per_key" -> q27Sql,
+    "q28_pivot" -> q28Sql,
+    "q29_exists" -> q29Sql,
+    "q30_range_join" -> q30Sql,
+    "q31_array_funcs" -> q31Sql,
+    "q32_grouping_sets" -> q32Sql,
+    "q33_window_analytics" -> q33Sql,
+    "q34_filtered_agg" -> q34Sql,
+    "q35_percentiles" -> q35Sql,
+    "q36_json" -> q36Sql)
 }

@@ -89,9 +89,25 @@ class CoreQueriesSpec extends SparkSpecBase {
 
   test("every query has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the intentionally non-SQL-expressible set
+    // only genuinely approximate ops lack an oracle (SimHash / LSH / IVF
+    // ANN are hash-family-specific; HLL is a sketch)
     assert(noOracle == Set("dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
-      "sim_cosine_neardup", "multimodal_features", "events_sliding_window",
-      "q21_approx_ndv", "text_tfidf"))
+      "sim_cosine_neardup", "q21_approx_ndv"))
+  }
+
+  test("topk_by aggregate: ordering, ties, short groups (TopKByAgg)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    Seq(
+      (1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 7.0, 9L), (1L, 1.0, 12L), (1L, 6.0, 13L),
+      (2L, 3.0, 20L)) // group 2 has fewer rows than k
+      .toDF("k", "ord", "id").createOrReplaceTempView("topk_t")
+    val rows = spark.sql(
+      """SELECT k, x.ord AS ord, x.id AS id
+        |FROM (SELECT k, topk_by(ord, id, 3) AS top FROM topk_t GROUP BY k)
+        |LATERAL VIEW explode(top) AS x ORDER BY k, ord DESC, id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    // ties on ord=7.0 break by id asc: 9 before 11; worst kept is 6.0
+    assert(rows == List((1L, 7.0, 9L), (1L, 7.0, 11L), (1L, 6.0, 13L), (2L, 3.0, 20L)))
   }
 }
