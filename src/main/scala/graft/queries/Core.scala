@@ -854,6 +854,66 @@ object Core {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Date/time function library breadth beyond q12's date_trunc: parts
+    * extraction, day arithmetic, calendar-aware month addition, ISO
+    * weeks, end-of-month. All integer/date-typed — bit-deterministic.
+    */
+  def q37Datetime(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        quarter(col("o_orderdate")).cast("int").as("qtr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("int").as("dy"),
+        weekofyear(col("o_orderdate")).cast("int").as("wk"),
+        datediff(lit("2024-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("int").as("days_to_2024"),
+        last_day(col("o_orderdate").cast("date")).cast("string").as("eom"),
+        add_months(col("o_orderdate").cast("date"), 2).cast("string").as("plus2m"))
+      .orderBy(col("o_orderkey"))
+
+  val q37Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dy,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS wk,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2024-01-01') AS INT) AS days_to_2024,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** String function library breadth beyond q13: padding, reverse,
+    * position, regexp extraction, edit distance, split_part.
+    */
+  def q38StringOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") < 300)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).as("first_num"),
+        levenshtein(col("p_brand"), lit("Brand#13")).cast("long").as("edit_dist"),
+        substring_index(col("p_type"), " ", 1).as("type_head"))
+      .orderBy(col("p_partkey"))
+
+  val q38Sql: String =
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '*') AS brand_pad,
+      |  reverse(p_type) AS type_rev,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+      |  COALESCE(regexp_extract(p_name, '([0-9]+)', 1), '') AS first_num,
+      |  CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS edit_dist,
+      |  split_part(p_type, ' ', 1) AS type_head
+      |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -891,7 +951,9 @@ object Core {
     "q33_window_analytics" -> (q33WindowAnalytics _),
     "q34_filtered_agg" -> (q34FilteredAgg _),
     "q35_percentiles" -> (q35Percentiles _),
-    "q36_json" -> (q36Json _))
+    "q36_json" -> (q36Json _),
+    "q37_datetime" -> (q37Datetime _),
+    "q38_string_ops" -> (q38StringOps _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -928,5 +990,7 @@ object Core {
     "q33_window_analytics" -> q33Sql,
     "q34_filtered_agg" -> q34Sql,
     "q35_percentiles" -> q35Sql,
-    "q36_json" -> q36Sql)
+    "q36_json" -> q36Sql,
+    "q37_datetime" -> q37Sql,
+    "q38_string_ops" -> q38Sql)
 }

@@ -141,6 +141,44 @@ object Events {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with event-time range: each purchase joins
+    * the same user's clicks from the preceding 30 minutes. Watermarks on
+    * BOTH sides bound the join state (Spark buffers each side only until
+    * watermark + range passes), so state is O(events in the horizon), not
+    * O(stream length) — the canonical attribution-join shape.
+    */
+  def streamingPurchaseAttribution(spark: SparkSession, filesDir: String): DataFrame = {
+    val clicks = eventStream(spark, filesDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(spark, filesDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks, expr(
+      """p_user = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin))
+  }
+
+  /** Batch twin of the attribution join (same predicate on the static
+    * table) — the correctness proxy for the streaming form.
+    */
+  def batchPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    purchases.join(clicks, expr(
+      """p_user = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin))
+  }
+
   /** Typed row/state shapes for the arbitrary-stateful op below. */
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n: Long, total: Double)

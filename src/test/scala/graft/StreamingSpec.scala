@@ -75,6 +75,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.size >= batchSet.size - lastPerUser.size)
   }
 
+  test("stream-stream interval join (purchase attribution) == batch join") {
+    val q = Events.streamingPurchaseAttribution(spark, eventsDir)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attrib")
+      .select("event_id", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val batch = Events.batchPurchaseAttribution(spark, sf())
+      .select("event_id", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
