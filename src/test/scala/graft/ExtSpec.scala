@@ -86,6 +86,23 @@ class ExtSpec extends SparkSpecBase {
     assert(got.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("dedup clustering: connected components over near-dup pairs") {
+    import spark.implicits._
+    // docs 1-2-3 form a chain of near-dups (1~2, 2~3 but 1!~3 directly);
+    // 4 is a singleton — components must chain transitively
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " tonight"),                      // ~ 1
+      (3L, "x y z " + base + " tonight"),           // ~ 2, less similar to 1
+      (4L, "completely different words entirely unrelated to anything else here now"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupClustersOn(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getInt(3))).toMap
+    assert(r(1L) == (1L, 3L, 1) && r(2L) == (1L, 3L, 0) && r(3L) == (1L, 3L, 0))
+    assert(r(4L) == (4L, 1L, 1))
+  }
+
   test("sketch expressions: shingle_hashes dedups + simhash64 majority bits + aggregate twins") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)

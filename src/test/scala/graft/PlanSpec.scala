@@ -55,6 +55,34 @@ class PlanSpec extends SparkSpecBase {
     assert(order == order.sorted, s"operator nesting out of order: $order\n$plan")
   }
 
+  test("q27: topk_by plans as ObjectHashAggregate with map-side partial") {
+    val p = plan("q27_topk_per_key")
+    // partial + final ObjectHashAggregate pair: pruning happens before
+    // the exchange, the point of the operator
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("partial_topk_by") || p.contains("topk_by"), p.take(800))
+  }
+
+  test("q29: correlated EXISTS / NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q29_exists")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("q30: tiny interval dimension joins as broadcast nested loop") {
+    val p = plan("q30_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("dedup signatures are scan-side: no exchange below the sketch projection") {
+    graft.plans.GraftExtensions.register(spark)
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+      .selectExpr("doc_id", "shingle_hashes(text) AS ss", "simhash64(text) AS sim")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(500))
+    assert(p.contains("shingle_hashes") && p.contains("simhash64"), p.take(500))
+  }
+
   test("cosine_f32 stays inside whole-stage codegen") {
     val df = SparkEntry.queries("sim_cosine_topk")(spark, sf())
     df.collect() // finalize the AQE plan
