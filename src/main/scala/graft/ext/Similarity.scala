@@ -206,12 +206,55 @@ object Similarity {
       .orderBy(col("vec_id"), col("neighbor_id"))
   }
 
+  // ------------------------------------------------------- quantization
+  /** Int8 embedding quantization (symmetric, per-vector scale): codes =
+    * round(v / scale) with scale = max|v| / 127, plus audit metrics
+    * (nonzeros, max code, mean absolute reconstruction error). The
+    * compression pass a 100 TB embedding store runs before ANN serving
+    * (4× smaller, SIMD-friendly). Pure per-row projection — zero
+    * shuffles. The tiny epsilon floor guards all-zero vectors.
+    */
+  def quantizeI8(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("scale", expr(
+        "greatest(aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double)))) / cast(127.0 as double), cast(1e-30 as double))"))
+      .withColumn("codes", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) / scale) as int))"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 9).as("scale_r"),
+        expr("aggregate(codes, 0, (s, c) -> s + if(c <> 0, 1, 0))").as("nnz"),
+        expr("aggregate(codes, 0, (s, c) -> greatest(s, abs(c)))").as("max_code"),
+        round(expr(
+          "aggregate(zip_with(embedding, codes, (a, c) -> abs(cast(a as double) - c * scale)), cast(0.0 as double), (s, x) -> s + x) / size(embedding)"),
+          9).as("mae"))
+      .orderBy(col("vec_id"))
+
+  val quantizeI8Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+      |      / CAST(127.0 AS DOUBLE), CAST(1e-30 AS DOUBLE)) AS scale
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, scale, embedding,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS codes
+      |  FROM q)
+      |SELECT vec_id, round(scale, 9) AS scale_r,
+      |  CAST(len(list_filter(codes, c -> c <> 0)) AS INT) AS nnz,
+      |  CAST(list_aggregate(list_transform(codes, c -> abs(c)), 'max') AS INT) AS max_code,
+      |  round(list_aggregate(list_transform(list_zip(embedding, codes),
+      |    z -> abs(CAST(z[1] AS DOUBLE) - z[2] * scale)), 'sum') / len(embedding), 9) AS mae
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_i8" -> (quantizeI8 _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_cosine_neardup" -> (cosineNearDup _))
 
   val oracles: Map[String, String] = Map(
-    "sim_cosine_topk" -> cosineTopKSql)
+    "sim_cosine_topk" -> cosineTopKSql,
+    "sim_quantize_i8" -> quantizeI8Sql)
 }

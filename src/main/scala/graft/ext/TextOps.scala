@@ -220,6 +220,68 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  // ---------------------------------------------------- stratified sample
+  /** Deterministic stratified sampling: k docs per language, ranked by a
+    * hash of the key — the replay-safe TABLESAMPLE substitute (q23) in
+    * its per-group form. Same rows come back on any cluster size, any
+    * retry, any partitioning.
+    */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val samplePerGroupSql: String =
+    """WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+      |SELECT lang, rk, doc_id FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
+  // ------------------------------------------------------ quality filter
+  /** Composite C4-style cleaning pass: length bounds, stopword-ratio
+    * floor, type-token-ratio floor (kills degenerate repetition), and
+    * exact-dup removal (rank-1 per text) — the filters composed into ONE
+    * scan the way a training-data pipeline runs them. Survivors carry
+    * their metrics for auditing.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("stop_ratio",
+        expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+          .cast("double") / size(col("w")))
+      .withColumn("ttr",
+        size(array_distinct(col("w"))).cast("double") / size(col("w")))
+      .withColumn("dup_rank", row_number().over(wDup))
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50 &&
+        col("stop_ratio") >= 0.01 && col("ttr") >= 0.5 && col("dup_rank") === 1)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"), round(col("ttr"), 6).as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterSql: String =
+    """WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id, text, n_chars, len(w) AS n_tokens,
+      |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)/len(w) AS stop_ratio,
+      |  CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS ttr,
+      |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rank
+      |  FROM d)
+      |SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio, round(ttr, 6) AS ttr
+      |FROM m
+      |WHERE n_tokens >= 10 AND n_chars >= 50 AND stop_ratio >= CAST(0.01 AS DOUBLE)
+      |  AND ttr >= CAST(0.5 AS DOUBLE) AND dup_rank = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of `tfidf`: integer tf/df, natural log, round-6 scores,
     * (tfidf DESC, term) tie-breaks — deterministic across engines because
     * equal (tf, df) pairs produce bit-equal scores and unequal ones
@@ -238,6 +300,8 @@ object TextOps {
       |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sample_per_group" -> (samplePerGroup _),
+    "text_quality_filter" -> (qualityFilter _),
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
@@ -246,6 +310,8 @@ object TextOps {
     "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "text_sample_per_group" -> samplePerGroupSql,
+    "text_quality_filter" -> qualityFilterSql,
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,
