@@ -914,6 +914,59 @@ object Core {
       |  split_part(p_type, ' ', 1) AS type_head
       |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** The salted skew-join (graft.ops.SkewJoin) producing the SAME result
+    * as a plain equi-join — the oracle is the unsalted join, so the salt
+    * mechanics (deterministic row-hash salt, right-side replication,
+    * (key, salt) join) are correctness-checked, not just demonstrated.
+    * Use case at 100 TB: one key too hot for AQE's partition splitting.
+    */
+  def q39SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    graft.ops.SkewJoin.saltedInnerJoin(l, "l_orderkey", o, "o_orderkey", 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice"), 6).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q39Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${dsumSql("l_extendedprice", 6)} AS total
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** RANGE window frame (value-based, vs q15/q33's row-based): rolling
+    * 7-day spend per customer. Frames are defined over epoch seconds on
+    * both sides so tie groups (same-day orders) are included identically
+    * regardless of intra-day order — deterministic by construction.
+    */
+  def q40RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ; hop through timestamp (identity in a
+    // UTC session) to get epoch seconds for the numeric range frame
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-6L * 86400L, 0L)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double").as("spend_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q40Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_7d,
+      |  COUNT(*) OVER w AS n_7d
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+      |  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -953,7 +1006,9 @@ object Core {
     "q35_percentiles" -> (q35Percentiles _),
     "q36_json" -> (q36Json _),
     "q37_datetime" -> (q37Datetime _),
-    "q38_string_ops" -> (q38StringOps _))
+    "q38_string_ops" -> (q38StringOps _),
+    "q39_salted_join" -> (q39SaltedJoin _),
+    "q40_range_frame" -> (q40RangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -992,5 +1047,7 @@ object Core {
     "q35_percentiles" -> q35Sql,
     "q36_json" -> q36Sql,
     "q37_datetime" -> q37Sql,
-    "q38_string_ops" -> q38Sql)
+    "q38_string_ops" -> q38Sql,
+    "q39_salted_join" -> q39Sql,
+    "q40_range_frame" -> q40Sql)
 }
