@@ -43,8 +43,14 @@ object Dedup {
     */
   private def shingleSets(docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
+    // Materialized once (localCheckpoint): every consumer branches this
+    // frame 2–4 ways (inverted index + sizes, bands + verify sets), and
+    // without a materialization point Spark would recompute the scan +
+    // shingling per branch. ~2 KB/doc — at 100 TB this is the natural
+    // checkpoint/cache boundary (signatures are ~50× smaller than text).
     docs.select(col("doc_id"), expr("shingle_hashes(text)").as("ss"))
       .filter(size(col("ss")) > 0)
+      .localCheckpoint(true)
   }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =

@@ -202,11 +202,15 @@ object TextOps {
     * makes cross-engine bit-equality fragile, so this is a rows-only op.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+    // tf is one row per (doc, term), so df falls out of tf directly —
+    // no second pass over the token stream and no distinct. tf is
+    // materialized once (localCheckpoint) because both the join and df
+    // branch from it.
+    val tf = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs(spark, dir).select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
