@@ -176,11 +176,13 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- simhash
-  /** 64-bit SimHash over word tokens: bit i of the signature is the sign
-    * of Σ_tokens (±1 from bit i of xxhash64(token)). Near-dup = Hamming
-    * distance ≤ 3, blocked on four 16-bit quarters (pigeonhole: distance
-    * ≤ 3 ⇒ one quarter intact), verified with bit_count(xor). No SQL
-    * oracle (xxhash64 is Spark-specific) → rows-only check.
+  /** 64-bit SimHash over word tokens: bit i of the signature is the
+    * majority vote of bit i across the tokens' FNV-1a-64 hashes.
+    * Near-dup = Hamming distance ≤ 3, blocked on four 16-bit quarters
+    * (pigeonhole: distance ≤ 3 ⇒ one quarter intact), verified with
+    * bit_count(xor). Fully oracle-checked: the DuckDB twin replays
+    * FNV-1a byte-by-byte from the hex dump with HUGEINT mod-2⁶⁴
+    * arithmetic and the same quarter blocking.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(docs(spark, dir))
@@ -307,6 +309,45 @@ object Dedup {
       |  CAST(doc_id = cluster_id AS INT) AS is_canonical
       |FROM lab JOIN szc USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of `simhash`: token FNV-1a-64 replayed byte-by-byte
+    * from the blob hex dump (HUGEINT arithmetic mod 2⁶⁴ — DuckDB BIGINT
+    * throws on overflow), majority bits, quarter blocking, Hamming via
+    * per-quarter bit_count(xor).
+    */
+  val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |        list_transform(generate_series(0, octet_length(encode(tok)) - 1),
+      |          i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i+1, 1)) - 1) * 16
+      |             + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i+2, 1)) - 1) AS HUGEINT))),
+      |      (acc, b) -> (xor(acc, b) * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, t.i AS i, CAST((h >> CAST(t.i AS INT)) % 2 AS BIGINT) AS bit
+      |  FROM th, UNNEST(generate_series(0, 63)) AS t(i)),
+      |counts AS (
+      |  SELECT doc_id, i, SUM(bit) AS c, COUNT(*) AS n FROM bits GROUP BY 1, 2),
+      |sigq AS (
+      |  SELECT doc_id, i // 16 AS q,
+      |    SUM(CASE WHEN 2*c > n THEN (CAST(1 AS BIGINT) << CAST(i % 16 AS INT)) ELSE 0 END) AS qv
+      |  FROM counts GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sigq a JOIN sigq b ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ham AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(SUM(bit_count(CAST(xor(x.qv, y.qv) AS BIGINT))) AS INT) AS hamming
+      |  FROM cand JOIN sigq x ON x.doc_id = doc_a
+      |            JOIN sigq y ON y.doc_id = doc_b AND y.q = x.q
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -318,5 +359,6 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
+    "dedup_simhash" -> simhashSql,
     "dedup_cluster" -> dedupClustersSql)
 }

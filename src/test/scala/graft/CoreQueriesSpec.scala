@@ -89,9 +89,11 @@ class CoreQueriesSpec extends SparkSpecBase {
 
   test("every query has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // only genuinely approximate ops lack an oracle (SimHash / LSH / IVF
-    // ANN are hash-family-specific; HLL is a sketch)
-    assert(noOracle == Set("dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
+    // only genuinely approximate ops lack an oracle (LSH / IVF ANN
+    // results depend on the hash family / trained centroids; HLL is a
+    // sketch) — everything deterministic is oracle-checked, including
+    // simhash via a byte-level FNV replay in DuckDB
+    assert(noOracle == Set("sim_ann_lsh", "sim_ann_ivf",
       "sim_cosine_neardup", "q21_approx_ndv"))
   }
 
