@@ -13,10 +13,13 @@ import graft.functions.{CosineSimF32, DotProductF32, MinHashArr, MinHashSigAgg, 
   * used by the operators themselves so any session works).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => ApproxNdvRule)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -967,6 +967,35 @@ object Core {
       |  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** FULL OUTER join (q18 covers left outer): per-nation customer vs
+    * supplier counts with deliberately part-overlapping key ranges, so
+    * left-only, matched, and right-only null patterns all appear.
+    */
+  def q41FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cn = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nkey"))
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("nkey") < 15)
+    val sn = t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").cast("int").as("nkey2"))
+      .agg(count(lit(1)).as("n_supp"))
+      .filter(col("nkey2") >= 10)
+    cn.join(sn, col("nkey") === col("nkey2"), "full_outer")
+      .select(coalesce(col("nkey"), col("nkey2")).as("nation_key"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nation_key"))
+  }
+
+  val q41Sql: String =
+    """SELECT COALESCE(c.nkey, s.nkey2) AS nation_key, c.n_cust, s.n_supp
+      |FROM (SELECT CAST(c_nationkey AS INT) AS nkey, COUNT(*) AS n_cust
+      |      FROM customer GROUP BY 1 HAVING nkey < 15) c
+      |FULL JOIN (SELECT CAST(s_nationkey AS INT) AS nkey2, COUNT(*) AS n_supp
+      |      FROM supplier GROUP BY 1 HAVING nkey2 >= 10) s
+      |  ON c.nkey = s.nkey2
+      |ORDER BY nation_key""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -1008,7 +1037,8 @@ object Core {
     "q37_datetime" -> (q37Datetime _),
     "q38_string_ops" -> (q38StringOps _),
     "q39_salted_join" -> (q39SaltedJoin _),
-    "q40_range_frame" -> (q40RangeFrame _))
+    "q40_range_frame" -> (q40RangeFrame _),
+    "q41_full_outer" -> (q41FullOuter _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -1049,5 +1079,6 @@ object Core {
     "q37_datetime" -> q37Sql,
     "q38_string_ops" -> q38Sql,
     "q39_salted_join" -> q39Sql,
-    "q40_range_frame" -> q40Sql)
+    "q40_range_frame" -> q40Sql,
+    "q41_full_outer" -> q41Sql)
 }

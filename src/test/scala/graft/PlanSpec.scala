@@ -83,6 +83,26 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("shingle_hashes") && p.contains("simhash64"), p.take(500))
   }
 
+  test("ApproxNdvRule: COUNT(DISTINCT) rewrites to HLL only under the flag") {
+    import org.apache.spark.sql.functions._
+    graft.plans.ApproxNdvRule.register(spark)
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+    def q = li.agg(countDistinct(col("l_partkey")).as("ndv"))
+    val exact = q.head().getLong(0)
+    spark.conf.set(graft.plans.ApproxNdvRule.FlagKey, "true")
+    try {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("approx_count_distinct"), p.take(600))
+      val approx = q.head().getLong(0)
+      // HLL at default 5% rsd must land near the exact answer
+      assert(math.abs(approx - exact).toDouble / exact < 0.15,
+        s"approx=$approx exact=$exact")
+    } finally spark.conf.set(graft.plans.ApproxNdvRule.FlagKey, "false")
+    // flag off → exact plan untouched
+    val p2 = q.queryExecution.executedPlan.toString
+    assert(!p2.contains("approx_count_distinct"), p2.take(600))
+  }
+
   test("cosine_f32 stays inside whole-stage codegen") {
     val df = SparkEntry.queries("sim_cosine_topk")(spark, sf())
     df.collect() // finalize the AQE plan
