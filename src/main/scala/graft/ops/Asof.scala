@@ -20,9 +20,18 @@ object Asof {
       es.extraStrategies = es.extraStrategies :+ AsofJoinStrategy
   }
 
+  /** ASOF LEFT JOIN: unmatched left rows are kept and null-extended
+    * (DuckDB `ASOF LEFT JOIN` semantics).
+    */
+  def leftJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, isLeftOuter = true)
+
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      isLeftOuter: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lp = left.queryExecution.analyzed
@@ -56,6 +65,6 @@ object Asof {
       else rt0
     Bridge.ofRows(spark, AsofJoinPlan(lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      lt, rt))
+      lt, rt, isLeftOuter))
   }
 }

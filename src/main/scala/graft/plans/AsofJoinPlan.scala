@@ -9,8 +9,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
 /** Whole-operator Catalyst extension (tier (c) of the extension ladder,
   * SURVEY §7.4): a native AS-OF JOIN — for each left row, the single
-  * right row with equal key and the greatest right-time ≤ left-time
-  * (inner semantics: unmatched left rows drop).
+  * right row with equal key and the greatest right-time ≤ left-time.
+  * Inner semantics by default (unmatched left rows drop);
+  * `isLeftOuter = true` null-extends unmatched lefts instead, matching
+  * DuckDB's ASOF LEFT JOIN.
   *
   * Why a custom operator: Spark has no as-of join; the composition
   * (union + running-last window, `Core.q22AsofJoin`) works but pays a
@@ -27,7 +29,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    isLeftOuter: Boolean = false)
   extends BinaryNode {
   // Fail fast at plan construction (not executor runtime): the merge
   // compares times through an ordering derived from the dataType, which
@@ -41,7 +44,8 @@ case class AsofJoinPlan(
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "as-of join key types must match pairwise: " +
       s"${leftKeys.map(_.dataType.simpleString)} vs ${rightKeys.map(_.dataType.simpleString)}")
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = left.output ++
+    (if (isLeftOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -52,8 +56,8 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, lo) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), lo) :: Nil
     case _ => Nil
   }
 }
@@ -65,10 +69,12 @@ object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan)
+    left: SparkPlan, right: SparkPlan,
+    isLeftOuter: Boolean = false)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = left.output ++
+    (if (isLeftOuter) right.output.map(_.withNullability(true)) else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -101,6 +107,9 @@ case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      // all-null right row for unmatched lefts in left-outer mode
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(right.output.length)
 
       new Iterator[InternalRow] {
         private var lastMatch: InternalRow = null
@@ -112,8 +121,9 @@ case class AsofJoinExec(
             val l = lIter.next()
             val lt = lTimeBound.eval(l)
             val lk = lKeyProj(l)
+            var matched = false
             // SQL equi-join null semantics: a null key (or null time) on
-            // the left can never match — skip the row entirely.
+            // the left can never match — skip (inner) / null-extend (outer).
             if (lt != null && !lk.anyNull) {
               // advance the right side up to (key, time ≤ lt)
               var advancing = true
@@ -140,7 +150,11 @@ case class AsofJoinExec(
               }
               if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyProj(l)) == 0) {
                 pending = resultProj(joined(l, lastMatch))
+                matched = true
               }
+            }
+            if (!matched && isLeftOuter) {
+              pending = resultProj(joined(l, nullRight))
             }
           }
         }

@@ -996,6 +996,32 @@ object Core {
       |  ON c.nkey = s.nkey2
       |ORDER BY nation_key""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** ASOF LEFT JOIN through the native operator: the order history is
+    * restricted to customers < 75 (events carry user_ids up to ~150·sf·10k), so events from other users genuinely
+    * null-extend — exercising the outer path in the driver check, not
+    * just in specs. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def q42AsofLeft(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_custkey") < 75)
+      .select(col("o_custkey"), col("o_orderdate")).distinct()
+    graft.ops.Asof.leftJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderdate").as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  val q42Sql: String =
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  o.o_orderdate AS last_order_date
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT DISTINCT o_custkey, o_orderdate FROM orders WHERE o_custkey < 75) o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -1038,7 +1064,8 @@ object Core {
     "q38_string_ops" -> (q38StringOps _),
     "q39_salted_join" -> (q39SaltedJoin _),
     "q40_range_frame" -> (q40RangeFrame _),
-    "q41_full_outer" -> (q41FullOuter _))
+    "q41_full_outer" -> (q41FullOuter _),
+    "q42_asof_left" -> (q42AsofLeft _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -1080,5 +1107,6 @@ object Core {
     "q38_string_ops" -> q38Sql,
     "q39_salted_join" -> q39Sql,
     "q40_range_frame" -> q40Sql,
-    "q41_full_outer" -> q41Sql)
+    "q41_full_outer" -> q41Sql,
+    "q42_asof_left" -> q42Sql)
 }

@@ -101,6 +101,22 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(e.getMessage.contains("same type"))
   }
 
+  test("left-outer: unmatched and null-key lefts null-extend instead of dropping") {
+    import spark.implicits._
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (10L, Option(1L), ts("2024-01-01 11:00:00")), // matches
+      (11L, Option(1L), ts("2024-01-01 09:00:00")), // before all quotes -> null
+      (12L, Option(2L), ts("2024-01-01 11:00:00")), // key without quotes -> null
+      (13L, Option.empty[Long], ts("2024-01-01 11:00:00"))) // null key -> null
+      .toDF("trade_id", "t_key", "t_ts")
+    val r = Asof.leftJoin(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r == Map(10L -> Some(100.0), 11L -> None, 12L -> None, 13L -> None))
+  }
+
   test("missing column gives a clear error") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
