@@ -89,6 +89,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("foreachBatch sink: deduped micro-batches land in parquet (custom-sink pattern)") {
+    import org.apache.spark.sql.{DataFrame, Row, Dataset}
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val q = Events.streamingDedup(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // the escape hatch to any batch sink; append is safe here because
+        // dropDuplicatesWithinWatermark emits each event_id once
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(out).select("event_id").distinct().count()
+    val expected = graft.engine.Tables.load(spark, sf(), "events")
+      .select("event_id").distinct().count()
+    assert(landed == expected)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
