@@ -34,7 +34,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely approximate ops
-    * (SimHash / LSH ANN / HLL NDV) → rows-only check.
+    * (LSH / IVF ANN results depend on the hash family / trained
+    * centroids; HLL is a sketch) → rows-only check. Everything
+    * deterministic is oracle-checked, including simhash.
     */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++

@@ -238,6 +238,12 @@ object Dedup {
     dedupClustersOn(docs(spark, dir))
 
   def dedupClustersOn(documents: DataFrame): DataFrame = {
+    // Edge set = the MinHash-LSH verified pairs (the scale path). The
+    // exact-closure oracle assumes full LSH recall; a borderline pair
+    // (J exactly 0.5) is missed with P = (1−0.25)³² ≈ 1e-4 — the same
+    // accepted risk dedup_minhash_lsh carries, just surfaced over whole
+    // components here. Swap in ngramJaccardOn pairs for guaranteed-exact
+    // edges at small scale.
     val pairs = minhashLshOn(documents).select(col("doc_a"), col("doc_b"))
     // Propagation runs ONLY over nodes that have an edge — the near-dup
     // subgraph is a tiny fraction of the corpus (pairs, not documents),
@@ -254,9 +260,14 @@ object Dedup {
       .withColumn("label", col("doc_id"))
       .coalesce(1)
       .localCheckpoint(true)
+    // Min-label propagation converges in diameter-many rounds; near-dup
+    // components are shallow so 2–4 is typical. The cap only guards a
+    // pathological graph, and on hitting it we FAIL rather than silently
+    // emit unconverged (wrong) cluster ids.
+    val maxRounds = 256
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < 20) {
+    while (changed > 0 && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id")).agg(min(col("label")).as("nbr"))
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
@@ -268,6 +279,10 @@ object Dedup {
       labels = next.drop("chg")
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the cap — switch to large-star/small-star)")
     val withSingletons = documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

@@ -197,9 +197,11 @@ object TextOps {
   }
 
   /** TF-IDF top-3 terms per document: token explode → per-(doc, term) tf,
-    * per-term df (one aggregate each, map-side partials), idf joined back
-    * broadcast-or-shuffle by Catalyst. Deterministic tie-breaks; log()
-    * makes cross-engine bit-equality fragile, so this is a rows-only op.
+    * df derived from tf, idf joined back broadcast-or-shuffle by
+    * Catalyst. Oracle-checked (tfidfSql): round-6 scores + (tfidf DESC,
+    * term) tie-breaks make the cross-engine comparison robust despite
+    * log() — equal (tf, df) pairs give bit-equal scores and unequal ones
+    * differ far beyond one ulp.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     // tf is one row per (doc, term), so df falls out of tf directly —
@@ -255,8 +257,13 @@ object TextOps {
     * their metrics for auditing.
     */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    // Dup-rank partitions on md5(text), not the text itself — the window
+    // shuffle/sort key is 16 bytes instead of the whole document (the
+    // ~1000× key-size cut that matters at 100 TB). md5 collisions are the
+    // only way this diverges from per-text ranking (practically never;
+    // the oracle partitions by raw text and hash-matches).
     val wDup = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text")).orderBy(col("doc_id"))
+      .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
     docs(spark, dir)
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_tokens", size(col("w")).cast("long"))

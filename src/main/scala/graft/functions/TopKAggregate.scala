@@ -12,14 +12,22 @@ import org.apache.spark.sql.types._
 /** Bounded top-k state: (ord, id) pairs kept sorted by (ord DESC, id ASC),
   * never more than k entries. Insertion is a short shift (k is small);
   * merge is a k-way sorted merge.
+  *
+  * Ordinal comparisons use java.lang.Double.compare — the same total
+  * order Spark's SortExec applies to doubles (NaN greatest, −0.0 < 0.0)
+  * — so topk_by agrees with the window row_number formulation it
+  * replaces even on NaN/±0.0 inputs; raw `>`/`==` would silently drop
+  * NaN rows and corrupt the sorted-buffer invariant.
   */
 final class TopKBuffer(val k: Int) {
   var n: Int = 0
   val ords: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
-  @inline private def beats(o: Double, i: Long, pos: Int): Boolean =
-    o > ords(pos) || (o == ords(pos) && i < ids(pos))
+  @inline private def beats(o: Double, i: Long, pos: Int): Boolean = {
+    val c = java.lang.Double.compare(o, ords(pos))
+    c > 0 || (c == 0 && i < ids(pos))
+  }
 
   def insert(o: Double, i: Long): Unit = {
     if (n == k && !beats(o, i, n - 1)) return

@@ -154,6 +154,29 @@ object LshHash {
     z = z ^ (z >>> 31)
     z.toDouble / 9.223372036854775807E18
   }
+
+  @volatile private var cached: Array[Array[Double]] = Array.empty
+
+  /** Memoized [plane][dim] weight table, grown on demand — the weights
+    * depend only on (p, d), so the per-row codegen loop indexes this
+    * instead of re-running splitmix for every element of every row
+    * (nBits × dim mixes per row otherwise). One table per executor JVM.
+    */
+  def table(bits: Int, dims: Int): Array[Array[Double]] = {
+    val c = cached
+    if (c.length >= bits && (bits == 0 || c(0).length >= dims)) c
+    else synchronized {
+      val c2 = cached
+      if (c2.length >= bits && (bits == 0 || c2(0).length >= dims)) c2
+      else {
+        val nb = math.max(bits, math.max(c2.length, 64))
+        val nd = math.max(dims, if (c2.isEmpty) 64 else c2(0).length)
+        val t = Array.tabulate(nb, nd)(weight)
+        cached = t
+        t
+      }
+    }
+  }
 }
 
 /** sign_lsh(vec, nBits): random-hyperplane signature of a float32 vector —
@@ -189,13 +212,15 @@ case class SignLsh(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val bits = b.asInstanceOf[Int]
     val n = x.numElements()
+    val w = LshHash.table(bits, n)
     var sig = 0L
     var p = 0
     while (p < bits) {
       var s = 0.0
+      val wp = w(p)
       var d = 0
       while (d < n) {
-        s += x.getFloat(d).toDouble * LshHash.weight(p, d)
+        s += x.getFloat(d).toDouble * wp(d)
         d += 1
       }
       if (s > 0.0) sig |= (1L << p)
@@ -211,13 +236,17 @@ case class SignLsh(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val sig = ctx.freshName("sig")
+      val w = ctx.freshName("w")
+      val wp = ctx.freshName("wp")
       s"""
          |int $n = $a.numElements();
+         |double[][] $w = graft.functions.LshHash.table($b, $n);
          |long $sig = 0L;
          |for (int $p = 0; $p < $b; $p++) {
          |  double $s = 0.0;
+         |  double[] $wp = $w[$p];
          |  for (int $d = 0; $d < $n; $d++) {
-         |    $s += ((double) $a.getFloat($d)) * graft.functions.LshHash.weight($p, $d);
+         |    $s += ((double) $a.getFloat($d)) * $wp[$d];
          |  }
          |  if ($s > 0.0) $sig |= (1L << $p);
          |}

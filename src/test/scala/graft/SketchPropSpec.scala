@@ -12,11 +12,16 @@ import graft.functions.{LshHash, SketchHash, TopKBuffer}
   */
 object SketchPropSpec extends Properties("Sketches") {
 
-  private val pairGen: Gen[List[(Double, Long)]] = Gen.listOf(Gen.zip(
-    Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L)))
+  private val ordGen: Gen[Double] = Gen.frequency(
+    8 -> Gen.chooseNum(-1e6, 1e6),
+    1 -> Gen.oneOf(Double.NaN, 0.0, -0.0, Double.PositiveInfinity, Double.NegativeInfinity))
+  private val pairGen: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(ordGen, Gen.chooseNum(0L, 1000L)))
 
+  // Spark's double total order: NaN greatest, −0.0 < 0.0
   private def reference(xs: List[(Double, Long)], k: Int): List[(Double, Long)] =
-    xs.sortBy { case (o, i) => (-o, i) }.take(k)
+    xs.sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+      .take(k)
 
   property("TopKBuffer sequential insert == sort-take-k") =
     forAll(pairGen, Gen.choose(1, 8)) { (xs, k) =>
