@@ -272,7 +272,9 @@ object Core {
     t(spark, dir, "orders")
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         && col("o_orderkey").between(100, 8000)
-        && col("o_orderstatus").like("F%"))
+        && col("o_orderstatus").like("F%")
+        && !col("o_orderpriority").like("3%") // NOT (no-op on this data, exercises the operator)
+        && col("o_custkey").isNotNull) // IS NOT NULL
       .select(
         col("o_orderkey"),
         when(col("o_totalprice") > 300000.0, "big")
@@ -289,6 +291,8 @@ object Core {
       |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
       |  AND o_orderkey BETWEEN 100 AND 8000
       |  AND o_orderstatus LIKE 'F%'
+      |  AND NOT o_orderpriority LIKE '3%'
+      |  AND o_custkey IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q12

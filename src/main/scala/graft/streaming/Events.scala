@@ -270,13 +270,46 @@ object Events {
       .toDF()
   }
 
+  // -------------------------------------------------------------- funnel
+  /** Funnel conversion: purchases preceded by a click from the same user
+    * within 1 hour, counted per day — the batch face of the attribution
+    * join whose streaming twin is `streamingPurchaseAttribution`. The
+    * self-join shuffles on user_id only (equi key), with the time-range
+    * predicate as a post-join filter.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+        col("cu") === col("pu") && col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(date_trunc("day", col("purchase_ts")).as("day"))
+      .agg(countDistinct(col("event_id")).as("n_purchases_with_click"),
+        countDistinct(col("pu")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  val funnelSql: String =
+    """SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases_with_click,
+      |  COUNT(DISTINCT p.user_id) AS n_users
+      |FROM events p JOIN events c ON c.user_id = p.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
-    "events_sessionize" -> (sessionize _))
+    "events_sessionize" -> (sessionize _),
+    "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
-    "events_sessionize" -> sessionizeSql)
+    "events_sessionize" -> sessionizeSql,
+    "events_funnel" -> funnelSql)
 }
