@@ -24,14 +24,23 @@ import graft.format.Formatters
   */
 object Repl {
 
-  def session(): SparkSession = SparkSession.builder()
-    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-    .appName("graft-sql")
-    .config("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-sql")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // the full graft surface works from plain SQL in the shell:
+    // cosine_f32 / sign_lsh / shingle_hashes / topk_by …, the as-of join
+    // strategy, and the approx-NDV rewrite flag
+    graft.plans.GraftExtensions.register(s)
+    graft.ops.Asof.register(s)
+    graft.plans.ApproxNdvRule.register(s)
+    s
+  }
 
   def main(args: Array[String]): Unit = {
     var sqlArg: Option[String] = None

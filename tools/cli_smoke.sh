@@ -52,6 +52,10 @@ else fail=$((fail+1)); echo "FAIL - bad flag exit code (got $rc)"; fi
 out=$(printf "LOAD TABLE t FROM '%s'\nDESCRIBE t\nEXIT\n" "$CSV" | run)
 check "describe stats" "ndv=3" "$out"
 
+# 9. graft extension functions usable from plain SQL in the shell
+out=$(printf 'id,name\n1,x\n' | run --sql "SELECT size(shingle_hashes('a b c d')) AS n, cosine_f32(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c FROM table")
+check "extension functions in SQL" "| 2 | 1.0 |" "$out"
+
 echo "---"
 echo "$pass passed, $fail failed"
 exit $([ "$fail" = "0" ] && echo 0 || echo 1)
