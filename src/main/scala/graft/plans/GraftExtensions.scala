@@ -26,7 +26,7 @@ object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", null, name, usage, "")
+    new ExpressionInfo("graft.functions", "", name, usage, "", "", "", "", "", "", "built-in")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("dot_f32"),
