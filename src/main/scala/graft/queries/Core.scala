@@ -1026,6 +1026,85 @@ object Core {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Statistical moments computed from exact decimal power sums — NOT
+    * Spark's corr()/var_pop() co-moment accumulators, whose result
+    * depends on partition merge order. From exact Σx, Σx², Σxy (decimal,
+    * any order) the mean/variance/correlation arithmetic is identical
+    * IEEE ops on identical doubles in both engines, so the oracle
+    * hash-matches from any parallelism — the same trick as dsum, lifted
+    * to second moments.
+    */
+  def q43Moments(spark: SparkSession, dir: String): DataFrame = {
+    def bigsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+    val x = col("l_extendedprice")
+    val y = col("l_quantity")
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        bigsum(x).as("sx"), bigsum(x * x).as("sxx"),
+        bigsum(y).as("sy"), bigsum(y * y).as("syy"),
+        bigsum(x * y).as("sxy"))
+      .select(col("l_returnflag"),
+        round(col("sx") / col("n"), 6).as("mean_price"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 4).as("var_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+           sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q43Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round(sx / n, 6) AS mean_price,
+      |  round((sxx - sx * sx / n) / n, 4) AS var_price,
+      |  round((sxy - sx * sy / n) /
+      |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Day-over-day retention: of the users active on day d, the fraction
+    * also active on d+1. Two aggregates over the distinct (user, day)
+    * frame and one self-join on (user, day+1).
+    */
+  def q44Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val active = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val retained = ud.as("a")
+      .join(ud.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("n_retained"))
+    active.join(retained, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(coalesce(col("n_retained"), lit(0L)) / col("n_active").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("day"))
+  }
+
+  val q44Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      |active AS (SELECT day, COUNT(*) AS n_active FROM ud GROUP BY day),
+      |retained AS (
+      |  SELECT a.day AS day, COUNT(*) AS n_retained
+      |  FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      |  GROUP BY 1)
+      |SELECT active.day, n_active,
+      |  COALESCE(n_retained, 0) AS n_retained,
+      |  round(COALESCE(n_retained, 0) / CAST(n_active AS DOUBLE), 6) AS retention
+      |FROM active LEFT JOIN retained ON active.day = retained.day
+      |ORDER BY active.day""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -1069,7 +1148,9 @@ object Core {
     "q39_salted_join" -> (q39SaltedJoin _),
     "q40_range_frame" -> (q40RangeFrame _),
     "q41_full_outer" -> (q41FullOuter _),
-    "q42_asof_left" -> (q42AsofLeft _))
+    "q42_asof_left" -> (q42AsofLeft _),
+    "q43_moments" -> (q43Moments _),
+    "q44_retention" -> (q44Retention _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -1112,5 +1193,7 @@ object Core {
     "q39_salted_join" -> q39Sql,
     "q40_range_frame" -> q40Sql,
     "q41_full_outer" -> q41Sql,
-    "q42_asof_left" -> q42Sql)
+    "q42_asof_left" -> q42Sql,
+    "q43_moments" -> q43Sql,
+    "q44_retention" -> q44Sql)
 }
