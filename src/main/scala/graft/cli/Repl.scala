@@ -33,9 +33,10 @@ object Repl {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // the full graft surface works from plain SQL in the shell:
-    // cosine_f32 / sign_lsh / shingle_hashes / topk_by …, the as-of join
-    // strategy, and the approx-NDV rewrite flag
+    // plain SQL in the shell gets the native functions (cosine_f32 /
+    // sign_lsh / shingle_hashes / topk_by …) and the approx-NDV rewrite
+    // flag; the as-of strategy is registered for code that reuses this
+    // session through the typed Asof API (no SQL syntax reaches it)
     graft.plans.GraftExtensions.register(s)
     graft.ops.Asof.register(s)
     graft.plans.ApproxNdvRule.register(s)

@@ -1076,9 +1076,13 @@ object Core {
     * frame and one self-join on (user, day+1).
     */
   def q44Retention(spark: SparkSession, dir: String): DataFrame = {
+    // ud branches three ways (actives + both self-join sides); without a
+    // materialization point Spark would scan events and run the distinct
+    // shuffle three times per execution
     val ud = t(spark, dir, "events")
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
+      .localCheckpoint(true)
     val active = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
     val retained = ud.as("a")
       .join(ud.as("b"), col("a.user_id") === col("b.user_id") &&

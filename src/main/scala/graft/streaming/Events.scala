@@ -166,17 +166,24 @@ object Events {
   /** Batch twin of the attribution join (same predicate on the static
     * table) — the correctness proxy for the streaming form.
     */
-  def batchPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+  def batchPurchaseAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionJoin(events(spark, dir), "30 MINUTES")
+
+  /** Shared attribution framing: purchases joined to the same user's
+    * clicks within `window` before the purchase — one definition feeds
+    * the batch twin and the funnel so the predicate cannot silently
+    * diverge between them.
+    */
+  private def attributionJoin(ev: DataFrame, window: String): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"), col("value"))
     purchases.join(clicks, expr(
-      """p_user = c_user AND
-        |click_ts <= purchase_ts AND
-        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin))
+      s"""p_user = c_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts >= purchase_ts - INTERVAL $window""".stripMargin))
   }
 
   /** Typed row/state shapes for the arbitrary-stateful op below. */
@@ -277,20 +284,12 @@ object Events {
     * self-join shuffles on user_id only (equi key), with the time-range
     * predicate as a post-join filter.
     */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("cu"), col("ts").as("click_ts"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("purchase_ts"))
-    purchases.join(clicks,
-        col("cu") === col("pu") && col("click_ts") <= col("purchase_ts") &&
-          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    attributionJoin(events(spark, dir), "1 HOUR")
       .groupBy(date_trunc("day", col("purchase_ts")).as("day"))
       .agg(countDistinct(col("event_id")).as("n_purchases_with_click"),
-        countDistinct(col("pu")).as("n_users"))
+        countDistinct(col("p_user")).as("n_users"))
       .orderBy(col("day"))
-  }
 
   val funnelSql: String =
     """SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
