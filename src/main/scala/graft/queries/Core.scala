@@ -1109,6 +1109,59 @@ object Core {
       |FROM active LEFT JOIN retained ON active.day = retained.day
       |ORDER BY active.day""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Value window functions (first_value / last_value / nth_value) with
+    * an explicit unbounded frame — complements q15 (row_number), q33
+    * (rank family), q40 (RANGE frames).
+    */
+  def q45ValueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q45Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER w AS last_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Higher-order array functions as a user-facing surface (transform /
+    * filter / zip_with / aggregate ≡ DuckDB list_* lambdas). The hot
+    * paths in this repo use native expressions instead (HOFs are
+    * interpreted per element); this query covers the API itself.
+    */
+  def q46ArrayHof(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("size(filter(w, x -> length(x) > 5))").as("n_long"),
+        expr("aggregate(transform(w, x -> length(x)), 0, (a, b) -> a + b)").as("total_len"),
+        expr("size(zip_with(w, reverse(w), (a, b) -> if(a = b, 1, null)))").as("n_zip"),
+        expr("array_max(transform(w, x -> length(x)))").as("max_len"))
+      .orderBy(col("doc_id"))
+
+  val q46Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(w, x -> length(x) > 5)) AS INT) AS n_long,
+      |  CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'sum') AS INT) AS total_len,
+      |  CAST(len(w) AS INT) AS n_zip,
+      |  CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'max') AS INT) AS max_len
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -1154,7 +1207,9 @@ object Core {
     "q41_full_outer" -> (q41FullOuter _),
     "q42_asof_left" -> (q42AsofLeft _),
     "q43_moments" -> (q43Moments _),
-    "q44_retention" -> (q44Retention _))
+    "q44_retention" -> (q44Retention _),
+    "q45_value_windows" -> (q45ValueWindows _),
+    "q46_array_hof" -> (q46ArrayHof _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -1199,5 +1254,7 @@ object Core {
     "q41_full_outer" -> q41Sql,
     "q42_asof_left" -> q42Sql,
     "q43_moments" -> q43Sql,
-    "q44_retention" -> q44Sql)
+    "q44_retention" -> q44Sql,
+    "q45_value_windows" -> q45Sql,
+    "q46_array_hof" -> q46Sql)
 }
