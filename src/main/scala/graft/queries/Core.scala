@@ -647,10 +647,13 @@ object Core {
   def q29Exists(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "customer").createOrReplaceTempView("q29_customer")
     t(spark, dir, "orders").createOrReplaceTempView("q29_orders")
+    // WITH clause included deliberately — CTEs are part of the §2.7
+    // surface the reference lacks
     spark.sql(
-      """SELECT c_custkey, c_name FROM q29_customer c
-        |WHERE EXISTS (SELECT 1 FROM q29_orders o
-        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      """WITH f_orders AS (
+        |  SELECT o_custkey, o_totalprice FROM q29_orders WHERE o_orderstatus = 'F')
+        |SELECT c_custkey, c_name FROM q29_customer c
+        |WHERE EXISTS (SELECT 1 FROM f_orders o WHERE o.o_custkey = c.c_custkey)
         |  AND NOT EXISTS (SELECT 1 FROM q29_orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > CAST(300000.0 AS DOUBLE))

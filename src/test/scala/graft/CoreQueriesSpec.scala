@@ -97,6 +97,18 @@ class CoreQueriesSpec extends SparkSpecBase {
       "sim_cosine_neardup", "q21_approx_ndv"))
   }
 
+  test("UDF surface: spark.udf.register works (native expressions preferred)") {
+    import spark.implicits._
+    // the library's own functions are native Expressions (codegen'd, no
+    // serialization); plain Scala UDFs remain available for user logic —
+    // registered here to pin the surface
+    spark.udf.register("graft_clip", (x: Double, lo: Double, hi: Double) =>
+      math.max(lo, math.min(hi, x)))
+    val r = Seq(0.5, 2.0, -3.0).toDF("x")
+      .selectExpr("graft_clip(x, -1.0, 1.0) AS c").collect().map(_.getDouble(0)).toSet
+    assert(r == Set(0.5, 1.0, -1.0))
+  }
+
   test("topk_by aggregate: ordering, ties, short groups (TopKByAgg)") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
