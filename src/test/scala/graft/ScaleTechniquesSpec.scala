@@ -35,6 +35,25 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     assert(salts.map(_.getLong(1)).max < 10000L * 0.25) // no bucket dominates
   }
 
+  test("results are invariant to shuffle partition count (determinism contract)") {
+    // the oracle contract's core claim: decimal-accumulated aggregates,
+    // hash-derived sampling, and sketch pipelines give bit-identical
+    // results from any parallelism — so a 1000-executor run answers the
+    // same bytes as the single-threaded DuckDB oracle
+    val conf = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(conf)
+    def run(): Seq[String] = Seq("q1_pricing_summary", "q43_moments",
+        "dedup_minhash_lsh", "text_sample_per_group")
+      .map(q => SparkEntry.queries(q)(spark, sf()).collect().mkString("|"))
+    try {
+      spark.conf.set(conf, "3")
+      val a = run()
+      spark.conf.set(conf, "17")
+      val b = run()
+      assert(a == b)
+    } finally spark.conf.set(conf, before)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     import spark.implicits._ // tables land in the default ./spark-warehouse
     (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "a")
