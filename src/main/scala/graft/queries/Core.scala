@@ -1165,6 +1165,56 @@ object Core {
       |  CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'max') AS INT) AS max_len
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Math function library — restricted to the IEEE-exact subset
+    * (sqrt/abs/ceil/floor/sign/mod/greatest/least are identical on any
+    * conforming platform; transcendentals like pow/exp are libm-
+    * dependent and deliberately excluded from oracle checks).
+    */
+  def q47Math(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        sqrt(col("p_retailprice")).as("sqrt_price"),
+        ceil(col("p_retailprice")).cast("long").as("ceil_price"),
+        floor(col("p_retailprice")).cast("long").as("floor_price"),
+        abs(col("p_size") - 25).cast("long").as("abs_off"),
+        signum(col("p_size") - 25).cast("int").as("sign_off"),
+        pmod(col("p_partkey"), lit(7L)).as("key_mod"),
+        greatest(col("p_size").cast("long"), lit(10L)).as("size_floor10"),
+        least(col("p_size").cast("long"), lit(40L)).as("size_cap40"))
+      .orderBy(col("p_partkey"))
+
+  val q47Sql: String =
+    """SELECT p_partkey,
+      |  sqrt(p_retailprice) AS sqrt_price,
+      |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+      |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+      |  CAST(abs(p_size - 25) AS BIGINT) AS abs_off,
+      |  CAST(sign(p_size - 25) AS INT) AS sign_off,
+      |  p_partkey % 7 AS key_mod,
+      |  greatest(CAST(p_size AS BIGINT), 10) AS size_floor10,
+      |  least(CAST(p_size AS BIGINT), 40) AS size_cap40
+      |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Explicit CROSS JOIN over two bounded dimensions (the degenerate
+    * no-key join the reference's empty-key hash join accidentally
+    * produced; here it is deliberate and broadcast).
+    */
+  def q48CrossJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region")
+      .crossJoin(broadcast(t(spark, dir, "nation")))
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).cast("int").as("is_home"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q48Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(r_regionkey = n_regionkey AS INT) AS is_home
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -1212,7 +1262,9 @@ object Core {
     "q43_moments" -> (q43Moments _),
     "q44_retention" -> (q44Retention _),
     "q45_value_windows" -> (q45ValueWindows _),
-    "q46_array_hof" -> (q46ArrayHof _))
+    "q46_array_hof" -> (q46ArrayHof _),
+    "q47_math" -> (q47Math _),
+    "q48_cross_join" -> (q48CrossJoin _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -1259,5 +1311,7 @@ object Core {
     "q43_moments" -> q43Sql,
     "q44_retention" -> q44Sql,
     "q45_value_windows" -> q45Sql,
-    "q46_array_hof" -> q46Sql)
+    "q46_array_hof" -> q46Sql,
+    "q47_math" -> q47Sql,
+    "q48_cross_join" -> q48Sql)
 }
