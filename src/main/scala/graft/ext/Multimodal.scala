@@ -106,8 +106,39 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Frame sampling as a graded query: every 2nd 1 KiB chunk of each
+    * payload with its length and first byte — the video-frame-extraction
+    * pipeline shape, fully deterministic and oracle-checked byte-for-
+    * byte (the DuckDB twin indexes the blob's hex dump).
+    */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("text/fake").as("kind"),
+        col("text").cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaItem]
+    sampleFrames(items, stride = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val mediaFramesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, CAST(t.i AS INT) AS frame_idx,
+      |    CAST(least(1024, n - 1024*t.i) AS INT) AS frame_bytes,
+      |    CAST((strpos('0123456789ABCDEF', substr(h, 2048*t.i + 1, 1)) - 1) * 16
+      |       + (strpos('0123456789ABCDEF', substr(h, 2048*t.i + 2, 1)) - 1) AS INT) AS first_byte
+      |  FROM b, UNNEST(generate_series(0, CAST(ceil(n/1024.0) AS INT) - 1)) AS t(i)
+      |  WHERE t.i % 2 = 0 AND n > 0)
+      |SELECT media_id, frame_idx, frame_bytes, first_byte
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (mediaFeatures _))
+    "multimodal_features" -> (mediaFeatures _),
+    "multimodal_frames" -> (mediaFrames _))
 
   /** DuckDB twin of `mediaFeatures`: the payload is the utf-8 encoding of
     * `text`, so the byte checksum is recomputed from the blob's hex dump
@@ -130,5 +161,6 @@ object Multimodal {
       |FROM s ORDER BY media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "multimodal_features" -> mediaFeaturesSql)
+    "multimodal_features" -> mediaFeaturesSql,
+    "multimodal_frames" -> mediaFramesSql)
 }
