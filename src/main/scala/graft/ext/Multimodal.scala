@@ -76,12 +76,14 @@ object Multimodal {
   }
 
   /** "Frame sampling" over a binary payload: deterministic stride slices
-    * standing in for video frame extraction (every `stride`-th kilobyte).
+    * standing in for video frame extraction (every `stride`-th chunk of
+    * `frameBytes` bytes; 1 KiB default).
     */
-  def sampleFrames(items: Dataset[MediaItem], stride: Int): DataFrame = {
+  def sampleFrames(items: Dataset[MediaItem], stride: Int,
+      frameBytes: Int = 1024): DataFrame = {
     import items.sparkSession.implicits._
     items.flatMap { m =>
-      m.payload.grouped(1024).zipWithIndex.collect {
+      m.payload.grouped(frameBytes).zipWithIndex.collect {
         case (chunk, idx) if idx % stride == 0 =>
           (m.media_id, idx, chunk.length, chunk.headOption.map(_ & 0xff).getOrElse(0))
       }
@@ -94,33 +96,33 @@ object Multimodal {
     * is SQL-checkable, the rest of the feature row is covered by the
     * rows-only check + ScalaTest.
     */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared documents→MediaItem projection for the graded queries. */
+  private def docsAsMedia(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
-    val items = Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .select(col("doc_id").as("media_id"), lit("text/fake").as("kind"),
         col("text").cast("binary").as("payload"),
         lit(0).as("width"), lit(0).as("height"))
       .as[MediaItem]
-    extractFeatures(items).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"), col("mean_byte"))
-      .orderBy(col("media_id"))
   }
 
-  /** Frame sampling as a graded query: every 2nd 1 KiB chunk of each
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(docsAsMedia(spark, dir)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"), col("mean_byte"))
+      .orderBy(col("media_id"))
+
+  /** Frame sampling as a graded query: every 2nd 64-byte chunk of each
     * payload with its length and first byte — the video-frame-extraction
     * pipeline shape, fully deterministic and oracle-checked byte-for-
-    * byte (the DuckDB twin indexes the blob's hex dump).
+    * byte (the DuckDB twin indexes the blob's hex dump). 64-byte frames
+    * (not the 1 KiB default) so the fixture documents (48–577 bytes)
+    * genuinely produce multiple chunks, partial tails, and live stride
+    * skips — otherwise every doc would be one trivial frame and the
+    * chunk arithmetic would be ungraded.
     */
-  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val items = Tables.load(spark, dir, "documents")
-      .select(col("doc_id").as("media_id"), lit("text/fake").as("kind"),
-        col("text").cast("binary").as("payload"),
-        lit(0).as("width"), lit(0).as("height"))
-      .as[MediaItem]
-    sampleFrames(items, stride = 2)
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(docsAsMedia(spark, dir), stride = 2, frameBytes = 64)
       .orderBy(col("media_id"), col("frame_idx"))
-  }
 
   val mediaFramesSql: String =
     """WITH b AS (
@@ -128,10 +130,10 @@ object Multimodal {
       |  FROM documents),
       |f AS (
       |  SELECT media_id, CAST(t.i AS INT) AS frame_idx,
-      |    CAST(least(1024, n - 1024*t.i) AS INT) AS frame_bytes,
-      |    CAST((strpos('0123456789ABCDEF', substr(h, 2048*t.i + 1, 1)) - 1) * 16
-      |       + (strpos('0123456789ABCDEF', substr(h, 2048*t.i + 2, 1)) - 1) AS INT) AS first_byte
-      |  FROM b, UNNEST(generate_series(0, CAST(ceil(n/1024.0) AS INT) - 1)) AS t(i)
+      |    CAST(least(64, n - 64*t.i) AS INT) AS frame_bytes,
+      |    CAST((strpos('0123456789ABCDEF', substr(h, 128*t.i + 1, 1)) - 1) * 16
+      |       + (strpos('0123456789ABCDEF', substr(h, 128*t.i + 2, 1)) - 1) AS INT) AS first_byte
+      |  FROM b, UNNEST(generate_series(0, CAST(ceil(n/64.0) AS INT) - 1)) AS t(i)
       |  WHERE t.i % 2 = 0 AND n > 0)
       |SELECT media_id, frame_idx, frame_bytes, first_byte
       |FROM f ORDER BY media_id, frame_idx""".stripMargin

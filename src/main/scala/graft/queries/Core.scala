@@ -651,7 +651,7 @@ object Core {
     // surface the reference lacks
     spark.sql(
       """WITH f_orders AS (
-        |  SELECT o_custkey, o_totalprice FROM q29_orders WHERE o_orderstatus = 'F')
+        |  SELECT o_custkey FROM q29_orders WHERE o_orderstatus = 'F')
         |SELECT c_custkey, c_name FROM q29_customer c
         |WHERE EXISTS (SELECT 1 FROM f_orders o WHERE o.o_custkey = c.c_custkey)
         |  AND NOT EXISTS (SELECT 1 FROM q29_orders o
@@ -1152,7 +1152,10 @@ object Core {
       .select(col("doc_id"),
         expr("size(filter(w, x -> length(x) > 5))").as("n_long"),
         expr("aggregate(transform(w, x -> length(x)), 0, (a, b) -> a + b)").as("total_len"),
-        expr("size(zip_with(w, reverse(w), (a, b) -> if(a = b, 1, null)))").as("n_zip"),
+        // zip_with output flows into the result (count of positions where
+        // a token equals its mirror) — a bare size() would equal len(w)
+        // for any lambda and grade nothing
+        expr("size(filter(zip_with(w, reverse(w), (a, b) -> a = b), x -> x))").as("n_mirror"),
         expr("array_max(transform(w, x -> length(x)))").as("max_len"))
       .orderBy(col("doc_id"))
 
@@ -1161,7 +1164,7 @@ object Core {
       |SELECT doc_id,
       |  CAST(len(list_filter(w, x -> length(x) > 5)) AS INT) AS n_long,
       |  CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'sum') AS INT) AS total_len,
-      |  CAST(len(w) AS INT) AS n_zip,
+      |  CAST(len(list_filter(list_zip(w, list_reverse(w)), z -> z[1] = z[2])) AS INT) AS n_mirror,
       |  CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'max') AS INT) AS max_len
       |FROM d ORDER BY doc_id""".stripMargin
 
