@@ -77,6 +77,10 @@ object CsvInference {
 
   /** Same, for a frame already read as all-strings (e.g. stdin). */
   def typed(raw: DataFrame, tableName: String): (DataFrame, TableMeta) = {
+    // zero-column input (empty stdin, headerless file) previously crashed
+    // on aggs.head inside the vote pass — degrade to an empty table
+    if (raw.columns.isEmpty)
+      return (raw, TableMeta(tableName, 0L, Seq.empty))
     val vote = votes(raw)
     val cols = raw.columns.map { c =>
       val v = vote(c)

@@ -1218,6 +1218,27 @@ object Core {
       |FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Ordered string aggregation: LISTAGG … WITHIN GROUP (Spark 4's ANSI
+    * form; DuckDB spells it string_agg … ORDER BY). The ORDER BY inside
+    * the aggregate is what makes the concatenation deterministic.
+    */
+  def q49Listagg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("q49_nation")
+    t(spark, dir, "region").createOrReplaceTempView("q49_region")
+    spark.sql(
+      """SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM q49_nation JOIN q49_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  val q49Sql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_approx_ndv" -> (q21ApproxNdv _),
@@ -1267,7 +1288,8 @@ object Core {
     "q45_value_windows" -> (q45ValueWindows _),
     "q46_array_hof" -> (q46ArrayHof _),
     "q47_math" -> (q47Math _),
-    "q48_cross_join" -> (q48CrossJoin _))
+    "q48_cross_join" -> (q48CrossJoin _),
+    "q49_listagg" -> (q49Listagg _))
 
   val oracles: Map[String, String] = Map(
     "q22_asof_join" -> q22Sql,
@@ -1316,5 +1338,6 @@ object Core {
     "q45_value_windows" -> q45Sql,
     "q46_array_hof" -> q46Sql,
     "q47_math" -> q47Sql,
-    "q48_cross_join" -> q48Sql)
+    "q48_cross_join" -> q48Sql,
+    "q49_listagg" -> q49Sql)
 }

@@ -66,6 +66,13 @@ class CsvInferenceSpec extends SparkSpecBase {
     assert(df.schema("d").dataType.simpleString == "string")
   }
 
+  test("zero-column input degrades to an empty table instead of crashing") {
+    val (df, meta) = CsvInference.typed(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq.empty)), "empty")
+    assert(df.columns.isEmpty && meta.rowCount == 0 && meta.columns.isEmpty)
+  }
+
   test("catalog register/list/describe round-trip (test_catalog.cpp:7-52)") {
     val cat = new Catalog(spark)
     val path = tmpCsv("id,value\n10,1.1\n20,2.2\n")
