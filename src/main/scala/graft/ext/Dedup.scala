@@ -248,11 +248,16 @@ object Dedup {
   /** Scale form: edges from the MinHash-LSH verified pairs — identical
     * result w.h.p. (a borderline J=0.5 pair misses every band with
     * P = (1−0.25)³² ≈ 1e-4); the candidate pass is O(shingles), never
-    * all-pairs.
+    * all-pairs. Graded as `dedup_cluster_lsh` against the SAME
+    * transitive-closure oracle as the exact form — so the path you'd
+    * actually run at 100 TB is the one the gate checks.
     */
   def dedupClustersLsh(documents: DataFrame): DataFrame =
     dedupClustersFrom(documents,
       minhashLshOn(documents).select(col("doc_a"), col("doc_b")))
+
+  def dedupClustersLshQ(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersLsh(docs(spark, dir))
 
   def dedupClustersFrom(documents: DataFrame, pairs: DataFrame): DataFrame = {
     // Propagation runs ONLY over nodes that have an edge — the near-dup
@@ -378,12 +383,14 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
-    "dedup_cluster" -> (dedupClusters _))
+    "dedup_cluster" -> (dedupClusters _),
+    "dedup_cluster_lsh" -> (dedupClustersLshQ _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_cluster" -> dedupClustersSql)
+    "dedup_cluster" -> dedupClustersSql,
+    "dedup_cluster_lsh" -> dedupClustersSql)
 }

@@ -18,8 +18,10 @@ import graft.engine.Tables
   *    banded OR-construction — 16 bands × 4 bits; candidates agree on
   *    ≥ 1 band, then verify with exact cosine. The scale path: band keys
   *    are the join key (one co-partitioned shuffle per side); probe cost
-  *    is O(candidates), never all-pairs. Approximate → rows-only check
-  *    (no oracle); ScalaTest pins recall vs brute force.
+  *    is O(candidates), never all-pairs. Approximate but DETERMINISTIC
+  *    (fixed splitmix64 hyperplanes), so both are fully oracle-checked
+  *    via a DuckDB replay of the weight family ([[annLshSql]]);
+  *    ScalaTest additionally pins recall vs brute force.
   *
   * All arithmetic is double-precision folds in array order via native
   * codegen expressions (cosine_f32, sign_lsh), matching the DuckDB
@@ -95,8 +97,9 @@ object Similarity {
     * bands; top-k by exact cosine over the (deduplicated) candidates.
     * Scale shape: the query side (10 vectors × 16 bands) is broadcast, so
     * the corpus is scanned once with no shuffle; dedup + top-k shuffle
-    * only the candidate set. Approximate → rows-only driver check; the
-    * ScalaTest pins recall vs the brute-force baseline.
+    * only the candidate set. Oracle-checked exactly (deterministic
+    * hyperplanes, [[annLshSql]]); the ScalaTest additionally pins recall
+    * vs the brute-force baseline.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLshOn(emb(spark, dir), nQueries = 10, k = 5, nBands = 16, bandBits = 4)
@@ -247,6 +250,83 @@ object Similarity {
       |    z -> abs(CAST(z[1] AS DOUBLE) - z[2] * scale)), 'sum') / len(embedding), 9) AS mae
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** DuckDB twin of the banded sign-LSH signature pipeline. "Approximate"
+    * here never meant "non-deterministic": the hyperplanes are a fixed
+    * splitmix64 family ([[graft.functions.LshHash.weight]]), so the whole
+    * candidate set is exactly reproducible. The CTE replays the weight
+    * derivation with HUGEINT arithmetic mod 2⁶⁴ (the same technique as the
+    * simhash FNV replay, Dedup.simhashSql):
+    *  - splitmix64's two 64×64-bit multiplies would overflow INT128, so
+    *    each multiplier is split hi/lo 32 bits:
+    *    z·C mod 2⁶⁴ = ((z·C_hi mod 2³²)·2³² + z·C_lo) mod 2⁶⁴;
+    *  - the final signed-long→double conversion must route HUGEINT →
+    *    BIGINT → DOUBLE (DuckDB's direct HUGEINT→DOUBLE cast rounds
+    *    differently from Java's long→double in the last ulp);
+    *  - per-plane dot products are the same left-to-right double fold as
+    *    the codegen'd sign_lsh loop (list_zip + list_aggregate 'sum');
+    *  - band keys rebuild (sig >> 4b) & 15 as Σ bit(p)·2^(p mod 4), an
+    *    integer sum (order-independent, exact).
+    * Constants: 11400714819323198485 = 0x9E3779B97F4A7C15,
+    * (3210233709, 484763065) = hi/lo of 0xBF58476D1CE4E5B9,
+    * (2496678331, 321982955) = hi/lo of 0x94D049BB133111EB.
+    */
+  private val lshBandsCte: String =
+    """pd AS (
+      |  SELECT p, d FROM generate_series(0,63) tp(p), generate_series(0,63) td(d)),
+      |wt AS (
+      |  SELECT p, d,
+      |    (CAST(p AS HUGEINT) * 4294967296 + d + 11400714819323198485) % 18446744073709551616 AS z0,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - 18446744073709551616 ELSE z3 END AS BIGINT) AS DOUBLE)
+      |      / 9.223372036854775807e18 AS w
+      |  FROM pd),
+      |wlist AS (SELECT p, list(w ORDER BY d) AS wl FROM wt GROUP BY p),
+      |sigbits AS (
+      |  SELECT e.vec_id, wl.p,
+      |    CASE WHEN list_aggregate(list_transform(list_zip(e.embedding, wl.wl),
+      |      z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum') > 0.0 THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings e CROSS JOIN wlist wl),
+      |bands AS (
+      |  SELECT vec_id, p // 4 AS band, SUM(bit * (1 << (p % 4))) AS band_key
+      |  FROM sigbits GROUP BY vec_id, p // 4)""".stripMargin
+
+  private val cosExprSql: String =
+    """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+
+  val annLshSql: String =
+    s"""WITH $lshBandsCte,
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      |  FROM bands q JOIN bands c ON q.band = c.band AND q.band_key = c.band_key
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |scored AS (
+      |  SELECT cand.qid, cand.cid, $cosExprSql AS cos
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+      |            JOIN embeddings b ON b.vec_id = cand.cid),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM scored)
+      |SELECT qid AS vec_id, cid AS neighbor_id, round(cos, 6) AS cos_sim
+      |FROM rk WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
+
+  val cosineNearDupSql: String =
+    s"""WITH $lshBandsCte,
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+      |  WHERE x.vec_id < y.vec_id),
+      |scored AS (
+      |  SELECT cand.va, cand.vb, $cosExprSql AS cos
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+      |            JOIN embeddings b ON b.vec_id = cand.vb)
+      |SELECT va AS doc_a, vb AS doc_b, round(cos, 6) AS cos_sim
+      |FROM scored WHERE cos >= CAST(0.4 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_quantize_i8" -> (quantizeI8 _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -256,5 +336,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
-    "sim_quantize_i8" -> quantizeI8Sql)
+    "sim_quantize_i8" -> quantizeI8Sql,
+    "sim_ann_lsh" -> annLshSql,
+    "sim_cosine_neardup" -> cosineNearDupSql)
 }

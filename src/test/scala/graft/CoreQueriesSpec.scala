@@ -89,12 +89,12 @@ class CoreQueriesSpec extends SparkSpecBase {
 
   test("every query has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // only genuinely approximate ops lack an oracle (LSH / IVF ANN
-    // results depend on the hash family / trained centroids; HLL is a
-    // sketch) — everything deterministic is oracle-checked, including
-    // simhash via a byte-level FNV replay in DuckDB
-    assert(noOracle == Set("sim_ann_lsh", "sim_ann_ivf",
-      "sim_cosine_neardup", "q21_approx_ndv"))
+    // only genuinely non-replayable ops lack an oracle (IVF ANN depends
+    // on trained KMeans centroids; HLL is a sketch) — everything
+    // deterministic is oracle-checked, including simhash (byte-level FNV
+    // replay) and the sign-LSH ops (splitmix64 hyperplane replay with
+    // HUGEINT mod-2^64 arithmetic, Similarity.lshBandsCte)
+    assert(noOracle == Set("sim_ann_ivf", "q21_approx_ndv"))
   }
 
   test("UDF surface: spark.udf.register works (native expressions preferred)") {
