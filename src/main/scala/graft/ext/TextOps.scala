@@ -31,7 +31,13 @@ object TextOps {
   def stats(spark: SparkSession, dir: String): DataFrame =
     statsOn(docs(spark, dir))
 
-  def statsOn(documents: DataFrame): DataFrame =
+  def statsOn(documents: DataFrame): DataFrame = {
+    // Stopword counting and token-length totals are native codegen
+    // expressions (count_in_set / sum_strlen, TextStatsExpressions) —
+    // the HOF lambdas they replace were interpreted per token, a scan-
+    // side tax that matters at corpus scale. Same arithmetic; the DuckDB
+    // oracle below is unchanged and still hash-matches.
+    graft.plans.GraftExtensions.register(documents.sparkSession)
     documents
       .withColumn("w", split(col("text"), " "))
       .select(
@@ -42,13 +48,14 @@ object TextOps {
         (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
           .as("n_bpe_tokens"),
-        expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+        expr("count_in_set(w, array('the','a','of','and','to'))")
           .as("n_stop"),
-        (expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+        (expr("count_in_set(w, array('the','a','of','and','to'))")
           .cast("double") / size(col("w"))).as("stop_ratio"),
-        (expr("aggregate(w, 0, (acc, x) -> acc + length(x))").cast("double")
+        (expr("sum_strlen(w)").cast("double")
           / size(col("w"))).as("mean_tok_len"))
       .orderBy(col("doc_id"))
+  }
 
   val statsSql: String =
     """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
@@ -80,10 +87,11 @@ object TextOps {
     langIdOn(docs(spark, dir))
 
   def langIdOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
     val base = documents.withColumn("w", split(col("text"), " "))
     val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang",
-        expr(s"size(filter(w, x -> array_contains(array(${words.map("'" + _ + "'").mkString(",")}), x)))"))
+        expr(s"count_in_set(w, array(${words.map("'" + _ + "'").mkString(",")}))"))
     }
     scored.select(
       col("doc_id"), col("lang").as("lang_actual"),
@@ -118,14 +126,19 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOn(docs(spark, dir))
 
-  def fingerprintOn(documents: DataFrame): DataFrame =
+  def fingerprintOn(documents: DataFrame): DataFrame = {
+    // roll_hash31 fuses the per-CHARACTER fold
+    // `aggregate(split(text,''), 0L, (acc,c) -> (acc*31+ascii(c)) % 1e9+7)`
+    // into one codegen call — the worst interpreted loop in the family
+    // (a lambda dispatch per character, not per token).
+    graft.plans.GraftExtensions.register(documents.sparkSession)
     documents
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp_md5"),
-        expr("aggregate(split(text, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
-          .as("fp_roll"))
+        expr("roll_hash31(text)").as("fp_roll"))
       .orderBy(col("doc_id"))
+  }
 
   val fingerprintSql: String =
     """SELECT doc_id, md5(text) AS fp_md5,
@@ -264,11 +277,12 @@ object TextOps {
     // the oracle partitions by raw text and hash-matches).
     val wDup = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    graft.plans.GraftExtensions.register(spark)
     docs(spark, dir)
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("stop_ratio",
-        expr("size(filter(w, x -> array_contains(array('the','a','of','and','to'), x)))")
+        expr("count_in_set(w, array('the','a','of','and','to'))")
           .cast("double") / size(col("w")))
       .withColumn("ttr",
         size(array_distinct(col("w"))).cast("double") / size(col("w")))

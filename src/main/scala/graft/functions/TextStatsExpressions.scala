@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-statistics scan path.
+  *
+  * `text_stats` / `text_langid` / `text_quality_filter` originally
+  * computed their stopword and token-length metrics with higher-order
+  * functions (`filter(w, x -> array_contains(...))`,
+  * `aggregate(w, ...)`), whose lambdas are interpreted per array element
+  * — the known ~5× HOF tax (round-1 bench notes). Correct, and cheap at
+  * sf0.1, but these are per-token loops on the 100 TB scan path. Each
+  * expression below is the same arithmetic as the HOF chain it replaces
+  * — verified element-for-element by the unchanged DuckDB oracles — as
+  * one codegen'd call into [[TextStatsUtil]] (same pattern as
+  * [[TextHashUtil]]: the loop gains nothing from inlining, staying in
+  * whole-stage codegen is what matters).
+  */
+object TextStatsUtil {
+
+  /** Count of non-null elements of `arr` contained in `set` — the fused
+    * form of `size(filter(arr, x -> array_contains(set, x)))` (null
+    * elements fail array_contains and are dropped by filter, hence not
+    * counted).
+    */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** Σ length(x) over the array — the fused form of
+    * `aggregate(arr, 0, (acc, x) -> acc + length(x))` (length = numChars,
+    * matching Spark's `length` on strings).
+    */
+  def sumStrLen(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) acc += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    acc
+  }
+
+  /** 31-ary polynomial rolling hash mod 1e9+7 over the characters — the
+    * fused form of
+    * `aggregate(split(text, ''), 0L, (acc, c) -> (acc*31 + ascii(c)) % 1000000007)`.
+    * Parity notes, pinned by `TextStatsExprSpec`:
+    *  - Spark's `split(text, '')` yields exactly one element per
+    *    codepoint — unlike raw Java `split("", -1)` it drops the
+    *    trailing empty match (and '' → []), so the fold has no trailing
+    *    `ascii('') = 0` step;
+    *  - Spark's `ascii` is `codePointAt(0)`, so iteration is by codepoint
+    *    (surrogate pairs are single elements), not by char.
+    */
+  def rollHash31(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** count_in_set(arr, array('a', ...)): how many elements of `arr` are in
+  * the literal string set. The set must be foldable — it is evaluated
+  * once (driver / codegen reference), not per row.
+  */
+case class CountInSet(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def strArr(t: DataType): Boolean = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!strArr(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"count_in_set expects array<string> as first argument, got ${left.dataType.simpleString}")
+    else if (!strArr(right.dataType) || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "count_in_set expects a foldable array<string> set as second argument")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval().asInstanceOf[ArrayData]
+    if (arr != null) {
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())
+        i += 1
+      }
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextStatsUtil.countInSet(a.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("countInSetSet", set,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.TextStatsUtil.countInSet($a, $setRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSet =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sum_strlen(arr): total character count over an array<string>. */
+case class SumStrLen(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sum_strlen expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sum_strlen"
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatsUtil.sumStrLen(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsUtil.sumStrLen($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SumStrLen =
+    copy(child = newChild)
+}
+
+/** roll_hash31(text): Rabin-Karp 31-ary rolling hash mod 1e9+7. */
+case class RollHash31(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"roll_hash31 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "roll_hash31"
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatsUtil.rollHash31(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsUtil.rollHash31($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollHash31 =
+    copy(child = newChild)
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimF32, DotProductF32, MinHashArr, MinHashSigAgg, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, TopKByAgg}
+import graft.functions.{CosineSimF32, CountInSet, DotProductF32, MinHashArr, MinHashSigAgg, RollHash31, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, SumStrLen, TopKByAgg}
 
 /** SparkSessionExtensions injector for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -55,7 +55,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashArr(es(0))),
     (FunctionIdentifier("topk_by"),
       info("topk_by", "topk_by(ord, id, k) - aggregate: k largest (ord, id) pairs, map-side pruned"),
-      (es: Seq[Expression]) => TopKByAgg(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => TopKByAgg(es(0), es(1), es(2))),
+    (FunctionIdentifier("count_in_set"),
+      info("count_in_set", "count_in_set(arr, set) - elements of arr contained in the literal string set"),
+      (es: Seq[Expression]) => CountInSet(es(0), es(1))),
+    (FunctionIdentifier("sum_strlen"),
+      info("sum_strlen", "sum_strlen(arr) - total character count of an array<string>"),
+      (es: Seq[Expression]) => SumStrLen(es(0))),
+    (FunctionIdentifier("roll_hash31"),
+      info("roll_hash31", "roll_hash31(text) - 31-ary polynomial rolling hash mod 1e9+7"),
+      (es: Seq[Expression]) => RollHash31(es(0))))
 
   /** Register on an already-built session (temp functions, idempotent). */
   def register(spark: SparkSession): Unit =
