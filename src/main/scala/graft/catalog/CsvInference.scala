@@ -69,10 +69,41 @@ object CsvInference {
 
   /** Load a CSV with header, applying the inference rules, and compute
     * table statistics. Returns the typed frame and its metadata.
+    *
+    * Ragged rows (cell count ≠ header count) REJECT the whole file, like
+    * the reference's loader (csv_loader.cpp:34-36 throws "Row size
+    * mismatch"); Spark's default PERMISSIVE mode would instead silently
+    * null-pad short rows / drop extra cells — an undocumented divergence
+    * until round 3. FAILFAST surfaces the malformed row at the first
+    * action (the inference vote pass), which we rethrow under the
+    * reference's message.
     */
   def load(spark: SparkSession, path: String, tableName: String): (DataFrame, TableMeta) = {
-    val raw = spark.read.option("header", "true").csv(path)
-    typed(raw, tableName)
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+    try typed(raw, tableName)
+    catch {
+      case e: Throwable if isMalformedRow(e) =>
+        throw new IllegalArgumentException("Row size mismatch", e)
+    }
+  }
+
+  /** Spark reports FAILFAST rejections as a SparkException chain with a
+    * BadRecordException / MALFORMED_RECORD cause; walk it.
+    */
+  private def isMalformedRow(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 16) {
+      val s = cur.getClass.getName + ": " + String.valueOf(cur.getMessage)
+      if (s.contains("BadRecord") || s.contains("MALFORMED_RECORD") ||
+        s.contains("Malformed")) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Same, for a frame already read as all-strings (e.g. stdin). */
@@ -90,7 +121,13 @@ object CsvInference {
       else col(c)
     }
     val typedDf = raw.select(cols.toIndexedSeq: _*)
-    (typedDf, statsFor(typedDf, tableName))
+    val meta = statsFor(typedDf, tableName)
+    // DATE32 columns are IntegerType in the frame (SURVEY §7.5.2), but
+    // DESCRIBE must present them as the reference's DATE32, not INT64 —
+    // record the inference outcome in the metadata.
+    (typedDf, meta.copy(columns = meta.columns.map { c =>
+      if (vote(c.name).dateOk) c.copy(typeName = "date32") else c
+    }))
   }
 
   /** One distributed pass for the reference's DESCRIBE stats

@@ -47,11 +47,16 @@ object Repl {
     var sqlArg: Option[String] = None
     var format = "markdown"
     var csvPath: Option[String] = None
+    var maxRows = Formatters.DefaultMaxRows
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--sql" => sqlArg = Some(args(i + 1)); i += 2
         case "--output-format" => format = args(i + 1); i += 2
+        // reference prints every row (formatter.cpp); our default caps at
+        // DefaultMaxRows with an explicit truncation marker — this flag
+        // restores full-output parity for batch pipelines
+        case "--all-rows" => maxRows = Int.MaxValue; i += 1
         case flag if flag.startsWith("--") =>
           System.err.println(s"error: unknown flag $flag"); sys.exit(2)
         case path => csvPath = Some(path); i += 1
@@ -72,14 +77,44 @@ object Repl {
           tmp.toString
         }
         catalog.registerCsv("table", path)
-        print(render(spark.sql(sql), format))
+        print(render(spark.sql(sql), format, maxRows))
       case None => loop(spark, catalog, format)
     }
     spark.stop()
   }
 
-  private def render(df: DataFrame, format: String): String =
-    if (format == "csv") Formatters.csv(df) else Formatters.markdown(df)
+  private def render(df: DataFrame, format: String,
+      maxRows: Int = Formatters.DefaultMaxRows): String =
+    if (format == "csv") Formatters.csv(df, maxRows)
+    else Formatters.markdown(df, maxRows)
+
+  /** Reference-exact DESCRIBE rendering (main.cpp:188-208): header line,
+    * `Columns:`, then per column `name TYPE (ndv: N[, min: v, max: v])` —
+    * min/max only for the reference's ordered types (INT64 / DOUBLE /
+    * DATE32; STRING gets ndv only). Types beyond the reference's four
+    * (timestamps, arrays from parquet/json loads) print as their Spark
+    * names uppercased, ndv-only.
+    */
+  def describeText(m: graft.catalog.CsvInference.TableMeta): String = {
+    def typeName(t: String): String = t match {
+      case "date32" => "DATE32"
+      case "bigint" | "int" | "smallint" | "tinyint" => "INT64"
+      case "double" | "float" => "DOUBLE"
+      case "string" => "STRING"
+      case other => other.toUpperCase
+    }
+    val sb = new StringBuilder
+    sb.append(s"Table: ${m.name} (${m.rowCount} rows)\n")
+    sb.append("Columns:\n")
+    m.columns.foreach { c =>
+      val tn = typeName(c.typeName)
+      val mm =
+        if (Set("INT64", "DOUBLE", "DATE32")(tn)) s", min: ${c.min}, max: ${c.max}"
+        else ""
+      sb.append(s"  ${c.name} $tn (ndv: ${c.ndv}$mm)\n")
+    }
+    sb.toString
+  }
 
   private val LoadRe = """(?i)^LOAD\s+TABLE\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$""".r
   private val DescribeRe = """(?i)^DESCRIBE\s+(\w+)\s*;?\s*$""".r
@@ -115,12 +150,8 @@ object Repl {
               println(s"loaded ${meta.name}: ${meta.rowCount} rows, ${meta.columns.size} columns")
             case DescribeRe(name) =>
               catalog.describe(name) match {
-                case None => println(s"error: unknown table $name")
-                case Some(m) =>
-                  println(s"${m.name}: ${m.rowCount} rows")
-                  m.columns.foreach { c =>
-                    println(f"  ${c.name}%-20s ${c.typeName}%-10s ndv=${c.ndv}%-8d min=${c.min} max=${c.max}")
-                  }
+                case None => println(s"error: Table '$name' not found")
+                case Some(m) => print(describeText(m))
               }
             case SetFormatRe(f) =>
               if (Set("markdown", "csv")(f.toLowerCase)) { format = f.toLowerCase; println(s"format=$format") }

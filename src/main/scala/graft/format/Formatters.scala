@@ -18,20 +18,29 @@ object Formatters {
 
   val DefaultMaxRows = 1000
 
-  private def cells(df: DataFrame, maxRows: Int): (Array[String], Seq[Array[String]]) = {
+  /** Fetches up to maxRows rows plus a 1-row lookahead so truncation is
+    * detectable without a count() pass (reference formatter.cpp prints
+    * every row; our cap needs an explicit marker, not a silent clip).
+    */
+  private def cells(df: DataFrame, maxRows: Int): (Array[String], Seq[Array[String]], Boolean) = {
     val names = df.columns
-    val rows = df.take(maxRows).map { r: Row =>
+    val probe = if (maxRows == Int.MaxValue) maxRows else maxRows + 1
+    val taken = df.take(probe)
+    val truncated = taken.length > maxRows
+    val rows = taken.take(maxRows).map { r: Row =>
       names.indices.map { i =>
         val v = r.get(i)
         if (v == null) "NULL" else v.toString
       }.toArray
     }.toSeq
-    (names, rows)
+    (names, rows, truncated)
   }
 
-  /** Reference-style markdown table (formatter.cpp:9-66). */
+  /** Reference-style markdown table (formatter.cpp:9-66), plus a
+    * `(first N rows)` trailer when the row cap clipped the result.
+    */
   def markdown(df: DataFrame, maxRows: Int = DefaultMaxRows): String = {
-    val (names, rows) = cells(df, maxRows)
+    val (names, rows, truncated) = cells(df, maxRows)
     if (rows.isEmpty) return "(no results)\n"
     val widths = names.indices.map { i =>
       (names(i).length +: rows.map(_(i).length)).max
@@ -40,12 +49,18 @@ object Formatters {
       vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }
         .mkString("| ", " | ", " |")
     val sep = widths.map("-" * _).mkString("|-", "-|-", "-|")
-    (line(names.toSeq) +: sep +: rows.map(r => line(r.toSeq))).mkString("", "\n", "\n")
+    val body = (line(names.toSeq) +: sep +: rows.map(r => line(r.toSeq)))
+      .mkString("", "\n", "\n")
+    if (truncated) body + s"(first $maxRows rows)\n" else body
   }
 
-  /** RFC-quoted CSV (formatter.cpp:68-128). */
+  /** RFC-quoted CSV (formatter.cpp:68-128). The truncation notice goes to
+    * stderr so stdout stays machine-parseable CSV.
+    */
   def csv(df: DataFrame, maxRows: Int = DefaultMaxRows): String = {
-    val (names, rows) = cells(df, maxRows)
+    val (names, rows, truncated) = cells(df, maxRows)
+    if (truncated)
+      System.err.println(s"(first $maxRows rows; use --all-rows for the full result)")
     def quote(s: String): String =
       if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""

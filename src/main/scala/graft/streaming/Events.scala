@@ -114,10 +114,19 @@ object Events {
     * file source requires a directory, unlike the batch reader). Handles
     * the source's nanosecond timestamps the same way Tables.load does.
     */
+  /** Per-directory schema cache: the probe read costs one parquet footer
+    * fetch per stream SETUP (not per batch), but queries that build
+    * several streams over the same directory (stream-stream joins, the
+    * test suite) were paying it repeatedly for an immutable schema.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def eventStream(spark: SparkSession, filesDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(filesDir) // schema probe (ts as raw nanos)
-    spark.readStream.schema(raw.schema).parquet(filesDir)
+    val schema = schemaCache.computeIfAbsent(filesDir,
+      dir => spark.read.parquet(dir).schema) // schema probe (ts as raw nanos)
+    spark.readStream.schema(schema).parquet(filesDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

@@ -73,6 +73,31 @@ class CsvInferenceSpec extends SparkSpecBase {
     assert(df.columns.isEmpty && meta.rowCount == 0 && meta.columns.isEmpty)
   }
 
+  test("ragged row rejects the file like the reference (csv_loader.cpp:34-36)") {
+    // short row: 2 cells under a 3-column header
+    val short = tmpCsv("a,b,c\n1,2,3\n4,5\n")
+    val e1 = intercept[IllegalArgumentException](CsvInference.load(spark, short, "t"))
+    assert(e1.getMessage.contains("Row size mismatch"))
+    // long row: 4 cells over a 3-column header
+    val long = tmpCsv("a,b,c\n1,2,3\n4,5,6,7\n")
+    val e2 = intercept[IllegalArgumentException](CsvInference.load(spark, long, "t"))
+    assert(e2.getMessage.contains("Row size mismatch"))
+  }
+
+  test("DESCRIBE renders the reference's exact shape (main.cpp:188-208)") {
+    val path = tmpCsv("id,name,value,d\n1,Alice,100.5,20231225\n2,Bob,200.25,19991231\n")
+    val (_, meta) = CsvInference.load(spark, path, "users")
+    val out = graft.cli.Repl.describeText(meta)
+    assert(out ==
+      """Table: users (2 rows)
+        |Columns:
+        |  id INT64 (ndv: 2, min: 1, max: 2)
+        |  name STRING (ndv: 2)
+        |  value DOUBLE (ndv: 2, min: 100.5, max: 200.25)
+        |  d DATE32 (ndv: 2, min: 19991231, max: 20231225)
+        |""".stripMargin)
+  }
+
   test("catalog register/list/describe round-trip (test_catalog.cpp:7-52)") {
     val cat = new Catalog(spark)
     val path = tmpCsv("id,value\n10,1.1\n20,2.2\n")

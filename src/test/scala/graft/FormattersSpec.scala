@@ -36,4 +36,24 @@ class FormattersSpec extends SparkSpecBase {
     val df = Seq((Some(1), None: Option[String]), (Some(2), Some("y"))).toDF("a", "b")
     assert(Formatters.csv(df).contains("1,NULL"))
   }
+
+  test("markdown marks truncation; exact-cap and all-rows do not") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("n").orderBy("n")
+    val clipped = Formatters.markdown(df, maxRows = 3)
+    assert(clipped.endsWith("(first 3 rows)\n"))
+    assert(clipped.split("\n").count(_.startsWith("| ")) == 4) // header + 3 rows
+    // result exactly at the cap is NOT marked (lookahead row missing)
+    assert(!Formatters.markdown(df, maxRows = 10).contains("(first"))
+    // Int.MaxValue = --all-rows: full output, no marker, no overflow
+    val full = Formatters.markdown(df, maxRows = Int.MaxValue)
+    assert(!full.contains("(first") && full.split("\n").count(_.startsWith("| ")) == 11)
+  }
+
+  test("csv truncation keeps stdout parseable (no marker line in payload)") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("n").orderBy("n")
+    val out = Formatters.csv(df, maxRows = 3)
+    assert(out == "n\n1\n2\n3\n") // marker goes to stderr, not the payload
+  }
 }

@@ -48,9 +48,24 @@ rc=$?
 if [ "$rc" = "2" ]; then pass=$((pass+1)); echo "ok   - bad flag exit code"
 else fail=$((fail+1)); echo "FAIL - bad flag exit code (got $rc)"; fi
 
-# 8. DESCRIBE with stats
+# 8. DESCRIBE with stats, reference-exact shape (main.cpp:188-208)
 out=$(printf "LOAD TABLE t FROM '%s'\nDESCRIBE t\nEXIT\n" "$CSV" | run)
-check "describe stats" "ndv=3" "$out"
+check "describe stats" "id INT64 (ndv: 3, min: 1, max: 3)" "$out"
+check "describe header" "Table: t (3 rows)" "$out"
+
+# 10. --all-rows + truncation marker
+BIGCSV=$(mktemp --suffix=.csv)
+{ echo "n"; seq 1 1200; } > "$BIGCSV"
+out=$(run "$BIGCSV" --sql "SELECT n FROM table ORDER BY n")
+check "truncation marker" "(first 1000 rows)" "$out"
+out=$(run "$BIGCSV" --all-rows --sql "SELECT COUNT(*) AS c FROM (SELECT n FROM table) t")
+check "all-rows flag accepted" "| 1200" "$out"
+
+# 11. ragged CSV rejected like the reference (csv_loader.cpp:34-36)
+RAGGED=$(mktemp --suffix=.csv)
+printf 'a,b,c\n1,2,3\n4,5\n' > "$RAGGED"
+out=$(printf "LOAD TABLE r FROM '%s'\nEXIT\n" "$RAGGED" | run)
+check "ragged row rejected" "Row size mismatch" "$out"
 
 # 9. graft extension functions usable from plain SQL in the shell
 out=$(printf 'id,name\n1,x\n' | run --sql "SELECT size(shingle_hashes('a b c d')) AS n, cosine_f32(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c FROM table")
