@@ -43,14 +43,16 @@ object Dedup {
     */
   private def shingleSets(docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    // Materialized once (localCheckpoint): every consumer branches this
+    // Materialized once (Materialize.stage): every consumer branches this
     // frame 2–4 ways (inverted index + sizes, bands + verify sets), and
     // without a materialization point Spark would recompute the scan +
     // shingling per branch. ~2 KB/doc — at 100 TB this is the natural
-    // checkpoint/cache boundary (signatures are ~50× smaller than text).
-    docs.select(col("doc_id"), expr("shingle_hashes(text)").as("ss"))
-      .filter(size(col("ss")) > 0)
-      .localCheckpoint(true)
+    // checkpoint/cache boundary (signatures are ~50× smaller than text);
+    // on a cluster stage() uses replicated disk persist, not
+    // executor-local checkpoint blocks (ADVICE r2).
+    graft.engine.Materialize.stage(
+      docs.select(col("doc_id"), expr("shingle_hashes(text)").as("ss"))
+        .filter(size(col("ss")) > 0))
   }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -259,22 +261,33 @@ object Dedup {
   def dedupClustersLshQ(spark: SparkSession, dir: String): DataFrame =
     dedupClustersLsh(docs(spark, dir))
 
-  def dedupClustersFrom(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Max edge count for which the propagation loop collapses to
+    * single-partition frames. Below it, each round's shuffle is one task
+    * instead of spark.sql.shuffle.partitions mostly-empty ones (measured
+    * 8.6s → ~4s at sf0.1); above it — a real corpus-scale near-dup graph —
+    * frames keep their natural partitioning and AQE sizes the subgraph
+    * shuffles. Previously an unconditional coalesce(1) with no way out
+    * except editing code (ADVICE r2).
+    */
+  val SinglePartitionMaxEdges: Long = 4L << 20
+
+  def dedupClustersFrom(documents: DataFrame, pairs: DataFrame,
+      singlePartitionMaxEdges: Long = SinglePartitionMaxEdges): DataFrame = {
     // Propagation runs ONLY over nodes that have an edge — the near-dup
-    // subgraph is a tiny fraction of the corpus (pairs, not documents),
-    // so the whole loop runs on single-partition frames: every per-round
-    // shuffle is one task instead of spark.sql.shuffle.partitions empty
-    // ones (measured 8.6s → ~4s at sf0.1; at real scale drop the
-    // coalesce and let AQE size the subgraph shuffles). Singletons
-    // rejoin at the end with cluster_id = self.
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .coalesce(1)
-      .localCheckpoint(true) // computed once, reused every round
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .coalesce(1)
-      .localCheckpoint(true)
+    // subgraph is a tiny fraction of the corpus (pairs, not documents).
+    // Singletons rejoin at the end with cluster_id = self.
+    val stage = graft.engine.Materialize.stage _
+    val edgesAll = stage(pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    // stage() materialized the frame, so this count is a cached-scan job
+    val single = edgesAll.count() <= singlePartitionMaxEdges
+    def sized(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
+    val edges =
+      if (single) stage(edgesAll.coalesce(1)) // one task per round below
+      else edgesAll
+    var labels = stage(sized(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))))
     // Min-label propagation converges in diameter-many rounds; near-dup
     // components are shallow so 2–4 is typical. The cap only guards a
     // pathological graph, and on hitting it we FAIL rather than silently
@@ -285,11 +298,10 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), col("nbr")).as("label"),
-          (col("nbr") < col("label")).cast("int").as("chg"))
-        .coalesce(1)
-        .localCheckpoint(true)
+      val next = stage(sized(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), least(col("label"), col("nbr")).as("label"),
+            (col("nbr") < col("label")).cast("int").as("chg"))))
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       labels = next.drop("chg")
       round += 1

@@ -219,12 +219,12 @@ object TextOps {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     // tf is one row per (doc, term), so df falls out of tf directly —
     // no second pass over the token stream and no distinct. tf is
-    // materialized once (localCheckpoint) because both the join and df
+    // materialized once (Materialize.stage) because both the join and df
     // branch from it.
-    val tf = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = graft.engine.Materialize.stage(
+      docs(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs(spark, dir).select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -112,6 +112,15 @@ object TextHashUtil {
     sig
   }
 
+  /** [[minhashArr]] with a null-element guard, used when the input's
+    * ArrayType says containsNull (getLong on a null slot silently reads
+    * 0L and would corrupt the signature, ADVICE r2).
+    */
+  def minhashArrStrict(arr: ArrayData): ArrayData = {
+    LshHash.requireNoNulls(arr, "minhash_arr")
+    minhashArr(arr)
+  }
+
   /** 64 minhash minima over an array of 8-byte element hashes, using the
     * same splitmix64 family as [[MinHashSigAgg]].
     */
@@ -184,11 +193,18 @@ case class MinHashArr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_arr"
 
+  private lazy val helper: String = child.dataType match {
+    case ArrayType(_, true) => "minhashArrStrict"
+    case _ => "minhashArr"
+  }
+
   override def nullSafeEval(input: Any): Any =
-    TextHashUtil.minhashArr(input.asInstanceOf[ArrayData])
+    if (helper == "minhashArrStrict")
+      TextHashUtil.minhashArrStrict(input.asInstanceOf[ArrayData])
+    else TextHashUtil.minhashArr(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhashArr($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.$helper($c)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashArr =
     copy(child = newChild)

@@ -9,34 +9,88 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Bounded top-k state: (ord, id) pairs kept sorted by (ord DESC, id ASC),
-  * never more than k entries. Insertion is a short shift (k is small);
-  * merge is a k-way sorted merge.
+/** Bounded top-k state: at most k (ord, id) pairs in a binary MIN-heap
+  * keyed by "weakness" (smallest ord — ties broken by LARGEST id — at the
+  * root, i.e. the next eviction candidate). Per-row update is O(log k)
+  * and usually O(1) (a row weaker than the root is rejected with one
+  * compare), vs the O(k) array shift of the round-2 version — which made
+  * large-k aggregations quadratic per group (ADVICE r2). Arrays grow
+  * lazily (16 → 2× up to k), so a k = 1M aggregate over small groups
+  * doesn't pre-allocate 16 MB per group buffer. Final (ord DESC, id ASC)
+  * ordering is produced once per group in eval.
   *
   * Ordinal comparisons use java.lang.Double.compare — the same total
   * order Spark's SortExec applies to doubles (NaN greatest, −0.0 < 0.0)
   * — so topk_by agrees with the window row_number formulation it
   * replaces even on NaN/±0.0 inputs; raw `>`/`==` would silently drop
-  * NaN rows and corrupt the sorted-buffer invariant.
+  * NaN rows and corrupt the heap invariant.
   */
 final class TopKBuffer(val k: Int) {
   var n: Int = 0
-  val ords: Array[Double] = new Array[Double](k)
-  val ids: Array[Long] = new Array[Long](k)
+  var ords: Array[Double] = new Array[Double](math.min(k, 16))
+  var ids: Array[Long] = new Array[Long](math.min(k, 16))
 
-  @inline private def beats(o: Double, i: Long, pos: Int): Boolean = {
-    val c = java.lang.Double.compare(o, ords(pos))
-    c > 0 || (c == 0 && i < ids(pos))
+  /** entry a strictly weaker than entry b (a evicts before b)? */
+  @inline private def weaker(oa: Double, ia: Long, ob: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(oa, ob)
+    c < 0 || (c == 0 && ia > ib)
+  }
+
+  private def grow(): Unit = {
+    val cap = math.min(k, math.max(16, ords.length * 2))
+    ords = java.util.Arrays.copyOf(ords, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+  }
+
+  @inline private def siftUp(from: Int): Unit = {
+    var c = from
+    val o = ords(c); val i = ids(c)
+    while (c > 0 && weaker(o, i, ords((c - 1) >> 1), ids((c - 1) >> 1))) {
+      val p = (c - 1) >> 1
+      ords(c) = ords(p); ids(c) = ids(p)
+      c = p
+    }
+    ords(c) = o; ids(c) = i
+  }
+
+  @inline private def siftDown(from: Int): Unit = {
+    var p = from
+    val o = ords(p); val i = ids(p)
+    var done = false
+    while (!done) {
+      var c = 2 * p + 1
+      if (c >= n) done = true
+      else {
+        if (c + 1 < n && weaker(ords(c + 1), ids(c + 1), ords(c), ids(c))) c += 1
+        if (weaker(ords(c), ids(c), o, i)) {
+          ords(p) = ords(c); ids(p) = ids(c)
+          p = c
+        } else done = true
+      }
+    }
+    ords(p) = o; ids(p) = i
   }
 
   def insert(o: Double, i: Long): Unit = {
-    if (n == k && !beats(o, i, n - 1)) return
-    var p = if (n < k) n else n - 1
-    while (p > 0 && beats(o, i, p - 1)) {
-      ords(p) = ords(p - 1); ids(p) = ids(p - 1); p -= 1
+    if (n < k) {
+      if (n == ords.length) grow()
+      ords(n) = o; ids(n) = i
+      n += 1
+      siftUp(n - 1)
+    } else if (weaker(ords(0), ids(0), o, i)) {
+      ords(0) = o; ids(0) = i
+      siftDown(0)
     }
-    ords(p) = o; ids(p) = i
-    if (n < k) n += 1
+  }
+
+  /** Entry indices in output order: (ord DESC, id ASC). */
+  def sortedIndices(): Array[Integer] = {
+    val idx = Array.tabulate[Integer](n)(j => j)
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = java.lang.Double.compare(ords(b), ords(a))
+      if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+    })
+    idx
   }
 }
 
@@ -80,10 +134,13 @@ case class TopKByAgg(
         s"topk_by id must be bigint, got ${id.dataType.simpleString}")
     else if (kExpr.dataType != IntegerType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("topk_by k must be a literal int")
-    else {
-      val kv = kExpr.eval().asInstanceOf[Int]
-      if (kv >= 1 && kv <= (1 << 20)) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(s"topk_by k out of range: $kv")
+    else kExpr.eval() match {
+      // a NULL literal unboxes to 0 and used to report the misleading
+      // "k out of range: 0" (ADVICE r2)
+      case null =>
+        TypeCheckResult.TypeCheckFailure("topk_by k must be a non-null literal int")
+      case kv: Int if kv >= 1 && kv <= (1 << 20) => TypeCheckResult.TypeCheckSuccess
+      case kv => TypeCheckResult.TypeCheckFailure(s"topk_by k out of range: $kv")
     }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
@@ -106,10 +163,12 @@ case class TopKByAgg(
   }
 
   override def eval(buf: TopKBuffer): Any = {
+    val idx = buf.sortedIndices()
     val rows = new Array[Any](buf.n)
     var j = 0
     while (j < buf.n) {
-      rows(j) = new GenericInternalRow(Array[Any](buf.ords(j), buf.ids(j)))
+      val p = idx(j)
+      rows(j) = new GenericInternalRow(Array[Any](buf.ords(p), buf.ids(p)))
       j += 1
     }
     new GenericArrayData(rows)
@@ -127,12 +186,14 @@ case class TopKByAgg(
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt()
     val buf = new TopKBuffer(k)
+    // rebuild through insert: n <= k so nothing is rejected, the heap
+    // invariant is restored, and the lazily-sized arrays grow as needed
     var j = 0
     while (j < n) {
       val o = bb.getDouble(); val i = bb.getLong()
-      buf.ords(j) = o; buf.ids(j) = i; j += 1
+      buf.insert(o, i)
+      j += 1
     }
-    buf.n = n
     buf
   }
 

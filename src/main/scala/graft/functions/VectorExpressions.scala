@@ -146,6 +146,24 @@ case class CosineSimF32(left: Expression, right: Expression)
   * `graft.functions.LshHash.weight(p, d)` directly.
   */
 object LshHash {
+
+  /** Guard for nullable-element arrays: getFloat/getLong on a null slot
+    * silently reads 0.0/0L, which would skew LSH signatures without any
+    * error (ADVICE r2). Called (from eval and generated code) only when
+    * the input's ArrayType says containsNull — statically free on the
+    * usual non-null pipelines.
+    */
+  def requireNoNulls(arr: org.apache.spark.sql.catalyst.util.ArrayData, fn: String): Unit = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: null array element at index $i (drop or impute nulls first)")
+      i += 1
+    }
+  }
+
   /** u(p, d) ∈ [−1, 1), uniform, deterministic. */
   def weight(p: Int, d: Int): Double = {
     var z = ((p.toLong << 32) | (d.toLong & 0xFFFFFFFFL)) + 0x9E3779B97F4A7C15L
@@ -208,8 +226,14 @@ case class SignLsh(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sign_lsh"
 
+  private lazy val elementsNullable: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    if (elementsNullable) LshHash.requireNoNulls(x, "sign_lsh")
     val bits = b.asInstanceOf[Int]
     val n = x.numElements()
     val w = LshHash.table(bits, n)
@@ -238,7 +262,11 @@ case class SignLsh(left: Expression, right: Expression)
       val sig = ctx.freshName("sig")
       val w = ctx.freshName("w")
       val wp = ctx.freshName("wp")
+      val nullGuard =
+        if (elementsNullable) s"graft.functions.LshHash.requireNoNulls($a, \"sign_lsh\");"
+        else ""
       s"""
+         |$nullGuard
          |int $n = $a.numElements();
          |double[][] $w = graft.functions.LshHash.table($b, $n);
          |long $sig = 0L;

@@ -1082,10 +1082,10 @@ object Core {
     // ud branches three ways (actives + both self-join sides); without a
     // materialization point Spark would scan events and run the distinct
     // shuffle three times per execution
-    val ud = t(spark, dir, "events")
-      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .distinct()
-      .localCheckpoint(true)
+    val ud = graft.engine.Materialize.stage(
+      t(spark, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct())
     val active = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
     val retained = ud.as("a")
       .join(ud.as("b"), col("a.user_id") === col("b.user_id") &&

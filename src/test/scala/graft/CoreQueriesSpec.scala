@@ -124,4 +124,34 @@ class CoreQueriesSpec extends SparkSpecBase {
     // ties on ord=7.0 break by id asc: 9 before 11; worst kept is 6.0
     assert(rows == List((1L, 7.0, 9L), (1L, 7.0, 11L), (1L, 6.0, 13L), (2L, 3.0, 20L)))
   }
+
+  test("topk_by heap buffer equals window row_number at large k across partitions") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // 5k rows, 2 keys, shuffled across 4 partitions; k = 2000 exercises
+    // lazy array growth, sift paths, and partial/final merge + ser/de
+    val df = (0 until 5000)
+      .map(i => (i % 2, (i * 2654435761L % 9973).toDouble, i.toLong))
+      .toDF("k", "ord", "id").repartition(4)
+    df.createOrReplaceTempView("topk_big")
+    val agg = spark.sql(
+      """SELECT k, x.ord AS ord, x.id AS id
+        |FROM (SELECT k, topk_by(ord, id, 2000) AS top FROM topk_big GROUP BY k)
+        |LATERAL VIEW explode(top) AS x""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val win = spark.sql(
+      """SELECT k, ord, id FROM (
+        |  SELECT k, ord, id,
+        |    row_number() OVER (PARTITION BY k ORDER BY ord DESC, id) AS rn
+        |  FROM topk_big) WHERE rn <= 2000""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(agg == win)
+  }
+
+  test("topk_by null k literal gets a dedicated error") {
+    graft.plans.GraftExtensions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT topk_by(cast(1.0 as double), 1L, cast(null as int))").collect())
+    assert(e.getMessage.contains("non-null literal int"))
+  }
 }

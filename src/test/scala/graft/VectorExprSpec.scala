@@ -43,4 +43,19 @@ class VectorExprSpec extends SparkSpecBase {
     val e = intercept[Exception](df.select(expr("cosine_f32(a, b)")).collect())
     assert(e.getMessage.contains("array<float>"))
   }
+
+  test("sign_lsh / minhash_arr reject null array elements instead of reading zeros") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(Some(1.0f), None, Some(2.0f))).toDF("v")
+    val e = intercept[Exception](df.select(expr("sign_lsh(v, 8)")).collect())
+    assert(e.getMessage.contains("null array element"))
+    val dfl = Seq(Seq(Some(1L), None)).toDF("h")
+    val e2 = intercept[Exception](dfl.select(expr("minhash_arr(h)")).collect())
+    assert(e2.getMessage.contains("null array element"))
+    // null-free nullable-typed arrays still work
+    val ok = Seq(Seq(Some(1.0f), Some(2.0f))).toDF("v")
+      .select(expr("sign_lsh(v, 8)")).collect()
+    assert(ok.length == 1)
+  }
 }
