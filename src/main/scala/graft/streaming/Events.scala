@@ -227,15 +227,26 @@ object Events {
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionAcc(start: Long, last: Long, n: Long, total: Double)
+  case class SessionListAcc(sessions: Seq[SessionAcc])
   case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
     n_events: Long, total: Double)
 
   /** Sessionization as an explicit state machine via
-    * flatMapGroupsWithState + event-time timeout: sessions close either
-    * when a later event arrives past the gap (emitted immediately) or
-    * when the watermark passes last+gap (emitted on timeout). This is the
-    * unbounded-stream form of `sessionize` — state per user is one open
-    * session, evicted by watermark, so it holds at any stream length.
+    * flatMapGroupsWithState + event-time timeout. State per user is the
+    * LIST of open session intervals; an event merges into any session
+    * whose [start − gap, last + gap] span covers it (bridging two
+    * sessions collapses them), and a session is emitted only when the
+    * watermark passes last + gap — i.e. when no admissible late event
+    * can extend it. This is the watermark-correct unbounded-stream form
+    * of `sessionize`: a late event that is EARLIER than an open
+    * session's start (out-of-order across micro-batches, within the
+    * allowed lateness) extends the session backwards exactly like the
+    * batch session_window would, where round-2's single-open-session
+    * state would have pinned the wrong start or closed a session a
+    * later-arriving bridge event should have merged.
+    * State stays bounded: open sessions per user are capped by the
+    * lateness window / gap (the watermark evicts everything older), so
+    * it holds at any stream length.
     */
   def streamingSessionize(spark: SparkSession, filesDir: String,
       gapMinutes: Int = 5): DataFrame = {
@@ -246,34 +257,37 @@ object Events {
     def toRow(uid: Long, s: SessionAcc): SessionRow =
       SessionRow(uid, new java.sql.Timestamp(s.start), s.n, s.total)
 
-    def fn(uid: Long, events: Iterator[SessionEvent],
-        state: GroupState[SessionAcc]): Iterator[SessionRow] = {
-      if (!state.hasTimedOut) {
-        val sorted = events.toSeq.sortBy(_.ts.getTime)
-        var open = state.getOption
-        val closed = Seq.newBuilder[SessionRow]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          open match {
-            case Some(s) if t - s.last <= gapMs =>
-              open = Some(SessionAcc(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
-            case Some(s) =>
-              closed += toRow(uid, s)
-              open = Some(SessionAcc(t, t, 1L, e.value))
-            case None =>
-              open = Some(SessionAcc(t, t, 1L, e.value))
-          }
-        }
-        open.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
-        }
-        closed.result().iterator
-      } else {
-        val s = state.get
-        state.remove()
-        Iterator.single(toRow(uid, s))
+    // insert one event into the sorted open-session list, merging every
+    // session within gap reach (at most two: predecessor and successor)
+    def insertEvent(ss: Seq[SessionAcc], t: Long, v: Double): Seq[SessionAcc] = {
+      val (reach, rest) = ss.partition(s => t >= s.start - gapMs && t <= s.last + gapMs)
+      val merged = reach.foldLeft(SessionAcc(t, t, 1L, v)) { (a, s) =>
+        SessionAcc(math.min(a.start, s.start), math.max(a.last, s.last),
+          a.n + s.n, a.total + s.total)
       }
+      (merged +: rest).sortBy(_.start)
+    }
+
+    def fn(uid: Long, events: Iterator[SessionEvent],
+        state: GroupState[SessionListAcc]): Iterator[SessionRow] = {
+      val wm = state.getCurrentWatermarkMs()
+      var open = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      if (!state.hasTimedOut) {
+        events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          open = insertEvent(open, e.ts.getTime, e.value)
+        }
+      }
+      // the watermark guarantees no event below it arrives: any session
+      // whose extension window ends before it can never grow again
+      val (closed, stillOpen) = open.partition(s => s.last + gapMs < wm)
+      if (stillOpen.isEmpty) state.remove()
+      else {
+        state.update(SessionListAcc(stillOpen))
+        // earliest possible closure; must sit strictly above the watermark
+        state.setTimeoutTimestamp(
+          math.max(stillOpen.map(_.last + gapMs).min, wm + 1))
+      }
+      closed.sortBy(_.start).map(toRow(uid, _)).iterator
     }
 
     eventStream(spark, filesDir)
@@ -281,7 +295,7 @@ object Events {
       .as[SessionEvent]
       .withWatermark("ts", "1 minute")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, SessionRow](
+      .flatMapGroupsWithState[SessionListAcc, SessionRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
       .toDF()
   }

@@ -75,6 +75,79 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.size >= batchSet.size - lastPerUser.size)
   }
 
+  test("sessionize reconciles under late (out-of-order) events across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+
+    // Controlled corpus, seconds offset from t0; watermark delay is 1 min,
+    // session gap 5 min. Pass 1 processes file A (max ts = +120 → watermark
+    // +60); pass 2 delivers LATE events at +70 — older than data already
+    // processed, but above the watermark, so a correct implementation must
+    // accept them: u1's +70 lands inside the open session [0, 120] (n 2→3),
+    // and u3's +70 lands BEFORE its open session start (+100), which must
+    // move the session start backwards, exactly like batch session_window.
+    val t0 = 1700000000L
+    def ev(id: Long, uid: Long, sec: Long): (Long, Long, String, Long, Double) =
+      (id, uid, "click", (t0 + sec) * 1000000000L, 1.0) // ts in parquet nanos
+    val fileA = Seq(ev(1, 1, 0), ev(2, 1, 120), ev(3, 3, 100))
+    val fileB = Seq(ev(4, 1, 70), ev(5, 3, 70), ev(6, 1, 1000), ev(7, 1, 1060), ev(8, 1, 3000))
+    val fileC = Seq(ev(9, 2, 4000)) // sentinel: its batch fires pending timeouts
+    val all = fileA ++ fileB ++ fileC
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_late_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_late_out").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_late_all").toString
+    all.toDF(cols: _*).coalesce(1).write.mode("overwrite")
+      .parquet(s"$batchDir/events.parquet")
+
+    def runPass(rows: Seq[(Long, Long, String, Long, Double)], part: Int): Unit = {
+      // the file source needs FLAT files in the watched dir: write to a
+      // scratch dir, move the part file in as batchN.parquet
+      val scratch = java.nio.file.Files.createTempDirectory("graft_late_w")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part0 = java.nio.file.Files.list(scratch).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part0),
+        java.nio.file.Paths.get(s"$inDir/batch$part.parquet"))
+      val q = Events.streamingSessionize(spark, inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    runPass(fileA, 0); runPass(fileB, 1); runPass(fileC, 2)
+
+    val streamed = spark.read.parquet(outDir)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    assert(streamed.length == streamed.toSet.size, "duplicate session emissions")
+    val streamedSet = streamed.toSet
+
+    // Batch truth over the SAME complete corpus
+    val batch = Events.sessionize(spark, batchDir)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val batchSet = batch.toSet
+    val lastPerUser = batch.groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).max) }.toSet
+
+    // every streamed session is batch truth, late events included
+    assert((streamedSet -- batchSet).isEmpty,
+      s"streamed sessions diverge from batch: ${(streamedSet -- batchSet).take(5)}")
+    // only each user's final session may still be open in state
+    val missing = batchSet -- streamedSet
+    assert(missing.forall(x => lastPerUser.contains((x._1, x._2))),
+      s"non-final sessions missing: ${missing.filterNot(x => lastPerUser.contains((x._1, x._2))).take(5)}")
+    // the late events demonstrably reconciled: u1's first session counts
+    // the +70 event; u3's session start moved back to +70
+    assert(streamedSet.contains((1L, t0 * 1000L, 3L, 3.0)),
+      s"u1 late event not merged: $streamedSet")
+    assert(streamedSet.contains((3L, (t0 + 70) * 1000L, 2L, 2.0)),
+      s"u3 session start not extended backwards: $streamedSet")
+  }
+
   test("stream-stream interval join (purchase attribution) == batch join") {
     val q = Events.streamingPurchaseAttribution(spark, eventsDir)
       .writeStream.format("memory").queryName("attrib")
