@@ -6,11 +6,21 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line (driver contract). Each query is forced end-to-end
   * with a noop-format write so sorts/limits aren't optimized away the way
   * a bare count() would allow.
+  *
+  * Scaling-measurement knobs (both optional, defaults unchanged):
+  *  - SPARK_GRAFT_BLOWUP=N — materialize an N× fact-table blowup of the
+  *    sf dir (graft.engine.Blowup: key-shifted copies that multiply the
+  *    workload linearly without changing its structure) and bench against
+  *    it; the JSON gains a "blowup" field.
+  *  - SPARK_GRAFT_QUERIES=a,b,c — bench only the named queries (for
+  *    targeted scaling runs).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val blowup = sys.env.get("SPARK_GRAFT_BLOWUP").map(_.toInt).filter(_ > 1)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,9 +30,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val runDir = blowup match {
+      case Some(n) => graft.engine.Blowup.materialize(spark, sfDir, n)
+      case None => sfDir
+    }
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, runDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -34,11 +49,14 @@ object Bench {
     // one warmup pass on a cheap query to absorb JVM/codegen startup
     runOnce("q4_topk")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val blowupField = blowup.map(n => s""","blowup":$n""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$blowupField}""")
     spark.stop()
   }
 }

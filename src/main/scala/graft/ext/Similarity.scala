@@ -85,12 +85,15 @@ object Similarity {
     */
   private def banded(e: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
     graft.plans.GraftExtensions.register(e.sparkSession)
-    val nBits = nBands * bandBits
-    val mask = (1L << bandBits) - 1
-    e.withColumn("sig", expr(s"sign_lsh(embedding, $nBits)"))
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("band_key",
-        expr(s"shiftright(sig, band * $bandBits) & ${mask}L"))
+    // Band b's key is the sign pattern of planes [b·bits, (b+1)·bits) —
+    // computed per band via the plane-offset form of sign_lsh, so the
+    // total signature width nBands × bandBits is NOT capped at 64. Bits
+    // per band is the selectivity knob: bucket occupancy is ~N/2^bits,
+    // so bits must grow with log N to keep the self-join's Σc² bounded
+    // (measured: SCALING_MEASURED.md).
+    val keys = (0 until nBands).map(b =>
+      expr(s"sign_lsh(embedding, ${b * bandBits}, $bandBits)"))
+    e.select(col("*"), posexplode(array(keys: _*)).as(Seq("band", "band_key")))
   }
 
   /** Sign-LSH bucketed ANN: candidates = pairs sharing ≥ 1 of 16 4-bit
@@ -270,9 +273,10 @@ object Similarity {
     * (3210233709, 484763065) = hi/lo of 0xBF58476D1CE4E5B9,
     * (2496678331, 321982955) = hi/lo of 0x94D049BB133111EB.
     */
-  private val lshBandsCte: String =
-    """pd AS (
-      |  SELECT p, d FROM generate_series(0,63) tp(p), generate_series(0,63) td(d)),
+  private def lshBandsCte(nBands: Int, bandBits: Int): String = {
+    val maxPlane = nBands * bandBits - 1
+    s"""pd AS (
+      |  SELECT p, d FROM generate_series(0,$maxPlane) tp(p), generate_series(0,63) td(d)),
       |wt AS (
       |  SELECT p, d,
       |    (CAST(p AS HUGEINT) * 4294967296 + d + 11400714819323198485) % 18446744073709551616 AS z0,
@@ -291,8 +295,9 @@ object Similarity {
       |      z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum') > 0.0 THEN 1 ELSE 0 END AS bit
       |  FROM embeddings e CROSS JOIN wlist wl),
       |bands AS (
-      |  SELECT vec_id, p // 4 AS band, SUM(bit * (1 << (p % 4))) AS band_key
-      |  FROM sigbits GROUP BY vec_id, p // 4)""".stripMargin
+      |  SELECT vec_id, p // $bandBits AS band, SUM(bit * (1 << (p % $bandBits))) AS band_key
+      |  FROM sigbits GROUP BY vec_id, p // $bandBits)""".stripMargin
+  }
 
   private val cosExprSql: String =
     """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
@@ -301,7 +306,7 @@ object Similarity {
       |     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
 
   val annLshSql: String =
-    s"""WITH $lshBandsCte,
+    s"""WITH ${lshBandsCte(16, 4)},
       |cand AS (
       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
       |  FROM bands q JOIN bands c ON q.band = c.band AND q.band_key = c.band_key
@@ -314,8 +319,8 @@ object Similarity {
       |SELECT qid AS vec_id, cid AS neighbor_id, round(cos, 6) AS cos_sim
       |FROM rk WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
 
-  val cosineNearDupSql: String =
-    s"""WITH $lshBandsCte,
+  private def cosineNearDupSqlFor(nBands: Int, bandBits: Int): String =
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
@@ -327,16 +332,33 @@ object Similarity {
       |SELECT va AS doc_a, vb AS doc_b, round(cos, 6) AS cos_sim
       |FROM scored WHERE cos >= CAST(0.4 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin
 
+  val cosineNearDupSql: String = cosineNearDupSqlFor(16, 4)
+  val cosineNearDupWideSql: String = cosineNearDupSqlFor(16, 8)
+
+  /** The scale-shaped banding: 16 bands × 8 bits (128 planes via the
+    * plane-offset sign_lsh). Bucket occupancy drops from N/16 to N/256 —
+    * at the ×10 blowup this cuts candidate pairs ~14× (the 16×4 graded
+    * form measured 28× runtime at 10× data, the Σc² quadratic;
+    * SCALING_MEASURED.md). Recall at the fixture's synthetic τ=0.4 is
+    * lower (the corpus is near-orthogonal by construction — real corpora
+    * near-dup at τ≥0.9, where 16×8 keeps recall ≥99%); both configs are
+    * gate-checked against the same replayed-hyperplane oracle.
+    */
+  def cosineNearDupWide(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupOn(emb(spark, dir), tau = 0.4, nBands = 16, bandBits = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_quantize_i8" -> (quantizeI8 _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
-    "sim_cosine_neardup" -> (cosineNearDup _))
+    "sim_cosine_neardup" -> (cosineNearDup _),
+    "sim_cosine_neardup_wide" -> (cosineNearDupWide _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_quantize_i8" -> quantizeI8Sql,
     "sim_ann_lsh" -> annLshSql,
-    "sim_cosine_neardup" -> cosineNearDupSql)
+    "sim_cosine_neardup" -> cosineNearDupSql,
+    "sim_cosine_neardup_wide" -> cosineNearDupWideSql)
 }

@@ -197,51 +197,70 @@ object LshHash {
   }
 }
 
-/** sign_lsh(vec, nBits): random-hyperplane signature of a float32 vector —
-  * bit p of the result is `sign(Σ_d vec[d] · u(p, d))` with u from
+/** sign_lsh(vec, planeOffset, nBits): random-hyperplane signature of a
+  * float32 vector — bit p of the result is
+  * `sign(Σ_d vec[d] · u(planeOffset + p, d))` with u from
   * [[LshHash.weight]]. One fused O(nBits × dim) pass in generated code;
   * the higher-order-function formulation this replaces was interpreted
   * per element (HOF tax, see round-1 bench notes).
+  *
+  * `planeOffset` (round 3) lifts the 64-plane ceiling: signatures wider
+  * than one long are built from multiple calls over disjoint plane
+  * ranges — e.g. a 16-band × 8-bit banding computes band b's key as
+  * `sign_lsh(vec, b*8, 8)`. Bits-per-band is THE selectivity knob for
+  * the LSH self-join: bucket occupancy is ~N/2^bits, so bits must grow
+  * with log N or the candidate join goes quadratic (measured in
+  * SCALING_MEASURED.md). The two-argument form `sign_lsh(vec, nBits)`
+  * (offset 0) is kept for compatibility.
   */
-case class SignLsh(left: Expression, right: Expression)
-  extends BinaryExpression {
+case class SignLsh(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val arrOk = left.dataType match {
+    val arrOk = first.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+    val intType = org.apache.spark.sql.types.IntegerType
     if (!arrOk)
       TypeCheckResult.TypeCheckFailure(
-        s"sign_lsh expects array<float> as first argument, got ${left.dataType.simpleString}")
-    else if (right.dataType != org.apache.spark.sql.types.IntegerType || !right.foldable)
-      TypeCheckResult.TypeCheckFailure("sign_lsh expects a literal int bit count")
-    else {
-      val bits = right.eval().asInstanceOf[Int]
-      if (bits >= 1 && bits <= 64) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(s"sign_lsh bit count must be in [1, 64], got $bits")
+        s"sign_lsh expects array<float> as first argument, got ${first.dataType.simpleString}")
+    else if (second.dataType != intType || !second.foldable ||
+      third.dataType != intType || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "sign_lsh expects literal int plane offset and bit count")
+    else (second.eval(), third.eval()) match {
+      case (null, _) | (_, null) =>
+        TypeCheckResult.TypeCheckFailure(
+          "sign_lsh plane offset and bit count must be non-null literal ints")
+      case (off: Int, bits: Int) =>
+        if (off < 0 || off > (1 << 20))
+          TypeCheckResult.TypeCheckFailure(s"sign_lsh plane offset out of range: $off")
+        else if (bits >= 1 && bits <= 64) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"sign_lsh bit count must be in [1, 64], got $bits")
     }
   }
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sign_lsh"
 
-  private lazy val elementsNullable: Boolean = left.dataType match {
+  private lazy val elementsNullable: Boolean = first.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (elementsNullable) LshHash.requireNoNulls(x, "sign_lsh")
-    val bits = b.asInstanceOf[Int]
+    val off = b.asInstanceOf[Int]
+    val bits = c.asInstanceOf[Int]
     val n = x.numElements()
-    val w = LshHash.table(bits, n)
+    val w = LshHash.table(off + bits, n)
     var sig = 0L
     var p = 0
     while (p < bits) {
       var s = 0.0
-      val wp = w(p)
+      val wp = w(off + p)
       var d = 0
       while (d < n) {
         s += x.getFloat(d).toDouble * wp(d)
@@ -254,7 +273,7 @@ case class SignLsh(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
       val n = ctx.freshName("n")
@@ -268,11 +287,11 @@ case class SignLsh(left: Expression, right: Expression)
       s"""
          |$nullGuard
          |int $n = $a.numElements();
-         |double[][] $w = graft.functions.LshHash.table($b, $n);
+         |double[][] $w = graft.functions.LshHash.table($b + $c, $n);
          |long $sig = 0L;
-         |for (int $p = 0; $p < $b; $p++) {
+         |for (int $p = 0; $p < $c; $p++) {
          |  double $s = 0.0;
-         |  double[] $wp = $w[$p];
+         |  double[] $wp = $w[$b + $p];
          |  for (int $d = 0; $d < $n; $d++) {
          |    $s += ((double) $a.getFloat($d)) * $wp[$d];
          |  }
@@ -283,6 +302,6 @@ case class SignLsh(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SignLsh =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SignLsh =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

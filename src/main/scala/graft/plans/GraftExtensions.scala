@@ -36,8 +36,12 @@ object GraftExtensions {
       info("cosine_f32", "cosine_f32(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => CosineSimF32(es(0), es(1))),
     (FunctionIdentifier("sign_lsh"),
-      info("sign_lsh", "sign_lsh(vec, nBits) - random-hyperplane sign-LSH signature"),
-      (es: Seq[Expression]) => SignLsh(es(0), es(1))),
+      info("sign_lsh",
+        "sign_lsh(vec, [planeOffset,] nBits) - random-hyperplane sign-LSH signature"),
+      (es: Seq[Expression]) =>
+        if (es.length == 2)
+          SignLsh(es(0), org.apache.spark.sql.catalyst.expressions.Literal(0), es(1))
+        else SignLsh(es(0), es(1), es(2))),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hash) - aggregate: 64 minhash minima as array<bigint>"),
       (es: Seq[Expression]) => MinHashSigAgg(es(0))),

@@ -44,6 +44,21 @@ class VectorExprSpec extends SparkSpecBase {
     assert(e.getMessage.contains("array<float>"))
   }
 
+  test("plane-offset sign_lsh slices agree with the single 64-bit signature") {
+    GraftExtensions.register(spark)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // band b of the 64-bit signature == the 4-bit offset call at plane 4b,
+    // for every row and band — the wide-banding form is bit-compatible
+    val checks = (0 until 16).map(b =>
+      expr(s"sign_lsh(embedding, ${b * 4}, 4) <=> (shiftright(sign_lsh(embedding, 64), ${b * 4}) & 15L)"))
+    val allOk = checks.reduce(_ && _)
+    assert(e.filter(!allOk).count() == 0)
+    // offsets beyond 64 planes produce valid (differing) signatures
+    val wide = e.selectExpr("sign_lsh(embedding, 64, 8) AS hi", "sign_lsh(embedding, 0, 8) AS lo")
+      .filter(col("hi") =!= col("lo"))
+    assert(wide.count() > 0)
+  }
+
   test("sign_lsh / minhash_arr reject null array elements instead of reading zeros") {
     GraftExtensions.register(spark)
     import spark.implicits._
