@@ -93,10 +93,32 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOn(docs(spark, dir))
 
-  def ngramJaccardOn(documents: DataFrame): DataFrame = {
+  /** `dfCap`: drop shingles whose document frequency exceeds the cap
+    * BEFORE the self-join — the Σc² mitigation SCALING.md names for
+    * stop-shingles (a 3-gram in millions of documents contributes c²
+    * join pairs and no discriminative signal). None = exact (the graded
+    * oracle tier). With a cap, Jaccard is computed over the FILTERED
+    * shingle universe (set sizes from the capped index too) — the
+    * standard remove-boilerplate-then-compare semantics, pinned by the
+    * ExtSpec df-cap test: near-dups survive on their discriminative
+    * shingles, boilerplate-only pairs disappear.
+    */
+  def ngramJaccardOn(documents: DataFrame, dfCap: Option[Long] = None): DataFrame = {
     val sets = shingleSets(documents)
-    val sh = sets.select(col("doc_id"), explode(col("ss")).as("hs"))
-    val sz = sets.select(col("doc_id"), size(col("ss")).cast("long").as("sz"))
+    val shAll = sets.select(col("doc_id"), explode(col("ss")).as("hs"))
+    val sh = dfCap match {
+      case None => shAll
+      case Some(cap) =>
+        // df per shingle is one partial+final count on the already-
+        // exploded index; the filter keeps the index co-partitioned
+        val hot = shAll.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("hs").as("hot_hs"))
+        shAll.join(hot, col("hs") === col("hot_hs"), "left_anti")
+    }
+    val sz = dfCap match {
+      case None => sets.select(col("doc_id"), size(col("ss")).cast("long").as("sz"))
+      case Some(_) => sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    }
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -66,9 +66,12 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val resized = m.payload.zipWithIndex.collect {
-          case (b, i) if i % factor == 0 => b
-        }
+        // index loop, no per-byte tuple allocation (a real codec would
+        // loop over the buffer the same way)
+        val n = (m.payload.length + factor - 1) / factor
+        val resized = new Array[Byte](n)
+        var i = 0
+        while (i < n) { resized(i) = m.payload(i * factor); i += 1 }
         m.copy(payload = resized,
           width = m.width / factor, height = m.height / factor)
       }
@@ -83,9 +86,14 @@ object Multimodal {
       frameBytes: Int = 1024): DataFrame = {
     import items.sparkSession.implicits._
     items.flatMap { m =>
-      m.payload.grouped(frameBytes).zipWithIndex.collect {
-        case (chunk, idx) if idx % stride == 0 =>
-          (m.media_id, idx, chunk.length, chunk.headOption.map(_ & 0xff).getOrElse(0))
+      // stride directly over frame offsets: no intermediate chunk arrays
+      // for the skipped frames (grouped+zipWithIndex materialized every
+      // chunk and an index tuple before dropping the strided-out ones)
+      val len = m.payload.length
+      val nFrames = (len + frameBytes - 1) / frameBytes
+      (0 until nFrames by stride).iterator.map { idx =>
+        val off = idx * frameBytes
+        (m.media_id, idx, math.min(frameBytes, len - off), m.payload(off) & 0xff)
       }
     }.toDF("media_id", "frame_idx", "frame_bytes", "first_byte")
   }

@@ -34,6 +34,29 @@ class ExtSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram df-cap drops stop-shingle pairs but keeps discriminative near-dups") {
+    import spark.implicits._
+    // every doc shares the boilerplate header (a stop-shingle at scale);
+    // docs 0/1 are real near-dups beyond it, 2/3 share ONLY the header
+    val boiler = "terms of service apply here"
+    val docs = Seq(
+      (0L, s"$boiler alpha beta gamma delta epsilon zeta eta theta", "en", "s", 10L),
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta iota", "en", "s", 10L),
+      (2L, s"$boiler one two three four five six seven eight", "en", "s", 10L),
+      (3L, s"$boiler nine ten eleven twelve thirteen fourteen fifteen sixteen", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // uncapped: near-dup pair found (J = 10/12); boilerplate-only pairs
+    // stay under tau here, but their index buckets still cost c² join work
+    val exact = Dedup.ngramJaccardOn(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)))
+    // cap at df<=2: the header shingles (df=4) leave the index; the
+    // near-dup pair survives on its discriminative shingles alone
+    val capped = Dedup.ngramJaccardOn(docs, dfCap = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 1L)), s"near-dup pair lost under df-cap: $capped")
+    assert(!capped.contains((2L, 3L)), s"boilerplate-only pair kept under df-cap: $capped")
+  }
+
   test("minhash LSH verified pairs equal exact jaccard pairs on tiny corpus") {
     val exact = Dedup.ngramJaccardOn(tinyDocs()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -113,4 +113,34 @@ class PlanSpec extends SparkSpecBase {
     // WholeStageCodegen stage, not interpreted
     assert(p.split("\n").exists(l => l.contains("Project") && l.contains("codegen id")), p.take(1500))
   }
+
+  test("text stats native expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("text_stats")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the round-3 rewrites: count_in_set / sum_strlen in the projection
+    // (replacing interpreted filter/aggregate lambdas), inside a codegen
+    // stage — the scan-side hot loop the 100 TB path runs
+    assert(p.contains("count_in_set") && p.contains("sum_strlen"), p.take(1200))
+    assert(p.split("\n").exists(l => l.contains("Project") && l.contains("codegen id")), p.take(1500))
+    val pf = SparkEntry.queries("text_fingerprint")(spark, sf())
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pf.contains("roll_hash31"), pf.take(1200))
+  }
+
+  test("neardup band self-join shuffles id-size keys, never embeddings") {
+    val df = SparkEntry.queries("sim_cosine_neardup_wide")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // candidate generation exchanges carry (vec_id, band, band_key) —
+    // if an embedding column rides through a band-join exchange, the
+    // 100 TB shuffle grows ~30×
+    val exchanges = p.split("\n\n").filter(_.contains("Exchange"))
+    val bandExchanges = exchanges.filter(s => s.contains("band"))
+    assert(bandExchanges.nonEmpty, p.take(1500))
+    assert(!bandExchanges.exists(_.contains("embedding")),
+      bandExchanges.mkString("\n---\n").take(1500))
+  }
 }
