@@ -178,6 +178,48 @@ object Events {
   def batchPurchaseAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionJoin(events(spark, dir), "30 MINUTES")
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits,
+    * attributed clicks attached where they exist, null click_ts where the
+    * user had none in the window. The outer row for an unmatched purchase
+    * can only be emitted once the watermark proves no matching click can
+    * still arrive — Spark holds it in join state until
+    * purchase_ts + range < click-side watermark, which is why BOTH
+    * watermarks and the time-range condition are mandatory for outer
+    * stream-stream joins (state stays bounded by the horizon exactly as
+    * in the inner form).
+    */
+  def streamingPurchaseAttributionLeft(spark: SparkSession, filesDir: String): DataFrame = {
+    val clicks = eventStream(spark, filesDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(spark, filesDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks, expr(
+      """p_user = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin),
+      "leftOuter")
+  }
+
+  /** Batch twin of the left-outer attribution join. */
+  def batchPurchaseAttributionLeft(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    purchases.join(clicks, expr(
+      """p_user = c_user AND
+        |click_ts <= purchase_ts AND
+        |click_ts >= purchase_ts - INTERVAL 30 MINUTES""".stripMargin),
+      "leftOuter")
+  }
+
   /** Shared attribution framing: purchases joined to the same user's
     * clicks within `window` before the purchase — one definition feeds
     * the batch twin and the funnel so the predicate cannot silently

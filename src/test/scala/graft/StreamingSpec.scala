@@ -162,6 +162,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join == batch left join (watermark-closed rows)") {
+    import org.apache.spark.sql.functions._
+    val q = Events.streamingPurchaseAttributionLeft(spark, eventsDir)
+      .writeStream.format("memory").queryName("attrib_left")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attrib_left")
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+    val batchRows = Events.batchPurchaseAttributionLeft(spark, sf())
+      .select(col("event_id"), col("click_ts"), col("purchase_ts"))
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)), r.getTimestamp(2)))
+    val batch = batchRows.map(x => (x._1, x._2)).toSet
+    // nothing streamed that batch doesn't have
+    assert((streamed -- batch).isEmpty, s"extra rows: ${(streamed -- batch).take(5)}")
+    // matched (inner) rows must ALL be present
+    val matchedMissing = batch.filter(_._2.isDefined) -- streamed
+    assert(matchedMissing.isEmpty, s"matched rows missing: ${matchedMissing.take(5)}")
+    // outer (null-click) rows may be withheld only near the stream's end,
+    // while the watermark cannot yet prove no click will arrive. Spark's
+    // internal eviction bound for the left side is conservative (watermark
+    // delay + join range + batch lag), so allow a 2× delay + range margin;
+    // everything older MUST have been emitted
+    val maxTs = batchRows.map(_._3.getTime).max
+    val horizon = maxTs - 2 * 3600 * 1000L - 30 * 60 * 1000L
+    val outerMissing = (batch -- streamed).filter(_._2.isEmpty)
+    val badMissing = outerMissing.filter { case (id, _) =>
+      batchRows.find(x => x._1 == id && x._2.isEmpty)
+        .exists(_._3.getTime < horizon)
+    }
+    assert(badMissing.isEmpty,
+      s"outer rows the watermark had long closed are missing: ${badMissing.take(5)}")
+    // non-vacuous both ways: the STREAM really emitted null-click rows,
+    // and batch truth has purchases without clicks
+    assert(streamed.exists(_._2.isEmpty), "no outer rows emitted by the stream")
+    assert(batch.exists(_._2.isEmpty))
+  }
+
   test("foreachBatch sink: deduped micro-batches land in parquet (custom-sink pattern)") {
     import org.apache.spark.sql.{DataFrame, Row, Dataset}
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
