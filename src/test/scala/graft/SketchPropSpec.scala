@@ -23,11 +23,27 @@ object SketchPropSpec extends Properties("Sketches") {
     xs.sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
       .take(k)
 
+  // observable output order: what TopKByAgg.eval emits (the buffer's
+  // internal layout is a min-heap since round 3, not a sorted array)
+  private def drain(buf: TopKBuffer): List[(Double, Long)] =
+    buf.sortedIndices().map(j => (buf.ords(j.intValue), buf.ids(j.intValue))).toList
+
+  /** NaN-safe list equality: Scala's `(NaN, x) == (NaN, x)` is FALSE
+    * (primitive == on the boxed double), which silently falsified these
+    * properties whenever NaN reached the top-k. java.lang.Double.compare
+    * treats NaN == NaN and keeps −0.0 ≠ 0.0, matching the total order
+    * the buffer sorts by.
+    */
+  private def eqPairs(a: List[(Double, Long)], b: List[(Double, Long)]): Boolean =
+    a.length == b.length && a.zip(b).forall { case ((o1, i1), (o2, i2)) =>
+      java.lang.Double.compare(o1, o2) == 0 && i1 == i2
+    }
+
   property("TopKBuffer sequential insert == sort-take-k") =
     forAll(pairGen, Gen.choose(1, 8)) { (xs, k) =>
       val buf = new TopKBuffer(k)
       xs.foreach { case (o, i) => buf.insert(o, i) }
-      (0 until buf.n).map(j => (buf.ords(j), buf.ids(j))).toList == reference(xs, k)
+      eqPairs(drain(buf), reference(xs, k))
     }
 
   property("TopKBuffer merge of any split == unsplit result (partial-agg law)") =
@@ -38,7 +54,25 @@ object SketchPropSpec extends Properties("Sketches") {
       val bb = new TopKBuffer(k); b.foreach { case (o, i) => bb.insert(o, i) }
       // merge bb into ba, as the final aggregation step does
       (0 until bb.n).foreach(j => ba.insert(bb.ords(j), bb.ids(j)))
-      (0 until ba.n).map(j => (ba.ords(j), ba.ids(j))).toList == reference(xs, k)
+      eqPairs(drain(ba), reference(xs, k))
+    }
+
+  property("TopKBuffer large-k lazy growth: insert beyond initial capacity") =
+    forAll(Gen.listOfN(300, Gen.zip(ordGen, Gen.chooseNum(0L, 100000L)))) { xs =>
+      val buf = new TopKBuffer(1 << 16) // far above the 16-slot initial arrays
+      xs.foreach { case (o, i) => buf.insert(o, i) }
+      eqPairs(drain(buf), reference(xs, 1 << 16))
+    }
+
+  property("TopKBuffer serialize/deserialize round-trip preserves contents") =
+    forAll(pairGen, Gen.choose(1, 8)) { (xs, k) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (o, i) => buf.insert(o, i) }
+      // mirror TopKByAgg.serialize/deserialize: raw entries out, insert in
+      val entries = (0 until buf.n).map(j => (buf.ords(j), buf.ids(j)))
+      val back = new TopKBuffer(k)
+      entries.foreach { case (o, i) => back.insert(o, i) }
+      eqPairs(drain(back), reference(xs, k))
     }
 
   property("SketchHash.mix: 64 family members pairwise distinct per input") =
