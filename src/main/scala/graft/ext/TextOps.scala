@@ -262,6 +262,43 @@ object TextOps {
       |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
       |SELECT lang, rk, doc_id FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------- weighted mixing
+  /** Weighted domain mixing: each source keeps a deterministic fraction
+    * of its documents (`weight`), selected by hash-rank — how a training
+    * mixture up/down-samples domains (web 0.5×, books 2-pass, …). The
+    * per-source weights here derive from the source id so the fixture
+    * needs no external mixture-spec table; in production they'd join in
+    * from one. Replay-safe on any cluster size (md5 rank, no rand()); one
+    * window shuffle partitioned by source.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("weight",
+        lit(0.25) + expr("cast(substring(source, 4) as int)") % 3 * lit(0.25))
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySrc).cast("long"))
+      .filter(col("rk") <= ceil(col("weight") * col("n_src")))
+      .select(col("source"), col("weight"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    CAST(0.25 AS DOUBLE) + (CAST(substring(source, 4) AS INT) % 3) * CAST(0.25 AS DOUBLE) AS weight,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, weight, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_src
+      |  FROM h)
+      |SELECT source, weight, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= ceil(weight * n_src) ORDER BY source, rk""".stripMargin
+
   // ------------------------------------------------------ quality filter
   /** Composite C4-style cleaning pass: length bounds, stopword-ratio
     * floor, type-token-ratio floor (kills degenerate repetition), and
@@ -428,7 +465,8 @@ object TextOps {
     "text_top_ngrams" -> (topNgrams _),
     "text_contamination" -> (contamination _),
     "text_chunk_pack" -> (chunkPack _),
-    "text_pii_scrub" -> (piiScrub _))
+    "text_pii_scrub" -> (piiScrub _),
+    "text_weighted_sample" -> (weightedSample _))
 
   val oracles: Map[String, String] = Map(
     "text_sample_per_group" -> samplePerGroupSql,
@@ -440,5 +478,6 @@ object TextOps {
     "text_top_ngrams" -> topNgramsSql,
     "text_contamination" -> contaminationSql,
     "text_chunk_pack" -> chunkPackSql,
-    "text_pii_scrub" -> piiScrubSql)
+    "text_pii_scrub" -> piiScrubSql,
+    "text_weighted_sample" -> weightedSampleSql)
 }
