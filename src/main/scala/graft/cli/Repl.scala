@@ -40,6 +40,7 @@ object Repl {
     graft.plans.GraftExtensions.register(s)
     graft.ops.Asof.register(s)
     graft.plans.ApproxNdvRule.register(s)
+    graft.plans.NativeTextRewriteRule.register(s)
     s
   }
 
