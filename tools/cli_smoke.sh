@@ -61,6 +61,11 @@ check "truncation marker" "(first 1000 rows)" "$out"
 out=$(run "$BIGCSV" --all-rows --sql "SELECT COUNT(*) AS c FROM (SELECT n FROM table) t")
 check "all-rows flag accepted" "| 1200" "$out"
 
+# 12. EXPLAIN prints optimized logical + physical plans (main.cpp:209-228 superset)
+out=$(printf "LOAD TABLE t FROM '%s'\nEXPLAIN SELECT name FROM t WHERE value > 150\nEXIT\n" "$CSV" | run)
+check "explain logical" "Optimized Logical Plan" "$out"
+check "explain physical" "Physical Plan" "$out"
+
 # 11. ragged CSV rejected like the reference (csv_loader.cpp:34-36)
 RAGGED=$(mktemp --suffix=.csv)
 printf 'a,b,c\n1,2,3\n4,5\n' > "$RAGGED"
