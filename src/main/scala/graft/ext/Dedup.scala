@@ -160,6 +160,24 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOn(docs(spark, dir))
 
+  /** (doc_id, ss, sz) + exploded (band, bkey) MinHash-LSH banding rows —
+    * the shared candidate-generation core of [[minhashLshOn]] and the
+    * streaming ingest dedup ([[graft.streaming.NearDupIngest]]). All
+    * scan-side: shingle_hashes + minhash_arr native expressions, 32
+    * bands × 2 rows, band key = one 8-byte hash of the row pair.
+    */
+  def bandedSignatures(documents: DataFrame): (DataFrame, DataFrame) = {
+    val sig = shingleSets(documents)
+      .withColumn("mh", expr("minhash_arr(ss)"))
+      .withColumn("sz", size(col("ss")).cast("long"))
+    val bandCols = (0 until 32).map(b =>
+      xxhash64(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    (sig, bands)
+  }
+
   def minhashLshOn(documents: DataFrame): DataFrame = {
     // Signature, shingle set, and set size all come out of the scan-side
     // projection (shingle_hashes + minhash_arr, both native codegen
@@ -169,15 +187,7 @@ object Dedup {
     // compilation dominate cold runs. (For pre-exploded or streaming
     // inputs the aggregate form still exists: graft.functions
     // .MinHashSigAgg, registered as minhash_sig.)
-    val sig = shingleSets(documents)
-      .withColumn("mh", expr("minhash_arr(ss)"))
-      .withColumn("sz", size(col("ss")).cast("long"))
-    // 32 bands × 2 rows; band key = one 8-byte hash of the row pair.
-    val bandCols = (0 until 32).map(b =>
-      xxhash64(element_at(col("mh"), 2 * b + 1), element_at(col("mh"), 2 * b + 2)))
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val (sig, bands) = bandedSignatures(documents)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))

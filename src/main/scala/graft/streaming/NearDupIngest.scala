@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.Dedup
+
+/** Continuous-ingest near-duplicate filtering: the composition a 100 TB
+  * training-data pipeline actually runs — documents stream in, each
+  * micro-batch is deduplicated against EVERYTHING already accepted, and
+  * survivors both land in the output and extend the index.
+  *
+  * Per micro-batch (foreachBatch — the batch-sink escape hatch, so every
+  * step below is ordinary batch DataFrame algebra):
+  *
+  *  1. scan-side MinHash-LSH banding of the batch
+  *     ([[Dedup.bandedSignatures]]: shingle_hashes + minhash_arr native
+  *     expressions, 32×2 banding);
+  *  2. candidates = band collisions against the persistent band index
+  *     (parquet, partition-pruned join on (band, bkey)) ∪ collisions
+  *     within the batch;
+  *  3. exact Jaccard verification of candidates on stored shingle sets —
+  *     LSH recall, exact precision, same contract as the batch operator;
+  *  4. verified duplicates drop; survivors append (doc_id, ss, sz, band,
+  *     bkey) rows to the index and the document row to the output.
+  *
+  * Within a batch, earlier doc_ids win; a document dedups against ANY
+  * earlier near-dup (kept or itself dropped) — the parallel pair-drop
+  * convention (no sequential scan), slightly more aggressive than strict
+  * keep-first on similarity chains, which Jaccard's non-transitivity
+  * makes ambiguous anyway. Across batches, arrival order wins.
+  *
+  * Scale posture: the index carries ~32 rows of (16B keys + the ~2 KB
+  * shingle set once per doc) per document — the signature store, ~50×
+  * smaller than the corpus; the per-batch join is keyed on (band, bkey)
+  * and never touches document text. State lives in the index files, not
+  * executor memory, so a restart resumes from the checkpoint + index.
+  * Delivery is foreachBatch's usual at-least-once: a replayed batch
+  * re-derives the same survivor set (self-collisions are excluded from
+  * the index join), but output/index appends can duplicate rows — dedupe
+  * downstream on doc_id or swap in a transactional sink.
+  */
+object NearDupIngest {
+
+  /** Batch-side core, exposed for tests and for non-streaming backfills:
+    * dedup `batch` against the index at `indexDir` (created on first
+    * use), append survivors' signatures, return the surviving documents.
+    */
+  def processBatch(batch: DataFrame, indexDir: String, tau: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val (sig, bands) = Dedup.bandedSignatures(batch)
+    val sigB = graft.engine.Materialize.stage(
+      sig.select(col("doc_id"), col("ss"), col("sz")))
+    val bandsB = graft.engine.Materialize.stage(bands)
+
+    val index: Option[DataFrame] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_SEEN")))
+        Some(spark.read.parquet(s"$indexDir/bands.parquet"))
+      else None
+
+    // candidate pairs: (new doc, kept doc) from index collisions, plus
+    // (later doc, earlier doc) within the batch — both id-only
+    val vsIndex = index.map { idx =>
+      bandsB.as("n").join(idx.as("k"),
+          col("n.band") === col("k.band") && col("n.bkey") === col("k.bkey") &&
+            // self-exclusion: a batch REPLAY (foreachBatch is at-least-once)
+            // sees its own prior index append; without this every replayed
+            // doc would self-match at J=1 and vanish
+            col("n.doc_id") =!= col("k.doc_id"))
+        .select(col("n.doc_id").as("cand"), col("k.doc_id").as("kept"),
+          col("k.ss").as("kss"), col("k.sz").as("ksz"))
+        .distinct()
+    }
+    val inBatch = bandsB.as("a").join(bandsB.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("cand"), col("b.doc_id").as("kept"))
+      .distinct()
+      .join(sigB.select(col("doc_id").as("kept"), col("ss").as("kss"), col("sz").as("ksz")), "kept")
+    val cands = vsIndex.map(_.unionByName(inBatch)).getOrElse(inBatch)
+
+    // exact verification on shingle sets: LSH proposes, Jaccard decides
+    val dups = cands
+      .join(sigB.select(col("doc_id").as("cand"), col("ss"), col("sz")), "cand")
+      .withColumn("inter", size(array_intersect(col("ss"), col("kss"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (col("sz") + col("ksz") - col("inter")) >= tau)
+      .select(col("cand").as("doc_id"))
+      .distinct()
+
+    val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
+    val survivorIndexRows = bandsB.join(dups, Seq("doc_id"), "left_anti")
+      .join(sigB, "doc_id")
+      .select(col("doc_id"), col("band"), col("bkey"), col("ss"), col("sz"))
+    survivorIndexRows.write.mode("append").parquet(s"$indexDir/bands.parquet")
+    val seen = java.nio.file.Paths.get(indexDir, "_SEEN")
+    if (!java.nio.file.Files.exists(seen)) java.nio.file.Files.createFile(seen)
+    survivors
+  }
+
+  /** The streaming query: file-source documents → per-batch near-dup
+    * filter against the growing index → parquet output.
+    */
+  def start(spark: SparkSession, docsDir: String, indexDir: String,
+      outDir: String, checkpointDir: String, tau: Double = 0.5): StreamingQuery = {
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processBatch(batch.toDF(), indexDir, tau)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

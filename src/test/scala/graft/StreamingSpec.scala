@@ -200,6 +200,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exists(_._2.isEmpty))
   }
 
+  test("continuous-ingest near-dup filter: cross-batch index dedup == batch semantics") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    // doc 0 = original; 1 = exact dup (arrives later, other batch);
+    // 2 = near dup of 0 (one word changed); 3, 4 = unrelated
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    val batch1 = Seq(
+      doc(0, "the quick brown fox jumps over the lazy dog again today"),
+      doc(3, "completely different words appear inside this very unusual sentence here"))
+    val batch2 = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog again today"),
+      doc(2, "the quick brown fox jumps over the lazy cat again today"),
+      doc(4, "el gato y el perro y los pajaros es aqui hoy tambien"))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ndi_in").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ndi_idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ndi_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndi_ck").toString
+
+    def stage(rows: Seq[(Long, String, String, String, Long)], n: Int): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_ndi_w")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$inDir/b$n.parquet"))
+    }
+
+    stage(batch1, 1)
+    NearDupIngest.start(spark, inDir, idxDir, outDir, ckpt).awaitTermination(180000)
+    stage(batch2, 2)
+    NearDupIngest.start(spark, inDir, idxDir, outDir, ckpt).awaitTermination(180000)
+
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 1 (exact dup of indexed 0) and 2 (near dup of indexed 0) drop in
+    // batch 2; 0, 3 survive batch 1; 4 is unrelated
+    assert(kept == Set(0L, 3L, 4L), s"kept: $kept")
+    // and the streaming result matches the batch operator's keep-set on
+    // the full corpus (pair graph has no chains here, so semantics align)
+    val all = (batch1 ++ batch2).toDF(cols: _*)
+    val batchPairs = graft.ext.Dedup.minhashLshOn(all)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val batchKept = Set(0L, 1L, 2L, 3L, 4L) -- batchPairs
+    assert(kept == batchKept, s"stream $kept vs batch $batchKept")
+  }
+
   test("foreachBatch sink: deduped micro-batches land in parquet (custom-sink pattern)") {
     import org.apache.spark.sql.{DataFrame, Row, Dataset}
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
