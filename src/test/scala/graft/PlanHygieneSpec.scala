@@ -1,0 +1,44 @@
+package graft
+
+/** Fleet-wide plan hygiene: no query may silently acquire a cartesian
+  * product or an unplanned broadcast-nested-loop join. The whitelisted
+  * BNL sites are deliberate, structurally-bounded broadcasts; anything
+  * new showing up here is a plan regression (a lost equi-key, a dropped
+  * broadcast hint, a join condition that stopped being an equi-join).
+  */
+class PlanHygieneSpec extends SparkSpecBase {
+
+  /** Deliberate broadcast-nested-loop joins, each with a bounded build side:
+    *  - q20: scalar-subquery result (1 row) broadcast;
+    *  - q30: 5-interval dimension broadcast (documented range-join shape);
+    *  - q48: deliberate 5×25 dimension cross join;
+    *  - sim_cosine_topk: 10 query vectors broadcast with a non-equi
+    *    (qid != cid) condition;
+    *  - sim_ann_ivf: the k=16 centroid table broadcast to rank cells per
+    *    query (KBs by construction);
+    *  - text_tfidf: 1-row corpus-count broadcast.
+    */
+  private val bnlAllowed = Set(
+    "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
+    "sim_cosine_topk", "sim_ann_ivf", "text_tfidf")
+
+  test("no cartesian products; broadcast-nested-loop only where deliberate") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf()).queryExecution.executedPlan.toString
+      val bad = Seq(
+        Option.when(p.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+        Option.when(p.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name))(
+          s"$name: unexpected BroadcastNestedLoopJoin")).flatten
+      bad
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("whitelisted BNL sites still plan as broadcasts (whitelist not stale)") {
+    val stale = bnlAllowed.filterNot { name =>
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty, s"whitelist entries without BNL (remove them): $stale")
+  }
+}
