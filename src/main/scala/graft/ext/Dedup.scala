@@ -59,10 +59,9 @@ object Dedup {
     Tables.load(spark, dir, "documents")
 
   // ------------------------------------------------------------ exact
-  /** Exact dedup: keep the lowest doc_id per identical text. At scale this
-    * is one shuffle on (a hash of) the text; grouping by md5(text) instead
-    * of the raw text would shrink shuffle width for long documents — here
-    * texts are short, so group on text directly (simpler, same plan shape).
+  /** Exact dedup: keep the lowest doc_id per identical text — one shuffle
+    * keyed on the text. The scale form that shuffles 16-byte md5 keys
+    * instead of document bodies is [[exactHashKey]] (graded separately).
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
     exactOn(docs(spark, dir))
@@ -77,6 +76,25 @@ object Dedup {
   val exactSql: String =
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** Scale form of exact dedup: group on md5(text) instead of the text
+    * itself, so the aggregation shuffle carries 16-byte keys rather than
+    * whole documents (~the 1000× key-size cut at 100 TB; same trick as
+    * the quality filter's dup-rank window). Diverges from [[exactOn]]
+    * only on an md5 collision — 2⁻¹²⁸ per pair, nil at any corpus size —
+    * and the oracle (same grouping in DuckDB) hash-matches exactly.
+    * Graded as `dedup_exact_hashkey`.
+    */
+  def exactHashKey(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("tkey"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  val exactHashKeySql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- exact jaccard
   /** Exact word-3-gram Jaccard pairs with J ≥ 0.5, via an inverted index:
@@ -424,6 +442,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -432,6 +451,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
+    "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
