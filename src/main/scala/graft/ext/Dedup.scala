@@ -264,6 +264,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Scale form of simhash blocking: 8 eighths combined into C(8,2)=28
+    * PAIR keys of 16 bits. Completeness: Hamming ≤ 3 corrupts at most 3
+    * eighths, leaving ≥ 5 intact — so at least one intact PAIR exists
+    * among them (pigeonhole), and the candidate set still contains every
+    * true near-dup. Versus the 4×16-bit quarters: same 65k-bucket key
+    * width but 28 bands instead of 4, so one mega-cluster of identical
+    * quarters can't concentrate the whole corpus in one band — and
+    * CRUCIALLY this is the direction that scales; naive "smaller blocks"
+    * (8-bit keys) would mean 256 buckets per band and a quadratic
+    * candidate join (the sign-LSH lesson, SCALING_MEASURED.md). Output
+    * is IDENTICAL to [[simhash]] (both blockings are exhaustive for
+    * d ≤ 3), so it grades against the same byte-replay oracle.
+    */
+  def simhashWide(spark: SparkSession, dir: String): DataFrame =
+    simhashWideOn(docs(spark, dir))
+
+  def simhashWideOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val d = documents.select(col("doc_id"), expr("simhash64(text)").as("sim"))
+    val eighth = (i: Int) => s"(shiftright(sim, ${i * 8}) & 255L)"
+    val pairKeys = for { i <- 0 until 8; j <- i + 1 until 8 } yield
+      expr(s"(${eighth(i)} << 8) | ${eighth(j)}")
+    val blocks = d.select(col("doc_id"), col("sim"),
+      posexplode(array(pairKeys: _*)).as(Seq("band", "bkey")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------- clustering
   /** Connected components over the verified near-dup pair graph: every
     * document gets a cluster_id = the smallest doc_id reachable through
@@ -446,6 +480,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
+    "dedup_simhash_wide" -> (simhashWide _),
     "dedup_cluster" -> (dedupClusters _),
     "dedup_cluster_lsh" -> (dedupClustersLshQ _))
 
@@ -455,6 +490,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_wide" -> simhashSql,
     "dedup_cluster" -> dedupClustersSql,
     "dedup_cluster_lsh" -> dedupClustersSql)
 }
