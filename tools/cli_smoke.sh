@@ -72,6 +72,10 @@ printf 'a,b,c\n1,2,3\n4,5\n' > "$RAGGED"
 out=$(printf "LOAD TABLE r FROM '%s'\nEXIT\n" "$RAGGED" | run)
 check "ragged row rejected" "Row size mismatch" "$out"
 
+# 13. spark.sql.extensions injection path (fresh JVM, no register() calls)
+out=$(java $OPENS -Dspark.ui.enabled=false -Xmx2g -cp "$CP" graft.tools.ExtensionsSmoke 2>/dev/null)
+check "extensions injection" "EXTENSIONS_SMOKE_OK" "$out"
+
 # 9. graft extension functions usable from plain SQL in the shell
 out=$(printf 'id,name\n1,x\n' | run --sql "SELECT size(shingle_hashes('a b c d')) AS n, cosine_f32(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c FROM table")
 check "extension functions in SQL" "| 2 | 1.0 |" "$out"
