@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   *    not a bigger one).
   *  - `embeddings`: vec_id shifted; vectors circularly rotated by `copy`
   *    positions — rotation preserves all inner products within a copy
-  *    (same ANN/near-dup geometry) while cross-copy cosines decorrelate
-  *    (near-orthogonal synthetic vectors), avoiding the same quadratic
-  *    explosion at cos≥τ.
+  *    addend-for-addend (same ANN/near-dup geometry) while cross-copy
+  *    cosines decorrelate (validated ≤ 0.30 < τ by BlowupSpec). Because
+  *    rotation by `copy % 64` is the identity whenever copy ≡ 0 (mod 64),
+  *    the factor is CAPPED at 64 (`require` below, ADVICE r3): copies 64
+  *    apart would correlate perfectly and the cos≥τ pair workload would
+  *    go quadratic. No signed-permutation family can do better pairwise —
+  *    any relative transform between two of ≥65 copies repeats modulo the
+  *    permutation group's cycle structure, and sign flips alone cannot
+  *    decorrelate vectors whose energy concentrates on few dims (measured
+  *    cross-copy cos 0.69 on this corpus). 64 copies ≈ 6.4 TB of blown
+  *    sf0.1 — far past what a single-node scaling measurement needs.
   *  - `events`: event_id shifted; ts shifted by `copy` years, so session
   *    / window / retention structure repeats per copy instead of packing
   *    N duplicate events into every timestamp.
@@ -39,11 +47,17 @@ object Blowup {
   private val YearNanos = 31536000L * 1000000000L
 
   def materialize(spark: SparkSession, srcDir: String, n: Int): String = {
+    require(n >= 1 && n <= 64,
+      s"blowup factor $n outside [1, 64]: embedding copies rotate by copy % 64, " +
+        "so copies 64 apart would correlate perfectly and break the generator's " +
+        "linear-workload invariant for the cos-threshold families (ADVICE r3)")
     val name = srcDir.replaceAll(".*/", "")
     val out = s"/tmp/graft_blowup_${name}_x$n"
+    // set before the cache early-return: callers uniformly get a session
+    // that can read the nanos-timestamped SOURCE events after this call
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val done = java.nio.file.Paths.get(out, "_BLOWUP_DONE")
     if (java.nio.file.Files.exists(done)) return out
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.all.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
       val blown =
@@ -65,7 +79,7 @@ object Blowup {
             expr(s"array_join(transform(split(text, ' '), w -> concat('c$c', w)), ' ')"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       case "embeddings" =>
-        val r = c % 64
+        val r = c % 64 // c ≤ 63 by the materialize() cap; % keeps this total
         df.withColumn("vec_id", col("vec_id") + shift)
           .withColumn("embedding",
             expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))

@@ -17,15 +17,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
-  def stage(df: DataFrame): DataFrame = {
+  private def reliable(df: DataFrame): Boolean = {
     val spark = df.sparkSession
-    val reliable = spark.conf.getOption("spark.graft.reliableMaterialize")
+    spark.conf.getOption("spark.graft.reliableMaterialize")
       .map(_.toBoolean)
       .getOrElse(!spark.sparkContext.isLocal)
-    if (reliable) {
+  }
+
+  def stage(df: DataFrame): DataFrame =
+    if (reliable(df)) {
       val p = df.persist(StorageLevel.DISK_ONLY_2)
       p.count() // eager, like localCheckpoint(true)
       p
     } else df.localCheckpoint(true)
-  }
+
+  /** Drop a staged frame that has been SUPERSEDED (iterative loops stage a
+    * new state frame per round — without this the reliable path accumulates
+    * DISK_ONLY_2 blocks across rounds and repeated calls, ADVICE r3).
+    * Only acts on the persist path: a localCheckpoint frame's lineage is
+    * truncated, so unpersisting it would make the data unrecoverable if the
+    * frame is ever re-read; its blocks are instead reclaimed by the
+    * ContextCleaner when the RDD is garbage-collected.
+    */
+  def release(df: DataFrame): Unit =
+    if (reliable(df)) df.unpersist(blocking = false)
 }

@@ -367,8 +367,11 @@ object Dedup {
     val single = edgesAll.count() <= singlePartitionMaxEdges
     def sized(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
     val edges =
-      if (single) stage(edgesAll.coalesce(1)) // one task per round below
-      else edgesAll
+      if (single) {
+        val e = stage(edgesAll.coalesce(1)) // one task per round below
+        graft.engine.Materialize.release(edgesAll) // superseded by the coalesced copy
+        e
+      } else edgesAll
     var labels = stage(sized(
       edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))))
@@ -387,6 +390,10 @@ object Dedup {
           .select(col("doc_id"), least(col("label"), col("nbr")).as("label"),
             (col("nbr") < col("label")).cast("int").as("chg"))))
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      // next is eagerly staged (and just consumed by the count above), so
+      // the previous round's labels frame is dead — release its blocks
+      // before they accumulate across rounds (ADVICE r3)
+      graft.engine.Materialize.release(labels)
       labels = next.drop("chg")
       round += 1
     }

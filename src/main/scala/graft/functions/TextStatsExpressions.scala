@@ -41,14 +41,21 @@ object TextStatsUtil {
 
   /** Σ length(x) over the array — the fused form of
     * `aggregate(arr, 0, (acc, x) -> acc + length(x))` (length = numChars,
-    * matching Spark's `length` on strings).
+    * matching Spark's `length` on strings). A null ELEMENT poisons the
+    * fold exactly like the HOF form (`acc + length(null)` is null, and
+    * null propagates through every later step): returns the −1 sentinel,
+    * which [[SumStrLen]] maps to SQL NULL. −1 is unreachable otherwise —
+    * the sum of non-negative lengths — so the sentinel is unambiguous
+    * (ADVICE r3: the rewrite must be semantics-preserving for
+    * containsNull arrays, not just null-free ones).
     */
   def sumStrLen(arr: ArrayData): Int = {
     val n = arr.numElements()
     var acc = 0
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) acc += arr.getUTF8String(i).numChars()
+      if (arr.isNullAt(i)) return -1
+      acc += arr.getUTF8String(i).numChars()
       i += 1
     }
     acc
@@ -140,13 +147,22 @@ case class SumStrLen(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // Null child → null (nullIntolerant), AND null element → null (the
+  // aggregate() fold-poisoning semantics, via the −1 sentinel) — so the
+  // NativeTextRewriteRule rewrite is exact for containsNull arrays too.
+  override def nullable: Boolean = true
   override def prettyName: String = "sum_strlen"
 
-  override def nullSafeEval(input: Any): Any =
-    TextStatsUtil.sumStrLen(input.asInstanceOf[ArrayData])
+  override def nullSafeEval(input: Any): Any = {
+    val s = TextStatsUtil.sumStrLen(input.asInstanceOf[ArrayData])
+    if (s == -1) null else s
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsUtil.sumStrLen($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextStatsUtil.sumStrLen($c);
+      if (${ev.value} == -1) { ${ev.isNull} = true; ${ev.value} = 0; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): SumStrLen =
     copy(child = newChild)

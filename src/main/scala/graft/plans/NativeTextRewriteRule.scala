@@ -21,8 +21,11 @@ import graft.functions.{CountInSet, SumStrLen}
   * Why a rule and not just the functions: users writing plain Spark get
   * the HOF forms naturally, and their lambdas are interpreted per array
   * element (~5× at token scale, round-1 bench notes). The rewrites are
-  * EXACT (same null behavior, same integer arithmetic — pinned by
-  * `NativeRewriteSpec` equality tests), so unlike the approx-NDV trade
+  * EXACT (same null behavior — including a null ELEMENT poisoning the
+  * aggregate fold to NULL, which `sum_strlen` reproduces via its −1
+  * sentinel (ADVICE r3) — same integer arithmetic; pinned by
+  * `NativeRewriteSpec` equality tests incl. a containsNull array), so
+  * unlike the approx-NDV trade
   * this is on by default; `spark.graft.nativeTextRewrite=false` opts out.
   *
   * Scope guards: only fires on string arrays with a FOLDABLE set literal

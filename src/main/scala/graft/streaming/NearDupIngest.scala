@@ -22,8 +22,9 @@ import graft.ext.Dedup
   *     within the batch;
   *  3. exact Jaccard verification of candidates on stored shingle sets —
   *     LSH recall, exact precision, same contract as the batch operator;
-  *  4. verified duplicates drop; survivors append (doc_id, ss, sz, band,
-  *     bkey) rows to the index and the document row to the output.
+  *  4. verified duplicates drop; survivors append their 32 (doc_id, band,
+  *     bkey) rows to the band index, ONE (doc_id, ss, sz) row to the
+  *     signature store, and the document row to the output.
   *
   * Within a batch, earlier doc_ids win; a document dedups against ANY
   * earlier near-dup (kept or itself dropped) — the parallel pair-drop
@@ -31,9 +32,12 @@ import graft.ext.Dedup
   * keep-first on similarity chains, which Jaccard's non-transitivity
   * makes ambiguous anyway. Across batches, arrival order wins.
   *
-  * Scale posture: the index carries ~32 rows of (16B keys + the ~2 KB
-  * shingle set once per doc) per document — the signature store, ~50×
-  * smaller than the corpus; the per-batch join is keyed on (band, bkey)
+  * Scale posture: the index is NORMALIZED (ADVICE r3) — `bands.parquet`
+  * carries 32 narrow (doc_id, band, bkey) rows per document while the
+  * ~2 KB shingle set lives ONCE per document in `sigs.parquet`, joined
+  * in only for the (near-dup-sized) verified-candidate set. Storing the
+  * set on every band row would 32× both the index bytes and the band
+  * join's shuffle payload. The per-batch join is keyed on (band, bkey)
   * and never touches document text. State lives in the index files, not
   * executor memory, so a restart resumes from the checkpoint + index.
   * Delivery is foreachBatch's usual at-least-once: a replayed batch
@@ -54,24 +58,29 @@ object NearDupIngest {
       sig.select(col("doc_id"), col("ss"), col("sz")))
     val bandsB = graft.engine.Materialize.stage(bands)
 
-    val index: Option[DataFrame] =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_SEEN")))
-        Some(spark.read.parquet(s"$indexDir/bands.parquet"))
-      else None
+    val seeded = java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_SEEN"))
 
     // candidate pairs: (new doc, kept doc) from index collisions, plus
-    // (later doc, earlier doc) within the batch — both id-only
-    val vsIndex = index.map { idx =>
-      bandsB.as("n").join(idx.as("k"),
-          col("n.band") === col("k.band") && col("n.bkey") === col("k.bkey") &&
-            // self-exclusion: a batch REPLAY (foreachBatch is at-least-once)
-            // sees its own prior index append; without this every replayed
-            // doc would self-match at J=1 and vanish
-            col("n.doc_id") =!= col("k.doc_id"))
-        .select(col("n.doc_id").as("cand"), col("k.doc_id").as("kept"),
-          col("k.ss").as("kss"), col("k.sz").as("ksz"))
-        .distinct()
-    }
+    // (later doc, earlier doc) within the batch — both id-only; the kept
+    // side's shingle set joins in from the once-per-doc signature store
+    // only AFTER the (band, bkey) collision + distinct shrink the set to
+    // near-dup size (the band index itself is narrow keys only, ADVICE r3)
+    val vsIndex: Option[DataFrame] =
+      if (!seeded) None
+      else Some {
+        val idx = spark.read.parquet(s"$indexDir/bands.parquet")
+        bandsB.as("n").join(idx.as("k"),
+            col("n.band") === col("k.band") && col("n.bkey") === col("k.bkey") &&
+              // self-exclusion: a batch REPLAY (foreachBatch is at-least-once)
+              // sees its own prior index append; without this every replayed
+              // doc would self-match at J=1 and vanish
+              col("n.doc_id") =!= col("k.doc_id"))
+          .select(col("n.doc_id").as("cand"), col("k.doc_id").as("kept"))
+          .distinct()
+          .join(spark.read.parquet(s"$indexDir/sigs.parquet")
+              .select(col("doc_id").as("kept"), col("ss").as("kss"), col("sz").as("ksz")),
+            "kept")
+      }
     val inBatch = bandsB.as("a").join(bandsB.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") > col("b.doc_id"))
@@ -90,10 +99,17 @@ object NearDupIngest {
       .distinct()
 
     val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
-    val survivorIndexRows = bandsB.join(dups, Seq("doc_id"), "left_anti")
-      .join(sigB, "doc_id")
-      .select(col("doc_id"), col("band"), col("bkey"), col("ss"), col("sz"))
-    survivorIndexRows.write.mode("append").parquet(s"$indexDir/bands.parquet")
+    // normalized index append: 32 narrow band rows per survivor, the
+    // ~2 KB shingle set exactly once per survivor. Sigs land FIRST: a
+    // crash between the writes then leaves the doc wholly invisible to
+    // the index (an orphan sig, repaired by the foreachBatch replay)
+    // rather than band rows whose verification join finds no signature.
+    sigB.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("ss"), col("sz"))
+      .write.mode("append").parquet(s"$indexDir/sigs.parquet")
+    bandsB.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .write.mode("append").parquet(s"$indexDir/bands.parquet")
     val seen = java.nio.file.Paths.get(indexDir, "_SEEN")
     if (!java.nio.file.Files.exists(seen)) java.nio.file.Files.createFile(seen)
     survivors

@@ -55,6 +55,15 @@ class BlowupSpec extends SparkSpecBase {
     assert(drift < 1e-9, s"within-copy geometry drifted: $drift")
   }
 
+  test("blowup factors past 64 are rejected (rotation would repeat, ADVICE r3)") {
+    // copy ≡ 0 (mod 64) gets the identity rotation — copies 64 apart would
+    // correlate perfectly and break the linear-workload invariant for the
+    // cos≥τ families, so the generator refuses rather than silently lying
+    val e = intercept[IllegalArgumentException](Blowup.materialize(spark, sf(), 65))
+    assert(e.getMessage.contains("64"), e.getMessage)
+    intercept[IllegalArgumentException](Blowup.materialize(spark, sf(), 0))
+  }
+
   test("orders/lineitem: per-copy join fan-out unchanged") {
     def joined(d: String): Long =
       spark.read.parquet(s"$d/orders.parquet").as("o")

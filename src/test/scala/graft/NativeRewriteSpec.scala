@@ -43,6 +43,32 @@ class NativeRewriteSpec extends SparkSpecBase {
     assert(native.sameElements(interpreted))
   }
 
+  test("null-element arrays: rewrite preserves the aggregate fold-poisoning NULL (ADVICE r3)") {
+    NativeTextRewriteRule.register(spark)
+    // containsNull = true arrays, one with a null element (→ NULL sum, like
+    // aggregate), one without (→ real sum), plus a null array (→ NULL).
+    // Derived from range() so ConvertToLocalRelation can't pre-fold the
+    // pattern away before extraOptimizations run.
+    val df = spark.range(1, 4).select(col("id").cast("int").as("id"),
+      when(col("id") === 1, array(lit("ab"), lit(null).cast("string"), lit("c")))
+        .when(col("id") === 2, array(lit("ab"), lit("cde")))
+        .as("w"))
+    def run(): Seq[(Int, Option[Int])] = {
+      val out = df.select(col("id"), expr("aggregate(w, 0, (acc, x) -> acc + length(x))").as("s"))
+      out.orderBy("id").collect().toSeq
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    }
+    // the rewrite must fire for containsNull arrays AND stay exact
+    val p = df.select(expr("aggregate(w, 0, (acc, x) -> acc + length(x))"))
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("sum_strlen"), p.take(500))
+    val native = run()
+    spark.conf.set(NativeTextRewriteRule.FlagKey, "false")
+    val interpreted = try run() finally spark.conf.unset(NativeTextRewriteRule.FlagKey)
+    assert(native == interpreted, s"$native vs $interpreted")
+    assert(native == Seq((1, None), (2, Some(5)), (3, None)))
+  }
+
   test("guards: non-literal set, captured variable, and non-string arrays pass through") {
     NativeTextRewriteRule.register(spark)
     import spark.implicits._
