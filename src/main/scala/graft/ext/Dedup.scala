@@ -401,6 +401,13 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxRounds rounds " +
           "(component diameter exceeds the cap — switch to large-star/small-star)")
+    clusterOutput(documents, labels)
+  }
+
+  /** Shared tail of every clustering form: rejoin singleton documents
+    * (cluster_id = self), attach cluster sizes, mark canonicals.
+    */
+  private def clusterOutput(documents: DataFrame, labels: DataFrame): DataFrame = {
     val withSingletons = documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -411,6 +418,143 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------- connected components, big-star
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the algorithm for when the near-dup GRAPH itself is
+    * cluster-sized. Min-label propagation ([[dedupClustersFrom]]) needs
+    * diameter-many rounds and carries the full label frame through each;
+    * star-contraction converges in O(log n) rounds INDEPENDENT of
+    * diameter, and each round is two groupBy+join passes over the edge
+    * set alone, shrinking as stars collapse. Semantics are identical —
+    * every node ends pointing at its component minimum — so this is
+    * graded as `dedup_cluster_bigstar` against the SAME transitive-
+    * closure oracle as `dedup_cluster`.
+    *
+    * Round structure (edges kept normalized u > v, distinct):
+    *  - large-star: for each node u, connect every LARGER neighbor v to
+    *    m = min(Γ(u) ∪ {u}) — emitted from the symmetric closure;
+    *  - small-star: for each node u over its smaller neighbors N⁻(u),
+    *    connect each v ∈ N⁻(u) \ {min} and u itself to min(N⁻(u)).
+    * Fixed point (output == input) ⇔ every component is a star rooted
+    * at its minimum; both checks (count + exceptAll) run on staged
+    * frames.
+    */
+  def dedupClustersBigStar(documents: DataFrame): DataFrame =
+    dedupClustersBigStarFrom(documents,
+      ngramJaccardOn(documents).select(col("doc_a"), col("doc_b")))
+
+  def dedupClustersBigStarQ(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersBigStar(docs(spark, dir))
+
+  def dedupClustersBigStarFrom(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val stage = graft.engine.Materialize.stage _
+    val first = stage(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    // same small-graph escape as dedupClustersFrom: below the threshold
+    // the per-round frames collapse to one task instead of 32 mostly-empty
+    // shuffle tasks; above it AQE sizes the (real) shuffles
+    val single = first.count() <= SinglePartitionMaxEdges
+    def sized(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
+    var edges = if (single) {
+      val e = stage(first.coalesce(1))
+      graft.engine.Materialize.release(first)
+      e
+    } else first
+    val maxRounds = 64 // ~log₂ components; hit only by a pathological graph
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lgMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val large = sym.join(lgMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val smMin = large.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val small = large.join(smMin, "u")
+        .select(col("v").as("a"), col("mn").as("b"))
+        .unionByName(smMin.select(col("u").as("a"), col("mn").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+      val next = stage(sized(small))
+      done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      graft.engine.Materialize.release(edges) // superseded (ADVICE r3 pattern)
+      edges = next
+      round += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"dedupClustersBigStar did not converge in $maxRounds rounds")
+    // at the fixed point every edge is (member, component-min)
+    clusterOutput(documents, edges.select(col("u").as("doc_id"), col("v").as("label")))
+  }
+
+  // --------------------------------------------- exact substring windows
+  /** Cross-document repeated token-window detection — the document-level
+    * form of exact substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": verbatim runs repeated
+    * across documents are memorization fuel). An 8-token window slides
+    * over each document (posexplode + 7 codegen `lead`s, one sort per
+    * doc); each window travels as its 16-byte md5 — never the text — so
+    * the cross-doc frequency shuffle carries keys ~25× smaller than the
+    * windows themselves. A document is flagged when ≥ 20% of its windows
+    * appear verbatim in at least one OTHER document.
+    *
+    * Scale: one shuffle on wkey (count-distinct-docs per window), one
+    * shuffle back on doc_id — both partial-aggregated map-side; no
+    * self-join, no all-pairs anything. The suffix-array pass of the
+    * paper finds arbitrary-length runs; fixed windows + doc granularity
+    * is the Spark-native approximation (any repeated run ≥ 8 tokens
+    * contains a repeated window, so recall at run-length ≥ 8 is exact).
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOn(docs(spark, dir))
+
+  def substringDedupOn(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val leads = (1 to 7).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val win = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id") +: col("t") +: leads: _*)
+      .filter(col("t7").isNotNull) // windows that fit entirely
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"),
+          col("t4"), col("t5"), col("t6"), col("t7")).cast("binary")).as("wkey"))
+    val shared = win.groupBy(col("wkey"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wkey"))
+    win.join(shared, Seq("wkey"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("frac_shared", col("n_shared").cast("double") / col("n_windows"))
+      .withColumn("flagged", (col("frac_shared") >= 0.2).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |win AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      |        FROM toks, UNNEST(generate_series(1, len(w)-7)) AS t(i)
+      |        WHERE len(w) >= 8),
+      |sh AS (SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |per AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |          CAST(COUNT(s.g) AS BIGINT) AS n_shared
+      |        FROM win w LEFT JOIN sh s USING (g) GROUP BY 1)
+      |SELECT doc_id, n_windows, n_shared,
+      |  CAST(n_shared AS DOUBLE) / n_windows AS frac_shared,
+      |  CAST(CAST(n_shared AS DOUBLE) / n_windows >= 0.2 AS INT) AS flagged
+      |FROM per ORDER BY doc_id""".stripMargin
 
   /** Transitive closure of the exact-Jaccard pair graph via recursive
     * CTE; docs without edges cluster to themselves.
@@ -489,7 +633,9 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_wide" -> (simhashWide _),
     "dedup_cluster" -> (dedupClusters _),
-    "dedup_cluster_lsh" -> (dedupClustersLshQ _))
+    "dedup_cluster_lsh" -> (dedupClustersLshQ _),
+    "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
+    "dedup_substring" -> (substringDedup _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -499,5 +645,7 @@ object Dedup {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_wide" -> simhashSql,
     "dedup_cluster" -> dedupClustersSql,
-    "dedup_cluster_lsh" -> dedupClustersSql)
+    "dedup_cluster_lsh" -> dedupClustersSql,
+    "dedup_cluster_bigstar" -> dedupClustersSql,
+    "dedup_substring" -> substringDedupSql)
 }

@@ -209,6 +209,39 @@ object TextOps {
        |ORDER BY doc_id, probe""".stripMargin
   }
 
+  /** Bloom-prefiltered contamination probe — [[contamination]]'s 100 TB
+    * form. The exact version broadcasts the probe phrases into a join;
+    * that works while the probe set is join-buildable, but a real
+    * eval-suite decontamination set (every 13-gram of every benchmark,
+    * 10⁸+ entries) is broadcast-raw-infeasible. Here the probe set is
+    * compressed to a serialized `BloomFilter` (built by the PUBLIC
+    * distributed builder `df.stat.bloomFilter`, so the build itself
+    * scales), carried to the scan as ONE binary literal, and probed
+    * scan-side in whole-stage codegen (`bloom_might_contain`, zero join,
+    * zero shuffle); only might-contain survivors reach the exact join
+    * that removes bloom false positives. Blooms have no false negatives,
+    * so the output is IDENTICAL to the exact operator's — graded against
+    * the same DuckDB oracle.
+    */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val probes = probePhrases.toDF("probe")
+    // distributed bloom build (tiny here; the API point is that it isn't
+    // a driver-side loop when the probe table is 10⁸ rows)
+    val bloom = probes.stat.bloomFilter("probe", 64L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    bigrams(docs(spark, dir))
+      .filter(call_function("bloom_might_contain", lit(bytes), col("ngram")))
+      .join(broadcast(probes), col("ngram") === col("probe"))
+      .select(col("doc_id"), col("probe"))
+      .orderBy(col("doc_id"), col("probe"))
+  }
+
   /** TF-IDF top-3 terms per document: token explode → per-(doc, term) tf,
     * df derived from tf, idf joined back broadcast-or-shuffle by
     * Catalyst. Oracle-checked (tfidfSql): round-6 scores + (tfidf DESC,
@@ -404,6 +437,78 @@ object TextOps {
       |  CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS BIGINT) AS n_chunks
       |FROM o ORDER BY source, doc_id""".stripMargin
 
+  // ---------------------------------------------------- repetition rules
+  /** Gopher-style repetition quality signals (Rae et al. 2021, §A1.1,
+    * adapted): documents dominated by a repeated phrase or by duplicated
+    * n-grams are boilerplate/spam and poison training data. Per document:
+    *
+    *  - `top_bigram_frac` — occurrences of the MOST FREQUENT word bigram
+    *    over total bigram occurrences (Gopher measures the character
+    *    fraction; the count fraction is the same signal without the
+    *    length confound, and stays integer-exact for the oracle);
+    *  - `dup_trigram_frac` — trigram occurrences BEYOND each first one
+    *    over total trigram occurrences (Gopher's duplicate-n-gram rule);
+    *  - `flagged` when either exceeds its threshold (0.08 / 0.02 — set
+    *    so both branches fire non-vacuously on the synthetic corpus).
+    *
+    * Shape: posexplode + per-doc window leads (codegen), two partial
+    * aggregations — one shuffle on doc_id, no joins against anything
+    * corpus-sized. Only the max/ratio arithmetic differs from the
+    * shingle pipeline the dedup family already runs at scan speed.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOn(docs(spark, dir))
+
+  def repetitionOn(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grams = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t"),
+        lead("t", 1).over(w).as("t1"), lead("t", 2).over(w).as("t2"))
+    val bi = grams.filter(col("t1").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t1")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    val tri = grams.filter(col("t2").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("dup_trigram_n"))
+    bi.join(tri, Seq("doc_id")) // every doc here has ≥ 3 tokens; inner is total
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        col("dup_trigram_n"),
+        (col("dup_trigram_n").cast("double") / col("n_trigrams")).as("dup_trigram_frac"))
+      .withColumn("flagged",
+        ((col("top_bigram_frac") > 0.08) || (col("dup_trigram_frac") > 0.02)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      |       FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+      |       WHERE len(w) >= 2),
+      |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |        FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |        WHERE len(w) >= 3),
+      |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |         CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1),
+      |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+      |         CAST(COALESCE(SUM(c - 1) FILTER (c > 1), 0) AS BIGINT) AS dup_trigram_n
+      |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2) GROUP BY 1)
+      |SELECT doc_id, n_bigrams, top_bigram_n,
+      |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+      |  dup_trigram_n,
+      |  CAST(dup_trigram_n AS DOUBLE) / n_trigrams AS dup_trigram_frac,
+      |  CAST(CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.08
+      |    OR CAST(dup_trigram_n AS DOUBLE) / n_trigrams > 0.02 AS INT) AS flagged
+      |FROM bs JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- PII scrub
   /** PII scrubbing (C4/Dolma-style cleaning stage): regex-redact emails
     * and phone numbers, reporting match counts for auditing. The corpus
@@ -466,7 +571,9 @@ object TextOps {
     "text_contamination" -> (contamination _),
     "text_chunk_pack" -> (chunkPack _),
     "text_pii_scrub" -> (piiScrub _),
-    "text_weighted_sample" -> (weightedSample _))
+    "text_weighted_sample" -> (weightedSample _),
+    "text_repetition" -> (repetition _),
+    "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
     "text_sample_per_group" -> samplePerGroupSql,
@@ -479,5 +586,9 @@ object TextOps {
     "text_contamination" -> contaminationSql,
     "text_chunk_pack" -> chunkPackSql,
     "text_pii_scrub" -> piiScrubSql,
-    "text_weighted_sample" -> weightedSampleSql)
+    "text_weighted_sample" -> weightedSampleSql,
+    "text_repetition" -> repetitionSql,
+    // bloom prefilter + exact verify is semantically exact (no false
+    // negatives), so the bloom form shares the exact oracle verbatim
+    "text_contamination_bloom" -> contaminationSql)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimF32, CountInSet, DotProductF32, MinHashArr, MinHashSigAgg, RollHash31, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, SumStrLen, TopKByAgg}
+import graft.functions.{BloomMightContain, CosineSimF32, CountInSet, DotProductF32, MinHashArr, MinHashSigAgg, RollHash31, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, SumStrLen, TopKByAgg}
 
 /** SparkSessionExtensions injector for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -69,7 +69,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => SumStrLen(es(0))),
     (FunctionIdentifier("roll_hash31"),
       info("roll_hash31", "roll_hash31(text) - 31-ary polynomial rolling hash mod 1e9+7"),
-      (es: Seq[Expression]) => RollHash31(es(0))))
+      (es: Seq[Expression]) => RollHash31(es(0))),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(filter_bytes, item) - probe a serialized bloom filter literal"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
 
   /** Register on an already-built session (temp functions, idempotent). */
   def register(spark: SparkSession): Unit =

@@ -130,6 +130,94 @@ class ExtSpec extends SparkSpecBase {
     assert(lsh == r)
   }
 
+  test("big-star clustering equals label propagation, incl. a long chain") {
+    import spark.implicits._
+    // same chain corpus as above PLUS a second, longer chain — star
+    // contraction must produce exactly the label-propagation components
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b2 = "pack my box with five dozen liquor jugs while the band plays on tonight"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " tonight"),
+      (3L, "x y z " + base + " tonight"),
+      (4L, "completely different words entirely unrelated to anything else here now"),
+      (10L, b2), (11L, b2 + " ok"), (12L, "a b c " + b2 + " ok"),
+      (13L, "a b c d e f " + b2 + " ok"))
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getInt(3))).toMap
+    val prop = asMap(Dedup.dedupClustersOn(d))
+    val star = asMap(Dedup.dedupClustersBigStar(d))
+    assert(star == prop, s"big-star diverged:\n$star\nvs\n$prop")
+    assert(star(10L)._1 == 10L && star(13L)._1 == 10L) // second chain united
+  }
+
+  test("big-star handles an edgeless corpus (all singletons)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupClustersBigStar(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("substring dedup: shared 8-token windows flag the run-sharing docs only") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight nine ten" // 10-token shared run
+    val d = Seq(
+      (1L, s"intro words here $run trailing bits"),
+      (2L, s"$run totally different ending material"),
+      (3L, "unrelated content with plenty of tokens but no shared runs at all today"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDedupOn(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getInt(4))).toMap
+    // a 10-token shared run contains 3 complete 8-token windows
+    assert(r(1L)._2 == 3L && r(2L)._2 == 3L, r.toString)
+    assert(r(1L)._3 == 1 && r(2L)._3 == 1) // both over the 20% bar
+    assert(r(3L)._2 == 0L && r(3L)._3 == 0)
+    r.values.foreach { case (n, s, _) => assert(s <= n) }
+  }
+
+  test("repetition rules: phrase-looped doc flags, diverse doc does not") {
+    import spark.implicits._
+    val looped = Seq.fill(12)("buy cheap pills").mkString(" ") // one dominant bigram
+    // long enough that the floor 1/(n_bigrams) sits under the 0.08 bar —
+    // all-distinct tokens give top_bigram_frac = 1/(n−1)
+    val diverse = ('a' to 'z').map(c => s"word$c").mkString(" ")
+    val d = Seq((1L, looped), (2L, diverse)).toDF("doc_id", "text")
+    val r = TextOps.repetitionOn(d).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(3), x.getDouble(5), x.getInt(6))).toMap
+    assert(r(1L)._3 == 1, s"looped doc not flagged: ${r(1L)}")
+    assert(r(2L)._3 == 0, s"diverse doc flagged: ${r(2L)}")
+    assert(r(1L)._1 > r(2L)._1) // top-bigram fraction orders them
+    r.values.foreach { case (a, b, _) =>
+      assert(a >= 0 && a <= 1 && b >= 0 && b <= 1) }
+  }
+
+  test("bloom_might_contain: no false negatives; bloom contamination equals exact") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // expression level: every inserted item must probe true (bloom
+    // guarantee the prefilter's exactness argument rests on)
+    val items = (1 to 200).map(i => s"item$i")
+    val bloom = items.toDF("s").stat.bloomFilter("s", 256L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    val hits = items.toDF("s")
+      .filter(call_function("bloom_might_contain", lit(bytes), col("s")))
+      .count()
+    assert(hits == items.size, s"false negatives: ${items.size - hits}")
+    // operator level: bloom-prefiltered contamination ≡ exact contamination
+    val dir = sf()
+    val exact = TextOps.contamination(spark, dir).collect().map(_.toSeq).toSeq
+    val bloomed = TextOps.contaminationBloom(spark, dir).collect().map(_.toSeq).toSeq
+    assert(bloomed == exact)
+    assert(exact.nonEmpty) // non-vacuous on the corpus
+  }
+
   test("sketch expressions: shingle_hashes dedups + simhash64 majority bits + aggregate twins") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
