@@ -347,7 +347,57 @@ object Similarity {
   def cosineNearDupWide(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupOn(emb(spark, dir), tau = 0.4, nBands = 16, bandBits = 8)
 
+  // ------------------------------------------------- semantic keep-list
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: drop all
+    * but one of each group of embedding-near-duplicates): the banded
+    * sign-LSH near-dup pairs (16 bands × 8 bits — the blowup-validated
+    * linear configuration) become edges, big-star contraction clusters
+    * them, and the minimum vec_id of each cluster is KEPT. Output is the
+    * per-vector retention decision a pipeline would semi-join its corpus
+    * against. Everything downstream of the (id-only) pair set touches
+    * ids, never vectors; the whole chain is deterministic (fixed
+    * splitmix64 hyperplanes), so it is oracle-checked end to end —
+    * hyperplane replay + recursive-CTE closure composed in DuckDB.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val pairs = cosineNearDupOn(e, tau = 0.4, nBands = 16, bandBits = 8)
+      .select(col("doc_a"), col("doc_b"))
+    graft.ext.Dedup.dedupClustersBigStarFrom(
+        e.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE ${lshBandsCte(16, 8)},
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+      |  WHERE x.vec_id < y.vec_id),
+      |scored AS (
+      |  SELECT cand.va, cand.vb, $cosExprSql AS cos
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+      |            JOIN embeddings b ON b.vec_id = cand.vb),
+      |pairs AS (SELECT va, vb FROM scored WHERE cos >= CAST(0.4 AS DOUBLE)),
+      |edges AS (SELECT va AS a, vb AS b FROM pairs
+      |          UNION ALL SELECT vb, va FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS vec_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (SELECT e.vec_id,
+      |          COALESCE(LEAST(c.min_reach, e.vec_id), e.vec_id) AS cluster_id
+      |        FROM embeddings e LEFT JOIN comp c USING (vec_id)),
+      |szc AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT vec_id, cluster_id, cluster_size,
+      |  CAST(vec_id = cluster_id AS INT) AS keep
+      |FROM lab JOIN szc USING (cluster_id) ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dedup_keep" -> (semanticDedup _),
     "sim_quantize_i8" -> (quantizeI8 _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
@@ -356,6 +406,7 @@ object Similarity {
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _))
 
   val oracles: Map[String, String] = Map(
+    "sim_dedup_keep" -> semanticDedupSql,
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_quantize_i8" -> quantizeI8Sql,
     "sim_ann_lsh" -> annLshSql,

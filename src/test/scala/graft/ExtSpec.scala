@@ -196,6 +196,24 @@ class ExtSpec extends SparkSpecBase {
       assert(a >= 0 && a <= 1 && b >= 0 && b <= 1) }
   }
 
+  test("semantic dedup keep-list: near-identical vectors cluster, min id kept") {
+    import spark.implicits._
+    val dir = sf()
+    val r = graft.ext.Similarity.semanticDedup(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(r.nonEmpty)
+    // exactly one keeper per cluster, and it is the cluster minimum
+    val byCluster = r.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      val keepers = rows.filter(_._4 == 1).map(_._1)
+      assert(keepers.toSeq == Seq(cid), s"cluster $cid keepers: ${keepers.toSeq}")
+      assert(cid == rows.map(_._1).min)
+      rows.foreach { row => assert(row._3 == rows.size) }
+    }
+    // the corpus has real near-dups: something must actually be dropped
+    assert(r.exists(_._4 == 0), "no vector was dropped — vacuous keep-list")
+  }
+
   test("bloom_might_contain: no false negatives; bloom contamination equals exact") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
