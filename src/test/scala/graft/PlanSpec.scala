@@ -143,4 +143,31 @@ class PlanSpec extends SparkSpecBase {
     assert(!bandExchanges.exists(_.contains("embedding")),
       bandExchanges.mkString("\n---\n").take(1500))
   }
+
+  test("bloom contamination: scan-side bloom probe filters BEFORE the exact join") {
+    val df = SparkEntry.queries("text_contamination_bloom")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    val probeAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(probeAt >= 0, p.take(1200))
+    assert(joinAt >= 0, p.take(1200))
+    // executedPlan prints top-down, so the join must appear ABOVE (before)
+    // the probe filter feeding it — i.e. the probe runs first at execution
+    assert(joinAt < probeAt,
+      s"bloom probe not below the exact-verify join (probe@$probeAt, join@$joinAt)")
+  }
+
+  test("substring dedup: window keys aggregate map-side; no text rides the wkey shuffle") {
+    val df = SparkEntry.queries("dedup_substring")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = p.split("\n\n").filter(_.contains("Exchange"))
+    val wkeyExchanges = exchanges.filter(_.contains("wkey"))
+    assert(wkeyExchanges.nonEmpty, p.take(1500))
+    // the cross-doc frequency shuffle must carry the 16-byte md5 key,
+    // never the window text or the document body
+    assert(!wkeyExchanges.exists(s => s.contains("text") || s.contains("concat_ws")),
+      wkeyExchanges.mkString("\n---\n").take(1500))
+  }
 }
