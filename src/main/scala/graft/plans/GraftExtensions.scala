@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => ApproxNdvRule)
+    ext.injectOptimizerRule(_ => ApproxPercentileRule)
     ext.injectOptimizerRule(_ => NativeTextRewriteRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }

@@ -144,6 +144,35 @@ class PlanSpec extends SparkSpecBase {
       bandExchanges.mkString("\n---\n").take(1500))
   }
 
+  test("ApproxPercentileRule: percentile rewrites to the quantile sketch only under the flag") {
+    graft.engine.Tables.registerAll(spark, sf())
+    graft.plans.ApproxPercentileRule.register(spark)
+    val q = """SELECT l_returnflag, percentile(l_quantity, 0.5) AS p50
+               FROM lineitem GROUP BY l_returnflag"""
+    val off = spark.sql(q).queryExecution.optimizedPlan.toString
+    assert(off.contains("percentile(") && !off.contains("approx"), off.take(600))
+    val exact = spark.sql(q).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.conf.set(graft.plans.ApproxPercentileRule.FlagKey, "true")
+    try {
+      val on = spark.sql(q)
+      val p = on.queryExecution.optimizedPlan.toString
+      assert(p.contains("percentile_approx") || p.contains("approx_percentile"), p.take(600))
+      // GK sketch at accuracy 10000 on these group sizes: rank error ~1e-4,
+      // so the medians should agree to within one value step
+      val approx = on.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (k, v) =>
+        assert(math.abs(v - exact(k)) <= 1.0, s"$k: approx $v vs exact ${exact(k)}") }
+      // integer columns must NOT rewrite (sketch returns input type,
+      // exact percentile returns double — not schema-transparent)
+      val intQ = spark.sql(
+        "SELECT percentile(l_linenumber, 0.5) FROM lineitem")
+      val ip = intQ.queryExecution.optimizedPlan.toString
+      assert(!ip.contains("approx"), ip.take(600))
+    } finally spark.conf.unset(graft.plans.ApproxPercentileRule.FlagKey)
+  }
+
   test("bloom contamination: scan-side bloom probe filters BEFORE the exact join") {
     val df = SparkEntry.queries("text_contamination_bloom")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

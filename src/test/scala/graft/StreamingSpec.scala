@@ -246,6 +246,21 @@ class StreamingSpec extends SparkSpecBase {
       .select("doc_b").collect().map(_.getLong(0)).toSet
     val batchKept = Set(0L, 1L, 2L, 3L, 4L) -- batchPairs
     assert(kept == batchKept, s"stream $kept vs batch $batchKept")
+
+    // normalized index layout (ADVICE r3): band rows are NARROW keys only,
+    // and the ~2 KB shingle set is stored exactly once per surviving doc
+    val bands = spark.read.parquet(s"$idxDir/bands.parquet")
+    assert(bands.schema.fieldNames.sorted.toSeq == Seq("band", "bkey", "doc_id"),
+      bands.schema.treeString)
+    val sigs = spark.read.parquet(s"$idxDir/sigs.parquet")
+    assert(sigs.schema.fieldNames.sorted.toSeq == Seq("doc_id", "sz", "ss").sorted)
+    val sigCounts = sigs.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigCounts.keySet == kept, s"sig store: ${sigCounts.keySet} vs kept $kept")
+    assert(sigCounts.values.forall(_ == 1L), s"duplicated sigs: $sigCounts")
+    // 32 band rows per surviving doc
+    val bandCounts = bands.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(bandCounts.forall(_ == 32L), bandCounts.mkString(","))
   }
 
   test("foreachBatch sink: deduped micro-batches land in parquet (custom-sink pattern)") {
