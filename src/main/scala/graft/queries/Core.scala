@@ -1239,8 +1239,56 @@ object Core {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** LATERAL VIEW explode — the SQL-surface form of the token explode the
+    * extension operators use through the DataFrame API: corpus token
+    * frequency as one generator + aggregate.
+    */
+  def q50Lateral(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("q50_documents")
+    spark.sql(
+      """SELECT token, COUNT(*) AS n
+        |FROM q50_documents LATERAL VIEW explode(split(text, ' ')) x AS token
+        |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """SELECT x.token, COUNT(*) AS n
+      |FROM documents, UNNEST(string_split(text, ' ')) AS x(token)
+      |GROUP BY x.token ORDER BY n DESC, token LIMIT 25""".stripMargin
+
+  /** UNPIVOT (q28's inverse): wide per-flag aggregates back to tall
+    * (metric, value) rows. The DuckDB oracle states the same relation as
+    * the portable UNION ALL unpivot, pinning semantics rather than
+    * syntax (rounded like every cross-engine double).
+    */
+  def q51Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("q51_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, metric, ROUND(v, 4) AS v FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+        |  FROM q51_lineitem GROUP BY l_returnflag)
+        |UNPIVOT (v FOR metric IN (sum_tax, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin)
+  }
+
+  val q51Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, ROUND(v, 4) AS v FROM (
+      |  SELECT l_returnflag, 'sum_tax' AS metric, sum_tax AS v FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS v FROM wide)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_lateral" -> (q50Lateral _),
+    "q51_unpivot" -> (q51Unpivot _),
     "q21_approx_ndv" -> (q21ApproxNdv _),
     "q22_asof_join" -> (q22AsofJoin _),
     "q23_deterministic_sample" -> (q23DeterministicSample _),
@@ -1339,5 +1387,7 @@ object Core {
     "q46_array_hof" -> q46Sql,
     "q47_math" -> q47Sql,
     "q48_cross_join" -> q48Sql,
-    "q49_listagg" -> q49Sql)
+    "q49_listagg" -> q49Sql,
+    "q50_lateral" -> q50Sql,
+    "q51_unpivot" -> q51Sql)
 }
