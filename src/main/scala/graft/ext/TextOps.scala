@@ -560,7 +560,86 @@ object TextOps {
       |  regexp_replace(regexp_replace(contact, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g') AS scrubbed
       |FROM c ORDER BY cust_id""".stripMargin
 
+  // --------------------------------------------------- curation pipeline
+  /** The whole curation pipeline as ONE declarative plan — what a user of
+    * this library actually runs at 100 TB, and the reason the stages are
+    * DataFrame transforms rather than scripts around materialized files:
+    *
+    *  1. quality gates (token count, length, stopword ratio, TTR) —
+    *     scan-side metrics, same thresholds as `text_quality_filter`;
+    *  2. exact dedup (keep first doc per md5(text), 16-byte window key);
+    *  3. repetition gates (Gopher rules of `text_repetition`, computed
+    *     ONLY for docs that survive 1–2 — the join order is the point:
+    *     the n-gram explode runs on the filtered remnant, not the corpus);
+    *  4. per-source deterministic cap (hash-rank ≤ 50, replay-safe).
+    *
+    * Catalyst fuses the stages: no intermediate tables, four exchanges
+    * total (dedup window, repetition rollup, survivor semi-join, sample
+    * window) — a file-materializing pipeline would pay a full
+    * write+read+schema-infer between each stage instead. Oracle: the
+    * identical composition as DuckDB CTEs, hash-matched end to end.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    val survivors = docs(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("stop_ratio",
+        expr("count_in_set(w, array('the','a','of','and','to'))")
+          .cast("double") / size(col("w")))
+      .withColumn("ttr",
+        size(array_distinct(col("w"))).cast("double") / size(col("w")))
+      .withColumn("dup_rank", row_number().over(wDup))
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50 &&
+        col("stop_ratio") >= 0.01 && col("ttr") >= 0.5 && col("dup_rank") === 1)
+      .select(col("doc_id"), col("text"), col("source"), col("n_tokens"))
+    val unflagged = repetitionOn(survivors.select(col("doc_id"), col("text")))
+      .filter(col("flagged") === 0)
+      .select(col("doc_id"))
+    val wSam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    survivors.join(unflagged, Seq("doc_id"), "left_semi")
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(wSam).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val curateSql: String =
+    """WITH d AS (SELECT doc_id, text, source, n_chars, string_split(text, ' ') AS w
+      |           FROM documents),
+      |q AS (SELECT doc_id, text, source, CAST(len(w) AS BIGINT) AS n_tokens FROM (
+      |        SELECT *, len(w) AS nt,
+      |          CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)/len(w) AS stop_ratio,
+      |          CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS ttr,
+      |          row_number() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rank
+      |        FROM d)
+      |      WHERE nt >= 10 AND n_chars >= 50 AND stop_ratio >= CAST(0.01 AS DOUBLE)
+      |        AND ttr >= CAST(0.5 AS DOUBLE) AND dup_rank = 1),
+      |tq AS (SELECT doc_id, string_split(text, ' ') AS w FROM q),
+      |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      |       FROM tq, UNNEST(generate_series(1, len(w)-1)) AS t(i) WHERE len(w) >= 2),
+      |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |        FROM tq, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3),
+      |bs AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+      |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1),
+      |ts AS (SELECT doc_id, CAST(COALESCE(SUM(c - 1) FILTER (c > 1), 0) AS DOUBLE) / SUM(c) AS dup_frac
+      |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2) GROUP BY 1),
+      |rep AS (SELECT doc_id FROM bs JOIN ts USING (doc_id)
+      |        WHERE NOT (top_frac > CAST(0.08 AS DOUBLE) OR dup_frac > CAST(0.02 AS DOUBLE))),
+      |sam AS (SELECT q.source, q.doc_id, q.n_tokens, md5(CAST(q.doc_id AS VARCHAR)) AS h
+      |        FROM q JOIN rep USING (doc_id)),
+      |rk AS (SELECT source, doc_id, n_tokens,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+      |       FROM sam)
+      |SELECT source, rk, doc_id, n_tokens FROM rk WHERE rk <= 50
+      |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> (curate _),
     "text_sample_per_group" -> (samplePerGroup _),
     "text_quality_filter" -> (qualityFilter _),
     "text_tfidf" -> (tfidf _),
@@ -576,6 +655,7 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curate" -> curateSql,
     "text_sample_per_group" -> samplePerGroupSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_tfidf" -> tfidfSql,
