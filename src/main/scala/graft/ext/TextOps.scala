@@ -560,6 +560,50 @@ object TextOps {
       |  regexp_replace(regexp_replace(contact, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g') AS scrubbed
       |FROM c ORDER BY cust_id""".stripMargin
 
+  // ----------------------------------------------------- heavy hitters
+  /** Corpus heavy hitters: every token whose occurrence count is ≥ 0.1%
+    * of all token occurrences — the vocabulary/boilerplate census that
+    * feeds stopword lists and tokenizer merges.
+    *
+    * Exact-by-construction sketch shape (the [[contaminationBloom]]
+    * pattern for frequencies instead of membership): a count-min sketch
+    * is built distributed (`df.stat.countMinSketch`, a merge of fixed
+    * size per-partition counter grids — KBs regardless of corpus size),
+    * shipped to the scan as one binary literal, and probed scan-side in
+    * whole-stage codegen (`cms_estimate`). Only tokens whose estimate
+    * clears the threshold are shuffled for the exact count; CMS error is
+    * one-sided (estimate ≥ true count), so no qualifying token is lost
+    * and the exact HAVING removes the overestimates — output identical
+    * to the full GROUP BY, graded against that plain oracle. The
+    * threshold derives from `sketch.totalCount()`: no extra pass over
+    * the corpus. At 100 TB the full token stream never shuffles — only
+    * the (vocabulary-sized) survivor set does.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val toks = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val cms = toks.stat.countMinSketch("token", 0.0001, 0.999, 42)
+    val threshold = (cms.totalCount() + 999L) / 1000L // ceil(total/1000)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    toks
+      .filter(call_function("cms_estimate", lit(bytes), col("token")) >= lit(threshold))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(threshold))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |th AS (SELECT CAST((COUNT(*) + 999) // 1000 AS BIGINT) AS t FROM toks)
+      |SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+      |HAVING COUNT(*) >= (SELECT t FROM th)
+      |ORDER BY cnt DESC, token""".stripMargin
+
   // --------------------------------------------------- curation pipeline
   /** The whole curation pipeline as ONE declarative plan — what a user of
     * this library actually runs at 100 TB, and the reason the stages are
@@ -640,6 +684,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (curate _),
+    "text_heavy_hitters" -> (heavyHitters _),
     "text_sample_per_group" -> (samplePerGroup _),
     "text_quality_filter" -> (qualityFilter _),
     "text_tfidf" -> (tfidf _),
@@ -656,6 +701,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" -> curateSql,
+    "text_heavy_hitters" -> heavyHittersSql,
     "text_sample_per_group" -> samplePerGroupSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_tfidf" -> tfidfSql,

@@ -1285,10 +1285,47 @@ object Core {
       |  SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS v FROM wide)
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** Recursive CTE (WITH RECURSIVE, new in Spark 4) — calendar
+    * densification: generate every month between the first and last order
+    * date, then left-join monthly order counts and revenue so gap months
+    * surface as explicit zero rows instead of silently missing. The
+    * recursion carries its own upper bound as a column (anchor cross-joins
+    * the bounds row) because neither engine allows a scalar subquery in
+    * the recursive member. Months render as strings — cross-engine DATE
+    * columns don't hash-compare cleanly through pandas.
+    */
+  def q52RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("q52_orders")
+    spark.sql(
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT trunc(MIN(o_orderdate), 'MM'), trunc(MAX(o_orderdate), 'MM')
+        |  FROM q52_orders
+        |  UNION ALL
+        |  SELECT add_months(m, 1), hi FROM months WHERE m < hi)
+        |SELECT date_format(m, 'yyyy-MM') AS month,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS revenue
+        |FROM months LEFT JOIN q52_orders ON trunc(o_orderdate, 'MM') = m
+        |GROUP BY m ORDER BY month""".stripMargin)
+  }
+
+  val q52Sql: String =
+    """WITH RECURSIVE months(m, hi) AS (
+      |  SELECT date_trunc('month', MIN(o_orderdate)), date_trunc('month', MAX(o_orderdate))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi)
+      |SELECT strftime(m, '%Y-%m') AS month,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS revenue
+      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      |GROUP BY m ORDER BY month""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lateral" -> (q50Lateral _),
     "q51_unpivot" -> (q51Unpivot _),
+    "q52_recursive_cte" -> (q52RecursiveCte _),
     "q21_approx_ndv" -> (q21ApproxNdv _),
     "q22_asof_join" -> (q22AsofJoin _),
     "q23_deterministic_sample" -> (q23DeterministicSample _),
@@ -1389,5 +1426,6 @@ object Core {
     "q48_cross_join" -> q48Sql,
     "q49_listagg" -> q49Sql,
     "q50_lateral" -> q50Sql,
-    "q51_unpivot" -> q51Sql)
+    "q51_unpivot" -> q51Sql,
+    "q52_recursive_cte" -> q52Sql)
 }

@@ -236,6 +236,36 @@ class ExtSpec extends SparkSpecBase {
     assert(exact.nonEmpty) // non-vacuous on the corpus
   }
 
+  test("cms_estimate: one-sided error; cms heavy hitters equal exact group-by") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // expression level: the estimate must never undercount — the property
+    // the prefilter's exactness argument rests on
+    val toks = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"tok${i % 40}"))
+    val df = toks.toDF("t")
+    val cms = df.stat.countMinSketch("t", 0.001, 0.99, 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val bytes = bos.toByteArray
+    val under = df.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .filter(call_function("cms_estimate", lit(bytes), col("t")) < col("cnt"))
+      .count()
+    assert(under == 0L, s"$under tokens undercounted by the sketch")
+    // operator level: sketch-prefiltered heavy hitters ≡ plain exact
+    // group-by + HAVING at the same relative threshold
+    val dir = sf()
+    val got = TextOps.heavyHitters(spark, dir).collect().map(_.toSeq).toSeq
+    val docs = graft.engine.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val total = docs.count()
+    val t = (total + 999L) / 1000L
+    val want = docs.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(t))
+      .orderBy(col("cnt").desc, col("token")).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty) // non-vacuous on the corpus
+  }
+
   test("sketch expressions: shingle_hashes dedups + simhash64 majority bits + aggregate twins") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)

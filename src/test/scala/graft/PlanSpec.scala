@@ -186,6 +186,20 @@ class PlanSpec extends SparkSpecBase {
       s"bloom probe not below the exact-verify join (probe@$probeAt, join@$joinAt)")
   }
 
+  test("heavy hitters: cms probe filters BEFORE the count shuffle") {
+    val df = SparkEntry.queries("text_heavy_hitters")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    val probeAt = p.indexOf("cms_estimate")
+    val exchangeAt = p.indexOf("Exchange hashpartitioning(token")
+    assert(probeAt >= 0, p.take(1200))
+    assert(exchangeAt >= 0, p.take(1200))
+    // executedPlan prints top-down: the exchange must appear ABOVE the
+    // probe filter — i.e. only sketch survivors are shuffled for the
+    // exact count, the full token stream never leaves the scan stage
+    assert(exchangeAt < probeAt,
+      s"cms probe not below the count exchange (probe@$probeAt, exchange@$exchangeAt)")
+  }
+
   test("substring dedup: window keys aggregate map-side; no text rides the wkey shuffle") {
     val df = SparkEntry.queries("dedup_substring")(spark, sf())
     df.collect()
