@@ -34,11 +34,20 @@ object Materialize {
   /** Drop a staged frame that has been SUPERSEDED (iterative loops stage a
     * new state frame per round — without this the reliable path accumulates
     * DISK_ONLY_2 blocks across rounds and repeated calls, ADVICE r3).
-    * Only acts on the persist path: a localCheckpoint frame's lineage is
-    * truncated, so unpersisting it would make the data unrecoverable if the
-    * frame is ever re-read; its blocks are instead reclaimed by the
-    * ContextCleaner when the RDD is garbage-collected.
+    *
+    * Unconditional: `Dataset.unpersist` goes through the CacheManager, and a
+    * localCheckpoint frame's blocks live only at the RDD layer (never
+    * registered with the CacheManager), so on the local path this is a
+    * harmless no-op — the checkpointed blocks stay put and are reclaimed by
+    * the ContextCleaner on GC. Re-reading `spark.graft.reliableMaterialize`
+    * here instead would silently skip the unpersist if the conf flipped
+    * between stage() and release() (ADVICE r4).
+    *
+    * Caller contract: pass the EXACT frame returned by [[stage]] — unpersist
+    * is non-cascading and only removes cache entries whose plan is
+    * `sameResult` with the frame given, so a projection over the staged
+    * frame (e.g. `staged.drop(...)`) never matches (ADVICE r4).
     */
   def release(df: DataFrame): Unit =
-    if (reliable(df)) df.unpersist(blocking = false)
+    df.unpersist(blocking = false)
 }

@@ -372,9 +372,14 @@ object Dedup {
         graft.engine.Materialize.release(edgesAll) // superseded by the coalesced copy
         e
       } else edgesAll
-    var labels = stage(sized(
+    // `staged` always holds the frame exactly as stage() returned it —
+    // release() must see that plan, not a projection of it (unpersist is
+    // non-cascading, ADVICE r4), so the `drop("chg")` view lives in
+    // `labels` while `staged` is what gets released next round.
+    var staged = stage(sized(
       edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))))
+    var labels = staged
     // Min-label propagation converges in diameter-many rounds; near-dup
     // components are shallow so 2–4 is typical. The cap only guards a
     // pathological graph, and on hitting it we FAIL rather than silently
@@ -391,9 +396,10 @@ object Dedup {
             (col("nbr") < col("label")).cast("int").as("chg"))))
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       // next is eagerly staged (and just consumed by the count above), so
-      // the previous round's labels frame is dead — release its blocks
-      // before they accumulate across rounds (ADVICE r3)
-      graft.engine.Materialize.release(labels)
+      // the previous round's staged frame is dead — release its blocks
+      // before they accumulate across rounds (ADVICE r3/r4)
+      graft.engine.Materialize.release(staged)
+      staged = next
       labels = next.drop("chg")
       round += 1
     }

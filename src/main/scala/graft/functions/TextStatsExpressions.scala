@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, EvalMode, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,26 +40,48 @@ object TextStatsUtil {
     cnt
   }
 
+  /** Eval modes for [[sumStrLen]], mirroring the `Add` the fold replaces. */
+  final val ModeLegacy = 0
+  final val ModeAnsi = 1
+  final val ModeTry = 2
+
   /** Σ length(x) over the array — the fused form of
     * `aggregate(arr, 0, (acc, x) -> acc + length(x))` (length = numChars,
     * matching Spark's `length` on strings). A null ELEMENT poisons the
     * fold exactly like the HOF form (`acc + length(null)` is null, and
-    * null propagates through every later step): returns the −1 sentinel,
-    * which [[SumStrLen]] maps to SQL NULL. −1 is unreachable otherwise —
-    * the sum of non-negative lengths — so the sentinel is unambiguous
-    * (ADVICE r3: the rewrite must be semantics-preserving for
-    * containsNull arrays, not just null-free ones).
+    * null propagates through every later step): returns the
+    * `Long.MinValue` sentinel, which [[SumStrLen]] maps to SQL NULL. The
+    * accumulator is the same Int the HOF's `Add` uses, stepped per
+    * `mode` — LEGACY wraps (an Int sum of ~2³¹ chars goes negative,
+    * exactly like the interpreted fold; ADVICE r4: the old −1 sentinel
+    * collided with a wrapped total of exactly −1), ANSI throws Spark's
+    * arithmetic-overflow error on the overflowing step via
+    * `MathUtils.addExact`, TRY nulls the fold from the overflowing step
+    * on (null then propagates, so the whole result is NULL → sentinel).
+    * The sentinel itself is unreachable: a fold of Int-typed steps can
+    * never produce a value outside Int range, so no genuine total —
+    * wrapped or not — equals `Long.MinValue`.
     */
-  def sumStrLen(arr: ArrayData): Int = {
+  def sumStrLen(arr: ArrayData, mode: Int): Long = {
     val n = arr.numElements()
     var acc = 0
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return -1
-      acc += arr.getUTF8String(i).numChars()
+      if (arr.isNullAt(i)) return java.lang.Long.MIN_VALUE
+      val len = arr.getUTF8String(i).numChars()
+      mode match {
+        case ModeAnsi =>
+          acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc, len)
+        case ModeTry =>
+          val s = acc.toLong + len
+          if (s != s.toInt) return java.lang.Long.MIN_VALUE
+          acc = s.toInt
+        case _ =>
+          acc = acc + len // deliberate Int wraparound, = LEGACY Add
+      }
       i += 1
     }
-    acc
+    acc.toLong
   }
 
   /** 31-ary polynomial rolling hash mod 1e9+7 over the characters — the
@@ -138,8 +161,21 @@ case class CountInSet(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** sum_strlen(arr): total character count over an array<string>. */
-case class SumStrLen(child: Expression) extends UnaryExpression {
+/** sum_strlen(arr): total character count over an array<string>.
+  *
+  * `evalMode` mirrors the `Add` of the HOF fold this expression fuses
+  * ([[graft.plans.NativeTextRewriteRule]] copies the matched Add's mode;
+  * the SQL-registered form takes the session default like any `+`):
+  * LEGACY wraps the Int accumulator, ANSI throws Spark's
+  * arithmetic-overflow error, TRY yields NULL from the overflowing step
+  * on. Null element → NULL in every mode (fold poisoning), signalled by
+  * the out-of-band `Long.MinValue` sentinel (ADVICE r4 — the old −1
+  * sentinel was reachable as a genuinely wrapped total).
+  */
+case class SumStrLen(
+    child: Expression,
+    evalMode: EvalMode.Value = EvalMode.fromSQLConf(SQLConf.get))
+  extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -147,22 +183,32 @@ case class SumStrLen(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
-  // Null child → null (nullIntolerant), AND null element → null (the
-  // aggregate() fold-poisoning semantics, via the −1 sentinel) — so the
-  // NativeTextRewriteRule rewrite is exact for containsNull arrays too.
+  // Null child → null (nullIntolerant), null element → null, and TRY-mode
+  // overflow → null — so the NativeTextRewriteRule rewrite is exact for
+  // containsNull arrays too.
   override def nullable: Boolean = true
   override def prettyName: String = "sum_strlen"
 
+  private def modeInt: Int = evalMode match {
+    case EvalMode.ANSI => TextStatsUtil.ModeAnsi
+    case EvalMode.TRY => TextStatsUtil.ModeTry
+    case _ => TextStatsUtil.ModeLegacy
+  }
+
   override def nullSafeEval(input: Any): Any = {
-    val s = TextStatsUtil.sumStrLen(input.asInstanceOf[ArrayData])
-    if (s == -1) null else s
+    val s = TextStatsUtil.sumStrLen(input.asInstanceOf[ArrayData], modeInt)
+    if (s == java.lang.Long.MIN_VALUE) null else s.toInt
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.TextStatsUtil.sumStrLen($c);
-      if (${ev.value} == -1) { ${ev.isNull} = true; ${ev.value} = 0; }
-    """)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sumStrLen")
+      s"""
+      long $tmp = graft.functions.TextStatsUtil.sumStrLen($c, $modeInt);
+      if ($tmp == Long.MIN_VALUE) { ${ev.isNull} = true; ${ev.value} = 0; }
+      else { ${ev.value} = (int) $tmp; }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SumStrLen =
     copy(child = newChild)

@@ -54,14 +54,17 @@ object NativeTextRewriteRule extends Rule[LogicalPlan] {
         CountInSet(arr, set)
 
       // aggregate(arr, 0, (acc, x) -> acc + length(x))  [identity finish]
+      // The Add's eval mode travels with the rewrite (ADVICE r4): LEGACY
+      // wraps, ANSI throws on the overflowing step, TRY nulls — SumStrLen
+      // reproduces whichever the fold would have done.
       case agg @ ArrayAggregate(arr,
           Literal(0, IntegerType),
-          LambdaFunction(Add(accRef: NamedLambdaVariable, Length(xRef: NamedLambdaVariable), _),
+          LambdaFunction(Add(accRef: NamedLambdaVariable, Length(xRef: NamedLambdaVariable), mode),
             Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _),
           LambdaFunction(finRef: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
           if accRef.exprId == acc.exprId && xRef.exprId == x.exprId &&
             finRef.exprId == fin.exprId && strArray(arr) =>
-        SumStrLen(arr)
+        SumStrLen(arr, mode.evalMode)
     }
 
   /** Idempotently attach to a live session via experimental methods. */

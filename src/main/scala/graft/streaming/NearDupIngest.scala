@@ -42,8 +42,11 @@ import graft.ext.Dedup
   * executor memory, so a restart resumes from the checkpoint + index.
   * Delivery is foreachBatch's usual at-least-once: a replayed batch
   * re-derives the same survivor set (self-collisions are excluded from
-  * the index join), but output/index appends can duplicate rows — dedupe
-  * downstream on doc_id or swap in a transactional sink.
+  * the index join), and the INDEX appends are idempotent — each store
+  * appends only doc_ids it doesn't already hold (ADVICE r4), so the
+  * once-per-doc invariant survives replay. The OUTPUT parquet append can
+  * still duplicate a replayed batch — dedupe downstream on doc_id or
+  * swap in a transactional sink.
   */
 object NearDupIngest {
 
@@ -102,14 +105,31 @@ object NearDupIngest {
     // normalized index append: 32 narrow band rows per survivor, the
     // ~2 KB shingle set exactly once per survivor. Sigs land FIRST: a
     // crash between the writes then leaves the doc wholly invisible to
-    // the index (an orphan sig, repaired by the foreachBatch replay)
-    // rather than band rows whose verification join finds no signature.
-    sigB.join(dups, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("ss"), col("sz"))
-      .write.mode("append").parquet(s"$indexDir/sigs.parquet")
-    bandsB.join(dups, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("band"), col("bkey"))
-      .write.mode("append").parquet(s"$indexDir/bands.parquet")
+    // the index rather than band rows whose verification join finds no
+    // signature. Each store append anti-joins against the doc_ids that
+    // store ALREADY holds (ADVICE r4): foreachBatch replay is
+    // at-least-once, and a replayed survivor would otherwise append its
+    // sig/band rows again, breaking the once-per-doc invariant. The check
+    // is per store — the crash orphan above is exactly a doc present in
+    // sigs but not bands, and its replay must still append the band rows
+    // (filtering bands by the SIG store would orphan it permanently).
+    // The id scan reads one pruned column; the filtered frame is staged
+    // so the store read completes before the append touches the path.
+    def appendNew(rows: DataFrame, store: String): Unit = {
+      val path = s"$indexDir/$store"
+      val fresh =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, store)))
+          rows.join(spark.read.parquet(path).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+        else rows
+      val staged = graft.engine.Materialize.stage(fresh)
+      staged.write.mode("append").parquet(path)
+      graft.engine.Materialize.release(staged)
+    }
+    appendNew(sigB.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("ss"), col("sz")), "sigs.parquet")
+    appendNew(bandsB.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band"), col("bkey")), "bands.parquet")
     val seen = java.nio.file.Paths.get(indexDir, "_SEEN")
     if (!java.nio.file.Files.exists(seen)) java.nio.file.Files.createFile(seen)
     survivors

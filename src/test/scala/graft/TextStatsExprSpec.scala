@@ -81,6 +81,27 @@ class TextStatsExprSpec extends SparkSpecBase {
     assert(diff.count() == 0)
   }
 
+  test("sum_strlen overflow reproduces the fold's per-mode Add semantics") {
+    // ~2³¹ total chars without 2 GB of data: one 1 MiB string, 2048 refs
+    // to it (ADVICE r4 — the old −1 sentinel collided with a LEGACY
+    // total that wraps to exactly −1; Long.MinValue is out of Int-fold
+    // range, hence unreachable).
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val mb = UTF8String.fromString("a" * (1 << 20))
+    val arr = new GenericArrayData(Array.fill[Any](2048)(mb)) // 2^31 chars
+    val legacy = graft.functions.TextStatsUtil.sumStrLen(arr, graft.functions.TextStatsUtil.ModeLegacy)
+    assert(legacy == Int.MinValue.toLong) // wrapped, NOT the null sentinel
+    assert(intercept[ArithmeticException] {
+      graft.functions.TextStatsUtil.sumStrLen(arr, graft.functions.TextStatsUtil.ModeAnsi)
+    } != null)
+    assert(graft.functions.TextStatsUtil.sumStrLen(arr, graft.functions.TextStatsUtil.ModeTry)
+      == java.lang.Long.MIN_VALUE) // TRY overflow → null, same sentinel as null element
+    val nullElem = new GenericArrayData(Array[Any](mb, null))
+    assert(graft.functions.TextStatsUtil.sumStrLen(nullElem, graft.functions.TextStatsUtil.ModeLegacy)
+      == java.lang.Long.MIN_VALUE) // null element → sentinel in every mode
+  }
+
   test("null input yields null; non-foldable set fails analysis") {
     GraftExtensions.register(spark)
     import spark.implicits._
