@@ -51,12 +51,27 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = names.map { n =>
+      val t = runOnce(n)
+      println(f"[bench] $n $t%.3f") // per-query detail, one line each
+      n -> t
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val blowupField = blowup.map(n => s""","blowup":$n""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$blowupField}""")
+    // Full per-query map → file (the driver's stdout capture keeps only the
+    // final ~2000 chars, which a 90-query map overflows — rounds 1–4 all
+    // came back parsed:null). The ONE stdout JSON line stays under the
+    // buffer by carrying the total + the slowest-25 subset; the complete
+    // map is in the detail lines above and in the file.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(results)},"sf":"$sfDir"$blowupField}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(slowest)},"detail":"$outPath","sf":"$sfDir"$blowupField}""")
     spark.stop()
   }
 }
