@@ -1321,8 +1321,43 @@ object Core {
       |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
       |GROUP BY m ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Co-located fact-fact join over BUCKETED tables
+    * ([[graft.engine.Bucketing]]): orders and lineitem are hash-bucketed
+    * and sorted on the order key at write time, so the join zips bucket i
+    * with bucket i — a SortMergeJoin with no Exchange and no Sort on
+    * either side — and the per-order aggregate reuses the same bucket
+    * partitioning (o_orderkey ⊆ grouping keys ⇒ ClusteredDistribution
+    * already satisfied), so the ONLY shuffle in the whole query is the
+    * final ORDER BY. Pinned in PlanSpec. At 100 TB this converts the
+    * dominant network cost of a repeated fact join into a local merge;
+    * the once-off bucketed write (included in this query's cost) is the
+    * price, amortized across every downstream join on the same key.
+    * Results are layout-independent — the oracle is the plain join.
+    */
+  def q53BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (oTab, lTab) = graft.engine.Bucketing.ensure(spark, dir)
+    val o = spark.table(oTab)
+    val l = spark.table(lTab)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .filter(col("n_items") >= 5)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q53Sql: String =
+    s"""SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
+      |  ${dsumSql("l_extendedprice")} AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderpriority
+      |HAVING COUNT(*) >= 5
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_bucketed_join" -> (q53BucketedJoin _),
     "q50_lateral" -> (q50Lateral _),
     "q51_unpivot" -> (q51Unpivot _),
     "q52_recursive_cte" -> (q52RecursiveCte _),
@@ -1427,5 +1462,6 @@ object Core {
     "q49_listagg" -> q49Sql,
     "q50_lateral" -> q50Sql,
     "q51_unpivot" -> q51Sql,
-    "q52_recursive_cte" -> q52Sql)
+    "q52_recursive_cte" -> q52Sql,
+    "q53_bucketed_join" -> q53Sql)
 }

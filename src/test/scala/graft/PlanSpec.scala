@@ -63,6 +63,34 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_topk_by") || p.contains("topk_by"), p.take(800))
   }
 
+  test("q53: bucketed join + bucket-key aggregate shuffle only for the order-by") {
+    // Broadcast would hide the point at fixture scale (the small side fits
+    // the 10 MB threshold), so force the SMJ path; AQE off so the plan
+    // string is the static one. At 100 TB the planner picks SMJ unaided.
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q53_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      // bucketed scans feed the join pre-partitioned AND pre-sorted: the
+      // only Exchange in the whole plan is the final ORDER BY's range
+      // partitioning; the join itself has no Exchange and no Sort above
+      // the scans, and the per-order aggregate reuses the bucket layout.
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"expected 1 exchange (order-by), got $exchanges\n${p.take(1500)}")
+      assert(p.contains("rangepartitioning"), p.take(800))
+      assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+      // selected bucketed scan shows the bucket count
+      assert(p.contains("SelectedBucketsCount: 8 out of 8"), p.take(1500))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q29: correlated EXISTS / NOT EXISTS decorrelate to semi/anti joins") {
     val p = plan("q29_exists")
     assert(p.contains("LeftSemi"), p.take(800))
