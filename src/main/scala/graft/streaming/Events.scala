@@ -378,15 +378,62 @@ object Events {
       |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------- gap filling
+  /** Forward/backward fill over per-user event series — the telemetry
+    * gap-repair pass (sensor dropouts, sparse measurements) run before
+    * feature extraction. A deterministic third of the readings is nulled
+    * (event_id % 3, standing in for missing measurements), then each null
+    * takes the nearest non-null value looking back (ffill) and forward
+    * (bfill) within its user's timeline: `last/first(_, ignoreNulls)`
+    * over running row frames.
+    *
+    * Scale: one shuffle on user_id (the window partition key), then two
+    * frame passes over each partition — no self-join, no state beyond the
+    * frame cursor; Spark's window operator spills, so unbounded frames
+    * survive million-event users. Timestamps truncate to milliseconds for
+    * the cross-engine compare (source is ns, Spark reads µs).
+    */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame =
+    forwardFillOn(events(spark, dir))
+
+  def forwardFillOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("v",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"),
+        date_trunc("millisecond", col("ts")).as("ts_ms"),
+        last(col("v"), ignoreNulls = true).over(back).as("ffill"),
+        first(col("v"), ignoreNulls = true).over(fwd).as("bfill"))
+      .orderBy(col("event_id"))
+  }
+
+  val forwardFillSql: String =
+    """WITH v AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS ts_ms,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+      |FROM v ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
+    "events_forward_fill" -> (forwardFill _),
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,
+    "events_forward_fill" -> forwardFillSql,
     "events_funnel" -> funnelSql)
 }
