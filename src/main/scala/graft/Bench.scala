@@ -56,7 +56,10 @@ object Bench {
       println(f"[bench] $n $t%.3f") // per-query detail, one line each
       n -> t
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under e.g. de_DE writes "0,123" and breaks the driver's JSON parse.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

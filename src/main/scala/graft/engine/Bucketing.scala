@@ -40,11 +40,16 @@ object Bucketing {
     * (dir, nBuckets) so sf0.01 and sf0.1 runs don't collide.
     */
   def ensure(spark: SparkSession, dir: String, nBuckets: Int = 8): (String, String) = {
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$nBuckets").toLong & 0xFFFFFFFFL)
+    // 64-bit key tag so distinct (dir, nBuckets) pairs collide with
+    // ~2^-64 probability, under a pid-scoped root so concurrent JVMs
+    // (a bench and a verify run on the same machine) never race on
+    // overwriting one another's files, with shutdown cleanup — bucketed
+    // twins are a per-process materialization, not a shared cache
+    // (ADVICE r5).
+    val tag = WorkDirs.tag64(s"$dir|$nBuckets")
     val oName = s"graft_orders_b$tag"
     val lName = s"graft_lineitem_b$tag"
-    val base = s"/tmp/graft_bucketed_$tag"
+    val base = s"${WorkDirs.processScoped("graft_bucketed")}/$tag"
 
     def mat(name: String, table: String, key: String): Unit =
       if (!spark.catalog.tableExists(name)) {

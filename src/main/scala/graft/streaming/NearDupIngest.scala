@@ -50,18 +50,37 @@ import graft.ext.Dedup
   */
 object NearDupIngest {
 
+  /** Hadoop FS handle for `indexDir` — java.nio only sees the local
+    * filesystem, but an index dir may be hdfs:///s3a:// at scale.
+    */
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   /** Batch-side core, exposed for tests and for non-streaming backfills:
     * dedup `batch` against the index at `indexDir` (created on first
     * use), append survivors' signatures, return the surviving documents.
+    *
+    * `batchId` (present on the streaming path — foreachBatch hands it in)
+    * selects the idempotence strategy for the index appends: with an id,
+    * each store is partitioned by `ingest_batch` and a replayed batch
+    * OVERWRITES its own partition — exactly-once index state with zero
+    * reads of the existing store. Without an id (ad-hoc backfill), the
+    * append falls back to anti-joining the store's pruned doc_id column,
+    * which is correct but costs O(index) per call — fine for a one-off
+    * backfill, wrong for a per-batch loop (ADVICE r5).
     */
-  def processBatch(batch: DataFrame, indexDir: String, tau: Double = 0.5): DataFrame = {
+  def processBatch(batch: DataFrame, indexDir: String, tau: Double = 0.5,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val (sig, bands) = Dedup.bandedSignatures(batch)
     val sigB = graft.engine.Materialize.stage(
       sig.select(col("doc_id"), col("ss"), col("sz")))
     val bandsB = graft.engine.Materialize.stage(bands)
 
-    val seeded = java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_SEEN"))
+    val (fs, idxPath) = fsFor(spark, indexDir)
+    val seeded = fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_SEEN"))
 
     // candidate pairs: (new doc, kept doc) from index collisions, plus
     // (later doc, earlier doc) within the batch — both id-only; the kept
@@ -106,32 +125,38 @@ object NearDupIngest {
     // ~2 KB shingle set exactly once per survivor. Sigs land FIRST: a
     // crash between the writes then leaves the doc wholly invisible to
     // the index rather than band rows whose verification join finds no
-    // signature. Each store append anti-joins against the doc_ids that
-    // store ALREADY holds (ADVICE r4): foreachBatch replay is
-    // at-least-once, and a replayed survivor would otherwise append its
-    // sig/band rows again, breaking the once-per-doc invariant. The check
-    // is per store — the crash orphan above is exactly a doc present in
-    // sigs but not bands, and its replay must still append the band rows
-    // (filtering bands by the SIG store would orphan it permanently).
-    // The id scan reads one pruned column; the filtered frame is staged
-    // so the store read completes before the append touches the path.
-    def appendNew(rows: DataFrame, store: String): Unit = {
+    // signature (the replayed batch re-lands both).
+    //
+    // Idempotence under foreachBatch's at-least-once replay: with a
+    // batchId the store is laid out as <store>/ingest_batch=<id>/ and the
+    // replay OVERWRITES its own partition — the once-per-doc invariant
+    // holds with no read of the existing index (the r4 anti-join read the
+    // whole doc_id column per batch, O(total index) and growing; ADVICE
+    // r5). Readers of the parent path see all partitions unioned, and the
+    // verification join's (band, bkey) keys are unaffected by the extra
+    // partition column (reads select explicit columns).
+    def appendStore(rows: DataFrame, store: String): Unit = {
       val path = s"$indexDir/$store"
-      val fresh =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, store)))
-          rows.join(spark.read.parquet(path).select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
-        else rows
-      val staged = graft.engine.Materialize.stage(fresh)
-      staged.write.mode("append").parquet(path)
-      graft.engine.Materialize.release(staged)
+      batchId match {
+        case Some(id) =>
+          rows.write.mode("overwrite").parquet(s"$path/ingest_batch=$id")
+        case None =>
+          val fresh =
+            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+              rows.join(spark.read.parquet(path).select("doc_id").distinct(),
+                Seq("doc_id"), "left_anti")
+            else rows
+          val staged = graft.engine.Materialize.stage(fresh)
+          staged.write.mode("append").parquet(path)
+          graft.engine.Materialize.release(staged)
+      }
     }
-    appendNew(sigB.join(dups, Seq("doc_id"), "left_anti")
+    appendStore(sigB.join(dups, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("ss"), col("sz")), "sigs.parquet")
-    appendNew(bandsB.join(dups, Seq("doc_id"), "left_anti")
+    appendStore(bandsB.join(dups, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("band"), col("bkey")), "bands.parquet")
-    val seen = java.nio.file.Paths.get(indexDir, "_SEEN")
-    if (!java.nio.file.Files.exists(seen)) java.nio.file.Files.createFile(seen)
+    val seen = new org.apache.hadoop.fs.Path(idxPath, "_SEEN")
+    if (!fs.exists(seen)) fs.create(seen, true).close()
     survivors
   }
 
@@ -144,8 +169,8 @@ object NearDupIngest {
     spark.readStream.schema(schema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processBatch(batch.toDF(), indexDir, tau)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), indexDir, tau, Some(batchId))
           .write.mode("append").parquet(outDir)
         ()
       }

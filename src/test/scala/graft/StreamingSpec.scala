@@ -248,12 +248,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(kept == batchKept, s"stream $kept vs batch $batchKept")
 
     // normalized index layout (ADVICE r3): band rows are NARROW keys only,
-    // and the ~2 KB shingle set is stored exactly once per surviving doc
+    // and the ~2 KB shingle set is stored exactly once per surviving doc.
+    // Since r6 each store is additionally partitioned by ingest_batch —
+    // replay overwrites its own partition (idempotence without reading
+    // the store, ADVICE r5) — so the read surfaces that partition column.
     val bands = spark.read.parquet(s"$idxDir/bands.parquet")
-    assert(bands.schema.fieldNames.sorted.toSeq == Seq("band", "bkey", "doc_id"),
-      bands.schema.treeString)
+    assert(bands.schema.fieldNames.sorted.toSeq ==
+      Seq("band", "bkey", "doc_id", "ingest_batch"), bands.schema.treeString)
     val sigs = spark.read.parquet(s"$idxDir/sigs.parquet")
-    assert(sigs.schema.fieldNames.sorted.toSeq == Seq("doc_id", "sz", "ss").sorted)
+    assert(sigs.schema.fieldNames.sorted.toSeq ==
+      Seq("doc_id", "ingest_batch", "ss", "sz"))
+    // batch partitioning places each doc's index rows in the batch that
+    // accepted it — batch ids are monotone across restarts of a shared
+    // checkpoint, so batch-1 survivors (0, 3) land in ingest_batch=0 and
+    // batch-2's survivor (4) in ingest_batch=1, not overwriting partition 0
+    val byBatch = sigs.groupBy("ingest_batch").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBatch == Map(0 -> 2L, 1 -> 1L), byBatch.toString)
     val sigCounts = sigs.groupBy("doc_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigCounts.keySet == kept, s"sig store: ${sigCounts.keySet} vs kept $kept")
