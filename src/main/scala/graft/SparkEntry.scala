@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.Core
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Formats
 import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +17,9 @@ import graft.streaming.Events
   *  - graft.ext.TextOps       — token/quality stats, lang-ID, fingerprints;
   *  - graft.ext.Multimodal    — binary media columns with stubbed decode;
   *  - graft.streaming.Events  — windowed/sliding/session aggregations
-  *    (batch forms; streaming twins live beside them).
+  *    (batch forms; streaming twins live beside them);
+  *  - graft.sources.Formats   — JSONL round-trip, hive-partitioned and
+  *    range-sorted parquet layouts with pruned read-back.
   */
 object SparkEntry {
 
@@ -30,7 +33,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
-      Multimodal.queries ++ Events.queries
+      Multimodal.queries ++ Events.queries ++ Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely approximate ops
@@ -40,5 +43,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
-      Multimodal.oracles ++ Events.oracles
+      Multimodal.oracles ++ Events.oracles ++ Formats.oracles
 }

@@ -347,6 +347,62 @@ object Similarity {
   def cosineNearDupWide(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupOn(emb(spark, dir), tau = 0.4, nBands = 16, bandBits = 8)
 
+  // ---------------------------------------------------------- kNN graph
+  /** Corpus-wide k-nearest-neighbor graph (k = 3): for EVERY vector, its
+    * top-k neighbors among the banded sign-LSH candidates — the graph
+    * primitive under semantic clustering, diversity analysis, and
+    * graph-based dedup (SemDeDup keeps min-id per component; a kNN graph
+    * keeps the structure). Differs from [[annLsh]] in shape: there the
+    * 10-vector query side broadcasts; here BOTH sides are the corpus, so
+    * the band key is the (co-partitioned) join key, candidates travel as
+    * bare id pairs, and the per-vector top-k runs as the `topk_by`
+    * bounded-heap aggregate — map-side partial top-k, so the final
+    * shuffle carries at most k pairs per (partition, vector), not the
+    * full candidate set. Deterministic (fixed hyperplanes) → exact
+    * oracle via the same replayed-weight CTE as [[annLshSql]].
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphOn(emb(spark, dir), k = 3, nBands = 16, bandBits = 4)
+
+  def knnGraphOn(e: DataFrame, k: Int, nBands: Int, bandBits: Int): DataFrame = {
+    val bd = banded(e, nBands, bandBits)
+    val a = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
+    val b = bd.select(col("vec_id").as("vb"), col("band").as("bband"),
+      col("band_key").as("bkey"))
+    // id-only candidates (both directions: the graph is asymmetric —
+    // b ∈ knn(a) does not imply a ∈ knn(b))
+    val cand = a.join(b,
+        col("band") === col("bband") && col("band_key") === col("bkey") &&
+          col("va") =!= col("vb"))
+      .select(col("va"), col("vb"))
+      .dropDuplicates("va", "vb")
+    val ea = e.select(col("vec_id").as("va"), col("embedding").as("qe"))
+    val eb = e.select(col("vec_id").as("vb"), col("embedding").as("ce"))
+    cand.join(ea, "va").join(eb, "vb")
+      .withColumn("cos", cosine(e))
+      .groupBy(col("va"))
+      .agg(expr(s"topk_by(cos, vb, $k)").as("top"))
+      .select(col("va"), posexplode(col("top")).as(Seq("pos", "x")))
+      .select(col("va").as("vec_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("x.id").as("neighbor_id"), round(col("x.ord"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH ${lshBandsCte(16, 4)},
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+      |  WHERE x.vec_id <> y.vec_id),
+      |scored AS (
+      |  SELECT cand.va, cand.vb, $cosExprSql AS cos
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+      |            JOIN embeddings b ON b.vec_id = cand.vb),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rk
+      |       FROM scored)
+      |SELECT va AS vec_id, rk, vb AS neighbor_id, round(cos, 6) AS cos_sim
+      |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
+
   // ------------------------------------------------- semantic keep-list
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: drop all
     * but one of each group of embedding-near-duplicates): the banded
@@ -403,7 +459,8 @@ object Similarity {
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_cosine_neardup" -> (cosineNearDup _),
-    "sim_cosine_neardup_wide" -> (cosineNearDupWide _))
+    "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
+    "sim_knn_graph" -> (knnGraph _))
 
   val oracles: Map[String, String] = Map(
     "sim_dedup_keep" -> semanticDedupSql,
@@ -411,5 +468,6 @@ object Similarity {
     "sim_quantize_i8" -> quantizeI8Sql,
     "sim_ann_lsh" -> annLshSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
-    "sim_cosine_neardup_wide" -> cosineNearDupWideSql)
+    "sim_cosine_neardup_wide" -> cosineNearDupWideSql,
+    "sim_knn_graph" -> knnGraphSql)
 }

@@ -70,6 +70,64 @@ object TextOps {
       |  CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'sum') AS DOUBLE) / len(w) AS mean_tok_len
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- quality scorer
+  /** Linear quality classifier: a fastText-style scorer with FIXED,
+    * interpretable weights over the [[stats]] features (token count,
+    * type-token ratio, stopword ratio, mean token length) — the shape of
+    * the model-based quality stage every large corpus pipeline runs
+    * after the rule-based one ([[qualityFilter]]). The score stays a
+    * LOGIT (w·x + b, threshold at 0): skipping the sigmoid keeps the
+    * arithmetic a fixed left-to-right double fold that DuckDB reproduces
+    * bit-for-bit, where exp() would differ in the last ulp across
+    * engines. Pure scan-side projection — zero shuffles; weights would
+    * come from a trained model file in production, broadcast as
+    * literals exactly as here.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOn(docs(spark, dir))
+
+  def qualityScoreOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("double"))
+      .withColumn("ttr",
+        size(array_distinct(col("w"))).cast("double") / size(col("w")))
+      .withColumn("stop_ratio",
+        expr("count_in_set(w, array('the','a','of','and','to'))").cast("double")
+          / size(col("w")))
+      .withColumn("mean_tok_len",
+        expr("sum_strlen(w)").cast("double") / size(col("w")))
+      .withColumn("logit",
+        lit(-2.5) + col("n_tokens") * lit(0.01) + col("ttr") * lit(1.5) +
+          col("stop_ratio") * lit(6.0) + col("mean_tok_len") * lit(0.08))
+      .select(col("doc_id"), round(col("logit"), 6).as("quality_logit"),
+        (col("logit") > 0.0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+      |        x -> CAST(length(x) AS INT)), 'sum') AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_tok_len
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    -2.5 + n_tokens * 0.01 + ttr * 1.5 + stop_ratio * 6.0
+      |      + mean_tok_len * 0.08 AS logit
+      |  FROM f)
+      |SELECT doc_id, round(logit, 6) AS quality_logit,
+      |  CAST(logit > 0.0 AS INT) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- langid
   /** Stopword-profile language ID: score each language by occurrences of
     * its function words among the tokens; argmax with a fixed tie-break
@@ -148,20 +206,19 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------- corpus n-grams
-  /** Distinct word bigrams per doc (codegen posexplode + lead, same
-    * pattern as Dedup.shingleHashes but keeping the string for output).
+  /** Distinct word bigrams per doc, computed scan-side by the native
+    * `word_ngrams` expression (dedup happens inside the per-row call).
+    * The r2–r5 form was posexplode + a per-doc `lead` window + a
+    * corpus-wide distinct — the window alone shuffled and sorted the
+    * WHOLE token stream before any consumer could filter, which made
+    * the contamination probes pay ~3.5 s each at sf0.1 for what is an
+    * embarrassingly-parallel per-document computation. Now the first
+    * exchange in every consumer is its own (post-filter) aggregation.
     */
   private def bigrams(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    documents
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), lead("t", 1).over(w)).as("ngram"),
-        lead("t", 1).over(w).as("w1"))
-      .filter(col("w1").isNotNull)
-      .select(col("doc_id"), col("ngram"))
-      .distinct()
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      explode(expr("word_ngrams(text, 2)")).as("ngram"))
   }
 
   /** Top word-bigrams by document frequency — corpus vocabulary /
@@ -687,6 +744,7 @@ object TextOps {
     "text_heavy_hitters" -> (heavyHitters _),
     "text_sample_per_group" -> (samplePerGroup _),
     "text_quality_filter" -> (qualityFilter _),
+    "text_quality_score" -> (qualityScore _),
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
@@ -704,6 +762,7 @@ object TextOps {
     "text_heavy_hitters" -> heavyHittersSql,
     "text_sample_per_group" -> samplePerGroupSql,
     "text_quality_filter" -> qualityFilterSql,
+    "text_quality_score" -> qualityScoreSql,
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,

@@ -112,6 +112,42 @@ object TextHashUtil {
     sig
   }
 
+  /** Distinct space-joined word n-grams, sorted (deterministic output;
+    * order is irrelevant to consumers). Tokenization matches
+    * `split(text, ' ')` limit -1, like [[tokenHashes]], so results agree
+    * with the oracle's string_split. Fewer than n tokens → empty array.
+    *
+    * This is the STRING-shingle sibling of [[shingleHashes]] for
+    * consumers that need the gram text itself (n-gram vocabularies,
+    * contamination probes): one scan-side call replaces the
+    * posexplode + per-doc window + corpus-wide distinct pipeline, whose
+    * token-stream shuffle dominated those queries' cost.
+    */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (n <= 0 || toks.length < n)
+      return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** [[minhashArr]] with a null-element guard, used when the input's
     * ArrayType says containsNull (getLong on a null slot silently reads
     * 0L and would corrupt the signature, ADVICE r2).
@@ -180,6 +216,34 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** word_ngrams(text, n): distinct space-joined word n-grams as
+  * array<string>, computed scan-side in whole-stage codegen.
+  */
+case class WordNgrams(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextHashUtil.wordNgrams(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.TextHashUtil.wordNgrams($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgrams =
+    copy(left = newLeft, right = newRight)
 }
 
 /** minhash_arr(arr): 64 minhash minima of an array<bigint> hash set. */

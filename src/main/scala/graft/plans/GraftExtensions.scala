@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CmsEstimate, CosineSimF32, CountInSet, DotProductF32, MinHashArr, MinHashSigAgg, RollHash31, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, SumStrLen, TopKByAgg}
+import graft.functions.{BloomMightContain, CmsEstimate, CosineSimF32, CountInSet, DotProductF32, MinHashArr, MinHashSigAgg, RollHash31, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, SumStrLen, TopKByAgg, WordNgrams}
 
 /** SparkSessionExtensions injector for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -75,6 +75,10 @@ object GraftExtensions {
       info("bloom_might_contain",
         "bloom_might_contain(filter_bytes, item) - probe a serialized bloom filter literal"),
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
+    (FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(text, n) - distinct space-joined word n-grams as array<string>"),
+      (es: Seq[Expression]) => WordNgrams(es(0), es(1))),
     (FunctionIdentifier("cms_estimate"),
       info("cms_estimate",
         "cms_estimate(sketch_bytes, item) - estimated count from a serialized count-min sketch literal"),
