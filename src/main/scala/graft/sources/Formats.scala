@@ -78,6 +78,31 @@ object Formats {
       |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------- ORC roundtrip
+  /** The same fidelity contract through the ORC sink+source (Spark's
+    * second first-class columnar format — predicate pushdown and column
+    * pruning work the same as parquet). Grouped by source so the check
+    * exercises a different grouping than the JSONL twin.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = out("orc_docs", dir)
+    docs(spark, dir).write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_len"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        max(md5(col("text").cast("binary"))).as("max_md5"))
+      .orderBy(col("source"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+      |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- partitioned layout
   /** Hive-partitioned write + pruned read: documents land under
     * lang=<v>/ directories; the read-back filters two languages and
@@ -138,11 +163,13 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "fmt_orc_roundtrip" -> (orcRoundtrip _),
     "fmt_partitioned_prune" -> (partitionedPrune _),
     "fmt_range_layout" -> (rangeLayout _))
 
   val oracles: Map[String, String] = Map(
     "fmt_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "fmt_orc_roundtrip" -> orcRoundtripSql,
     "fmt_partitioned_prune" -> partitionedPruneSql,
     "fmt_range_layout" -> rangeLayoutSql)
 }

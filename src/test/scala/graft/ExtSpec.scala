@@ -100,6 +100,46 @@ class ExtSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall $recall too low (lsh=${lsh.size}, exact=${exact.size})")
   }
 
+  test("knn graph: contiguous ranks, descending cosine, real recall vs brute force") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val g = Similarity.knnGraphOn(e, k = 3, nBands = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(g.nonEmpty)
+    // per-vector: ranks run 1..m with cosine non-increasing
+    g.groupBy(_._1).foreach { case (v, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq, s"vec $v ranks")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"vec $v cosine not descending")
+    }
+    // graph edges for the first 10 vectors overlap the exact top-3
+    val exact = Similarity.cosineTopKOn(e, nQueries = 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = g.filter(_._1 < 10).map(t => (t._1, t._3)).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"knn-graph recall $recall too low")
+  }
+
+  test("quality score: logit reproduces from the stats features, keep = logit > 0") {
+    val docs = graft.engine.Tables.load(spark, sf(), "documents")
+    val scored = TextOps.qualityScoreOn(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    val feats = TextOps.statsOn(docs).collect()
+    assert(feats.nonEmpty && scored.nonEmpty)
+    feats.foreach { r =>
+      val nTok = r.getInt(2).toDouble
+      val ttr = r.getDouble(4)
+      val stopRatio = r.getDouble(7)
+      val meanTokLen = r.getDouble(8)
+      val logit = -2.5 + nTok * 0.01 + ttr * 1.5 + stopRatio * 6.0 + meanTokLen * 0.08
+      val (gotLogit, gotKeep) = scored(r.getLong(0))
+      assert(math.abs(gotLogit - logit) < 1e-6, s"doc ${r.getLong(0)}")
+      assert(gotKeep == (if (logit > 0.0) 1 else 0))
+    }
+  }
+
   test("cosine near-dup (banded LSH + exact verify) is nonempty and precise (ADVICE r1)") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     val got = Similarity.cosineNearDupOn(e, tau = 0.4, nBands = 16, bandBits = 4).collect()

@@ -241,4 +241,37 @@ class PlanSpec extends SparkSpecBase {
     assert(!wkeyExchanges.exists(s => s.contains("text") || s.contains("concat_ws")),
       wkeyExchanges.mkString("\n---\n").take(1500))
   }
+
+  test("partitioned layout: lang filter becomes partition pruning, not a row filter") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    graft.engine.Tables.load(spark, sf(), "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    val p = graft.sources.Formats.partitionedReadback(spark, path)
+      .queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory-level
+    // pruning before any file is opened), not in PushedFilters/Filter
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), p.take(1200))
+    assert(pf.contains("IN (en,fr") || pf.contains("in(lang"), pf)
+  }
+
+  test("contamination probes: no window and no shuffle before the probe filter") {
+    // word_ngrams moved bigram generation scan-side (r6): the only
+    // exchanges left belong to the final orderBy (+ the broadcast of the
+    // tiny probe table); the per-doc token window is gone entirely
+    val df = SparkEntry.queries("text_contamination")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("word_ngrams"), p.take(1500))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 0, s"unexpected hash exchanges ($shuffles):\n${p.take(1500)}")
+  }
+
+  test("knn graph: no cartesian product; topk_by aggregates map-side") {
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // partial + final ObjectHashAggregate pair: each partition keeps at
+    // most k candidates per vector before the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
 }

@@ -1,55 +1,92 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
-/** Source/sink coverage beyond plain parquet reads: partitioned writes
-  * with partition pruning, JSON round-trips, and CSV write/read — the
-  * layouts a 100 TB warehouse actually uses (partition pruning turns a
-  * full scan into a directory listing).
+import graft.engine.Tables
+import graft.sources.Formats
+
+/** Format round-trips (graft.sources.Formats) + the word_ngrams
+  * expression backing the n-gram operators.
   */
 class SourcesSpec extends SparkSpecBase {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
-
-  test("partitioned parquet write + partition-pruned read") {
-    val out = tmpDir("graft_part")
-    val orders = graft.engine.Tables.load(spark, sf(), "orders")
-    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-
-    val back = spark.read.parquet(out)
-    assert(back.count() == orders.count())
-
-    // a filter on the partition column must prune at planning time, not scan
-    val pruned = back.filter(col("o_orderstatus") === "F")
-    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan.take(500))
-    assert(pruned.count() ==
-      orders.filter(col("o_orderstatus") === "F").count())
+  test("word_ngrams: sorted distinct grams, split-compatible tokenization") {
+    graft.plans.GraftExtensions.register(spark)
+    def g(text: String, n: Int): Seq[String] =
+      spark.sql(s"SELECT word_ngrams('$text', $n) AS g").head().getSeq[String](0)
+    assert(g("a b c", 2) == Seq("a b", "b c"))
+    // repeats dedupe; output is sorted
+    assert(g("a b a b", 2) == Seq("a b", "b a"))
+    assert(g("a b c", 1) == Seq("a", "b", "c"))
+    assert(g("a b c", 3) == Seq("a b c"))
+    // fewer tokens than n → empty
+    assert(g("a", 2) == Seq.empty)
+    // double space yields an empty token, same as split(text, ' ')
+    assert(g("a  b", 2) == Seq(" b", "a "))
   }
 
-  test("JSON sink/source round-trip preserves rows and types survive re-read") {
-    val out = tmpDir("graft_json")
-    val nation = graft.engine.Tables.load(spark, sf(), "nation")
-    nation.write.mode("overwrite").json(out)
-    val back = spark.read.json(out)
-    assert(back.count() == nation.count())
-    // JSON loses static typing (longs come back as longs, ints widen);
-    // values must survive
-    val names = back.select("n_name").collect().map(_.getString(0)).toSet
-    assert(names == nation.select("n_name").collect().map(_.getString(0)).toSet)
+  test("word_ngrams agrees with the explode+window bigram construction") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = Tables.load(spark, sf(), "documents")
+    val viaExpr = docs
+      .select(col("doc_id"), explode(expr("word_ngrams(text, 2)")).as("ngram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val viaWindow = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead("t", 1).over(w)).as("ngram"),
+        lead("t", 1).over(w).as("w1"))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("ngram")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExpr == viaWindow,
+      s"diff: ${(viaExpr diff viaWindow).take(5)} / ${(viaWindow diff viaExpr).take(5)}")
   }
 
-  test("CSV sink/source round-trip through the reference inference rules") {
-    val out = tmpDir("graft_csv")
-    val region = graft.engine.Tables.load(spark, sf(), "region")
-      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
-    region.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
-    val (typed, meta) = graft.catalog.CsvInference.load(spark, out, "region_rt")
-    assert(typed.schema("r_regionkey").dataType.simpleString == "bigint")
-    assert(typed.schema("r_name").dataType.simpleString == "string")
-    assert(meta.rowCount == region.count())
+  test("JSONL and ORC round-trips preserve every byte (md5 extrema match source)") {
+    val dir = sf()
+    val viaJson = Formats.jsonlRoundtrip(spark, dir).collect().toSeq
+    val directLang = Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("sum_len"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        max(md5(col("text").cast("binary"))).as("max_md5"))
+      .orderBy(col("lang")).collect().toSeq
+    assert(viaJson == directLang)
+
+    val viaOrc = Formats.orcRoundtrip(spark, dir).collect().toSeq
+    val directSrc = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("sum_len"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        max(md5(col("text").cast("binary"))).as("max_md5"))
+      .orderBy(col("source")).collect().toSeq
+    assert(viaOrc == directSrc)
+  }
+
+  test("partitioned and range layouts change cost, never results") {
+    val dir = sf()
+    val viaPart = Formats.partitionedPrune(spark, dir).collect().toSeq
+    val directPart = Tables.load(spark, dir, "documents")
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"), col("source")).collect().toSeq
+    assert(viaPart == directPart)
+
+    val viaRange = Formats.rangeLayout(spark, dir).collect().toSeq
+    val directRange = Tables.load(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(viaRange == directRange)
   }
 }
