@@ -46,8 +46,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // one warmup pass on a cheap query to absorb JVM/codegen startup
+    // warmup passes absorb JVM/codegen startup for both pipelines: a
+    // cheap relational query, and one sketch query so the native
+    // text/vector expressions' first Janino compile (~2 s) doesn't land
+    // on whichever dedup query happens to run first alphabetically —
+    // at cluster scale codegen compiles once per executor lifetime, so
+    // steady-state per-query cost is the honest number
     runOnce("q4_topk")
+    runOnce("dedup_minhash_lsh")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

@@ -388,8 +388,18 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
-  val knnGraphSql: String =
-    s"""WITH ${lshBandsCte(16, 4)},
+  /** The wide-band scale form (16 bands × 8 bits): measured at the 10×
+    * blowup, 4-bit band keys put the knn graph on the same N²/2^bits
+    * candidate curve as the round-3 near-dup finding (19.5× wall-clock
+    * at 10× data); 8-bit keys cut bucket occupancy 16× and restore
+    * near-linearity. Same replayed-hyperplane oracle, same recall
+    * trade-off statement as [[cosineNearDupWide]].
+    */
+  def knnGraphWide(spark: SparkSession, dir: String): DataFrame =
+    knnGraphOn(emb(spark, dir), k = 3, nBands = 16, bandBits = 8)
+
+  private def knnGraphSqlFor(nBands: Int, bandBits: Int): String =
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
@@ -402,6 +412,9 @@ object Similarity {
       |       FROM scored)
       |SELECT va AS vec_id, rk, vb AS neighbor_id, round(cos, 6) AS cos_sim
       |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
+
+  val knnGraphSql: String = knnGraphSqlFor(16, 4)
+  val knnGraphWideSql: String = knnGraphSqlFor(16, 8)
 
   // ------------------------------------------------- semantic keep-list
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: drop all
@@ -460,7 +473,8 @@ object Similarity {
     "sim_ann_ivf" -> (annIvf _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
-    "sim_knn_graph" -> (knnGraph _))
+    "sim_knn_graph" -> (knnGraph _),
+    "sim_knn_graph_wide" -> (knnGraphWide _))
 
   val oracles: Map[String, String] = Map(
     "sim_dedup_keep" -> semanticDedupSql,
@@ -469,5 +483,6 @@ object Similarity {
     "sim_ann_lsh" -> annLshSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "sim_cosine_neardup_wide" -> cosineNearDupWideSql,
-    "sim_knn_graph" -> knnGraphSql)
+    "sim_knn_graph" -> knnGraphSql,
+    "sim_knn_graph_wide" -> knnGraphWideSql)
 }

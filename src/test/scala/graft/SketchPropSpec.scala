@@ -85,4 +85,20 @@ object SketchPropSpec extends Properties("Sketches") {
       val w = LshHash.weight(p, d)
       w >= -1.0 && w < 1.0 && w == LshHash.weight(p, d)
     }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.oneOf("the", "a", "fox", "b", "über", ""),
+      Gen.alphaNumStr.map(_.take(5)))).map(_.mkString(" "))
+
+  property("wordNgrams == sorted distinct naive sliding (split-compatible)") =
+    forAll(textGen, Gen.choose(1, 4)) { (text, n) =>
+      val got = graft.functions.TextHashUtil
+        .wordNgrams(org.apache.spark.unsafe.types.UTF8String.fromString(text), n)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString).toList
+      val toks = text.split(" ", -1)
+      val want = toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toList.distinct.sorted
+      gotSeq == want
+    }
 }
