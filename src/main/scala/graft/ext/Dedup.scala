@@ -565,6 +565,118 @@ object Dedup {
   /** Transitive closure of the exact-Jaccard pair graph via recursive
     * CTE; docs without edges cluster to themselves.
     */
+  // --------------------------------------------------- graph centrality
+  /** Canonical-document authority scoring: PageRank over the exact
+    * near-dup pair graph, five power iterations, teleport 0.15. Min-id
+    * canonical selection ([[dedupClusters]]) is arbitrary; the most-
+    * connected member of a near-dup cluster is typically the cleanest /
+    * most-complete copy, and centrality over the pair graph ranks
+    * exactly that — the graph-based refinement of keep-one dedup.
+    *
+    * Everything runs in SCALED FIXED-POINT (BIGINT, scale 10¹²): both
+    * Spark's `div` and DuckDB's `//` truncate identically, so five
+    * rounds of per-edge rank/degree sums are BIT-EXACT cross-engine —
+    * an iterative numeric graph algorithm graded by full hash match
+    * (the oracle unrolls the rounds as CTEs). Floating-point PageRank
+    * could never be: per-group double sums are partition-order-
+    * dependent. Per round: one join + one partial-aggregated groupBy —
+    * the standard Pregel-as-algebra shape; the subgraph sizing and
+    * staging discipline follow [[dedupClustersFrom]].
+    *
+    * Output: (doc_id, rank_fp = rank × 10¹², n_neighbors). Isolated
+    * documents keep the teleport mass. Mass lost to truncation is
+    * deliberately NOT redistributed — identical loss on both engines.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOn(docs(spark, dir))
+
+  def pagerankOn(documents: DataFrame, iters: Int = 5): DataFrame =
+    pagerankFrom(documents,
+      ngramJaccardOn(documents).select(col("doc_a"), col("doc_b")), iters)
+
+  def pagerankFrom(documents: DataFrame, pairs: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val stage = graft.engine.Materialize.stage _
+    val edgesAll = stage(pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val single = edgesAll.count() <= SinglePartitionMaxEdges
+    def sized(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
+    val edges =
+      if (single) {
+        val e = stage(edgesAll.coalesce(1))
+        graft.engine.Materialize.release(edgesAll)
+        e
+      } else edgesAll
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("d"))
+
+    val scale = 1000000000000L
+    val n = documents.select(col("doc_id")).count()
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var rank = stage(sized(
+      documents.select(col("doc_id")).withColumn("r", lit(r0))))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, Seq("doc_a"))
+        .join(rank.select(col("doc_id").as("doc_a"), col("r")), Seq("doc_a"))
+        .select(col("doc_b").as("doc_id"), expr("r div d").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
+      val next = stage(sized(
+        rank.select(col("doc_id"))
+          .join(contrib, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(base) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))))
+      graft.engine.Materialize.release(rank)
+      rank = next
+    }
+    val out = rank
+      .join(deg.select(col("doc_a").as("doc_id"), col("d")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_fp"),
+        coalesce(col("d"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("doc_id"))
+    // the loop's last frame stays staged until the consumer is done; the
+    // edge frame too — both are tiny (subgraph-sized), released with the
+    // session like the clustering forms
+    out
+  }
+
+  /** DuckDB twin of [[pagerankOn]]: the same five rounds unrolled as
+    * CTEs over the same exact-Jaccard edge set, in the same scaled
+    * BIGINT arithmetic (`//` ≡ Spark's `div` on non-negatives).
+    */
+  val pagerankSql: String = {
+    def round(k: Int): String =
+      s"""r$k AS (
+         |  SELECT p.doc_id,
+         |    (SELECT b FROM cons) + COALESCE((85 * c.s) // 100, 0) AS r
+         |  FROM r${k - 1} p LEFT JOIN (
+         |    SELECT e.b AS doc_id, CAST(SUM(rr.r // deg.d) AS BIGINT) AS s
+         |    FROM edges e JOIN r${k - 1} rr ON e.a = rr.doc_id
+         |                 JOIN deg ON e.a = deg.doc_id
+         |    GROUP BY e.b) c USING (doc_id))""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       |       WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |          WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT a AS doc_id, COUNT(*) AS d FROM edges GROUP BY a),
+       |cons AS (SELECT 1000000000000 // COUNT(*) AS r0v,
+       |                (15 * (1000000000000 // COUNT(*))) // 100 AS b
+       |         FROM documents),
+       |r0 AS (SELECT doc_id, (SELECT r0v FROM cons) AS r FROM documents),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT p.doc_id, CAST(p.r AS BIGINT) AS rank_fp,
+       |  CAST(COALESCE(deg.d, 0) AS BIGINT) AS n_neighbors
+       |FROM r5 p LEFT JOIN deg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val dedupClustersSql: String =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -641,6 +753,7 @@ object Dedup {
     "dedup_cluster" -> (dedupClusters _),
     "dedup_cluster_lsh" -> (dedupClustersLshQ _),
     "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
+    "dedup_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _))
 
   val oracles: Map[String, String] = Map(
@@ -653,5 +766,6 @@ object Dedup {
     "dedup_cluster" -> dedupClustersSql,
     "dedup_cluster_lsh" -> dedupClustersSql,
     "dedup_cluster_bigstar" -> dedupClustersSql,
+    "dedup_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql)
 }

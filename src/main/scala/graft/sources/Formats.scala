@@ -161,15 +161,62 @@ object Formats {
       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------- Z-order layout
+  /** Z-order (Morton-curve) layout: interleave the bits of (user bucket,
+    * day index) into one sort key, range-partition + sort the write by
+    * it, and every file gets a tight min/max envelope on BOTH columns —
+    * so a read filtering either (or both) dimensions skips files on
+    * parquet footer stats. Plain sort-by-user clusters user but
+    * scatters time (and vice versa); the space-filling curve is the
+    * standard multi-dimension data-skipping layout (Delta/Iceberg
+    * OPTIMIZE ZORDER — here as ~15 lines of column algebra). The
+    * read-back applies a predicate on each dimension and must match the
+    * canonical table exactly: layout changes cost, never results.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val path = out("zorder_events", dir)
+    // 8-bit dimensions: user_id mod 256, day-of-month index. The bit
+    // interleave is pure codegen'd integer algebra (shiftleft/|).
+    val u = col("user_id") % 256
+    val d = dayofmonth(col("ts")).cast("long") % 256
+    val z = (0 until 8).map(i =>
+      (shiftleft(shiftright(u, i) % 2, 2 * i) +
+        shiftleft(shiftright(d, i) % 2, 2 * i + 1)): Column)
+      .reduce(_ + _)
+    Tables.load(spark, dir, "events")
+      .withColumn("zval", z)
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("user_id") % 256 < 32 &&
+        dayofmonth(col("ts")) >= 10 && dayofmonth(col("ts")) < 20)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val zorderLayoutSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE user_id % 256 < 32
+      |  AND CAST(date_part('day', ts) AS BIGINT) >= 10
+      |  AND CAST(date_part('day', ts) AS BIGINT) < 20
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "fmt_orc_roundtrip" -> (orcRoundtrip _),
     "fmt_partitioned_prune" -> (partitionedPrune _),
-    "fmt_range_layout" -> (rangeLayout _))
+    "fmt_range_layout" -> (rangeLayout _),
+    "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
     "fmt_jsonl_roundtrip" -> jsonlRoundtripSql,
     "fmt_orc_roundtrip" -> orcRoundtripSql,
     "fmt_partitioned_prune" -> partitionedPruneSql,
-    "fmt_range_layout" -> rangeLayoutSql)
+    "fmt_range_layout" -> rangeLayoutSql,
+    "fmt_zorder_layout" -> zorderLayoutSql)
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming decontamination: the stream-static twin of
+  * [[graft.ext.TextOps.contaminationBloom]]. Documents stream in; each
+  * micro-batch drops documents containing any probe n-gram (an
+  * eval-suite decontamination set), survivors land in parquet.
+  *
+  * The probe set is compressed ONCE on the driver into a serialized
+  * BloomFilter that rides into the scan as a binary literal — the same
+  * two-tier shape as the batch operator: `bloom_might_contain` inside
+  * an `exists` over the scan-side `word_ngrams` grams gives a cheap
+  * per-document might-contain verdict with no join and no shuffle, and
+  * only might-contain documents pay the exact `arrays_overlap` against
+  * the literal probe array (no bloom false negatives ⇒ keep-set is
+  * EXACT). At a real 10⁸-entry probe set the exact tier becomes a
+  * broadcast semi-join against the probe table; the bloom tier is
+  * unchanged — that's the part that must stay scan-side at 100 TB.
+  *
+  * Stateless stream (a pure filter): no watermark, no state store;
+  * exactly the operator you compose IN FRONT of the stateful near-dup
+  * ingest ([[NearDupIngest]]) in a production intake.
+  */
+object Decontaminate {
+
+  /** The filter itself, usable on batch or streaming frames alike. */
+  def clean(docs: DataFrame, probes: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    val bloom = probes.toDF("probe").stat.bloomFilter("probe",
+      math.max(probes.size.toLong, 64L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probeArr = array(probes.map(lit): _*)
+    docs.withColumn("g", expr("word_ngrams(text, 2)"))
+      .filter(!(
+        expr(s"exists(g, x -> bloom_might_contain(${hexLit(bytes)}, x))") &&
+          arrays_overlap(col("g"), probeArr)))
+      .drop("g")
+  }
+
+  /** A binary literal in SQL-expression form (X'..'), so the serialized
+    * bloom can appear inside the `exists` lambda text.
+    */
+  private def hexLit(bytes: Array[Byte]): String =
+    "X'" + bytes.map(b => f"$b%02X").mkString + "'"
+
+  def start(spark: SparkSession, docsDir: String, outDir: String,
+      checkpointDir: String, probes: Seq[String]): StreamingQuery = {
+    val schema = spark.read.parquet(docsDir).schema
+    val in = spark.readStream.schema(schema).parquet(docsDir)
+    clean(in, probes)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .format("parquet")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

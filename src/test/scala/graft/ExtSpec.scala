@@ -122,6 +122,32 @@ class ExtSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"knn-graph recall $recall too low")
   }
 
+  test("pagerank: teleport floor, star-center authority, isolated mass") {
+    import spark.implicits._
+    // explicit star graph: 1–2, 1–3, 1–4; 5 isolated (text-derived pair
+    // graphs from shared-base fixtures come out as cliques, so the edge
+    // set is given directly via pagerankFrom — same entry the text form
+    // composes with)
+    val d = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val pr = Dedup.pagerankFrom(d, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pr.size == 5)
+    val scale = 1000000000000L
+    val teleport = (15L * (scale / 5)) / 100L
+    // isolated doc keeps exactly the teleport mass, zero neighbors
+    assert(pr(5L) == ((teleport, 0L)), pr(5L).toString)
+    // every rank at least the teleport floor; total mass bounded by scale
+    assert(pr.values.forall(_._1 >= teleport))
+    assert(pr.values.map(_._1).sum <= scale)
+    // the star center out-ranks every leaf (leaves split their mass to
+    // the center; the center's mass splits three ways back)
+    val (centerRank, centerDeg) = pr(1L)
+    assert(centerDeg == 3, pr.toString)
+    Seq(2L, 3L, 4L).foreach(l => assert(centerRank > pr(l)._1, pr.toString))
+    assert(Seq(2L, 3L, 4L).map(pr(_)._1).distinct.size == 1, pr.toString)
+  }
+
   test("quality score: logit reproduces from the stats features, keep = logit > 0") {
     val docs = graft.engine.Tables.load(spark, sf(), "documents")
     val scored = TextOps.qualityScoreOn(docs)

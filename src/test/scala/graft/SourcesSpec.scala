@@ -78,6 +78,17 @@ class SourcesSpec extends SparkSpecBase {
       .orderBy(col("lang"), col("source")).collect().toSeq
     assert(viaPart == directPart)
 
+    val viaZ = Formats.zorderLayout(spark, dir).collect().toSeq
+    val directZ = Tables.load(spark, dir, "events")
+      .filter(col("user_id") % 256 < 32 &&
+        dayofmonth(col("ts")) >= 10 && dayofmonth(col("ts")) < 20)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(viaZ == directZ)
+
     val viaRange = Formats.rangeLayout(spark, dir).collect().toSeq
     val directRange = Tables.load(spark, dir, "events")
       .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&

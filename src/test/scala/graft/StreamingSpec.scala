@@ -200,6 +200,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exists(_._2.isEmpty))
   }
 
+  test("streaming decontamination: keep-set == batch exact filter (bloom has no false negatives)") {
+    import spark.implicits._
+    import graft.streaming.Decontaminate
+    val probes = Seq("hash join", "query plan")
+    val rows = Seq(
+      (1L, "this text mentions a hash join somewhere inside"),
+      (2L, "a perfectly clean document with no probes at all"),
+      (3L, "the query plan appears here"),
+      (4L, "hash joins are fine when not exact bigram"), // "hash joins" != "hash join"
+      (5L, "another clean one"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_dc_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dc_ck").toString
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(inDir)
+    Decontaminate.start(spark, inDir, outDir, ckpt, probes).awaitTermination(120000)
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), kept.toString)
+    // and the streaming keep-set equals the batch filter on the same frame
+    val batchKept = Decontaminate.clean(rows.toDF("doc_id", "text"), probes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept)
+  }
+
   test("continuous-ingest near-dup filter: cross-batch index dedup == batch semantics") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
