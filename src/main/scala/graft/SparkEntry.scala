@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Core
+import graft.queries.{Core, Warehouse}
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.Formats
 import graft.streaming.Events
@@ -32,8 +32,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
-      Multimodal.queries ++ Events.queries ++ Formats.queries
+    Core.queries ++ Warehouse.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextOps.queries ++ Multimodal.queries ++ Events.queries ++ Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely approximate ops
@@ -42,6 +42,6 @@ object SparkEntry {
     * deterministic is oracle-checked, including simhash.
     */
   def oracleSql: Map[String, String] =
-    Core.oracles ++ Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
-      Multimodal.oracles ++ Events.oracles ++ Formats.oracles
+    Core.oracles ++ Warehouse.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextOps.oracles ++ Multimodal.oracles ++ Events.oracles ++ Formats.oracles
 }

@@ -562,6 +562,84 @@ object Dedup {
       |  CAST(CAST(n_shared AS DOUBLE) / n_windows >= 0.2 AS INT) AS flagged
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- cross-corpus containment
+  /** Cross-corpus near-duplicate detection — decontamination's real
+    * shape at scale: find training documents that near-duplicate an
+    * EVAL corpus document, via a MinHash-LSH band join BETWEEN two
+    * corpora rather than a self-join. The fixture's eval slice is
+    * sources src0–src2 (the held-out benchmark stand-in); train is
+    * everything else.
+    *
+    * Why this is its own operator and not `minhashLsh` with a filter:
+    * the join is ASYMMETRIC. The eval side is tiny (a benchmark, not a
+    * corpus), so at 100 TB its banded signature frame broadcasts —
+    * the train corpus is scanned once, zero shuffle of train data, and
+    * candidates are id pairs only. The self-join form shuffles both
+    * sides on the band key; this form ships the benchmark to the data.
+    * (`text_contamination` probes exact 8-gram membership the same way;
+    * this operator catches REPHRASED leakage at Jaccard ≥ 0.5, which
+    * n-gram membership misses.)
+    *
+    * Verification is the exact Jaccard on the candidates' shingle sets,
+    * so output equals the exhaustive cross-corpus comparison w.h.p.
+    * (banding argument, [[minhashLshOn]]) — and grades against that
+    * exact-oracle SQL.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOn(docs(spark, dir), col("source").isin("src0", "src1", "src2"))
+
+  def decontaminateOn(documents: DataFrame, isEval: Column): DataFrame = {
+    val tagged = documents.withColumn("is_eval", isEval)
+    val (sig, bands) = bandedSignatures(tagged.select(col("doc_id"), col("text")))
+    val side = tagged.select(col("doc_id"), col("is_eval"))
+    val bandsTagged = bands.join(side, "doc_id")
+    val trainB = bandsTagged.filter(!col("is_eval"))
+      .select(col("doc_id").as("train_id"), col("band"), col("bkey"))
+    val evalB = bandsTagged.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("band").as("eband"),
+        col("bkey").as("ekey"))
+    // eval side broadcast: the benchmark is KB-scale next to the corpus
+    val cand = trainB.join(broadcast(evalB),
+        col("band") === col("eband") && col("bkey") === col("ekey"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), col("ss"), col("sz"))
+    cand
+      .join(sets.select(col("doc_id"), col("ss").as("sa"), col("sz").as("za")),
+        col("train_id") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sets.select(col("doc_id"), col("ss").as("sb"), col("sz").as("zb"))
+        .join(evalB.select(col("eval_id")).distinct(),
+          col("doc_id") === col("eval_id"), "left_semi")),
+        col("eval_id") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("za") + col("zb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** Exhaustive cross-corpus exact-Jaccard oracle for [[decontaminate]]:
+    * the same shingle CTE as [[ngramJaccardSql]], restricted to
+    * (train, eval) pairs.
+    */
+  val decontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |ev AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_eval FROM documents),
+      |inter AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS c
+      |          FROM sh a JOIN ev ea ON a.doc_id = ea.doc_id AND NOT ea.is_eval
+      |               JOIN sh b ON a.shingle = b.shingle
+      |               JOIN ev eb ON b.doc_id = eb.doc_id AND eb.is_eval
+      |          GROUP BY 1, 2)
+      |SELECT train_id, eval_id, CAST(c AS DOUBLE)/(x.sz + y.sz - c) AS jaccard
+      |FROM inter JOIN sz x ON train_id = x.doc_id JOIN sz y ON eval_id = y.doc_id
+      |WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)
+      |ORDER BY train_id, eval_id""".stripMargin
+
   /** Transitive closure of the exact-Jaccard pair graph via recursive
     * CTE; docs without edges cluster to themselves.
     */
@@ -754,7 +832,8 @@ object Dedup {
     "dedup_cluster_lsh" -> (dedupClustersLshQ _),
     "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
     "dedup_pagerank" -> (pagerank _),
-    "dedup_substring" -> (substringDedup _))
+    "dedup_substring" -> (substringDedup _),
+    "dedup_decontaminate" -> (decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -767,5 +846,6 @@ object Dedup {
     "dedup_cluster_lsh" -> dedupClustersSql,
     "dedup_cluster_bigstar" -> dedupClustersSql,
     "dedup_pagerank" -> pagerankSql,
-    "dedup_substring" -> substringDedupSql)
+    "dedup_substring" -> substringDedupSql,
+    "dedup_decontaminate" -> decontaminateSql)
 }

@@ -465,6 +465,114 @@ object Similarity {
       |  CAST(vec_id = cluster_id AS INT) AS keep
       |FROM lab JOIN szc USING (cluster_id) ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------- fixed-point vector aggs
+  /** Embeddings in scaled fixed point: vfp[i] = floor(v[i] × 10⁶) as
+    * BIGINT. The float→double widening and the ×10⁶ product are both
+    * exact IEEE operations (24-bit mantissa × 20-bit constant < 53
+    * bits), and floor is unambiguous cross-engine (unlike CAST, which
+    * truncates in Spark but rounds in DuckDB) — so the fixed-point
+    * image is bit-identical in both engines, and every downstream sum
+    * is exact integer arithmetic, immune to partition-order effects.
+    * The same trick as the PageRank fixed point (Dedup.pagerankOn),
+    * applied to vectors.
+    */
+  private val vfpExpr =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))"
+
+  /** Per-label embedding centroids in exact fixed point — the "average
+    * the cluster's vectors" primitive under KMeans maintenance, class
+    * prototypes, and cluster drift monitoring. Output is one row per
+    * (label, dim) with the exact integer sum, count, and truncated-
+    * division centroid. Scale shape: posexplode emits (label, dim, v)
+    * map-side and the aggregate is partial+final — the exchange carries
+    * at most k × 64 partial states per task regardless of corpus size.
+    * Fully hash-match graded (integer arithmetic end to end; Spark
+    * `div` and DuckDB `//` both truncate toward zero).
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    centroidsOn(emb(spark, dir))
+
+  def centroidsOn(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(expr(vfpExpr)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("sum_fp"), count(lit(1)).as("n"))
+      .withColumn("centroid_fp", expr("sum_fp div n"))
+      .orderBy(col("label"), col("dim"))
+
+  val centroidsSql: String =
+    """WITH v AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, CAST(t.i - 1 AS INT) AS dim, vfp[t.i] AS val
+      |  FROM v, UNNEST(generate_series(1, len(vfp))) AS t(i))
+      |SELECT label, dim, CAST(SUM(val) AS BIGINT) AS sum_fp,
+      |  COUNT(*) AS n, CAST(SUM(val) // COUNT(*) AS BIGINT) AS centroid_fp
+      |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  /** One full KMeans assignment iteration as graded relational algebra:
+    * centroids from the current (label-seeded) assignment, then every
+    * vector reassigned to its nearest centroid by squared L2 — all in
+    * exact fixed point, so an ITERATIVE ML training step hash-matches
+    * across engines (the KMeans inside [[annIvf]] is rows-only graded
+    * precisely because float iteration can't be). Distances stay well
+    * inside BIGINT: |diff| ≤ 2×10⁶, squared ≤ 4×10¹², ×64 dims ≤
+    * 2.6×10¹⁴.
+    *
+    * Scale shape: the centroid table is k×dim KBs — broadcast; each
+    * vector computes its k distances scan-side via zip_with/aggregate
+    * folds (array order fixed → deterministic), and the argmin is a
+    * per-vector row_number. One pass over the corpus, no shuffle of
+    * embeddings at all (the centroid aggregate ships k×64 longs).
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    kmeansStepOn(emb(spark, dir))
+
+  def kmeansStepOn(e: DataFrame): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val cent = vfp
+      .select(col("label").as("clabel"), posexplode(col("vfp")).as(Seq("dim", "v")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("carr"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+    vfp.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("old_label"),
+        col("clabel").as("new_label"), col("dist").as("dist_fp"),
+        (col("label") =!= col("clabel")).cast("int").as("moved"))
+      .orderBy(col("vec_id"))
+  }
+
+  val kmeansStepSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, t.i AS dim, vfp[t.i] AS val
+      |  FROM v, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+      |cs AS (SELECT label, dim, SUM(val) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |           list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+      |         FROM cs GROUP BY label),
+      |d AS (
+      |  SELECT v.vec_id, v.label AS old_label, c.clabel,
+      |    CAST(list_aggregate(list_transform(list_zip(v.vfp, c.carr),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+      |  FROM v CROSS JOIN cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM d)
+      |SELECT vec_id, old_label, clabel AS new_label, dist AS dist_fp,
+      |  CAST(old_label <> clabel AS INT) AS moved
+      |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dedup_keep" -> (semanticDedup _),
     "sim_quantize_i8" -> (quantizeI8 _),
@@ -474,7 +582,9 @@ object Similarity {
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
     "sim_knn_graph" -> (knnGraph _),
-    "sim_knn_graph_wide" -> (knnGraphWide _))
+    "sim_knn_graph_wide" -> (knnGraphWide _),
+    "sim_centroids" -> (centroids _),
+    "sim_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
     "sim_dedup_keep" -> semanticDedupSql,
@@ -484,5 +594,7 @@ object Similarity {
     "sim_cosine_neardup" -> cosineNearDupSql,
     "sim_cosine_neardup_wide" -> cosineNearDupWideSql,
     "sim_knn_graph" -> knnGraphSql,
-    "sim_knn_graph_wide" -> knnGraphWideSql)
+    "sim_knn_graph_wide" -> knnGraphWideSql,
+    "sim_centroids" -> centroidsSql,
+    "sim_kmeans_step" -> kmeansStepSql)
 }

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.Tables
+
+/** Warehouse-maintenance surface: the operations a lakehouse team runs
+  * around the analytical queries — data profiling (histogram), batch
+  * MERGE/upsert application, and slowly-changing-dimension history
+  * builds. The reference engine has none of these (it is read-only over
+  * loaded CSV, /root/reference/src/cli/main.cpp); they are part of the
+  * "complete engine" extension surface alongside graft.ext.*.
+  *
+  * Shared determinism contract with [[Core]]: total ORDER BY, decimal
+  * accumulation for double aggregates, identical aliases on both sides.
+  */
+object Warehouse {
+
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def dsumSql(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- q54
+  /** Equi-width histogram profile of o_totalprice: 25 fixed buckets of
+    * 20 000 over [0, 500 000). The profiling pass a warehouse runs to
+    * choose partition bounds / detect drift. One partial+final aggregate
+    * over integer bucket ids — the scan emits a small int per row, the
+    * exchange carries ≤ 25 partial states per task at any data size.
+    * Bucket arithmetic is plain floor division (exact in both engines),
+    * not a two-pass min/max scan: fixed bounds are what you want on a
+    * 100 TB table where a second full pass costs more than the histogram.
+    */
+  def q54Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / lit(20000.0d)), lit(24L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("bucket"), (col("bucket") * 20000L).as("lo"),
+        ((col("bucket") + 1) * 20000L).as("hi"), col("n_orders"), col("sum_price"))
+      .orderBy(col("bucket"))
+
+  val q54Sql: String =
+    s"""SELECT bucket, bucket * 20000 AS lo, (bucket + 1) * 20000 AS hi,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM (SELECT CAST(least(floor(o_totalprice / CAST(20000.0 AS DOUBLE)), 24) AS INT) AS bucket,
+       |             o_totalprice FROM orders)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** MERGE INTO (SCD1 upsert) semantics over plain parquet: apply a
+    * change set of updates, deletes, and inserts to the orders table in
+    * one pass. Spark's MERGE statement needs a v2 transactional table
+    * (Delta/Iceberg); over raw files the same semantics are one
+    * full-outer join on the key + per-row case analysis — which is
+    * exactly what those table formats execute underneath.
+    *
+    * The change set is derived deterministically from the target so the
+    * oracle can rebuild it: keys ≡ 0 (mod 7) get a price bump (update),
+    * keys ≡ 0 (mod 11) not matched by the update rule are deleted, and
+    * keys ≡ 0 (mod 13) re-insert under key + max_key + 1 (insert-only
+    * keys, guaranteed unmatched). Scale: the join shuffles on the key
+    * (co-partitioned both sides); the max-key bound is a scalar
+    * aggregate broadcast, not a collect.
+    */
+  def q55MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val maxKey = o.agg(max(col("o_orderkey")).as("mk"))
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        (col("o_totalprice") + lit(100.0d)).as("new_price"))
+    val deletes = o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("new_price"))
+    val inserts = o.filter(col("o_orderkey") % 13 === 0)
+      .crossJoin(broadcast(maxKey))
+      .select((col("o_orderkey") + col("mk") + 1).as("k"), lit("I").as("op"),
+        col("o_totalprice").as("new_price"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    o.join(changes, col("o_orderkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D") // matched delete → drop
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+        when(col("op") === "U", lit("U"))
+          .when(col("op") === "I", lit("I"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q55Sql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |mx AS (SELECT MAX(o_orderkey) AS mk FROM o),
+      |changes AS (
+      |  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + CAST(100.0 AS DOUBLE) AS new_price
+      |  FROM o WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE)
+      |  FROM o WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + mk + 1, 'I', o_totalprice
+      |  FROM o, mx WHERE o_orderkey % 13 = 0)
+      |SELECT COALESCE(o_orderkey, k) AS o_orderkey,
+      |  CASE WHEN op = 'U' THEN 'U' WHEN op = 'I' THEN 'I'
+      |       ELSE o_orderstatus END AS o_orderstatus,
+      |  COALESCE(new_price, o_totalprice) AS o_totalprice
+      |FROM o FULL OUTER JOIN changes ON o_orderkey = k
+      |WHERE COALESCE(op, '') <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** SCD Type-2 history build: each customer's order stream becomes a
+    * versioned dimension — one row per order with [valid_from, valid_to)
+    * and a current flag, validity closed by the next version's date
+    * (lead window). The standard warehouse pattern for
+    * as-of-queryable history; pairs with the native as-of join (q26) on
+    * the query side. One window sort per customer — partition-parallel,
+    * spillable, no shuffle beyond the partitionBy exchange. Version
+    * order is (o_orderdate, o_orderkey) so same-day orders are
+    * deterministic; dates render as strings (cross-engine DATE columns
+    * don't hash-compare through pandas, q52 note).
+    */
+  def q56Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("version"), col("o_orderkey"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_date"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        col("next_date").isNull.cast("int").as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  val q56Sql: String =
+    """SELECT o_custkey, version, o_orderkey, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |  COALESCE(strftime(next_date, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+      |  CAST(next_date IS NULL AS INT) AS is_current
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |    row_number() OVER w AS version,
+      |    lead(o_orderdate, 1) OVER w AS next_date
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |ORDER BY o_custkey, version""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_histogram" -> (q54Histogram _),
+    "q55_merge_upsert" -> (q55MergeUpsert _),
+    "q56_scd2" -> (q56Scd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "q54_histogram" -> q54Sql,
+    "q55_merge_upsert" -> q55Sql,
+    "q56_scd2" -> q56Sql)
+}

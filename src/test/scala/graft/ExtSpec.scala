@@ -435,4 +435,57 @@ class ExtSpec extends SparkSpecBase {
     assert(frames.map(_.getInt(1)).toSet == Set(0, 2, 4))
     assert(frames.forall(_.getInt(3) == 7))
   }
+
+  test("cross-corpus decontaminate flags only train-vs-eval near-dups") {
+    import spark.implicits._
+    val docs = Seq(
+      // train 0 ≈ eval 10 (near dup), train 1 ≈ train 2 (same-corpus dup:
+      // must NOT be reported), eval 11 unrelated to everything
+      (0L, "the quick brown fox jumps over the lazy dog again today", "en", "train", 10L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "train", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "train", 10L),
+      (10L, "the quick brown fox jumps over the lazy cat again today", "en", "eval", 10L),
+      (11L, "completely different words appear inside this very unusual sentence", "en", "eval", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.decontaminateOn(docs, col("source") === "eval")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 10L)), s"got $r")
+  }
+
+  test("fixed-point centroids are the exact truncated integer means") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(0.5f, -0.25f), 0),
+      (1L, Array(0.25f, 0.25f), 0),
+      (2L, Array(-1.0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidsOn(e).collect()
+      .map(x => ((x.getInt(0), x.getInt(1)), (x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // label 0 dim 0: 500000 + 250000 = 750000, /2 = 375000
+    assert(r((0, 0)) == ((750000L, 2L, 375000L)))
+    // label 0 dim 1: -250000 + 250000 = 0
+    assert(r((0, 1)) == ((0L, 2L, 0L)))
+    assert(r((1, 0)) == ((-1000000L, 1L, -1000000L)))
+  }
+
+  test("kmeans step reassigns a mislabeled vector to the nearer centroid") {
+    import spark.implicits._
+    // cluster A near (1, 0); cluster B near (-1, 0); vec 3 carries label 1
+    // but sits in cluster A — one assignment step must move it
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f), 0),
+      (1L, Array(0.9f, -0.1f), 0),
+      (2L, Array(-1.0f, 0.1f), 1),
+      (3L, Array(0.95f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.kmeansStepOn(e).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(4))).toList
+    val byId = r.map(t => t._1 -> t).toMap
+    assert(byId(3L)._3 == 0 && byId(3L)._4 == 1, s"vec 3 should move to label 0: $r")
+    assert(byId(0L)._3 == 0 && byId(1L)._3 == 0 && byId(0L)._4 == 0)
+    // distances are nonnegative and the move count is exactly 1... vec 2
+    // stays: its own label's centroid is dragged toward A by vec 3, but
+    // it remains nearer to B's centroid than to A's
+    assert(r.map(_._4).sum == 1)
+  }
 }

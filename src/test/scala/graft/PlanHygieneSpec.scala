@@ -16,11 +16,15 @@ class PlanHygieneSpec extends SparkSpecBase {
     *    (qid != cid) condition;
     *  - sim_ann_ivf: the k=16 centroid table broadcast to rank cells per
     *    query (KBs by construction);
-    *  - text_tfidf: 1-row corpus-count broadcast.
+    *  - text_tfidf: 1-row corpus-count broadcast;
+    *  - q55_merge_upsert: 1-row max-key bound broadcast to the inserts;
+    *  - sim_kmeans_step: the k×dim centroid table broadcast so every
+    *    vector scores its k distances scan-side.
     */
   private val bnlAllowed = Set(
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
-    "sim_cosine_topk", "sim_ann_ivf", "text_tfidf")
+    "sim_cosine_topk", "sim_ann_ivf", "text_tfidf",
+    "q55_merge_upsert", "sim_kmeans_step")
 
   test("no cartesian products; broadcast-nested-loop only where deliberate") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
