@@ -274,4 +274,32 @@ class PlanSpec extends SparkSpecBase {
     // most k candidates per vector before the shuffle
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
+
+  test("decontaminate: eval band side broadcasts; train corpus never shuffles for candidates") {
+    val p = plan("dedup_decontaminate")
+    // both the candidate band join and the eval-set verify join are
+    // broadcasts of the (tiny) eval side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("centroids: partial+final aggregate (k×dim bounded state, no raw-vector shuffle)") {
+    val p = plan("sim_centroids")
+    assert(p.contains("partial"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("kmeans step: centroid table broadcasts; embeddings never shuffle") {
+    val p = plan("sim_kmeans_step")
+    // the only exchanges are the centroid aggregate's (k×dim states) and
+    // the presentation sort — never a hash exchange of the corpus rows
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q54: histogram aggregates partial+final on scan-side bucket ids") {
+    val p = plan("q54_histogram")
+    assert(p.contains("partial"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
 }
