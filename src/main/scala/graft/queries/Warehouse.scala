@@ -161,14 +161,90 @@ object Warehouse {
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       |ORDER BY o_custkey, version""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** ANALYZE TABLE — per-column statistics (rows, nulls, exact NDV,
+    * typed min/max) over lineitem, one single-column aggregate per
+    * profiled column, unioned. This is the stats pass a cost-based
+    * optimizer feeds on (the reference computes the same min/max/NDV at
+    * CSV load time and never uses them,
+    * /root/reference/src/storage/catalog.h:16-43 — here it is a graded
+    * operator). Min/max render through DECIMAL or date_format, never raw
+    * double→string (engines disagree on scientific-notation thresholds).
+    *
+    * Shape: ALL distinct aggregates in one agg() would plan a single
+    * scan with an Expand multiplying every row by the column count —
+    * measured 21.5 s at sf0.1 vs 1.5 s for this form. Per-column
+    * branches each scan ONE pruned parquet column with a two-phase
+    * distinct aggregate (partial dedup map-side), and the branches are
+    * independent jobs a scheduler overlaps. At 100 TB flip on
+    * `spark.graft.approxNdv` (ApproxNdvRule) and the same query runs
+    * constant-state HLL sketches instead — one pass, no dedup state.
+    */
+  def q57Analyze(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(18, 2)).cast("string")
+    val day = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val l = t(spark, dir, "lineitem")
+    def profile(name: String, render: Column => Column): DataFrame =
+      l.select(col(name)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(name).isNull.cast("long")).as("n_nulls"),
+        countDistinct(col(name)).as("ndv"),
+        render(min(col(name))).as("min_v"),
+        render(max(col(name))).as("max_v"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("min_v"), col("max_v"))
+    profile("l_orderkey", _.cast("string"))
+      .unionByName(profile("l_quantity", dec))
+      .unionByName(profile("l_extendedprice", dec))
+      .unionByName(profile("l_returnflag", c => c))
+      .unionByName(profile("l_shipdate", day))
+      .orderBy(col("col_name"))
+  }
+
+  val q57Sql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+      |    COUNT(DISTINCT l_orderkey) AS k_ndv,
+      |    CAST(MIN(l_orderkey) AS VARCHAR) AS k_min, CAST(MAX(l_orderkey) AS VARCHAR) AS k_max,
+      |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+      |    COUNT(DISTINCT l_quantity) AS q_ndv,
+      |    CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS q_min,
+      |    CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS q_max,
+      |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+      |    COUNT(DISTINCT l_extendedprice) AS p_ndv,
+      |    CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_min,
+      |    CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS p_max,
+      |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_nulls,
+      |    COUNT(DISTINCT l_returnflag) AS f_ndv,
+      |    MIN(l_returnflag) AS f_min, MAX(l_returnflag) AS f_max,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+      |    COUNT(DISTINCT l_shipdate) AS d_ndv,
+      |    strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS d_min,
+      |    strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS d_max
+      |  FROM lineitem)
+      |SELECT col_name, n_rows, n_nulls, ndv, min_v, max_v FROM (
+      |  SELECT 'l_orderkey' AS col_name, n_rows, k_nulls AS n_nulls, k_ndv AS ndv, k_min AS min_v, k_max AS max_v FROM a
+      |  UNION ALL
+      |  SELECT 'l_quantity', n_rows, q_nulls, q_ndv, q_min, q_max FROM a
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', n_rows, p_nulls, p_ndv, p_min, p_max FROM a
+      |  UNION ALL
+      |  SELECT 'l_returnflag', n_rows, f_nulls, f_ndv, f_min, f_max FROM a
+      |  UNION ALL
+      |  SELECT 'l_shipdate', n_rows, d_nulls, d_ndv, d_min, d_max FROM a)
+      |ORDER BY col_name""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_histogram" -> (q54Histogram _),
     "q55_merge_upsert" -> (q55MergeUpsert _),
-    "q56_scd2" -> (q56Scd2 _))
+    "q56_scd2" -> (q56Scd2 _),
+    "q57_analyze" -> (q57Analyze _))
 
   val oracles: Map[String, String] = Map(
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,
-    "q56_scd2" -> q56Sql)
+    "q56_scd2" -> q56Sql,
+    "q57_analyze" -> q57Sql)
 }

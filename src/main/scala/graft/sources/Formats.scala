@@ -206,7 +206,57 @@ object Formats {
       |  AND CAST(date_part('day', ts) AS BIGINT) < 20
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------- compaction
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or per-partition ingest eventually needs: a directory fragmented
+    * into many tiny files (here: a deliberate 64-way fragmented write)
+    * is rewritten into ceil(totalBytes / targetBytes) right-sized files.
+    * Small files are the classic lakehouse tax — per-file open/footer
+    * costs dominate scans, and a 100 TB table ingested in 10k
+    * micro-batches can carry millions of them; Delta/Iceberg OPTIMIZE
+    * is this exact rewrite. Sizing uses the Hadoop FileSystem API (works
+    * on object stores, not just local disk — ADVICE r5). The graded
+    * read-back proves compaction is content-neutral: byte-exact global
+    * md5 extrema, not just counts.
+    */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val frag = out("frag_docs", dir)
+    val comp = out("compact_docs", dir)
+    docs(spark, dir).repartition(64).write.mode("overwrite").parquet(frag)
+    compactTo(spark, frag, comp, targetBytes = 4L << 20)
+    spark.read.parquet(comp)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        max(md5(col("text").cast("binary"))).as("max_md5"))
+  }
+
+  /** The rewrite itself: list data files, size the output file count from
+    * the actual bytes, one repartition write. Returns the file count so
+    * callers/tests can assert the layout effect.
+    */
+  def compactTo(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  val compactionSql: String =
+    """SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_compaction" -> (compaction _),
     "fmt_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "fmt_orc_roundtrip" -> (orcRoundtrip _),
     "fmt_partitioned_prune" -> (partitionedPrune _),
@@ -214,6 +264,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_compaction" -> compactionSql,
     "fmt_jsonl_roundtrip" -> jsonlRoundtripSql,
     "fmt_orc_roundtrip" -> orcRoundtripSql,
     "fmt_partitioned_prune" -> partitionedPruneSql,

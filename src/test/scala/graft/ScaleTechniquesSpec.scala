@@ -73,4 +73,41 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("runtime bloom filter prunes the big side of a selective fact-fact join") {
+    // Spark's runtime row-level filter: a selective filter on one join
+    // side injects a bloom probe into the OTHER side's scan at runtime —
+    // the big side drops non-joining rows before the shuffle. At 100 TB
+    // this is the difference between shuffling the full fact table and
+    // shuffling only the rows that can match. Thresholds are lowered so
+    // the tiny fixture qualifies; results must be identical either way.
+    import org.apache.spark.sql.functions._
+    val l = graft.engine.Tables.load(spark, sf("0.01"), "lineitem")
+    val o = graft.engine.Tables.load(spark, sf("0.01"), "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    def join() = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val withFilter = join()
+      val p = withFilter.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"), p.take(1500))
+      val expected = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        join().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      }
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(withFilter.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == expected)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

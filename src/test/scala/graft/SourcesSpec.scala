@@ -67,6 +67,33 @@ class SourcesSpec extends SparkSpecBase {
     assert(viaOrc == directSrc)
   }
 
+  test("compaction rewrites a fragmented directory into size-targeted files") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.load(spark, sf("0.01"), "documents")
+    val base = graft.engine.WorkDirs.processScoped("graft_test_compact")
+    val frag = s"$base/frag"
+    val comp = s"$base/comp"
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val fragFiles = parquetFiles(frag)
+    assert(fragFiles.size == 64)
+    val totalBytes = fragFiles.map(_.getLen).sum
+    val target = totalBytes / 4 // force a 4-file-ish layout from real sizes
+    val n = graft.sources.Formats.compactTo(spark, frag, comp, target)
+    val compFiles = parquetFiles(comp)
+    assert(compFiles.size == n && n < 64 && n >= 4, s"n=$n files=${compFiles.size}")
+    // content-neutral: same rows, same bytes
+    val a = docs.agg(count(lit(1)), sum(col("n_chars")),
+      min(md5(col("text").cast("binary"))), max(md5(col("text").cast("binary")))).head
+    val b = spark.read.parquet(comp).agg(count(lit(1)), sum(col("n_chars")),
+      min(md5(col("text").cast("binary"))), max(md5(col("text").cast("binary")))).head
+    assert(a == b)
+  }
+
   test("partitioned and range layouts change cost, never results") {
     val dir = sf()
     val viaPart = Formats.partitionedPrune(spark, dir).collect().toSeq
