@@ -255,7 +255,57 @@ object Formats {
       |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------- snapshots
+  /** Versioned snapshot store + time travel ([[graft.engine.Snapshots]]):
+    * v0 initial load, v1 append of late-arriving keys, v2 a
+    * delete-rewrite (replace commit) — then every version is read BACK
+    * and summarized, so the grade covers init/append/replace commits AND
+    * historical reads after the table moved on (v0/v1 must still
+    * reproduce exactly after v2 replaced the file list). The oracle
+    * rebuilds each version's state as set algebra over the canonical
+    * table.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = out("snap_orders", dir)
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true) // fresh rebuild per invocation
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
+    val v1 = Snapshots.read(spark, table, 1)
+    Snapshots.commit(v1.filter(col("o_orderkey") % 5 =!= 0), table, append = false)
+    (0 to 2).map { v =>
+      Snapshots.read(spark, table, v).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
+          col("min_key"), col("max_key"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val timeTravelSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |v0 AS (SELECT * FROM o WHERE o_orderkey % 3 = 0),
+      |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 IN (0, 1)),
+      |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 5 <> 0)
+      |SELECT 0 AS version, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM v0
+      |UNION ALL
+      |SELECT 1, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |  MIN(o_orderkey), MAX(o_orderkey) FROM v1
+      |UNION ALL
+      |SELECT 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |  MIN(o_orderkey), MAX(o_orderkey) FROM v2
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_time_travel" -> (timeTravel _),
     "fmt_compaction" -> (compaction _),
     "fmt_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "fmt_orc_roundtrip" -> (orcRoundtrip _),
@@ -264,6 +314,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_time_travel" -> timeTravelSql,
     "fmt_compaction" -> compactionSql,
     "fmt_jsonl_roundtrip" -> jsonlRoundtripSql,
     "fmt_orc_roundtrip" -> orcRoundtripSql,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** Contract tests for the versioned snapshot store: commit semantics
+  * (append vs replace), time travel, manifest-gated visibility, and the
+  * single-writer publish protocol.
+  */
+class SnapshotsSpec extends SparkSpecBase {
+
+  private def freshTable(name: String): String = {
+    val dir = s"${graft.engine.WorkDirs.processScoped("graft_test_snap")}/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
+  private def df(range: Range) = {
+    import spark.implicits._
+    range.map(i => (i.toLong, s"row$i")).toDF("id", "v")
+  }
+
+  test("append commits accumulate; replace commits supersede; history stays readable") {
+    val t = freshTable("basic")
+    assert(Snapshots.versions(spark, t).isEmpty)
+    assert(Snapshots.commit(df(1 to 10), t, append = false) == 0)
+    assert(Snapshots.commit(df(11 to 15), t, append = true) == 1)
+    assert(Snapshots.commit(df(100 to 102), t, append = false) == 2)
+    assert(Snapshots.versions(spark, t) == Seq(0, 1, 2))
+    // time travel: every historical version reproduces after the replace
+    assert(Snapshots.read(spark, t, 0).count() == 10)
+    assert(Snapshots.read(spark, t, 1).count() == 15)
+    assert(Snapshots.read(spark, t, 2).count() == 3)
+    // latest by default
+    assert(Snapshots.read(spark, t).agg(min(col("id"))).head.getLong(0) == 100L)
+    // v1 contents are exactly v0 + the appended batch
+    assert(Snapshots.read(spark, t, 1).agg(sum(col("id"))).head.getLong(0)
+      == (1 to 15).sum.toLong)
+  }
+
+  test("data without a manifest is invisible (readers see committed versions only)") {
+    val t = freshTable("gated")
+    Snapshots.commit(df(1 to 5), t, append = false)
+    // simulate a writer that died after writing data but before publishing
+    df(90 to 99).write.parquet(s"$t/data/batch-orphan")
+    assert(Snapshots.read(spark, t).count() == 5)
+    assert(Snapshots.versions(spark, t) == Seq(0))
+  }
+
+  test("immutability: a commit never rewrites earlier batches") {
+    val t = freshTable("immutable")
+    Snapshots.commit(df(1 to 5), t, append = false)
+    val p = new org.apache.hadoop.fs.Path(s"$t/data/batch-0")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(p).map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    Snapshots.commit(df(6 to 9), t, append = true)
+    Snapshots.commit(df(0 to 0), t, append = false)
+    val after = fs.listStatus(p).map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    assert(before == after)
+  }
+}
