@@ -85,6 +85,42 @@ object Snapshots {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Change-data feed between two versions: every row added or removed
+    * going vFrom → vTo, tagged `insert` / `delete` (multiset semantics —
+    * exceptAll — so duplicate rows diff by count). This is the
+    * incremental-consumption path: a downstream job reads the delta
+    * between the version it last saw and the current one instead of
+    * re-scanning the table. Cost: one scan of each version + the
+    * set-difference shuffles; with append-only commits the insert side
+    * reduces to reading just the new batch directories.
+    */
+  def diff(spark: SparkSession, dir: String, vFrom: Int, vTo: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = read(spark, dir, vFrom)
+    val to = read(spark, dir, vTo)
+    to.exceptAll(from).withColumn("change_type", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("change_type", lit("delete")))
+  }
+
+  /** Drop versions below `keepFrom` and delete batch directories no
+    * surviving manifest references — the VACUUM half of the replace
+    * commit's "old batches stay for history". Returns the deleted batch
+    * directories. Time travel below `keepFrom` stops working; reads at
+    * surviving versions are untouched (their file lists don't change).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val all = versions(spark, dir)
+    require(all.contains(keepFrom), s"keepFrom=$keepFrom not a version of $dir")
+    val (drop, keep) = all.partition(_ < keepFrom)
+    val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet
+    val dead = drop.flatMap(readManifest(spark, dir, _)).distinct
+      .filterNot(referenced)
+    dead.foreach(b => f.delete(new Path(s"$dir/$b"), true))
+    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    dead
+  }
+
   private def readManifest(spark: SparkSession, dir: String, v: Int): Seq[String] = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)

@@ -50,6 +50,40 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.versions(spark, t) == Seq(0))
   }
 
+  test("diff emits exact insert/delete deltas between versions") {
+    val t = freshTable("cdc")
+    Snapshots.commit(df(1 to 10), t, append = false)
+    Snapshots.commit(df(11 to 15), t, append = true)
+    // v2: drop ids <= 3, keep the rest
+    Snapshots.commit(Snapshots.read(spark, t, 1).filter(col("id") > 3), t, append = false)
+    val d01 = Snapshots.diff(spark, t, 0, 1).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(d01 == (11 to 15).map(i => ("insert", i.toLong)).toSet)
+    val d12 = Snapshots.diff(spark, t, 1, 2).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(d12 == (1 to 3).map(i => ("delete", i.toLong)).toSet)
+    assert(Snapshots.diff(spark, t, 2, 2).isEmpty)
+  }
+
+  test("vacuum drops expired versions and only unreferenced batches") {
+    val t = freshTable("vac")
+    Snapshots.commit(df(1 to 10), t, append = false)   // batch-0
+    Snapshots.commit(df(11 to 15), t, append = true)   // batch-1 (refs batch-0)
+    Snapshots.commit(df(100 to 102), t, append = false) // batch-2 only
+    Snapshots.commit(df(103 to 104), t, append = true)  // batch-3 (refs batch-2)
+    val dead = Snapshots.vacuum(spark, t, keepFrom = 2)
+    // batches 0 and 1 are referenced by no surviving manifest → gone
+    assert(dead.toSet == Set("data/batch-0", "data/batch-1"))
+    assert(Snapshots.versions(spark, t) == Seq(2, 3))
+    assert(Snapshots.read(spark, t, 3).count() == 5)
+    intercept[IllegalArgumentException](Snapshots.read(spark, t, 1))
+    // vacuum at a version whose manifest still references an older batch
+    // must keep that batch: keepFrom=3 references batch-2 → only the v2
+    // manifest goes, no data deleted
+    val dead2 = Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(dead2.isEmpty && Snapshots.read(spark, t, 3).count() == 5)
+  }
+
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)

@@ -317,6 +317,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(landed == expected)
   }
 
+  test("streaming ingest commits each micro-batch as a snapshot version") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Dataset, Row}
+    import spark.implicits._
+    import graft.engine.Snapshots
+    val cols = Seq("event_id", "user_id")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_snap_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snap_ck").toString
+    val table = s"${graft.engine.WorkDirs.processScoped("graft_test_snap")}/stream_ingest"
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_snap_w")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    addFile("b0.parquet", (1L to 5L).map(i => (i, i % 3)))
+    addFile("b1.parquet", (6L to 9L).map(i => (i, i % 3)))
+    val q = spark.readStream
+      .schema("event_id LONG, user_id LONG")
+      .option("maxFilesPerTrigger", "1") // one micro-batch per file
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // the versioned-table sink: each micro-batch lands as an append
+        // commit, so downstream consumers time-travel / diff by batch
+        if (!batch.isEmpty) { Snapshots.commit(batch, table, append = true); () }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(Snapshots.versions(spark, table) == Seq(0, 1))
+    assert(Snapshots.read(spark, table).count() == 9)
+    // append semantics across batches: v1 ⊇ v0, and the v0→v1 delta is
+    // exactly the second batch
+    val v0 = Snapshots.read(spark, table, 0).select("event_id").collect().map(_.getLong(0)).toSet
+    val v1 = Snapshots.read(spark, table, 1).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(v0.subsetOf(v1) && v1.size == 9)
+    assert(Snapshots.diff(spark, table, 0, 1).count() == (9 - v0.size).toLong)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
