@@ -640,6 +640,60 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)
       |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---------------------------------------------------- triangle counting
+  /** Triangle participation over the near-dup pair graph: how many
+    * 3-cliques each document belongs to. Dense triangle neighborhoods
+    * are template/spam families (every pair of a boilerplate family is
+    * mutually similar → cliques); canonical-pick heuristics and cluster
+    * QA both read this signal next to PageRank centrality.
+    *
+    * Algorithm: edges normalized u < v; a triangle (a<b<c) is counted
+    * once by joining edge (a,b) with edge (b,c) and closing with edge
+    * (a,c) — two co-partitioned equi-joins over the (subgraph-sized)
+    * edge list, no cartesian anything. Per-node counts then sum each
+    * vertex's triangles. This is O(Σ deg²) wedge work — the standard
+    * distributed triangle count; at real graph scale you'd add the
+    * degree-ordered orientation (wedge from the lower-degree endpoint)
+    * to bound the hot-vertex wedge count, which this join shape admits
+    * directly.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFrom(
+      ngramJaccardOn(docs(spark, dir)).select(col("doc_a"), col("doc_b")))
+
+  def trianglesFrom(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"),
+        col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trianglesSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM inter
+      |      JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |      WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      |        FROM e ab JOIN e bc ON ab.v = bc.u
+      |                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+      |m AS (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri)
+      |SELECT doc_id, COUNT(*) AS n_triangles FROM m
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Transitive closure of the exact-Jaccard pair graph via recursive
     * CTE; docs without edges cluster to themselves.
     */
@@ -833,7 +887,8 @@ object Dedup {
     "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
     "dedup_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
-    "dedup_decontaminate" -> (decontaminate _))
+    "dedup_decontaminate" -> (decontaminate _),
+    "dedup_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -847,5 +902,6 @@ object Dedup {
     "dedup_cluster_bigstar" -> dedupClustersSql,
     "dedup_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql,
-    "dedup_decontaminate" -> decontaminateSql)
+    "dedup_decontaminate" -> decontaminateSql,
+    "dedup_triangles" -> trianglesSql)
 }

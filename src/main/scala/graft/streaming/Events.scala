@@ -423,7 +423,62 @@ object Events {
       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
       |FROM v ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------- anomaly detection
+  /** Per-user z-score outliers: events whose value sits ≥ 2σ from that
+    * user's own mean — the per-entity anomaly screen a metrics pipeline
+    * runs continuously. Mean/variance come from DECIMAL(38,6) power
+    * sums (the q43 bit-exactness pattern: exact decimal accumulation
+    * commutes, so 32 partitions and the single-threaded oracle see
+    * identical sums; everything after is scalar double math,
+    * deterministic on equal inputs).
+    *
+    * Shape: per-user stats as a partial+final AGGREGATE (one row per
+    * user), then one join back to the events — not a whole-partition
+    * window. Both shuffle on user_id once, but the aggregate carries
+    * three numbers per user through the exchange where the window form
+    * sorts and re-broadcasts every event row inside its partition
+    * (measured 13.3 s vs 2.3 s at the 10× blowup). Users with < 5
+    * events or zero variance are excluded (a single repeated value has
+    * no scale).
+    */
+  def zscoreAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    def bigsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 6))).cast("double")
+    val e = events(spark, dir)
+    val stats = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        bigsum(col("value")).as("s1"),
+        bigsum(col("value") * col("value")).as("s2"))
+      .withColumn("varr", (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .filter(col("n") >= 5 && col("varr") > 0)
+      .select(col("user_id"), col("n"), col("s1"), col("varr"))
+    e.join(stats, "user_id")
+      .withColumn("z", (col("value") - col("s1") / col("n")) / sqrt(col("varr")))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val zscoreAnomaliesSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+      |  FROM events WINDOW w AS (PARTITION BY user_id)),
+      |v AS (
+      |  SELECT user_id, event_id, value, n, s1,
+      |    (s2 - s1 * s1 / n) / (n - 1) AS varr
+      |  FROM s WHERE n >= 5)
+      |SELECT user_id, event_id, value,
+      |  round((value - s1 / n) / sqrt(varr), 4) AS z
+      |FROM v
+      |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_zscore" -> (zscoreAnomalies _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -431,6 +486,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_zscore" -> zscoreAnomaliesSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,

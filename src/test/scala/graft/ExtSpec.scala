@@ -452,6 +452,17 @@ class ExtSpec extends SparkSpecBase {
     assert(r == Set((0L, 10L)), s"got $r")
   }
 
+  test("triangle counts: each 3-clique counted once per member, wedges without closure don't count") {
+    import spark.implicits._
+    // graph: clique {1,2,3} (one triangle), path 4-5-6 (open wedge, none),
+    // and {1,2,3,7} where 7 connects to 1 and 2 only → second triangle 1-2-7
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L), (1L, 7L), (2L, 7L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.trianglesFrom(pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 7L -> 1L), r.toString)
+  }
+
   test("fixed-point centroids are the exact truncated integer means") {
     import spark.implicits._
     val e = Seq(
