@@ -235,16 +235,47 @@ object Warehouse {
       |  SELECT 'l_shipdate', n_rows, d_nulls, d_ndv, d_min, d_max FROM a)
       |ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Frequent co-purchase pairs (market-basket mining, the support-count
+    * core of FP-growth/Apriori): part pairs appearing together in ≥ 3
+    * orders. One self-join on the basket key + one partial+final count —
+    * the inverted-index shape, but UNLIKE the shingle index the per-key
+    * fan-out is structurally bounded: an order has ≤ 7 line items, so a
+    * basket emits ≤ C(7,2) = 21 pairs and the Σc² hot-bucket mode
+    * cannot occur. At retail scale (thousand-item baskets) cap or
+    * sample items per basket before pairing — the df-cap trick, applied
+    * to baskets instead of shingles.
+    */
+  def q58Copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val q58Sql: String =
+    """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY part_a, part_b""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_histogram" -> (q54Histogram _),
     "q55_merge_upsert" -> (q55MergeUpsert _),
     "q56_scd2" -> (q56Scd2 _),
-    "q57_analyze" -> (q57Analyze _))
+    "q57_analyze" -> (q57Analyze _),
+    "q58_copurchase" -> (q58Copurchase _))
 
   val oracles: Map[String, String] = Map(
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,
     "q56_scd2" -> q56Sql,
-    "q57_analyze" -> q57Sql)
+    "q57_analyze" -> q57Sql,
+    "q58_copurchase" -> q58Sql)
 }

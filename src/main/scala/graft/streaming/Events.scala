@@ -477,7 +477,45 @@ object Events {
       |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------------- transition matrix
+  /** Event-type transition matrix (first-order Markov view of the user
+    * journey): for each (from → to) pair of consecutive events within a
+    * user's timeline, the transition count and probability. One lead
+    * window per user (partition-parallel, the per-user sort is the only
+    * cost) + one partial+final count; the probability is an exact
+    * integer ratio evaluated identically in both engines. The output is
+    * |event_types|² rows — constant-size at any event volume.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("total"))
+    steps.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionsSql: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM steps
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, SUM(n) AS total FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n, round(CAST(n AS DOUBLE) / total, 6) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> (transitions _),
     "events_zscore" -> (zscoreAnomalies _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
@@ -486,6 +524,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_transitions" -> transitionsSql,
     "events_zscore" -> zscoreAnomaliesSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
