@@ -64,24 +64,77 @@ object Snapshots {
     * version's data directories visible; `false` makes the new batch the
     * whole table (the MERGE/compaction rewrite shape). Returns the new
     * version number.
+    *
+    * `statsCol`: optionally record the batch's min/max of one LONG
+    * column in the manifest line — the Iceberg-style manifest statistic
+    * that lets [[readPruned]] skip whole batch directories without
+    * opening a single parquet footer. Computed from the WRITTEN files
+    * (one footer-driven scan of one column), so the recorded envelope
+    * is exactly what landed.
     */
-  def commit(df: DataFrame, dir: String, append: Boolean): Int = {
+  def commit(df: DataFrame, dir: String, append: Boolean,
+      statsCol: Option[String] = None): Int = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val prev = versions(spark, dir)
     val v = prev.lastOption.map(_ + 1).getOrElse(0)
     val batch = s"data/batch-$v"
     df.write.mode("errorifexists").parquet(s"$dir/$batch")
+    val entry = statsCol match {
+      case None => batch
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{min, max, col}
+        val r = spark.read.parquet(s"$dir/$batch")
+          .agg(min(col(c)), max(col(c))).head()
+        if (r.isNullAt(0)) batch else s"$batch\t$c\t${r.getLong(0)}\t${r.getLong(1)}"
+    }
     val carried =
-      if (append && prev.nonEmpty) readManifest(spark, dir, prev.last) else Seq.empty
-    publish(f, dir, v, carried :+ batch)
+      if (append && prev.nonEmpty) readManifestEntries(spark, dir, prev.last)
+      else Seq.empty
+    publish(f, dir, v, carried :+ entry)
     v
   }
+
+  /** Manifest-stats pruned read: batches whose recorded [min, max]
+    * envelope on `column` misses [lo, hi] are dropped from the file
+    * listing BEFORE any parquet footer is touched — directory-level
+    * skipping one level above the parquet row-group stats (which still
+    * apply inside the surviving batches). Batches without a recorded
+    * envelope are conservatively kept. Results must equal a plain
+    * filter at the same version — pruning changes cost, never content —
+    * so the residual predicate is always applied.
+    */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    val kept = entriesAt(spark, dir, v).collect {
+      case BatchEntry(b, None) => b
+      case BatchEntry(b, Some((c, mn, mx)))
+        if c != column || (mx >= lo && mn <= hi) => b
+    }
+    val base =
+      if (kept.isEmpty) read(spark, dir, v).limit(0) // schema-preserving empty
+      else spark.read.parquet(kept.map(b => s"$dir/$b"): _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  private case class BatchEntry(batch: String, stats: Option[(String, Long, Long)])
+
+  private def entriesAt(spark: SparkSession, dir: String, v: Int): Seq[BatchEntry] =
+    readManifestEntries(spark, dir, v).map { line =>
+      line.split('\t') match {
+        case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
+        case Array(b) => BatchEntry(b, None)
+        case other => throw new IllegalStateException(
+          s"malformed manifest line: ${other.mkString("\\t")}")
+      }
+    }
 
   /** Read the table at `version` (default: latest). */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(spark, dir) else version
-    val dirs = readManifest(spark, dir, v).map(b => s"$dir/$b")
+    val dirs = entriesAt(spark, dir, v).map(e => s"$dir/${e.batch}")
     spark.read.parquet(dirs: _*)
   }
 
@@ -113,22 +166,23 @@ object Snapshots {
     val all = versions(spark, dir)
     require(all.contains(keepFrom), s"keepFrom=$keepFrom not a version of $dir")
     val (drop, keep) = all.partition(_ < keepFrom)
-    val referenced = keep.flatMap(readManifest(spark, dir, _)).toSet
-    val dead = drop.flatMap(readManifest(spark, dir, _)).distinct
+    val referenced = keep.flatMap(entriesAt(spark, dir, _)).map(_.batch).toSet
+    val dead = drop.flatMap(entriesAt(spark, dir, _)).map(_.batch).distinct
       .filterNot(referenced)
     dead.foreach(b => f.delete(new Path(s"$dir/$b"), true))
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     dead
   }
 
-  private def readManifest(spark: SparkSession, dir: String, v: Int): Seq[String] = {
+  private def readManifestEntries(spark: SparkSession, dir: String, v: Int): Seq[String] = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)
     require(f.exists(p), s"version $v not found at $dir")
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // manifest body: one data directory per line (JSON-free on purpose —
-    // no parser dependency, trivially greppable)
+    // manifest body: one data directory per line, optionally followed by
+    // tab-separated column/min/max stats (JSON-free on purpose — no
+    // parser dependency, trivially greppable)
     body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 

@@ -351,7 +351,48 @@ object Formats {
       |FROM o WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 0
       |ORDER BY transition, change_type""".stripMargin
 
+  /** Manifest-stats file skipping over the snapshot store: three append
+    * commits land disjoint event_id ranges, each manifest line recording
+    * the batch's min/max envelope; the pruned read then resolves its
+    * range against the MANIFEST alone — non-overlapping batch
+    * directories are dropped before any parquet footer is opened
+    * (directory-level skipping one level above row-group stats; the
+    * Iceberg manifest trick). SnapshotsSpec pins the skip via
+    * inputFiles; the graded result must equal the plain filter — layout
+    * changes cost, never content. The driver-side max() scalar sizes
+    * the ranges — a layout-build step (like Bucketing's write), not an
+    * operator path.
+    */
+  def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = out("snapstat_events", dir)
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val mx = e.agg(max(col("event_id"))).head.getLong(0)
+    val b = mx / 3
+    val sc = Some("event_id")
+    Snapshots.commit(e.filter(col("event_id") <= b), table, append = false, statsCol = sc)
+    Snapshots.commit(e.filter(col("event_id") > b && col("event_id") <= 2 * b),
+      table, append = true, statsCol = sc)
+    Snapshots.commit(e.filter(col("event_id") > 2 * b), table, append = true, statsCol = sc)
+    Snapshots.readPruned(spark, table, "event_id", 0L, b)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val manifestPruneSql: String =
+    """WITH mx AS (SELECT MAX(event_id) // 3 AS b FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events, mx WHERE event_id >= 0 AND event_id <= b
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_manifest_prune" -> (manifestPrune _),
     "fmt_version_diff" -> (versionDiff _),
     "fmt_time_travel" -> (timeTravel _),
     "fmt_compaction" -> (compaction _),
@@ -362,6 +403,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_manifest_prune" -> manifestPruneSql,
     "fmt_version_diff" -> versionDiffSql,
     "fmt_time_travel" -> timeTravelSql,
     "fmt_compaction" -> compactionSql,

@@ -84,6 +84,25 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(dead2.isEmpty && Snapshots.read(spark, t, 3).count() == 5)
   }
 
+  test("manifest stats prune whole batch directories; unstatted batches survive") {
+    val t = freshTable("stats")
+    Snapshots.commit(df(1 to 100), t, append = false, statsCol = Some("id"))
+    Snapshots.commit(df(101 to 200), t, append = true, statsCol = Some("id"))
+    Snapshots.commit(df(201 to 300), t, append = true) // no stats recorded
+    val pruned = Snapshots.readPruned(spark, t, "id", 10L, 50L)
+    // batch-1 ([101,200], disjoint) is skipped on the manifest alone;
+    // batch-2 has no envelope and must be kept conservatively
+    val files = pruned.inputFiles.toSeq
+    assert(files.exists(_.contains("batch-0")) && files.exists(_.contains("batch-2")))
+    assert(!files.exists(_.contains("batch-1")), files.mkString(","))
+    // pruning never changes results
+    assert(pruned.count() == 41)
+    assert(Snapshots.readPruned(spark, t, "id", 150L, 260L).count() ==
+      Snapshots.read(spark, t).filter(col("id").between(150, 260)).count())
+    // a range missing every batch still returns an empty, well-typed frame
+    assert(Snapshots.readPruned(spark, t, "id", 1000L, 2000L).count() == 0)
+  }
+
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)
