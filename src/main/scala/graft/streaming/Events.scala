@@ -280,6 +280,49 @@ object Events {
       .toDF()
   }
 
+  case class MomentState(n: Long, s1: java.math.BigDecimal, s2: java.math.BigDecimal)
+  case class UserMoments(user_id: Long, n: Long, s1: Double, s2: Double)
+
+  /** Streaming twin of the z-score screen's statistics: per-user running
+    * (n, Σv, Σv²) maintained as EXACT decimal state in
+    * mapGroupsWithState — `BigDecimal.valueOf(v).setScale(6, HALF_UP)`
+    * replays Spark's double→DECIMAL(38,6) cast semantics per element,
+    * and exact decimal addition commutes, so the streamed state after
+    * any number of micro-batches equals the batch decimal power sums
+    * BIT-FOR-BIT (pinned in StreamingSpec). This is the online form of
+    * [[zscoreAnomalies]]: with (n, s1, s2) current per user, each
+    * incoming event's z-score is computable in the same batch —
+    * continuous anomaly screening with O(1) state per user. Float
+    * accumulators here would drift from the batch form by summation
+    * order; decimal state is what makes stream ≡ batch provable.
+    */
+  def streamingUserMoments(spark: SparkSession, filesDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val z = java.math.BigDecimal.ZERO.setScale(6)
+    def dec(v: Double) =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    eventStream(spark, filesDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[MomentState, UserMoments](GroupStateTimeout.NoTimeout()) {
+        (uid, events, state) =>
+          val prev = state.getOption.getOrElse(MomentState(0L, z, z))
+          var n = prev.n
+          var s1 = prev.s1
+          var s2 = prev.s2
+          events.foreach { e =>
+            n += 1
+            s1 = s1.add(dec(e.value))
+            s2 = s2.add(dec(e.value * e.value))
+          }
+          state.update(MomentState(n, s1, s2))
+          UserMoments(uid, n, s1.doubleValue, s2.doubleValue)
+      }
+      .toDF()
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionAcc(start: Long, last: Long, n: Long, total: Double)
   case class SessionListAcc(sessions: Seq[SessionAcc])

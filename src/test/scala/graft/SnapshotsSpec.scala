@@ -103,6 +103,40 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.readPruned(spark, t, "id", 1000L, 2000L).count() == 0)
   }
 
+  test("model check: random commit sequences reproduce at every version (seeded)") {
+    // model-based randomized check: the store must agree with a plain
+    // in-memory model of "append = union, replace = supersede" at EVERY
+    // version, for arbitrary commit sequences — the law the example
+    // tests sample. Fixed seed keeps the run reproducible.
+    val rnd = new scala.util.Random(20260812L)
+    val t = freshTable("model")
+    var model = Vector.empty[Set[Long]]
+    for (v <- 0 until 8) {
+      // per-version id range keeps batches disjoint, so set and multiset
+      // semantics coincide and the diff check below is exact
+      val ids = (0 until (1 + rnd.nextInt(40)))
+        .map(_ => v * 1000L + rnd.nextLong(500L)).toSet
+      val append = v > 0 && rnd.nextBoolean()
+      val batch = {
+        import spark.implicits._
+        ids.toSeq.map(i => (i, s"row$i")).toDF("id", "v")
+      }
+      Snapshots.commit(batch, t, append = append)
+      model = model :+ (if (append) model.last ++ ids else ids)
+    }
+    for (v <- 0 until 8) {
+      val got = Snapshots.read(spark, t, v).select("id").collect().map(_.getLong(0)).toSet
+      assert(got == model(v), s"version $v drifted")
+    }
+    // diff agrees with model set algebra for a random version pair
+    val (a, b) = (2, 6)
+    val ins = Snapshots.diff(spark, t, a, b).filter(col("change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val del = Snapshots.diff(spark, t, a, b).filter(col("change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ins == model(b) -- model(a) && del == model(a) -- model(b))
+  }
+
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)

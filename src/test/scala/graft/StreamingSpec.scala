@@ -317,6 +317,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(landed == expected)
   }
 
+  test("streaming running moments == batch decimal power sums, bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val q = Events.streamingUserMoments(spark, eventsDir)
+      .writeStream.format("memory").queryName("moments")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode re-emits a user's row per batch; n is monotonic, so the
+    // lexicographic struct max picks the final state
+    val streamed = spark.table("moments").groupBy("user_id")
+      .agg(max(struct(col("n"), col("s1"), col("s2"))).as("m"))
+      .select(col("user_id"), col("m.n"), col("m.s1"), col("m.s2"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def bigsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 6))).cast("double")
+    val batch = graft.engine.Tables.load(spark, sf(), "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), bigsum(col("value")).as("s1"),
+        bigsum(col("value") * col("value")).as("s2"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    val bad = batch.collect { case (u, b) if streamed(u) != b => (u, streamed(u), b) }
+    assert(bad.isEmpty, s"moment drift: ${bad.take(3)}")
+  }
+
   test("streaming ingest commits each micro-batch as a snapshot version") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Dataset, Row}
