@@ -131,11 +131,19 @@ object Snapshots {
       }
     }
 
-  /** Read the table at `version` (default: latest). */
-  def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
+  /** Read the table at `version` (default: latest). `mergeSchema`
+    * reconciles batches committed under EVOLVED schemas (a column added
+    * by a later append): the merged schema is the union, and rows from
+    * batches predating a column read it as null — additive evolution
+    * without rewriting history, the same contract as Delta's
+    * mergeSchema. Off by default: schema merging reads every batch's
+    * footer up front, which a fixed-schema table shouldn't pay.
+    */
+  def read(spark: SparkSession, dir: String, version: Int = -1,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = if (version < 0) latestVersion(spark, dir) else version
     val dirs = entriesAt(spark, dir, v).map(e => s"$dir/${e.batch}")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
   }
 
   /** Change-data feed between two versions: every row added or removed

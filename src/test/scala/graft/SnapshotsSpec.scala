@@ -103,6 +103,22 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.readPruned(spark, t, "id", 1000L, 2000L).count() == 0)
   }
 
+  test("schema evolution: a later append may add a column; old rows read it as null") {
+    import spark.implicits._
+    val t = freshTable("evolve")
+    Snapshots.commit(df(1 to 5), t, append = false)
+    val evolved = Seq((6L, "row6", "fr"), (7L, "row7", "de"))
+      .toDF("id", "v", "lang")
+    Snapshots.commit(evolved, t, append = true)
+    val merged = Snapshots.read(spark, t, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("id", "lang", "v"))
+    assert(merged.count() == 7)
+    assert(merged.filter(col("lang").isNull).count() == 5)
+    assert(merged.filter(col("lang") === "fr").select("id").head.getLong(0) == 6L)
+    // time travel predates the evolution: v0 still has the narrow schema
+    assert(Snapshots.read(spark, t, 0).columns.sorted.toSeq == Seq("id", "v"))
+  }
+
   test("model check: random commit sequences reproduce at every version (seeded)") {
     // model-based randomized check: the store must agree with a plain
     // in-memory model of "append = union, replace = supersede" at EVERY
