@@ -391,7 +391,58 @@ object Formats {
       |FROM events, mx WHERE event_id >= 0 AND event_id <= b
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental view maintenance over the CDC feed: a per-status
+    * aggregate MAINTAINED from the v0 aggregate plus the v0→v1 delta —
+    * never recomputed from v1 — must equal the direct v1 recompute
+    * (which is what the oracle runs). Works because COUNT and the
+    * decimal SUM form an abelian group: inserts add, deletes subtract,
+    * and exact decimal arithmetic makes maintenance bit-equal to
+    * recomputation — the algebra every incremental materialized view
+    * engine rests on (and why AVG/MIN/MAX need different treatment:
+    * MIN/MAX aren't invertible under deletes). At scale the delta is
+    * batch-sized while the recompute is table-sized; the maintained
+    * aggregate touches only the delta and the old aggregate state.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = out("snapivm_orders", dir)
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    val v0 = Snapshots.read(spark, table, 0)
+    Snapshots.commit(
+      v0.filter(col("o_orderkey") % 5 =!= 0)
+        .unionByName(o.filter(col("o_orderkey") % 3 === 1)),
+      table, append = false)
+    val dec = (c: Column) => c.cast(DecimalType(18, 4))
+    val agg0 = v0.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n0"), sum(dec(col("o_totalprice"))).as("s0"))
+    val delta = Snapshots.diff(spark, table, 0, 1)
+      .withColumn("sgn", when(col("change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("sgn")).as("dn"), sum(dec(col("o_totalprice")) * col("sgn")).as("ds"))
+    agg0.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("s0"), lit(0).cast(DecimalType(18, 4))) +
+          coalesce(col("ds"), lit(0).cast(DecimalType(18, 4)))).cast("double").as("sum_price"))
+      .filter(col("n_orders") > 0)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val incrementalAggSql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+      |       UNION ALL SELECT * FROM o WHERE o_orderkey % 3 = 1)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_incremental_agg" -> (incrementalAgg _),
     "fmt_manifest_prune" -> (manifestPrune _),
     "fmt_version_diff" -> (versionDiff _),
     "fmt_time_travel" -> (timeTravel _),
@@ -403,6 +454,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_incremental_agg" -> incrementalAggSql,
     "fmt_manifest_prune" -> manifestPruneSql,
     "fmt_version_diff" -> versionDiffSql,
     "fmt_time_travel" -> timeTravelSql,
