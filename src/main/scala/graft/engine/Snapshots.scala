@@ -79,6 +79,13 @@ object Snapshots {
     val prev = versions(spark, dir)
     val v = prev.lastOption.map(_ + 1).getOrElse(0)
     val batch = s"data/batch-$v"
+    // crash recovery: a batch directory with no published manifest is a
+    // dead writer's leftover — invisible to every reader, so reclaiming
+    // its version slot is safe. Without this, one failed commit would
+    // wedge the table (errorifexists at the same slot forever).
+    val batchPath = new Path(s"$dir/$batch")
+    if (f.exists(batchPath) && !f.exists(manifestPath(dir, v)))
+      f.delete(batchPath, true)
     df.write.mode("errorifexists").parquet(s"$dir/$batch")
     val entry = statsCol match {
       case None => batch

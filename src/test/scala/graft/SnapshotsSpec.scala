@@ -103,6 +103,17 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.readPruned(spark, t, "id", 1000L, 2000L).count() == 0)
   }
 
+  test("a dead writer's unpublished batch doesn't wedge the next commit") {
+    val t = freshTable("recover")
+    Snapshots.commit(df(1 to 5), t, append = false)
+    // simulate a writer that wrote batch-1 and died before publishing
+    df(90 to 99).write.parquet(s"$t/data/batch-1")
+    // the slot is reclaimed; the new commit's content wins
+    assert(Snapshots.commit(df(6 to 8), t, append = true) == 1)
+    assert(Snapshots.read(spark, t).count() == 8)
+    assert(Snapshots.read(spark, t).agg(max(col("id"))).head.getLong(0) == 8L)
+  }
+
   test("schema evolution: a later append may add a column; old rows read it as null") {
     import spark.implicits._
     val t = freshTable("evolve")
