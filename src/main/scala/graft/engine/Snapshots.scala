@@ -68,13 +68,20 @@ object Snapshots {
     * `statsCol`: optionally record the batch's min/max of one LONG
     * column in the manifest line — the Iceberg-style manifest statistic
     * that lets [[readPruned]] skip whole batch directories without
-    * opening a single parquet footer. Computed from the WRITTEN files
-    * (one footer-driven scan of one column), so the recorded envelope
-    * is exactly what landed.
+    * opening a single parquet footer at read time. Computed by
+    * re-reading the WRITTEN files (one single-column scan at commit
+    * time — the once-per-commit price of an envelope that reflects
+    * exactly what landed).
     */
   def commit(df: DataFrame, dir: String, append: Boolean,
       statsCol: Option[String] = None): Int = {
     val spark = df.sparkSession
+    // fail fast, before any data is written: the manifest envelope
+    // format carries LONG min/max
+    statsCol.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"statsCol '$c' must be LONG, got ${df.schema(c).dataType.simpleString}")
+    }
     val f = fs(spark, dir)
     val prev = versions(spark, dir)
     val v = prev.lastOption.map(_ + 1).getOrElse(0)
@@ -83,6 +90,11 @@ object Snapshots {
     // dead writer's leftover — invisible to every reader, so reclaiming
     // its version slot is safe. Without this, one failed commit would
     // wedge the table (errorifexists at the same slot forever).
+    // NOTE this leans on the documented single-writer contract: with
+    // TWO live writers, the reclaim could delete the other's in-flight
+    // batch (where pre-recovery they merely failed cleanly). Multi-
+    // writer needs the conditional-rename commit loop this store
+    // deliberately omits.
     val batchPath = new Path(s"$dir/$batch")
     if (f.exists(batchPath) && !f.exists(manifestPath(dir, v)))
       f.delete(batchPath, true)
@@ -163,9 +175,22 @@ object Snapshots {
     * reduces to reading just the new batch directories.
     */
   def diff(spark: SparkSession, dir: String, vFrom: Int, vTo: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val from = read(spark, dir, vFrom)
-    val to = read(spark, dir, vTo)
+    import org.apache.spark.sql.functions.{col, lit}
+    // read both sides schema-merged and align to the column UNION (a
+    // version predating an evolved column contributes nulls) — without
+    // this, a diff across an additive-evolution boundary either throws
+    // on the exceptAll arity mismatch or silently drops the new column
+    // depending on which file Spark sampled for the schema
+    val from0 = read(spark, dir, vFrom, mergeSchema = true)
+    val to0 = read(spark, dir, vTo, mergeSchema = true)
+    val fields = (to0.schema ++ from0.schema.filterNot(f =>
+      to0.schema.fieldNames.contains(f.name))).toSeq
+    def align(df: DataFrame): DataFrame =
+      df.select(fields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    val from = align(from0)
+    val to = align(to0)
     to.exceptAll(from).withColumn("change_type", lit("insert"))
       .unionByName(from.exceptAll(to).withColumn("change_type", lit("delete")))
   }

@@ -45,12 +45,16 @@ object Warehouse {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"))
+      // bucket 24 is the overflow bucket: values ≥ 480 000 with no upper
+      // bound — its hi is NULL rather than a bound it doesn't enforce
       .select(col("bucket"), (col("bucket") * 20000L).as("lo"),
-        ((col("bucket") + 1) * 20000L).as("hi"), col("n_orders"), col("sum_price"))
+        when(col("bucket") < 24, (col("bucket") + 1) * 20000L).as("hi"),
+        col("n_orders"), col("sum_price"))
       .orderBy(col("bucket"))
 
   val q54Sql: String =
-    s"""SELECT bucket, bucket * 20000 AS lo, (bucket + 1) * 20000 AS hi,
+    s"""SELECT bucket, bucket * 20000 AS lo,
+       |  CASE WHEN bucket < 24 THEN (bucket + 1) * 20000 END AS hi,
        |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
        |FROM (SELECT CAST(least(floor(o_totalprice / CAST(20000.0 AS DOUBLE)), 24) AS INT) AS bucket,
        |             o_totalprice FROM orders)
@@ -129,6 +133,13 @@ object Warehouse {
     * order is (o_orderdate, o_orderkey) so same-day orders are
     * deterministic; dates render as strings (cross-engine DATE columns
     * don't hash-compare through pandas, q52 note).
+    *
+    * Sub-grain caveat (inherent to date-grained change keys): two
+    * versions on the SAME day produce a zero-length [from, to) interval
+    * for the earlier one, so a date-grained as-of lookup resolves only
+    * the day's last version — the `version` column is the tie-break a
+    * consumer needs for intra-day history. Finer-grained validity needs
+    * a finer change timestamp than o_orderdate carries.
     */
   def q56Scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

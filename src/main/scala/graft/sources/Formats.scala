@@ -265,18 +265,35 @@ object Formats {
     * rebuilds each version's state as set algebra over the canonical
     * table.
     */
-  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
-    import graft.engine.Snapshots
-    val table = out("snap_orders", dir)
-    val p = new org.apache.hadoop.fs.Path(table)
+  /** Fresh (deleted-if-present) scratch path — snapshot fixtures rebuild
+    * per invocation so re-entrant callers (bench warmups, the hygiene
+    * spec's double pass) never trip errorifexists.
+    */
+  private def fresh(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(p)) fsys.delete(p, true) // fresh rebuild per invocation
+    if (fsys.exists(p)) fsys.delete(p, true)
+    path
+  }
+
+  /** Shared 3-version orders lifecycle (init / append / delete-rewrite)
+    * under `table` — the fixture both [[timeTravel]] and [[versionDiff]]
+    * grade against.
+    */
+  private def ordersV012(spark: SparkSession, dir: String, table: String): Unit = {
+    import graft.engine.Snapshots
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
     Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
     Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
     val v1 = Snapshots.read(spark, table, 1)
     Snapshots.commit(v1.filter(col("o_orderkey") % 5 =!= 0), table, append = false)
+  }
+
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snap_orders", dir))
+    ordersV012(spark, dir, table)
     (0 to 2).map { v =>
       Snapshots.read(spark, table, v).agg(
         count(lit(1)).as("n_rows"),
@@ -315,16 +332,8 @@ object Formats {
     */
   def versionDiff(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Snapshots
-    val table = out("snapdiff_orders", dir)
-    val p = new org.apache.hadoop.fs.Path(table)
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(p)) fsys.delete(p, true)
-    val o = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"))
-    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
-    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), table, append = true)
-    val v1 = Snapshots.read(spark, table, 1)
-    Snapshots.commit(v1.filter(col("o_orderkey") % 5 =!= 0), table, append = false)
+    val table = fresh(spark, out("snapdiff_orders", dir))
+    ordersV012(spark, dir, table)
     def summarize(tag: String, vFrom: Int, vTo: Int): DataFrame =
       Snapshots.diff(spark, table, vFrom, vTo)
         .groupBy(col("change_type"))
@@ -365,10 +374,7 @@ object Formats {
     */
   def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Snapshots
-    val table = out("snapstat_events", dir)
-    val p = new org.apache.hadoop.fs.Path(table)
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(p)) fsys.delete(p, true)
+    val table = fresh(spark, out("snapstat_events", dir))
     val e = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     val mx = e.agg(max(col("event_id"))).head.getLong(0)
@@ -405,10 +411,7 @@ object Formats {
     */
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Snapshots
-    val table = out("snapivm_orders", dir)
-    val p = new org.apache.hadoop.fs.Path(table)
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(p)) fsys.delete(p, true)
+    val table = fresh(spark, out("snapivm_orders", dir))
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)

@@ -532,16 +532,17 @@ object Events {
   def transitions(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val steps = events(spark, dir)
+    // totals come from a window over the already-aggregated |types|²
+    // frame — a separate groupBy+join branch would re-run the full
+    // scan + lead window a second time (unmaterialized common subplan)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    events(spark, dir)
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = steps.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("total"))
-    steps.join(totals, "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("total"), 6).as("p"))
+        round(col("n").cast("double") / sum(col("n")).over(wt), 6).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
 

@@ -16,7 +16,9 @@ class WarehouseSpec extends SparkSpecBase {
     val h = Warehouse.q54Histogram(spark, sf()).collect()
     assert(h.map(_.getLong(3)).sum == orders.count())
     assert(h.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 24))
-    assert(h.forall(r => r.getLong(2) - r.getLong(1) == 20000L))
+    // regular buckets are 20k wide; bucket 24 is the unbounded overflow
+    assert(h.filter(_.getInt(0) < 24).forall(r => r.getLong(2) - r.getLong(1) == 20000L))
+    assert(h.filter(_.getInt(0) == 24).forall(_.isNullAt(2)))
   }
 
   test("merge upsert applies update/delete/insert row algebra") {
