@@ -46,17 +46,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
     // warmup passes absorb JVM/codegen startup for both pipelines: a
     // cheap relational query, and one sketch query so the native
     // text/vector expressions' first Janino compile (~2 s) doesn't land
     // on whichever dedup query happens to run first alphabetically —
     // at cluster scale codegen compiles once per executor lifetime, so
-    // steady-state per-query cost is the honest number
+    // steady-state per-query cost is the honest number. The sketch
+    // warmup only runs when a selected query uses the sketch pipeline:
+    // a targeted relational run at blowup 10 shouldn't pay a full
+    // MinHash dedup of the blown-up corpus first.
     runOnce("q4_topk")
-    runOnce("dedup_minhash_lsh")
-
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val sketchy = names.exists(n =>
+      n.startsWith("dedup_") || n.startsWith("sim_") || n.startsWith("text_") ||
+        n.startsWith("pipeline_"))
+    if (sketchy) runOnce("dedup_minhash_lsh")
     val results = names.map { n =>
       val t = runOnce(n)
       println(f"[bench] $n $t%.3f") // per-query detail, one line each

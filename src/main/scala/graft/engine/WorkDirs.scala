@@ -14,13 +14,32 @@ object WorkDirs {
 
   /** The process-scoped root for `prefix`, creating the cleanup hook on
     * first use. The directory itself is created lazily by writers.
+    * Also sweeps siblings left by DEAD processes: the shutdown hook
+    * never runs on SIGKILL/OOM-kill, and pid-named dirs are never
+    * reused, so without the sweep each crashed run would leak its
+    * materializations (GBs at blowup scale) until /tmp fills.
     */
   def processScoped(prefix: String): String =
     roots.computeIfAbsent(prefix, p => {
+      sweepStale(p)
       val root = s"/tmp/${p}_${ProcessHandle.current().pid()}"
       Runtime.getRuntime.addShutdownHook(new Thread(() => rm(new java.io.File(root))))
       root
     })
+
+  private def sweepStale(prefix: String): Unit = {
+    val self = ProcessHandle.current().pid()
+    val kids = new java.io.File("/tmp").listFiles()
+    if (kids != null) kids.foreach { f =>
+      val name = f.getName
+      if (f.isDirectory && name.startsWith(s"${prefix}_")) {
+        val pid = name.stripPrefix(s"${prefix}_")
+        if (pid.forall(_.isDigit) && pid.nonEmpty && pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false))
+          rm(f)
+      }
+    }
+  }
 
   private def rm(f: java.io.File): Unit = {
     val kids = f.listFiles()

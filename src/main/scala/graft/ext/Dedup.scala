@@ -743,6 +743,9 @@ object Dedup {
 
     val scale = 1000000000000L
     val n = documents.select(col("doc_id")).count()
+    if (n == 0) // empty corpus: empty result, like the sibling operators
+      return documents.select(col("doc_id"), lit(0L).as("rank_fp"),
+        lit(0L).as("n_neighbors"))
     val r0 = scale / n
     val base = (15L * r0) / 100L
     var rank = stage(sized(

@@ -398,7 +398,7 @@ object Similarity {
   def knnGraphWide(spark: SparkSession, dir: String): DataFrame =
     knnGraphOn(emb(spark, dir), k = 3, nBands = 16, bandBits = 8)
 
-  private def knnGraphSqlFor(nBands: Int, bandBits: Int): String =
+  private def knnGraphSqlFor(nBands: Int, bandBits: Int, k: Int = 3): String =
     s"""WITH ${lshBandsCte(nBands, bandBits)},
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
@@ -411,7 +411,7 @@ object Similarity {
       |rk AS (SELECT *, row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rk
       |       FROM scored)
       |SELECT va AS vec_id, rk, vb AS neighbor_id, round(cos, 6) AS cos_sim
-      |FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
+      |FROM rk WHERE rk <= $k ORDER BY vec_id, rk""".stripMargin
 
   val knnGraphSql: String = knnGraphSqlFor(16, 4)
   val knnGraphWideSql: String = knnGraphSqlFor(16, 8)

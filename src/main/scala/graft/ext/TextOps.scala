@@ -31,12 +31,20 @@ object TextOps {
   def stats(spark: SparkSession, dir: String): DataFrame =
     statsOn(docs(spark, dir))
 
+  // Shared quality-feature expressions over the tokenized column `w` —
+  // ONE definition feeds both [[statsOn]] and [[qualityScoreOn]], so
+  // the stopword list and the per-feature arithmetic whose cross-engine
+  // bit-exactness the oracle relies on can't drift between the two
+  // operators (their SQL twins spell the same list; ExtSpec pins the
+  // logit-reproduces-from-stats contract). count_in_set / sum_strlen
+  // are native codegen expressions (TextStatsExpressions); the HOF
+  // lambdas they replaced were interpreted per token.
+  private def stopCount = expr("count_in_set(w, array('the','a','of','and','to'))")
+  private def ttrCol = size(array_distinct(col("w"))).cast("double") / size(col("w"))
+  private def stopRatioCol = stopCount.cast("double") / size(col("w"))
+  private def meanTokLenCol = expr("sum_strlen(w)").cast("double") / size(col("w"))
+
   def statsOn(documents: DataFrame): DataFrame = {
-    // Stopword counting and token-length totals are native codegen
-    // expressions (count_in_set / sum_strlen, TextStatsExpressions) —
-    // the HOF lambdas they replace were interpreted per token, a scan-
-    // side tax that matters at corpus scale. Same arithmetic; the DuckDB
-    // oracle below is unchanged and still hash-matches.
     graft.plans.GraftExtensions.register(documents.sparkSession)
     documents
       .withColumn("w", split(col("text"), " "))
@@ -45,15 +53,12 @@ object TextOps {
         length(col("text")).as("n_chars_m"),
         size(col("w")).as("n_tokens"),
         size(array_distinct(col("w"))).as("n_uniq"),
-        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
+        ttrCol.as("ttr"),
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
           .as("n_bpe_tokens"),
-        expr("count_in_set(w, array('the','a','of','and','to'))")
-          .as("n_stop"),
-        (expr("count_in_set(w, array('the','a','of','and','to'))")
-          .cast("double") / size(col("w"))).as("stop_ratio"),
-        (expr("sum_strlen(w)").cast("double")
-          / size(col("w"))).as("mean_tok_len"))
+        stopCount.as("n_stop"),
+        stopRatioCol.as("stop_ratio"),
+        meanTokLenCol.as("mean_tok_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -91,13 +96,9 @@ object TextOps {
     documents
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_tokens", size(col("w")).cast("double"))
-      .withColumn("ttr",
-        size(array_distinct(col("w"))).cast("double") / size(col("w")))
-      .withColumn("stop_ratio",
-        expr("count_in_set(w, array('the','a','of','and','to'))").cast("double")
-          / size(col("w")))
-      .withColumn("mean_tok_len",
-        expr("sum_strlen(w)").cast("double") / size(col("w")))
+      .withColumn("ttr", ttrCol)
+      .withColumn("stop_ratio", stopRatioCol)
+      .withColumn("mean_tok_len", meanTokLenCol)
       .withColumn("logit",
         lit(-2.5) + col("n_tokens") * lit(0.01) + col("ttr") * lit(1.5) +
           col("stop_ratio") * lit(6.0) + col("mean_tok_len") * lit(0.08))

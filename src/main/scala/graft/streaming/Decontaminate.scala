@@ -26,11 +26,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object Decontaminate {
 
-  /** The filter itself, usable on batch or streaming frames alike. */
+  /** The filter itself, usable on batch or streaming frames alike.
+    * Probes may mix n-gram lengths: grams are generated once per
+    * DISTINCT probe length (a probe that isn't a bigram previously
+    * could never match — contaminated documents passed silently).
+    */
   def clean(docs: DataFrame, probes: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
+    require(probes.nonEmpty, "empty probe set")
     val bloom = probes.toDF("probe").stat.bloomFilter("probe",
       math.max(probes.size.toLong, 64L), 0.01)
     val bytes = {
@@ -38,19 +43,18 @@ object Decontaminate {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val probeArr = array(probes.map(lit): _*)
-    docs.withColumn("g", expr("word_ngrams(text, 2)"))
-      .filter(!(
-        expr(s"exists(g, x -> bloom_might_contain(${hexLit(bytes)}, x))") &&
-          arrays_overlap(col("g"), probeArr)))
-      .drop("g")
+    // one gram pass per distinct probe length; the serialized bloom is a
+    // bound binary literal (lit(bytes) + call_function — never SQL text,
+    // which at a 10⁸-probe/GB filter would overflow the parser)
+    val byLen = probes.groupBy(_.trim.split("\\s+").length)
+    val hit = byLen.map { case (n, ps) =>
+      val grams = call_function("word_ngrams", col("text"), lit(n))
+      val might = exists(grams,
+        x => call_function("bloom_might_contain", lit(bytes), x))
+      might && arrays_overlap(grams, array(ps.map(lit): _*))
+    }.reduce(_ || _)
+    docs.filter(!hit)
   }
-
-  /** A binary literal in SQL-expression form (X'..'), so the serialized
-    * bloom can appear inside the `exists` lambda text.
-    */
-  private def hexLit(bytes: Array[Byte]): String =
-    "X'" + bytes.map(b => f"$b%02X").mkString + "'"
 
   def start(spark: SparkSession, docsDir: String, outDir: String,
       checkpointDir: String, probes: Seq[String]): StreamingQuery = {

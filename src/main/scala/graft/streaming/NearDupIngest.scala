@@ -67,9 +67,16 @@ object NearDupIngest {
     * each store is partitioned by `ingest_batch` and a replayed batch
     * OVERWRITES its own partition — exactly-once index state with zero
     * reads of the existing store. Without an id (ad-hoc backfill), the
-    * append falls back to anti-joining the store's pruned doc_id column,
-    * which is correct but costs O(index) per call — fine for a one-off
-    * backfill, wrong for a per-batch loop (ADVICE r5).
+    * append anti-joins the store's pruned doc_id column and lands in the
+    * reserved `ingest_batch=adhoc` partition — correct but O(index) per
+    * call; fine for a one-off backfill, wrong for a per-batch loop
+    * (ADVICE r5).
+    *
+    * The partition-overwrite idempotence assumes ONE stream (checkpoint)
+    * owns an index dir for its lifetime: pointing a FRESH checkpoint at
+    * an existing index restarts batch ids at 0 and the new batch 0
+    * overwrites the old partition 0's survivors. Keep the (checkpoint,
+    * indexDir) pairing stable, or start a new index.
     */
   def processBatch(batch: DataFrame, indexDir: String, tau: Double = 0.5,
       batchId: Option[Long] = None): DataFrame = {
@@ -141,13 +148,21 @@ object NearDupIngest {
         case Some(id) =>
           rows.write.mode("overwrite").parquet(s"$path/ingest_batch=$id")
         case None =>
+          // ad-hoc backfills land in a RESERVED partition of the same
+          // ingest_batch=<v> layout the streaming path uses — appending
+          // bare files at the store root next to partition directories
+          // would make Spark's partition discovery reject the whole
+          // store ("conflicting directory structures") and wedge the
+          // stream. Partition values mix numerals and 'adhoc', so the
+          // inferred partition column is a string — readers select
+          // explicit columns and never touch it.
           val fresh =
             if (fs.exists(new org.apache.hadoop.fs.Path(path)))
               rows.join(spark.read.parquet(path).select("doc_id").distinct(),
                 Seq("doc_id"), "left_anti")
             else rows
           val staged = graft.engine.Materialize.stage(fresh)
-          staged.write.mode("append").parquet(path)
+          staged.write.mode("append").parquet(s"$path/ingest_batch=adhoc")
           graft.engine.Materialize.release(staged)
       }
     }

@@ -224,6 +224,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(kept == batchKept)
   }
 
+  test("decontamination matches probes of mixed n-gram lengths") {
+    import spark.implicits._
+    import graft.streaming.Decontaminate
+    // a 3-token and a 1-token probe next to a bigram — the bigram-only
+    // form silently passed every non-bigram probe (review r6)
+    val probes = Seq("sort merge join", "contaminated", "hash join")
+    val rows = Seq(
+      (1L, "spark plans a sort merge join for big tables"),
+      (2L, "this one is contaminated by a single token"),
+      (3L, "a hash join bigram probe still works"),
+      (4L, "sort merge operations alone are fine"), // prefix only — no match
+      (5L, "clean"))
+    val kept = Decontaminate.clean(rows.toDF("doc_id", "text"), probes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L), kept.toString)
+  }
+
   test("continuous-ingest near-dup filter: cross-batch index dedup == batch semantics") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
