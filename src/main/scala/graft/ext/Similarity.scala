@@ -573,6 +573,81 @@ object Similarity {
       |  CAST(old_label <> clabel AS INT) AS moved
       |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** KMeans to a fixed iteration count — the TRAINING LOOP, not just one
+    * step: `iters` rounds of (centroids from current assignment →
+    * reassign every vector), all in the same exact fixed point as
+    * [[kmeansStep]], so the whole loop is graded by hash match against
+    * an oracle that unrolls the rounds as CTEs (the PageRank technique,
+    * applied to iterative ML). Per round: one k×dim partial+final
+    * aggregate + one broadcast + one corpus scan — the loop never
+    * shuffles an embedding; `localCheckpoint` truncates the per-round
+    * lineage exactly like the clustering loops. Clusters that lose all
+    * members simply vanish from the next round's centroid table —
+    * identically in both engines, because both derive centroids from
+    * the same assignment.
+    */
+  def kmeansIters(spark: SparkSession, dir: String): DataFrame =
+    kmeansItersOn(emb(spark, dir), iters = 3)
+
+  def kmeansItersOn(e: DataFrame, iters: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    var assign = vfp.select(col("vec_id"), col("label").as("clabel"), col("vfp"))
+    for (_ <- 1 to iters) {
+      val cent = assign
+        .select(col("clabel").as("cl2"), posexplode(col("vfp")).as(Seq("dim", "v")))
+        .groupBy(col("cl2"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", expr("s div n"))
+        .groupBy(col("cl2"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+          .as("carr"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cl2"))
+      assign = assign.crossJoin(broadcast(cent))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl2").as("clabel"), col("vfp"), col("dist"))
+        .localCheckpoint(true)
+    }
+    assign
+      .join(vfp.select(col("vec_id"), col("label").as("old_label")), "vec_id")
+      .select(col("vec_id"), col("old_label"), col("clabel").as("new_label"),
+        col("dist").as("dist_fp"),
+        (col("old_label") =!= col("clabel")).cast("int").as("moved"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[kmeansItersOn]]: the rounds unrolled as CTEs over
+    * the same fixed-point image — centroid truncated-division lists,
+    * cross join, argmin with the same (dist, label) tie-break.
+    */
+  def kmeansItersSqlFor(iters: Int): String = {
+    def round(r: Int): String =
+      s"""ex$r AS (
+         |  SELECT clabel, t.i AS dim, vfp[t.i] AS val
+         |  FROM a${r - 1}, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+         |cs$r AS (SELECT clabel, dim, SUM(val) AS s, COUNT(*) AS n FROM ex$r GROUP BY 1, 2),
+         |ce$r AS (SELECT clabel AS cl2, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+         |         FROM cs$r GROUP BY clabel),
+         |d$r AS (
+         |  SELECT a.vec_id, a.vfp, c.cl2,
+         |    CAST(list_aggregate(list_transform(list_zip(a.vfp, c.carr),
+         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+         |  FROM a${r - 1} a CROSS JOIN ce$r c),
+         |rk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl2) AS rn FROM d$r),
+         |a$r AS (SELECT vec_id, cl2 AS clabel, vfp, dist FROM rk$r WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS clabel, vfp FROM v),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT a.vec_id, v.label AS old_label, a.clabel AS new_label,
+       |  a.dist AS dist_fp, CAST(v.label <> a.clabel AS INT) AS moved
+       |FROM a$iters a JOIN v USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dedup_keep" -> (semanticDedup _),
     "sim_quantize_i8" -> (quantizeI8 _),
@@ -584,7 +659,8 @@ object Similarity {
     "sim_knn_graph" -> (knnGraph _),
     "sim_knn_graph_wide" -> (knnGraphWide _),
     "sim_centroids" -> (centroids _),
-    "sim_kmeans_step" -> (kmeansStep _))
+    "sim_kmeans_step" -> (kmeansStep _),
+    "sim_kmeans3" -> (kmeansIters _))
 
   val oracles: Map[String, String] = Map(
     "sim_dedup_keep" -> semanticDedupSql,
@@ -596,5 +672,6 @@ object Similarity {
     "sim_knn_graph" -> knnGraphSql,
     "sim_knn_graph_wide" -> knnGraphWideSql,
     "sim_centroids" -> centroidsSql,
-    "sim_kmeans_step" -> kmeansStepSql)
+    "sim_kmeans_step" -> kmeansStepSql,
+    "sim_kmeans3" -> kmeansItersSqlFor(3))
 }

@@ -479,6 +479,22 @@ class ExtSpec extends SparkSpecBase {
     assert(r((1, 0)) == ((-1000000L, 1L, -1000000L)))
   }
 
+  test("kmeans loop converges on the tiny fixture (3 iters == 4 iters)") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f), 0),
+      (1L, Array(0.9f, -0.1f), 0),
+      (2L, Array(-1.0f, 0.1f), 1),
+      (3L, Array(0.95f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    def labels(iters: Int) = Similarity.kmeansItersOn(e, iters).collect()
+      .map(x => (x.getLong(0), x.getInt(2))).toMap
+    val l3 = labels(3)
+    assert(l3 == labels(4), "assignments not converged after 3 rounds")
+    // the mislabeled vector ended in the right cluster and stayed there
+    assert(l3(3L) == 0 && l3(2L) == 1)
+  }
+
   test("kmeans step reassigns a mislabeled vector to the nearer centroid") {
     import spark.implicits._
     // cluster A near (1, 0); cluster B near (-1, 0); vec 3 carries label 1
