@@ -59,6 +59,9 @@ object Bench {
     // a targeted relational run at blowup 10 shouldn't pay a full
     // MinHash dedup of the blown-up corpus first.
     runOnce("q4_topk")
+    // NOTE: this prefix list must track new sketch-expression families —
+    // a family missing here loses its warmup and its first query absorbs
+    // the one-time Janino compile in targeted runs
     val sketchy = names.exists(n =>
       n.startsWith("dedup_") || n.startsWith("sim_") || n.startsWith("text_") ||
         n.startsWith("pipeline_"))

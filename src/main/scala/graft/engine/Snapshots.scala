@@ -124,7 +124,8 @@ object Snapshots {
     * so the residual predicate is always applied.
     */
   def readPruned(spark: SparkSession, dir: String, column: String,
-      lo: Long, hi: Long, version: Int = -1): DataFrame = {
+      lo: Long, hi: Long, version: Int = -1,
+      mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = if (version < 0) latestVersion(spark, dir) else version
     val kept = entriesAt(spark, dir, v).collect {
@@ -132,9 +133,14 @@ object Snapshots {
       case BatchEntry(b, Some((c, mn, mx)))
         if c != column || (mx >= lo && mn <= hi) => b
     }
+    // mergeSchema threads through like read(): on an evolved table the
+    // surviving batches may span schemas, and the contract is pruned
+    // result == plain filter at the same version — which the plain read
+    // only satisfies schema-merged
     val base =
-      if (kept.isEmpty) read(spark, dir, v).limit(0) // schema-preserving empty
-      else spark.read.parquet(kept.map(b => s"$dir/$b"): _*)
+      if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0) // schema-preserving empty
+      else spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(kept.map(b => s"$dir/$b"): _*)
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 

@@ -34,7 +34,10 @@ object WorkDirs {
       val name = f.getName
       if (f.isDirectory && name.startsWith(s"${prefix}_")) {
         val pid = name.stripPrefix(s"${prefix}_")
-        if (pid.forall(_.isDigit) && pid.nonEmpty && pid.toLong != self &&
+        // length cap: /tmp is world-writable, and an all-digit suffix
+        // beyond Long range would make toLong throw out of the sweep
+        if (pid.nonEmpty && pid.length <= 18 && pid.forall(_.isDigit) &&
+            pid.toLong != self &&
             !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false))
           rm(f)
       }

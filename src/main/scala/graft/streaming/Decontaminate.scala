@@ -36,22 +36,29 @@ object Decontaminate {
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
     require(probes.nonEmpty, "empty probe set")
-    val bloom = probes.toDF("probe").stat.bloomFilter("probe",
-      math.max(probes.size.toLong, 64L), 0.01)
+    // normalize probes to single-space token joins FIRST: word_ngrams
+    // emits single-space grams, so a probe with a tab or double space
+    // would land in the right length group yet never equal any gram —
+    // the silent-pass bug, one normalization away
+    val norm = probes.map(_.trim.split("\\s+").toSeq)
+      .filter(_.nonEmpty).map(ts => (ts.length, ts.mkString(" ")))
+    val bloom = norm.map(_._2).toDF("probe").stat.bloomFilter("probe",
+      math.max(norm.size.toLong, 64L), 0.01)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    // one gram pass per distinct probe length; the serialized bloom is a
-    // bound binary literal (lit(bytes) + call_function — never SQL text,
-    // which at a 10⁸-probe/GB filter would overflow the parser)
-    val byLen = probes.groupBy(_.trim.split("\\s+").length)
-    val hit = byLen.map { case (n, ps) =>
+    // ONE bound binary literal shared by every length group (never SQL
+    // text — a 10⁸-probe/GB filter would overflow the parser; and never
+    // one lit per group, which would serialize the filter once per
+    // distinct length into every task)
+    val bloomLit = lit(bytes)
+    val hit = norm.groupBy(_._1).map { case (n, ps) =>
       val grams = call_function("word_ngrams", col("text"), lit(n))
       val might = exists(grams,
-        x => call_function("bloom_might_contain", lit(bytes), x))
-      might && arrays_overlap(grams, array(ps.map(lit): _*))
+        x => call_function("bloom_might_contain", bloomLit, x))
+      might && arrays_overlap(grams, array(ps.map(p => lit(p._2)): _*))
     }.reduce(_ || _)
     docs.filter(!hit)
   }

@@ -156,8 +156,24 @@ object NearDupIngest {
           // stream. Partition values mix numerals and 'adhoc', so the
           // inferred partition column is a string — readers select
           // explicit columns and never touch it.
+          // one-time migration: a store populated by the pre-partition
+          // adhoc path carries bare part files at its root; writing a
+          // partition dir next to them would wedge partition discovery
+          // for every later read, so fold them into a legacy partition
+          // first (file renames — no data rewrite)
+          val storePath = new org.apache.hadoop.fs.Path(path)
+          if (fs.exists(storePath)) {
+            val loose = fs.listStatus(storePath).filter(s =>
+              s.isFile && s.getPath.getName.endsWith(".parquet"))
+            if (loose.nonEmpty) {
+              val legacy = new org.apache.hadoop.fs.Path(storePath, "ingest_batch=legacy")
+              fs.mkdirs(legacy)
+              loose.foreach(s => fs.rename(s.getPath,
+                new org.apache.hadoop.fs.Path(legacy, s.getPath.getName)))
+            }
+          }
           val fresh =
-            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            if (fs.exists(storePath))
               rows.join(spark.read.parquet(path).select("doc_id").distinct(),
                 Seq("doc_id"), "left_anti")
             else rows

@@ -239,6 +239,12 @@ class StreamingSpec extends SparkSpecBase {
     val kept = Decontaminate.clean(rows.toDF("doc_id", "text"), probes)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(4L, 5L), kept.toString)
+    // probes with irregular whitespace (tabs, double spaces — as
+    // harvested from real eval files) normalize to the same phrase
+    val messy = Seq("sort\tmerge join", "  hash   join ")
+    val keptMessy = Decontaminate.clean(rows.toDF("doc_id", "text"), messy)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMessy == Set(2L, 4L, 5L), keptMessy.toString)
   }
 
   test("continuous-ingest near-dup filter: cross-batch index dedup == batch semantics") {
