@@ -32,6 +32,17 @@ class Catalog(spark: SparkSession) {
     register(name, df, CsvInference.statsFor(df, name))
   }
 
+  /** A versioned snapshot table ([[graft.engine.Snapshots]]) at a fixed
+    * version (default latest) — SQL over time travel: registering the
+    * same store under two names at two versions lets plain SQL query,
+    * join, and diff table history.
+    */
+  def registerSnapshot(name: String, dir: String, version: Int = -1,
+      mergeSchema: Boolean = false): TableMeta = {
+    val df = graft.engine.Snapshots.read(spark, dir, version, mergeSchema)
+    register(name, df, CsvInference.statsFor(df, name))
+  }
+
   def register(name: String, df: DataFrame, meta: TableMeta): TableMeta = {
     df.createOrReplaceTempView(name)
     metas(name) = meta

@@ -426,6 +426,26 @@ class ExtSpec extends SparkSpecBase {
       .collect().head.getDouble(0) == 1.0)
   }
 
+  test("sqlapi: snapshot versions register as tables — SQL over time travel") {
+    import spark.implicits._
+    val qe = new graft.sqlapi.QueryEngine(spark)
+    val dir = s"${graft.engine.WorkDirs.processScoped("graft_test_snapsql")}/t"
+    graft.engine.Snapshots.commit(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir, append = false)
+    graft.engine.Snapshots.commit(
+      Seq((3L, 30.0)).toDF("id", "v"), dir, append = true)
+    qe.catalog.registerSnapshot("t_v0", dir, version = 0)
+    qe.catalog.registerSnapshot("t_latest", dir)
+    assert(qe.sql("SELECT COUNT(*) FROM t_v0").head.getLong(0) == 2L)
+    assert(qe.sql("SELECT SUM(v) FROM t_latest").head.getDouble(0) == 60.0)
+    // plain SQL diffs history across the two registrations
+    val added = qe.sql(
+      "SELECT id FROM t_latest WHERE id NOT IN (SELECT id FROM t_v0) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(added == Seq(3L))
+    assert(qe.catalog.describe("t_v0").isDefined)
+  }
+
   test("multimodal: frame sampling strides over payload") {
     import spark.implicits._
     val payload = Array.fill[Byte](5000)(7)
