@@ -171,45 +171,129 @@ object Similarity {
     * coarse cells; each query probes only the `nprobe` nearest cells.
     * The centroid table is tiny (k × dim) and broadcast; the corpus is
     * scanned once to assign cells (one shuffle on cell id at scale), and
-    * probe cost is nprobe/k of the corpus per query. Approximate →
-    * rows-only check.
+    * probe cost is nprobe/k of the corpus per query.
+    *
+    * The coarse quantizer is the SAME deterministic fixed-point KMeans
+    * as [[kmeansItersOn]] (label-seeded, scaled-BIGINT floor arithmetic,
+    * truncated-division centroids) rather than ML-KMeans — so the entire
+    * query, training loop included, hash-matches a DuckDB replay
+    * ([[annIvfSqlFor]]). Cell ranking uses fixed-point squared L2 against
+    * the trained centroids; the probe itself scores exact double-fold
+    * cosine, identical to [[cosineTopK]]'s already-replayable form.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    graft.plans.GraftExtensions.register(spark)
-    val e = emb(spark, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(e)
-    val assigned = model.transform(e)
-    val centroids = {
-      import spark.implicits._
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
-        .toDF("cent_cell", "ce")
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfOn(emb(spark, dir), iters = 2, nQueries = 10, k = 5, nprobe = 4)
+
+  def annIvfOn(e: DataFrame, iters: Int, nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val distExpr =
+      "aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    // k×dim truncated-division centroids of the current assignment —
+    // partial+final aggregate, ships k×64 longs, then broadcast.
+    def centsOf(a: DataFrame): DataFrame = a
+      .select(col("cell").as("ccell"), posexplode(col("vfp")).as(Seq("dim", "v")))
+      .groupBy(col("ccell"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("ccell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("carr"))
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    var assign = vfp.select(col("vec_id"), col("label").as("cell"), col("vfp"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("ccell"))
+      assign = assign.crossJoin(broadcast(centsOf(assign)))
+        .withColumn("dist", expr(distExpr))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccell").as("cell"), col("vfp"))
+        .localCheckpoint(true)
     }
-    // rank cells per query by centroid cosine, keep nprobe = 4
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val wCell = Window.partitionBy(col("qid")).orderBy(col("cos_c").desc, col("cent_cell"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", expr("cosine_f32(qe, ce)"))
+    val cent = centsOf(assign)
+    // rank cells per query by fixed-point L2 to the trained centroids,
+    // keep nprobe; the query side re-joins its float embedding for the
+    // exact-cosine scoring pass (assignments travel without vectors).
+    val q = assign.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("cell", "home_cell")
+      .join(e.select(col("vec_id"), col("embedding").as("qe")), "vec_id")
+      .select(col("vec_id").as("qid"), col("vfp"), col("qe"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
       .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= 4)
-      .select(col("qid"), col("qe"), col("cent_cell"))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("qe"), col("ccell"))
     // search only the probed cells
-    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce2"),
-      col("cell"))
+    val c = assign.select(col("vec_id").as("cid"), col("cell"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    c.join(broadcast(probed), col("cell") === col("cent_cell") && col("qid") =!= col("cid"))
-      .withColumn("cos", expr("cosine_f32(qe, ce2)"))
+    c.join(broadcast(probed), col("cell") === col("ccell") && col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(e))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"), col("cell"))
       .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
+  /** DuckDB twin of [[annIvfOn]]: the KMeans rounds unrolled as CTEs
+    * (exactly [[kmeansItersSqlFor]]'s technique), then final centroids,
+    * fixed-point cell ranking, and the [[cosineTopKSql]] double-fold
+    * cosine over the probed cells.
+    */
+  def annIvfSqlFor(iters: Int, nQueries: Int, k: Int, nprobe: Int): String = {
+    def round(r: Int): String =
+      s"""ex$r AS (
+         |  SELECT cell, t.i AS dim, vfp[t.i] AS val
+         |  FROM a${r - 1}, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+         |cs$r AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM ex$r GROUP BY 1, 2),
+         |ce$r AS (SELECT cell AS ccell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+         |         FROM cs$r GROUP BY cell),
+         |d$r AS (
+         |  SELECT a.vec_id, a.vfp, c.ccell,
+         |    CAST(list_aggregate(list_transform(list_zip(a.vfp, c.carr),
+         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+         |  FROM a${r - 1} a CROSS JOIN ce$r c),
+         |rk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccell) AS rn FROM d$r),
+         |a$r AS (SELECT vec_id, ccell AS cell, vfp FROM rk$r WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell, vfp FROM v),
+       |${(1 to iters).map(round).mkString(",\n")},
+       |exF AS (
+       |  SELECT cell, t.i AS dim, vfp[t.i] AS val
+       |  FROM a$iters, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+       |csF AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM exF GROUP BY 1, 2),
+       |ceF AS (SELECT cell AS ccell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+       |        FROM csF GROUP BY cell),
+       |q AS (
+       |  SELECT a.vec_id AS qid, a.vfp AS qvfp, v.embedding AS qe
+       |  FROM a$iters a JOIN v USING (vec_id) WHERE a.vec_id < $nQueries),
+       |pd AS (
+       |  SELECT q.qid, q.qe, c.ccell,
+       |    CAST(list_aggregate(list_transform(list_zip(q.qvfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS cdist
+       |  FROM q CROSS JOIN ceF c),
+       |pr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS cr FROM pd),
+       |probed AS (SELECT qid, qe, ccell FROM pr WHERE cr <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, p.qe, a.vec_id AS cid, v.embedding AS ce, a.cell
+       |  FROM a$iters a JOIN v USING (vec_id)
+       |  JOIN probed p ON a.cell = p.ccell AND p.qid <> a.vec_id),
+       |sc AS (
+       |  SELECT qid, cid, cell,
+       |    list_aggregate(list_transform(list_zip(qe, ce),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+       |    / (sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |     * sqrt(list_aggregate(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+       |  FROM cand),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM sc)
+       |SELECT qid AS vec_id, cid AS neighbor_id, round(cos, 6) AS cos_sim, cell
+       |FROM rk WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
   }
 
   // ------------------------------------------------------- quantization
@@ -515,8 +599,8 @@ object Similarity {
     * centroids from the current (label-seeded) assignment, then every
     * vector reassigned to its nearest centroid by squared L2 — all in
     * exact fixed point, so an ITERATIVE ML training step hash-matches
-    * across engines (the KMeans inside [[annIvf]] is rows-only graded
-    * precisely because float iteration can't be). Distances stay well
+    * across engines (and [[annIvf]]'s coarse quantizer reuses exactly
+    * this loop so the IVF query is hash-graded too). Distances stay well
     * inside BIGINT: |diff| ≤ 2×10⁶, squared ≤ 4×10¹², ×64 dims ≤
     * 2.6×10¹⁴.
     *
@@ -673,5 +757,6 @@ object Similarity {
     "sim_knn_graph_wide" -> knnGraphWideSql,
     "sim_centroids" -> centroidsSql,
     "sim_kmeans_step" -> kmeansStepSql,
-    "sim_kmeans3" -> kmeansItersSqlFor(3))
+    "sim_kmeans3" -> kmeansItersSqlFor(3),
+    "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4))
 }

@@ -459,14 +459,41 @@ object Core {
   // ---------------------------------------------------------------- q21
   /** Sketch aggregates: HyperLogLog++ approximate NDV next to the exact
     * count. At 100 TB the sketch is the only affordable NDV — fixed-size
-    * state, one pass, mergeable across partitions. Approximate → rows-only
-    * check (DuckDB's approx_distinct uses a different sketch).
+    * state, one pass, mergeable across partitions. The sketch VALUE can't
+    * hash-match DuckDB (different sketch family), but its ERROR BOUND can:
+    * the query emits `|hll − exact| ≤ 5% · exact` per column as a boolean
+    * (2.5σ at rsd = 0.02 — observed error is ≤ 1% at sf0.001–0.1), and
+    * the oracle asserts TRUE alongside the exact NDVs. The grade is now
+    * "the sketch is accurate", not "it returned a row".
     */
-  def q21ApproxNdv(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem").agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("ndv_partkey_hll"),
-      countDistinct(col("l_partkey")).as("ndv_partkey_exact"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("ndv_orderkey_hll"))
+  def q21ApproxNdv(spark: SparkSession, dir: String): DataFrame = {
+    // The HLL aggregates and the exact countDistincts deliberately run as
+    // SEPARATE one-row aggregates joined at the end: mixing an
+    // HLL++(rsd=0.02) buffer (~700 long words) with the multi-distinct
+    // Expand rewrite in ONE agg() makes Spark drag that wide buffer
+    // through every expanded row — measured 17 s vs 2.5 s split, sf0.1.
+    // Each pass is a pruned 2-column scan with map-side partials.
+    val li = t(spark, dir, "lineitem")
+    val hll = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("hll_pk"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("hll_ok"))
+    li.agg(
+        countDistinct(col("l_partkey")).as("ndv_partkey_exact"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey_exact"))
+      .crossJoin(broadcast(hll))
+      .select(
+        col("ndv_partkey_exact"), col("ndv_orderkey_exact"),
+        (abs(col("hll_pk") - col("ndv_partkey_exact"))
+          <= col("ndv_partkey_exact") * lit(0.05)).as("partkey_within_5pct"),
+        (abs(col("hll_ok") - col("ndv_orderkey_exact"))
+          <= col("ndv_orderkey_exact") * lit(0.05)).as("orderkey_within_5pct"))
+  }
+
+  val q21Sql: String =
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey_exact,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_orderkey_exact,
+      |  TRUE AS partkey_within_5pct, TRUE AS orderkey_within_5pct
+      |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- q22
   /** As-of join — an operator Spark lacks natively (and the reference
@@ -1412,6 +1439,7 @@ object Core {
     "q49_listagg" -> (q49Listagg _))
 
   val oracles: Map[String, String] = Map(
+    "q21_approx_ndv" -> q21Sql,
     "q22_asof_join" -> q22Sql,
     "q26_asof_native" -> q22Sql, // the native operator answers the same oracle
     "q23_deterministic_sample" -> q23Sql,

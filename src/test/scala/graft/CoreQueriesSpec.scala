@@ -87,14 +87,13 @@ class CoreQueriesSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has either an oracle or is documented rows-only") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // only genuinely non-replayable ops lack an oracle (IVF ANN depends
-    // on trained KMeans centroids; HLL is a sketch) — everything
-    // deterministic is oracle-checked, including simhash (byte-level FNV
-    // replay) and the sign-LSH ops (splitmix64 hyperplane replay with
-    // HUGEINT mod-2^64 arithmetic, Similarity.lshBandsCte)
-    assert(noOracle == Set("sim_ann_ivf", "q21_approx_ndv"))
+    // EVERY query is oracle-checked — including the formerly rows-only
+    // pair: sim_ann_ivf's coarse quantizer is the deterministic
+    // fixed-point KMeans loop (replayed as unrolled CTEs), and
+    // q21_approx_ndv grades the HLL sketch by its 5% error bound
+    assert(noOracle == Set.empty[String])
   }
 
   test("UDF surface: spark.udf.register works (native expressions preferred)") {

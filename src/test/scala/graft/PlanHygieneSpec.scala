@@ -14,17 +14,20 @@ class PlanHygieneSpec extends SparkSpecBase {
     *  - q48: deliberate 5×25 dimension cross join;
     *  - sim_cosine_topk: 10 query vectors broadcast with a non-equi
     *    (qid != cid) condition;
-    *  - sim_ann_ivf: the k=16 centroid table broadcast to rank cells per
-    *    query (KBs by construction);
+    *  - sim_ann_ivf: the k×dim fixed-point centroid table broadcast to
+    *    rank cells per query (KBs by construction);
     *  - text_tfidf: 1-row corpus-count broadcast;
     *  - q55_merge_upsert: 1-row max-key bound broadcast to the inserts;
     *  - sim_kmeans_step: the k×dim centroid table broadcast so every
-    *    vector scores its k distances scan-side.
+    *    vector scores its k distances scan-side;
+    *  - q21_approx_ndv: 1-row HLL-sketch frame broadcast onto the 1-row
+    *    exact-NDV frame (the two passes are split on purpose — see the
+    *    q21 comment on the HLL-buffer × Expand interaction).
     */
   private val bnlAllowed = Set(
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "text_tfidf",
-    "q55_merge_upsert", "sim_kmeans_step")
+    "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
