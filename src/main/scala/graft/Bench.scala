@@ -59,13 +59,10 @@ object Bench {
     // a targeted relational run at blowup 10 shouldn't pay a full
     // MinHash dedup of the blown-up corpus first.
     runOnce("q4_topk")
-    // NOTE: this prefix list must track new sketch-expression families —
-    // a family missing here loses its warmup and its first query absorbs
-    // the one-time Janino compile in targeted runs
-    val sketchy = names.exists(n =>
-      n.startsWith("dedup_") || n.startsWith("sim_") || n.startsWith("text_") ||
-        n.startsWith("pipeline_"))
-    if (sketchy) runOnce("dedup_minhash_lsh")
+    // registry-driven (SparkEntry.sketchQueries, derived from the module
+    // maps): new queries in the sketch families get warmup automatically
+    // instead of depending on a hand-maintained name-prefix list
+    if (names.exists(SparkEntry.sketchQueries)) runOnce("dedup_minhash_lsh")
     val results = names.map { n =>
       val t = runOnce(n)
       println(f"[bench] $n $t%.3f") // per-query detail, one line each

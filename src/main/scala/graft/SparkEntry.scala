@@ -36,12 +36,23 @@ object SparkEntry {
       TextOps.queries ++ Multimodal.queries ++ Events.queries ++ Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for genuinely approximate ops
-    * (LSH / IVF ANN results depend on the hash family / trained
-    * centroids; HLL is a sketch) → rows-only check. Everything
-    * deterministic is oracle-checked, including simhash.
+    * the same parquet tables. EVERY query is oracle-checked — including
+    * the LSH families (deterministic splitmix64/FNV hash replays), the
+    * IVF ANN (fixed-point KMeans quantizer replayed as unrolled CTEs),
+    * and the HLL NDV (graded by its 5% error bound against the exact
+    * side).
     */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Warehouse.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextOps.oracles ++ Multimodal.oracles ++ Events.oracles ++ Formats.oracles
+
+  /** Queries whose plans compile graft's native sketch/text/vector
+    * codegen expressions — the registry Bench's warmup consults so a
+    * targeted run pays the one-time Janino compile before timing.
+    * Derived from the module maps (a new query in these families is
+    * covered automatically; a NEW module gets added beside `queries`
+    * above, same edit).
+    */
+  def sketchQueries: Set[String] =
+    Dedup.queries.keySet ++ Similarity.queries.keySet ++ TextOps.queries.keySet
 }

@@ -7,13 +7,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * core under Delta/Iceberg, as ~100 lines over plain parquet:
   *
   *  - data files are IMMUTABLE: every commit writes a fresh
-  *    `data/batch-N/` directory and never touches earlier ones;
+  *    writer-unique `data/batch-<v>-<nonce>/` directory and never
+  *    touches earlier ones;
   *  - a version is a MANIFEST (`_versions/vNNNNN.json`): the list of
   *    data directories visible at that version. Readers list manifests,
   *    never data directories, so a half-written batch is invisible
   *    until its manifest lands;
-  *  - manifests are published atomically (temp file + rename — the
-  *    same single-writer commit protocol Delta uses on its log);
+  *  - manifests are published atomically with create-if-absent (the
+  *    optimistic commit protocol Delta uses on its log);
   *  - time travel = read an old manifest. Append vs replace is just
   *    whether the new manifest carries the previous file list.
   *
@@ -26,11 +27,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Scale: a manifest holds directory names, not per-row data — KBs at
   * any table size. Readers cost one small-file read + one parquet scan
-  * of exactly the listed directories. What this deliberately does NOT
-  * implement: optimistic concurrency for MULTIPLE writers (Delta's
-  * conditional rename loop) and per-file column stats in the manifest
-  * (file skipping) — single-writer semantics are enough for the graded
-  * surface.
+  * of exactly the listed directories.
+  *
+  * CONCURRENCY: commits are optimistic, Delta-style. Every writer
+  * stages its data under a writer-unique `data/batch-<v>-<nonce>`
+  * directory (no two writers ever touch the same path), then tries to
+  * publish the next manifest version with an ATOMIC create-if-absent;
+  * the loser of a race re-reads the new latest version, re-carries its
+  * file list (for appends), bumps, and retries — so N concurrent
+  * committers serialize into N consecutive versions, none lost. On the
+  * local filesystem the create-if-absent is a hard-link (POSIX link(2)
+  * fails with EEXIST — rename is NOT safe there: File.renameTo silently
+  * overwrites); on HDFS-like stores it is rename-without-overwrite.
+  * Object stores lacking atomic create-if-absent get best-effort
+  * exists-check semantics (the Delta-on-S3 caveat; they need an
+  * external commit coordinator for strict safety).
   */
 object Snapshots {
 
@@ -83,21 +94,15 @@ object Snapshots {
         s"statsCol '$c' must be LONG, got ${df.schema(c).dataType.simpleString}")
     }
     val f = fs(spark, dir)
-    val prev = versions(spark, dir)
-    val v = prev.lastOption.map(_ + 1).getOrElse(0)
-    val batch = s"data/batch-$v"
-    // crash recovery: a batch directory with no published manifest is a
-    // dead writer's leftover — invisible to every reader, so reclaiming
-    // its version slot is safe. Without this, one failed commit would
-    // wedge the table (errorifexists at the same slot forever).
-    // NOTE this leans on the documented single-writer contract: with
-    // TWO live writers, the reclaim could delete the other's in-flight
-    // batch (where pre-recovery they merely failed cleanly). Multi-
-    // writer needs the conditional-rename commit loop this store
-    // deliberately omits.
-    val batchPath = new Path(s"$dir/$batch")
-    if (f.exists(batchPath) && !f.exists(manifestPath(dir, v)))
-      f.delete(batchPath, true)
+    // writer-unique batch directory: a dead writer's leftover is plain
+    // garbage (invisible to readers, never collides with a live write),
+    // so no reclaim-by-deletion is needed — the pre-r7 reclaim could
+    // delete a LIVE second writer's in-flight batch. The version prefix
+    // in the name is advisory (the slot this writer first targeted);
+    // the manifest, not the name, decides membership.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
+    val batch = s"data/batch-$v-$nonce"
     df.write.mode("errorifexists").parquet(s"$dir/$batch")
     val entry = statsCol match {
       case None => batch
@@ -107,10 +112,23 @@ object Snapshots {
           .agg(min(col(c)), max(col(c))).head()
         if (r.isNullAt(0)) batch else s"$batch\t$c\t${r.getLong(0)}\t${r.getLong(1)}"
     }
-    val carried =
-      if (append && prev.nonEmpty) readManifestEntries(spark, dir, prev.last)
-      else Seq.empty
-    publish(f, dir, v, carried :+ entry)
+    // optimistic-commit loop: carry the file list of the version we are
+    // rebasing onto (recomputed per attempt — a lost race means someone
+    // else's batch landed and an append must now include it too)
+    var tries = 0
+    var published = false
+    while (!published) {
+      val carried =
+        if (append && v > 0) readManifestEntries(spark, dir, v - 1)
+        else Seq.empty
+      published = publishIfAbsent(f, dir, v, nonce, carried :+ entry)
+      if (!published) {
+        tries += 1
+        require(tries < 64, s"commit contention: 64 failed publishes at $dir")
+        v = math.max(v + 1,
+          versions(spark, dir).lastOption.map(_ + 1).getOrElse(0))
+      }
+    }
     v
   }
 
@@ -232,16 +250,62 @@ object Snapshots {
     body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Atomic publish: write to a temp name, rename into place. A reader
-    * either sees the complete manifest or no version at all.
+  /** Atomic publish-if-absent: write the manifest body to a
+    * writer-unique temp name, then move it to `vNNNNN.json` with
+    * create-if-absent semantics. Returns false (manifest untouched) if
+    * another writer already owns the version. A reader either sees the
+    * complete manifest or no version at all.
+    *
+    *  - local fs: POSIX hard-link — link(2) is atomic and fails with
+    *    EEXIST when the destination exists. Rename is NOT a lock here:
+    *    RawLocalFileSystem renames via File.renameTo, which silently
+    *    overwrites an existing destination (ADVICE r6).
+    *  - other stores: Hadoop rename, which the HDFS contract defines as
+    *    failing when the destination exists. (S3-style stores without
+    *    atomic create-if-absent degrade to best-effort — documented.)
     */
-  private def publish(f: FileSystem, dir: String, v: Int, batches: Seq[String]): Unit = {
+  private def publishIfAbsent(f: FileSystem, dir: String, v: Int,
+      nonce: String, batches: Seq[String]): Boolean = {
     f.mkdirs(manifestDir(dir))
-    val tmp = new Path(manifestDir(dir), f".v$v%05d.tmp")
+    val dest = manifestPath(dir, v)
+    if (f.exists(dest)) return false
+    val tmp = new Path(manifestDir(dir), f".v$v%05d-$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write((batches.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, manifestPath(dir, v)))
-      throw new IllegalStateException(
-        s"concurrent commit detected publishing v$v at $dir")
+    val won =
+      if (isLocal(f)) {
+        val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+        val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(destNio, tmpNio); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else f.rename(tmp, dest)
+    if (f.exists(tmp)) f.delete(tmp, false)
+    if (won) sweepDeadTmps(f, dir, v)
+    won
   }
+
+  private def isLocal(f: FileSystem): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem => true
+    case _: org.apache.hadoop.fs.RawLocalFileSystem => true
+    case _ => false
+  }
+
+  /** Delete leftover `.vNNNNN-*.tmp` files whose version is already
+    * published — those are provably dead (their writer either won and
+    * failed to clean up, or lost and crashed before its own cleanup).
+    * Tmps for yet-unpublished versions may belong to a LIVE publish and
+    * are left alone. Best-effort, runs once per successful commit.
+    */
+  private def sweepDeadTmps(f: FileSystem, dir: String, upto: Int): Unit =
+    try {
+      f.listStatus(manifestDir(dir)).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".v") && n.endsWith(".tmp")) {
+          val ver = n.stripPrefix(".v").takeWhile(_.isDigit)
+          if (ver.nonEmpty && ver.toInt <= upto) f.delete(s.getPath, false)
+        }
+      }
+    } catch { case _: java.io.IOException => () }
 }

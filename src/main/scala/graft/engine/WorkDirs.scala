@@ -32,7 +32,11 @@ object WorkDirs {
     val kids = new java.io.File("/tmp").listFiles()
     if (kids != null) kids.foreach { f =>
       val name = f.getName
-      if (f.isDirectory && name.startsWith(s"${prefix}_")) {
+      // symlink guard: /tmp is world-writable — a planted
+      // `prefix_<deadpid>` symlink must not let the sweep delete files
+      // it points to (File.listFiles follows links); rm also re-checks
+      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath) &&
+          name.startsWith(s"${prefix}_")) {
         val pid = name.stripPrefix(s"${prefix}_")
         // length cap: /tmp is world-writable, and an all-digit suffix
         // beyond Long range would make toLong throw out of the sweep
@@ -45,8 +49,11 @@ object WorkDirs {
   }
 
   private def rm(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rm)
+    // never recurse through a symlink — delete the link itself only
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+    }
     f.delete()
     ()
   }

@@ -84,10 +84,20 @@ object GraftExtensions {
         "cms_estimate(sketch_bytes, item) - estimated count from a serialized count-min sketch literal"),
       (es: Seq[Expression]) => CmsEstimate(es(0), es(1))))
 
-  /** Register on an already-built session (temp functions, idempotent). */
+  // sessions already registered — operators call register() defensively
+  // on every invocation, and re-registering logs one WARN per function
+  // ("replaced a previously registered function"), flooding bench logs.
+  // Weak keys: a dropped session must not be pinned by this cache.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register on an already-built session (temp functions, idempotent —
+    * and quiet: repeat calls on the same session are no-ops).
+    */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (ident, inf, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
-    }
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+      functions.foreach { case (ident, inf, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      }
 }

@@ -35,13 +35,17 @@ object Decontaminate {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
-    require(probes.nonEmpty, "empty probe set")
     // normalize probes to single-space token joins FIRST: word_ngrams
     // emits single-space grams, so a probe with a tab or double space
     // would land in the right length group yet never equal any gram —
     // the silent-pass bug, one normalization away
     val norm = probes.map(_.trim.split("\\s+").toSeq)
-      .filter(_.nonEmpty).map(ts => (ts.length, ts.mkString(" ")))
+      .filter(ts => ts.nonEmpty && ts.head.nonEmpty)
+      .map(ts => (ts.length, ts.mkString(" ")))
+    // checked AFTER normalization: an all-whitespace probe list would
+    // otherwise pass a probes.nonEmpty check and blow up in the
+    // groupBy(...).reduce below with an opaque empty.reduceLeft
+    require(norm.nonEmpty, "no non-empty probes after normalization")
     val bloom = norm.map(_._2).toDF("probe").stat.bloomFilter("probe",
       math.max(norm.size.toLong, 64L), 0.01)
     val bytes = {

@@ -118,14 +118,17 @@ object NearDupIngest {
       .join(sigB.select(col("doc_id").as("kept"), col("ss").as("kss"), col("sz").as("ksz")), "kept")
     val cands = vsIndex.map(_.unionByName(inBatch)).getOrElse(inBatch)
 
-    // exact verification on shingle sets: LSH proposes, Jaccard decides
-    val dups = cands
+    // exact verification on shingle sets: LSH proposes, Jaccard decides.
+    // Staged EAGERLY: the plan reads the store's CURRENT file layout,
+    // and appendStore below may rename those files (legacy migration) —
+    // a lazy dups plan would evaluate mid-append against moved paths
+    val dups = graft.engine.Materialize.stage(cands
       .join(sigB.select(col("doc_id").as("cand"), col("ss"), col("sz")), "cand")
       .withColumn("inter", size(array_intersect(col("ss"), col("kss"))).cast("long"))
       .filter(col("inter").cast("double") /
         (col("sz") + col("ksz") - col("inter")) >= tau)
       .select(col("cand").as("doc_id"))
-      .distinct()
+      .distinct())
 
     val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
     // normalized index append: 32 narrow band rows per survivor, the
@@ -144,6 +147,24 @@ object NearDupIngest {
     // partition column (reads select explicit columns).
     def appendStore(rows: DataFrame, store: String): Unit = {
       val path = s"$indexDir/$store"
+      val storePath = new org.apache.hadoop.fs.Path(path)
+      // one-time migration, on BOTH paths (ADVICE r6 — a streaming batch
+      // pointed at a pre-partition store used to write its
+      // ingest_batch=<id> dir next to bare root part files, wedging
+      // partition discovery for every later read): a store populated by
+      // the pre-partition adhoc path carries bare part files at its
+      // root; fold them into a legacy partition first (file renames —
+      // no data rewrite)
+      if (fs.exists(storePath)) {
+        val loose = fs.listStatus(storePath).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (loose.nonEmpty) {
+          val legacy = new org.apache.hadoop.fs.Path(storePath, "ingest_batch=legacy")
+          fs.mkdirs(legacy)
+          loose.foreach(s => fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(legacy, s.getPath.getName)))
+        }
+      }
       batchId match {
         case Some(id) =>
           rows.write.mode("overwrite").parquet(s"$path/ingest_batch=$id")
@@ -156,27 +177,19 @@ object NearDupIngest {
           // stream. Partition values mix numerals and 'adhoc', so the
           // inferred partition column is a string — readers select
           // explicit columns and never touch it.
-          // one-time migration: a store populated by the pre-partition
-          // adhoc path carries bare part files at its root; writing a
-          // partition dir next to them would wedge partition discovery
-          // for every later read, so fold them into a legacy partition
-          // first (file renames — no data rewrite)
-          val storePath = new org.apache.hadoop.fs.Path(path)
-          if (fs.exists(storePath)) {
-            val loose = fs.listStatus(storePath).filter(s =>
-              s.isFile && s.getPath.getName.endsWith(".parquet"))
-            if (loose.nonEmpty) {
-              val legacy = new org.apache.hadoop.fs.Path(storePath, "ingest_batch=legacy")
-              fs.mkdirs(legacy)
-              loose.foreach(s => fs.rename(s.getPath,
-                new org.apache.hadoop.fs.Path(legacy, s.getPath.getName)))
-            }
-          }
-          val fresh =
-            if (fs.exists(storePath))
-              rows.join(spark.read.parquet(path).select("doc_id").distinct(),
-                Seq("doc_id"), "left_anti")
-            else rows
+          //
+          // Idempotence scope (ADVICE r5/r6): an ad-hoc RE-RUN can only
+          // have written the adhoc (or migrated legacy) partition, so
+          // the anti-join reads exactly those directories — per-call
+          // read cost tracks the ad-hoc corpus and stays FLAT as the
+          // stream grows the numeric partitions. (A doc ingested by the
+          // stream and then re-submitted ad-hoc would duplicate index
+          // rows — harmless to dedup semantics, every consumer
+          // distinct()s — but that's a caller mixing ingestion paths,
+          // not a replay.)
+          val fresh = adhocSeenIds(spark, path)
+            .map(seen => rows.join(seen, Seq("doc_id"), "left_anti"))
+            .getOrElse(rows)
           val staged = graft.engine.Materialize.stage(fresh)
           staged.write.mode("append").parquet(s"$path/ingest_batch=adhoc")
           graft.engine.Materialize.release(staged)
@@ -189,6 +202,22 @@ object NearDupIngest {
     val seen = new org.apache.hadoop.fs.Path(idxPath, "_SEEN")
     if (!fs.exists(seen)) fs.create(seen, true).close()
     survivors
+  }
+
+  /** doc_ids already written by the AD-HOC path of a store: reads only
+    * the `ingest_batch=adhoc` / `ingest_batch=legacy` partition dirs (a
+    * partition-scoped listing — never the stream-grown numeric
+    * partitions). None if neither exists yet. Package-visible so the
+    * read-cost-stays-flat test can pin which files this consults.
+    */
+  private[graft] def adhocSeenIds(spark: SparkSession, storePath: String): Option[DataFrame] = {
+    val (fs, _) = fsFor(spark, storePath)
+    val dirs = Seq("ingest_batch=adhoc", "ingest_batch=legacy")
+      .map(p => new org.apache.hadoop.fs.Path(s"$storePath/$p"))
+      .filter(fs.exists)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*)
+      .select("doc_id").distinct())
   }
 
   /** The streaming query: file-source documents → per-batch near-dup

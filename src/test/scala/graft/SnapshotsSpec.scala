@@ -67,13 +67,15 @@ class SnapshotsSpec extends SparkSpecBase {
 
   test("vacuum drops expired versions and only unreferenced batches") {
     val t = freshTable("vac")
-    Snapshots.commit(df(1 to 10), t, append = false)   // batch-0
-    Snapshots.commit(df(11 to 15), t, append = true)   // batch-1 (refs batch-0)
-    Snapshots.commit(df(100 to 102), t, append = false) // batch-2 only
-    Snapshots.commit(df(103 to 104), t, append = true)  // batch-3 (refs batch-2)
+    Snapshots.commit(df(1 to 10), t, append = false)   // batch of v0
+    Snapshots.commit(df(11 to 15), t, append = true)   // batch of v1 (refs v0's)
+    Snapshots.commit(df(100 to 102), t, append = false) // batch of v2 only
+    Snapshots.commit(df(103 to 104), t, append = true)  // batch of v3 (refs v2's)
     val dead = Snapshots.vacuum(spark, t, keepFrom = 2)
-    // batches 0 and 1 are referenced by no surviving manifest → gone
-    assert(dead.toSet == Set("data/batch-0", "data/batch-1"))
+    // v0's and v1's batches are referenced by no surviving manifest → gone
+    // (batch dir names are writer-unique: batch-<v>-<nonce>)
+    assert(dead.size == 2 && dead.forall(d =>
+      d.startsWith("data/batch-0-") || d.startsWith("data/batch-1-")), dead.mkString(","))
     assert(Snapshots.versions(spark, t) == Seq(2, 3))
     assert(Snapshots.read(spark, t, 3).count() == 5)
     intercept[IllegalArgumentException](Snapshots.read(spark, t, 1))
@@ -90,11 +92,11 @@ class SnapshotsSpec extends SparkSpecBase {
     Snapshots.commit(df(101 to 200), t, append = true, statsCol = Some("id"))
     Snapshots.commit(df(201 to 300), t, append = true) // no stats recorded
     val pruned = Snapshots.readPruned(spark, t, "id", 10L, 50L)
-    // batch-1 ([101,200], disjoint) is skipped on the manifest alone;
-    // batch-2 has no envelope and must be kept conservatively
+    // v1's batch ([101,200], disjoint) is skipped on the manifest alone;
+    // v2's has no envelope and must be kept conservatively
     val files = pruned.inputFiles.toSeq
-    assert(files.exists(_.contains("batch-0")) && files.exists(_.contains("batch-2")))
-    assert(!files.exists(_.contains("batch-1")), files.mkString(","))
+    assert(files.exists(_.contains("batch-0-")) && files.exists(_.contains("batch-2-")))
+    assert(!files.exists(_.contains("batch-1-")), files.mkString(","))
     // pruning never changes results
     assert(pruned.count() == 41)
     assert(Snapshots.readPruned(spark, t, "id", 150L, 260L).count() ==
@@ -106,12 +108,44 @@ class SnapshotsSpec extends SparkSpecBase {
   test("a dead writer's unpublished batch doesn't wedge the next commit") {
     val t = freshTable("recover")
     Snapshots.commit(df(1 to 5), t, append = false)
-    // simulate a writer that wrote batch-1 and died before publishing
-    df(90 to 99).write.parquet(s"$t/data/batch-1")
-    // the slot is reclaimed; the new commit's content wins
+    // simulate a writer that staged data and died before publishing —
+    // writer-unique names mean the orphan neither collides nor becomes
+    // visible; it's just unreferenced garbage
+    df(90 to 99).write.parquet(s"$t/data/batch-1-deadbeef")
     assert(Snapshots.commit(df(6 to 8), t, append = true) == 1)
     assert(Snapshots.read(spark, t).count() == 8)
     assert(Snapshots.read(spark, t).agg(max(col("id"))).head.getLong(0) == 8L)
+  }
+
+  test("two concurrent committers serialize: both batches visible, no version lost") {
+    val t = freshTable("mw")
+    Snapshots.commit(df(0 to 0), t, append = true) // v0 seed
+    // 4 threads × 3 appends racing on the same table: the optimistic
+    // publish loop must serialize them into 12 consecutive versions with
+    // every batch visible at the final one (the pre-r7 single-writer
+    // protocol made one racer throw or silently clobber)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (0 until 4).flatMap { w =>
+      (0 until 3).map { i =>
+        scala.concurrent.Future {
+          Snapshots.commit(df(1000 * w + 10 * i to 1000 * w + 10 * i + 4),
+            t, append = true)
+        }
+      }
+    }
+    val vs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(vs.sorted == (1 to 12), s"versions not consecutive: $vs")
+    assert(Snapshots.versions(spark, t) == (0 to 12))
+    // every writer's every batch is in the final table
+    assert(Snapshots.read(spark, t).count() == 1 + 12 * 5)
+    // and each intermediate version is exactly its predecessor + 5 rows
+    val counts = (0 to 12).map(v => Snapshots.read(spark, t, v).count())
+    assert(counts == (0 to 12).map(v => 1L + 5L * v))
   }
 
   test("schema evolution: a later append may add a column; old rows read it as null") {
@@ -167,7 +201,10 @@ class SnapshotsSpec extends SparkSpecBase {
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)
-    val p = new org.apache.hadoop.fs.Path(s"$t/data/batch-0")
+    // locate v0's (writer-unique) batch dir through the store itself
+    val b0 = new java.io.File(Snapshots.read(spark, t, 0).inputFiles.head
+      .stripPrefix("file:")).getParent
+    val p = new org.apache.hadoop.fs.Path(b0)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = fs.listStatus(p).map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
     Snapshots.commit(df(6 to 9), t, append = true)

@@ -321,6 +321,76 @@ class StreamingSpec extends SparkSpecBase {
     assert(bandCounts.forall(_ == 32L), bandCounts.mkString(","))
   }
 
+  test("ad-hoc ingest idempotence reads only the adhoc/legacy partitions (flat cost)") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    val idx = java.nio.file.Files.createTempDirectory("graft_ndi_flat").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, s"unique document number $i with its own very distinct words w$i x$i y$i z$i",
+        "en", "s", 60L)).toDF(cols: _*)
+
+    // a stream grows the index: 3 numeric partitions, 20 docs each
+    NearDupIngest.processBatch(docs(0 until 20), idx, batchId = Some(0)).count()
+    NearDupIngest.processBatch(docs(20 until 40), idx, batchId = Some(1)).count()
+    NearDupIngest.processBatch(docs(40 until 60), idx, batchId = Some(2)).count()
+
+    // first ad-hoc backfill lands in ingest_batch=adhoc
+    NearDupIngest.processBatch(docs(100 until 105), idx, batchId = None).count()
+
+    // the idempotence check consults ONLY the adhoc/legacy partition
+    // dirs — its input files must never include a numeric partition, so
+    // per-call read cost doesn't grow with the streamed index
+    for (store <- Seq("sigs.parquet", "bands.parquet")) {
+      val seen = NearDupIngest.adhocSeenIds(spark, s"$idx/$store")
+      assert(seen.isDefined)
+      val files = seen.get.inputFiles.toSeq
+      assert(files.nonEmpty && files.forall(f =>
+        f.contains("ingest_batch=adhoc") || f.contains("ingest_batch=legacy")),
+        files.mkString(","))
+    }
+
+    // replaying the same ad-hoc batch adds nothing (the r4 contract)
+    NearDupIngest.processBatch(docs(100 until 105), idx, batchId = None).count()
+    val sigCounts = spark.read.parquet(s"$idx/sigs.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 100)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigCounts.keySet == (100L until 105L).toSet && sigCounts.values.forall(_ == 1L),
+      sigCounts.toString)
+  }
+
+  test("streaming batch onto a pre-partition store migrates loose root files first") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    val idx = java.nio.file.Files.createTempDirectory("graft_ndi_mig").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, s"quite original content for migration test row $i m$i n$i o$i p$i",
+        "en", "s", 55L)).toDF(cols: _*)
+    // simulate a pre-partition store: bare part files at each store root
+    NearDupIngest.processBatch(docs(0 until 5), idx, batchId = None).count()
+    for (store <- Seq("sigs.parquet", "bands.parquet")) {
+      val root = java.nio.file.Paths.get(idx, store)
+      val adhoc = root.resolve("ingest_batch=adhoc")
+      java.nio.file.Files.list(adhoc).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.move(p, root.resolve(p.getFileName))
+      }
+      java.nio.file.Files.walk(adhoc).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    // a STREAMING batch (Some(id)) must fold the loose files into
+    // ingest_batch=legacy before writing its own partition dir (ADVICE
+    // r6 — previously only the ad-hoc branch migrated, and the mixed
+    // layout wedged partition discovery for all later reads)
+    NearDupIngest.processBatch(docs(10 until 15), idx, batchId = Some(0)).count()
+    val sigs = spark.read.parquet(s"$idx/sigs.parquet")
+    assert(sigs.count() == 10, sigs.count().toString)
+    assert(sigs.inputFiles.exists(_.contains("ingest_batch=legacy")))
+    assert(sigs.inputFiles.exists(_.contains("ingest_batch=0")))
+  }
+
   test("foreachBatch sink: deduped micro-batches land in parquet (custom-sink pattern)") {
     import org.apache.spark.sql.{DataFrame, Row, Dataset}
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
