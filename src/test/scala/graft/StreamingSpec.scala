@@ -148,6 +148,71 @@ class StreamingSpec extends SparkSpecBase {
       s"u3 session start not extended backwards: $streamedSet")
   }
 
+  test("attribution join reconciles late clicks across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+
+    // Watermark delay 1 h, join range 30 min. Pass 1 delivers both
+    // purchases and one click; pass 2 delivers LATE clicks with event
+    // times BEFORE data already processed (out-of-order across
+    // micro-batches, above the watermark):
+    //  - c2 (+550) matches p1 (+600), which ALREADY emitted its
+    //    (p1, c0) pair in pass 1 — the purchase must still be buffered
+    //    in join state and emit the second pair;
+    //  - c1 (+880) matches p2 (+900), a purchase from the previous
+    //    micro-batch — new-arrival × buffered-state reconciliation.
+    val t0 = 1700000000L
+    def row(id: Long, uid: Long, typ: String, sec: Long) =
+      (id, uid, typ, (t0 + sec) * 1000000000L, 1.0)
+    val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+    val fileA = Seq(
+      row(1, 1, "click", 300),      // c0: matches p1 in-pass
+      row(10, 1, "purchase", 600),  // p1
+      row(20, 2, "purchase", 900))  // p2 (no click yet)
+    val fileB = Seq(
+      row(2, 1, "click", 550),      // c2: LATE, second match for emitted p1
+      row(3, 2, "click", 880))      // c1: LATE, first match for buffered p2
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_lattr_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lattr_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lattr_out").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_lattr_all").toString
+    (fileA ++ fileB).toDF(cols: _*).coalesce(1).write.mode("overwrite")
+      .parquet(s"$batchDir/events.parquet")
+
+    def runPass(rows: Seq[(Long, Long, String, Long, Double)], part: Int): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_lattr_w")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part0 = java.nio.file.Files.list(scratch).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part0),
+        java.nio.file.Paths.get(s"$inDir/batch$part.parquet"))
+      val q = Events.streamingPurchaseAttribution(spark, inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    runPass(fileA, 0); runPass(fileB, 1)
+
+    val streamed = spark.read.parquet(outDir)
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    // an INNER interval join emits matches on arrival (no watermark
+    // closure needed), so late-but-above-watermark clicks must leave the
+    // stream result EQUAL to the batch join over the complete corpus
+    val batch = Events.batchPurchaseAttribution(spark, batchDir)
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // and the two cross-batch reconciliations demonstrably happened
+    assert(streamed.contains((10L, (t0 + 550) * 1000L)),
+      "late click did not re-match an already-emitted purchase")
+    assert(streamed.contains((20L, (t0 + 880) * 1000L)),
+      "late click did not match a purchase buffered from the earlier batch")
+  }
+
   test("stream-stream interval join (purchase attribution) == batch join") {
     val q = Events.streamingPurchaseAttribution(spark, eventsDir)
       .writeStream.format("memory").queryName("attrib")
