@@ -337,6 +337,79 @@ object Similarity {
       |    z -> abs(CAST(z[1] AS DOUBLE) - z[2] * scale)), 'sum') / len(embedding), 9) AS mae
       |FROM c ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------ product quantization (PQ)
+  /** Product quantization — the compression layout ANN serving actually
+    * uses at scale (Jégou et al.): the 64-dim vector splits into 8
+    * subspaces of 8 dims; each subspace gets its own codebook (here the
+    * per-label truncated-mean codewords in the same scaled-BIGINT fixed
+    * point as [[kmeansStep]] — deterministic, so the whole encoder is
+    * hash-graded), and a vector is stored as 8 small codes: 64 × f32 →
+    * 8 bytes, 32× smaller. Output is one row per (vec_id, subspace) with
+    * the chosen code and its exact fixed-point squared error — pinning
+    * every individual assignment.
+    *
+    * Scale shape: codebooks are k × dim KBs (broadcast equi-join on
+    * subspace); encoding is scan-side argmin over k codewords per
+    * subspace — one corpus pass, the codebook aggregate ships
+    * k × nSub × subDim longs, and nothing joins vector-to-vector.
+    */
+  def quantizePq(spark: SparkSession, dir: String): DataFrame =
+    quantizePqOn(emb(spark, dir), nSub = 8, subDim = 8)
+
+  def quantizePqOn(e: DataFrame, nSub: Int, subDim: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val subs = vfp.select(col("vec_id"), col("label"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nSub - 1}), s -> slice(vfp, s * $subDim + 1, $subDim))"))
+        .as(Seq("subspace", "sv")))
+    val cb = subs
+      .select(col("label").as("cl"), col("subspace").as("csub"),
+        posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy(col("cl"), col("csub"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("cl"), col("csub"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("cw"))
+    val w = Window.partitionBy(col("vec_id"), col("subspace"))
+      .orderBy(col("dist"), col("cl"))
+    subs.join(broadcast(cb), col("subspace") === col("csub"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("subspace"), col("cl").as("code"),
+        col("dist").as("err_fp"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** DuckDB twin of [[quantizePqOn]] — same fixed-point image, slices,
+    * truncated-division codebooks, and (dist, label) argmin tie-break.
+    */
+  def quantizePqSqlFor(nSub: Int, subDim: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, label, CAST(t.s AS INT) AS subspace,
+       |    list_slice(vfp, t.s * $subDim + 1, t.s * $subDim + $subDim) AS sv
+       |  FROM v, UNNEST(generate_series(0, ${nSub - 1})) AS t(s)),
+       |ex AS (
+       |  SELECT label AS cl, subspace AS csub, t.i AS dim, sv[t.i] AS val
+       |  FROM sub, UNNEST(generate_series(1, len(sv))) AS t(i)),
+       |cs AS (SELECT cl, csub, dim, SUM(val) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2, 3),
+       |cb AS (SELECT cl, csub, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cw
+       |       FROM cs GROUP BY cl, csub),
+       |d AS (
+       |  SELECT sub.vec_id, sub.subspace, cb.cl,
+       |    CAST(list_aggregate(list_transform(list_zip(sub.sv, cb.cw),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+       |  FROM sub JOIN cb ON sub.subspace = cb.csub),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, cl) AS rn FROM d)
+       |SELECT vec_id, subspace, cl AS code, dist AS err_fp
+       |FROM rk WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+
   /** DuckDB twin of the banded sign-LSH signature pipeline. "Approximate"
     * here never meant "non-deterministic": the hyperplanes are a fixed
     * splitmix64 family ([[graft.functions.LshHash.weight]]), so the whole
@@ -744,7 +817,8 @@ object Similarity {
     "sim_knn_graph_wide" -> (knnGraphWide _),
     "sim_centroids" -> (centroids _),
     "sim_kmeans_step" -> (kmeansStep _),
-    "sim_kmeans3" -> (kmeansIters _))
+    "sim_kmeans3" -> (kmeansIters _),
+    "sim_quantize_pq" -> (quantizePq _))
 
   val oracles: Map[String, String] = Map(
     "sim_dedup_keep" -> semanticDedupSql,
@@ -758,5 +832,6 @@ object Similarity {
     "sim_centroids" -> centroidsSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_kmeans3" -> kmeansItersSqlFor(3),
-    "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4))
+    "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
+    "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8))
 }

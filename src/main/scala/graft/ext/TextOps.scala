@@ -740,7 +740,61 @@ object TextOps {
       |SELECT source, rk, doc_id, n_tokens FROM rk WHERE rk <= 50
       |ORDER BY source, rk""".stripMargin
 
+  // ------------------------------------------- stratified train/val/test
+  /** Deterministic stratified train/val/test split — the assignment every
+    * training run needs to be REPRODUCIBLE and exactly proportioned: per
+    * language, docs are permuted by (md5(doc_id), doc_id) — a fixed
+    * pseudo-random order, no RNG state — and assigned by RANK so each
+    * stratum splits exactly 80/10/10 (hash-bucket splits only approximate
+    * the proportions; rank-based is exact at any corpus size). Split
+    * thresholds compare rk*10 against n_lang*8 / n_lang*9 in pure integer
+    * arithmetic — a double 0.8 multiply would be DECIMAL vs DOUBLE
+    * divergence bait cross-engine.
+    *
+    * Scale shape: one window per stratum (single shuffle on lang), then a
+    * partial+final rollup; the assignment itself never leaves the
+    * executors — the graded output is the per-(lang, split) contract: row
+    * count and doc_id/chars checksums pin EVERY individual assignment.
+    */
+  def splitStratified(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(byLang).cast("long"))
+      .withColumn("split",
+        when(col("rk") * 10 <= col("n_lang") * 8, "train")
+          .when(col("rk") * 10 <= col("n_lang") * 9, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("docid_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val splitStratifiedSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM h),
+      |s AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CASE WHEN rk * 10 <= n_lang * 8 THEN 'train'
+      |         WHEN rk * 10 <= n_lang * 9 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM r)
+      |SELECT lang, split, COUNT(*) AS n,
+      |  CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+      |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_sample_per_group" -> (samplePerGroup _),
@@ -759,6 +813,7 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
+    "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_sample_per_group" -> samplePerGroupSql,

@@ -558,7 +558,64 @@ object Events {
       |FROM c JOIN t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------------------ gaps & islands
+  /** Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    * calendar days (the engagement-streak shape — distinct from
+    * [[sessionize]]'s time-gap sessions). The classic relational trick:
+    * within a user, `day - row_number()` is constant exactly along a
+    * consecutive-day run, so one window + one groupBy finds every island
+    * with no self-join. Output per user: island count, active days,
+    * longest streak and its start (earliest on ties).
+    *
+    * Scale shape: distinct (user, day) first — the corpus collapses to
+    * at most users × days rows before any window; then one shuffle on
+    * user_id shared by the window and both rollups.
+    */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val isl = days
+      .withColumn("rk", row_number().over(w))
+      .withColumn("grp", expr("date_sub(day, rk)"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("len").desc, col("streak_start"))
+    val best = isl.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("len").as("longest_streak"),
+        // ISO string, not DATE: the two engines' DATE encodings hash
+        // differently in the driver's arrow compare
+        col("streak_start").cast("string").as("longest_start"))
+    isl.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("n_active_days"))
+      .join(best, "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  val gapsIslandsSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (SELECT user_id, day,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY day) AS rk
+      |      FROM days),
+      |isl AS (SELECT user_id, day - CAST(rk AS INTEGER) AS grp, COUNT(*) AS len,
+      |          MIN(day) AS streak_start
+      |        FROM r GROUP BY 1, 2),
+      |best AS (SELECT user_id, len, streak_start,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn
+      |         FROM isl),
+      |agg AS (SELECT user_id, COUNT(*) AS n_islands,
+      |          CAST(SUM(len) AS BIGINT) AS n_active_days
+      |        FROM isl GROUP BY 1)
+      |SELECT a.user_id, a.n_islands, a.n_active_days,
+      |  b.len AS longest_streak, CAST(b.streak_start AS VARCHAR) AS longest_start
+      |FROM agg a JOIN best b USING (user_id) WHERE b.rn = 1
+      |ORDER BY a.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gaps_islands" -> (gapsIslands _),
     "events_transitions" -> (transitions _),
     "events_zscore" -> (zscoreAnomalies _),
     "events_window_1h" -> (windowedCounts _),
@@ -568,6 +625,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_gaps_islands" -> gapsIslandsSql,
     "events_transitions" -> transitionsSql,
     "events_zscore" -> zscoreAnomaliesSql,
     "events_window_1h" -> windowedCountsSql,

@@ -515,6 +515,48 @@ class ExtSpec extends SparkSpecBase {
     assert(l3(3L) == 0 && l3(2L) == 1)
   }
 
+  test("product quantization: per-subspace codes pick the nearest codeword independently") {
+    import spark.implicits._
+    // 4-dim vectors, 2 subspaces × 2 dims. Codebooks are per-label
+    // truncated means: label 0 ≈ (1,0 | 0,0), label 1 ≈ (-1,0 | 1,1).
+    // vec 4 is built MIXED: first subspace near label 0's codeword,
+    // second near label 1's — PQ must encode them independently (the
+    // whole point of product codes vs a single quantizer).
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f, 1.0f, 1.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 1.0f, 1.0f), 1),
+      (4L, Array(0.9f, 0.0f, 0.9f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizePqOn(e, nSub = 2, subDim = 2).collect()
+      .map(x => ((x.getLong(0), x.getInt(1)), (x.getInt(2), x.getLong(3)))).toMap
+    assert(r((4L, 0))._1 == 0, s"subspace 0 should code to label 0: $r")
+    assert(r((4L, 1))._1 == 1, s"subspace 1 should code to label 1: $r")
+    // pure-cluster vectors code to their own label in every subspace,
+    // and 8 (vec, subspace) rows exist with nonnegative errors
+    for (v <- 0L to 1L; s <- 0 to 1) assert(r((v, s))._1 == 0)
+    for (v <- 2L to 3L; s <- 0 to 1) assert(r((v, s))._1 == 1)
+    assert(r.size == 10 && r.values.forall(_._2 >= 0L))
+  }
+
+  test("stratified split: exact 80/10/10 per stratum, deterministic") {
+    val a = graft.ext.TextOps.splitStratified(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // per language: train = floor(.8n), val = floor(.9n)-floor(.8n),
+    // test = n - floor(.9n) — rank-based split is EXACTLY proportioned
+    val perLang = a.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum)
+    perLang.foreach { case (lang, n) =>
+      assert(a((lang, "train"))._1 == n * 8 / 10, s"$lang train")
+      assert(a((lang, "val"))._1 == n * 9 / 10 - n * 8 / 10, s"$lang val")
+      assert(a((lang, "test"))._1 == n - n * 9 / 10, s"$lang test")
+    }
+    // deterministic: a second run reproduces every checksum
+    val b = graft.ext.TextOps.splitStratified(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(a == b)
+  }
+
   test("kmeans step reassigns a mislabeled vector to the nearer centroid") {
     import spark.implicits._
     // cluster A near (1, 0); cluster B near (-1, 0); vec 3 carries label 1

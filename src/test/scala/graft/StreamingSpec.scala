@@ -148,6 +148,33 @@ class StreamingSpec extends SparkSpecBase {
       s"u3 session start not extended backwards: $streamedSet")
   }
 
+  test("gaps and islands: consecutive-day streaks, counts, earliest-tie longest") {
+    import spark.implicits._
+    val t0 = java.time.LocalDate.of(2024, 3, 1)
+    def ev(id: Long, uid: Long, dayOff: Int, hour: Int = 9) =
+      (id, uid, "click",
+        t0.plusDays(dayOff).atTime(hour, 0).toInstant(java.time.ZoneOffset.UTC)
+          .getEpochSecond * 1000000000L, 1.0)
+    // u1: days 0,1,2 + 4 + 9,10 (3 islands, longest 3 starting day 0;
+    //     two events on day 1 must not double-count the day)
+    // u2: day 6 only; u3: days 0,1 and 3,4 — TIE on length, the
+    //     earlier start must win
+    val rows = Seq(
+      ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 1, 17), ev(4, 1, 2), ev(5, 1, 4),
+      ev(6, 1, 9), ev(7, 1, 10),
+      ev(8, 2, 6),
+      ev(9, 3, 0), ev(10, 3, 1), ev(11, 3, 3), ev(12, 3, 4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.gapsIslands(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
+      .toMap
+    assert(r(1L) == ((3L, 6L, 3L, "2024-03-01")), r(1L).toString)
+    assert(r(2L) == ((1L, 1L, 1L, "2024-03-07")), r(2L).toString)
+    assert(r(3L) == ((2L, 4L, 2L, "2024-03-01")), r(3L).toString)
+  }
+
   test("attribution join reconciles late clicks across micro-batches") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
