@@ -153,6 +153,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-CONTAINMENT detection — the asymmetric sibling of Jaccard
+    * dedup: C(A→B) = |A∩B| / |A| flags documents mostly embedded in a
+    * larger one (quote farms, boilerplate wrappers, doc+appendix
+    * repacks), which symmetric Jaccard misses whenever the container is
+    * much bigger (J ≈ |A|/|B| → 0 while C(A→B) = 1). Same inverted-index
+    * candidate shape as [[ngramJaccardOn]] — pairs sharing ≥ 1 shingle,
+    * one co-partitioned self-join, never all-pairs — with both
+    * orientations scored from the one `<`-ordered pair set.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOn(docs(spark, dir), tau = 0.9)
+
+  def containmentOn(documents: DataFrame, tau: Double): DataFrame = {
+    val sets = shingleSets(documents)
+    val sh = sets.select(col("doc_id"), explode(col("ss")).as("hs"))
+    val sz = sets.select(col("doc_id"), size(col("ss")).cast("long").as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+    val fwd = pairs.select(col("doc_a").as("contained"), col("doc_b").as("container"),
+      (col("inter").cast("double") / col("sza")).as("containment"))
+    val rev = pairs.select(col("doc_b").as("contained"), col("doc_a").as("container"),
+      (col("inter").cast("double") / col("szb")).as("containment"))
+    fwd.unionByName(rev)
+      .filter(col("containment") >= tau)
+      .select(col("contained"), col("container"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("contained"), col("container"))
+  }
+
+  val containmentSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |orient AS (
+      |  SELECT doc_a AS contained, doc_b AS container,
+      |    CAST(c AS DOUBLE) / x.sz AS containment
+      |  FROM inter JOIN sz x ON doc_a = x.doc_id
+      |  UNION ALL
+      |  SELECT doc_b AS contained, doc_a AS container,
+      |    CAST(c AS DOUBLE) / y.sz AS containment
+      |  FROM inter JOIN sz y ON doc_b = y.doc_id)
+      |SELECT contained, container, round(containment, 6) AS containment
+      |FROM orient WHERE containment >= CAST(0.9 AS DOUBLE)
+      |ORDER BY contained, container""".stripMargin
+
   val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -882,6 +937,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_wide" -> (simhashWide _),
@@ -897,6 +953,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_wide" -> simhashSql,

@@ -1382,8 +1382,95 @@ object Core {
       |HAVING COUNT(*) >= 5
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Robust statistics: median absolute deviation per group — the
+    * outlier-resistant spread measure next to q43's moment sums (one
+    * corrupted price moves stddev arbitrarily, MAD not at all).
+    * Interpolation is quantile_cont's (identical double ops in identical
+    * order → bit-exact vs the DuckDB oracle), applied twice — once over
+    * values, once over |v − median| after a broadcast join of the k-row
+    * median table.
+    *
+    * The median itself is a TWO-PHASE bucket quantile, not a rank
+    * window: `l_returnflag` has 3 values, so a per-group row_number sort
+    * caps parallelism at 3 no matter the cluster (measured 6.5× at 10×
+    * blowup — the one super-linear shape this round). Phase 1 histograms
+    * rows into integer floor(v) buckets — a fully parallel partial+final
+    * aggregate — and walks the cumulative counts to find which bucket
+    * holds each target rank; that window's input is O(distinct buckets),
+    * BOUNDED BY THE VALUE RANGE, not the row count, so it doesn't grow
+    * at 100 TB. Phase 2 sorts only the target buckets' handful of rows.
+    */
+  def q59Mad(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
+    def medianOf(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val b = df.select(col("f"), col(valCol).as("x"))
+        .withColumn("bkt", floor(col("x")).cast("long"))
+      val wcum = Window.partitionBy(col("f")).orderBy(col("bkt"))
+      val cum = b.groupBy(col("f"), col("bkt")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("f"))))
+      // 0-based target ranks rlo/rhi; rank r lives in the bucket where
+      // cum − c ≤ r < cum, and is the (r − (cum − c))-th smallest there
+      val tgt = cum
+        .withColumn("rlo", floor(lit(0.5) * (col("n") - 1).cast("double")).cast("long"))
+        .withColumn("rhi", ceil(lit(0.5) * (col("n") - 1).cast("double")).cast("long"))
+      // both target ranks extracted in ONE join+window pass: each hit row
+      // names (bucket, in-bucket rank, which quantile end); a row of the
+      // base joins at most twice (lo/hi usually share a bucket)
+      def hitFor(rank: String, tag: String): DataFrame =
+        tgt.filter(col("cum") - col("c") <= col(rank) && col(rank) < col("cum"))
+          .select(col("f").as("hf"), col("bkt").as("tb"),
+            (col(rank) - (col("cum") - col("c"))).as("tk"),
+            lit(tag).as("which"), col("n"))
+      // staged: hits is ≤ 2 rows per group, but its lineage is the whole
+      // histogram+cumsum plan — without a materialization point the join
+      // below would re-run that plan (and everything beneath it, which
+      // for the MAD pass includes the full median computation) per branch
+      val hits = graft.engine.Materialize.stage(
+        hitFor("rlo", "lo").unionByName(hitFor("rhi", "hi")))
+      val wIn = Window.partitionBy(col("f"), col("tb"), col("which")).orderBy(col("x"))
+      b.join(broadcast(hits), col("f") === col("hf") && col("bkt") === col("tb"))
+        .withColumn("rnk", row_number().over(wIn).cast("long") - 1)
+        .filter(col("rnk") === col("tk"))
+        .groupBy(col("f"))
+        .agg(max(when(col("which") === "lo", col("x"))).as("qlo"),
+          max(when(col("which") === "hi", col("x"))).as("qhi"),
+          max(col("n")).as("nn"))
+        .withColumn(out, {
+          val p = lit(0.5) * (col("nn") - 1).cast("double")
+          col("qlo") + (p - floor(p)) * (col("qhi") - col("qlo"))
+        })
+        .select(col("f"), col(out))
+    }
+    // med is k rows; staged so the deviation pass's two scans don't each
+    // re-run the median plan buried in their lineage
+    val med = graft.engine.Materialize.stage(medianOf(li, "v", "med"))
+    val dev = li.join(broadcast(med), "f")
+      .select(col("f"), abs(col("v") - col("med")).as("dev"))
+    medianOf(dev, "dev", "mad")
+      .join(broadcast(med), "f")
+      .select(col("f").as("l_returnflag"),
+        round(col("med"), 6).as("median"), round(col("mad"), 6).as("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q59Sql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag AS f, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l.l_returnflag AS f, m.med,
+      |    abs(l.l_extendedprice - m.med) AS dev
+      |  FROM lineitem l JOIN med m ON l.l_returnflag = m.f)
+      |SELECT f AS l_returnflag, round(MAX(med), 6) AS median,
+      |  round(quantile_cont(dev, 0.5), 6) AS mad
+      |FROM d GROUP BY f ORDER BY f""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_mad" -> (q59Mad _),
     "q53_bucketed_join" -> (q53BucketedJoin _),
     "q50_lateral" -> (q50Lateral _),
     "q51_unpivot" -> (q51Unpivot _),
@@ -1439,6 +1526,7 @@ object Core {
     "q49_listagg" -> (q49Listagg _))
 
   val oracles: Map[String, String] = Map(
+    "q59_mad" -> q59Sql,
     "q21_approx_ndv" -> q21Sql,
     "q22_asof_join" -> q22Sql,
     "q26_asof_native" -> q22Sql, // the native operator answers the same oracle

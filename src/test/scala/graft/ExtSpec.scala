@@ -515,6 +515,22 @@ class ExtSpec extends SparkSpecBase {
     assert(l3(3L) == 0 && l3(2L) == 1)
   }
 
+  test("containment flags a doc embedded in a larger one that Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (100 to 170).map(i => s"pad$i").mkString(" ")
+    val other = (200 to 240).map(i => s"oth$i").mkString(" ")
+    val d = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentOn(d, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of doc 1 appears in doc 2 → containment 1.0, one
+    // direction only (doc 2 is NOT contained in doc 1)
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    // symmetric Jaccard misses the pair: J = |A|/|B| ≈ 0.2 < 0.5
+    val jac = Dedup.ngramJaccardOn(d).collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
   test("product quantization: per-subspace codes pick the nearest codeword independently") {
     import spark.implicits._
     // 4-dim vectors, 2 subspaces × 2 dims. Codebooks are per-label

@@ -22,12 +22,16 @@ class PlanHygieneSpec extends SparkSpecBase {
     *    vector scores its k distances scan-side;
     *  - q21_approx_ndv: 1-row HLL-sketch frame broadcast onto the 1-row
     *    exact-NDV frame (the two passes are split on purpose — see the
-    *    q21 comment on the HLL-buffer × Expand interaction).
+    *    q21 comment on the HLL-buffer × Expand interaction);
+    *  - events_drift_chi2: the ≤|types|-row type-margin table and the
+    *    1-row grand total cross-broadcast to build the zero-filled
+    *    contingency grid.
     */
   private val bnlAllowed = Set(
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "text_tfidf",
-    "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv")
+    "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
+    "events_drift_chi2")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed

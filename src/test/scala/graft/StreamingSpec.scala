@@ -148,6 +148,30 @@ class StreamingSpec extends SparkSpecBase {
       s"u3 session start not extended backwards: $streamedSet")
   }
 
+  test("drift chi-square: proportional days score zero, a skewed day scores high") {
+    import spark.implicits._
+    val t0 = java.time.LocalDate.of(2024, 5, 1)
+    def ev(id: Long, dayOff: Int, typ: String, k: Int) = (0 until k).map(j =>
+      (id * 1000 + j, 1L, typ,
+        t0.plusDays(dayOff).atTime(8, 0).plusMinutes(j).toInstant(java.time.ZoneOffset.UTC)
+          .getEpochSecond * 1000000000L, 1.0))
+    // days 0 and 1: identical 10 click / 5 view mix; day 2: all clicks
+    val rows = ev(1, 0, "click", 10) ++ ev(2, 0, "view", 5) ++
+      ev(3, 1, "click", 10) ++ ev(4, 1, "view", 5) ++
+      ev(5, 2, "click", 15)
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.driftChi2(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // corpus mix: 35 click / 10 view. Days 0-1 deviate mildly from it,
+    // identically (same composition → same statistic); the all-click
+    // day must score strictly higher than either
+    assert(r("2024-05-01") == r("2024-05-02"), r.toString)
+    assert(r("2024-05-03")._2 > r("2024-05-01")._2, r.toString)
+    assert(r.values.forall(_._2 >= 0L))
+  }
+
   test("gaps and islands: consecutive-day streaks, counts, earliest-tie longest") {
     import spark.implicits._
     val t0 = java.time.LocalDate.of(2024, 3, 1)
