@@ -495,6 +495,45 @@ object Core {
       |  TRUE AS partkey_within_5pct, TRUE AS orderkey_within_5pct
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Approximate-percentile sketch graded by its RANK-ERROR GUARANTEE —
+    * the q21 technique applied to quantiles: percentile_approx's
+    * Greenwald-Khanna sketch promises the returned value sits within
+    * n/accuracy ranks of the target, so the query recounts the returned
+    * value's exact rank (one COUNT of rows ≤ value) and emits the
+    * guarantee as a boolean the oracle asserts TRUE. The sketch VALUE
+    * depends on merge order and can't hash-match; the GUARANTEE is
+    * order-independent. At 100 TB the sketch is the only affordable
+    * quantile (fixed-size mergeable state, one pass); this query is the
+    * proof harness that it stays honest.
+    */
+  def q61ApproxPctlBound(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_extendedprice").as("v"))
+    val sk = li.agg(
+      expr("percentile_approx(v, 0.5, 1000)").as("a50"),
+      expr("percentile_approx(v, 0.99, 1000)").as("a99"),
+      count(lit(1)).as("n"))
+    li.crossJoin(broadcast(sk))
+      .agg(
+        max(col("n")).as("n_rows"),
+        sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("rank50"),
+        sum(when(col("v") <= col("a99"), 1L).otherwise(0L)).as("rank99"))
+      // +16 absorbs duplicate-value rank ranges: COUNT(≤) lands on the
+      // value's UPPER rank, which a short run of equal prices can push a
+      // few ranks past the sketch's own guarantee
+      .select(
+        col("n_rows"),
+        (abs(col("rank50") - col("n_rows") / 2) <= col("n_rows") / 1000 + 16)
+          .as("p50_within_rank_bound"),
+        (abs(col("rank99") - col("n_rows") * 99 / 100) <= col("n_rows") / 1000 + 16)
+          .as("p99_within_rank_bound"))
+  }
+
+  val q61Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  TRUE AS p50_within_rank_bound, TRUE AS p99_within_rank_bound
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------- q22
   /** As-of join — an operator Spark lacks natively (and the reference
     * lacks entirely): for each event, the most recent order date of the
@@ -1470,6 +1509,7 @@ object Core {
 
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_approx_pctl_bound" -> (q61ApproxPctlBound _),
     "q59_mad" -> (q59Mad _),
     "q53_bucketed_join" -> (q53BucketedJoin _),
     "q50_lateral" -> (q50Lateral _),
@@ -1526,6 +1566,7 @@ object Core {
     "q49_listagg" -> (q49Listagg _))
 
   val oracles: Map[String, String] = Map(
+    "q61_approx_pctl_bound" -> q61Sql,
     "q59_mad" -> q59Sql,
     "q21_approx_ndv" -> q21Sql,
     "q22_asof_join" -> q22Sql,

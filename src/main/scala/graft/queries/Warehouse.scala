@@ -275,8 +275,44 @@ object Warehouse {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY part_a, part_b""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Join-key skew profiler — the diagnostic you run BEFORE a big join to
+    * decide whether it needs the q39 salting treatment: per heavy key,
+    * its row count, its corpus share in ppm, and the salt factor that
+    * would level it across a 32-task stage (ceil(cnt × 32 / total) — the
+    * number of buckets this key alone needs so no task carries more than
+    * ~1/32 of the table). All integer arithmetic (shares in ppm via
+    * integer div), so the profile hash-matches cross-engine. One
+    * partial+final count + a top-k — the profile costs one scan
+    * regardless of table size.
+    */
+  def q60SkewProbe(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("cnt * 1000000 div total"))
+      .withColumn("salt_factor",
+        // ceil(cnt*32/total) under truncating division (Spark div and
+        // DuckDB // both truncate toward zero on positives)
+        expr("cast((cnt * 32 + total - 1) div total as int)"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+      .select(col("user_id"), col("cnt"), col("share_ppm"), col("salt_factor"))
+  }
+
+  val q60Sql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT SUM(cnt) AS total FROM c)
+      |SELECT user_id, cnt,
+      |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST((cnt * 32 + total - 1) // total AS INT) AS salt_factor
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_skew_probe" -> (q60SkewProbe _),
     "q54_histogram" -> (q54Histogram _),
     "q55_merge_upsert" -> (q55MergeUpsert _),
     "q56_scd2" -> (q56Scd2 _),
@@ -284,6 +320,7 @@ object Warehouse {
     "q58_copurchase" -> (q58Copurchase _))
 
   val oracles: Map[String, String] = Map(
+    "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,
     "q56_scd2" -> q56Sql,

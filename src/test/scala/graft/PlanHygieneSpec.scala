@@ -25,13 +25,15 @@ class PlanHygieneSpec extends SparkSpecBase {
     *    q21 comment on the HLL-buffer × Expand interaction);
     *  - events_drift_chi2: the ≤|types|-row type-margin table and the
     *    1-row grand total cross-broadcast to build the zero-filled
-    *    contingency grid.
+    *    contingency grid;
+    *  - q60_skew_probe / q61_approx_pctl_bound: a 1-row total/sketch
+    *    frame broadcast back onto the per-key counts / the scan.
     */
   private val bnlAllowed = Set(
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
-    "events_drift_chi2")
+    "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed

@@ -54,4 +54,26 @@ class WarehouseSpec extends SparkSpecBase {
       .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
     assert(broken.count() == 0)
   }
+
+  test("q60 skew probe: shares and salt factors are the exact integer forms") {
+    val rows = Warehouse.q60SkewProbe(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == 10)
+    // descending by count, user_id tie-break
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    val total = graft.engine.Tables.load(spark, sf(), "events").count()
+    rows.foreach { case (_, cnt, ppm, salt) =>
+      assert(ppm == cnt * 1000000L / total)
+      assert(salt == ((cnt * 32 + total - 1) / total).toInt)
+      assert(salt >= 1)
+    }
+  }
+
+  test("q61 approx-percentile rank bound holds at both fixture scales") {
+    for (dir <- Seq("/root/testdata/sf0.001", sf())) {
+      val r = graft.queries.Core.q61ApproxPctlBound(spark, dir).head()
+      assert(r.getBoolean(1) && r.getBoolean(2), s"$dir: $r")
+    }
+  }
 }
