@@ -224,8 +224,17 @@ object Snapshots {
     * commit's "old batches stay for history". Returns the deleted batch
     * directories. Time travel below `keepFrom` stops working; reads at
     * surviving versions are untouched (their file lists don't change).
+    *
+    * Also sweeps ORPHANED batch directories: data written by a writer
+    * that died (or gave up) before publishing appears in NO manifest and
+    * would otherwise leak forever (writer-unique names mean nothing ever
+    * reclaims the path). Only orphans whose directory mtime is older
+    * than `orphanGraceMs` go — a LIVE writer's in-flight batch is always
+    * younger than the grace window (Delta VACUUM's retention-interval
+    * contract, applied to staging data).
     */
-  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Int,
+      orphanGraceMs: Long = 3600L * 1000): Seq[String] = {
     val f = fs(spark, dir)
     val all = versions(spark, dir)
     require(all.contains(keepFrom), s"keepFrom=$keepFrom not a version of $dir")
@@ -235,7 +244,21 @@ object Snapshots {
       .filterNot(referenced)
     dead.foreach(b => f.delete(new Path(s"$dir/$b"), true))
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
-    dead
+    // orphan sweep: batch dirs referenced by NO surviving manifest (the
+    // dropped manifests' own batches were just handled above, so at this
+    // point `referenced` — the keep set — is the full live reference set)
+    val dataDir = new Path(s"$dir/data")
+    val orphans =
+      if (!f.exists(dataDir)) Seq.empty
+      else {
+        val cutoff = System.currentTimeMillis() - orphanGraceMs
+        f.listStatus(dataDir).toSeq
+          .filter(s => s.isDirectory && s.getModificationTime < cutoff &&
+            !referenced.contains(s"data/${s.getPath.getName}"))
+          .map(_.getPath)
+      }
+    orphans.foreach(p => f.delete(p, true))
+    dead ++ orphans.map(p => s"data/${p.getName}")
   }
 
   private def readManifestEntries(spark: SparkSession, dir: String, v: Int): Seq[String] = {
@@ -279,6 +302,10 @@ object Snapshots {
         try { java.nio.file.Files.createLink(destNio, tmpNio); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          // our tmp vanished: a concurrent winner's dead-tmp sweep (or an
+          // admin cleanup) raced us — treat exactly like a lost publish
+          // and let the caller rebase + retry with a fresh tmp
+          case _: java.nio.file.NoSuchFileException => false
         }
       } else f.rename(tmp, dest)
     if (f.exists(tmp)) f.delete(tmp, false)
@@ -292,11 +319,14 @@ object Snapshots {
     case _ => false
   }
 
-  /** Delete leftover `.vNNNNN-*.tmp` files whose version is already
-    * published — those are provably dead (their writer either won and
-    * failed to clean up, or lost and crashed before its own cleanup).
-    * Tmps for yet-unpublished versions may belong to a LIVE publish and
-    * are left alone. Best-effort, runs once per successful commit.
+  /** Delete leftover `.vNNNNN-*.tmp` files for versions STRICTLY below
+    * the one just published — those are provably dead (their writer
+    * either won long ago and failed to clean up, or lost and crashed
+    * before its own cleanup). Same-version tmps are left alone: a LIVE
+    * loser of the race we just won may be between its tmp write and its
+    * link attempt, and deleting under it would turn its clean lost-race
+    * retry into a NoSuchFileException (handled, but noisy). Best-effort,
+    * runs once per successful commit.
     */
   private def sweepDeadTmps(f: FileSystem, dir: String, upto: Int): Unit =
     try {
@@ -304,7 +334,7 @@ object Snapshots {
         val n = s.getPath.getName
         if (n.startsWith(".v") && n.endsWith(".tmp")) {
           val ver = n.stripPrefix(".v").takeWhile(_.isDigit)
-          if (ver.nonEmpty && ver.toInt <= upto) f.delete(s.getPath, false)
+          if (ver.nonEmpty && ver.toInt < upto) f.delete(s.getPath, false)
         }
       }
     } catch { case _: java.io.IOException => () }

@@ -215,13 +215,11 @@ object Similarity {
     // keep nprobe; the query side re-joins its float embedding for the
     // exact-cosine scoring pass (assignments travel without vectors).
     val q = assign.filter(col("vec_id") < nQueries)
-      .withColumnRenamed("cell", "home_cell")
       .join(e.select(col("vec_id"), col("embedding").as("qe")), "vec_id")
       .select(col("vec_id").as("qid"), col("vfp"), col("qe"))
     val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
     val probed = q.crossJoin(broadcast(cent))
-      .withColumn("cdist", expr(
-        "aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("cdist", expr(distExpr))
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= nprobe)
       .select(col("qid"), col("qe"), col("ccell"))

@@ -93,11 +93,20 @@ object GraftExtensions {
 
   /** Register on an already-built session (temp functions, idempotent —
     * and quiet: repeat calls on the same session are no-ops).
+    * Registration runs INSIDE computeIfAbsent (SynchronizedMap holds its
+    * mutex across the mapping function): a concurrent second caller
+    * blocks until the functions actually exist rather than racing past a
+    * premature mark, and a registration that throws leaves the session
+    * unmarked so the next call retries.
     */
-  def register(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+  def register(spark: SparkSession): Unit = {
+    registered.computeIfAbsent(spark, _ => {
       functions.foreach { case (ident, inf, builder) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
       }
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 }

@@ -42,11 +42,14 @@ import graft.ext.Dedup
   * executor memory, so a restart resumes from the checkpoint + index.
   * Delivery is foreachBatch's usual at-least-once: a replayed batch
   * re-derives the same survivor set (self-collisions are excluded from
-  * the index join), and the INDEX appends are idempotent — each store
-  * appends only doc_ids it doesn't already hold (ADVICE r4), so the
-  * once-per-doc invariant survives replay. The OUTPUT parquet append can
-  * still duplicate a replayed batch — dedupe downstream on doc_id or
-  * swap in a transactional sink.
+  * the index join), and the INDEX appends are replay-idempotent WITHIN
+  * each ingestion path: a streaming batch overwrites its own
+  * ingest_batch=<id> partition, and an ad-hoc re-run anti-joins the
+  * adhoc/legacy partitions it could have written. A doc ingested by the
+  * stream and then re-submitted ad-hoc (mixing paths, not a replay) CAN
+  * duplicate index rows — harmless to dedup semantics, every consumer
+  * distinct()s. The OUTPUT parquet append can still duplicate a replayed
+  * batch — dedupe downstream on doc_id or swap in a transactional sink.
   */
 object NearDupIngest {
 

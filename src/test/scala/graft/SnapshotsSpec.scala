@@ -117,6 +117,26 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.read(spark, t).agg(max(col("id"))).head.getLong(0) == 8L)
   }
 
+  test("vacuum sweeps crashed-writer orphans past the grace window, spares fresh ones") {
+    val t = freshTable("orphan")
+    Snapshots.commit(df(1 to 5), t, append = false)
+    Snapshots.commit(df(6 to 8), t, append = true)
+    // a dead writer's staged-but-unpublished batch: referenced by no
+    // manifest, so without the orphan sweep it would leak forever
+    df(90 to 99).write.parquet(s"$t/data/batch-9-deadbeef")
+    // within the grace window (default 1 h) it's treated as possibly
+    // LIVE and spared
+    val spared = Snapshots.vacuum(spark, t, keepFrom = 0)
+    assert(spared.isEmpty)
+    assert(Snapshots.read(spark, t).count() == 8)
+    // past the grace window (negative grace → cutoff in the future) it
+    // goes, and committed data is untouched
+    val swept = Snapshots.vacuum(spark, t, keepFrom = 0, orphanGraceMs = -1000L)
+    assert(swept == Seq("data/batch-9-deadbeef"), swept.mkString(","))
+    assert(Snapshots.read(spark, t).count() == 8)
+    assert(Snapshots.versions(spark, t) == Seq(0, 1))
+  }
+
   test("two concurrent committers serialize: both batches visible, no version lost") {
     val t = freshTable("mw")
     Snapshots.commit(df(0 to 0), t, append = true) // v0 seed
