@@ -865,39 +865,83 @@ object Core {
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q35
-  /** Exact order statistics: interpolated percentiles per group, matching
-    * DuckDB `quantile_cont` (position p·(n−1), linear interpolation;
-    * round-6 absorbs last-ulp arithmetic skew).
+  /** Exact interpolated quantiles per group (`f`, `x` columns), matching
+    * DuckDB `quantile_cont` bit-for-bit (position p·(n−1), linear
+    * interpolation — identical double ops in identical order).
     *
-    * Implementation is rank-based — one per-group sort (row_number +
-    * count windows), then conditional aggregates pick the two bracketing
-    * ranks per percentile and interpolate. Spark's builtin `percentile`
-    * materializes a value→count map per group (ObjectHashAggregate),
-    * which measured 6.1s at sf0.1 on mostly-unique doubles vs ~1s for
-    * the sort form; the sort also spills gracefully at 100 TB where the
-    * map would not.
+    * TWO-PHASE BUCKET algorithm, shared by q35 and q59: a per-group
+    * rank window (`row_number() OVER (PARTITION BY f ORDER BY x)`) caps
+    * sort parallelism at the number of groups — with l_returnflag's 3
+    * values that measured 6.5× at 10× blowup. Phase 1 histograms rows
+    * into integer floor(x) buckets (fully parallel partial+final
+    * aggregate) and walks the cumulative counts to locate, for every
+    * requested quantile, the bucket holding each bracketing rank — that
+    * window's input is O(distinct buckets), BOUNDED BY THE VALUE RANGE,
+    * not the row count. Phase 2 extracts all bracketing values in ONE
+    * join+window pass over just the target buckets' rows. Spark's
+    * builtin `percentile` (value→count ObjectHashAggregate) measured
+    * 6.1 s at sf0.1 on mostly-unique doubles and cannot spill its map.
     */
-  def q35Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Window.partitionBy(col("f")).orderBy(col("v"))
-    val wp = Window.partitionBy(col("f"))
-    val ranked = t(spark, dir, "lineitem")
-      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
-      .withColumn("rn", row_number().over(ws).cast("long") - 1)
-      .withColumn("n", count(lit(1)).over(wp))
-    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
-    val pickAggs = ps.flatMap { case (p, nm) =>
+  private def bucketQuantilesOn(df: DataFrame, ps: Seq[(Double, String)]): DataFrame = {
+    // bucket width 64: the histogram (and so the cumsum window input)
+    // shrinks 64× vs unit buckets while phase 2 still sorts only a few
+    // hundred rows per target bucket — measured the best of both at sf0.1
+    val b = df.select(col("f"), col("x"))
+      .withColumn("bkt", floor(col("x") / lit(64.0d)).cast("long"))
+    val wcum = Window.partitionBy(col("f")).orderBy(col("bkt"))
+    val cum = b.groupBy(col("f"), col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("f"))))
+    // 0-based bracketing ranks floor/ceil(p·(n−1)); rank r lives in the
+    // bucket where cum − c ≤ r < cum, as its (r − (cum − c))-th smallest.
+    // All 2·|ps| ranks are tested in ONE pass over the histogram (an
+    // exploded (rank, tag) array) — a union of per-rank branches would
+    // recompute the cumsum windows per branch (measured: 4.6 s → 2 s
+    // for the hits frame at sf0.1).
+    val rankTags = array(ps.flatMap { case (p, nm) =>
       val pos = lit(p) * (col("n") - 1).cast("double")
       Seq(
-        max(when(col("rn") === floor(pos).cast("long"), col("v"))).as(s"${nm}_lo"),
-        max(when(col("rn") === ceil(pos).cast("long"), col("v"))).as(s"${nm}_hi"))
-    } ++ Seq(min(col("v")).as("lo"), max(col("v")).as("hi"), max(col("n")).as("nn"))
-    val agg = ranked.groupBy(col("f")).agg(pickAggs.head, pickAggs.tail: _*)
-    val outCols = col("f").as("l_returnflag") +: ps.map { case (p, nm) =>
+        struct(floor(pos).cast("long").as("r"), lit(s"${nm}_lo").as("which")),
+        struct(ceil(pos).cast("long").as("r"), lit(s"${nm}_hi").as("which")))
+    }: _*)
+    val hits = cum.select(col("f"), col("bkt"), col("c"), col("cum"),
+        col("n"), explode(rankTags).as("t"))
+      .filter(col("cum") - col("c") <= col("t.r") && col("t.r") < col("cum"))
+      .select(col("f").as("hf"), col("bkt").as("tb"),
+        (col("t.r") - (col("cum") - col("c"))).as("tk"),
+        col("t.which").as("which"), col("n"))
+    val wIn = Window.partitionBy(col("f"), col("tb"), col("which")).orderBy(col("x"))
+    val aggs = ps.flatMap { case (_, nm) => Seq(
+      max(when(col("which") === s"${nm}_lo", col("x"))).as(s"${nm}_qlo"),
+      max(when(col("which") === s"${nm}_hi", col("x"))).as(s"${nm}_qhi"))
+    } :+ max(col("n")).as("nn")
+    val agg = b.join(broadcast(hits), col("f") === col("hf") && col("bkt") === col("tb"))
+      .withColumn("rnk", row_number().over(wIn).cast("long") - 1)
+      .filter(col("rnk") === col("tk"))
+      .groupBy(col("f")).agg(aggs.head, aggs.tail: _*)
+    val outCols = col("f") +: ps.map { case (p, nm) =>
       val pos = lit(p) * (col("nn") - 1).cast("double")
-      val frac = pos - floor(pos)
-      round(col(s"${nm}_lo") + frac * (col(s"${nm}_hi") - col(s"${nm}_lo")), 6).as(nm)
-    } :+ col("lo") :+ col("hi")
-    agg.select(outCols: _*).orderBy(col("l_returnflag"))
+      (col(s"${nm}_qlo") + (pos - floor(pos)) * (col(s"${nm}_qhi") - col(s"${nm}_qlo")))
+        .as(nm)
+    }
+    agg.select(outCols: _*)
+  }
+
+  /** Exact order statistics per group — see [[bucketQuantilesOn]] for
+    * the scale-shaped algorithm (this was the rank-window form until the
+    * q59 blowup measurement exposed the 3-partition sort cap).
+    */
+  def q35Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
+    val qs = bucketQuantilesOn(li,
+      Seq(0.5 -> "p50v", 0.9 -> "p90v", 0.99 -> "p99v"))
+    val mm = li.groupBy(col("f")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    qs.join(mm, "f")
+      .select(col("f").as("l_returnflag"),
+        round(col("p50v"), 6).as("p50"), round(col("p90v"), 6).as("p90"),
+        round(col("p99v"), 6).as("p99"), col("lo"), col("hi"))
+      .orderBy(col("l_returnflag"))
   }
 
   val q35Sql: String =
@@ -1428,67 +1472,20 @@ object Core {
     * Interpolation is quantile_cont's (identical double ops in identical
     * order → bit-exact vs the DuckDB oracle), applied twice — once over
     * values, once over |v − median| after a broadcast join of the k-row
-    * median table.
-    *
-    * The median itself is a TWO-PHASE bucket quantile, not a rank
-    * window: `l_returnflag` has 3 values, so a per-group row_number sort
-    * caps parallelism at 3 no matter the cluster (measured 6.5× at 10×
-    * blowup — the one super-linear shape this round). Phase 1 histograms
-    * rows into integer floor(v) buckets — a fully parallel partial+final
-    * aggregate — and walks the cumulative counts to find which bucket
-    * holds each target rank; that window's input is O(distinct buckets),
-    * BOUNDED BY THE VALUE RANGE, not the row count, so it doesn't grow
-    * at 100 TB. Phase 2 sorts only the target buckets' handful of rows.
+    * median table. Each median is the two-phase bucket quantile of
+    * [[bucketQuantilesOn]] — the rank-window form measured 6.5× at 10×
+    * blowup (3-value partition key caps the sort at 3 tasks).
     */
   def q59Mad(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
-    def medianOf(df: DataFrame, valCol: String, out: String): DataFrame = {
-      val b = df.select(col("f"), col(valCol).as("x"))
-        .withColumn("bkt", floor(col("x")).cast("long"))
-      val wcum = Window.partitionBy(col("f")).orderBy(col("bkt"))
-      val cum = b.groupBy(col("f"), col("bkt")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(wcum))
-        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("f"))))
-      // 0-based target ranks rlo/rhi; rank r lives in the bucket where
-      // cum − c ≤ r < cum, and is the (r − (cum − c))-th smallest there
-      val tgt = cum
-        .withColumn("rlo", floor(lit(0.5) * (col("n") - 1).cast("double")).cast("long"))
-        .withColumn("rhi", ceil(lit(0.5) * (col("n") - 1).cast("double")).cast("long"))
-      // both target ranks extracted in ONE join+window pass: each hit row
-      // names (bucket, in-bucket rank, which quantile end); a row of the
-      // base joins at most twice (lo/hi usually share a bucket)
-      def hitFor(rank: String, tag: String): DataFrame =
-        tgt.filter(col("cum") - col("c") <= col(rank) && col(rank) < col("cum"))
-          .select(col("f").as("hf"), col("bkt").as("tb"),
-            (col(rank) - (col("cum") - col("c"))).as("tk"),
-            lit(tag).as("which"), col("n"))
-      // staged: hits is ≤ 2 rows per group, but its lineage is the whole
-      // histogram+cumsum plan — without a materialization point the join
-      // below would re-run that plan (and everything beneath it, which
-      // for the MAD pass includes the full median computation) per branch
-      val hits = graft.engine.Materialize.stage(
-        hitFor("rlo", "lo").unionByName(hitFor("rhi", "hi")))
-      val wIn = Window.partitionBy(col("f"), col("tb"), col("which")).orderBy(col("x"))
-      b.join(broadcast(hits), col("f") === col("hf") && col("bkt") === col("tb"))
-        .withColumn("rnk", row_number().over(wIn).cast("long") - 1)
-        .filter(col("rnk") === col("tk"))
-        .groupBy(col("f"))
-        .agg(max(when(col("which") === "lo", col("x"))).as("qlo"),
-          max(when(col("which") === "hi", col("x"))).as("qhi"),
-          max(col("n")).as("nn"))
-        .withColumn(out, {
-          val p = lit(0.5) * (col("nn") - 1).cast("double")
-          col("qlo") + (p - floor(p)) * (col("qhi") - col("qlo"))
-        })
-        .select(col("f"), col(out))
-    }
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
     // med is k rows; staged so the deviation pass's two scans don't each
     // re-run the median plan buried in their lineage
-    val med = graft.engine.Materialize.stage(medianOf(li, "v", "med"))
+    val med = graft.engine.Materialize.stage(
+      bucketQuantilesOn(li, Seq(0.5 -> "med")))
     val dev = li.join(broadcast(med), "f")
-      .select(col("f"), abs(col("v") - col("med")).as("dev"))
-    medianOf(dev, "dev", "mad")
+      .select(col("f"), abs(col("x") - col("med")).as("x"))
+    bucketQuantilesOn(dev, Seq(0.5 -> "mad"))
       .join(broadcast(med), "f")
       .select(col("f").as("l_returnflag"),
         round(col("med"), 6).as("median"), round(col("mad"), 6).as("mad"))
