@@ -146,9 +146,51 @@ object Multimodal {
       |SELECT media_id, frame_idx, frame_bytes, first_byte
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Binary HEADER-FIELD parsing — the EXIF/RIFF/WAV-shaped pattern of
+    * reading structured fields out of a blob's first bytes without any
+    * codec, entirely in codegen'd built-ins (substring on binary, hex,
+    * conv): a 2-byte magic (hex string), the first 4 bytes as a
+    * big-endian u32, and a fixed-offset "flag" byte. On a real media
+    * column these become format sniffing and dimension extraction; the
+    * plumbing (byte slicing, endian assembly, short-payload nulls) is
+    * byte-exact and oracle-graded against the blob's hex dump.
+    */
+  def mediaHeaderProbe(spark: SparkSession, dir: String): DataFrame =
+    docsAsMedia(spark, dir).toDF()
+      .select(col("media_id"), col("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("magic_hex", hex(substring(col("payload"), 1, 2)))
+      .withColumn("be32_0",
+        when(col("n_bytes") >= 4,
+          expr("cast(conv(hex(substring(payload, 1, 4)), 16, 10) as bigint)")))
+      .withColumn("flag_byte",
+        when(col("n_bytes") >= 9,
+          expr("cast(conv(hex(substring(payload, 9, 1)), 16, 10) as int)")))
+      .select(col("media_id"), col("n_bytes"), col("magic_hex"),
+        col("be32_0"), col("flag_byte"))
+      .orderBy(col("media_id"))
+
+  val mediaHeaderProbeSql: String = {
+    // byte k (0-based) of the blob, decoded from its hex dump
+    def by(k: Int): String =
+      s"((strpos('0123456789ABCDEF', substr(h, ${2 * k + 1}, 1)) - 1) * 16" +
+        s" + (strpos('0123456789ABCDEF', substr(h, ${2 * k + 2}, 1)) - 1))"
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    hex(encode(text)) AS h
+       |  FROM documents)
+       |SELECT media_id, n_bytes, substr(h, 1, 4) AS magic_hex,
+       |  CASE WHEN n_bytes >= 4 THEN CAST(
+       |    ${by(0)} * 16777216 + ${by(1)} * 65536 + ${by(2)} * 256 + ${by(3)}
+       |    AS BIGINT) END AS be32_0,
+       |  CASE WHEN n_bytes >= 9 THEN CAST(${by(8)} AS INT) END AS flag_byte
+       |FROM b ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatures _),
-    "multimodal_frames" -> (mediaFrames _))
+    "multimodal_frames" -> (mediaFrames _),
+    "multimodal_header_probe" -> (mediaHeaderProbe _))
 
   /** DuckDB twin of `mediaFeatures`: the payload is the utf-8 encoding of
     * `text`, so the byte checksum is recomputed from the blob's hex dump
@@ -172,5 +214,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> mediaFeaturesSql,
-    "multimodal_frames" -> mediaFramesSql)
+    "multimodal_frames" -> mediaFramesSql,
+    "multimodal_header_probe" -> mediaHeaderProbeSql)
 }
