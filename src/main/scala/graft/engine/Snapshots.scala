@@ -16,7 +16,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *  - manifests are published atomically with create-if-absent (the
   *    optimistic commit protocol Delta uses on its log);
   *  - time travel = read an old manifest. Append vs replace is just
-  *    whether the new manifest carries the previous file list.
+  *    whether the new manifest carries the previous file list;
+  *  - row-level deletes are manifest entries too ([[deleteRows]]): a
+  *    `D <file> <keyCol>` line points at an immutable key file that
+  *    readers anti-join at scan time (Iceberg's equality-delete shape),
+  *    so a 100 TB delete writes KBs, not the table. [[compactDeletes]]
+  *    folds them into rewritten data when the read-side tax is no longer
+  *    worth it, and [[vacuum]] reclaims folded delete files.
   *
   * The reference engine has no write path at all; this supplies the
   * missing half of the warehouse story next to MERGE (q55) and
@@ -104,32 +110,161 @@ object Snapshots {
     var v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
     val batch = s"data/batch-$v-$nonce"
     df.write.mode("errorifexists").parquet(s"$dir/$batch")
-    val entry = statsCol match {
-      case None => batch
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{min, max, col}
-        val r = spark.read.parquet(s"$dir/$batch")
-          .agg(min(col(c)), max(col(c))).head()
-        if (r.isNullAt(0)) batch else s"$batch\t$c\t${r.getLong(0)}\t${r.getLong(1)}"
-    }
-    // optimistic-commit loop: carry the file list of the version we are
-    // rebasing onto (recomputed per attempt — a lost race means someone
-    // else's batch landed and an append must now include it too)
+    val entry = statsLine(spark, dir, batch, statsCol)
+    // the append case carries the rebased-onto version's full entry list
+    // — including its delete lines, so pending row-level deletes survive
+    // an append; a replace commit starts from scratch (deletes folded
+    // into the new state by whatever computed it)
+    publishLoop(spark, f, dir, nonce, batch, v,
+      prev => (if (append) prev else Seq.empty) :+ entry)
+  }
+
+  /** The manifest line for a freshly staged batch: bare directory, or
+    * directory + recorded [min, max] envelope of `statsCol`.
+    */
+  private def statsLine(spark: SparkSession, dir: String, batch: String,
+      statsCol: Option[String]): String = statsCol match {
+    case None => batch
+    case Some(c) =>
+      import org.apache.spark.sql.functions.{min, max, col}
+      val r = spark.read.parquet(s"$dir/$batch")
+        .agg(min(col(c)), max(col(c))).head()
+      if (r.isNullAt(0)) batch else s"$batch\t$c\t${r.getLong(0)}\t${r.getLong(1)}"
+  }
+
+  /** Shared optimistic-commit loop: rebase the manifest onto the current
+    * latest version (recomputed per attempt — a lost race means someone
+    * else's entry landed and `mkEntries` must see it), publish with
+    * create-if-absent, retry on loss. The retry slot derives from
+    * versions() alone (ADVICE r7): a failed publish does NOT imply the
+    * slot is taken — Hadoop rename's false return is overloaded (FS
+    * quirks, source missing), and blindly bumping v would point the next
+    * rebase at a manifest that doesn't exist. If the listing hasn't
+    * advanced, the same slot is retried; the tries cap bounds a
+    * persistently failing filesystem.
+    */
+  private def publishLoop(spark: SparkSession, f: FileSystem, dir: String,
+      nonce: String, stagedRel: String, vStart: Int,
+      mkEntries: Seq[String] => Seq[String]): Int = {
+    var v = vStart
     var tries = 0
     var published = false
+    val stagedPath = new Path(s"$dir/$stagedRel")
     while (!published) {
-      val carried =
-        if (append && v > 0) readManifestEntries(spark, dir, v - 1)
-        else Seq.empty
-      published = publishIfAbsent(f, dir, v, nonce, carried :+ entry)
+      val latest = versions(spark, dir).lastOption
+      v = math.max(v, latest.map(_ + 1).getOrElse(0))
+      val prev = latest.map(readManifestEntries(spark, dir, _)).getOrElse(Seq.empty)
+      // staged-file liveness (ADVICE r7): if the stats re-scan plus a
+      // long contention loop outlasted vacuum's orphan grace window, the
+      // sweep may have deleted the staged directory — publishing a
+      // manifest that references a deleted path would corrupt the
+      // version permanently, so fail the commit loudly instead. Touching
+      // the dir keeps its mtime inside the grace window across retries.
+      require(f.exists(stagedPath),
+        s"staged $stagedRel vanished before publish (vacuum orphan sweep?) — commit aborted")
+      try f.setTimes(stagedPath, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // advisory refresh only
+      published = publishIfAbsent(f, dir, v, nonce, mkEntries(prev))
       if (!published) {
         tries += 1
         require(tries < 64, s"commit contention: 64 failed publishes at $dir")
-        v = math.max(v + 1,
-          versions(spark, dir).lastOption.map(_ + 1).getOrElse(0))
       }
     }
     v
+  }
+
+  /** Row-level DELETE as a metadata commit — the capability that stops a
+    * 100 TB "remove these keys" from being a full table rewrite (the q55
+    * MERGE shape). The keys land in an immutable delete file under
+    * `deletes/`, and the new manifest carries the previous version's
+    * entries plus a `D <file> <keyCol>` line; readers anti-join the keys
+    * at scan time (Iceberg's equality-delete semantics). Cost: writing
+    * the key file — data files are untouched. The read-side anti-join is
+    * one shuffle of (delete keys × matching column), paid per read until
+    * [[compactDeletes]] folds the deletes into rewritten data.
+    *
+    * Deletes COMPOSE: later appends carry the delete lines forward
+    * (still-visible old batches stay filtered), and a second deleteRows
+    * adds another line. A replace commit drops them (its frame is the
+    * whole new state). Time travel is unaffected — versions before the
+    * delete read the keys back, because the delete is just a manifest
+    * entry like any other.
+    */
+  def deleteRows(keys: DataFrame, dir: String, keyCol: String): Int = {
+    val spark = keys.sparkSession
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    require(versions(spark, dir).nonEmpty, s"no snapshot table at $dir")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val v = versions(spark, dir).last + 1
+    val rel = s"deletes/del-$v-$nonce"
+    keys.select(col(keyCol)).write.mode("errorifexists").parquet(s"$dir/$rel")
+    publishLoop(spark, f, dir, nonce, rel, v, prev => prev :+ s"D\t$rel\t$keyCol")
+  }
+
+  /** Fold pending deletes into rewritten data — the maintenance pass that
+    * makes [[deleteRows]]'s read-side anti-join temporary: batches whose
+    * recorded stats envelope provably misses every delete key are carried
+    * AS-IS (manifest line unchanged, stats preserved — at 100 TB most
+    * batches of a key-clustered table skip here); the rest are read,
+    * anti-joined once, and land as one fresh compacted batch. The new
+    * manifest has no delete lines, so subsequent reads are plain scans
+    * again. Old versions still reference the delete files and pre-rewrite
+    * batches — time travel intact until [[vacuum]] reclaims them past the
+    * retention window.
+    *
+    * Publishes exactly once (no rebase loop): folding is derived from the
+    * version read at entry, and rebasing onto a concurrent commit could
+    * silently drop its batch — a lost race fails loudly instead and the
+    * caller reruns against the new state.
+    */
+  def compactDeletes(spark: SparkSession, dir: String,
+      statsCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val v = latestVersion(spark, dir)
+    val entries = entriesAt(spark, dir, v)
+    val dels = entries.collect { case d: DeleteEntry => d }
+    if (dels.isEmpty) return v
+    val batches = entries.collect { case b: BatchEntry => b }
+    val delFrames = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (c, es) =>
+      c -> spark.read.parquet(es.map(e => s"$dir/${e.path}"): _*)
+    }
+    // driver-side [min, max] of each delete-key set — a layout-build
+    // scalar over the (small) delete files, like manifestPrune's range
+    // sizing; never a scan of the data
+    val delRange: Map[String, (Long, Long)] = delFrames.flatMap { case (c, df) =>
+      if (df.schema(c).dataType != org.apache.spark.sql.types.LongType) None
+      else {
+        val r = df.agg(min(col(c)), max(col(c))).head()
+        if (r.isNullAt(0)) None else Some(c -> ((r.getLong(0), r.getLong(1))))
+      }
+    }.toMap
+    // a batch skips the rewrite only if its envelope covers the ONE
+    // delete column and provably misses the whole key range — with
+    // deletes on any other column nothing is provable and it rewrites
+    val delCols = delFrames.map(_._1).toSet
+    val (untouched, rewrite) = batches.partition { b =>
+      b.stats.exists { case (c, mn, mx) =>
+        delCols == Set(c) &&
+          delRange.get(c).exists { case (dmn, dmx) => dmx < mn || dmn > mx } }
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val vNew = v + 1
+    val newLine: Option[String] =
+      if (rewrite.isEmpty) None
+      else {
+        val folded = delFrames.foldLeft(
+          spark.read.parquet(rewrite.map(b => s"$dir/${b.batch}"): _*)) {
+            case (df, (c, keys)) => df.join(keys, Seq(c), "left_anti")
+          }
+        val rel = s"data/batch-$vNew-$nonce"
+        folded.write.mode("errorifexists").parquet(s"$dir/$rel")
+        Some(statsLine(spark, dir, rel, statsCol))
+      }
+    val ok = publishIfAbsent(f = fs(spark, dir), dir = dir, v = vNew,
+      nonce = nonce, batches = untouched.map(render) ++ newLine.toSeq)
+    require(ok, s"concurrent commit during compactDeletes at $dir — rerun compaction")
+    vNew
   }
 
   /** Manifest-stats pruned read: batches whose recorded [min, max]
@@ -146,7 +281,7 @@ object Snapshots {
       mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = if (version < 0) latestVersion(spark, dir) else version
-    val kept = entriesAt(spark, dir, v).collect {
+    val kept = batchesAt(spark, dir, v).collect {
       case BatchEntry(b, None) => b
       case BatchEntry(b, Some((c, mn, mx)))
         if c != column || (mx >= lo && mn <= hi) => b
@@ -159,20 +294,57 @@ object Snapshots {
       if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0) // schema-preserving empty
       else spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(kept.map(b => s"$dir/$b"): _*)
-    base.filter(col(column) >= lo && col(column) <= hi)
+    // row-level deletes apply here too: pruned result == plain filter at
+    // the same version, and the plain read anti-joins the delete keys
+    applyDeletes(spark, dir, v, base)
+      .filter(col(column) >= lo && col(column) <= hi)
   }
 
-  private case class BatchEntry(batch: String, stats: Option[(String, Long, Long)])
+  private sealed trait ManifestEntry { def path: String }
+  private case class BatchEntry(batch: String,
+      stats: Option[(String, Long, Long)]) extends ManifestEntry {
+    def path: String = batch
+  }
+  /** A row-level delete: `path` holds the keys, readers anti-join on
+    * `keyCol`. Serialized as `D <path> <keyCol>` — the leading `D` can
+    * never collide with a batch line (those start with `data/`).
+    */
+  private case class DeleteEntry(path: String, keyCol: String) extends ManifestEntry
 
-  private def entriesAt(spark: SparkSession, dir: String, v: Int): Seq[BatchEntry] =
+  private def render(e: ManifestEntry): String = e match {
+    case BatchEntry(b, None) => b
+    case BatchEntry(b, Some((c, mn, mx))) => s"$b\t$c\t$mn\t$mx"
+    case DeleteEntry(p, c) => s"D\t$p\t$c"
+  }
+
+  private def entriesAt(spark: SparkSession, dir: String, v: Int): Seq[ManifestEntry] =
     readManifestEntries(spark, dir, v).map { line =>
       line.split('\t') match {
+        case Array("D", p, c) => DeleteEntry(p, c)
         case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
         case Array(b) => BatchEntry(b, None)
         case other => throw new IllegalStateException(
           s"malformed manifest line: ${other.mkString("\\t")}")
       }
     }
+
+  private def batchesAt(spark: SparkSession, dir: String, v: Int): Seq[BatchEntry] =
+    entriesAt(spark, dir, v).collect { case b: BatchEntry => b }
+
+  /** Anti-join `base` against every delete file visible at version `v`,
+    * grouped per key column (one anti-join per distinct column, however
+    * many delete commits accumulated). No-op when the version carries no
+    * deletes — the common case pays nothing.
+    */
+  private def applyDeletes(spark: SparkSession, dir: String, v: Int,
+      base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dels = entriesAt(spark, dir, v).collect { case d: DeleteEntry => d }
+    dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, es)) =>
+      df.join(spark.read.parquet(es.map(e => s"$dir/${e.path}"): _*).select(col(c)),
+        Seq(c), "left_anti")
+    }
+  }
 
   /** Read the table at `version` (default: latest). `mergeSchema`
     * reconciles batches committed under EVOLVED schemas (a column added
@@ -185,8 +357,9 @@ object Snapshots {
   def read(spark: SparkSession, dir: String, version: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
     val v = if (version < 0) latestVersion(spark, dir) else version
-    val dirs = entriesAt(spark, dir, v).map(e => s"$dir/${e.batch}")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
+    val dirs = batchesAt(spark, dir, v).map(e => s"$dir/${e.batch}")
+    applyDeletes(spark, dir, v,
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*))
   }
 
   /** Change-data feed between two versions: every row added or removed
@@ -239,26 +412,29 @@ object Snapshots {
     val all = versions(spark, dir)
     require(all.contains(keepFrom), s"keepFrom=$keepFrom not a version of $dir")
     val (drop, keep) = all.partition(_ < keepFrom)
-    val referenced = keep.flatMap(entriesAt(spark, dir, _)).map(_.batch).toSet
-    val dead = drop.flatMap(entriesAt(spark, dir, _)).map(_.batch).distinct
+    // "referenced" spans batch dirs AND delete files — a delete file a
+    // surviving version still anti-joins must outlive the vacuum, and one
+    // only dropped manifests reference (e.g. after compactDeletes folded
+    // it) is reclaimed here, completing the delete lifecycle
+    val referenced = keep.flatMap(entriesAt(spark, dir, _)).map(_.path).toSet
+    val dead = drop.flatMap(entriesAt(spark, dir, _)).map(_.path).distinct
       .filterNot(referenced)
     dead.foreach(b => f.delete(new Path(s"$dir/$b"), true))
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
-    // orphan sweep: batch dirs referenced by NO surviving manifest (the
-    // dropped manifests' own batches were just handled above, so at this
+    // orphan sweep: staged dirs referenced by NO surviving manifest (the
+    // dropped manifests' own entries were just handled above, so at this
     // point `referenced` — the keep set — is the full live reference set)
-    val dataDir = new Path(s"$dir/data")
-    val orphans =
-      if (!f.exists(dataDir)) Seq.empty
-      else {
-        val cutoff = System.currentTimeMillis() - orphanGraceMs
-        f.listStatus(dataDir).toSeq
-          .filter(s => s.isDirectory && s.getModificationTime < cutoff &&
-            !referenced.contains(s"data/${s.getPath.getName}"))
-          .map(_.getPath)
-      }
-    orphans.foreach(p => f.delete(p, true))
-    dead ++ orphans.map(p => s"data/${p.getName}")
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val orphans = Seq("data", "deletes").flatMap { sub =>
+      val root = new Path(s"$dir/$sub")
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getModificationTime < cutoff &&
+          !referenced.contains(s"$sub/${s.getPath.getName}"))
+        .map(p => s"$sub/${p.getPath.getName}")
+    }
+    orphans.foreach(p => f.delete(new Path(s"$dir/$p"), true))
+    dead ++ orphans
   }
 
   private def readManifestEntries(spark: SparkSession, dir: String, v: Int): Seq[String] = {
@@ -288,6 +464,35 @@ object Snapshots {
     *    atomic create-if-absent degrade to best-effort — documented.)
     */
   private def publishIfAbsent(f: FileSystem, dir: String, v: Int,
+      nonce: String, batches: Seq[String]): Boolean =
+    coordinator.publishIfAbsent(f, dir, v, nonce, batches)
+
+  /** Pluggable commit coordination: everything the optimistic protocol
+    * needs from the storage layer is this ONE primitive — atomically
+    * bind version `v` to a manifest body, returning false if the slot is
+    * already taken. The default coordinator uses the filesystem itself
+    * (hard-link / rename-without-overwrite); deployments on object
+    * stores WITHOUT atomic create-if-absent (the Delta-on-S3 caveat)
+    * inject an external coordinator (the DynamoDB-lock pattern) here
+    * instead of silently degrading to best-effort — the limitation is
+    * structural, not silent. Writers observe a lost slot identically
+    * whichever coordinator decided it: publishIfAbsent → false →
+    * rebase-and-retry.
+    */
+  trait CommitCoordinator {
+    def publishIfAbsent(f: FileSystem, dir: String, v: Int,
+        nonce: String, batches: Seq[String]): Boolean
+  }
+
+  @volatile var coordinator: CommitCoordinator = FilesystemCoordinator
+
+  object FilesystemCoordinator extends CommitCoordinator {
+    def publishIfAbsent(f: FileSystem, dir: String, v: Int,
+        nonce: String, batches: Seq[String]): Boolean =
+      publishViaFs(f, dir, v, nonce, batches)
+  }
+
+  private def publishViaFs(f: FileSystem, dir: String, v: Int,
       nonce: String, batches: Seq[String]): Boolean = {
     f.mkdirs(manifestDir(dir))
     val dest = manifestPath(dir, v)

@@ -513,19 +513,29 @@ object Core {
       expr("percentile_approx(v, 0.5, 1000)").as("a50"),
       expr("percentile_approx(v, 0.99, 1000)").as("a99"),
       count(lit(1)).as("n"))
+    // A value with duplicates occupies the whole rank interval
+    // [COUNT(<)+1, COUNT(<=)] in sorted order, and GK's guarantee is that
+    // SOME rank of the returned value lies within n/accuracy of the
+    // target — so the check is interval-intersects-interval, which
+    // handles arbitrary duplicate runs with no magic slack constant
+    // (ADVICE r7: the old COUNT(<=) upper-rank test needed a +16 fudge
+    // that heavier value duplication could still breach).
+    def withinBound(lt: Column, le: Column, target: Column, eps: Column): Column =
+      (lt + 1 <= target + eps) && (le >= target - eps)
     li.crossJoin(broadcast(sk))
       .agg(
         max(col("n")).as("n_rows"),
-        sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("rank50"),
-        sum(when(col("v") <= col("a99"), 1L).otherwise(0L)).as("rank99"))
-      // +16 absorbs duplicate-value rank ranges: COUNT(≤) lands on the
-      // value's UPPER rank, which a short run of equal prices can push a
-      // few ranks past the sketch's own guarantee
+        sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("v") < col("a99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("v") <= col("a99"), 1L).otherwise(0L)).as("le99"))
       .select(
         col("n_rows"),
-        (abs(col("rank50") - col("n_rows") / 2) <= col("n_rows") / 1000 + 16)
+        withinBound(col("lt50"), col("le50"),
+          col("n_rows") / 2, col("n_rows") / 1000 + 1)
           .as("p50_within_rank_bound"),
-        (abs(col("rank99") - col("n_rows") * 99 / 100) <= col("n_rows") / 1000 + 16)
+        withinBound(col("lt99"), col("le99"),
+          col("n_rows") * 99 / 100, col("n_rows") / 1000 + 1)
           .as("p99_within_rank_bound"))
   }
 

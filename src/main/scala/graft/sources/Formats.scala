@@ -321,6 +321,53 @@ object Formats {
       |  MIN(o_orderkey), MAX(o_orderkey) FROM v2
       |ORDER BY version""".stripMargin
 
+  // ------------------------------------------------- row-level deletes
+  /** Row-level deletes via deletion files ([[graft.engine.Snapshots
+    * .deleteRows]]): v0 loads orders, v1 is a METADATA-ONLY delete of
+    * every 7th key (the data batch is untouched — a 100 TB GDPR delete
+    * at the cost of writing the key list), v2 folds the delete into a
+    * compacted rewrite ([[graft.engine.Snapshots.compactDeletes]]). All
+    * three versions are read back and summarized: v0 must still show the
+    * deleted rows (time travel under deletes), v1 grades the read-side
+    * anti-join, v2 grades that folding is content-neutral (identical
+    * summary to v1 by construction — the oracle computes it
+    * independently for both).
+    */
+  def deleteRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snapdel_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o, table, append = false)
+    Snapshots.deleteRows(
+      o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+      table, "o_orderkey")
+    Snapshots.compactDeletes(spark, table)
+    (0 to 2).map { v =>
+      Snapshots.read(spark, table, v).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
+          col("min_key"), col("max_key"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  val deleteReadSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |d AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0)
+      |SELECT 0 AS version, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM o
+      |UNION ALL
+      |SELECT 1, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |  MIN(o_orderkey), MAX(o_orderkey) FROM d
+      |UNION ALL
+      |SELECT 2, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |  MIN(o_orderkey), MAX(o_orderkey) FROM d
+      |ORDER BY version""".stripMargin
+
   /** Change-data feed over the snapshot store ([[graft.engine.Snapshots
     * .diff]]): the same init/append/delete-rewrite lifecycle as
     * [[timeTravel]], then the v0→v1 and v1→v2 deltas — the incremental
@@ -445,6 +492,7 @@ object Formats {
       |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_delete_read" -> (deleteRead _),
     "fmt_incremental_agg" -> (incrementalAgg _),
     "fmt_manifest_prune" -> (manifestPrune _),
     "fmt_version_diff" -> (versionDiff _),
@@ -457,6 +505,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_delete_read" -> deleteReadSql,
     "fmt_incremental_agg" -> incrementalAggSql,
     "fmt_manifest_prune" -> manifestPruneSql,
     "fmt_version_diff" -> versionDiffSql,

@@ -133,7 +133,16 @@ object NearDupIngest {
       .select(col("cand").as("doc_id"))
       .distinct())
 
-    val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
+    // survivors are staged so their blocks stop referencing dups' plan —
+    // the per-batch staged frames (dups, sigB, bandsB) can then be
+    // RELEASED before returning (ADVICE r7: without the release, the
+    // reliable path accumulates DISK_ONLY_2 blocks per micro-batch for
+    // the life of the stream, the same leak r3 fixed for iterative
+    // loops). Un-persisting dups earlier would be unsafe: a recompute of
+    // its plan after appendStore's legacy migration would read moved
+    // files (the lineage trap this object documents).
+    val survivors = graft.engine.Materialize.stage(
+      batch.join(dups, Seq("doc_id"), "left_anti"))
     // normalized index append: 32 narrow band rows per survivor, the
     // ~2 KB shingle set exactly once per survivor. Sigs land FIRST: a
     // crash between the writes then leaves the doc wholly invisible to
@@ -204,6 +213,9 @@ object NearDupIngest {
       .select(col("doc_id"), col("band"), col("bkey")), "bands.parquet")
     val seen = new org.apache.hadoop.fs.Path(idxPath, "_SEEN")
     if (!fs.exists(seen)) fs.create(seen, true).close()
+    // index writes done, survivors materialized — nothing references the
+    // per-batch staged state any more
+    Seq(dups, sigB, bandsB).foreach(graft.engine.Materialize.release)
     survivors
   }
 
@@ -233,8 +245,11 @@ object NearDupIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), indexDir, tau, Some(batchId))
-          .write.mode("append").parquet(outDir)
+        val survivors = processBatch(batch.toDF(), indexDir, tau, Some(batchId))
+        survivors.write.mode("append").parquet(outDir)
+        // the staged survivors frame is consumed — drop its blocks too,
+        // completing the per-batch zero-residue contract (ADVICE r7)
+        graft.engine.Materialize.release(survivors)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -218,6 +218,95 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(ins == model(b) -- model(a) && del == model(a) -- model(b))
   }
 
+  test("row-level delete is metadata-only; deletes stack, survive appends, and time-travel away") {
+    import spark.implicits._
+    val t = freshTable("del")
+    Snapshots.commit(df(1 to 20), t, append = false)
+    assert(Snapshots.deleteRows(Seq(3L, 7L, 11L).toDF("id"), t, "id") == 1)
+    // metadata-only: no new data batch landed, just the delete file
+    val dataDirs = {
+      val p = new org.apache.hadoop.fs.Path(s"$t/data")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).listStatus(p).length
+    }
+    assert(dataDirs == 1)
+    assert(Snapshots.read(spark, t).select("id").collect().map(_.getLong(0)).toSet
+      == ((1 to 20).map(_.toLong).toSet -- Set(3L, 7L, 11L)))
+    // time travel: the pre-delete version still shows the deleted rows
+    assert(Snapshots.read(spark, t, 0).count() == 20)
+    // appends carry the delete forward
+    Snapshots.commit(df(21 to 25), t, append = true)
+    assert(Snapshots.read(spark, t, 2).count() == 22)
+    // a second delete stacks on the first
+    Snapshots.deleteRows(Seq(21L, 5L).toDF("id"), t, "id")
+    assert(Snapshots.read(spark, t, 3).count() == 20)
+    // pruned read == plain filter under deletes
+    assert(Snapshots.readPruned(spark, t, "id", 1, 10).select("id")
+      .collect().map(_.getLong(0)).toSet
+      == ((1 to 10).map(_.toLong).toSet -- Set(3L, 5L, 7L)))
+  }
+
+  test("compactDeletes folds deletes, carries envelope-disjoint batches, vacuum reclaims") {
+    import spark.implicits._
+    val t = freshTable("delfold")
+    val sc = Some("id")
+    Snapshots.commit(df(1 to 10), t, append = false, statsCol = sc)  // envelope [1, 10]
+    Snapshots.commit(df(11 to 20), t, append = true, statsCol = sc)  // envelope [11, 20]
+    Snapshots.deleteRows(Seq(12L, 15L).toDF("id"), t, "id")          // hits only batch 1
+    assert(Snapshots.compactDeletes(spark, t, statsCol = sc) == 3)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest(v: Int): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(f"$t/_versions/v$v%05d.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // the [1,10] batch's envelope misses [12,15] → its line (stats and
+    // all) is carried verbatim; no delete lines remain
+    assert(manifest(3).contains("data/batch-0-"))
+    assert(!manifest(3).contains("D\t"))
+    assert(Snapshots.read(spark, t, 3).select("id").collect().map(_.getLong(0)).toSet
+      == ((1 to 20).map(_.toLong).toSet -- Set(12L, 15L)))
+    // surviving time travel: pre-fold versions still resolve their deletes
+    assert(Snapshots.read(spark, t, 2).count() == 18)
+    assert(Snapshots.read(spark, t, 1).count() == 20)
+    // vacuum past the fold reclaims the delete file and the pre-rewrite
+    // [11,20] batch; the carried [1,10] batch stays (still referenced)
+    val dead = Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(dead.exists(_.startsWith("deletes/del-")), dead.mkString(","))
+    assert(dead.exists(_.startsWith("data/batch-1-")), dead.mkString(","))
+    assert(!dead.exists(_.startsWith("data/batch-0-")), dead.mkString(","))
+    assert(Snapshots.read(spark, t, 3).count() == 18)
+  }
+
+  test("an injected coordinator's lost race drives the rebase-retry path") {
+    val t = freshTable("coord")
+    Snapshots.commit(df(1 to 5), t, append = false)
+    // the competitor's batch is staged up front; the mock coordinator
+    // lands it in the contested slot at the writer's first attempt and
+    // reports the loss — exactly what an external (DynamoDB-style)
+    // coordinator does when another writer won the slot
+    df(100 to 101).write.parquet(s"$t/data/batch-race-mock")
+    val real = Snapshots.coordinator
+    @volatile var raced = false
+    Snapshots.coordinator = new Snapshots.CommitCoordinator {
+      def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem, dir: String,
+          v: Int, nonce: String, batches: Seq[String]): Boolean =
+        if (!raced) {
+          raced = true
+          assert(real.publishIfAbsent(f, dir, v, "mock", Seq("data/batch-race-mock")))
+          false
+        } else real.publishIfAbsent(f, dir, v, nonce, batches)
+    }
+    try {
+      // the writer targets slot 1, loses it to the mock's competitor,
+      // rebases onto the competitor's (replace-style) manifest, and lands
+      // at slot 2 carrying the competitor's batch plus its own
+      assert(Snapshots.commit(df(6 to 8), t, append = true) == 2)
+      assert(raced)
+      assert(Snapshots.read(spark, t, 2).select("id").collect().map(_.getLong(0)).toSet
+        == Set(100L, 101L, 6L, 7L, 8L))
+    } finally Snapshots.coordinator = real
+  }
+
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)
