@@ -49,20 +49,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    // warmup passes absorb JVM/codegen startup for both pipelines: a
-    // cheap relational query, and one sketch query so the native
-    // text/vector expressions' first Janino compile (~2 s) doesn't land
-    // on whichever dedup query happens to run first alphabetically —
-    // at cluster scale codegen compiles once per executor lifetime, so
-    // steady-state per-query cost is the honest number. The sketch
-    // warmup only runs when a selected query uses the sketch pipeline:
-    // a targeted relational run at blowup 10 shouldn't pay a full
-    // MinHash dedup of the blown-up corpus first.
+    // warmup passes absorb JVM/codegen startup: a cheap relational
+    // query, then one representative PER SELECTED SKETCH FAMILY so each
+    // family's native expressions pay their first Janino compile (~2 s)
+    // before any of its queries are timed — at cluster scale codegen
+    // compiles once per executor lifetime, so steady-state per-query
+    // cost is the honest number. A family with no selected query runs
+    // no warmup: a targeted relational run at blowup 10 shouldn't pay
+    // a MinHash pass of the blown-up corpus first. Registry-driven
+    // (SparkEntry.sketchFamilies, derived from the module maps): new
+    // queries in the sketch families get warmup automatically.
     runOnce("q4_topk")
-    // registry-driven (SparkEntry.sketchQueries, derived from the module
-    // maps): new queries in the sketch families get warmup automatically
-    // instead of depending on a hand-maintained name-prefix list
-    if (names.exists(SparkEntry.sketchQueries)) runOnce("dedup_minhash_lsh")
+    SparkEntry.sketchFamilies.toSeq.sortBy(_._1).foreach {
+      case (_, (members, rep)) => if (names.exists(members)) runOnce(rep)
+    }
     val results = names.map { n =>
       val t = runOnce(n)
       println(f"[bench] $n $t%.3f") // per-query detail, one line each

@@ -46,13 +46,17 @@ object SparkEntry {
     Core.oracles ++ Warehouse.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextOps.oracles ++ Multimodal.oracles ++ Events.oracles ++ Formats.oracles
 
-  /** Queries whose plans compile graft's native sketch/text/vector
-    * codegen expressions — the registry Bench's warmup consults so a
-    * targeted run pays the one-time Janino compile before timing.
-    * Derived from the module maps (a new query in these families is
-    * covered automatically; a NEW module gets added beside `queries`
-    * above, same edit).
+  /** Sketch families whose plans compile graft's native sketch/text/
+    * vector codegen expressions, each with a cheap representative query
+    * that compiles that family's expression set — the registry Bench's
+    * warmup consults so a family's first TIMED run doesn't absorb its
+    * own Janino spike (a single fixed warmup query only covered the
+    * expressions IT happened to compile). Derived from the module maps
+    * (a new query in these families is covered automatically; a NEW
+    * module gets added beside `queries` above, same edit).
     */
-  def sketchQueries: Set[String] =
-    Dedup.queries.keySet ++ Similarity.queries.keySet ++ TextOps.queries.keySet
+  def sketchFamilies: Map[String, (Set[String], String)] = Map(
+    "dedup" -> ((Dedup.queries.keySet, "dedup_minhash_lsh")),
+    "sim" -> ((Similarity.queries.keySet, "sim_ann_lsh")),
+    "text" -> ((TextOps.queries.keySet, "text_quality_score")))
 }

@@ -186,6 +186,82 @@ object Similarity {
 
   def annIvfOn(e: DataFrame, iters: Int, nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    annIvfCore(e, vfp.select(col("vec_id"), col("label").as("cell"), col("vfp")),
+      iters, nQueries, k, nprobe)
+  }
+
+  /** IVF without the label crutch: the coarse cells are seeded by
+    * deterministic kmeans++-style FARTHEST-POINT selection, so the
+    * operator runs on any corpus — no pre-existing cluster column
+    * required (the fixture's `label` was doing the seeding in
+    * [[annIvfOn]]). Seed 1 is the vector whose splitmix64-hashed id is
+    * smallest (a data-independent pseudo-random draw, no RNG state to
+    * ship — the `mix64` native expression); each later seed is the
+    * vector maximizing its fixed-point squared-L2 distance to the
+    * nearest already-chosen seed (kmeans++'s D² intuition with the
+    * argmax instead of a sample, keeping it exactly replayable — the
+    * whole query, seeding included, hash-matches the unrolled-CTE
+    * oracle [[annIvfSeededSqlFor]]). Cell ids are the seed vec_ids.
+    *
+    * Scale shape: each of the nSeeds−1 selection rounds is ONE corpus
+    * scan against a broadcast ≤nSeeds-row seed table with a top-1
+    * reduction — embeddings never shuffle, and the training/probe core
+    * is [[annIvfCore]] unchanged.
+    */
+  def annIvfSeeded(spark: SparkSession, dir: String): DataFrame =
+    annIvfSeededOn(emb(spark, dir), nSeeds = 5, iters = 2, nQueries = 10,
+      k = 5, nprobe = 4)
+
+  def annIvfSeededOn(e: DataFrame, nSeeds: Int, iters: Int, nQueries: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
+    val seeds = farthestPointSeeds(vfp, nSeeds)
+    val wSeed = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("seed_id"))
+    val init = vfp.crossJoin(broadcast(seeds))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(vfp, svfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"), col("vfp"))
+    annIvfCore(e, init, iters, nQueries, k, nprobe)
+  }
+
+  /** Farthest-point seed table (seed_id, svfp): splitmix64-argmin first
+    * pick, then nSeeds−1 rounds of "the vector farthest from its nearest
+    * chosen seed" (ties to the smaller vec_id — total order, replayable).
+    * Each round scans the corpus once against the broadcast seed set and
+    * reduces to one row; `localCheckpoint` truncates the growing lineage
+    * exactly like the KMeans loop.
+    */
+  private def farthestPointSeeds(vfp: DataFrame, nSeeds: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(vfp.sparkSession)
+    var seeds = vfp
+      .withColumn("h", expr("mix64(vec_id)"))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("seed_id"), col("vfp").as("svfp"))
+      .localCheckpoint(true)
+    for (_ <- 2 to nSeeds) {
+      // min-dist-to-any-seed via an array fold over the packed seed
+      // structs (order-independent: array_min), then a global top-1
+      val packed = seeds.agg(collect_list(struct(col("seed_id"), col("svfp"))).as("sds"))
+      val next = vfp.crossJoin(broadcast(packed))
+        .withColumn("mind", expr(
+          "array_min(transform(sds, s -> aggregate(zip_with(vfp, s.svfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)))"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("seed_id"), col("vfp").as("svfp"))
+      seeds = seeds.unionByName(next).localCheckpoint(true)
+    }
+    seeds
+  }
+
+  /** Shared IVF training + probe: `init` is the starting (vec_id, cell,
+    * vfp) assignment — the label column for [[annIvfOn]], the farthest-
+    * point seed cells for [[annIvfSeededOn]]; everything downstream is
+    * identical (and identically replayed by the oracle CTEs).
+    */
+  private def annIvfCore(e: DataFrame, init: DataFrame, iters: Int,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     graft.plans.GraftExtensions.register(e.sparkSession)
     val distExpr =
       "aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
@@ -199,8 +275,7 @@ object Similarity {
       .groupBy(col("ccell"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
         .as("carr"))
-    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
-    var assign = vfp.select(col("vec_id"), col("label").as("cell"), col("vfp"))
+    var assign = init
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("ccell"))
       assign = assign.crossJoin(broadcast(centsOf(assign)))
@@ -236,33 +311,47 @@ object Similarity {
       .orderBy(col("vec_id"), col("neighbor_id"))
   }
 
+  /** One unrolled IVF training round — shared by the label-seeded and
+    * farthest-point-seeded oracles: centroids of a{r−1} by truncated
+    * division, then every vector reassigned to its nearest centroid.
+    */
+  private def ivfRoundSql(r: Int): String =
+    s"""ex$r AS (
+       |  SELECT cell, t.i AS dim, vfp[t.i] AS val
+       |  FROM a${r - 1}, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+       |cs$r AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM ex$r GROUP BY 1, 2),
+       |ce$r AS (SELECT cell AS ccell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+       |         FROM cs$r GROUP BY cell),
+       |d$r AS (
+       |  SELECT a.vec_id, a.vfp, c.ccell,
+       |    CAST(list_aggregate(list_transform(list_zip(a.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+       |  FROM a${r - 1} a CROSS JOIN ce$r c),
+       |rk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccell) AS rn FROM d$r),
+       |a$r AS (SELECT vec_id, ccell AS cell, vfp FROM rk$r WHERE rn = 1)""".stripMargin
+
   /** DuckDB twin of [[annIvfOn]]: the KMeans rounds unrolled as CTEs
     * (exactly [[kmeansItersSqlFor]]'s technique), then final centroids,
     * fixed-point cell ranking, and the [[cosineTopKSql]] double-fold
     * cosine over the probed cells.
     */
   def annIvfSqlFor(iters: Int, nQueries: Int, k: Int, nprobe: Int): String = {
-    def round(r: Int): String =
-      s"""ex$r AS (
-         |  SELECT cell, t.i AS dim, vfp[t.i] AS val
-         |  FROM a${r - 1}, UNNEST(generate_series(1, len(vfp))) AS t(i)),
-         |cs$r AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM ex$r GROUP BY 1, 2),
-         |ce$r AS (SELECT cell AS ccell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
-         |         FROM cs$r GROUP BY cell),
-         |d$r AS (
-         |  SELECT a.vec_id, a.vfp, c.ccell,
-         |    CAST(list_aggregate(list_transform(list_zip(a.vfp, c.carr),
-         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
-         |  FROM a${r - 1} a CROSS JOIN ce$r c),
-         |rk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccell) AS rn FROM d$r),
-         |a$r AS (SELECT vec_id, ccell AS cell, vfp FROM rk$r WHERE rn = 1)""".stripMargin
     s"""WITH v AS (
        |  SELECT vec_id, label, embedding,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
        |  FROM embeddings),
        |a0 AS (SELECT vec_id, label AS cell, vfp FROM v),
-       |${(1 to iters).map(round).mkString(",\n")},
-       |exF AS (
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfProbeSql(iters, nQueries, k, nprobe)}""".stripMargin
+  }
+
+  /** The shared post-training oracle tail: final centroids of a`iters`,
+    * per-query fixed-point cell ranking to `nprobe` cells, then exact
+    * cosine top-`k` over the probed cells. Expects CTEs `v` (vec_id,
+    * embedding, vfp) and `a$iters` (vec_id, cell, vfp) in scope.
+    */
+  private def ivfProbeSql(iters: Int, nQueries: Int, k: Int, nprobe: Int): String =
+    s"""exF AS (
        |  SELECT cell, t.i AS dim, vfp[t.i] AS val
        |  FROM a$iters, UNNEST(generate_series(1, len(vfp))) AS t(i)),
        |csF AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM exF GROUP BY 1, 2),
@@ -292,6 +381,50 @@ object Similarity {
        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM sc)
        |SELECT qid AS vec_id, cid AS neighbor_id, round(cos, 6) AS cos_sim, cell
        |FROM rk WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
+
+  /** DuckDB twin of [[annIvfSeededOn]]: the mix64 draw replayed with
+    * HUGEINT arithmetic mod 2⁶⁴ (the [[lshBandsCte]] technique — the
+    * signed-long conversion before ordering matches Java's signed
+    * compare), the farthest-point rounds unrolled as top-1 CTEs, then
+    * the identical training rounds and probe tail as [[annIvfSqlFor]].
+    * Constants are splitmix64's: 11400714819323198485 = golden-ratio
+    * increment, the hi/lo pairs are the two finalizer multipliers.
+    */
+  def annIvfSeededSqlFor(nSeeds: Int, iters: Int, nQueries: Int, k: Int,
+      nprobe: Int): String = {
+    val fpDist =
+      """CAST(list_aggregate(list_transform(list_zip(v.vfp, s.svfp),
+        |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
+    def pick(r: Int): String =
+      s"""md$r AS (
+         |  SELECT v.vec_id, v.vfp, MIN($fpDist) AS mind
+         |  FROM v CROSS JOIN sel${r - 1} s GROUP BY v.vec_id, v.vfp),
+         |pk$r AS (SELECT vec_id AS seed_id, vfp AS svfp FROM md$r
+         |         ORDER BY mind DESC, vec_id LIMIT 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |hx AS (
+       |  SELECT vec_id, vfp,
+       |    (CAST(vec_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+       |    xor(z0, z0 >> 30) AS x1,
+       |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+       |    xor(z1, z1 >> 27) AS x2,
+       |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+       |    xor(z2, z2 >> 31) AS z3,
+       |    CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - 18446744073709551616 ELSE z3 END AS BIGINT) AS h
+       |  FROM v),
+       |sel1 AS (SELECT vec_id AS seed_id, vfp AS svfp FROM hx ORDER BY h, vec_id LIMIT 1),
+       |${(2 to nSeeds).map(pick).mkString(",\n")},
+       |d0 AS (
+       |  SELECT v.vec_id, v.vfp, s.seed_id, $fpDist AS dist
+       |  FROM v CROSS JOIN sel$nSeeds s),
+       |rk0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn FROM d0),
+       |a0 AS (SELECT vec_id, seed_id AS cell, vfp FROM rk0 WHERE rn = 1),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfProbeSql(iters, nQueries, k, nprobe)}""".stripMargin
   }
 
   // ------------------------------------------------------- quantization
@@ -809,6 +942,7 @@ object Similarity {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_ivf_seeded" -> (annIvfSeeded _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
     "sim_knn_graph" -> (knnGraph _),
@@ -831,5 +965,7 @@ object Similarity {
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_kmeans3" -> kmeansItersSqlFor(3),
     "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
+    "sim_ann_ivf_seeded" -> annIvfSeededSqlFor(nSeeds = 5, iters = 2,
+      nQueries = 10, k = 5, nprobe = 4),
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8))
 }

@@ -38,6 +38,35 @@ object SketchHash {
   }
 }
 
+/** mix64(h): the salt-0 member of the splitmix64 family as a scalar —
+  * a deterministic pseudo-random total order over ids (the kmeans++-
+  * style seeding uses it to pick a data-independent first seed without
+  * any RNG state to ship). Same finalizer the sketch aggregates and LSH
+  * hyperplanes already replay in DuckDB via HUGEINT arithmetic mod 2⁶⁴.
+  */
+case class Mix64(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mix64 expects bigint, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mix64"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHash.mix(input.asInstanceOf[Long], 0)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchHash.mix($c, 0)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
 /** minhash_sig(hs): array<long> of 64 per-family minima over the group's
   * 8-byte shingle hashes. Bands/buckets are derived downstream.
   */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CmsEstimate, CosineSimF32, CountInSet, DotProductF32, MinHashArr, MinHashSigAgg, RollHash31, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, SumStrLen, TopKByAgg, WordNgrams}
+import graft.functions.{BloomMightContain, CmsEstimate, CosineSimF32, CountInSet, DotProductF32, MinHashArr, MinHashSigAgg, Mix64, RollHash31, ShingleHashes, SignLsh, SimHash64, SimHashSigAgg, SumStrLen, TopKByAgg, WordNgrams}
 
 /** SparkSessionExtensions injector for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions`, or
@@ -82,7 +82,10 @@ object GraftExtensions {
     (FunctionIdentifier("cms_estimate"),
       info("cms_estimate",
         "cms_estimate(sketch_bytes, item) - estimated count from a serialized count-min sketch literal"),
-      (es: Seq[Expression]) => CmsEstimate(es(0), es(1))))
+      (es: Seq[Expression]) => CmsEstimate(es(0), es(1))),
+    (FunctionIdentifier("mix64"),
+      info("mix64", "mix64(h) - splitmix64 finalizer (salt 0) of a bigint"),
+      (es: Seq[Expression]) => Mix64(es(0))))
 
   // sessions already registered — operators call register() defensively
   // on every invocation, and re-registering logs one WARN per function

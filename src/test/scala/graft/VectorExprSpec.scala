@@ -28,6 +28,15 @@ class VectorExprSpec extends SparkSpecBase {
     assert(diff.count() == 0)
   }
 
+  test("mix64 equals SketchHash.mix(_, 0) through codegen") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 42L, -1L, Long.MaxValue, Long.MinValue)
+    val got = ids.toDF("x").select(expr("mix64(x)")).collect().map(_.getLong(0))
+    val want = ids.map(graft.functions.SketchHash.mix(_, 0))
+    assert(got.toSeq == want, s"mix64 mismatch: $got vs $want")
+  }
+
   test("null inputs yield null") {
     GraftExtensions.register(spark)
     import spark.implicits._
