@@ -1475,6 +1475,45 @@ object Core {
       |HAVING COUNT(*) >= 5
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Second consumer of the SAME bucketed layout — the query that makes
+    * q53's amortization claim MEASURABLE instead of asserted.
+    * [[graft.engine.Bucketing.ensure]] is idempotent per session, so in
+    * a bench pass (alphabetical order) `q53_bucketed_join` pays the
+    * one-off bucketed write + its join, this entry pays ONLY the
+    * co-located join-read (same zero-Exchange zero-Sort SortMergeJoin),
+    * and [[q53PlainJoin]] runs the identical logical query over the
+    * unbucketed parquet as the comparator. The three timings decompose
+    * the layout decision: write-once cost ≈ t(q53) − t(reuse); per-join
+    * saving ≈ t(plain) − t(reuse); the layout wins after
+    * write < N × saving joins. Results are layout-independent, so both
+    * consumers grade against the same plain-SQL oracle.
+    */
+  def q53BucketedReuse(spark: SparkSession, dir: String): DataFrame = {
+    val (oTab, lTab) = graft.engine.Bucketing.ensure(spark, dir)
+    priorityRevenueOf(spark.table(oTab), spark.table(lTab))
+  }
+
+  /** The unbucketed twin of [[q53BucketedReuse]]: same logical query,
+    * plain parquet scans, shuffle join on both sides — what every run
+    * pays WITHOUT the layout investment.
+    */
+  def q53PlainJoin(spark: SparkSession, dir: String): DataFrame =
+    priorityRevenueOf(t(spark, dir, "orders"), t(spark, dir, "lineitem"))
+
+  private def priorityRevenueOf(o: DataFrame, l: DataFrame): DataFrame =
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  val q53ReuseSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  ${dsumSql("l_extendedprice")} AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q59
   /** Robust statistics: median absolute deviation per group — the
     * outlier-resistant spread measure next to q43's moment sums (one
@@ -1519,6 +1558,8 @@ object Core {
     "q61_approx_pctl_bound" -> (q61ApproxPctlBound _),
     "q59_mad" -> (q59Mad _),
     "q53_bucketed_join" -> (q53BucketedJoin _),
+    "q53_bucketed_reuse" -> (q53BucketedReuse _),
+    "q53_plain_join" -> (q53PlainJoin _),
     "q50_lateral" -> (q50Lateral _),
     "q51_unpivot" -> (q51Unpivot _),
     "q52_recursive_cte" -> (q52RecursiveCte _),
@@ -1627,5 +1668,7 @@ object Core {
     "q50_lateral" -> q50Sql,
     "q51_unpivot" -> q51Sql,
     "q52_recursive_cte" -> q52Sql,
-    "q53_bucketed_join" -> q53Sql)
+    "q53_bucketed_join" -> q53Sql,
+    "q53_bucketed_reuse" -> q53ReuseSql,
+    "q53_plain_join" -> q53ReuseSql)
 }

@@ -85,6 +85,15 @@ class PlanSpec extends SparkSpecBase {
       assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
       // selected bucketed scan shows the bucket count
       assert(p.contains("SelectedBucketsCount: 8 out of 8"), p.take(1500))
+      // the reuse consumer runs the SAME co-located join shape: its only
+      // exchanges are the k-row aggregate + order-by, never a
+      // hashpartitioning of either fact table's join input (the scans
+      // feed the SMJ pre-partitioned and pre-sorted)
+      val pr = plan("q53_bucketed_reuse")
+      assert(pr.contains("SortMergeJoin"), pr.take(800))
+      assert(!pr.contains("Exchange hashpartitioning(o_orderkey"), pr.take(1500))
+      assert(!pr.contains("Exchange hashpartitioning(l_orderkey"), pr.take(1500))
+      assert(pr.contains("SelectedBucketsCount: 8 out of 8"), pr.take(1500))
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       conf.set("spark.sql.adaptive.enabled", prevAqe)
