@@ -22,7 +22,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    readers anti-join at scan time (Iceberg's equality-delete shape),
   *    so a 100 TB delete writes KBs, not the table. [[compactDeletes]]
   *    folds them into rewritten data when the read-side tax is no longer
-  *    worth it, and [[vacuum]] reclaims folded delete files.
+  *    worth it, and [[vacuum]] reclaims folded delete files;
+  *  - stream transactions are manifest entries too ([[commitWithTxn]]):
+  *    a `T <appId> <batchId>` line records how far a named stream has
+  *    ingested, in the SAME atomic publish as its data — so a replayed
+  *    micro-batch (foreachBatch is at-least-once) sees its id covered
+  *    and skips, making streaming ingest exactly-once (Delta's
+  *    txn-appId pattern).
   *
   * The reference engine has no write path at all; this supplies the
   * missing half of the warehouse story next to MERGE (q55) and
@@ -114,9 +120,83 @@ object Snapshots {
     // the append case carries the rebased-onto version's full entry list
     // — including its delete lines, so pending row-level deletes survive
     // an append; a replace commit starts from scratch (deletes folded
-    // into the new state by whatever computed it)
+    // into the new state by whatever computed it) EXCEPT the stream-txn
+    // lines, which must outlive any rewrite — dropping them would let a
+    // replayed micro-batch double-commit after a compaction/replace
     publishLoop(spark, f, dir, nonce, batch, v,
-      prev => (if (append) prev else Seq.empty) :+ entry)
+      prev => (if (append) prev else prev.filter(isTxnLine)) :+ entry)
+  }
+
+  private def isTxnLine(line: String): Boolean = line.startsWith("T\t")
+
+  /** Highest micro-batch id the latest version records for `appId`, or
+    * None if the stream never committed here — the idempotence ledger of
+    * [[commitWithTxn]] (Delta's txn-appId pattern: the manifest itself
+    * remembers how far each named stream got, so the check and the
+    * commit are the same atomic unit).
+    */
+  def lastTxn(spark: SparkSession, dir: String, appId: String): Option[Long] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) None
+    else entriesAt(spark, dir, vs.last).collectFirst {
+      case TxnEntry(a, b) if a == appId => b
+    }
+  }
+
+  private case class AlreadyCovered(stored: Long)
+    extends RuntimeException(s"txn already covered at batch $stored")
+
+  /** Exactly-once commit for streaming ingest: append `df` as the next
+    * version AND record `T <appId> <batchId>` in the same atomic
+    * manifest publish. A REPLAYED micro-batch (foreachBatch is
+    * at-least-once: a crash between the sink call and the checkpoint's
+    * commit log re-runs the batch with the same id) finds its id already
+    * covered and returns None without touching the table — the check
+    * rides the same optimistic-commit loop as the data, re-evaluated on
+    * every rebase, so even a zombie writer racing its own restart cannot
+    * double-commit. One T line per appId (replaced in place, the
+    * manifest never grows with stream length); independent streams
+    * coexist under distinct appIds. Replace commits and
+    * [[compactDeletes]] carry T lines forward — a table rewrite must not
+    * reopen the door to replays.
+    */
+  def commitWithTxn(df: DataFrame, dir: String, appId: String, batchId: Long,
+      statsCol: Option[String] = None): Option[Int] = {
+    require(appId.nonEmpty && !appId.exists(_.isWhitespace),
+      s"appId must be non-empty with no whitespace: '$appId'")
+    val spark = df.sparkSession
+    statsCol.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"statsCol '$c' must be LONG, got ${df.schema(c).dataType.simpleString}")
+    }
+    // fast path — a covered replay stages nothing at all
+    if (lastTxn(spark, dir, appId).exists(_ >= batchId)) return None
+    val f = fs(spark, dir)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
+    val batch = s"data/batch-$v-$nonce"
+    df.write.mode("errorifexists").parquet(s"$dir/$batch")
+    val entry = statsLine(spark, dir, batch, statsCol)
+    try Some(publishLoop(spark, f, dir, nonce, batch, v, { prev =>
+      // re-checked per attempt: losing a publish race to our own replay
+      // twin must abort, not rebase past it
+      prev.foreach { line =>
+        line.split('\t') match {
+          case Array("T", a, b) if a == appId && b.toLong >= batchId =>
+            throw AlreadyCovered(b.toLong)
+          case _ => ()
+        }
+      }
+      prev.filterNot(_.startsWith(s"T\t$appId\t")) :+ entry :+
+        s"T\t$appId\t$batchId"
+    }))
+    catch {
+      case AlreadyCovered(_) =>
+        // the staged batch is garbage; reclaim it now instead of leaving
+        // it to vacuum's orphan sweep
+        f.delete(new Path(s"$dir/$batch"), true)
+        None
+    }
   }
 
   /** The manifest line for a freshly staged batch: bare directory, or
@@ -261,8 +341,11 @@ object Snapshots {
         folded.write.mode("errorifexists").parquet(s"$dir/$rel")
         Some(statsLine(spark, dir, rel, statsCol))
       }
+    // stream-txn marks survive the fold: compaction rewrites data, not
+    // the streams' replay ledger
+    val txns = entries.collect { case t: TxnEntry => render(t) }
     val ok = publishIfAbsent(f = fs(spark, dir), dir = dir, v = vNew,
-      nonce = nonce, batches = untouched.map(render) ++ newLine.toSeq)
+      nonce = nonce, batches = untouched.map(render) ++ newLine.toSeq ++ txns)
     require(ok, s"concurrent commit during compactDeletes at $dir — rerun compaction")
     vNew
   }
@@ -311,16 +394,26 @@ object Snapshots {
     */
   private case class DeleteEntry(path: String, keyCol: String) extends ManifestEntry
 
+  /** A stream-transaction mark `T <appId> <batchId>`: no file behind it
+    * (path is empty — vacuum and the reference-set computations skip
+    * empty paths), pure idempotence metadata for [[commitWithTxn]].
+    */
+  private case class TxnEntry(appId: String, batchId: Long) extends ManifestEntry {
+    def path: String = ""
+  }
+
   private def render(e: ManifestEntry): String = e match {
     case BatchEntry(b, None) => b
     case BatchEntry(b, Some((c, mn, mx))) => s"$b\t$c\t$mn\t$mx"
     case DeleteEntry(p, c) => s"D\t$p\t$c"
+    case TxnEntry(a, b) => s"T\t$a\t$b"
   }
 
   private def entriesAt(spark: SparkSession, dir: String, v: Int): Seq[ManifestEntry] =
     readManifestEntries(spark, dir, v).map { line =>
       line.split('\t') match {
         case Array("D", p, c) => DeleteEntry(p, c)
+        case Array("T", a, b) => TxnEntry(a, b.toLong)
         case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
         case Array(b) => BatchEntry(b, None)
         case other => throw new IllegalStateException(
@@ -416,9 +509,13 @@ object Snapshots {
     // surviving version still anti-joins must outlive the vacuum, and one
     // only dropped manifests reference (e.g. after compactDeletes folded
     // it) is reclaimed here, completing the delete lifecycle
-    val referenced = keep.flatMap(entriesAt(spark, dir, _)).map(_.path).toSet
+    // txn marks render as empty paths — they reference no file and must
+    // never reach a delete call (an empty relative path would resolve to
+    // the table root itself)
+    val referenced = keep.flatMap(entriesAt(spark, dir, _)).map(_.path)
+      .filter(_.nonEmpty).toSet
     val dead = drop.flatMap(entriesAt(spark, dir, _)).map(_.path).distinct
-      .filterNot(referenced)
+      .filter(_.nonEmpty).filterNot(referenced)
     dead.foreach(b => f.delete(new Path(s"$dir/$b"), true))
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     // orphan sweep: staged dirs referenced by NO surviving manifest (the

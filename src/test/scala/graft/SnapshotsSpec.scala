@@ -307,6 +307,41 @@ class SnapshotsSpec extends SparkSpecBase {
     } finally Snapshots.coordinator = real
   }
 
+  test("commitWithTxn: replays skip; txn marks survive appends, replaces, and compaction") {
+    val t = freshTable("txn")
+    assert(Snapshots.commitWithTxn(df(1 to 5), t, "app", 0L) == Some(0))
+    // replay of the same batch id: no new version, no new rows
+    assert(Snapshots.commitWithTxn(df(1 to 5), t, "app", 0L) == None)
+    assert(Snapshots.versions(spark, t) == Seq(0))
+    assert(Snapshots.read(spark, t).count() == 5)
+    assert(Snapshots.lastTxn(spark, t, "app") == Some(0L))
+    // next batch advances; an OLD batch id replayed later still skips
+    assert(Snapshots.commitWithTxn(df(6 to 9), t, "app", 1L) == Some(1))
+    assert(Snapshots.commitWithTxn(df(6 to 9), t, "app", 0L) == None)
+    assert(Snapshots.read(spark, t).count() == 9)
+    // independent streams ingest under their own appIds
+    assert(Snapshots.commitWithTxn(df(100 to 101), t, "other", 0L) == Some(2))
+    assert(Snapshots.lastTxn(spark, t, "app") == Some(1L))
+    assert(Snapshots.lastTxn(spark, t, "other") == Some(0L))
+    // a plain append carries the ledger; a REPLACE must too (a rewrite
+    // cannot reopen the door to replays)
+    Snapshots.commit(df(200 to 202), t, append = true)
+    assert(Snapshots.lastTxn(spark, t, "app") == Some(1L))
+    Snapshots.commit(df(300 to 304), t, append = false)
+    assert(Snapshots.lastTxn(spark, t, "app") == Some(1L))
+    assert(Snapshots.commitWithTxn(df(6 to 9), t, "app", 1L) == None)
+    // delete + compactDeletes keep the ledger, and vacuum with txn lines
+    // in dropped manifests never touches live data (empty-path guard)
+    import spark.implicits._
+    Snapshots.deleteRows(Seq(300L).toDF("id"), t, "id")
+    Snapshots.compactDeletes(spark, t)
+    assert(Snapshots.lastTxn(spark, t, "app") == Some(1L))
+    val vTop = Snapshots.latestVersion(spark, t)
+    Snapshots.vacuum(spark, t, keepFrom = vTop, orphanGraceMs = 3600L * 1000)
+    assert(Snapshots.read(spark, t).count() == 4)
+    assert(Snapshots.lastTxn(spark, t, "app") == Some(1L))
+  }
+
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)

@@ -592,6 +592,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(Snapshots.diff(spark, table, 0, 1).count() == (9 - v0.size).toLong)
   }
 
+  test("exactly-once snapshot ingest: crash + restart cannot double-commit a replayed batch") {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.engine.Snapshots
+    import graft.streaming.SnapshotIngest
+    val inDir = java.nio.file.Files.createTempDirectory("graft_eo_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ck").toString
+    val table = s"${graft.engine.WorkDirs.processScoped("graft_test_snap")}/eo_ingest"
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_eo_w")
+      rows.toDF("event_id", "user_id").coalesce(1).write.mode("overwrite")
+        .parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(inDir, name))
+    }
+    addFile("b0.parquet", (1L to 5L).map(i => (i, i % 3)))
+    addFile("b1.parquet", (6L to 9L).map(i => (i, i % 3)))
+    addFile("b2.parquet", (10L to 12L).map(i => (i, i % 3)))
+    // pass 1: the sink COMMITS batch 0, then the injected crash kills the
+    // query before the checkpoint records the batch as complete — the
+    // at-least-once window commitWithTxn exists for
+    val crashed = spark.readStream
+      .schema("event_id LONG, user_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        SnapshotIngest.ingestBatch(b.toDF(), table, "eo", id)
+        if (id == 0) throw new RuntimeException("injected crash after commit")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashed.awaitTermination()
+    }
+    assert(Snapshots.lastTxn(spark, table, "eo") == Some(0L))
+    assert(Snapshots.read(spark, table).count() == 5)
+    // pass 2: restart from the same checkpoint with the PRODUCTION sink.
+    // Batch 0 replays (its offset never reached the commit log) and must
+    // be skipped; batches 1 and 2 land once each.
+    val q = SnapshotIngest.start(spark, inDir, table, ckpt, appId = "eo")
+    q.awaitTermination(120000)
+    // exactly-once: every source row exactly once, no duplicate batch —
+    // the version count is one commit per DISTINCT batch (replay added none)
+    assert(Snapshots.read(spark, table).count() == 12)
+    assert(Snapshots.read(spark, table).select("event_id").distinct().count() == 12)
+    assert(Snapshots.versions(spark, table).size == 3)
+    assert(Snapshots.lastTxn(spark, table, "eo") == Some(2L))
+    // stream result ≡ batch result over the same source
+    val streamSum = Snapshots.read(spark, table).agg(sum(col("event_id"))).head.getLong(0)
+    val batchSum = spark.read.parquet(inDir).agg(sum(col("event_id"))).head.getLong(0)
+    assert(streamSum == batchSum)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
