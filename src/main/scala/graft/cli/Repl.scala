@@ -11,11 +11,19 @@ import graft.format.Formatters
 /** The reference's CLI surface (/root/reference/src/cli/main.cpp:59-274)
   * rebuilt on `spark.sql`:
   *
-  *  REPL commands — LOAD TABLE n FROM 'f.csv' | SHOW TABLES | DESCRIBE t
-  *    | EXPLAIN <sql> | SELECT ... | SET FORMAT markdown|csv | EXIT/QUIT
+  *  REPL commands — LOAD TABLE n FROM 'f.csv' | SHOW TABLES
+  *    | SHOW PIPELINES | DESCRIBE t | EXPLAIN <sql> | SELECT ...
+  *    | SET FORMAT markdown|csv | EXIT/QUIT
   *  Batch mode — `--sql "<query>"` with a positional CSV file (or stdin)
   *    registered as table `table` (main.cpp:104-128), and
   *    `--output-format markdown|csv`.
+  *  Pipeline views — with `--data-dir <parquet table dir>` (default:
+  *    $SPARK_GRAFT_SF_DIR), every library operator is addressable as
+  *    `graft_<name>` straight from SQL
+  *    (`SELECT * FROM graft_dedup_minhash_lsh`) — lazily registered per
+  *    statement by [[graft.sqlapi.SqlRegistry]], so the reference's
+  *    everything-through-SQL ergonomics (main.cpp:229-242) extend to
+  *    the full pipeline-operator surface.
   *
   * Differences by design (SURVEY §3): the SQL dialect is full Spark SQL
   * (no hand-written parser), and EXPLAIN prints both the optimized
@@ -49,11 +57,15 @@ object Repl {
     var format = "markdown"
     var csvPath: Option[String] = None
     var maxRows = Formatters.DefaultMaxRows
+    // parquet table dir backing the graft_<operator> pipeline views
+    // (SqlRegistry); defaults to the env the Bench/Verify mains use
+    var dataDir: Option[String] = sys.env.get("SPARK_GRAFT_SF_DIR")
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--sql" => sqlArg = Some(args(i + 1)); i += 2
         case "--output-format" => format = args(i + 1); i += 2
+        case "--data-dir" => dataDir = Some(args(i + 1)); i += 2
         // reference prints every row (formatter.cpp); our default caps at
         // DefaultMaxRows with an explicit truncation marker — this flag
         // restores full-output parity for batch pipelines
@@ -70,18 +82,38 @@ object Repl {
     sqlArg match {
       case Some(sql) =>
         // batch: positional CSV (or stdin) becomes table "table"
-        // (main.cpp:104-128 parity)
-        val path = csvPath.getOrElse {
-          val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".csv")
-          val in = scala.io.Source.stdin.mkString
-          java.nio.file.Files.writeString(tmp, in)
-          tmp.toString
+        // (main.cpp:104-128 parity). With --data-dir and no positional
+        // file the stdin read is skipped — a pipeline-view query
+        // (`SELECT … FROM graft_dedup_minhash_lsh`) needs no input table.
+        val path = csvPath.orElse {
+          Option.when(dataDir.isEmpty) {
+            val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".csv")
+            val in = scala.io.Source.stdin.mkString
+            java.nio.file.Files.writeString(tmp, in)
+            tmp.toString
+          }
         }
-        catalog.registerCsv("table", path)
+        path.foreach(catalog.registerCsv("table", _))
+        registerPipelineViews(spark, dataDir, sql)
         print(render(spark.sql(sql), format, maxRows))
-      case None => loop(spark, catalog, format)
+      case None => loop(spark, catalog, format, dataDir)
     }
     spark.stop()
+  }
+
+  /** Lazily back any `graft_<operator>` identifiers in `sql` with temp
+    * views over `dataDir` ([[graft.sqlapi.SqlRegistry]]); a reference
+    * without a configured data dir is a user error worth a real message
+    * rather than Spark's TABLE_OR_VIEW_NOT_FOUND.
+    */
+  private def registerPipelineViews(spark: SparkSession,
+      dataDir: Option[String], sql: String): Unit = dataDir match {
+    case Some(d) => graft.sqlapi.SqlRegistry.ensureFor(spark, d, sql); ()
+    case None =>
+      if (graft.sqlapi.SqlRegistry.references(sql).nonEmpty)
+        throw new IllegalArgumentException(
+          "graft_* pipeline views need --data-dir <parquet table dir> " +
+            "(or SPARK_GRAFT_SF_DIR)")
   }
 
   private def render(df: DataFrame, format: String,
@@ -122,7 +154,8 @@ object Repl {
   private val SetFormatRe = """(?i)^SET\s+FORMAT\s+(\w+)\s*;?\s*$""".r
   private val ExplainRe = """(?is)^EXPLAIN\s+(.+)$""".r
 
-  def loop(spark: SparkSession, catalog: Catalog, initialFormat: String): Unit = {
+  def loop(spark: SparkSession, catalog: Catalog, initialFormat: String,
+      dataDir: Option[String] = None): Unit = {
     println("graft-sql - Spark-native SQL engine (EXIT to quit)")
     var format = initialFormat
     var done = false
@@ -141,6 +174,10 @@ object Repl {
             case t if t.equalsIgnoreCase("SHOW TABLES") || t.equalsIgnoreCase("SHOW TABLES;") =>
               catalog.tables.foreach(println)
               if (catalog.tables.isEmpty) println("(no tables)")
+            case t if t.equalsIgnoreCase("SHOW PIPELINES") || t.equalsIgnoreCase("SHOW PIPELINES;") =>
+              // every library operator, addressable as graft_<name> in SQL
+              graft.sqlapi.SqlRegistry.available.foreach(n =>
+                println(graft.sqlapi.SqlRegistry.ViewPrefix + n))
             case LoadRe(name, path) =>
               // format by extension: .parquet / .json load natively,
               // anything else goes through reference CSV inference
@@ -158,12 +195,14 @@ object Repl {
               if (Set("markdown", "csv")(f.toLowerCase)) { format = f.toLowerCase; println(s"format=$format") }
               else println(s"error: unknown format $f (markdown|csv)")
             case ExplainRe(sql) =>
+              registerPipelineViews(spark, dataDir, sql)
               val qe = spark.sql(sql).queryExecution
               println("== Optimized Logical Plan ==")
               println(qe.optimizedPlan.toString)
               println("== Physical Plan ==")
               println(qe.executedPlan.toString)
             case sql =>
+              registerPipelineViews(spark, dataDir, sql)
               print(render(spark.sql(sql), format))
           }
         } catch {

@@ -76,6 +76,20 @@ check "ragged row rejected" "Row size mismatch" "$out"
 out=$(java $OPENS -Dspark.ui.enabled=false -Xmx2g -cp "$CP" graft.tools.ExtensionsSmoke 2>/dev/null)
 check "extensions injection" "EXTENSIONS_SMOKE_OK" "$out"
 
+# 14. pipeline operators purely via --sql (graft_* views over --data-dir)
+out=$(run --data-dir /root/testdata/sf0.001 --sql "SELECT COUNT(*) AS n FROM graft_dedup_minhash_lsh")
+check "pipeline view dedup via --sql" "| [0-9]" "$out"
+out=$(run --data-dir /root/testdata/sf0.001 --sql "SELECT doc_id, keep FROM graft_text_quality_score ORDER BY doc_id LIMIT 3")
+check "pipeline view text via --sql" "^| 2 " "$out"
+
+# 15. graft_ view without a data dir → real error, not TABLE_NOT_FOUND
+out=$( (unset SPARK_GRAFT_SF_DIR; java $OPENS -Dspark.ui.enabled=false -Xmx2g -cp "$CP" graft.cli.Repl --sql "SELECT * FROM graft_dedup_exact" </dev/null 2>&1) )
+check "pipeline view needs data dir" "data-dir" "$out"
+
+# 16. SHOW PIPELINES lists the operator views
+out=$(printf "SHOW PIPELINES\nEXIT\n" | run)
+check "show pipelines" "graft_dedup_minhash_lsh" "$out"
+
 # 9. graft extension functions usable from plain SQL in the shell
 out=$(printf 'id,name\n1,x\n' | run --sql "SELECT size(shingle_hashes('a b c d')) AS n, cosine_f32(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c FROM table")
 check "extension functions in SQL" "| 2 | 1.0 |" "$out"
