@@ -25,13 +25,22 @@ object Asof {
     */
   def leftJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame =
-    join(left, right, leftKey, rightKey, leftTime, rightTime, isLeftOuter = true)
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime,
+      isLeftOuter = true, tolerance = tolerance)
 
+  /** `tolerance` (pandas merge_asof semantics): the as-of match only
+    * counts when leftTime − rightTime ≤ tolerance, expressed in the time
+    * type's own units (micros for timestamps, days for dates) — a stale
+    * quote stops matching instead of matching forever. Out-of-tolerance
+    * lefts drop (inner) or null-extend (left outer).
+    */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      isLeftOuter: Boolean = false): DataFrame = {
+      isLeftOuter: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lp = left.queryExecution.analyzed
@@ -65,6 +74,6 @@ object Asof {
       else rt0
     Bridge.ofRows(spark, AsofJoinPlan(lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      lt, rt, isLeftOuter))
+      lt, rt, isLeftOuter, tolerance))
   }
 }

@@ -30,7 +30,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    isLeftOuter: Boolean = false)
+    isLeftOuter: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
   // Fail fast at plan construction (not executor runtime): the merge
   // compares times through an ordering derived from the dataType, which
@@ -44,6 +45,19 @@ case class AsofJoinPlan(
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "as-of join key types must match pairwise: " +
       s"${leftKeys.map(_.dataType.simpleString)} vs ${rightKeys.map(_.dataType.simpleString)}")
+  // tolerance (pandas merge_asof semantics: the as-of match only counts
+  // when left-time − right-time ≤ tolerance) needs a numerically
+  // subtractable time representation — the integer-backed atomic types
+  // (timestamps = Long micros, date = Int days, plain ints). Checked at
+  // plan construction, in the time type's own units.
+  tolerance.foreach { tol =>
+    require(tol >= 0, s"as-of tolerance must be non-negative, got $tol")
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+    require(Set[org.apache.spark.sql.types.DataType](
+        TimestampType, TimestampNTZType, DateType, IntegerType, LongType)
+      .contains(leftTime.dataType),
+      s"as-of tolerance needs an integer-backed time type, got ${leftTime.dataType.simpleString}")
+  }
   override def output: Seq[Attribute] = left.output ++
     (if (isLeftOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
@@ -56,8 +70,8 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, lo) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), lo) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, lo, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), lo, tol) :: Nil
     case _ => Nil
   }
 }
@@ -70,7 +84,8 @@ case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
-    isLeftOuter: Boolean = false)
+    isLeftOuter: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++
@@ -106,6 +121,14 @@ case class AsofJoinExec(
         .getInterpretedOrdering(timeType)
       val resultProj = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
+      // time values as primitives for the tolerance subtraction
+      // (validated integer-backed at plan construction)
+      def timeAsLong(v: Any): Long = v match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case other => throw new IllegalStateException(
+          s"unexpected time value class ${other.getClass}")
+      }
       val rBuf = rIter.buffered
       // all-null right row for unmatched lefts in left-outer mode
       val nullRight = new org.apache.spark.sql.catalyst.expressions
@@ -114,6 +137,7 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         private var lastMatch: InternalRow = null
         private var lastMatchKey: InternalRow = null
+        private var lastMatchTime: Long = 0L
         private var pending: InternalRow = null
 
         private def computeNext(): Unit = {
@@ -144,11 +168,16 @@ case class AsofJoinExec(
                     if (c == 0 && timeOk) {
                       lastMatch = r.copy()
                       lastMatchKey = rKeyProj(lastMatch).copy()
+                      if (tolerance.isDefined) lastMatchTime = timeAsLong(rt)
                     }
                   } else advancing = false
                 }
               }
-              if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyProj(l)) == 0) {
+              // tolerance: the as-of pick is the GREATEST rt ≤ lt, so if
+              // it is already too stale, every older candidate is staler —
+              // a failed bound means no match, same as pandas merge_asof
+              if (lastMatch != null && keyOrd.compare(lastMatchKey, lKeyProj(l)) == 0 &&
+                  tolerance.forall(timeAsLong(lt) - lastMatchTime <= _)) {
                 pending = resultProj(joined(l, lastMatch))
                 matched = true
               }

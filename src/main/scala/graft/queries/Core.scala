@@ -600,6 +600,46 @@ object Core {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q62
+  /** As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, absent
+    * in both the reference and stock Spark): the q26 native operator,
+    * but a match only counts when the event is within a staleness bound
+    * of the matched order — the bounded-staleness form every serving join
+    * actually wants (an 18-month-old "most recent order" is noise, and
+    * at 100 TB the staleness bound also caps how much right-side history
+    * a backfill must retain). Tolerance rides the same single-pass
+    * partition merge (the as-of pick is the greatest rt ≤ lt, so a
+    * failed bound proves no older candidate can pass); the oracle is
+    * DuckDB's ASOF JOIN with the bound applied as a post-filter —
+    * equivalent by that same argument.
+    */
+  def q62AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate")).distinct()
+    // 9000 days: the fixture pairs 2024 events with TPC-H-era orders
+    // (staleness 8190-9799 days), so this bound keeps a real strict
+    // subset (~97% at sf0.01) instead of grading vacuously at 0 or 100%
+    graft.ops.Asof.join(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        tolerance = Some(9000L * 24 * 3600 * 1000000L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderdate").as("recent_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  // the staleness bound is phrased as epoch-micro arithmetic rather than
+  // `ts <= o_orderdate + INTERVAL`, which DuckDB's binder would push into
+  // the ASOF join and reject ("Multiple ASOF JOIN inequalities")
+  val q62Sql: String =
+    """SELECT event_id, user_id, ts, recent_order_date FROM (
+      |  SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |    o.o_orderdate AS recent_order_date
+      |  FROM events e ASOF JOIN (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+      |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+      |WHERE epoch_us(ts) - epoch_us(recent_order_date) <= 777600000000000
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q23
   /** Deterministic sampling (reference lacks sample/tablesample, SURVEY
     * §2.7): the reproducible-at-scale trick — order by a hash of the key
@@ -1569,6 +1609,7 @@ object Core {
     "q24_cube" -> (q24Cube _),
     "q25_intersect_except" -> (q25IntersectExcept _),
     "q26_asof_native" -> (q26AsofNative _),
+    "q62_asof_tolerance" -> (q62AsofTolerance _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_top_revenue" -> (q3TopRevenue _),
@@ -1619,6 +1660,7 @@ object Core {
     "q21_approx_ndv" -> q21Sql,
     "q22_asof_join" -> q22Sql,
     "q26_asof_native" -> q22Sql, // the native operator answers the same oracle
+    "q62_asof_tolerance" -> q62Sql,
     "q23_deterministic_sample" -> q23Sql,
     "q24_cube" -> q24Sql,
     "q25_intersect_except" -> q25Sql,

@@ -46,6 +46,45 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(j.count() > 0)
   }
 
+  test("tolerance bounds match staleness: inner drops, left-outer null-extends") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 08:00:00"), 200.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:06:00")), // 1 min stale -> 101.0
+      (11L, 1L, ts("2024-01-01 10:20:00")), // 15 min stale -> out of tolerance
+      (12L, 2L, ts("2024-01-01 10:00:00"))) // 2 h stale -> out of tolerance
+      .toDF("trade_id", "t_key", "t_ts")
+    val tenMin = Some(10L * 60 * 1000000L)
+    val inner = Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        tolerance = tenMin)
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(inner == Map(10L -> 101.0))
+    val outer = Asof.leftJoin(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        tolerance = tenMin)
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    assert(outer == Map(10L -> Some(101.0), 11L -> None, 12L -> None))
+    // tolerance in the DATE type's own units (days)
+    import org.apache.spark.sql.functions.to_date
+    val l = Seq((1L, "2024-03-10", 7)).toDF("k", "d", "v")
+      .withColumn("d", to_date($"d"))
+    val r = Seq((1L, "2024-03-01", 50.0)).toDF("k2", "d2", "w")
+      .withColumn("d2", to_date($"d2"))
+    assert(Asof.join(l, r, "k", "k2", "d", "d2", tolerance = Some(5L)).count() == 0)
+    assert(Asof.join(l, r, "k", "k2", "d", "d2", tolerance = Some(9L)).count() == 1)
+    // invalid: negative tolerance and non-integer time types fail fast
+    intercept[IllegalArgumentException] {
+      Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        tolerance = Some(-1L))
+    }
+  }
+
   test("DateType time column works (no Long hardcoding)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.to_date
