@@ -607,6 +607,61 @@ object Similarity {
       |SELECT qid AS vec_id, cid AS neighbor_id, round(cos, 6) AS cos_sim
       |FROM rk WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
 
+  // ------------------------------------------------- recall evaluation
+  /** Recall@k of the LSH ANN against the exact brute force — the
+    * evaluation harness an ANN serving deployment runs before trusting
+    * an index configuration (band/bit sweeps, index rebuild checks).
+    * One row per query: exact-neighbor count, how many the ANN found,
+    * and recall in integer basis points (truncating division — exact
+    * cross-engine, no float ratio to drift). Composes [[annLshOn]] and
+    * [[cosineTopKOn]], so the whole evaluation is deterministic and
+    * hash-graded end to end; cost is one ANN pass + one brute-force pass
+    * over the SAME query set (|Q| small — the corpus never self-joins).
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecallOn(emb(spark, dir), nQueries = 10, k = 5, nBands = 16, bandBits = 4)
+
+  def annRecallOn(e: DataFrame, nQueries: Int, k: Int,
+      nBands: Int, bandBits: Int): DataFrame = {
+    val approx = annLshOn(e, nQueries, k, nBands, bandBits)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = cosineTopKOn(e, nQueries, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    exact.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div k_exact"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[annRecallOn]]: the [[annLshSql]] candidate/top-k
+    * CTEs and the [[cosineTopKSql]] exact top-k, anti-joined per query.
+    */
+  def annRecallSqlFor(nQueries: Int, k: Int, nBands: Int, bandBits: Int): String =
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      |  FROM bands q JOIN bands c ON q.band = c.band AND q.band_key = c.band_key
+      |  WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+      |ascored AS (
+      |  SELECT cand.qid, cand.cid, $cosExprSql AS cos
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+      |            JOIN embeddings b ON b.vec_id = cand.cid),
+      |ark AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM ascored),
+      |approx AS (SELECT qid, cid FROM ark WHERE rn <= $k),
+      |escored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid, $cosExprSql AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id),
+      |erk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM escored),
+      |exact AS (SELECT qid, cid FROM erk WHERE rn <= $k)
+      |SELECT e.qid AS vec_id, COUNT(*) AS k_exact,
+      |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+      |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+      |GROUP BY e.qid ORDER BY vec_id""".stripMargin
+
   private def cosineNearDupSqlFor(nBands: Int, bandBits: Int): String =
     s"""WITH ${lshBandsCte(nBands, bandBits)},
       |cand AS (
@@ -943,6 +998,7 @@ object Similarity {
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_seeded" -> (annIvfSeeded _),
+    "sim_ann_recall" -> (annRecall _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
     "sim_knn_graph" -> (knnGraph _),
@@ -967,5 +1023,7 @@ object Similarity {
     "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_ivf_seeded" -> annIvfSeededSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobe = 4),
+    "sim_ann_recall" -> annRecallSqlFor(nQueries = 10, k = 5,
+      nBands = 16, bandBits = 4),
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8))
 }
