@@ -187,10 +187,80 @@ object Multimodal {
        |FROM b ORDER BY media_id""".stripMargin
   }
 
+  /** Chunk-level BINARY near-dup — storage-dedup's fixed-size-chunking
+    * idea applied as an operator: each payload becomes its distinct set
+    * of 64-byte-chunk hashes (scan-side: sequence + substring + md5,
+    * all codegen built-ins, no codec), candidates are payload pairs
+    * sharing ≥ 1 chunk hash (inverted-index join — the id-only
+    * [[Dedup]] shape, never all-pairs), and pairs keep when the chunk
+    * Jaccard clears τ. On a real media column this catches re-encoded
+    * uploads sharing byte runs, truncated copies, and exact dupes
+    * without decoding anything. Same Σc² caveat as `dedup_ngram_jaccard`
+    * (a chunk shared by everything — zero padding — needs the df-cap
+    * mitigation documented there).
+    */
+  def mediaChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaChunkDedupOn(docsAsMedia(spark, dir).toDF(), chunkBytes = 64, tau = 0.5)
+
+  def mediaChunkDedupOn(media: DataFrame, chunkBytes: Int, tau: Double): DataFrame = {
+    val chunks = media
+      .select(col("media_id"), col("payload"))
+      .withColumn("n", length(col("payload")))
+      .filter(col("n") > 0)
+      .select(col("media_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(n / ${chunkBytes}.0) as int) - 1), " +
+          s"i -> md5(cast(hex(substring(payload, i * $chunkBytes + 1, $chunkBytes)) as binary)))"))
+        .as("ch"))
+      .distinct()
+    val sizes = chunks.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
+    val a = chunks.select(col("media_id").as("ma"), col("ch"))
+    val b = chunks.select(col("media_id").as("mb"), col("ch"))
+    a.join(b, Seq("ch")).filter(col("ma") < col("mb"))
+      .groupBy(col("ma"), col("mb")).agg(count(lit(1)).as("shared_chunks"))
+      .join(sizes.select(col("media_id").as("ma"), col("sz").as("sza")), "ma")
+      .join(sizes.select(col("media_id").as("mb"), col("sz").as("szb")), "mb")
+      .withColumn("jac", col("shared_chunks").cast("double") /
+        (col("sza") + col("szb") - col("shared_chunks")))
+      .filter(col("jac") >= tau)
+      .select(col("ma").as("media_a"), col("mb").as("media_b"),
+        col("shared_chunks"), round(col("jac"), 6).as("chunk_jaccard"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** DuckDB twin of [[mediaChunkDedupOn]]: chunks sliced from the blob's
+    * hex dump (2 hex chars per byte), md5 over the SAME uppercase hex
+    * text both engines produce.
+    */
+  def mediaChunkDedupSqlFor(chunkBytes: Int, tau: Double): String = {
+    val hexLen = 2 * chunkBytes
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+       |    hex(encode(text)) AS h
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |ch AS (
+       |  SELECT DISTINCT media_id, md5(substr(h, $hexLen * t.i + 1, $hexLen)) AS ch
+       |  FROM b, UNNEST(generate_series(0, CAST(ceil(n / $chunkBytes.0) AS INT) - 1)) AS t(i)),
+       |sz AS (SELECT media_id, COUNT(*) AS sz FROM ch GROUP BY 1),
+       |inter AS (
+       |  SELECT x.media_id AS ma, y.media_id AS mb, COUNT(*) AS shared
+       |  FROM ch x JOIN ch y ON x.ch = y.ch AND x.media_id < y.media_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.ma, i.mb, i.shared,
+       |    CAST(i.shared AS DOUBLE) / (a.sz + c.sz - i.shared) AS jac
+       |  FROM inter i JOIN sz a ON a.media_id = i.ma
+       |               JOIN sz c ON c.media_id = i.mb)
+       |SELECT ma AS media_a, mb AS media_b, CAST(shared AS BIGINT) AS shared_chunks,
+       |  round(jac, 6) AS chunk_jaccard
+       |FROM j WHERE jac >= CAST($tau AS DOUBLE)
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_frames" -> (mediaFrames _),
-    "multimodal_header_probe" -> (mediaHeaderProbe _))
+    "multimodal_header_probe" -> (mediaHeaderProbe _),
+    "multimodal_chunk_dedup" -> (mediaChunkDedup _))
 
   /** DuckDB twin of `mediaFeatures`: the payload is the utf-8 encoding of
     * `text`, so the byte checksum is recomputed from the blob's hex dump
@@ -215,5 +285,6 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> mediaFeaturesSql,
     "multimodal_frames" -> mediaFramesSql,
-    "multimodal_header_probe" -> mediaHeaderProbeSql)
+    "multimodal_header_probe" -> mediaHeaderProbeSql,
+    "multimodal_chunk_dedup" -> mediaChunkDedupSqlFor(chunkBytes = 64, tau = 0.5))
 }

@@ -100,6 +100,24 @@ class ExtSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall $recall too low (lsh=${lsh.size}, exact=${exact.size})")
   }
 
+  test("binary chunk dedup: exact dup at 1.0, truncated copy at boundary, disjoint absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // four distinct 64-byte blocks so the distinct-chunk sets don't
+    // collapse (repeated content would dedup to one chunk hash)
+    def block(c: Char) = c.toString * 64
+    val full = block('a') + block('b') + block('c') + block('d')
+    val media = Seq(
+      (1L, full), (2L, full),                  // identical payloads
+      (3L, block('a') + block('b')),           // truncated copy: 2 of 4 chunks
+      (4L, block('x') + block('y')))           // disjoint
+      .toDF("media_id", "s")
+      .select(col("media_id"), col("s").cast("binary").as("payload"))
+    val r = graft.ext.Multimodal.mediaChunkDedupOn(media, chunkBytes = 64, tau = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSet == Set((1L, 2L, 4L, 1.0), (1L, 3L, 2L, 0.5), (2L, 3L, 2L, 0.5)))
+  }
+
   test("seeded IVF needs no label column and keeps real recall vs brute force") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     // the operator must run on a corpus WITHOUT a cluster column — that
