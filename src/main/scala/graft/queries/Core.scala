@@ -1593,6 +1593,54 @@ object Core {
       |  round(quantile_cont(dev, 0.5), 6) AS mad
       |FROM d GROUP BY f ORDER BY f""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** EQUI-DEPTH histogram profile — the quantile-boundary twin of q54's
+    * equi-width bins (optimizers and data-profilers want both: width
+    * bins show shape, depth bins show where the mass actually sits and
+    * give selectivity estimates with bounded per-bin error). Boundaries
+    * are exact interpolated quartiles from the SAME two-phase bucket
+    * quantile as q35/q59 ([[bucketQuantilesOn]] — histogram partial+final
+    * agg, cumsum over O(buckets), never a data sort), broadcast back
+    * over one scan for binning. Bit-exact vs quantile_cont, so the
+    * per-bin counts and extrema hash-match.
+    */
+  def q63EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
+    val qs = graft.engine.Materialize.stage(
+      bucketQuantilesOn(li, Seq(0.25 -> "q1", 0.5 -> "q2", 0.75 -> "q3")))
+    li.join(broadcast(qs), "f")
+      .withColumn("bin",
+        when(col("x") <= col("q1"), 1)
+          .when(col("x") <= col("q2"), 2)
+          .when(col("x") <= col("q3"), 3)
+          .otherwise(4))
+      .groupBy(col("f"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 6).as("lo"), round(max(col("x")), 6).as("hi"))
+      .select(col("f").as("l_returnflag"), col("bin"), col("n"),
+        col("lo"), col("hi"))
+      .orderBy(col("l_returnflag"), col("bin"))
+  }
+
+  val q63Sql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag AS f,
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.5) AS q2,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT l.l_returnflag AS f, l.l_extendedprice AS x,
+      |    CASE WHEN l.l_extendedprice <= q.q1 THEN 1
+      |         WHEN l.l_extendedprice <= q.q2 THEN 2
+      |         WHEN l.l_extendedprice <= q.q3 THEN 3
+      |         ELSE 4 END AS bin
+      |  FROM lineitem l JOIN q ON l.l_returnflag = q.f)
+      |SELECT f AS l_returnflag, bin, COUNT(*) AS n,
+      |  round(MIN(x), 6) AS lo, round(MAX(x), 6) AS hi
+      |FROM b GROUP BY f, bin ORDER BY l_returnflag, bin""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_approx_pctl_bound" -> (q61ApproxPctlBound _),
@@ -1610,6 +1658,7 @@ object Core {
     "q25_intersect_except" -> (q25IntersectExcept _),
     "q26_asof_native" -> (q26AsofNative _),
     "q62_asof_tolerance" -> (q62AsofTolerance _),
+    "q63_equidepth_hist" -> (q63EquidepthHist _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_top_revenue" -> (q3TopRevenue _),
@@ -1661,6 +1710,7 @@ object Core {
     "q22_asof_join" -> q22Sql,
     "q26_asof_native" -> q22Sql, // the native operator answers the same oracle
     "q62_asof_tolerance" -> q62Sql,
+    "q63_equidepth_hist" -> q63Sql,
     "q23_deterministic_sample" -> q23Sql,
     "q24_cube" -> q24Sql,
     "q25_intersect_except" -> q25Sql,
