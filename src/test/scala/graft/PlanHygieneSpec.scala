@@ -40,6 +40,16 @@ class PlanHygieneSpec extends SparkSpecBase {
   // lineage, so the final executed plan starts from the checkpointed
   // assignment and shows no join at all.
 
+  test("every graded query has an oracle (no silent rows-only entries)") {
+    // round 7 closed the last rows-only gaps; this keeps them closed — a
+    // new queries() entry without a DuckDB twin fails here, not in the
+    // driver's weaker rows-only lane
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${(q -- o).toSeq.sorted}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("no cartesian products; broadcast-nested-loop only where deliberate") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf()).queryExecution.executedPlan.toString
