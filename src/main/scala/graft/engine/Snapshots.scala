@@ -350,6 +350,48 @@ object Snapshots {
     vNew
   }
 
+  /** OPTIMIZE — fold an accumulation of small append batches into one
+    * rewritten batch (the Delta `OPTIMIZE` / Iceberg rewrite-data-files
+    * maintenance pass; the snapshot-store sibling of
+    * [[graft.sources.Formats]]'s file-level compaction). Content-neutral
+    * by construction: delete lines and stream-txn marks carry forward
+    * untouched — the rewrite copies RAW batch data, so pending row-level
+    * deletes still apply at read time exactly as before, and a replayed
+    * micro-batch still finds its txn mark. No-op (returns the current
+    * version) when the table already has ≤ `maxBatches` batches. Old
+    * versions keep referencing the pre-rewrite batches — time travel
+    * intact until [[vacuum]] reclaims them.
+    *
+    * A streaming table is the motivating case: one commit per
+    * micro-batch = thousands of KB-sized batch dirs whose per-read cost
+    * is dominated by file listing/footers; periodic optimize restores
+    * scan efficiency without stopping the stream (the publish is the
+    * same optimistic commit — a concurrent append wins or loses the
+    * slot cleanly; a lost race here fails loudly like compactDeletes).
+    */
+  def optimize(spark: SparkSession, dir: String,
+      statsCol: Option[String] = None, maxBatches: Int = 1): Int = {
+    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
+    val v = latestVersion(spark, dir)
+    val entries = entriesAt(spark, dir, v)
+    val batches = entries.collect { case b: BatchEntry => b }
+    if (batches.size <= maxBatches) return v
+    val carried = entries.collect {
+      case d: DeleteEntry => render(d)
+      case t: TxnEntry => render(t)
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val vNew = v + 1
+    val rel = s"data/batch-$vNew-$nonce"
+    spark.read.parquet(batches.map(b => s"$dir/${b.batch}"): _*)
+      .write.mode("errorifexists").parquet(s"$dir/$rel")
+    val line = statsLine(spark, dir, rel, statsCol)
+    val ok = publishIfAbsent(fs(spark, dir), dir, vNew, nonce,
+      line +: carried)
+    require(ok, s"concurrent commit during optimize at $dir — rerun optimize")
+    vNew
+  }
+
   /** Manifest-stats pruned read: batches whose recorded [min, max]
     * envelope on `column` misses [lo, hi] are dropped from the file
     * listing BEFORE any parquet footer is touched — directory-level

@@ -342,6 +342,32 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.lastTxn(spark, t, "app") == Some(1L))
   }
 
+  test("optimize folds small batches, carries deletes + txn marks, keeps history") {
+    import spark.implicits._
+    val t = freshTable("optimize")
+    // a streaming-shaped accumulation: many small append commits with a
+    // txn ledger, plus a pending row-level delete
+    (0 to 4).foreach(i =>
+      Snapshots.commitWithTxn(df(i * 10 + 1 to i * 10 + 5), t, "st", i.toLong))
+    Snapshots.deleteRows(Seq(3L, 14L).toDF("id"), t, "id")
+    val vBefore = Snapshots.latestVersion(spark, t)
+    val before = Snapshots.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(before.size == 23) // 25 appended − 2 deleted
+    val vOpt = Snapshots.optimize(spark, t)
+    assert(vOpt == vBefore + 1)
+    // content-neutral: the rewrite copies RAW data, deletes still apply
+    assert(Snapshots.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == before)
+    // the txn ledger survives — a replayed micro-batch still skips
+    assert(Snapshots.lastTxn(spark, t, "st") == Some(4L))
+    assert(Snapshots.commitWithTxn(df(1 to 5), t, "st", 4L) == None)
+    // time travel below the optimize is untouched
+    assert(Snapshots.read(spark, t, 2).count() == 15)
+    // already-compact tables are a no-op
+    assert(Snapshots.optimize(spark, t) == vOpt)
+  }
+
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)
