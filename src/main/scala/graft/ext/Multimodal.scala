@@ -212,19 +212,7 @@ object Multimodal {
           s"i -> md5(cast(hex(substring(payload, i * $chunkBytes + 1, $chunkBytes)) as binary)))"))
         .as("ch"))
       .distinct()
-    val sizes = chunks.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
-    val a = chunks.select(col("media_id").as("ma"), col("ch"))
-    val b = chunks.select(col("media_id").as("mb"), col("ch"))
-    a.join(b, Seq("ch")).filter(col("ma") < col("mb"))
-      .groupBy(col("ma"), col("mb")).agg(count(lit(1)).as("shared_chunks"))
-      .join(sizes.select(col("media_id").as("ma"), col("sz").as("sza")), "ma")
-      .join(sizes.select(col("media_id").as("mb"), col("sz").as("szb")), "mb")
-      .withColumn("jac", col("shared_chunks").cast("double") /
-        (col("sza") + col("szb") - col("shared_chunks")))
-      .filter(col("jac") >= tau)
-      .select(col("ma").as("media_a"), col("mb").as("media_b"),
-        col("shared_chunks"), round(col("jac"), 6).as("chunk_jaccard"))
-      .orderBy(col("media_a"), col("media_b"))
+    chunkJaccardPairs(chunks, tau)
   }
 
   /** DuckDB twin of [[mediaChunkDedupOn]]: chunks sliced from the blob's
@@ -256,11 +244,142 @@ object Multimodal {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  /** CONTENT-DEFINED chunking dedup — the shift-robust upgrade of
+    * [[mediaChunkDedup]]'s fixed-size chunks, and the algorithm storage
+    * dedup actually ships (Rabin/FastCDC family): chunk boundaries land
+    * where a rolling 4-byte window's hash hits `1/mask` — so inserting
+    * one byte re-chunks only the surrounding chunk instead of shifting
+    * every boundary after it (fixed-size chunking loses ALL alignment
+    * past an insertion; CDC re-synchronizes within one chunk). The
+    * window hash is the deterministic `mix64` family, so boundaries —
+    * and therefore the whole operator — replay exactly in DuckDB via
+    * the same HUGEINT mod-2⁶⁴ chain as the LSH hyperplanes.
+    *
+    * Everything is scan-side codegen built-ins (hex/conv/sequence/
+    * transform + the mix64 expression): per-payload boundary positions →
+    * per-chunk md5 set → the id-only inverted-index join and chunk
+    * Jaccard of the fixed-size variant. Same Σc² caveat, same df-cap
+    * mitigation story.
+    */
+  def mediaCdcDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaCdcDedupOn(docsAsMedia(spark, dir).toDF(), mask = 64, tau = 0.5)
+
+  def mediaCdcDedupOn(media: DataFrame, mask: Int, tau: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(media.sparkSession)
+    // byte at 1-based position q, read from the hex dump (2 chars/byte)
+    def by(q: String) = s"cast(conv(substring(h, 2*($q)-1, 2), 16, 10) as bigint)"
+    val base = media
+      .select(col("media_id"), col("payload"))
+      .withColumn("n", length(col("payload")))
+      .filter(col("n") > 0)
+      .withColumn("h", hex(col("payload")))
+    // boundary AFTER byte p (window = bytes p−3..p) when the mixed
+    // window hash lands in the 1/mask bucket; p stops at n−1 so the
+    // final bound n stays unique. pmod on the signed long equals the
+    // unsigned low bits for a power-of-two mask — the DuckDB twin takes
+    // the same low bits of the unsigned HUGEINT.
+    val bounds = base.withColumn("bounds", expr(
+      s"""concat(array(0L),
+         |  if(n >= 5,
+         |    filter(transform(sequence(4, n - 1), p ->
+         |      if(pmod(mix64(
+         |        ${by("p-3")} * 16777216 + ${by("p-2")} * 65536 +
+         |        ${by("p-1")} * 256 + ${by("p")}), $mask) = 0,
+         |        cast(p as long), -1L)), x -> x > 0),
+         |    array()),
+         |  array(cast(n as long)))""".stripMargin))
+    val chunks = bounds
+      .select(col("media_id"), explode(expr(
+        """transform(sequence(1, size(bounds) - 1), i ->
+          |  md5(cast(substring(h, cast(2 * bounds[i-1] + 1 as int),
+          |    cast(2 * (bounds[i] - bounds[i-1]) as int)) as binary)))""".stripMargin))
+        .as("ch"))
+      .distinct()
+    chunkJaccardPairs(chunks, tau)
+  }
+
+  /** Shared tail of both chunk-dedup variants: distinct (media_id, ch)
+    * rows → per-payload set sizes, inverted-index candidate join on the
+    * chunk hash, Jaccard ≥ τ.
+    */
+  private def chunkJaccardPairs(chunks: DataFrame, tau: Double): DataFrame = {
+    val sizes = chunks.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
+    val a = chunks.select(col("media_id").as("ma"), col("ch"))
+    val b = chunks.select(col("media_id").as("mb"), col("ch"))
+    a.join(b, Seq("ch")).filter(col("ma") < col("mb"))
+      .groupBy(col("ma"), col("mb")).agg(count(lit(1)).as("shared_chunks"))
+      .join(sizes.select(col("media_id").as("ma"), col("sz").as("sza")), "ma")
+      .join(sizes.select(col("media_id").as("mb"), col("sz").as("szb")), "mb")
+      .withColumn("jac", col("shared_chunks").cast("double") /
+        (col("sza") + col("szb") - col("shared_chunks")))
+      .filter(col("jac") >= tau)
+      .select(col("ma").as("media_a"), col("mb").as("media_b"),
+        col("shared_chunks"), round(col("jac"), 6).as("chunk_jaccard"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** DuckDB twin of [[mediaCdcDedupOn]]: the mix64 window hash replayed
+    * with HUGEINT arithmetic mod 2⁶⁴ (the LSH-hyperplane technique),
+    * boundary lists assembled per payload, chunks sliced from the hex
+    * dump. Constants are splitmix64's golden-ratio increment and the
+    * hi/lo split finalizer multipliers.
+    */
+  def mediaCdcDedupSqlFor(mask: Int, tau: Double): String = {
+    def by(q: String) =
+      s"((strpos('0123456789ABCDEF', substr(h, 2*($q) - 1, 1)) - 1) * 16" +
+        s" + (strpos('0123456789ABCDEF', substr(h, 2*($q), 1)) - 1))"
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+       |    hex(encode(text)) AS h
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |pos AS (
+       |  SELECT media_id, h, t.p AS p,
+       |    CAST(${by("t.p - 3")} AS HUGEINT) * 16777216 +
+       |    ${by("t.p - 2")} * 65536 + ${by("t.p - 1")} * 256 + ${by("t.p")} AS wv
+       |  FROM b, UNNEST(generate_series(4, n - 1)) AS t(p) WHERE n >= 5),
+       |mx AS (
+       |  SELECT media_id, p,
+       |    (wv + 11400714819323198485) % 18446744073709551616 AS z0,
+       |    xor(z0, z0 >> 30) AS x1,
+       |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+       |    xor(z1, z1 >> 27) AS x2,
+       |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+       |    xor(z2, z2 >> 31) AS z3
+       |  FROM pos),
+       |bd AS (SELECT media_id, CAST(p AS BIGINT) AS bp FROM mx WHERE z3 % $mask = 0),
+       |bl AS (
+       |  SELECT b.media_id, b.h,
+       |    list_value(CAST(0 AS BIGINT)) ||
+       |      list_sort(COALESCE(list(bd.bp), list_value())) ||
+       |      list_value(CAST(b.n AS BIGINT)) AS fl
+       |  FROM b LEFT JOIN bd USING (media_id) GROUP BY b.media_id, b.h, b.n),
+       |ch AS (
+       |  SELECT DISTINCT media_id,
+       |    md5(substr(h, CAST(2 * fl[t.i] + 1 AS INT),
+       |      CAST(2 * (fl[t.i + 1] - fl[t.i]) AS INT))) AS ch
+       |  FROM bl, UNNEST(generate_series(1, len(fl) - 1)) AS t(i)),
+       |sz AS (SELECT media_id, COUNT(*) AS sz FROM ch GROUP BY 1),
+       |inter AS (
+       |  SELECT x.media_id AS ma, y.media_id AS mb, COUNT(*) AS shared
+       |  FROM ch x JOIN ch y ON x.ch = y.ch AND x.media_id < y.media_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.ma, i.mb, i.shared,
+       |    CAST(i.shared AS DOUBLE) / (a.sz + c.sz - i.shared) AS jac
+       |  FROM inter i JOIN sz a ON a.media_id = i.ma
+       |               JOIN sz c ON c.media_id = i.mb)
+       |SELECT ma AS media_a, mb AS media_b, CAST(shared AS BIGINT) AS shared_chunks,
+       |  round(jac, 6) AS chunk_jaccard
+       |FROM j WHERE jac >= CAST($tau AS DOUBLE)
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_frames" -> (mediaFrames _),
     "multimodal_header_probe" -> (mediaHeaderProbe _),
-    "multimodal_chunk_dedup" -> (mediaChunkDedup _))
+    "multimodal_chunk_dedup" -> (mediaChunkDedup _),
+    "multimodal_cdc_dedup" -> (mediaCdcDedup _))
 
   /** DuckDB twin of `mediaFeatures`: the payload is the utf-8 encoding of
     * `text`, so the byte checksum is recomputed from the blob's hex dump
@@ -286,5 +405,6 @@ object Multimodal {
     "multimodal_features" -> mediaFeaturesSql,
     "multimodal_frames" -> mediaFramesSql,
     "multimodal_header_probe" -> mediaHeaderProbeSql,
-    "multimodal_chunk_dedup" -> mediaChunkDedupSqlFor(chunkBytes = 64, tau = 0.5))
+    "multimodal_chunk_dedup" -> mediaChunkDedupSqlFor(chunkBytes = 64, tau = 0.5),
+    "multimodal_cdc_dedup" -> mediaCdcDedupSqlFor(mask = 64, tau = 0.5))
 }

@@ -118,6 +118,30 @@ class ExtSpec extends SparkSpecBase {
     assert(r.toSet == Set((1L, 2L, 4L, 1.0), (1L, 3L, 2L, 0.5), (2L, 3L, 2L, 0.5)))
   }
 
+  test("CDC chunking survives a one-byte insertion that breaks fixed-size chunking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic high-entropy payload so boundary hashes vary
+    val s = (0 until 500).map(i =>
+      ('a' + (graft.functions.SketchHash.mix(i.toLong, 7) & 15)).toChar).mkString
+    val media = Seq((1L, s), (2L, "X" + s)) // one byte inserted at the front
+      .toDF("media_id", "raw")
+      .select(col("media_id"), col("raw").cast("binary").as("payload"))
+    // fixed-size chunks: every boundary after the insertion shifts, so
+    // no 64-byte-aligned chunk survives — the pair is lost
+    val fixed = graft.ext.Multimodal
+      .mediaChunkDedupOn(media, chunkBytes = 64, tau = 0.3).collect()
+    assert(fixed.isEmpty, s"fixed chunking unexpectedly matched: ${fixed.toSeq}")
+    // content-defined boundaries re-synchronize within one chunk of the
+    // insertion — the pair comes back with high overlap
+    val cdc = graft.ext.Multimodal
+      .mediaCdcDedupOn(media, mask = 64, tau = 0.3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(3)))
+    assert(cdc.length == 1 && cdc.head._1 == 1L && cdc.head._2 == 2L,
+      s"cdc pair missing: ${cdc.toSeq}")
+    assert(cdc.head._3 >= 0.5, s"cdc overlap too low: ${cdc.head._3}")
+  }
+
   test("seeded IVF needs no label column and keeps real recall vs brute force") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     // the operator must run on a corpus WITHOUT a cluster column — that
