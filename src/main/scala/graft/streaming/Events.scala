@@ -143,6 +143,17 @@ object Events {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming half of the drift monitor: the (day, event_type) counts
+    * as a complete-mode streaming aggregation — state is the O(days ×
+    * types) grid, not the stream. Score the sink's final table with
+    * [[driftChi2FromCells]]; the StreamingSpec twin pins stream ≡ batch.
+    */
+  def streamingDriftCells(spark: SparkSession, filesDir: String): DataFrame =
+    eventStream(spark, filesDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+
   /** Streaming twin of `windowedCounts`: parquet file stream → watermark →
     * tumbling window aggregation. Caller picks the sink (tests use
     * Trigger.AvailableNow + memory sink).
@@ -630,11 +641,19 @@ object Events {
     * rollups of that table and the type margin (≤ |types| rows) joins by
     * broadcast.
     */
-  def driftChi2(spark: SparkSession, dir: String): DataFrame = {
-    val cells = events(spark, dir)
+  def driftChi2(spark: SparkSession, dir: String): DataFrame =
+    driftChi2FromCells(events(spark, dir)
       .select(to_date(col("ts")).cast("string").as("day"), col("event_type"))
       .groupBy(col("day"), col("event_type"))
-      .agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("o")))
+
+  /** Chi-square scoring from an already-aggregated (day, event_type, o)
+    * contingency frame — shared by the batch operator and the streaming
+    * twin (whose cells arrive from a complete-mode streaming aggregation;
+    * scoring needs windowless joins over the FINAL grid, so it runs on
+    * the sink table, the same split as the other post-aggregation twins).
+    */
+  def driftChi2FromCells(cells: DataFrame): DataFrame = {
     val dayTot = cells.groupBy(col("day")).agg(sum(col("o")).as("r"))
     val typeTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("ct"))
     val grand = dayTot.agg(sum(col("r")).as("nn"))

@@ -172,6 +172,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(r.values.forall(_._2 >= 0L))
   }
 
+  test("streaming drift cells == batch chi2 (complete-mode grid, scored on final state)") {
+    // the sf0.001 events table through the streaming contingency
+    // aggregation, scored with the SAME helper the batch operator uses —
+    // stream ≡ batch for the monitoring query a pipeline actually leaves
+    // running
+    val q = Events.streamingDriftCells(spark, eventsDir)
+      .writeStream.format("memory").queryName("drift_cells")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // localCheckpoint: the scoring self-joins the grid three ways, and
+    // the analyzer cannot dedup attribute ids across a MemoryPlan view —
+    // snapshotting the O(days×types) grid sidesteps it for pennies
+    val streamed = Events.driftChi2FromCells(
+      spark.table("drift_cells").localCheckpoint(true))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val batch = Events.driftChi2(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("gaps and islands: consecutive-day streaks, counts, earliest-tie longest") {
     import spark.implicits._
     val t0 = java.time.LocalDate.of(2024, 3, 1)
