@@ -58,5 +58,9 @@ object SparkEntry {
   def sketchFamilies: Map[String, (Set[String], String)] = Map(
     "dedup" -> ((Dedup.queries.keySet, "dedup_minhash_lsh")),
     "sim" -> ((Similarity.queries.keySet, "sim_ann_lsh")),
-    "text" -> ((TextOps.queries.keySet, "text_quality_score")))
+    "text" -> ((TextOps.queries.keySet, "text_quality_score")),
+    // reps warm each family's DOMINANT expression set; single tiny
+    // scalars a rep misses (e.g. mix64 in cdc_dedup / seeded ivf)
+    // compile in ms once Janino itself is warm
+    "multimodal" -> ((Multimodal.queries.keySet, "multimodal_header_probe")))
 }

@@ -82,11 +82,13 @@ object Repl {
     sqlArg match {
       case Some(sql) =>
         // batch: positional CSV (or stdin) becomes table "table"
-        // (main.cpp:104-128 parity). With --data-dir and no positional
-        // file the stdin read is skipped — a pipeline-view query
-        // (`SELECT … FROM graft_dedup_minhash_lsh`) needs no input table.
+        // (main.cpp:104-128 parity). Stdin is only skipped for a
+        // pipeline-view query (`SELECT … FROM graft_dedup_minhash_lsh`)
+        // with a data dir to back it — a data dir alone (often ambient
+        // via SPARK_GRAFT_SF_DIR) must not disable the stdin contract.
+        val wantsViews = graft.sqlapi.SqlRegistry.references(sql).nonEmpty
         val path = csvPath.orElse {
-          Option.when(dataDir.isEmpty) {
+          Option.when(dataDir.isEmpty || !wantsViews) {
             val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".csv")
             val in = scala.io.Source.stdin.mkString
             java.nio.file.Files.writeString(tmp, in)

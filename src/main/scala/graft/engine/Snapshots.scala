@@ -383,9 +383,22 @@ object Snapshots {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val vNew = v + 1
     val rel = s"data/batch-$vNew-$nonce"
-    spark.read.parquet(batches.map(b => s"$dir/${b.batch}"): _*)
+    // mergeSchema: on an evolved table the folded batches may span
+    // schemas — a plain union-by-position read would drop the columns
+    // only the newer batches carry
+    spark.read.option("mergeSchema", "true")
+      .parquet(batches.map(b => s"$dir/${b.batch}"): _*)
       .write.mode("errorifexists").parquet(s"$dir/$rel")
-    val line = statsLine(spark, dir, rel, statsCol)
+    // keep pruning envelopes alive across the rewrite: when the caller
+    // passes no statsCol but every existing envelope agrees on one
+    // column, re-derive stats on that column for the folded batch
+    val inferred = statsCol.orElse {
+      batches.flatMap(_.stats.map(_._1)).distinct match {
+        case Seq(only) => Some(only)
+        case _ => None
+      }
+    }
+    val line = statsLine(spark, dir, rel, inferred)
     val ok = publishIfAbsent(fs(spark, dir), dir, vNew, nonce,
       line +: carried)
     require(ok, s"concurrent commit during optimize at $dir — rerun optimize")

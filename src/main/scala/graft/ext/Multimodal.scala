@@ -255,19 +255,21 @@ object Multimodal {
     * and therefore the whole operator — replay exactly in DuckDB via
     * the same HUGEINT mod-2⁶⁴ chain as the LSH hyperplanes.
     *
-    * Everything is scan-side codegen built-ins (hex/conv/sequence/
-    * transform + the mix64 expression): per-payload boundary positions →
-    * per-chunk md5 set → the id-only inverted-index join and chunk
-    * Jaccard of the fixed-size variant. Same Σc² caveat, same df-cap
-    * mitigation story.
+    * Everything is scan-side codegen: the boundary pass is the native
+    * [[graft.functions.CdcBounds]] expression (one JVM loop over the raw
+    * payload bytes) → per-chunk md5 set → the id-only inverted-index
+    * join and chunk Jaccard of the fixed-size variant. Same Σc² caveat,
+    * same df-cap mitigation story.
     */
   def mediaCdcDedup(spark: SparkSession, dir: String): DataFrame =
     mediaCdcDedupOn(docsAsMedia(spark, dir).toDF(), mask = 64, tau = 0.5)
 
   def mediaCdcDedupOn(media: DataFrame, mask: Int, tau: Double): DataFrame = {
+    // the pmod-on-signed == unsigned-low-bits equivalence below (and its
+    // HUGEINT replay in the oracle) only holds for a power-of-two mask
+    require(mask > 0 && (mask & (mask - 1)) == 0,
+      s"CDC mask must be a positive power of two, got $mask")
     graft.plans.GraftExtensions.register(media.sparkSession)
-    // byte at 1-based position q, read from the hex dump (2 chars/byte)
-    def by(q: String) = s"cast(conv(substring(h, 2*($q)-1, 2), 16, 10) as bigint)"
     val base = media
       .select(col("media_id"), col("payload"))
       .withColumn("n", length(col("payload")))
@@ -275,19 +277,12 @@ object Multimodal {
       .withColumn("h", hex(col("payload")))
     // boundary AFTER byte p (window = bytes p−3..p) when the mixed
     // window hash lands in the 1/mask bucket; p stops at n−1 so the
-    // final bound n stays unique. pmod on the signed long equals the
-    // unsigned low bits for a power-of-two mask — the DuckDB twin takes
-    // the same low bits of the unsigned HUGEINT.
-    val bounds = base.withColumn("bounds", expr(
-      s"""concat(array(0L),
-         |  if(n >= 5,
-         |    filter(transform(sequence(4, n - 1), p ->
-         |      if(pmod(mix64(
-         |        ${by("p-3")} * 16777216 + ${by("p-2")} * 65536 +
-         |        ${by("p-1")} * 256 + ${by("p")}), $mask) = 0,
-         |        cast(p as long), -1L)), x -> x > 0),
-         |    array()),
-         |  array(cast(n as long)))""".stripMargin))
+    // final bound n stays unique. The byte loop is the native
+    // [[graft.functions.CdcBounds]] expression — one tight pass over the
+    // raw payload instead of 8 hex-string ops per byte (which made this
+    // the slowest query in the bench); boundary semantics (and the
+    // DuckDB HUGEINT replay) are unchanged.
+    val bounds = base.withColumn("bounds", expr(s"cdc_bounds(payload, $mask)"))
     val chunks = bounds
       .select(col("media_id"), explode(expr(
         """transform(sequence(1, size(bounds) - 1), i ->
@@ -350,7 +345,8 @@ object Multimodal {
        |bl AS (
        |  SELECT b.media_id, b.h,
        |    list_value(CAST(0 AS BIGINT)) ||
-       |      list_sort(COALESCE(list(bd.bp), list_value())) ||
+       |      list_sort(COALESCE(list(bd.bp) FILTER (WHERE bd.bp IS NOT NULL),
+       |                         list_value())) ||
        |      list_value(CAST(b.n AS BIGINT)) AS fl
        |  FROM b LEFT JOIN bd USING (media_id) GROUP BY b.media_id, b.h, b.n),
        |ch AS (

@@ -85,7 +85,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => CmsEstimate(es(0), es(1))),
     (FunctionIdentifier("mix64"),
       info("mix64", "mix64(h) - splitmix64 finalizer (salt 0) of a bigint"),
-      (es: Seq[Expression]) => Mix64(es(0))))
+      (es: Seq[Expression]) => Mix64(es(0))),
+    (FunctionIdentifier("cdc_bounds"),
+      info("cdc_bounds",
+        "cdc_bounds(payload, mask) - content-defined chunk fence posts [0, boundaries..., length]"),
+      (es: Seq[Expression]) => graft.functions.CdcBounds(es(0), es(1))))
 
   // sessions already registered — operators call register() defensively
   // on every invocation, and re-registering logs one WARN per function

@@ -622,22 +622,24 @@ object Core {
     // (staleness 8190-9799 days), so this bound keeps a real strict
     // subset (~97% at sf0.01) instead of grading vacuously at 0 or 100%
     graft.ops.Asof.join(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
-        tolerance = Some(9000L * 24 * 3600 * 1000000L))
+        tolerance = Some(q62TolMicros))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("o_orderdate").as("recent_order_date"))
       .orderBy(col("event_id"))
   }
 
+  private val q62TolMicros = 9000L * 24 * 3600 * 1000000L
+
   // the staleness bound is phrased as epoch-micro arithmetic rather than
   // `ts <= o_orderdate + INTERVAL`, which DuckDB's binder would push into
   // the ASOF join and reject ("Multiple ASOF JOIN inequalities")
   val q62Sql: String =
-    """SELECT event_id, user_id, ts, recent_order_date FROM (
+    s"""SELECT event_id, user_id, ts, recent_order_date FROM (
       |  SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
       |    o.o_orderdate AS recent_order_date
       |  FROM events e ASOF JOIN (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
       |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
-      |WHERE epoch_us(ts) - epoch_us(recent_order_date) <= 777600000000000
+      |WHERE epoch_us(ts) - epoch_us(recent_order_date) <= $q62TolMicros
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- q23

@@ -25,7 +25,8 @@ object SqlRegistry {
   /** Query names addressable as `graft_<name>` views. */
   def available: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
 
-  private val ViewRe = (ViewPrefix + """([A-Za-z0-9_]+)""").r
+  // lookbehind: `mygraft_foo` is a user identifier, not a view reference
+  private val ViewRe = ("""(?<![A-Za-z0-9_])""" + ViewPrefix + """([A-Za-z0-9_]+)""").r
 
   /** Pipeline-view names `sqlText` references (without registering). */
   def references(sqlText: String): Seq[String] =

@@ -140,6 +140,11 @@ class ExtSpec extends SparkSpecBase {
     assert(cdc.length == 1 && cdc.head._1 == 1L && cdc.head._2 == 2L,
       s"cdc pair missing: ${cdc.toSeq}")
     assert(cdc.head._3 >= 0.5, s"cdc overlap too low: ${cdc.head._3}")
+    // the unsigned-low-bits boundary test (and its HUGEINT oracle replay)
+    // is only sound for power-of-two masks — reject anything else early
+    intercept[IllegalArgumentException] {
+      graft.ext.Multimodal.mediaCdcDedupOn(media, mask = 3, tau = 0.3)
+    }
   }
 
   test("seeded IVF needs no label column and keeps real recall vs brute force") {

@@ -368,6 +368,28 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.optimize(spark, t) == vOpt)
   }
 
+  test("optimize merges evolved schemas and re-derives a unanimous stats envelope") {
+    import spark.implicits._
+    val t = freshTable("optimize_evolve")
+    Snapshots.commit(df(1 to 100), t, append = false, statsCol = Some("id"))
+    val evolved = Seq((101L, "row101", "fr"), (102L, "row102", "de"))
+      .toDF("id", "v", "lang")
+    Snapshots.commit(evolved, t, append = true, statsCol = Some("id"))
+    val vOpt = Snapshots.optimize(spark, t)
+    // the fold reads schema-merged: the late column survives the rewrite
+    val merged = Snapshots.read(spark, t, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("id", "lang", "v"))
+    assert(merged.filter(col("lang") === "fr").count() == 1)
+    assert(merged.filter(col("lang").isNull).count() == 100)
+    // both pre-fold envelopes were on "id", so the folded batch gets a
+    // re-derived envelope without the caller restating statsCol: a
+    // later disjoint-range pruned read must skip the folded batch
+    Snapshots.commit(df(201 to 300) , t, append = true, statsCol = Some("id"))
+    val files = Snapshots.readPruned(spark, t, "id", 250L, 260L).inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains(s"batch-${vOpt + 1}-")),
+      files.mkString(","))
+  }
+
   test("immutability: a commit never rewrites earlier batches") {
     val t = freshTable("immutable")
     Snapshots.commit(df(1 to 5), t, append = false)

@@ -17,6 +17,9 @@ class SqlRegistrySpec extends SparkSpecBase {
     // Spark's analyzer owns those errors, not the registry
     assert(SqlRegistry.references(sql).toSet == Set("dedup_exact", "text_stats"))
     assert(SqlRegistry.references("SELECT 1").isEmpty)
+    // a user identifier CONTAINING the prefix is not a reference
+    assert(SqlRegistry.references("SELECT * FROM mygraft_dedup_exact").isEmpty)
+    assert(SqlRegistry.references("SELECT x2graft_text_stats FROM t").isEmpty)
   }
 
   test("ensureFor registers referenced views once and SQL runs against them") {

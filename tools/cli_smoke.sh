@@ -90,6 +90,11 @@ check "pipeline view needs data dir" "data-dir" "$out"
 out=$(printf "SHOW PIPELINES\nEXIT\n" | run)
 check "show pipelines" "graft_dedup_minhash_lsh" "$out"
 
+# 17. stdin CSV still works when a data dir is ambient (the env the
+# driver exports) — only a graft_* reference may skip the stdin read
+out=$(printf 'id,name\n1,Ann\n2,Ben\n' | SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 run --sql "SELECT name FROM table ORDER BY id")
+check "stdin csv with ambient data dir" "Ben" "$out"
+
 # 9. graft extension functions usable from plain SQL in the shell
 out=$(printf 'id,name\n1,x\n' | run --sql "SELECT size(shingle_hashes('a b c d')) AS n, cosine_f32(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c FROM table")
 check "extension functions in SQL" "| 2 | 1.0 |" "$out"
