@@ -376,6 +376,63 @@ object TextOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  // ------------------------------------------- temperature (α) mixing
+  /** Temperature-based corpus mixing, α = 0.5: each domain's sampling
+    * quota is ∝ √n_d (UniMax/multilingual-LM style — big domains get
+    * down-weighted relative to size, small ones flattened up), against a
+    * total budget of half the corpus. Unlike [[weightedSample]] (fixed
+    * per-source weights, hash-RANK selection → one window sort per
+    * source), selection here is hash-THRESHOLD: keep a doc iff the low
+    * 20 bits of splitmix64(doc_id) fall under the domain's integer
+    * threshold quota·2²⁰ div n_d. No window, no sort — the whole
+    * operator is one partial+final count, a broadcast of |domains| rows,
+    * and a codegen'd filter in the scan, which is the only shape that
+    * holds when one domain is 50 TB (rank selection would sort it).
+    * Achieved counts land within binomial noise of the quota
+    * (deterministic given the ids — both engines keep the same rows).
+    * All arithmetic is integer: isqrt weights (floor(sqrt) of a BIGINT
+    * is exact in ieee double below 2⁵²), truncating-div quotas, 2²⁰
+    * thresholds (granularity 1e-6, overflow-safe to ~8×10¹² docs per
+    * domain). The oracle replays mix64 with the HUGEINT mod-2⁶⁴ chain.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val d = docs(spark, dir)
+    val w = d.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
+      .withColumn("wt", expr("cast(floor(sqrt(cast(n_d as double))) as bigint)"))
+    val tot = w.agg(sum(col("n_d")).as("total"), sum(col("wt")).as("sw"))
+    val thr = w.crossJoin(broadcast(tot))
+      .withColumn("quota", expr("total div 2 * wt div sw"))
+      .withColumn("t", expr("quota * 1048576 div n_d"))
+      .select(col("lang"), col("t"))
+    d.join(broadcast(thr), Seq("lang"))
+      .filter(expr("pmod(mix64(doc_id), 1048576)") < col("t"))
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH n AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_d,
+      |        CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT) AS wt FROM n),
+      |tot AS (SELECT SUM(n_d) AS total, SUM(wt) AS sw FROM w),
+      |thr AS (
+      |  SELECT lang, (SELECT total FROM tot) // 2 * wt // (SELECT sw FROM tot)
+      |    * 1048576 // n_d AS t
+      |  FROM w),
+      |hx AS (
+      |  SELECT doc_id, lang,
+      |    (CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(z3 % 1048576 AS BIGINT) AS low20
+      |  FROM documents)
+      |SELECT h.lang, h.doc_id FROM hx h JOIN thr ON h.lang = thr.lang
+      |WHERE h.low20 < thr.t ORDER BY h.lang, h.doc_id""".stripMargin
+
   val weightedSampleSql: String =
     """WITH h AS (
       |  SELECT source, doc_id,
@@ -809,6 +866,7 @@ object TextOps {
     "text_chunk_pack" -> (chunkPack _),
     "text_pii_scrub" -> (piiScrub _),
     "text_weighted_sample" -> (weightedSample _),
+    "text_mix_temperature" -> (mixTemperature _),
     "text_repetition" -> (repetition _),
     "text_contamination_bloom" -> (contaminationBloom _))
 
@@ -828,6 +886,7 @@ object TextOps {
     "text_chunk_pack" -> chunkPackSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_weighted_sample" -> weightedSampleSql,
+    "text_mix_temperature" -> mixTemperatureSql,
     "text_repetition" -> repetitionSql,
     // bloom prefilter + exact verify is semantically exact (no false
     // negatives), so the bloom form shares the exact oracle verbatim

@@ -310,6 +310,154 @@ object Warehouse {
       |FROM c CROSS JOIN t
       |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Interval-overlap self-join: per customer, how many of their order
+    * fulfillment windows [o_orderdate, max(l_shipdate)] materially
+    * overlap (≥ 100 days), and the longest overlap — the "concurrent
+    * open work" question every interval table (sessions, leases, spans)
+    * eventually asks. The join is an equi-join on the grouping key with
+    * the overlap inequality as a residual predicate: SortMergeJoin on
+    * o_custkey, never a cartesian, because the entity key structurally
+    * bounds each comparison group (a customer's order count, not the
+    * table). For KEYLESS interval joins at 100 TB the same query runs
+    * after binning both sides into fixed-width time buckets (explode the
+    * spanned buckets, equi-join on bucket id, dedup on the first shared
+    * bucket) — the q58 basket-cap note, applied to time. Dates are
+    * compared as DATEs on both engines so day arithmetic is exact.
+    */
+  def q64IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val win = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("s"))
+      .agg(to_date(max(col("l_shipdate"))).as("e"))
+    val a = win.select(col("o_custkey").as("custkey"),
+      col("o_orderkey").as("ka"), col("s").as("sa"), col("e").as("ea"))
+    val b = win.select(col("o_custkey").as("custkey"),
+      col("o_orderkey").as("kb"), col("s").as("sb"), col("e").as("eb"))
+    a.join(b, Seq("custkey"))
+      .filter(col("ka") < col("kb") && col("sa") <= col("eb") &&
+        col("sb") <= col("ea"))
+      .withColumn("ov", datediff(least(col("ea"), col("eb")),
+        greatest(col("sa"), col("sb"))))
+      .filter(col("ov") >= 100)
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("ov")).cast("int").as("max_overlap_days"))
+      .orderBy(col("custkey"))
+  }
+
+  val q64Sql: String =
+    """WITH w AS (
+      |  SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS s,
+      |    CAST(MAX(l.l_shipdate) AS DATE) AS e
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT a.o_custkey AS custkey,
+      |    date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) AS ov
+      |  FROM w a JOIN w b ON a.o_custkey = b.o_custkey
+      |    AND a.o_orderkey < b.o_orderkey AND a.s <= b.e AND b.s <= a.e)
+      |SELECT custkey, COUNT(*) AS n_pairs, CAST(MAX(ov) AS INT) AS max_overlap_days
+      |FROM p WHERE ov >= 100 GROUP BY custkey ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** k-core decomposition (k = 3) of the q58 co-purchase graph: peel
+    * nodes of degree < k until a fixpoint, output the surviving core
+    * with in-core degrees — the dense-community extractor behind graph
+    * cleaning (spam rings, product communities) that complements the
+    * Dedup module's components/PageRank/triangles. Peeling is monotone
+    * (each round only removes), converges in few rounds on real graphs,
+    * and is IDEMPOTENT once stable — which is what lets the DuckDB
+    * oracle unroll a fixed [[KcoreOracleRounds]] rounds while Spark
+    * iterates to convergence: extra unrolled rounds are no-ops, and the
+    * Spark side REFUSES (throws) past the unroll budget rather than
+    * silently diverging from the oracle. Per round: one partial+final
+    * degree count + two semi-joins, edge set shrinks monotonically; the
+    * same single-partition collapse as the clustering loop applies when
+    * the graph is small, and at billions of edges frames keep natural
+    * partitioning (degree counts shuffle on node id, never all-pairs).
+    */
+  val KcoreOracleRounds = 14
+
+  def q65Kcore(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("pa"), col("pb"))
+    kcoreOn(pairs, k = 3)
+  }
+
+  /** Generic peel over an undirected edge list (u-cols `pa`,`pb`, kept
+    * normalized pa < pb). Returns (part, degree) of the k-core.
+    */
+  def kcoreOn(pairs: DataFrame, k: Int): DataFrame = {
+    val stage = graft.engine.Materialize.stage _
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("pa").as("u")).unionAll(e.select(col("pb").as("u")))
+    val eAll = stage(pairs)
+    val small = eAll.count() <= (4L << 20)
+    def sized(df: DataFrame): DataFrame = if (small) df.coalesce(1) else df
+    var edges = if (small) {
+      val e = stage(eAll.coalesce(1))
+      graft.engine.Materialize.release(eAll)
+      e
+    } else eAll
+    var nEdges = -1L
+    var next = edges.count()
+    var round = 0
+    while (next != nEdges) {
+      if (round >= KcoreOracleRounds)
+        throw new IllegalStateException(
+          s"k-core did not converge in $KcoreOracleRounds rounds — raise " +
+            "KcoreOracleRounds (and the oracle unroll) together")
+      nEdges = next
+      val alive = sym(edges).groupBy(col("u"))
+        .agg(count(lit(1)).as("d")).filter(col("d") >= k)
+        .select(col("u"))
+      val kept = stage(sized(
+        edges.join(alive.withColumnRenamed("u", "pa"), Seq("pa"), "left_semi")
+          .join(alive.withColumnRenamed("u", "pb"), Seq("pb"), "left_semi")
+          .select(col("pa"), col("pb"))))
+      next = kept.count()
+      graft.engine.Materialize.release(edges)
+      edges = kept
+      round += 1
+    }
+    val out = sym(edges).groupBy(col("u").as("part"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .orderBy(col("part"))
+    out
+  }
+
+  val q65Sql: String = {
+    // MATERIALIZED is load-bearing: each round reads the previous CTE
+    // three times, and DuckDB inlines plain CTEs — 14 inlined rounds
+    // would expand to 3¹⁴ scans of e0 ("too many open files" long
+    // before it finishes)
+    def roundSql(r: Int): String =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT u FROM (SELECT pa AS u FROM e${r - 1} UNION ALL SELECT pb FROM e${r - 1})
+         |  GROUP BY u HAVING COUNT(*) >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.pa, e.pb FROM e${r - 1} e
+         |  JOIN a$r x ON e.pa = x.u JOIN a$r y ON e.pb = y.u)""".stripMargin
+    val last = KcoreOracleRounds
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |${(1 to last).map(roundSql).mkString(",\n")}
+       |SELECT u AS part, COUNT(*) AS degree
+       |FROM (SELECT pa AS u FROM e$last UNION ALL SELECT pb FROM e$last)
+       |GROUP BY u ORDER BY part""".stripMargin
+  }
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -317,7 +465,9 @@ object Warehouse {
     "q55_merge_upsert" -> (q55MergeUpsert _),
     "q56_scd2" -> (q56Scd2 _),
     "q57_analyze" -> (q57Analyze _),
-    "q58_copurchase" -> (q58Copurchase _))
+    "q58_copurchase" -> (q58Copurchase _),
+    "q64_interval_overlap" -> (q64IntervalOverlap _),
+    "q65_kcore" -> (q65Kcore _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -325,5 +475,7 @@ object Warehouse {
     "q55_merge_upsert" -> q55Sql,
     "q56_scd2" -> q56Sql,
     "q57_analyze" -> q57Sql,
-    "q58_copurchase" -> q58Sql)
+    "q58_copurchase" -> q58Sql,
+    "q64_interval_overlap" -> q64Sql,
+    "q65_kcore" -> q65Sql)
 }

@@ -27,14 +27,17 @@ class PlanHygieneSpec extends SparkSpecBase {
     *    1-row grand total cross-broadcast to build the zero-filled
     *    contingency grid;
     *  - q60_skew_probe / q61_approx_pctl_bound: a 1-row total/sketch
-    *    frame broadcast back onto the per-key counts / the scan.
+    *    frame broadcast back onto the per-key counts / the scan;
+    *  - text_mix_temperature: the 1-row corpus-total frame broadcast
+    *    onto the |domains|-row weight table to derive thresholds.
     */
   private val bnlAllowed = Set(
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_seeded", "sim_ann_recall",
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
-    "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound")
+    "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",
+    "text_mix_temperature")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed

@@ -76,4 +76,52 @@ class WarehouseSpec extends SparkSpecBase {
       assert(r.getBoolean(1) && r.getBoolean(2), s"$dir: $r")
     }
   }
+
+  test("k-core peel keeps exactly the dense core and is idempotent") {
+    import spark.implicits._
+    // triangle {1,2,3} + a path 3-4-5 hanging off it: the 2-core is the
+    // triangle (4 and 5 peel in two successive rounds — exercises the
+    // multi-round cascade), and the 3-core of triangle+pendant is empty
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("pa", "pb")
+    val core2 = Warehouse.kcoreOn(edges, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(core2 == Seq((1L, 2L), (2L, 2L), (3L, 2L)), core2)
+    assert(Warehouse.kcoreOn(edges, k = 3).count() == 0)
+    // idempotence (the property the fixed oracle unroll relies on):
+    // peeling an already-stable core changes nothing
+    val stable = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
+    val again = Warehouse.kcoreOn(stable, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == core2, again)
+  }
+
+  test("q64 interval overlap: every reported pair count is positive and bounded") {
+    val r = Warehouse.q64IntervalOverlap(spark, sf()).collect()
+    assert(r.nonEmpty)
+    // per-customer pair count is bounded by C(orders_per_customer, 2)
+    val maxOrders = graft.engine.Tables.load(spark, sf(), "orders")
+      .groupBy(col("o_custkey")).count().agg(max(col("count"))).head().getLong(0)
+    assert(r.forall(x =>
+      x.getLong(1) >= 1 && x.getLong(1) <= maxOrders * (maxOrders - 1) / 2))
+    assert(r.forall(_.getInt(2) >= 100))
+  }
+
+  test("temperature mixing flattens the domain distribution") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val n = d.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.ext.TextOps.mixTemperature(spark, sf())
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = n.keys.map(l => l -> kept.getOrElse(l, 0L).toDouble / n(l)).toMap
+    val big = n.maxBy(_._2)._1
+    val small = n.minBy(_._2)._1
+    // α = 0.5: the largest domain must keep a strictly smaller FRACTION
+    // than the smallest (quota ∝ √n), while still contributing the most
+    // absolute documents of any single domain here (√ flattens, it does
+    // not invert)
+    assert(rate(big) < rate(small), rate.toString)
+    assert(kept.values.sum >= n.values.sum / 4)
+  }
 }
