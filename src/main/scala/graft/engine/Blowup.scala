@@ -84,8 +84,14 @@ object Blowup {
           .withColumn("embedding",
             expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
       case "events" =>
+        // ts shift honors both generator vintages: raw INT64 nanos add a
+        // nanos constant; native timestamps add the same span as an interval
+        val tsShift = df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => col("ts") + lit(c * YearNanos)
+          case _ => col("ts") + expr(s"make_dt_interval(${c * 365L}, 0, 0, 0)")
+        }
         df.withColumn("event_id", col("event_id") + shift)
-          .withColumn("ts", col("ts") + lit(c * YearNanos))
+          .withColumn("ts", tsShift)
       case "orders" =>
         df.withColumn("o_orderkey", col("o_orderkey") + shift)
       case "lineitem" =>

@@ -25,15 +25,33 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
-    * legacy conf and floor-convert to microsecond TimestampType — the same
-    * truncation DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP.
+  /** `events.ts` arrives in one of two generator vintages: INT64
+    * TIMESTAMP(NANOS) — which Spark 4 refuses to read as a timestamp
+    * (PARQUET_TYPE_ILLEGAL), so the legacy conf reads it as raw nanos —
+    * or native microsecond TIMESTAMP (surfacing as TIMESTAMP_NTZ).
+    * Normalize both to microsecond TimestampType so every downstream
+    * window/session/interval operator sees one type; with the session
+    * timezone pinned to UTC the NTZ cast is value-preserving, and the
+    * nanos floor-division is the same truncation DuckDB applies when
+    * casting TIMESTAMP_NS to TIMESTAMP.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Normalize an events frame's `ts` to microsecond TimestampType,
+    * whatever vintage the parquet schema delivered (raw INT64 nanos,
+    * TIMESTAMP_NTZ micros, or already-normalized TimestampType).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Register every table as a temp view (the catalog surface the reference

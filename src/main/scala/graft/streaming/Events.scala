@@ -138,9 +138,8 @@ object Events {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = schemaCache.computeIfAbsent(
       (spark.sparkContext.applicationId, filesDir),
-      key => spark.read.parquet(key._2).schema) // schema probe (ts as raw nanos)
-    spark.readStream.schema(schema).parquet(filesDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      key => spark.read.parquet(key._2).schema) // schema probe (one footer fetch)
+    Tables.normalizeTs(spark.readStream.schema(schema).parquet(filesDir))
   }
 
   /** Streaming half of the drift monitor: the (day, event_type) counts

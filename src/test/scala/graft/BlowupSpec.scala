@@ -74,7 +74,10 @@ class BlowupSpec extends SparkSpecBase {
 
   test("events: copy time ranges are disjoint (session structure repeats, not stacks)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // Tables.load normalizes ts to TimestampType for either generator
+    // vintage; unix_micros gives a comparable long for the range check
+    val ev = graft.engine.Tables.load(spark, dir, "events")
+      .withColumn("ts", expr("unix_micros(ts)"))
     val stride = 1000000000L
     val ranges = ev.withColumn("copy", (col("event_id") / stride).cast("int"))
       .groupBy("copy").agg(min("ts").as("lo"), max("ts").as("hi"))
