@@ -35,19 +35,48 @@ object Materialize {
     * new state frame per round — without this the reliable path accumulates
     * DISK_ONLY_2 blocks across rounds and repeated calls, ADVICE r3).
     *
-    * Unconditional: `Dataset.unpersist` goes through the CacheManager, and a
-    * localCheckpoint frame's blocks live only at the RDD layer (never
-    * registered with the CacheManager), so on the local path this is a
-    * harmless no-op — the checkpointed blocks stay put and are reclaimed by
-    * the ContextCleaner on GC. Re-reading `spark.graft.reliableMaterialize`
-    * here instead would silently skip the unpersist if the conf flipped
-    * between stage() and release() (ADVICE r4).
+    * Both layers are released unconditionally, because a staged frame's
+    * blocks live at exactly one of them depending on which path stage()
+    * took, and re-reading `spark.graft.reliableMaterialize` here would
+    * silently skip the right one if the conf flipped between stage() and
+    * release() (ADVICE r4):
+    *  - `Dataset.unpersist` clears the CacheManager entry the reliable
+    *    (persist) path registered — a no-op for a localCheckpoint frame,
+    *    whose blocks were never registered there;
+    *  - the localCheckpoint path's blocks belong to the checkpointed RDD
+    *    wrapped by the frame's `LogicalRDD` plan, so that RDD is
+    *    unpersisted explicitly. Without this the blocks linger until the
+    *    ContextCleaner notices the RDD is unreachable after a driver GC —
+    *    across a long single-JVM run (the 139-query bench) tens of
+    *    superseded loop frames accumulate in storage memory and the
+    *    eviction/GC bill lands on whatever query runs next (VERDICT r8).
     *
-    * Caller contract: pass the EXACT frame returned by [[stage]] — unpersist
-    * is non-cascading and only removes cache entries whose plan is
+    * Caller contract: pass the EXACT frame returned by [[stage]], and never
+    * use it again — a localCheckpoint frame has no lineage to recompute
+    * from once its blocks are dropped. `Dataset.unpersist` is
+    * non-cascading and only removes cache entries whose plan is
     * `sameResult` with the frame given, so a projection over the staged
     * frame (e.g. `staged.drop(...)`) never matches (ADVICE r4).
     */
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getStorageLevel != StorageLevel.NONE =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => // reliable-path persist frame: already handled above
+    }
+  }
+
+  /** Unpersist every RDD still registered with the context — the staged
+    * frames that are live for a whole query (shingle sets, tf tables) have
+    * no release() site inside the query, so a long single-JVM run over many
+    * queries (Bench, Verify) calls this BETWEEN queries, outside any timed
+    * region, to keep one query's leftovers from billing the next. Never
+    * call it mid-query: it drops frames the current plan still references.
+    * Blocking: the sweep sits outside any timed region, and async removal
+    * storms would otherwise overlap the NEXT query's measurement.
+    */
+  def sweep(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 }

@@ -43,13 +43,24 @@ object Tables {
   /** Normalize an events frame's `ts` to microsecond TimestampType,
     * whatever vintage the parquet schema delivered (raw INT64 nanos,
     * TIMESTAMP_NTZ micros, or already-normalized TimestampType).
+    *
+    * Precondition: the session timezone must be UTC — the NTZ→TZ cast
+    * reinterprets the wall-clock instant in the session zone, so any other
+    * zone would silently shift every event timestamp (ADVICE r8). Enforced
+    * rather than documented: a misconfigured session fails loudly here
+    * instead of producing shifted windows three operators downstream.
     */
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"normalizeTs requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+            "the TIMESTAMP_NTZ cast is only value-preserving under UTC")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
   }

@@ -73,9 +73,11 @@ class BlowupSpec extends SparkSpecBase {
   }
 
   test("events: copy time ranges are disjoint (session structure repeats, not stacks)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Tables.load normalizes ts to TimestampType for either generator
-    // vintage; unix_micros gives a comparable long for the range check
+    // Deliberately no nanosAsLong conf.set here: Tables.load must handle the
+    // nanos vintage itself, and pre-setting it would mask a regression in
+    // loadEvents' own conf handling (ADVICE r8). unix_micros gives a
+    // comparable long for the range check.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     val ev = graft.engine.Tables.load(spark, dir, "events")
       .withColumn("ts", expr("unix_micros(ts)"))
     val stride = 1000000000L

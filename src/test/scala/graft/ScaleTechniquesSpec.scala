@@ -110,4 +110,27 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("Materialize.release frees localCheckpoint blocks on the local path") {
+    import spark.implicits._
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val staged = graft.engine.Materialize.stage(
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "payload"))
+    val registered = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(registered.nonEmpty,
+      "localCheckpoint should register its persisted RDD with the context")
+    graft.engine.Materialize.release(staged)
+    val leftover = (spark.sparkContext.getPersistentRDDs.keySet -- baseline)
+      .intersect(registered)
+    assert(leftover.isEmpty,
+      s"release() left localCheckpoint blocks registered: $leftover (VERDICT r8)")
+  }
+
+  test("Materialize.sweep clears staged frames left live across a query") {
+    import spark.implicits._
+    graft.engine.Materialize.stage((1 to 100).toDF("n")) // no release site
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    graft.engine.Materialize.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
