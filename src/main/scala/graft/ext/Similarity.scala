@@ -662,6 +662,56 @@ object Similarity {
       |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
       |GROUP BY e.qid ORDER BY vec_id""".stripMargin
 
+  /** Recall@k of the seeded-IVF ANN against the exact brute force — the
+    * IVF family owns the real serving knobs (nlist via nSeeds, nprobe),
+    * so this is the evaluation that justifies a chosen configuration
+    * before pointing it at a full corpus (the sign-LSH twin is
+    * [[annRecall]]; VERDICT r8 asked for this one). Same grading shape:
+    * one row per query — exact-neighbor count, hits, recall in integer
+    * basis points (truncating division, exact cross-engine). Cost is one
+    * IVF train+probe plus one brute-force pass over the SAME query set;
+    * the corpus never self-joins.
+    */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame =
+    annIvfRecallOn(emb(spark, dir), nSeeds = 5, iters = 2, nQueries = 10,
+      k = 5, nprobe = 2)
+
+  def annIvfRecallOn(e: DataFrame, nSeeds: Int, iters: Int, nQueries: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    val approx = annIvfSeededOn(e, nSeeds, iters, nQueries, k, nprobe)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = cosineTopKOn(e, nQueries, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    exact.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div k_exact"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[annIvfRecallOn]]: the whole [[annIvfSeededSqlFor]]
+    * query as a derived table (nested WITH), anti-joined against the
+    * exact top-k per query — the [[annRecallSqlFor]] tail.
+    */
+  def annIvfRecallSqlFor(nSeeds: Int, iters: Int, nQueries: Int, k: Int,
+      nprobe: Int): String =
+    s"""WITH approx AS (
+      |  SELECT vec_id AS qid, neighbor_id AS cid FROM (
+      |${annIvfSeededSqlFor(nSeeds, iters, nQueries, k, nprobe)}
+      |  )),
+      |escored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid, $cosExprSql AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id),
+      |erk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM escored),
+      |exact AS (SELECT qid, cid FROM erk WHERE rn <= $k)
+      |SELECT e.qid AS vec_id, COUNT(*) AS k_exact,
+      |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+      |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+      |GROUP BY e.qid ORDER BY vec_id""".stripMargin
+
   private def cosineNearDupSqlFor(nBands: Int, bandBits: Int): String =
     s"""WITH ${lshBandsCte(nBands, bandBits)},
       |cand AS (
@@ -999,6 +1049,7 @@ object Similarity {
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_seeded" -> (annIvfSeeded _),
     "sim_ann_recall" -> (annRecall _),
+    "sim_ann_ivf_recall" -> (annIvfRecall _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
     "sim_knn_graph" -> (knnGraph _),
@@ -1025,5 +1076,7 @@ object Similarity {
       nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_recall" -> annRecallSqlFor(nQueries = 10, k = 5,
       nBands = 16, bandBits = 4),
+    "sim_ann_ivf_recall" -> annIvfRecallSqlFor(nSeeds = 5, iters = 2,
+      nQueries = 10, k = 5, nprobe = 2),
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8))
 }
