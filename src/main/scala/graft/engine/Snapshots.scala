@@ -124,10 +124,24 @@ object Snapshots {
     // lines, which must outlive any rewrite — dropping them would let a
     // replayed micro-batch double-commit after a compaction/replace
     publishLoop(spark, f, dir, nonce, batch, v,
-      prev => (if (append) prev else prev.filter(isTxnLine)) :+ entry)
+      prev => s"K\t${if (append) "append" else "replace"}" +:
+        ((if (append) prev.filterNot(isKindLine) else prev.filter(isTxnLine)) :+ entry))
   }
 
   private def isTxnLine(line: String): Boolean = line.startsWith("T\t")
+  private def isKindLine(line: String): Boolean = line.startsWith("K\t")
+
+  /** Commit kind recorded in version `v`'s manifest (`K <kind>` line):
+    * append / replace / delete / optimize / compact. None on manifests
+    * written before kind marking — treated as append (the conservative
+    * reading: rebasing across an append is always sound for equality
+    * deletes). The marker is what lets an in-flight writer arbitrate a
+    * rebase: content-preserving rewrites (optimize, compact) and
+    * row-adding commits are safe to rebase across, a REPLACE is not —
+    * the rows the writer meant to target may no longer exist.
+    */
+  private[engine] def kindAt(spark: SparkSession, dir: String, v: Int): Option[String] =
+    entriesAt(spark, dir, v).collectFirst { case KindEntry(k) => k }
 
   /** Highest micro-batch id the latest version records for `appId`, or
     * None if the stream never committed here — the idempotence ledger of
@@ -187,8 +201,9 @@ object Snapshots {
           case _ => ()
         }
       }
-      prev.filterNot(_.startsWith(s"T\t$appId\t")) :+ entry :+
-        s"T\t$appId\t$batchId"
+      "K\tappend" +: (prev.filterNot(isKindLine)
+        .filterNot(_.startsWith(s"T\t$appId\t")) :+ entry :+
+        s"T\t$appId\t$batchId")
     }))
     catch {
       case AlreadyCovered(_) =>
@@ -225,13 +240,18 @@ object Snapshots {
     */
   private def publishLoop(spark: SparkSession, f: FileSystem, dir: String,
       nonce: String, stagedRel: String, vStart: Int,
-      mkEntries: Seq[String] => Seq[String]): Int = {
+      mkEntries: Seq[String] => Seq[String],
+      validateRebase: Int => Unit = _ => ()): Int = {
     var v = vStart
     var tries = 0
     var published = false
     val stagedPath = new Path(s"$dir/$stagedRel")
     while (!published) {
       val latest = versions(spark, dir).lastOption
+      // writer-specific rebase arbitration (re-evaluated per attempt with
+      // the version actually being rebased onto): a guard that throws here
+      // aborts the commit before anything is published
+      latest.foreach(validateRebase)
       v = math.max(v, latest.map(_ + 1).getOrElse(0))
       val prev = latest.map(readManifestEntries(spark, dir, _)).getOrElse(Seq.empty)
       // staged-file liveness (ADVICE r7): if the stats re-scan plus a
@@ -269,17 +289,56 @@ object Snapshots {
     * whole new state). Time travel is unaffected — versions before the
     * delete read the keys back, because the delete is just a manifest
     * entry like any other.
+    *
+    * Concurrency (VERDICT r8): the publish rebases onto whatever landed
+    * since this call started, and not every rebase is sound. Equality
+    * deletes are content-addressed, so rebasing across an APPEND (keys
+    * also filter the new rows — standard equality-delete semantics), a
+    * concurrent DELETE, an OPTIMIZE, or a COMPACT (both content-
+    * preserving rewrites: the folded batch carries the same live rows,
+    * and re-applying already-folded keys is idempotent) is safe. A
+    * REPLACE is not — the rows this delete targeted may be gone and the
+    * replacement's rows were never in the caller's view — so the loop
+    * reads each intervening manifest's [[kindAt]] marker and aborts
+    * loudly, leaving the table untouched; the caller re-runs against the
+    * new state. This is the "does my target still exist post-rebase"
+    * re-validation, expressed at the level equality deletes live at:
+    * commit content classes, not batch paths.
+    *
+    * `beforePublish` is a test-injection seam (fires after the key file
+    * is staged, before the first publish attempt) so specs can
+    * interleave a concurrent writer deterministically.
     */
-  def deleteRows(keys: DataFrame, dir: String, keyCol: String): Int = {
+  def deleteRows(keys: DataFrame, dir: String, keyCol: String,
+      beforePublish: () => Unit = () => ()): Int = {
     val spark = keys.sparkSession
     import org.apache.spark.sql.functions.col
     val f = fs(spark, dir)
     require(versions(spark, dir).nonEmpty, s"no snapshot table at $dir")
+    // a delete line on a column the table doesn't carry would poison
+    // every future read (the anti-join fails at scan time) — fail the
+    // commit here, before anything is published
+    require(read(spark, dir).columns.contains(keyCol),
+      s"delete key column '$keyCol' not in table at $dir")
+    val vEntry = versions(spark, dir).last
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val v = versions(spark, dir).last + 1
+    val v = vEntry + 1
     val rel = s"deletes/del-$v-$nonce"
     keys.select(col(keyCol)).write.mode("errorifexists").parquet(s"$dir/$rel")
-    publishLoop(spark, f, dir, nonce, rel, v, prev => prev :+ s"D\t$rel\t$keyCol")
+    beforePublish()
+    publishLoop(spark, f, dir, nonce, rel, v,
+      prev => s"K\tdelete" +: (prev.filterNot(isKindLine) :+ s"D\t$rel\t$keyCol"),
+      validateRebase = { latest =>
+        ((vEntry + 1) to latest).foreach { w =>
+          if (kindAt(spark, dir, w).contains("replace")) {
+            f.delete(new Path(s"$dir/$rel"), true) // staged keys are garbage
+            throw new IllegalStateException(
+              s"table at $dir was replaced (v$w) while the delete was in " +
+                "flight — target rows no longer exist; rerun deleteRows " +
+                "against the new state")
+          }
+        }
+      })
   }
 
   /** Fold pending deletes into rewritten data — the maintenance pass that
@@ -345,7 +404,8 @@ object Snapshots {
     // the streams' replay ledger
     val txns = entries.collect { case t: TxnEntry => render(t) }
     val ok = publishIfAbsent(f = fs(spark, dir), dir = dir, v = vNew,
-      nonce = nonce, batches = untouched.map(render) ++ newLine.toSeq ++ txns)
+      nonce = nonce,
+      batches = "K\tcompact" +: (untouched.map(render) ++ newLine.toSeq ++ txns))
     require(ok, s"concurrent commit during compactDeletes at $dir — rerun compaction")
     vNew
   }
@@ -400,7 +460,7 @@ object Snapshots {
     }
     val line = statsLine(spark, dir, rel, inferred)
     val ok = publishIfAbsent(fs(spark, dir), dir, vNew, nonce,
-      line +: carried)
+      "K\toptimize" +: line +: carried)
     require(ok, s"concurrent commit during optimize at $dir — rerun optimize")
     vNew
   }
@@ -457,11 +517,21 @@ object Snapshots {
     def path: String = ""
   }
 
+  /** The commit-kind marker `K <kind>`: one per manifest, describing the
+    * commit that produced THAT version (never carried forward on rebase).
+    * No file behind it; exists so concurrent writers can classify what
+    * they are rebasing across ([[kindAt]]).
+    */
+  private case class KindEntry(kind: String) extends ManifestEntry {
+    def path: String = ""
+  }
+
   private def render(e: ManifestEntry): String = e match {
     case BatchEntry(b, None) => b
     case BatchEntry(b, Some((c, mn, mx))) => s"$b\t$c\t$mn\t$mx"
     case DeleteEntry(p, c) => s"D\t$p\t$c"
     case TxnEntry(a, b) => s"T\t$a\t$b"
+    case KindEntry(k) => s"K\t$k"
   }
 
   private def entriesAt(spark: SparkSession, dir: String, v: Int): Seq[ManifestEntry] =
@@ -469,6 +539,7 @@ object Snapshots {
       line.split('\t') match {
         case Array("D", p, c) => DeleteEntry(p, c)
         case Array("T", a, b) => TxnEntry(a, b.toLong)
+        case Array("K", k) => KindEntry(k)
         case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
         case Array(b) => BatchEntry(b, None)
         case other => throw new IllegalStateException(
