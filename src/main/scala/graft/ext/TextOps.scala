@@ -396,19 +396,37 @@ object TextOps {
     * domain). The oracle replays mix64 with the HUGEINT mod-2⁶⁴ chain.
     */
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.register(spark)
     val d = docs(spark, dir)
+    mixApply(d, mixThresholds(d))
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** The mixing RECIPE: per-domain integer keep-thresholds (lang, t)
+    * derived from a corpus snapshot's domain counts. Computed once
+    * (offline, in a planning pass) and then applied per-row — which is
+    * what makes the operator liftable into an ingest stream: the
+    * decision for a document needs only its own (doc_id, lang) plus
+    * this |domains|-row table.
+    */
+  def mixThresholds(d: DataFrame): DataFrame = {
     val w = d.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
       .withColumn("wt", expr("cast(floor(sqrt(cast(n_d as double))) as bigint)"))
     val tot = w.agg(sum(col("n_d")).as("total"), sum(col("wt")).as("sw"))
-    val thr = w.crossJoin(broadcast(tot))
+    w.crossJoin(broadcast(tot))
       .withColumn("quota", expr("total div 2 * wt div sw"))
       .withColumn("t", expr("quota * 1048576 div n_d"))
       .select(col("lang"), col("t"))
-    d.join(broadcast(thr), Seq("lang"))
+  }
+
+  /** Apply a mixing recipe to a documents frame — batch or streaming
+    * alike (stateless: broadcast the |domains|-row recipe, codegen'd
+    * hash-threshold filter in the scan; no window, no sort, no state).
+    */
+  def mixApply(docs: DataFrame, thresholds: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.join(broadcast(thresholds), Seq("lang"))
       .filter(expr("pmod(mix64(doc_id), 1048576)") < col("t"))
-      .select(col("lang"), col("doc_id"))
-      .orderBy(col("lang"), col("doc_id"))
   }
 
   val mixTemperatureSql: String =

@@ -383,6 +383,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(keptMessy == Set(2L, 4L, 5L), keptMessy.toString)
   }
 
+  test("streaming temperature mixing == batch mix on the same corpus (shared recipe)") {
+    import graft.streaming.TemperatureMix
+    // real documents table as both recipe snapshot and stream source —
+    // several langs, enough rows that every domain keeps a strict subset
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_mix_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mix_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mix_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3) // several input files → several micro-batch splits
+      .write.mode("overwrite").parquet(docsDir)
+    TemperatureMix.start(spark, docsDir, docsDir, outDir, ckpt)
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.ext.TextOps.mixTemperature(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    // the mix is a strict, non-empty subset — the sampler actually sampled
+    val total = spark.read.parquet(docsDir).count()
+    assert(streamed.nonEmpty && streamed.size < total)
+  }
+
   test("continuous-ingest near-dup filter: cross-batch index dedup == batch semantics") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
