@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkSpecBase {
   private val bnlAllowed = Set(
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_seeded", "sim_ann_recall",
+    "sim_ann_ivf_recall", // composes annIvfSeeded + cosineTopK — same bounded broadcasts
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
     "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",

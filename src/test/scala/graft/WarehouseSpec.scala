@@ -107,6 +107,38 @@ class WarehouseSpec extends SparkSpecBase {
     assert(r.forall(_.getInt(2) >= 100))
   }
 
+  test("q66 keyless interval join: plans as an equi-join on bucket id and matches the direct quadratic join") {
+    val df = Warehouse.q66IntervalBuckets(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // the join must be keyed on the time bucket — hash or sort-merge,
+    // never a nested-loop over the keyless inequality predicates
+    assert(plan.contains("bucket"), plan.take(2000))
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains), plan.take(2000))
+    // bucket-binned + first-shared-bucket dedup == the direct quadratic
+    // join (feasible at test scale) — boundaries and dedup are exact
+    val W = 21600000000L
+    val iv = graft.engine.Tables.load(spark, sf(), "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(expr("unix_micros(min(ts))").as("s"), expr("unix_micros(max(ts))").as("e"))
+      .filter(col("e") - col("s") >= 600000000L)
+      .select((col("user_id") * 100000L +
+        expr("unix_micros(cast(d as timestamp)) div 86400000000")).as("ik"),
+        col("s"), col("e"))
+    val a = iv.select(col("ik").as("ka"), col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("ik").as("kb"), col("s").as("sb"), col("e").as("eb"))
+    val direct = a.crossJoin(b)
+      .filter(col("ka") < col("kb") && col("sa") <= col("eb") &&
+        col("sb") <= col("ea"))
+      .withColumn("ov", least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+      .filter(col("ov") >= 3600000000L)
+      .groupBy(date_trunc("day", expr("timestamp_micros(greatest(sa, sb))")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"), expr("max(ov) div 1000000").as("max_overlap_sec"))
+    val got = df.collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val want = direct.collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("temperature mixing flattens the domain distribution") {
     val d = graft.engine.Tables.load(spark, sf(), "documents")
     val n = d.groupBy(col("lang")).count()
