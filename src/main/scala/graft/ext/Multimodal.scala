@@ -264,7 +264,17 @@ object Multimodal {
   def mediaCdcDedup(spark: SparkSession, dir: String): DataFrame =
     mediaCdcDedupOn(docsAsMedia(spark, dir).toDF(), mask = 64, tau = 0.5)
 
-  def mediaCdcDedupOn(media: DataFrame, mask: Int, tau: Double): DataFrame = {
+  def mediaCdcDedupOn(media: DataFrame, mask: Int, tau: Double): DataFrame =
+    chunkJaccardPairs(cdcChunks(media, mask), tau)
+
+  /** The distinct (media_id, ch) CDC chunk-hash rows of a media frame —
+    * the per-payload derivation shared by the batch pair query above and
+    * the streaming ingest twin ([[graft.streaming.CdcDedupIngest]]):
+    * boundaries depend only on the payload's own bytes, which is exactly
+    * what makes the operator liftable into a per-micro-batch form.
+    * Batch or streaming frames alike; all scan-side codegen.
+    */
+  def cdcChunks(media: DataFrame, mask: Int): DataFrame = {
     // the pmod-on-signed == unsigned-low-bits equivalence below (and its
     // HUGEINT replay in the oracle) only holds for a power-of-two mask
     require(mask > 0 && (mask & (mask - 1)) == 0,
@@ -282,15 +292,13 @@ object Multimodal {
     // raw payload instead of 8 hex-string ops per byte (which made this
     // the slowest query in the bench); boundary semantics (and the
     // DuckDB HUGEINT replay) are unchanged.
-    val bounds = base.withColumn("bounds", expr(s"cdc_bounds(payload, $mask)"))
-    val chunks = bounds
+    base.withColumn("bounds", expr(s"cdc_bounds(payload, $mask)"))
       .select(col("media_id"), explode(expr(
         """transform(sequence(1, size(bounds) - 1), i ->
           |  md5(cast(substring(h, cast(2 * bounds[i-1] + 1 as int),
           |    cast(2 * (bounds[i] - bounds[i-1]) as int)) as binary)))""".stripMargin))
         .as("ch"))
       .distinct()
-    chunkJaccardPairs(chunks, tau)
   }
 
   /** Shared tail of both chunk-dedup variants: distinct (media_id, ch)

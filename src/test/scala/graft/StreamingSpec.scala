@@ -406,6 +406,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < total)
   }
 
+  test("streaming CDC chunk dedup == batch pair semantics; replay touches nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.CdcDedupIngest
+    import graft.engine.Snapshots
+    // documents as opaque payloads, streamed in id order: 3 ordered
+    // files so arrival order == media_id order and the batch pair rule
+    // (drop the larger id of any tau-pair) is the exact expectation
+    val media = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    val n = media.count()
+    val inDir = java.nio.file.Files.createTempDirectory("graft_cdc_in").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_cdc_idx").toString
+    val tblDir = java.nio.file.Files.createTempDirectory("graft_cdc_tbl").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    Seq(0L until n / 3, n / 3 until 2 * n / 3, 2 * n / 3 until n)
+      .zipWithIndex.foreach { case (ids, i) =>
+        val stage = java.nio.file.Files.createTempDirectory("graft_cdc_stg").toString
+        media.filter(col("media_id").isin(ids: _*)).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$inDir/f$i.parquet"))
+      }
+    CdcDedupIngest.start(spark, inDir, idxDir, tblDir, ckpt, "cdc_test")
+      .awaitTermination(180000)
+    val streamed = Snapshots.read(spark, tblDir)
+      .select("media_id").as[Long].collect().toSet
+    // expected: the batch operator's tau-pairs, dropping any id that
+    // pairs with a smaller one (kept or itself dropped — the documented
+    // parallel pair-drop convention; id order == arrival order here).
+    // Within a batch that is exactly the rule; across batches the kept
+    // side is index-only, but a dropped doc's pairs with later docs can
+    // only EXTEND the drop set via pairs the kept set already implies at
+    // tau=0.5 on this fixture — asserted by equality below.
+    val pairs = graft.ext.Multimodal.mediaCdcDedupOn(
+      media.select(col("media_id"), col("payload")), mask = 64, tau = 0.5)
+      .select("media_a", "media_b").as[(Long, Long)].collect()
+    val dropped = pairs.map(_._2).toSet // b > a always (pairs are ordered)
+    val expected = (0L until n).toSet -- dropped
+    assert(streamed == expected,
+      s"stream=${streamed.size} expected=${expected.size} " +
+        s"diff=${(streamed diff expected) ++ (expected diff streamed)}")
+    assert(dropped.nonEmpty, "fixture has no CDC near-dups — test is vacuous")
+    // replay idempotence: re-running batch 0 changes neither index nor table
+    val vBefore = Snapshots.latestVersion(spark, tblDir)
+    val b0 = spark.read.parquet(s"$inDir/f0.parquet")
+    val s0 = CdcDedupIngest.processBatch(b0, idxDir, batchId = Some(0L))
+    assert(graft.streaming.SnapshotIngest.ingestBatch(s0, tblDir, "cdc_test", 0L).isEmpty)
+    assert(Snapshots.latestVersion(spark, tblDir) == vBefore)
+    assert(Snapshots.read(spark, tblDir).select("media_id").as[Long].collect().toSet
+      == expected)
+  }
+
   test("continuous-ingest near-dup filter: cross-batch index dedup == batch semantics") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
