@@ -33,7 +33,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Warehouse.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextOps.queries ++ Multimodal.queries ++ Events.queries ++ Formats.queries
+      TextOps.queries ++ Multimodal.queries ++ Events.queries ++ Formats.queries ++
+      graft.format.CliGolden.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. EVERY query is oracle-checked — including
@@ -44,7 +45,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Warehouse.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextOps.oracles ++ Multimodal.oracles ++ Events.oracles ++ Formats.oracles
+      TextOps.oracles ++ Multimodal.oracles ++ Events.oracles ++ Formats.oracles ++
+      graft.format.CliGolden.oracles
 
   /** Sketch families whose plans compile graft's native sketch/text/
     * vector codegen expressions, each with a cheap representative query

@@ -1,0 +1,162 @@
+package graft.format
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Driver-gradable twins of the CLI/format surfaces (VERDICT r8 item 8):
+  * five §2 rows — markdown sink, CSV sink, DESCRIBE stats — were only
+  * suite/smoke-graded because the correctness harness speaks
+  * (query, oracle SQL) pairs. These entries close that gap by rendering
+  * the ACTUAL formatter/catalog output as (line_no, line) rows, with the
+  * DuckDB oracle reconstructing the same bytes from the same data —
+  * width arithmetic, RFC quoting, and stats text computed independently
+  * on both sides, so a formatter regression hash-mismatches like any
+  * other operator.
+  *
+  * The formatters are presentation code: they run on an explicitly
+  * bounded collect by design (the 100 TB rule — the driver only ever
+  * renders a sample), so the driver-side string building here is the
+  * operator under test, not an anti-pattern.
+  */
+object CliGolden {
+
+  private def linesDf(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    text.stripSuffix("\n").split("\n", -1).toSeq.zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }
+      .toDF("line_no", "line")
+  }
+
+  /** Markdown sink over `region` (ordered): header, width-aligned
+    * separator, one pipe row per region — widths are data-derived
+    * (MIDDLE EAST stretches r_name past its header).
+    */
+  def cliMarkdown(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+    linesDf(spark, Formatters.markdown(d))
+  }
+
+  val cliMarkdownSql: String =
+    """WITH d AS (
+      |  SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS nm, r_regionkey AS o
+      |  FROM region),
+      |w AS (
+      |  SELECT CAST(greatest(length('r_regionkey'), (SELECT max(length(k)) FROM d)) AS INTEGER) AS w1,
+      |         CAST(greatest(length('r_name'), (SELECT max(length(nm)) FROM d)) AS INTEGER) AS w2)
+      |SELECT CAST(0 AS BIGINT) AS line_no,
+      |  '| ' || rpad('r_regionkey', w1, ' ') || ' | ' || rpad('r_name', w2, ' ') || ' |' AS line
+      |FROM w
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), '|-' || repeat('-', w1) || '-|-' || repeat('-', w2) || '-|' FROM w
+      |UNION ALL
+      |SELECT CAST(1 + row_number() OVER (ORDER BY o) AS BIGINT),
+      |  '| ' || rpad(k, w1, ' ') || ' | ' || rpad(nm, w2, ' ') || ' |'
+      |FROM d, w
+      |ORDER BY line_no""".stripMargin
+
+  /** Markdown truncation: a 3-row cap over 5 regions must clip the body
+    * and append the `(first N rows)` trailer; widths derive from the
+    * DISPLAYED rows only (the formatter never scans past its cap).
+    */
+  def cliMarkdownTrunc(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+    linesDf(spark, Formatters.markdown(d, maxRows = 3))
+  }
+
+  val cliMarkdownTruncSql: String =
+    """WITH d AS (
+      |  SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS nm, r_regionkey AS o
+      |  FROM region ORDER BY r_regionkey LIMIT 3),
+      |w AS (
+      |  SELECT CAST(greatest(length('r_regionkey'), (SELECT max(length(k)) FROM d)) AS INTEGER) AS w1,
+      |         CAST(greatest(length('r_name'), (SELECT max(length(nm)) FROM d)) AS INTEGER) AS w2)
+      |SELECT CAST(0 AS BIGINT) AS line_no,
+      |  '| ' || rpad('r_regionkey', w1, ' ') || ' | ' || rpad('r_name', w2, ' ') || ' |' AS line
+      |FROM w
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), '|-' || repeat('-', w1) || '-|-' || repeat('-', w2) || '-|' FROM w
+      |UNION ALL
+      |SELECT CAST(1 + row_number() OVER (ORDER BY o) AS BIGINT),
+      |  '| ' || rpad(k, w1, ' ') || ' | ' || rpad(nm, w2, ' ') || ' |'
+      |FROM d, w
+      |UNION ALL
+      |SELECT CAST(5 AS BIGINT), '(first 3 rows)'
+      |ORDER BY line_no""".stripMargin
+
+  /** CSV sink with RFC quoting forced: a synthesized cell carrying both
+    * a comma and embedded quotes must be wrapped and its quotes doubled;
+    * the plain key column stays bare.
+    */
+  def cliCsv(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"),
+        concat(col("r_name"), lit(", \""), col("r_name"), lit("\"")).as("tricky"))
+      .orderBy(col("r_regionkey"))
+    linesDf(spark, Formatters.csv(d))
+  }
+
+  val cliCsvSql: String =
+    """WITH d AS (
+      |  SELECT r_regionkey, r_name || ', "' || r_name || '"' AS tricky FROM region),
+      |q AS (
+      |  SELECT r_regionkey,
+      |    CASE WHEN contains(tricky, ',') OR contains(tricky, '"')
+      |           OR contains(tricky, chr(10)) OR contains(tricky, chr(13))
+      |      THEN '"' || replace(tricky, '"', '""') || '"' ELSE tricky END AS qt
+      |  FROM d)
+      |SELECT CAST(0 AS BIGINT) AS line_no, 'r_regionkey,tricky' AS line
+      |UNION ALL
+      |SELECT CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT),
+      |  CAST(r_regionkey AS VARCHAR) || ',' || qt
+      |FROM q
+      |ORDER BY line_no""".stripMargin
+
+  /** DESCRIBE over `nation`: the reference's catalog stats surface
+    * (row count, per-column type/ndv, min/max for ordered types) —
+    * registered through the Catalog exactly as the REPL does, rendered
+    * by the reference-shape describeText, graded byte-for-byte against
+    * DuckDB recomputing the same stats.
+    */
+  def cliDescribe(spark: SparkSession, dir: String): DataFrame = {
+    val meta = graft.catalog.CsvInference.statsFor(
+      Tables.load(spark, dir, "nation"), "nation")
+    linesDf(spark, graft.cli.Repl.describeText(meta))
+  }
+
+  val cliDescribeSql: String =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS nrows,
+      |    COUNT(DISTINCT n_nationkey) AS ndv1,
+      |    CAST(MIN(n_nationkey) AS VARCHAR) AS mn1, CAST(MAX(n_nationkey) AS VARCHAR) AS mx1,
+      |    COUNT(DISTINCT n_name) AS ndv2,
+      |    COUNT(DISTINCT n_regionkey) AS ndv3,
+      |    CAST(MIN(n_regionkey) AS VARCHAR) AS mn3, CAST(MAX(n_regionkey) AS VARCHAR) AS mx3
+      |  FROM nation)
+      |SELECT CAST(0 AS BIGINT) AS line_no, 'Table: nation (' || nrows || ' rows)' AS line FROM s
+      |UNION ALL SELECT CAST(1 AS BIGINT), 'Columns:' FROM s
+      |UNION ALL SELECT CAST(2 AS BIGINT),
+      |  '  n_nationkey INT64 (ndv: ' || ndv1 || ', min: ' || mn1 || ', max: ' || mx1 || ')' FROM s
+      |UNION ALL SELECT CAST(3 AS BIGINT), '  n_name STRING (ndv: ' || ndv2 || ')' FROM s
+      |UNION ALL SELECT CAST(4 AS BIGINT),
+      |  '  n_regionkey INT64 (ndv: ' || ndv3 || ', min: ' || mn3 || ', max: ' || mx3 || ')' FROM s
+      |ORDER BY line_no""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cli_markdown" -> (cliMarkdown _),
+    "cli_markdown_trunc" -> (cliMarkdownTrunc _),
+    "cli_csv" -> (cliCsv _),
+    "cli_describe" -> (cliDescribe _))
+
+  val oracles: Map[String, String] = Map(
+    "cli_markdown" -> cliMarkdownSql,
+    "cli_markdown_trunc" -> cliMarkdownTruncSql,
+    "cli_csv" -> cliCsvSql,
+    "cli_describe" -> cliDescribeSql)
+}
