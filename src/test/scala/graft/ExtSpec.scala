@@ -147,6 +147,28 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF-PQ: ADC shortlist + exact re-rank reaches the cell-coverage bound") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val pq = Similarity.annIvfPqOn(e, iters = 2, pqIters = 2, nQueries = 10,
+      k = 5, nprobe = 4, nSub = 16, subDim = 4, nCodes = 32, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pq.nonEmpty, "IVF-PQ returned no neighbors")
+    // final distances are the EXACT fixed-point L2 of the re-rank, so
+    // within a query they must be sorted once re-ordered by rank — and
+    // recall vs the recall harness's own exact side must be real
+    val rec = Similarity.annIvfPqRecallOn(e, iters = 2, pqIters = 2,
+      nQueries = 10, k = 5, nprobe = 4, nSub = 16, subDim = 4,
+      nCodes = 32, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.length == 10)
+    val totalHits = rec.map(_._3).sum
+    val totalExact = rec.map(_._2).sum
+    assert(totalHits.toDouble / totalExact >= 0.5,
+      s"IVF-PQ re-rank recall ${totalHits}/$totalExact below 0.5")
+    rec.foreach { case (q, kx, h, bp) =>
+      assert(bp == h * 10000 / kx, s"query $q recall_bp inconsistent") }
+  }
+
   test("seeded IVF needs no label column and keeps real recall vs brute force") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     // the operator must run on a corpus WITHOUT a cluster column — that

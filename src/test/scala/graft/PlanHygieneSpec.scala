@@ -35,6 +35,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_seeded", "sim_ann_recall",
     "sim_ann_ivf_recall", // composes annIvfSeeded + cosineTopK — same bounded broadcasts
+    // IVF-PQ: the k×dim centroid table and nSub×K codebook broadcast to
+    // rank cells / train codes (KBs by construction); the recall twin
+    // additionally broadcasts the nQueries-row query side for the exact
+    // fixed-point L2 baseline (non-equi qid != cid condition)
+    "sim_ann_ivfpq", "sim_ann_ivfpq_recall",
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
     "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",
