@@ -129,6 +129,83 @@ object TextOps {
       |  CAST(logit > 0.0 AS INT) AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ LM surprisal filter
+  /** Character-trigram language-model surprisal — the perplexity-style
+    * quality filter big corpus pipelines run after the rule-based pass
+    * (CCNet's KenLM stage, shape-wise): train an add-one-smoothed char
+    * trigram model ON the corpus, then score each document by its mean
+    * per-trigram surprisal −(1/n)·Σ ln p(t₃|t₁t₂); boilerplate and
+    * natural text score low, character noise scores high. Production
+    * would load a pre-trained model and calibrate the threshold on a
+    * held-out slice; the operator shape is identical (the model table
+    * just arrives from a file instead of the corpus aggregate).
+    *
+    * p(tri) = (c₃ + 1) / (c₂ + 96): c₃ = corpus trigram count, c₂ = its
+    * 2-char-prefix count (derived from the SAME trigram multiset, so the
+    * model is one groupBy), 96 ≈ printable-ASCII alphabet for the
+    * add-one mass.
+    *
+    * Cross-engine exactness: ln() is the one transcendental the oracle
+    * replay can't fold bit-for-bit, so each model term is SNAPPED TO A
+    * FIXED-POINT GRID before any cross-row aggregation — term_fp =
+    * round(ln(c₃+1)·10⁶) − round(ln(c₂+96)·10⁶) as BIGINT. A 1-ulp
+    * engine difference in ln only matters if the value sits within
+    * ~1e-10 of a grid midpoint (vanishing over the few thousand distinct
+    * counts); after the snap, the per-document Σ term_fp is INTEGER
+    * arithmetic — order-proof across partitions, exactly the trick the
+    * scaled-BIGINT pagerank uses. The final per-doc mean divides two
+    * exact integers in double (deterministic IEEE on both engines).
+    *
+    * Scale shape: one corpus scan explodes trigrams (narrow, no text
+    * shuffles — trigram keys only); the model is alphabet³-bounded
+    * (≤ ~900k rows whatever the corpus size — broadcastable at 100 TB);
+    * per-doc scoring is a broadcast join + map-side partial sum.
+    */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    lmSurprisalOn(docs(spark, dir))
+
+  def lmSurprisalOn(documents: DataFrame): DataFrame = {
+    val d = documents.filter(length(col("text")) >= 3)
+    val tris = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+      .as("tri"))
+    val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(expr("substring(tri, 1, 2)").as("pfx"))
+      .agg(sum(col("c3")).as("c2"))
+    val model = c3.withColumn("pfx", expr("substring(tri, 1, 2)"))
+      .join(c2, "pfx")
+      .withColumn("term_fp", expr(
+        "cast(round(ln(c3 + 1.0d) * 1000000.0d) as bigint) - " +
+          "cast(round(ln(c2 + 96.0d) * 1000000.0d) as bigint)"))
+      .select(col("tri"), col("term_fp"))
+    tris.join(broadcast(model), "tri")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("term_fp")).as("score_fp"))
+      .withColumn("surprisal", round(
+        expr("cast(-score_fp as double) / (cast(n_tri as double) * 1000000.0d)"), 6))
+      .select(col("doc_id"), col("n_tri"), col("surprisal"),
+        (col("surprisal") < lit(0.85)).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmSurprisalSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+      |tri AS (SELECT doc_id, substr(text, CAST(t.i AS INT), 3) AS tri
+      |        FROM d, UNNEST(generate_series(1, length(text) - 2)) AS t(i)),
+      |c3 AS (SELECT tri, COUNT(*) AS c3 FROM tri GROUP BY tri),
+      |c2 AS (SELECT substr(tri, 1, 2) AS pfx, SUM(c3) AS c2 FROM c3 GROUP BY 1),
+      |m AS (SELECT tri, CAST(round(ln(c3 + 1.0) * 1000000.0) AS BIGINT)
+      |             - CAST(round(ln(c2 + 96.0) * 1000000.0) AS BIGINT) AS term_fp
+      |      FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pfx),
+      |sc AS (SELECT t.doc_id, COUNT(*) AS n_tri, CAST(SUM(m.term_fp) AS BIGINT) AS score_fp
+      |       FROM tri t JOIN m USING (tri) GROUP BY t.doc_id),
+      |r AS (SELECT doc_id, n_tri,
+      |        round(CAST(-score_fp AS DOUBLE) / (CAST(n_tri AS DOUBLE) * 1000000.0), 6) AS surprisal
+      |      FROM sc)
+      |SELECT doc_id, n_tri, surprisal,
+      |  CAST(surprisal < 0.85 AS INT) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- langid
   /** Stopword-profile language ID: score each language by occurrences of
     * its function words among the tokens; argmax with a fixed tie-break
@@ -875,6 +952,7 @@ object TextOps {
     "text_sample_per_group" -> (samplePerGroup _),
     "text_quality_filter" -> (qualityFilter _),
     "text_quality_score" -> (qualityScore _),
+    "text_lm_surprisal" -> (lmSurprisal _),
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
@@ -895,6 +973,7 @@ object TextOps {
     "text_sample_per_group" -> samplePerGroupSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_quality_score" -> qualityScoreSql,
+    "text_lm_surprisal" -> lmSurprisalSql,
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,

@@ -147,6 +147,25 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("LM surprisal: repeated trigrams score low, rare ones high; fixture splits") {
+    import spark.implicits._
+    // doc 1 is one trigram repeated (the model learns it — low surprisal);
+    // doc 2 is all-distinct trigrams (every count is 1 — high surprisal)
+    val d = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaa"),
+      (2L, "bcdefghijklmnopqrstu")).toDF("doc_id", "text")
+    val r = graft.ext.TextOps.lmSurprisalOn(d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) < r(2L),
+      s"repeated-trigram doc must be less surprising: ${r(1L)} vs ${r(2L)}")
+    // on the fixture corpus the 0.85 threshold must split — both classes
+    // present (a degenerate all-keep/all-drop flag grades nothing)
+    val keeps = graft.ext.TextOps.lmSurprisal(spark, sf())
+      .select(org.apache.spark.sql.functions.col("keep"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(keeps == Set(0, 1), s"threshold does not split the corpus: $keeps")
+  }
+
   test("IVF-PQ: ADC shortlist + exact re-rank reaches the cell-coverage bound") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     val pq = Similarity.annIvfPqOn(e, iters = 2, pqIters = 2, nQueries = 10,
