@@ -222,6 +222,92 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------- sorted neighborhood
+  /** Sorted-neighborhood near-dup detection (Hernández–Stolfo SNM): sort
+    * the corpus by a blocking key (here the first 24 chars of the text),
+    * compare each document only against its `window` successors in that
+    * order, verify candidates with exact shingle Jaccard. The classic
+    * LINEAR-pass alternative to LSH: candidates = window × N instead of
+    * Σc² over hash buckets, with the complementary blind spot (near-dups
+    * whose difference is inside the key miss; production runs 2–3 passes
+    * with different keys). On the fixture corpus one prefix-key pass
+    * recovers ALL 25 exact-Jaccard pairs at τ = 0.5 — near-dup docs
+    * share their openings — and that equivalence is what the oracle hash
+    * pins.
+    *
+    * The global rank is built scalably — NOT one row_number over a
+    * single partition: documents bucket by a PREFIX of the sort key (so
+    * bucket order ≡ key order), rank locally per bucket (parallel
+    * window), and add per-bucket offsets from a bucket-count cumulative
+    * sum. The offset table is one row per distinct 6-char prefix —
+    * orders smaller than the corpus, the only serial step, and
+    * broadcast back. Neighbor pairs are then an EQUI-join on integer
+    * rank (each doc explodes into `window` probe ranks); shingle sets
+    * join by doc id. No all-pairs product anywhere; text never
+    * shuffles.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodOn(docs(spark, dir), window = 4, tau = 0.5)
+
+  def sortedNeighborhoodOn(documents: DataFrame, window: Int,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val keyed = documents.select(col("doc_id"),
+      expr("substring(text, 1, 24)").as("skey"),
+      expr("substring(text, 1, 6)").as("bkt"))
+    val wLocal = W.partitionBy(col("bkt")).orderBy(col("skey"), col("doc_id"))
+    val local = keyed.withColumn("lrn", row_number().over(wLocal))
+    // bucket offsets: cumulative count over bucket order — the bucket
+    // table is tiny relative to the corpus (distinct 6-char prefixes),
+    // so the unpartitioned window is a deliberate small-table step
+    val wOff = W.orderBy(col("bkt")).rowsBetween(W.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("bkt").as("obkt"), col("off"))
+    val ranked = local.join(broadcast(offsets), col("bkt") === col("obkt"))
+      .select(col("doc_id"), (col("off") + col("lrn")).as("rn"))
+    // window probe: each doc targets ranks rn+1 .. rn+window (equi-join)
+    val probes = ranked
+      .select(col("doc_id").as("da"), col("rn"),
+        explode(expr(s"sequence(1, $window)")).as("j"))
+      .select(col("da"), (col("rn") + col("j")).as("rn2"))
+    val cand = probes.join(
+      ranked.select(col("doc_id").as("db"), col("rn").as("rn2")), "rn2")
+    // exact shingle-Jaccard verify (id-keyed joins; <3-token docs have
+    // no shingle set and drop, matching the oracle's len(w)>=3 guard)
+    val sets = shingleSets(documents)
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("ss").as("sa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("ss").as("sb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    """WITH keyed AS (SELECT doc_id, substr(text, 1, 24) AS skey FROM documents),
+      |rnk AS (SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS rn FROM keyed),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM rnk a JOIN rnk b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4),
+      |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+      |          FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
+      |                       JOIN sh y ON y.doc_id = p.doc_b AND x.shingle = y.shingle
+      |          GROUP BY 1, 2),
+      |j AS (SELECT least(doc_a, doc_b) AS da, greatest(doc_a, doc_b) AS db,
+      |        CAST(c AS DOUBLE) / (x.sz + y.sz - c) AS jac
+      |      FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+      |SELECT da AS doc_a, db AS doc_b, round(jac, 6) AS jaccard FROM j
+      |WHERE jac >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------- minhash + lsh
   /** MinHash signatures (64 hashes = splitmix64 family over the 8-byte
     * shingle hash, graft.functions.SketchHash) banded
@@ -937,6 +1023,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -953,6 +1040,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,

@@ -147,6 +147,20 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("sorted neighborhood: one prefix-key pass recovers the exact Jaccard pairs") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val snm = Dedup.sortedNeighborhoodOn(d, window = 4, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardOn(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture near-dups share their openings, so the single prefix pass
+    // must find EVERY exact pair (the blind spot needs a changed prefix,
+    // which the multi-pass note in the docstring covers)
+    assert(snm == exact,
+      s"SNM missed ${(exact -- snm).size} / found ${(snm -- exact).size} extra")
+    assert(snm.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
   test("LM surprisal: repeated trigrams score low, rare ones high; fixture splits") {
     import spark.implicits._
     // doc 1 is one trigram repeated (the model learns it — low surprisal);
