@@ -206,6 +206,78 @@ object TextOps {
       |  CAST(surprisal < 0.85 AS INT) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- DSIR importance resampling
+  /** Data Selection with Importance Resampling (Xie et al. 2023), the
+    * example-level complement to the domain-level [[mixTemperature]]:
+    * score every document by how much more likely its tokens are under a
+    * TARGET distribution than under the raw-corpus SOURCE distribution,
+    * then keep the top-weighted documents. Here the target is the `en`
+    * slice (production: a high-quality seed corpus) and the model is an
+    * add-one-smoothed unigram bag: logweight(d) = Σ_tokens ln
+    * p_t(w)/p_s(w) with p(w) = (c_w + 1)/(T + V). The per-token log
+    * ratio decomposes into Σ [lnfp(c_t+1) − lnfp(c_s+1)] + n_tok·C with
+    * C = lnfp(T_s+V) − lnfp(T_t+V), where lnfp snaps each ln of an
+    * integer to the 10⁻⁶ fixed-point grid ([[lmSurprisalOn]]'s trick) —
+    * so the cross-row sum is pure BIGINT arithmetic and the whole
+    * selection hash-matches the oracle.
+    *
+    * Scale shape: two token-count aggregates (partial+final on the
+    * word), a model join keyed on the word, a 1-row totals frame
+    * broadcast for C, one per-doc partial sum, and a distributed
+    * top-k (TakeOrdered) for the selection. DSIR's production form
+    * hashes words into a fixed bucket table to bound the model — that
+    * turns the model join into a broadcast; the word-level model here
+    * keeps the oracle replayable and the shape identical.
+    */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsirSampleOn(docs(spark, dir), targetLang = "en", topK = 100)
+
+  def dsirSampleOn(documents: DataFrame, targetLang: String,
+      topK: Int): DataFrame = {
+    val lnfp = (x: String) =>
+      s"cast(round(ln($x) * 1000000.0d) as bigint)"
+    val toks = documents.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val src = toks.groupBy(col("w")).agg(count(lit(1)).as("cs"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy(col("w")).agg(count(lit(1)).as("ct0"))
+    val model = src.join(tgt, Seq("w"), "left")
+      .withColumn("ct", coalesce(col("ct0"), lit(0L)))
+      .withColumn("term_fp",
+        expr(s"${lnfp("ct + 1.0d")} - ${lnfp("cs + 1.0d")}"))
+      .select(col("w"), col("cs"), col("ct"), col("term_fp"))
+    val cfp = model.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"),
+        count(lit(1)).as("v"))
+      .select(expr(s"${lnfp("ts + v * 1.0d")} - ${lnfp("tt + v * 1.0d")}")
+        .as("c_fp"))
+    toks.join(model.select(col("w"), col("term_fp")), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("term_fp")).as("s_fp"))
+      .crossJoin(broadcast(cfp))
+      .withColumn("logweight", round(
+        expr("cast(s_fp + n_tok * c_fp as double) / 1000000.0d"), 6))
+      .select(col("doc_id"), col("n_tok"), col("logweight"))
+      .orderBy(col("logweight").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  val dsirSampleSql: String =
+    """WITH toks AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |src AS (SELECT w, COUNT(*) AS cs FROM toks GROUP BY w),
+      |tgt AS (SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
+      |m AS (SELECT s.w, s.cs, COALESCE(t.ct, 0) AS ct FROM src s LEFT JOIN tgt t ON s.w = t.w),
+      |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ts, CAST(SUM(ct) AS BIGINT) AS tt,
+      |               CAST(COUNT(*) AS BIGINT) AS v FROM m),
+      |mt AS (SELECT w, CAST(round(ln(ct + 1.0) * 1000000.0) AS BIGINT)
+      |            - CAST(round(ln(cs + 1.0) * 1000000.0) AS BIGINT) AS term_fp FROM m),
+      |cfp AS (SELECT CAST(round(ln(ts + v * 1.0) * 1000000.0) AS BIGINT)
+      |             - CAST(round(ln(tt + v * 1.0) * 1000000.0) AS BIGINT) AS c_fp FROM tot),
+      |sc AS (SELECT t.doc_id, COUNT(*) AS n_tok, CAST(SUM(mt.term_fp) AS BIGINT) AS s_fp
+      |       FROM toks t JOIN mt ON t.w = mt.w GROUP BY t.doc_id)
+      |SELECT sc.doc_id, sc.n_tok,
+      |  round(CAST(sc.s_fp + sc.n_tok * cfp.c_fp AS DOUBLE) / 1000000.0, 6) AS logweight
+      |FROM sc CROSS JOIN cfp ORDER BY logweight DESC, doc_id LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------- langid
   /** Stopword-profile language ID: score each language by occurrences of
     * its function words among the tokens; argmax with a fixed tie-break
@@ -953,6 +1025,7 @@ object TextOps {
     "text_quality_filter" -> (qualityFilter _),
     "text_quality_score" -> (qualityScore _),
     "text_lm_surprisal" -> (lmSurprisal _),
+    "text_dsir_sample" -> (dsirSample _),
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
@@ -974,6 +1047,7 @@ object TextOps {
     "text_quality_filter" -> qualityFilterSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lm_surprisal" -> lmSurprisalSql,
+    "text_dsir_sample" -> dsirSampleSql,
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,

@@ -161,6 +161,24 @@ class ExtSpec extends SparkSpecBase {
     assert(snm.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("DSIR sample: selection enriches the target language") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val picked = graft.ext.TextOps.dsirSampleOn(d, targetLang = "en", topK = 100)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.size == 100)
+    val langOf = d.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enAll = langOf.values.count(_ == "en").toDouble / langOf.size
+    val enPicked = picked.count(langOf(_) == "en").toDouble / picked.size
+    // the whole point: importance weights must enrich the target slice
+    // beyond its base rate (sf0.001 fixture: 0.386 base → 0.50 picked;
+    // the margin scales with corpus size — sf0.01 nearly saturates)
+    assert(enPicked > enAll + 0.05,
+      s"no enrichment: picked $enPicked vs base $enAll")
+  }
+
   test("LM surprisal: repeated trigrams score low, rare ones high; fixture splits") {
     import spark.implicits._
     // doc 1 is one trigram repeated (the model learns it — low surprisal);

@@ -43,7 +43,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
     "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",
-    "text_mix_temperature")
+    "text_mix_temperature",
+    // dsir: the 1-row smoothing-constant frame broadcast onto the
+    // per-doc sums (same shape as text_tfidf's corpus count)
+    "text_dsir_sample")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
