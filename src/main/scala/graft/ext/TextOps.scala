@@ -164,29 +164,46 @@ object TextOps {
   def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
     lmSurprisalOn(docs(spark, dir))
 
-  def lmSurprisalOn(documents: DataFrame): DataFrame = {
-    val d = documents.filter(length(col("text")) >= 3)
-    val tris = d.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-      .as("tri"))
+  def lmSurprisalOn(documents: DataFrame): DataFrame =
+    lmScore(documents, lmModel(documents)).orderBy(col("doc_id"))
+
+  /** The frozen model artifact: (tri, term_fp) from a reference corpus.
+    * A planning-time aggregate — the streaming twin
+    * ([[graft.streaming.SurprisalFilter]]) derives it once per corpus
+    * release and broadcasts it to every micro-batch, exactly like the
+    * temperature-mix recipe. */
+  def lmModel(reference: DataFrame): DataFrame = {
+    val tris = lmTrigrams(reference)
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
     val c2 = c3.groupBy(expr("substring(tri, 1, 2)").as("pfx"))
       .agg(sum(col("c3")).as("c2"))
-    val model = c3.withColumn("pfx", expr("substring(tri, 1, 2)"))
+    c3.withColumn("pfx", expr("substring(tri, 1, 2)"))
       .join(c2, "pfx")
       .withColumn("term_fp", expr(
         "cast(round(ln(c3 + 1.0d) * 1000000.0d) as bigint) - " +
           "cast(round(ln(c2 + 96.0d) * 1000000.0d) as bigint)"))
       .select(col("tri"), col("term_fp"))
-    tris.join(broadcast(model), "tri")
+  }
+
+  private def lmTrigrams(documents: DataFrame): DataFrame =
+    documents.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+
+  /** Score `documents` against a (tri, term_fp) model. Trigrams absent
+    * from the model drop out of the mean (inner join) — the batch form
+    * never hits this (the model IS the corpus); a stream scoring against
+    * a frozen model treats unseen trigrams as uninformative rather than
+    * inventing a count for them. */
+  def lmScore(documents: DataFrame, model: DataFrame): DataFrame =
+    lmTrigrams(documents).join(broadcast(model), "tri")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"), sum(col("term_fp")).as("score_fp"))
       .withColumn("surprisal", round(
         expr("cast(-score_fp as double) / (cast(n_tri as double) * 1000000.0d)"), 6))
       .select(col("doc_id"), col("n_tri"), col("surprisal"),
         (col("surprisal") < lit(0.85)).cast("int").as("keep"))
-      .orderBy(col("doc_id"))
-  }
 
   val lmSurprisalSql: String =
     """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),

@@ -406,6 +406,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < total)
   }
 
+  test("streaming LM surprisal filter == batch keep set on the same corpus (frozen model)") {
+    import graft.streaming.SurprisalFilter
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_lm_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lm_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lm_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3) // several input files → several micro-batches
+      .write.mode("overwrite").parquet(docsDir)
+    SurprisalFilter.start(spark, docsDir, docsDir, outDir, ckpt)
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "surprisal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = graft.ext.TextOps.lmSurprisal(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id", "surprisal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    // a real filter: non-empty, strict subset of the corpus
+    val total = spark.read.parquet(docsDir).count()
+    assert(streamed.nonEmpty && streamed.size < total)
+  }
+
   test("streaming CDC chunk dedup == batch pair semantics; replay touches nothing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
