@@ -1038,6 +1038,76 @@ object Similarity {
       |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
       |GROUP BY e.qid ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------- matryoshka truncation recall
+  /** Recall@k of TRUNCATED-dimension cosine search against the full-dim
+    * exact top-k — the evaluation behind matryoshka-style dimension
+    * reduction (Kusupati et al.: serve the first `dims` coordinates,
+    * keep the rest for re-rank): before an embedding store drops to a
+    * prefix slice at 100 TB (4× smaller index, 4× cheaper scans), this
+    * harness says what the cut costs. Same grading shape as
+    * [[annRecall]]: one row per query, hits and recall in integer basis
+    * points; both sides are [[cosineTopKOn]] (broadcast query side, one
+    * corpus scan each), the truncated side just slices the array
+    * scan-side first.
+    *
+    * On the fixture's i.i.d.-random embeddings the measured recall is
+    * 0–20%: random vectors spread their energy evenly, so a prefix
+    * slice keeps ~dims/64 of the signal and neighborhoods dissolve —
+    * which is precisely the decision the harness exists to surface
+    * (matryoshka-TRAINED embeddings front-load their energy; random
+    * ones don't, and a pipeline that truncates without measuring this
+    * ships a broken index).
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaRecallOn(emb(spark, dir), dims = 16, nQueries = 10, k = 5)
+
+  def matryoshkaRecallOn(e: DataFrame, dims: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    val t = e.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $dims)").as("embedding"))
+    val approx = cosineTopKOn(t, nQueries, k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = cosineTopKOn(e, nQueries, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    exact.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div k_exact"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[matryoshkaRecallOn]]: [[cosineTopKSql]]'s double
+    * fold on the list_slice prefix for the approximate side, the full
+    * embedding for the exact side, [[annRecallSqlFor]]'s tail.
+    */
+  def matryoshkaRecallSqlFor(dims: Int, nQueries: Int, k: Int): String = {
+    val cosSliced =
+      s"""list_aggregate(list_transform(list_zip(list_slice(a.embedding, 1, $dims), list_slice(b.embedding, 1, $dims)),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(list_slice(a.embedding, 1, $dims), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(list_slice(b.embedding, 1, $dims), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+    s"""WITH ascored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid, $cosSliced AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id),
+      |ark AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM ascored),
+      |approx AS (SELECT qid, cid FROM ark WHERE rn <= $k),
+      |escored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid, $cosExprSql AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id),
+      |erk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM escored),
+      |exact AS (SELECT qid, cid FROM erk WHERE rn <= $k)
+      |SELECT e.qid AS vec_id, COUNT(*) AS k_exact,
+      |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+      |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+      |GROUP BY e.qid ORDER BY vec_id""".stripMargin
+  }
+
+  val matryoshkaRecallSql: String = matryoshkaRecallSqlFor(16, 10, 5)
+
   private def cosineNearDupSqlFor(nBands: Int, bandBits: Int): String =
     s"""WITH ${lshBandsCte(nBands, bandBits)},
       |cand AS (
@@ -1378,6 +1448,7 @@ object Similarity {
     "sim_ann_ivf_recall" -> (annIvfRecall _),
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_ivfpq_recall" -> (annIvfPqRecall _),
+    "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
     "sim_knn_graph" -> (knnGraph _),
@@ -1408,5 +1479,6 @@ object Similarity {
       nQueries = 10, k = 5, nprobe = 2),
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8),
     "sim_ann_ivfpq" -> annIvfPqSql,
-    "sim_ann_ivfpq_recall" -> annIvfPqRecallSql)
+    "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
+    "sim_matryoshka_recall" -> matryoshkaRecallSql)
 }

@@ -40,6 +40,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // additionally broadcasts the nQueries-row query side for the exact
     // fixed-point L2 baseline (non-equi qid != cid condition)
     "sim_ann_ivfpq", "sim_ann_ivfpq_recall",
+    // matryoshka recall: two cosineTopK passes (truncated + full), each
+    // the whitelisted 10-query broadcast with the non-equi qid != cid
+    "sim_matryoshka_recall",
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
     "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",
