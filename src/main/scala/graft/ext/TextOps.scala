@@ -164,16 +164,22 @@ object TextOps {
   def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
     lmSurprisalOn(docs(spark, dir))
 
-  def lmSurprisalOn(documents: DataFrame): DataFrame =
-    lmScore(documents, lmModel(documents)).orderBy(col("doc_id"))
+  def lmSurprisalOn(documents: DataFrame): DataFrame = {
+    // the batch form both trains and scores from the same trigram
+    // multiset — stage it once instead of exploding the corpus twice
+    val tris = graft.engine.Materialize.stage(lmTrigrams(documents))
+    lmScoreTris(tris, lmModelFromTris(tris)).orderBy(col("doc_id"))
+  }
 
   /** The frozen model artifact: (tri, term_fp) from a reference corpus.
     * A planning-time aggregate — the streaming twin
     * ([[graft.streaming.SurprisalFilter]]) derives it once per corpus
     * release and broadcasts it to every micro-batch, exactly like the
     * temperature-mix recipe. */
-  def lmModel(reference: DataFrame): DataFrame = {
-    val tris = lmTrigrams(reference)
+  def lmModel(reference: DataFrame): DataFrame =
+    lmModelFromTris(lmTrigrams(reference))
+
+  private def lmModelFromTris(tris: DataFrame): DataFrame = {
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
     val c2 = c3.groupBy(expr("substring(tri, 1, 2)").as("pfx"))
       .agg(sum(col("c3")).as("c2"))
@@ -197,7 +203,10 @@ object TextOps {
     * a frozen model treats unseen trigrams as uninformative rather than
     * inventing a count for them. */
   def lmScore(documents: DataFrame, model: DataFrame): DataFrame =
-    lmTrigrams(documents).join(broadcast(model), "tri")
+    lmScoreTris(lmTrigrams(documents), model)
+
+  private def lmScoreTris(tris: DataFrame, model: DataFrame): DataFrame =
+    tris.join(broadcast(model), "tri")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"), sum(col("term_fp")).as("score_fp"))
       .withColumn("surprisal", round(
