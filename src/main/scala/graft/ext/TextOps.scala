@@ -232,6 +232,75 @@ object TextOps {
       |  CAST(surprisal < 0.85 AS INT) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- winnowing fingerprints
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the
+    * MOSS sketch) and the near-dup pairs they surface: every k=8-char
+    * gram hashes with the 31-ary mod-1e9+7 polynomial, the minimum of
+    * each w=4-hash window is selected, and the distinct selections are
+    * the document's fingerprint set — with the paper's guarantee that
+    * any shared substring of length ≥ w+k−1 = 11 chars shares ≥ 1
+    * fingerprint. Density is ~2/(w+1) of all grams, so the sketch is a
+    * tunable fraction of the text while staying POSITION-ROBUST (unlike
+    * fixed-stride chunking) and SUBSTRING-SENSITIVE (unlike word-shingle
+    * MinHash, which tokenizes first).
+    *
+    * Pairs: inverted-index join on the fingerprint (id-only, never
+    * all-pairs — the [[graft.ext.Dedup]] candidate discipline), scored
+    * by containment overlap |A∩B| / min(|A|,|B|) ≥ 0.5.
+    *
+    * Scale shape: `winnow_hashes` is a native codegen expression — the
+    * whole sketch computes scan-side in one pass (no explode of char
+    * grams, no window functions); only (doc_id, fp) rows shuffle.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOn(docs(spark, dir), k = 8, w = 4, tau = 0.5)
+
+  def winnowPairsOn(documents: DataFrame, k: Int, w: Int,
+      tau: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val fps = graft.engine.Materialize.stage(
+      documents.select(col("doc_id"),
+        explode(expr(s"winnow_hashes(text, $k, $w)")).as("fp")))
+    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("na")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nb")), "doc_b")
+      .withColumn("overlap",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("overlap"), 6).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowPairsSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(text, '') AS cs FROM documents
+      |           WHERE length(text) >= 8),
+      |h AS (SELECT doc_id, CAST(t.i AS INT) AS pos,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(list_slice(cs, t.i, t.i + 7), c -> CAST(ascii(c) AS BIGINT))),
+      |          (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+      |      FROM d, UNNEST(generate_series(1, len(cs) - 7)) AS t(i)),
+      |m AS (SELECT doc_id, greatest(MAX(pos) - 3, 1) AS nw FROM h GROUP BY doc_id),
+      |win AS (SELECT doc_id, pos AS j,
+      |          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |        FROM h),
+      |fps AS (SELECT DISTINCT w.doc_id, w.fp
+      |        FROM win w JOIN m ON w.doc_id = m.doc_id WHERE w.j <= m.nw),
+      |nf AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared,
+      |  round(CAST(shared AS DOUBLE) / least(x.nfp, y.nfp), 6) AS overlap
+      |FROM pairs JOIN nf x ON doc_a = x.doc_id JOIN nf y ON doc_b = y.doc_id
+      |WHERE CAST(shared AS DOUBLE) / least(x.nfp, y.nfp) >= CAST(0.5 AS DOUBLE)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------------- DSIR importance resampling
   /** Data Selection with Importance Resampling (Xie et al. 2023), the
     * example-level complement to the domain-level [[mixTemperature]]:
@@ -1052,6 +1121,7 @@ object TextOps {
     "text_quality_score" -> (qualityScore _),
     "text_lm_surprisal" -> (lmSurprisal _),
     "text_dsir_sample" -> (dsirSample _),
+    "text_winnow_pairs" -> (winnowPairs _),
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
@@ -1074,6 +1144,7 @@ object TextOps {
     "text_quality_score" -> qualityScoreSql,
     "text_lm_surprisal" -> lmSurprisalSql,
     "text_dsir_sample" -> dsirSampleSql,
+    "text_winnow_pairs" -> winnowPairsSql,
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,

@@ -60,6 +60,57 @@ object TextHashUtil {
     th
   }
 
+  /** Winnowing fingerprints (Schleimer et al., the MOSS sketch): the
+    * 31-ary mod-1e9+7 polynomial hash of every k-char gram (the
+    * [[TextStatsUtil.rollHash31]] arithmetic, windowed — ascii/code
+    * points, so the DuckDB replay is exact), then the minimum of every
+    * w-consecutive-hash window, distinct, sorted. Guarantee: two
+    * documents sharing any substring of length ≥ w+k−1 chars share at
+    * least one fingerprint. Texts shorter than k chars yield an empty
+    * array; k ≤ length < k+w−1 yields the single global minimum.
+    */
+  def winnowHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 31 + cps(i + j)) % 1000000007L
+        j += 1
+      }
+      hs(i) = acc
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val sel = new Array[Long](nw)
+    var p = 0
+    while (p < nw) {
+      var mn = Long.MaxValue
+      var q = p
+      val end = math.min(p + w, m)
+      while (q < end) {
+        if (hs(q) < mn) mn = hs(q)
+        q += 1
+      }
+      sel(p) = mn
+      p += 1
+    }
+    java.util.Arrays.sort(sel)
+    var wr = 1
+    var r = 1
+    while (r < sel.length) {
+      if (sel(r) != sel(r - 1)) { sel(wr) = sel(r); wr += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, wr))
+  }
+
   /** Distinct word-3-gram shingle hashes, sorted (order is irrelevant to
     * every consumer; sorted keeps output deterministic). Documents with
     * fewer than 3 tokens yield an empty array.
@@ -272,4 +323,50 @@ case class MinHashArr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinHashArr =
     copy(child = newChild)
+}
+
+/** winnow_hashes(text, k, w): array<bigint> of distinct winnowing
+  * fingerprints — min k-gram hash of each w-hash window
+  * ([[TextHashUtil.winnowHashes]]). k and w must be literal ints.
+  */
+case class WinnowHashes(first: Expression, second: Expression,
+    third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val intType = org.apache.spark.sql.types.IntegerType
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_hashes expects string, got ${first.dataType.simpleString}")
+    else if (second.dataType != intType || !second.foldable ||
+      third.dataType != intType || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "winnow_hashes expects literal int gram size and window size")
+    else (second.eval(), third.eval()) match {
+      case (null, _) | (_, null) =>
+        TypeCheckResult.TypeCheckFailure(
+          "winnow_hashes gram and window sizes must be non-null literal ints")
+      case (k: Int, w: Int) =>
+        if (k < 1 || k > 1024)
+          TypeCheckResult.TypeCheckFailure(s"winnow_hashes gram size out of range: $k")
+        else if (w < 1 || w > 1024)
+          TypeCheckResult.TypeCheckFailure(s"winnow_hashes window size out of range: $w")
+        else TypeCheckResult.TypeCheckSuccess
+    }
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_hashes"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    TextHashUtil.winnowHashes(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) =>
+      s"graft.functions.TextHashUtil.winnowHashes($t, $k, $w)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): WinnowHashes =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

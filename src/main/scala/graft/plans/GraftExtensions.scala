@@ -71,6 +71,10 @@ object GraftExtensions {
     (FunctionIdentifier("roll_hash31"),
       info("roll_hash31", "roll_hash31(text) - 31-ary polynomial rolling hash mod 1e9+7"),
       (es: Seq[Expression]) => RollHash31(es(0))),
+    (FunctionIdentifier("winnow_hashes"),
+      info("winnow_hashes",
+        "winnow_hashes(text, k, w) - distinct winnowing fingerprints (min k-gram hash per w-window)"),
+      (es: Seq[Expression]) => graft.functions.WinnowHashes(es(0), es(1), es(2))),
     (FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain",
         "bloom_might_contain(filter_bytes, item) - probe a serialized bloom filter literal"),

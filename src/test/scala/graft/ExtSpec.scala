@@ -161,6 +161,28 @@ class ExtSpec extends SparkSpecBase {
     assert(snm.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("winnowing: shared ≥(w+k−1)-char substring shares a fingerprint, shift-robust") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.plans.GraftExtensions.register(spark)
+    val shared = "the quick brown fox jumps over" // 30 ≥ w+k−1 = 11 chars
+    val d = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"zzzzzzzzzzzzzzzzz $shared qq"), // same substring, shifted 13 chars
+      (3L, "completely different content with no overlap 0123456789"))
+      .toDF("doc_id", "text")
+    val fps = d.select($"doc_id", expr("winnow_hashes(text, 8, 4)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the Schleimer guarantee: the shared substring MUST surface a
+    // common fingerprint regardless of its position (fixed-stride
+    // chunking breaks exactly here)
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "guarantee violated")
+    assert((fps(1L) intersect fps(3L)).isEmpty, "unrelated docs collide")
+    val pairs = graft.ext.TextOps.winnowPairsOn(d, k = 8, w = 4, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"pairs: ${pairs.toSeq}")
+  }
+
   test("DSIR sample: selection enriches the target language") {
     val d = graft.engine.Tables.load(spark, sf(), "documents")
     val picked = graft.ext.TextOps.dsirSampleOn(d, targetLang = "en", topK = 100)
