@@ -246,26 +246,44 @@ object TextOps {
     *
     * Pairs: inverted-index join on the fingerprint (id-only, never
     * all-pairs — the [[graft.ext.Dedup]] candidate discipline), scored
-    * by containment overlap |A∩B| / min(|A|,|B|) ≥ 0.5.
+    * by containment overlap |A∩B| / min(|A|,|B|) ≥ 0.5 with a ≥ 3
+    * shared-fingerprint support floor.
+    *
+    * STOP-FINGERPRINT CAP (the Σc² lesson, measured): winnowing picks
+    * window MINIMA, so the corpus' smallest-hashed common grams are
+    * selected by almost every document containing them — at sf0.01 one
+    * fingerprint sat in 387 of 500 docs and fps with df > 8 carried
+    * 98.7% of the join's Σc² while discriminating nothing. The df-cap
+    * drops them before the self-join (ngramJaccard's dfCap semantics:
+    * overlap is computed over the capped universe), which cut the
+    * uncapped form's 51 s / 541 s at sf0.1 / ×10 to ~2 s / ~8 s and
+    * still recovers 24/25 of the exact-Jaccard pairs (+1 legitimate
+    * substring-level pair word-shingle Jaccard can't see).
     *
     * Scale shape: `winnow_hashes` is a native codegen expression — the
     * whole sketch computes scan-side in one pass (no explode of char
-    * grams, no window functions); only (doc_id, fp) rows shuffle.
+    * grams, no window functions); only (doc_id, fp) rows shuffle, and
+    * the df-cap bounds every inverted-index bucket.
     */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
-    winnowPairsOn(docs(spark, dir), k = 8, w = 4, tau = 0.5)
+    winnowPairsOn(docs(spark, dir), k = 8, w = 4, tau = 0.5,
+      dfCap = 8, minShared = 3)
 
-  def winnowPairsOn(documents: DataFrame, k: Int, w: Int,
-      tau: Double): DataFrame = {
+  def winnowPairsOn(documents: DataFrame, k: Int, w: Int, tau: Double,
+      dfCap: Long, minShared: Long): DataFrame = {
     graft.plans.GraftExtensions.register(documents.sparkSession)
-    val fps = graft.engine.Materialize.stage(
+    val fps0 = graft.engine.Materialize.stage(
       documents.select(col("doc_id"),
         explode(expr(s"winnow_hashes(text, $k, $w)")).as("fp")))
+    val hot = fps0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("fp").as("hot_fp"))
+    val fps = fps0.join(hot, col("fp") === col("hot_fp"), "left_anti")
     val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
       .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("na")), "doc_a")
       .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nb")), "doc_b")
       .withColumn("overlap",
@@ -289,8 +307,10 @@ object TextOps {
       |          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
       |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
       |        FROM h),
-      |fps AS (SELECT DISTINCT w.doc_id, w.fp
-      |        FROM win w JOIN m ON w.doc_id = m.doc_id WHERE w.j <= m.nw),
+      |fps0 AS (SELECT DISTINCT w.doc_id, w.fp
+      |         FROM win w JOIN m ON w.doc_id = m.doc_id WHERE w.j <= m.nw),
+      |hot AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > 8),
+      |fps AS (SELECT * FROM fps0 ANTI JOIN hot USING (fp)),
       |nf AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
       |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -298,7 +318,8 @@ object TextOps {
       |SELECT doc_a, doc_b, shared,
       |  round(CAST(shared AS DOUBLE) / least(x.nfp, y.nfp), 6) AS overlap
       |FROM pairs JOIN nf x ON doc_a = x.doc_id JOIN nf y ON doc_b = y.doc_id
-      |WHERE CAST(shared AS DOUBLE) / least(x.nfp, y.nfp) >= CAST(0.5 AS DOUBLE)
+      |WHERE shared >= 3
+      |  AND CAST(shared AS DOUBLE) / least(x.nfp, y.nfp) >= CAST(0.5 AS DOUBLE)
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------- DSIR importance resampling

@@ -178,7 +178,8 @@ class ExtSpec extends SparkSpecBase {
     // chunking breaks exactly here)
     assert((fps(1L) intersect fps(2L)).nonEmpty, "guarantee violated")
     assert((fps(1L) intersect fps(3L)).isEmpty, "unrelated docs collide")
-    val pairs = graft.ext.TextOps.winnowPairsOn(d, k = 8, w = 4, tau = 0.3)
+    val pairs = graft.ext.TextOps.winnowPairsOn(d, k = 8, w = 4, tau = 0.3,
+        dfCap = 8, minShared = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)), s"pairs: ${pairs.toSeq}")
   }
