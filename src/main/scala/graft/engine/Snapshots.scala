@@ -62,6 +62,15 @@ object Snapshots {
 
   private def manifestDir(dir: String) = new Path(s"$dir/_versions")
 
+  /** Resolve a manifest entry path against the table dir. Entries are
+    * normally table-relative (`data/batch-...`); a SHALLOW CLONE's
+    * manifest carries the parent table's batches as ABSOLUTE paths
+    * ([[cloneTable]]), which pass through untouched. Write paths are
+    * always local-relative and never routed here.
+    */
+  private def resolve(dir: String, path: String): String =
+    if (path.startsWith("/") || path.contains("://")) path else s"$dir/$path"
+
   private def manifestPath(dir: String, v: Int) =
     new Path(manifestDir(dir), f"v$v%05d.json")
 
@@ -366,7 +375,7 @@ object Snapshots {
     if (dels.isEmpty) return v
     val batches = entries.collect { case b: BatchEntry => b }
     val delFrames = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (c, es) =>
-      c -> spark.read.parquet(es.map(e => s"$dir/${e.path}"): _*)
+      c -> spark.read.parquet(es.map(e => resolve(dir, e.path)): _*)
     }
     // driver-side [min, max] of each delete-key set — a layout-build
     // scalar over the (small) delete files, like manifestPrune's range
@@ -393,7 +402,7 @@ object Snapshots {
       if (rewrite.isEmpty) None
       else {
         val folded = delFrames.foldLeft(
-          spark.read.parquet(rewrite.map(b => s"$dir/${b.batch}"): _*)) {
+          spark.read.parquet(rewrite.map(b => resolve(dir, b.batch)): _*)) {
             case (df, (c, keys)) => df.join(keys, Seq(c), "left_anti")
           }
         val rel = s"data/batch-$vNew-$nonce"
@@ -447,7 +456,7 @@ object Snapshots {
     // schemas — a plain union-by-position read would drop the columns
     // only the newer batches carry
     spark.read.option("mergeSchema", "true")
-      .parquet(batches.map(b => s"$dir/${b.batch}"): _*)
+      .parquet(batches.map(b => resolve(dir, b.batch)): _*)
       .write.mode("errorifexists").parquet(s"$dir/$rel")
     // keep pruning envelopes alive across the rewrite: when the caller
     // passes no statsCol but every existing envelope agrees on one
@@ -491,12 +500,103 @@ object Snapshots {
     val base =
       if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0) // schema-preserving empty
       else spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(kept.map(b => s"$dir/$b"): _*)
+        .parquet(kept.map(b => resolve(dir, b)): _*)
     // row-level deletes apply here too: pruned result == plain filter at
     // the same version, and the plain read anti-joins the delete keys
     applyDeletes(spark, dir, v, base)
       .filter(col(column) >= lo && col(column) <= hi)
   }
+
+  // ------------------------------------------------- clones and tags
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` / Iceberg
+    * snapshot-ref semantics): materialize `dstDir` as an independent
+    * snapshot table whose v0 references `srcDir`'s batches AT `version`
+    * by absolute path — zero data copied, KBs of manifest written. From
+    * then on the two tables diverge freely: commits on the clone land
+    * in the clone's own `data/`, the parent never sees them, and every
+    * read/delete/optimize on either side works unchanged (entry paths
+    * resolve via [[resolve]]). [[optimize]] on the clone rewrites the
+    * referenced batches into LOCAL data — the explicit
+    * "deep-copy when you're ready" materialization step.
+    *
+    * The one shared-fate contract, same as Delta's: [[vacuum]] on the
+    * PARENT does not know about clones — reclaiming parent versions the
+    * clone still references breaks the clone (vacuum on the clone is
+    * always safe: absolute foreign paths are outside its `data/`
+    * listing and its reference-set protection covers local batches).
+    * Clone before you vacuum, or optimize the clone to self-contain it.
+    *
+    * Delete lines carry over absolutized (pending parent deletes keep
+    * applying at the fork point); stream-txn marks deliberately do NOT
+    * (the clone is a new ingest lineage — a stream writing to the clone
+    * must start its own ledger, not inherit replay state aimed at the
+    * parent).
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Int = -1): Int = {
+    require(srcDir.startsWith("/") || srcDir.contains("://"),
+      s"cloneTable needs an absolute source path, got $srcDir")
+    require(versions(spark, dstDir).isEmpty,
+      s"clone target $dstDir is already a snapshot table")
+    val v = if (version < 0) latestVersion(spark, srcDir) else version
+    val entries = entriesAt(spark, srcDir, v).collect {
+      case b: BatchEntry => render(b.copy(batch = resolve(srcDir, b.batch)))
+      case d: DeleteEntry => render(d.copy(path = resolve(srcDir, d.path)))
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val ok = publishIfAbsent(fs(spark, dstDir), dstDir, 0, nonce,
+      s"K\tclone" +: entries)
+    require(ok, s"concurrent writer created $dstDir during clone")
+    0
+  }
+
+  private def refsDir(dir: String) = new Path(s"$dir/_refs")
+  private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Tag `version` (default latest) with an immutable name — the
+    * release-pinning primitive (Iceberg tags): `read(tagVersion(...))`
+    * reproduces a named state forever (until [[vacuum]] reclaims it —
+    * production keeps tagged versions out of vacuum's range). Tags are
+    * create-once: re-tagging an existing name fails loudly rather than
+    * silently moving a pin someone else resolved.
+    */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Int = -1): Int = {
+    require(refName.pattern.matcher(name).matches(),
+      s"invalid tag name '$name' (want ${refName.regex})")
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    require(versions(spark, dir).contains(v), s"no version $v at $dir")
+    val f = fs(spark, dir)
+    f.mkdirs(refsDir(dir))
+    val p = new Path(refsDir(dir), name)
+    // create-if-absent (overwrite = false): immutability is the point
+    val out = f.create(p, false)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** All tags as (name, version), name-sorted. */
+  def tags(spark: SparkSession, dir: String): Seq[(String, Int)] = {
+    val f = fs(spark, dir)
+    if (!f.exists(refsDir(dir))) return Seq.empty
+    f.listStatus(refsDir(dir)).toSeq.map(_.getPath)
+      .map(p => p.getName -> {
+        val in = f.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          "UTF-8").trim.toInt
+        finally in.close()
+      })
+      .sortBy(_._1)
+  }
+
+  def tagVersion(spark: SparkSession, dir: String, name: String): Int =
+    tags(spark, dir).collectFirst { case (`name`, v) => v }.getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' at $dir"))
+
+  /** Read the table at a named tag. */
+  def readTagged(spark: SparkSession, dir: String, name: String,
+      mergeSchema: Boolean = false): DataFrame =
+    read(spark, dir, tagVersion(spark, dir, name), mergeSchema)
 
   private sealed trait ManifestEntry { def path: String }
   private case class BatchEntry(batch: String,
@@ -560,7 +660,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val dels = entriesAt(spark, dir, v).collect { case d: DeleteEntry => d }
     dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, es)) =>
-      df.join(spark.read.parquet(es.map(e => s"$dir/${e.path}"): _*).select(col(c)),
+      df.join(spark.read.parquet(es.map(e => resolve(dir, e.path)): _*).select(col(c)),
         Seq(c), "left_anti")
     }
   }
@@ -576,7 +676,7 @@ object Snapshots {
   def read(spark: SparkSession, dir: String, version: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
     val v = if (version < 0) latestVersion(spark, dir) else version
-    val dirs = batchesAt(spark, dir, v).map(e => s"$dir/${e.batch}")
+    val dirs = batchesAt(spark, dir, v).map(e => resolve(dir, e.batch))
     applyDeletes(spark, dir, v,
       spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*))
   }

@@ -290,6 +290,69 @@ object Formats {
     Snapshots.commit(v1.filter(col("o_orderkey") % 5 =!= 0), table, append = false)
   }
 
+  // --------------------------------------------------- shallow clone
+  /** Shallow clone + tag lifecycle, graded end to end
+    * ([[graft.engine.Snapshots.cloneTable]] / `.tag`): the parent table
+    * builds v0 (keys ≡ 0 mod 3) and v1 (+ keys ≡ 1 mod 3); the clone
+    * forks at v0 ZERO-COPY (its manifest references the parent's batch
+    * by absolute path), then diverges with its own append (keys ≡ 2
+    * mod 3 — rows the parent never sees); a tag pins the clone's fork
+    * state. Four summarized states prove the isolation contract:
+    * parent@latest (0∪1), clone@latest (0∪2), clone@tag (= parent@v0 —
+    * the zero-copy reference and the tag resolution), parent@v0
+    * (unchanged by everything the clone did). The oracle recomputes all
+    * four from the key-residue algebra — any cross-contamination
+    * (a clone commit leaking into the parent, a fork seeing post-fork
+    * parent data) breaks the hash.
+    */
+  def shallowClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val parent = fresh(spark, out("snapclone_src", dir))
+    val clone = fresh(spark, out("snapclone_dst", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), parent, append = false)
+    Snapshots.cloneTable(spark, parent, clone, version = 0)
+    Snapshots.tag(spark, clone, "fork-point", version = 0)
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), parent, append = true)
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 2), clone, append = true)
+    def summary(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .select(lit(label).as("state"), col("n_rows"), col("sum_price"),
+          col("min_key"), col("max_key"))
+    summary("clone_at_tag", Snapshots.readTagged(spark, clone, "fork-point"))
+      .unionByName(summary("clone_latest", Snapshots.read(spark, clone)))
+      .unionByName(summary("parent_latest", Snapshots.read(spark, parent)))
+      .unionByName(summary("parent_v0", Snapshots.read(spark, parent, 0)))
+      .orderBy(col("state"))
+  }
+
+  val shallowCloneSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |r0 AS (SELECT * FROM o WHERE o_orderkey % 3 = 0),
+      |r01 AS (SELECT * FROM o WHERE o_orderkey % 3 IN (0, 1)),
+      |r02 AS (SELECT * FROM o WHERE o_orderkey % 3 IN (0, 2)),
+      |s AS (
+      |  SELECT 'clone_at_tag' AS state, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM r0
+      |  UNION ALL
+      |  SELECT 'clone_latest', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |    MIN(o_orderkey), MAX(o_orderkey) FROM r02
+      |  UNION ALL
+      |  SELECT 'parent_latest', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |    MIN(o_orderkey), MAX(o_orderkey) FROM r01
+      |  UNION ALL
+      |  SELECT 'parent_v0', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |    MIN(o_orderkey), MAX(o_orderkey) FROM r0)
+      |SELECT * FROM s ORDER BY state""".stripMargin
+
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Snapshots
     val table = fresh(spark, out("snap_orders", dir))
@@ -497,6 +560,7 @@ object Formats {
     "fmt_manifest_prune" -> (manifestPrune _),
     "fmt_version_diff" -> (versionDiff _),
     "fmt_time_travel" -> (timeTravel _),
+    "fmt_shallow_clone" -> (shallowClone _),
     "fmt_compaction" -> (compaction _),
     "fmt_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "fmt_orc_roundtrip" -> (orcRoundtrip _),
@@ -510,6 +574,7 @@ object Formats {
     "fmt_manifest_prune" -> manifestPruneSql,
     "fmt_version_diff" -> versionDiffSql,
     "fmt_time_travel" -> timeTravelSql,
+    "fmt_shallow_clone" -> shallowCloneSql,
     "fmt_compaction" -> compactionSql,
     "fmt_jsonl_roundtrip" -> jsonlRoundtripSql,
     "fmt_orc_roundtrip" -> orcRoundtripSql,

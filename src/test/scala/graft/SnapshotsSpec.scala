@@ -453,4 +453,60 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("nope"), e.getMessage)
     assert(Snapshots.read(spark, t).count() == 5)
   }
+
+  test("shallow clone: zero-copy fork, divergence isolation, optimize self-contains") {
+    import spark.implicits._
+    val src = freshTable("clone_src")
+    val dst = freshTable("clone_dst")
+    Snapshots.commit(df(1 to 10), src, append = false)
+    Snapshots.commit(df(11 to 15), src, append = true)
+    // fork at v0 — the clone must see v0's content without copying data
+    assert(Snapshots.cloneTable(spark, src, dst, version = 0) == 0)
+    assert(Snapshots.read(spark, dst).count() == 10)
+    val dstData = new java.io.File(s"$dst/data")
+    assert(!dstData.exists() || dstData.listFiles().isEmpty,
+      "shallow clone copied data")
+    // divergence: append lands in the clone's OWN data dir; parent unmoved
+    Snapshots.commit(df(100 to 101), dst, append = true)
+    assert(Snapshots.read(spark, dst).count() == 12)
+    assert(Snapshots.read(spark, src).count() == 15)
+    assert(Snapshots.latestVersion(spark, src) == 1)
+    assert(dstData.listFiles().nonEmpty, "clone commit did not land locally")
+    // pending parent deletes at the fork point carry over
+    val src2 = freshTable("clone_src2")
+    val dst2 = freshTable("clone_dst2")
+    Snapshots.commit(df(1 to 10), src2, append = false)
+    Snapshots.deleteRows(Seq(3L, 4L).toDF("id"), src2, "id")
+    Snapshots.cloneTable(spark, src2, dst2)
+    assert(Snapshots.read(spark, dst2).select("id").as[Long].collect().toSet
+      == ((1L to 10L).toSet -- Set(3L, 4L)))
+    // optimize materializes: after it, the clone references only local
+    // batches — prove it by deleting the PARENT outright and reading
+    Snapshots.optimize(spark, dst)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(srcPath, true)
+    assert(Snapshots.read(spark, dst).count() == 12)
+    // clone refuses to overwrite an existing table
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneTable(spark, src, dst)
+    }
+  }
+
+  test("tags: immutable named pins resolve through replaces") {
+    val t = freshTable("tags")
+    Snapshots.commit(df(1 to 10), t, append = false)
+    assert(Snapshots.tag(spark, t, "release-1") == 0)
+    Snapshots.commit(df(100 to 102), t, append = false) // replace
+    Snapshots.commit(df(103 to 104), t, append = true)
+    assert(Snapshots.tag(spark, t, "release-2", version = 1) == 1)
+    assert(Snapshots.tags(spark, t) == Seq("release-1" -> 0, "release-2" -> 1))
+    assert(Snapshots.readTagged(spark, t, "release-1").count() == 10)
+    assert(Snapshots.readTagged(spark, t, "release-2").count() == 3)
+    // immutable: re-tagging fails loudly
+    intercept[Exception] { Snapshots.tag(spark, t, "release-1", version = 2) }
+    assert(Snapshots.tagVersion(spark, t, "release-1") == 0)
+    // invalid names rejected before touching the filesystem
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "../evil") }
+  }
 }
