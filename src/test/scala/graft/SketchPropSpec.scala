@@ -39,6 +39,45 @@ object SketchPropSpec extends Properties("Sketches") {
       java.lang.Double.compare(o1, o2) == 0 && i1 == i2
     }
 
+
+  // ---------------------------------------------------- winnowing laws
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 1 -> Gen.const(' '))).map(_.mkString))
+
+  private def winnowSet(s: String, k: Int, w: Int): Set[Long] = {
+    val arr = graft.functions.TextHashUtil.winnowHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+    (0 until arr.numElements()).map(arr.getLong).toSet
+  }
+
+  /** Naive reference: per-position k-gram polynomial hash, sliding
+    * w-window minima, distinct. */
+  private def winnowNaive(s: String, k: Int, w: Int): Set[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return Set.empty
+    val hs = cps.sliding(k).map(_.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)).toArray
+    if (hs.length <= w) Set(hs.min)
+    else hs.sliding(w).map(_.min).toSet
+  }
+
+  property("winnowHashes == naive sliding-min reference") =
+    forAll(asciiText, Gen.choose(2, 6), Gen.choose(2, 5)) { (s, k, w) =>
+      winnowSet(s, k, w) == winnowNaive(s, k, w)
+    }
+
+  property("winnowing guarantee: shared substring of len >= w+k-1 shares a fingerprint") =
+    forAll(asciiText, asciiText, asciiText, Gen.choose(2, 6), Gen.choose(2, 5)) {
+      (pre1, pre2, core0, k, w) =>
+        // pad the shared core up to the guarantee length with a fixed tail
+        val need = w + k - 1
+        val core = (core0 + "X" * need).take(math.max(core0.length, need))
+        val d1 = pre1 + core
+        val d2 = pre2 + core
+        (winnowSet(d1, k, w) intersect winnowSet(d2, k, w)).nonEmpty
+    }
+
   property("TopKBuffer sequential insert == sort-take-k") =
     forAll(pairGen, Gen.choose(1, 8)) { (xs, k) =>
       val buf = new TopKBuffer(k)
