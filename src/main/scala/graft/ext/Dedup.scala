@@ -528,6 +528,82 @@ object Dedup {
     dedupClustersFrom(documents,
       ngramJaccardOn(documents).select(col("doc_a"), col("doc_b")))
 
+  /** Quality-weighted canonical selection: per near-dup cluster keep the
+    * HIGHEST-QUALITY member (the [[graft.ext.TextOps.qualityScoreOn]]
+    * logit, ties to the smaller doc_id) instead of the min-id — the
+    * policy production dedup actually wants (min-id keeps whichever
+    * crawl copy got the smallest id; quality-argmax keeps the cleanest
+    * exemplar, RefinedWeb-style). Composition: cluster labels from the
+    * exact pair graph × the scan-side quality scorer × one per-cluster
+    * argmax window (clusters are small — the window partitions by
+    * cluster_id, never the corpus). Swapping the ranking expression
+    * swaps the policy; everything else is shared with [[dedupClusters]].
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestOn(docs(spark, dir))
+
+  def keepBestOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val clusters = dedupClustersOn(documents)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = graft.ext.TextOps.qualityScoreOn(documents)
+      .select(col("doc_id"), col("quality_logit"))
+    val w = W.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_logit").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_logit"),
+        (col("rn") === 1).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val keepBestSql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |          WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (SELECT d.doc_id,
+      |          COALESCE(LEAST(c.min_reach, d.doc_id), d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+      |        x -> CAST(length(x) AS INT)), 'sum') AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_tok_len
+      |  FROM documents),
+      |ql AS (
+      |  SELECT doc_id, round(-2.5 + n_tokens * 0.01 + ttr * 1.5
+      |    + stop_ratio * 6.0 + mean_tok_len * 0.08, 6) AS quality_logit
+      |  FROM f),
+      |rk AS (
+      |  SELECT lab.doc_id, lab.cluster_id, ql.quality_logit,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |                       ORDER BY quality_logit DESC, lab.doc_id) AS rn
+      |  FROM lab JOIN ql USING (doc_id))
+      |SELECT doc_id, cluster_id, quality_logit,
+      |  CAST(rn = 1 AS INT) AS keep
+      |FROM rk ORDER BY doc_id""".stripMargin
+
   /** Scale form: edges from the MinHash-LSH verified pairs — identical
     * result w.h.p. (a borderline J=0.5 pair misses every band with
     * P = (1−0.25)³² ≈ 1e-4); the candidate pass is O(shingles), never
@@ -1081,6 +1157,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "dedup_lsh_recall" -> (lshRecall _),
+    "dedup_keep_best" -> (keepBest _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -1099,6 +1176,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_lsh_recall" -> lshRecallSql,
+    "dedup_keep_best" -> keepBestSql,
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql,

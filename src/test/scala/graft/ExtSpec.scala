@@ -161,6 +161,22 @@ class ExtSpec extends SparkSpecBase {
     assert(snm.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("keep-best: exactly one keeper per cluster, chosen by quality not id") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val r = Dedup.keepBestOn(d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(3)))
+    val byCluster = r.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.count(_._3 == 1) == 1, s"cluster $c keeper count") }
+    // the policy must actually differ from min-id canonicalization on
+    // the fixture (otherwise the quality ranking is dead code)
+    val multi = byCluster.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture has no multi-doc clusters")
+    val divergent = multi.values.count(rows =>
+      rows.find(_._3 == 1).get._1 != rows.map(_._1).min)
+    assert(divergent > 0, "quality argmax never diverged from min-id")
+  }
+
   test("winnowing: shared ≥(w+k−1)-char substring shares a fingerprint, shift-robust") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
