@@ -232,6 +232,66 @@ object TextOps {
       |  CAST(surprisal < 0.85 AS INT) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ CCNet terciles
+  /** CCNet's perplexity bucketing (Wenzek et al.): rank the corpus by LM
+    * surprisal and split into head / middle / tail terciles — the
+    * segmentation CCNet publishes per language so downstream consumers
+    * can choose how deep into the quality distribution to train. Tercile
+    * membership is RANK-derived (tercile = (rank−1)·3 div n — integer
+    * arithmetic, no float quantile to drift cross-engine), and the
+    * global rank over (surprisal, doc_id) is built with the same
+    * scalable two-level construction as [[graft.ext.Dedup
+    * .sortedNeighborhood]]: bucket by floor(surprisal·100) (a bounded
+    * numeric histogram — surprisal lives in a few hundred cents), local
+    * row_number per bucket, plus a broadcast cumulative-offset table
+    * whose row count is the number of DISTINCT cents, not documents.
+    * One unpartitioned window runs over that cents table only.
+    */
+  def ccnetTerciles(spark: SparkSession, dir: String): DataFrame =
+    ccnetTercilesOn(docs(spark, dir))
+
+  def ccnetTercilesOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val scored = lmSurprisalOn(documents)
+      .select(col("doc_id"), col("surprisal"))
+      .withColumn("bkt", floor(col("surprisal") * 100).cast("long"))
+    val wLocal = W.partitionBy(col("bkt"))
+      .orderBy(col("surprisal"), col("doc_id"))
+    val local = scored.withColumn("lrn", row_number().over(wLocal).cast("long"))
+    val wOff = W.orderBy(col("bkt")).rowsBetween(W.unboundedPreceding, -1)
+    val offsets = scored.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("bkt").as("obkt"), col("off"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    local.join(broadcast(offsets), col("bkt") === col("obkt"))
+      .crossJoin(broadcast(n))
+      .withColumn("r", col("off") + col("lrn"))
+      .select(col("doc_id"), col("surprisal"),
+        expr("(r - 1) * 3 div n").cast("int").as("tercile"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ccnetTercilesSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+      |tri AS (SELECT doc_id, substr(text, CAST(t.i AS INT), 3) AS tri
+      |        FROM d, UNNEST(generate_series(1, length(text) - 2)) AS t(i)),
+      |c3 AS (SELECT tri, COUNT(*) AS c3 FROM tri GROUP BY tri),
+      |c2 AS (SELECT substr(tri, 1, 2) AS pfx, SUM(c3) AS c2 FROM c3 GROUP BY 1),
+      |m AS (SELECT tri, CAST(round(ln(c3 + 1.0) * 1000000.0) AS BIGINT)
+      |             - CAST(round(ln(c2 + 96.0) * 1000000.0) AS BIGINT) AS term_fp
+      |      FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pfx),
+      |sc AS (SELECT t.doc_id, COUNT(*) AS n_tri, CAST(SUM(m.term_fp) AS BIGINT) AS score_fp
+      |       FROM tri t JOIN m USING (tri) GROUP BY t.doc_id),
+      |r AS (SELECT doc_id,
+      |        round(CAST(-score_fp AS DOUBLE) / (CAST(n_tri AS DOUBLE) * 1000000.0), 6) AS surprisal
+      |      FROM sc),
+      |rk AS (SELECT doc_id, surprisal,
+      |         row_number() OVER (ORDER BY surprisal, doc_id) AS r,
+      |         COUNT(*) OVER () AS n
+      |       FROM r)
+      |SELECT doc_id, surprisal, CAST((r - 1) * 3 // n AS INT) AS tercile
+      |FROM rk ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- winnowing fingerprints
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the
     * MOSS sketch) and the near-dup pairs they surface: every k=8-char
@@ -1143,6 +1203,7 @@ object TextOps {
     "text_lm_surprisal" -> (lmSurprisal _),
     "text_dsir_sample" -> (dsirSample _),
     "text_winnow_pairs" -> (winnowPairs _),
+    "text_ccnet_terciles" -> (ccnetTerciles _),
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
@@ -1166,6 +1227,7 @@ object TextOps {
     "text_lm_surprisal" -> lmSurprisalSql,
     "text_dsir_sample" -> dsirSampleSql,
     "text_winnow_pairs" -> winnowPairsSql,
+    "text_ccnet_terciles" -> ccnetTercilesSql,
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,

@@ -48,8 +48,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",
     "text_mix_temperature",
     // dsir: the 1-row smoothing-constant frame broadcast onto the
-    // per-doc sums (same shape as text_tfidf's corpus count)
-    "text_dsir_sample")
+    // per-doc sums (same shape as text_tfidf's corpus count);
+    // ccnet terciles: the 1-row corpus-count frame broadcast onto the
+    // ranked docs for the rank→tercile arithmetic
+    "text_dsir_sample", "text_ccnet_terciles")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
