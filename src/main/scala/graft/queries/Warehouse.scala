@@ -480,6 +480,59 @@ object Warehouse {
     * at 100 TB you pick W near the median interval length and salt any
     * rush-hour bucket with the q60 profile.
     */
+  // ---------------------------------------------------------------- q67
+  /** Sketch SET ALGEBRA — distinct-intersection estimation by HLL
+    * inclusion-exclusion: |A∩B| ≈ ndv(A) + ndv(B) − ndv(A∪B), the
+    * overlap question (shared customers across channels, audience
+    * intersection) that exact COUNT(DISTINCT) answers only by shuffling
+    * both key sets. The three HLL++ aggregates are mergeable fixed-size
+    * states (register-max merges — order-independent, so the estimates
+    * are deterministic per engine); the union sketch aggregates the
+    * CONCATENATED key stream, never a pre-distinct. Graded the q21 way:
+    * the exact intersection (computed per-key for the gate) plus a
+    * boolean asserting the estimate sits inside the compounded bound —
+    * 3 sketches at rsd=2% give σ ≈ 0.02·√(n_A²+n_B²+n_U²), and the
+    * check uses 3σ. The oracle asserts the boolean TRUE and recomputes
+    * only the exact side — engine-specific sketch internals never cross
+    * the gate.
+    *
+    * A = customers ordering in 1995–1996, B = in 2000–2001 (the
+    * fixture's date range is 1995–2001; the 3-year gap makes the
+    * "retained customers" intersection a real strict subset — 1299 of
+    * ~1430/~1365 at sf0.01).
+    */
+  def q67HllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val a = o.filter(col("y") <= 1996).select(col("o_custkey"))
+    val b = o.filter(col("y") >= 2000).select(col("o_custkey"))
+    val est = a.withColumn("side", lit("a"))
+      .unionByName(b.withColumn("side", lit("b")))
+      .agg(
+        approx_count_distinct(when(col("side") === "a", col("o_custkey")), 0.02)
+          .as("hll_a"),
+        approx_count_distinct(when(col("side") === "b", col("o_custkey")), 0.02)
+          .as("hll_b"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("hll_u"))
+      .withColumn("hll_inter", col("hll_a") + col("hll_b") - col("hll_u"))
+    val exact = a.distinct().join(b.distinct(), "o_custkey")
+      .agg(count(lit(1)).as("exact_inter"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_inter"),
+        (abs(col("hll_inter") - col("exact_inter")) <=
+          greatest(lit(16.0), lit(3.0) * lit(0.02) *
+            sqrt(col("hll_a") * col("hll_a") + col("hll_b") * col("hll_b")
+              + col("hll_u") * col("hll_u")))).as("within_bound"))
+  }
+
+  val q67Sql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE year(o_orderdate) <= 1996),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE year(o_orderdate) >= 2000)
+      |SELECT CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+      |  AS exact_inter, TRUE AS within_bound""".stripMargin
+
   def q66IntervalBuckets(spark: SparkSession, dir: String): DataFrame = {
     val W = 21600000000L // 6 h in micros
     val iv = t(spark, dir, "events")
@@ -536,7 +589,8 @@ object Warehouse {
     "q58_copurchase" -> (q58Copurchase _),
     "q64_interval_overlap" -> (q64IntervalOverlap _),
     "q65_kcore" -> (q65Kcore _),
-    "q66_interval_buckets" -> (q66IntervalBuckets _))
+    "q66_interval_buckets" -> (q66IntervalBuckets _),
+    "q67_hll_intersection" -> (q67HllIntersection _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -547,5 +601,6 @@ object Warehouse {
     "q58_copurchase" -> q58Sql,
     "q64_interval_overlap" -> q64Sql,
     "q65_kcore" -> q65Sql,
-    "q66_interval_buckets" -> q66Sql)
+    "q66_interval_buckets" -> q66Sql,
+    "q67_hll_intersection" -> q67Sql)
 }

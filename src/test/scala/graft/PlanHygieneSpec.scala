@@ -45,6 +45,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "sim_matryoshka_recall",
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
+    "q67_hll_intersection", // 1-row HLL frame broadcast onto the 1-row exact side (q21's split-agg shape)
     "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",
     "text_mix_temperature",
     // dsir: the 1-row smoothing-constant frame broadcast onto the
