@@ -232,6 +232,88 @@ object TextOps {
       |  CAST(surprisal < 0.85 AS INT) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ PMI collocations
+  /** Pointwise-mutual-information collocations: the top word bigrams by
+    * PMI = ln p(ab) / (p(a)·p(b)) with a minimum-support floor — the
+    * classic measure (Church & Hanks) separating real collocations from
+    * bigrams that co-occur only because both words are frequent; corpus
+    * pipelines use it for tokenizer-merge candidates, phrase mining,
+    * and boilerplate fingerprints where raw frequency ([[topNgrams]])
+    * surfaces stopword pairs. Over OCCURRENCE counts (not the distinct
+    * per-doc sets topNgrams uses): PMI's probabilities are occurrence
+    * probabilities.
+    *
+    * Exactness: PMI decomposes into ±ln of INTEGER counts — lnfp(c_ab)
+    * − lnfp(N_b) − lnfp(c_a) − lnfp(c_b) + 2·lnfp(N_u) on the
+    * [[lmSurprisalOn]] fixed-point grid — so scoring, ranking, and the
+    * emitted values are pure BIGINT arithmetic (the displayed pmi is
+    * the integer divided by 10⁶). Support floor c_ab ≥ 5 kills the
+    * singleton-pair PMI spike (two hapaxes co-occurring once score the
+    * corpus maximum — the known PMI pathology).
+    *
+    * Scale shape: two partial+final counts (bigram occurrences, unigram
+    * occurrences), a 1-row totals frame broadcast, the unigram table
+    * joined twice by word key, distributed top-k. Nothing shuffles but
+    * gram keys and counts.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsOn(docs(spark, dir), minCount = 5, topK = 20)
+
+  def pmiCollocationsOn(documents: DataFrame, minCount: Long,
+      topK: Int): DataFrame = {
+    val lnfp = (x: String) => s"cast(round(ln($x) * 1000000.0d) as bigint)"
+    // bigram occurrences extract PER ROW (no token-stream self-join —
+    // the round-2 lesson: the first exchange is the gram count)
+    val d = documents.withColumn("w", split(col("text"), " "))
+    val uni = d.select(explode(col("w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cw"))
+    val nu = uni.agg(sum(col("cw")).as("n_u"))
+    val big = d.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) as wa, element_at(w, i + 1) as wb))"))
+        .as("bg"))
+      .select(col("bg.wa").as("wa"), col("bg.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val nb = big.agg(sum(col("cab")).as("n_b"))
+    big
+      .join(uni.select(col("wd").as("wa"), col("cw").as("ca")), "wa")
+      .join(uni.select(col("wd").as("wb"), col("cw").as("cb")), "wb")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi_fp", expr(
+        s"${lnfp("cab")} - ${lnfp("n_b")} - ${lnfp("ca")} - ${lnfp("cb")}" +
+          s" + 2L * ${lnfp("n_u")}"))
+      .select(concat_ws(" ", col("wa"), col("wb")).as("ngram"),
+        col("cab"),
+        round(col("pmi_fp").cast("double") / 1000000.0d, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("ngram"))
+      .limit(topK)
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(t.i AS INT) AS p, w[i] AS wd
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w))) AS t(i)),
+      |uni AS (SELECT wd, COUNT(*) AS cw FROM toks GROUP BY wd),
+      |nu AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_u FROM uni),
+      |big AS (SELECT a.wd AS wa, b.wd AS wb, COUNT(*) AS cab
+      |        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS n_b FROM big),
+      |sc AS (
+      |  SELECT big.wa, big.wb, big.cab,
+      |    CAST(round(ln(big.cab) * 1000000.0) AS BIGINT)
+      |    - CAST(round(ln(nb.n_b) * 1000000.0) AS BIGINT)
+      |    - CAST(round(ln(x.cw) * 1000000.0) AS BIGINT)
+      |    - CAST(round(ln(y.cw) * 1000000.0) AS BIGINT)
+      |    + 2 * CAST(round(ln(nu.n_u) * 1000000.0) AS BIGINT) AS pmi_fp
+      |  FROM big JOIN uni x ON big.wa = x.wd JOIN uni y ON big.wb = y.wd
+      |  CROSS JOIN nu CROSS JOIN nb)
+      |SELECT wa || ' ' || wb AS ngram, cab,
+      |  round(CAST(pmi_fp AS DOUBLE) / 1000000.0, 6) AS pmi
+      |FROM sc ORDER BY pmi DESC, ngram LIMIT 20""".stripMargin
+
   // ------------------------------------------------ CCNet terciles
   /** CCNet's perplexity bucketing (Wenzek et al.): rank the corpus by LM
     * surprisal and split into head / middle / tail terciles — the
@@ -1204,6 +1286,7 @@ object TextOps {
     "text_dsir_sample" -> (dsirSample _),
     "text_winnow_pairs" -> (winnowPairs _),
     "text_ccnet_terciles" -> (ccnetTerciles _),
+    "text_pmi_collocations" -> (pmiCollocations _),
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
@@ -1228,6 +1311,7 @@ object TextOps {
     "text_dsir_sample" -> dsirSampleSql,
     "text_winnow_pairs" -> winnowPairsSql,
     "text_ccnet_terciles" -> ccnetTercilesSql,
+    "text_pmi_collocations" -> pmiCollocationsSql,
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,
