@@ -406,6 +406,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < total)
   }
 
+  test("streaming cell assignment == batch kmeans step on the same corpus (frozen centroids)") {
+    import graft.streaming.CellAssignIngest
+    val embDir = java.nio.file.Files.createTempDirectory("graft_cell_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cell_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cell_ck").toString
+    spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .repartition(3)
+      .write.mode("overwrite").parquet(embDir)
+    CellAssignIngest.start(spark, embDir, embDir, outDir, ckpt)
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("vec_id", "cell", "dist_fp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // batch twin: kmeansStep's (new_label, dist_fp) against the same
+    // label-mean centroids — the window argmin and the struct array_min
+    // must agree row for row, ties included
+    val batch = graft.ext.Similarity.kmeansStep(spark, sf())
+      .select("vec_id", "new_label", "dist_fp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming LM surprisal filter == batch keep set on the same corpus (frozen model)") {
     import graft.streaming.SurprisalFilter
     val docsDir = java.nio.file.Files.createTempDirectory("graft_lm_in").toString
