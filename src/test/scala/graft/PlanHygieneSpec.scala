@@ -51,8 +51,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // dsir: the 1-row smoothing-constant frame broadcast onto the
     // per-doc sums (same shape as text_tfidf's corpus count);
     // ccnet terciles: the 1-row corpus-count frame broadcast onto the
-    // ranked docs for the rank→tercile arithmetic
-    "text_dsir_sample", "text_ccnet_terciles")
+    // ranked docs for the rank→tercile arithmetic;
+    // pmi: the 1-row unigram/bigram total frames broadcast for the
+    // probability denominators
+    "text_dsir_sample", "text_ccnet_terciles", "text_pmi_collocations")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
