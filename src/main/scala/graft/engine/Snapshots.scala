@@ -740,8 +740,13 @@ object Snapshots {
     // the table root itself)
     val referenced = keep.flatMap(entriesAt(spark, dir, _)).map(_.path)
       .filter(_.nonEmpty).toSet
+    // FOREIGN (absolute) entries are a shallow clone's references into
+    // its parent table — never this table's to reclaim, whatever version
+    // they appear in: dropped along with their manifest, excluded from
+    // both the delete pass and the freed-list the caller sees
     val dead = drop.flatMap(entriesAt(spark, dir, _)).map(_.path).distinct
       .filter(_.nonEmpty).filterNot(referenced)
+      .filterNot(p => p.startsWith("/") || p.contains("://"))
     dead.foreach(b => f.delete(new Path(s"$dir/$b"), true))
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     // orphan sweep: staged dirs referenced by NO surviving manifest (the

@@ -493,6 +493,22 @@ class SnapshotsSpec extends SparkSpecBase {
     }
   }
 
+  test("vacuum on a clone never reclaims (or reports) parent files") {
+    val src = freshTable("clone_vac_src")
+    val dst = freshTable("clone_vac_dst")
+    Snapshots.commit(df(1 to 10), src, append = false)
+    Snapshots.cloneTable(spark, src, dst)
+    // diverge: a replace makes the clone's v0 (parent refs) droppable
+    Snapshots.commit(df(100 to 104), dst, append = false)
+    val freed = Snapshots.vacuum(spark, dst, keepFrom = 1, orphanGraceMs = 0)
+    // the fork manifest is gone, the parent's batch is NOT in the freed
+    // list and still exists on disk — the parent table reads untouched
+    assert(freed.forall(!_.startsWith("/")), s"foreign path reported freed: $freed")
+    assert(Snapshots.read(spark, src).count() == 10)
+    assert(Snapshots.read(spark, dst).count() == 5)
+    assert(Snapshots.versions(spark, dst) == Seq(1))
+  }
+
   test("tags: immutable named pins resolve through replaces") {
     val t = freshTable("tags")
     Snapshots.commit(df(1 to 10), t, append = false)
