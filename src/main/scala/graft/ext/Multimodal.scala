@@ -199,6 +199,86 @@ object Multimodal {
     * (a chunk shared by everything — zero padding — needs the df-cap
     * mitigation documented there).
     */
+  // --------------------------------------- byte-histogram similarity
+  /** Byte-histogram content similarity: each payload reduces to its
+    * 256-bin byte-value histogram (the native `byte_histogram`
+    * expression — one pass over raw bytes in the scan, no per-byte
+    * explode), and media are compared by cosine over the histograms —
+    * the cheap codec-free similarity signal (format/content fingerprint:
+    * re-encoded copies, palette-shifted variants, and truncations keep
+    * near-identical byte distributions even when chunk hashes all
+    * change). The graded form is top-k neighbors for a broadcast query
+    * set — the [[graft.ext.Similarity.cosineTopK]] shape with a
+    * 256-long histogram standing in for the embedding; the scale path
+    * is the same banded-LSH construction the embedding family uses,
+    * applied to the histogram vector.
+    *
+    * Exactness: histograms are exact integer counts; the cosine is the
+    * same left-to-right double fold both engines run (list_zip /
+    * zip_with aggregate), so results hash-match without tolerance.
+    */
+  def mediaHistTopK(spark: SparkSession, dir: String): DataFrame =
+    mediaHistTopKOn(docsAsMedia(spark, dir).toDF(), nQueries = 10, k = 5)
+
+  def mediaHistTopKOn(media: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(media.sparkSession)
+    import org.apache.spark.sql.expressions.{Window => W}
+    val h = media.select(col("media_id"),
+      expr("byte_histogram(payload)").as("hist"))
+    val q = h.filter(col("media_id") < nQueries)
+      .select(col("media_id").as("qid"), col("hist").as("qh"))
+    val c = h.select(col("media_id").as("cid"), col("hist").as("ch"))
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    val w = W.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", expr(
+        s"${dot("qh", "ch")} / (sqrt(${dot("qh", "qh")}) * sqrt(${dot("ch", "ch")}))"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid").as("media_id"), col("cid").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("media_id"), col("neighbor_id"))
+  }
+
+  /** DuckDB twin of [[mediaHistTopKOn]]: histograms rebuilt by counting
+    * byte pairs in the blob's hex dump, zero-filled over the full 0..255
+    * domain (list ordered by byte value — matching the native
+    * expression's index order), then the same double-fold cosine.
+    */
+  def mediaHistTopKSqlFor(nQueries: Int, k: Int): String = {
+    val dot = (a: String, b: String) =>
+      s"""list_aggregate(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+       |    hex(encode(text)) AS h
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |bytes AS (
+       |  SELECT media_id,
+       |    CAST((strpos('0123456789ABCDEF', substr(h, 2 * t.i + 1, 1)) - 1) * 16
+       |       + (strpos('0123456789ABCDEF', substr(h, 2 * t.i + 2, 1)) - 1) AS INT) AS bv
+       |  FROM b, UNNEST(generate_series(0, n - 1)) AS t(i)),
+       |cnt AS (SELECT media_id, bv, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT m.media_id, g.bv, COALESCE(cnt.c, 0) AS c
+       |  FROM (SELECT DISTINCT media_id FROM b) m
+       |  CROSS JOIN (SELECT CAST(t.v AS INT) AS bv
+       |              FROM UNNEST(generate_series(0, 255)) AS t(v)) g
+       |  LEFT JOIN cnt ON cnt.media_id = m.media_id AND cnt.bv = g.bv),
+       |hist AS (SELECT media_id, list(CAST(c AS BIGINT) ORDER BY bv) AS hist
+       |         FROM grid GROUP BY media_id),
+       |sc AS (
+       |  SELECT a.media_id AS qid, c.media_id AS cid,
+       |    ${dot("a.hist", "c.hist")}
+       |    / (sqrt(${dot("a.hist", "a.hist")}) * sqrt(${dot("c.hist", "c.hist")})) AS cos
+       |  FROM hist a JOIN hist c
+       |    ON a.media_id < $nQueries AND c.media_id <> a.media_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM sc)
+       |SELECT qid AS media_id, cid AS neighbor_id, round(cos, 6) AS cos_sim
+       |FROM rk WHERE rn <= $k ORDER BY media_id, neighbor_id""".stripMargin
+  }
+
   def mediaChunkDedup(spark: SparkSession, dir: String): DataFrame =
     mediaChunkDedupOn(docsAsMedia(spark, dir).toDF(), chunkBytes = 64, tau = 0.5)
 
@@ -383,7 +463,8 @@ object Multimodal {
     "multimodal_frames" -> (mediaFrames _),
     "multimodal_header_probe" -> (mediaHeaderProbe _),
     "multimodal_chunk_dedup" -> (mediaChunkDedup _),
-    "multimodal_cdc_dedup" -> (mediaCdcDedup _))
+    "multimodal_cdc_dedup" -> (mediaCdcDedup _),
+    "multimodal_hist_topk" -> (mediaHistTopK _))
 
   /** DuckDB twin of `mediaFeatures`: the payload is the utf-8 encoding of
     * `text`, so the byte checksum is recomputed from the blob's hex dump
@@ -410,5 +491,6 @@ object Multimodal {
     "multimodal_frames" -> mediaFramesSql,
     "multimodal_header_probe" -> mediaHeaderProbeSql,
     "multimodal_chunk_dedup" -> mediaChunkDedupSqlFor(chunkBytes = 64, tau = 0.5),
-    "multimodal_cdc_dedup" -> mediaCdcDedupSqlFor(mask = 64, tau = 0.5))
+    "multimodal_cdc_dedup" -> mediaCdcDedupSqlFor(mask = 64, tau = 0.5),
+    "multimodal_hist_topk" -> mediaHistTopKSqlFor(nQueries = 10, k = 5))
 }

@@ -78,3 +78,41 @@ case class CdcBounds(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CdcBounds =
     copy(left = newLeft, right = newRight)
 }
+
+/** byte_histogram(payload): the 256-bin byte-value histogram of a binary
+  * column as array<bigint> — the codec-free content signature under
+  * [[graft.ext.Multimodal]]'s histogram similarity: one tight pass over
+  * the raw bytes per row, no per-byte explode (the token-stream lesson
+  * applied to payloads — at 100 TB the bytes never leave the scan).
+  */
+object ByteHistUtil {
+  def histogram(payload: Array[Byte]): ArrayData = {
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < payload.length) {
+      h(payload(i) & 0xff) += 1L
+      i += 1
+    }
+    new GenericArrayData(h)
+  }
+}
+
+case class ByteHistogram(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte_histogram expects binary, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(payload: Any): Any =
+    ByteHistUtil.histogram(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.ByteHistUtil.histogram($p)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+}

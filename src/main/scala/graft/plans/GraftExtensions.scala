@@ -93,7 +93,11 @@ object GraftExtensions {
     (FunctionIdentifier("cdc_bounds"),
       info("cdc_bounds",
         "cdc_bounds(payload, mask) - content-defined chunk fence posts [0, boundaries..., length]"),
-      (es: Seq[Expression]) => graft.functions.CdcBounds(es(0), es(1))))
+      (es: Seq[Expression]) => graft.functions.CdcBounds(es(0), es(1))),
+    (FunctionIdentifier("byte_histogram"),
+      info("byte_histogram",
+        "byte_histogram(payload) - 256-bin byte-value histogram of a binary column"),
+      (es: Seq[Expression]) => graft.functions.ByteHistogram(es(0))))
 
   // sessions already registered — operators call register() defensively
   // on every invocation, and re-registering logs one WARN per function

@@ -161,6 +161,23 @@ class ExtSpec extends SparkSpecBase {
     assert(snm.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("byte-histogram similarity: exact copy at 1.0, permutation-invariant, junk low") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog" * 4
+    val media = Seq(
+      (0L, base),
+      (10L, base),                      // exact copy → cos 1.0
+      (11L, base.reverse),              // same byte multiset → cos 1.0 (histogram invariant)
+      (12L, "" * 40)) // disjoint byte values
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    val r = graft.ext.Multimodal.mediaHistTopKOn(media, nQueries = 1, k = 3)
+      .collect().map(x => (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(10L) == 1.0 && r(11L) == 1.0, s"copies not at 1.0: $r")
+    assert(r(12L) < 0.1, s"disjoint bytes not near 0: $r")
+  }
+
   test("keep-best: exactly one keeper per cluster, chosen by quality not id") {
     val d = graft.engine.Tables.load(spark, sf(), "documents")
     val r = Dedup.keepBestOn(d)

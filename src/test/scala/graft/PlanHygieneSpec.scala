@@ -54,7 +54,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // ranked docs for the rank→tercile arithmetic;
     // pmi: the 1-row unigram/bigram total frames broadcast for the
     // probability denominators
-    "text_dsir_sample", "text_ccnet_terciles", "text_pmi_collocations")
+    "text_dsir_sample", "text_ccnet_terciles", "text_pmi_collocations",
+    // hist topk: the 10-query histogram side broadcast with the
+    // non-equi qid != cid condition (cosineTopK's shape)
+    "multimodal_hist_topk")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
