@@ -141,7 +141,8 @@ object Snapshots {
   private def isKindLine(line: String): Boolean = line.startsWith("K\t")
 
   /** Commit kind recorded in version `v`'s manifest (`K <kind>` line):
-    * append / replace / delete / optimize / compact. None on manifests
+    * append / replace / delete / optimize / compact / restore / clone.
+    * None on manifests
     * written before kind marking — treated as append (the conservative
     * reading: rebasing across an append is always sound for equality
     * deletes). The marker is what lets an in-flight writer arbitrate a
@@ -339,7 +340,9 @@ object Snapshots {
       prev => s"K\tdelete" +: (prev.filterNot(isKindLine) :+ s"D\t$rel\t$keyCol"),
       validateRebase = { latest =>
         ((vEntry + 1) to latest).foreach { w =>
-          if (kindAt(spark, dir, w).contains("replace")) {
+          // a RESTORE is a replace for arbitration purposes: the rows
+          // this delete targeted may have been rewound away
+          if (kindAt(spark, dir, w).exists(Set("replace", "restore"))) {
             f.delete(new Path(s"$dir/$rel"), true) // staged keys are garbage
             throw new IllegalStateException(
               s"table at $dir was replaced (v$w) while the delete was in " +
@@ -471,6 +474,48 @@ object Snapshots {
     val ok = publishIfAbsent(fs(spark, dir), dir, vNew, nonce,
       "K\toptimize" +: line +: carried)
     require(ok, s"concurrent commit during optimize at $dir — rerun optimize")
+    vNew
+  }
+
+  /** RESTORE — rewind the table's CURRENT state to an earlier version as
+    * a NEW commit (Delta's `RESTORE TABLE ... TO VERSION AS OF`): the new
+    * manifest re-references version `version`'s batch entries AND its
+    * pending delete lines verbatim, so the visible state equals a
+    * time-travel read of that version — metadata only, zero data copied
+    * or deleted, history intact (the pre-restore latest is still
+    * readable, and [[diff]] across the restore shows exactly the rows it
+    * rewound). The undo primitive for a bad replace/merge on a 100 TB
+    * table: cost is one manifest write, not a rewrite.
+    *
+    * Kind-marked `restore` and treated like a REPLACE by rebase
+    * arbitration ([[deleteRows]] aborts across it): rows present in the
+    * pre-restore latest may no longer exist afterwards. Stream-txn marks
+    * carry from the CURRENT latest, not the restore target — the replay
+    * ledger must never rewind, or a restarted stream would double-commit
+    * micro-batches the restored-away versions had recorded.
+    *
+    * Publishes exactly once (no rebase loop, same rule as [[optimize]]):
+    * the restored entry list is derived from the version read at entry,
+    * and rebasing onto a concurrent commit would silently discard it — a
+    * lost race fails loudly and the caller re-runs against the new state.
+    */
+  def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(version), s"no version $version at $dir")
+    val vLatest = vs.last
+    if (version == vLatest) return vLatest
+    val target = entriesAt(spark, dir, version).collect {
+      case b: BatchEntry => render(b)
+      case d: DeleteEntry => render(d)
+    }
+    val txns = entriesAt(spark, dir, vLatest).collect {
+      case t: TxnEntry => render(t)
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val vNew = vLatest + 1
+    val ok = publishIfAbsent(fs(spark, dir), dir, vNew, nonce,
+      s"K\trestore" +: (target ++ txns))
+    require(ok, s"concurrent commit during restore at $dir — rerun restore")
     vNew
   }
 

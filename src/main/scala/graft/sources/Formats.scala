@@ -384,6 +384,58 @@ object Formats {
       |  MIN(o_orderkey), MAX(o_orderkey) FROM v2
       |ORDER BY version""".stripMargin
 
+  // ----------------------------------------------------------- restore
+  /** RESTORE lifecycle ([[graft.engine.Snapshots.restore]]), graded end
+    * to end: the shared v0/v1/v2 orders lifecycle ends in a replace (v2 =
+    * v1 minus every 5th key — the "bad replace" to undo); v3 RESTOREs to
+    * v1 as a metadata-only commit; v4 appends on top of the restored
+    * state (keys ≡ 2 mod 3). Three summarized states prove the contract:
+    * `restored` (v3 ≡ v1 — the rewind re-references v1's batches,
+    * nothing copied), `after_append` (v4 = v1 ∪ the new keys — the table
+    * lives on from the restored state), and `pre_restore` (v2 read back
+    * unchanged — restore adds history, never rewrites it). The oracle
+    * recomputes all three from key-residue algebra.
+    */
+  def restoreVersion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snaprestore_orders", dir))
+    ordersV012(spark, dir, table)
+    Snapshots.restore(spark, table, 1)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 2), table, append = true)
+    def summary(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .select(lit(label).as("state"), col("n_rows"), col("sum_price"),
+          col("min_key"), col("max_key"))
+    summary("after_append", Snapshots.read(spark, table, 4))
+      .unionByName(summary("pre_restore", Snapshots.read(spark, table, 2)))
+      .unionByName(summary("restored", Snapshots.read(spark, table, 3)))
+      .orderBy(col("state"))
+  }
+
+  val restoreVersionSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 IN (0, 1)),
+      |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 5 <> 0),
+      |v4 AS (SELECT * FROM v1 UNION ALL SELECT * FROM o WHERE o_orderkey % 3 = 2),
+      |s AS (
+      |  SELECT 'after_append' AS state, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM v4
+      |  UNION ALL
+      |  SELECT 'pre_restore', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |    MIN(o_orderkey), MAX(o_orderkey) FROM v2
+      |  UNION ALL
+      |  SELECT 'restored', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |    MIN(o_orderkey), MAX(o_orderkey) FROM v1)
+      |SELECT * FROM s ORDER BY state""".stripMargin
+
   // ------------------------------------------------- row-level deletes
   /** Row-level deletes via deletion files ([[graft.engine.Snapshots
     * .deleteRows]]): v0 loads orders, v1 is a METADATA-ONLY delete of
@@ -560,6 +612,7 @@ object Formats {
     "fmt_manifest_prune" -> (manifestPrune _),
     "fmt_version_diff" -> (versionDiff _),
     "fmt_time_travel" -> (timeTravel _),
+    "fmt_restore" -> (restoreVersion _),
     "fmt_shallow_clone" -> (shallowClone _),
     "fmt_compaction" -> (compaction _),
     "fmt_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -574,6 +627,7 @@ object Formats {
     "fmt_manifest_prune" -> manifestPruneSql,
     "fmt_version_diff" -> versionDiffSql,
     "fmt_time_travel" -> timeTravelSql,
+    "fmt_restore" -> restoreVersionSql,
     "fmt_shallow_clone" -> shallowCloneSql,
     "fmt_compaction" -> compactionSql,
     "fmt_jsonl_roundtrip" -> jsonlRoundtripSql,

@@ -525,4 +525,66 @@ class SnapshotsSpec extends SparkSpecBase {
     // invalid names rejected before touching the filesystem
     intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "../evil") }
   }
+
+  test("restore rewinds state as a new commit; history intact; deletes re-apply") {
+    import spark.implicits._
+    val t = freshTable("restore")
+    Snapshots.commit(df(1 to 10), t, append = false)           // v0
+    Snapshots.deleteRows(Seq(3L, 4L).toDF("id"), t, "id")      // v1: 1..10 minus {3,4}
+    Snapshots.commit(df(100 to 102), t, append = false)        // v2: the "bad replace"
+    assert(Snapshots.restore(spark, t, 1) == 3)
+    // restored state == v1 exactly, INCLUDING the pending delete line
+    assert(Snapshots.read(spark, t).select("id").as[Long].collect().toSet
+      == ((1L to 10L).toSet -- Set(3L, 4L)))
+    // history intact: the replaced-away v2 still time-travels
+    assert(Snapshots.read(spark, t, 2).select("id").as[Long].collect().toSet
+      == (100L to 102L).toSet)
+    // life goes on from the restored state
+    Snapshots.commit(df(50 to 51), t, append = true)           // v4
+    assert(Snapshots.read(spark, t).count() == 10)             // 8 + 2
+    // restoring to the current latest is a no-op (no empty commit)
+    assert(Snapshots.restore(spark, t, 4) == 4)
+    assert(Snapshots.versions(spark, t) == Seq(0, 1, 2, 3, 4))
+    // diff across the restore shows exactly the rewound rows
+    val d = Snapshots.diff(spark, t, 2, 3).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(d == ((1L to 10L).toSet -- Set(3L, 4L)).map(("insert", _)) ++
+      (100L to 102L).map(("delete", _)))
+  }
+
+  test("restore carries the txn ledger from the latest, not the target") {
+    import spark.implicits._
+    val t = freshTable("restore_txn")
+    Snapshots.commit(df(1 to 5), t, append = false)                    // v0 (no txn)
+    assert(Snapshots.commitWithTxn(df(6 to 8), t, "s1", 7L).contains(1))
+    Snapshots.restore(spark, t, 0)                                     // v2
+    // the ledger did NOT rewind: batch 7 is still covered after restore
+    assert(Snapshots.lastTxn(spark, t, "s1").contains(7L))
+    assert(Snapshots.commitWithTxn(df(9 to 9), t, "s1", 7L).isEmpty)
+    // data DID rewind
+    assert(Snapshots.read(spark, t).select("id").as[Long].collect().toSet
+      == (1L to 5L).toSet)
+  }
+
+  test("deleteRows racing a restore aborts loudly like a replace") {
+    import spark.implicits._
+    val t = freshTable("race_del_restore")
+    Snapshots.commit(df(1 to 10), t, append = false)
+    Snapshots.commit(df(100 to 105), t, append = true)
+    val e = intercept[IllegalStateException] {
+      Snapshots.deleteRows(Seq(100L).toDF("id"), t, "id",
+        beforePublish = () => Snapshots.restore(spark, t, 0))
+    }
+    assert(e.getMessage.contains("replaced"), e.getMessage)
+    // the restore's state is intact — no delete line landed
+    assert(Snapshots.read(spark, t).select("id").as[Long].collect().toSet
+      == (1L to 10L).toSet)
+  }
+
+  test("restore rejects unknown versions") {
+    val t = freshTable("restore_bad")
+    Snapshots.commit(df(1 to 3), t, append = false)
+    intercept[IllegalArgumentException] { Snapshots.restore(spark, t, 9) }
+    assert(Snapshots.versions(spark, t) == Seq(0))
+  }
 }
