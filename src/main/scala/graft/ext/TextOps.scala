@@ -872,6 +872,133 @@ object TextOps {
       |SELECT source, weight, CAST(rk AS BIGINT) AS rk, doc_id
       |FROM r WHERE rk <= ceil(weight * n_src) ORDER BY source, rk""".stripMargin
 
+  // ---------------------------- hashed-feature linear classifier
+  /** Hashed-feature linear classifier — the fastText trick that makes
+    * model-based filtering vocabulary-free: each distinct word BIGRAM
+    * hashes into one of 2¹⁶ weight buckets (roll_hash31 mod 65536), and
+    * the document's logit is the sum of its buckets' weights. Memory is
+    * the fixed bucket table, never the open corpus vocabulary — the
+    * property that holds at 100 TB where a vocab-keyed join would
+    * shuffle the token stream. The weight vector here is a frozen
+    * pseudo-random stand-in (w(b) = mix64(b) mod 8 − 4 ∈ [−4, 3]); a
+    * trained model ships as the same 64 K numbers and slots into the
+    * same expression. Everything is computed scan-side per row
+    * (word_ngrams → hash → bucket → weight-sum in one projection, all
+    * integer): zero shuffles except the presentation sort, and the
+    * decision is per-row deterministic, so the operator lifts into an
+    * ingest stream unchanged. The oracle replays roll_hash31 over each
+    * gram's characters and the splitmix64 weight chain in full.
+    *
+    * Sibling of [[qualityScore]] (dense interpretable features): this is
+    * the sparse-feature half of the production quality stack, where the
+    * feature space is the n-gram text itself.
+    */
+  def classifierHashed(spark: SparkSession, dir: String): DataFrame =
+    classifierHashedOn(docs(spark, dir))
+
+  def classifierHashedOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    documents
+      .withColumn("grams", expr("word_ngrams(text, 2)"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_feat"),
+        expr("aggregate(grams, 0L, (a, g) -> " +
+          "a + pmod(mix64(pmod(roll_hash31(g), 65536)), 8) - 4)").as("logit"))
+      .withColumn("keep", when(col("logit") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  val classifierHashedSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS gram
+      |      FROM d, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+      |      WHERE len(w) >= 2),
+      |b AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split_regex(gram, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) % 65536 AS bkt
+      |  FROM g),
+      |wt AS (SELECT doc_id,
+      |    (CAST(bkt AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(z3 % 8 AS BIGINT) - 4 AS w8
+      |  FROM b),
+      |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+      |        CAST(SUM(w8) AS BIGINT) AS logit
+      |      FROM wt GROUP BY 1)
+      |SELECT doc_id, n_feat, logit,
+      |  CASE WHEN logit > 0 THEN 1 ELSE 0 END AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- deterministic shard shuffle
+  /** Training-order shuffle: every document gets a pseudo-random SHARD
+    * (splitmix64 of doc_id mod 8) and a pseudo-random POSITION within
+    * its shard (rank of an independently-salted second hash) — the
+    * deterministic global permutation a pretraining run materializes
+    * before packing sequences into batches. Hash-assignment means the
+    * shards are size-balanced w.h.p. with no coordination, and the
+    * permutation is a pure function of the ids: any worker, any restart,
+    * any cluster size reproduces it, and (shard, pos) is a stable
+    * resume address for a training checkpoint.
+    *
+    * Scale shape: no global sort exists anywhere — shard assignment is a
+    * scan-side projection, and each shard orders independently (the
+    * window partitions by shard), which at 100 TB is
+    * `repartition(nShards, shard).sortWithinPartitions(okey)` writing
+    * one file per shard: linear scan + per-shard sort, parallelism =
+    * shard count. The within-shard rank key keeps 40 bits of the hash
+    * (power-of-two modulus, so Spark's signed pmod and the oracle's
+    * unsigned remainder agree), tie-broken by doc_id.
+    */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    shardShuffleOn(docs(spark, dir), nShards = 8)
+
+  def shardShuffleOn(documents: DataFrame, nShards: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("okey"), col("doc_id"))
+    documents
+      .select(
+        col("doc_id"),
+        expr(s"pmod(mix64(doc_id), $nShards)").as("shard"),
+        expr("pmod(mix64(doc_id + 999983), 1099511627776)").as("okey"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shardShuffleSql: String =
+    """WITH ha AS (
+      |  SELECT doc_id,
+      |    (CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(z3 % 8 AS BIGINT) AS shard
+      |  FROM documents),
+      |hb AS (
+      |  SELECT doc_id,
+      |    (CAST(doc_id AS HUGEINT) + 999983 + 11400714819323198485) % 18446744073709551616 AS z0,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(z3 % 1099511627776 AS BIGINT) AS okey
+      |  FROM documents)
+      |SELECT a.shard,
+      |  CAST(row_number() OVER (PARTITION BY a.shard ORDER BY b.okey, a.doc_id) AS BIGINT) AS pos,
+      |  a.doc_id
+      |FROM ha a JOIN hb b USING (doc_id)
+      |ORDER BY shard, pos""".stripMargin
+
   // ------------------------------------------------------ quality filter
   /** Composite C4-style cleaning pass: length bounds, stopword-ratio
     * floor, type-token-ratio floor (kills degenerate repetition), and
@@ -1282,6 +1409,8 @@ object TextOps {
     "text_sample_per_group" -> (samplePerGroup _),
     "text_quality_filter" -> (qualityFilter _),
     "text_quality_score" -> (qualityScore _),
+    "text_classifier_hashed" -> (classifierHashed _),
+    "text_shard_shuffle" -> (shardShuffle _),
     "text_lm_surprisal" -> (lmSurprisal _),
     "text_dsir_sample" -> (dsirSample _),
     "text_winnow_pairs" -> (winnowPairs _),
@@ -1307,6 +1436,8 @@ object TextOps {
     "text_sample_per_group" -> samplePerGroupSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_quality_score" -> qualityScoreSql,
+    "text_classifier_hashed" -> classifierHashedSql,
+    "text_shard_shuffle" -> shardShuffleSql,
     "text_lm_surprisal" -> lmSurprisalSql,
     "text_dsir_sample" -> dsirSampleSql,
     "text_winnow_pairs" -> winnowPairsSql,

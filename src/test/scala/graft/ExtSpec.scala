@@ -358,6 +358,49 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("hashed classifier: logit equals the explicit explode-and-sum, dups tie") {
+    val r = TextOps.classifierHashedOn(tinyDocs())
+    val rows = r.collect().map(x =>
+      x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getInt(3))).toMap
+    assert(rows.size == 5)
+    // exact duplicate docs get the identical feature bag and logit
+    assert(rows(0L) == rows(1L))
+    // keep is exactly the sign of the logit
+    rows.values.foreach { case (_, logit, keep) =>
+      assert(keep == (if (logit > 0) 1 else 0)) }
+    // the scan-side HOF fold agrees with an explicit explode + groupBy
+    // recomputation of the same hashed weights (different plan, same math)
+    graft.plans.GraftExtensions.register(spark)
+    val explicit = tinyDocs()
+      .select(col("doc_id"), explode(expr("word_ngrams(text, 2)")).as("g"))
+      .withColumn("w8", expr("pmod(mix64(pmod(roll_hash31(g), 65536)), 8) - 4"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_feat"), sum(col("w8")).as("logit"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    rows.foreach { case (id, (nFeat, logit, _)) =>
+      assert(explicit(id) == ((nFeat, logit)), s"doc $id") }
+  }
+
+  test("shard shuffle: a balanced deterministic permutation, layout-independent") {
+    val docs = graft.engine.Tables.load(spark, sf(), "documents")
+    val n = docs.count()
+    val out = TextOps.shardShuffleOn(docs, nShards = 8).collect()
+    assert(out.length == n)
+    // every doc exactly once; (shard, pos) is a unique address
+    assert(out.map(_.getLong(2)).distinct.length == n)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length == n)
+    // positions are contiguous 1..size within each shard, all shards in use
+    val byShard = out.groupBy(_.getLong(0))
+    assert(byShard.keySet == (0L to 7L).toSet)
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq, s"shard $s") }
+    // hash balance: no shard more than 2x the ideal share
+    assert(byShard.values.map(_.length).max <= 2 * (n / 8).toInt)
+    // input partitioning must not change the permutation
+    val re = TextOps.shardShuffleOn(docs.repartition(13), nShards = 8).collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("cosine near-dup (banded LSH + exact verify) is nonempty and precise (ADVICE r1)") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     val got = Similarity.cosineNearDupOn(e, tau = 0.4, nBands = 16, bandBits = 4).collect()
