@@ -134,12 +134,16 @@ object Events {
   def invalidateSchemaCache(filesDir: String): Unit =
     schemaCache.keySet.removeIf(_._2 == filesDir)
 
-  private def eventStream(spark: SparkSession, filesDir: String): DataFrame = {
+  private def eventStream(spark: SparkSession, filesDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = schemaCache.computeIfAbsent(
       (spark.sparkContext.applicationId, filesDir),
       key => spark.read.parquet(key._2).schema) // schema probe (one footer fetch)
-    Tables.normalizeTs(spark.readStream.schema(schema).parquet(filesDir))
+    val reader = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n))
+    Tables.normalizeTs(withOpt.parquet(filesDir))
   }
 
   /** Streaming half of the drift monitor: the (day, event_type) counts
@@ -329,6 +333,91 @@ object Events {
           }
           state.update(MomentState(n, s1, s2))
           UserMoments(uid, n, s1.doubleValue, s2.doubleValue)
+      }
+      .toDF()
+  }
+
+  case class CusumIn(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+  case class CusumState(i: Long, cs: java.math.BigDecimal, runmin: Double)
+  case class CusumHit(user_id: Long, event_id: Long, cusum: Double)
+
+  /** The frozen baseline a streaming CUSUM monitors against: per-user
+    * (mean, σ) derived with EXACTLY the batch operator's expressions
+    * (decimal power sums → double mean / sqrt-variance, same floors), so
+    * a stream scored against this recipe reproduces [[cusumDrift]]'s
+    * flags bit-for-bit on the same events. Computed offline on a
+    * baseline window (here: the whole corpus snapshot), broadcast as
+    * |users| small rows — the same planning-pass-then-apply split as
+    * [[graft.ext.TextOps.mixThresholds]].
+    */
+  def cusumBaseline(events: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 6)))
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dec(col("value")).cast("double").as("s1"),
+        dec(col("value") * col("value")).cast("double").as("s2"))
+      .withColumn("varr",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .filter(col("n") >= 20 && col("varr") > 0)
+      .select(col("user_id"), (col("s1") / col("n")).as("mean"),
+        sqrt(col("varr")).as("sd"))
+  }
+
+  /** Streaming twin of [[cusumDrift]]: the closed-form recursion's state
+    * is (event count, exact-decimal running sum, running min of the
+    * drift) — three numbers per user in flatMapGroupsWithState — scored
+    * against a FROZEN per-user baseline ([[cusumBaseline]], the online
+    * monitoring deployment: the baseline comes from a reference window,
+    * the stream is live traffic). Each flagged event is emitted exactly
+    * once, in the micro-batch that processes it — continuous changepoint
+    * alerting with O(1) state per user.
+    *
+    * Order contract: CUSUM is order-sensitive by definition. Within a
+    * micro-batch the group's events are re-sorted by the total
+    * (ts, event_id) key; ACROSS batches the source must deliver each
+    * user's events in that order (true of time-partitioned ingest
+    * files — the spec drives it with ordered files and
+    * maxFilesPerTrigger = 1). The decimal state uses the same
+    * cast-replay as [[streamingUserMoments]], so stream ≡ batch is
+    * exact, not approximate (StreamingSpec pins it).
+    */
+  def streamingCusum(spark: SparkSession, filesDir: String,
+      baseline: Map[Long, (Double, Double)],
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val z = java.math.BigDecimal.ZERO.setScale(6)
+    def dec(v: Double) =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    val b = spark.sparkContext.broadcast(baseline)
+    eventStream(spark, filesDir, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[CusumIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (uid, events, state) =>
+          b.value.get(uid) match {
+            case None => Iterator.empty // below-floor / zero-variance user
+            case Some((mean, sd)) =>
+              var st = state.getOption.getOrElse(CusumState(0L, z, Double.MaxValue))
+              val hits = Seq.newBuilder[CusumHit]
+              events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+                val i = st.i + 1
+                val cs = st.cs.add(dec(e.value))
+                val dr = cs.doubleValue - i * (mean + 0.25 * sd)
+                val runmin = math.min(st.runmin, dr)
+                val stat = (dr - math.min(runmin, 0.0)) / sd
+                if (stat > 4.0)
+                  hits += CusumHit(uid, e.event_id, java.math.BigDecimal
+                    .valueOf(stat).setScale(4, java.math.RoundingMode.HALF_UP)
+                    .doubleValue)
+                st = CusumState(i, cs, runmin)
+              }
+              state.update(st)
+              hits.result().iterator
+          }
       }
       .toDF()
   }
@@ -530,6 +619,82 @@ object Events {
       |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------- CUSUM changepoint
+  /** One-sided CUSUM drift detection per user (Page's test): flag the
+    * events where the running positive drift of `value` against the
+    * user's own mean exceeds h·σ. The textbook recursion
+    * S_i = max(0, S_{i−1} + x_i − μ − kσ) is not window-expressible, but
+    * its closed form is: S_i = D_i − min(0, min_{j≤i} D_j) where
+    * D_i = Σ_{t≤i}(x_t − μ − kσ) — a running sum minus its running
+    * minimum, two ROWS-frame windows over ONE per-user sort. That
+    * identity is what makes the operator a single partition-parallel
+    * window pass at any scale (and, because the state per user is two
+    * numbers, the same recursion lifts directly into
+    * mapGroupsWithState for the streaming form). k = 0.25, h = 4.
+    *
+    * Determinism: the cumulative sum accumulates in DECIMAL(38,6)
+    * (exact, order-independent) and is cast to double once per row; the
+    * drift/σ arithmetic is an identical scalar expression tree on both
+    * engines; the (ts, event_id) order key is total. Users with < 20
+    * events or zero variance carry no scale and are excluded.
+    */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 6)))
+    val wa = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wrun = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        count(lit(1)).over(wa).cast("double").as("n"),
+        dec(col("value")).over(wa).cast("double").as("s1"),
+        dec(col("value") * col("value")).over(wa).cast("double").as("s2"),
+        row_number().over(wr).cast("double").as("i"),
+        dec(col("value")).over(wrun).cast("double").as("cs"))
+      .filter(col("n") >= 20)
+      .withColumn("varr", (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .filter(col("varr") > 0)
+      .withColumn("sd", sqrt(col("varr")))
+      .withColumn("dr", col("cs") - col("i") * (col("s1") / col("n") + lit(0.25) * col("sd")))
+      .withColumn("runmin", min(col("dr")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("stat", (col("dr") - least(col("runmin"), lit(0.0))) / col("sd"))
+      .filter(col("stat") > 4.0)
+      .select(col("user_id"), col("event_id"), round(col("stat"), 4).as("cusum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val cusumDriftSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(COUNT(*) OVER wa AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wa AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER wa AS DOUBLE) AS s2,
+      |    CAST(row_number() OVER wr AS DOUBLE) AS i,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wrun AS DOUBLE) AS cs
+      |  FROM events
+      |  WINDOW wa AS (PARTITION BY user_id),
+      |    wr AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |    wrun AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |v AS (
+      |  SELECT *, (s2 - s1 * s1 / n) / (n - 1) AS varr FROM s WHERE n >= 20),
+      |d AS (
+      |  SELECT user_id, event_id, i, sqrt(varr) AS sd,
+      |    cs - i * (s1 / n + 0.25 * sqrt(varr)) AS dr
+      |  FROM v WHERE varr > 0),
+      |m AS (
+      |  SELECT user_id, event_id, sd, dr,
+      |    MIN(dr) OVER (PARTITION BY user_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+      |  FROM d)
+      |SELECT user_id, event_id,
+      |  round((dr - least(runmin, 0)) / sd, 4) AS cusum
+      |FROM m WHERE (dr - least(runmin, 0)) / sd > CAST(4.0 AS DOUBLE)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // -------------------------------------------------- transition matrix
   /** Event-type transition matrix (first-order Markov view of the user
     * journey): for each (from → to) pair of consecutive events within a
@@ -697,6 +862,7 @@ object Events {
     "events_gaps_islands" -> (gapsIslands _),
     "events_transitions" -> (transitions _),
     "events_zscore" -> (zscoreAnomalies _),
+    "events_cusum" -> (cusumDrift _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -708,6 +874,7 @@ object Events {
     "events_gaps_islands" -> gapsIslandsSql,
     "events_transitions" -> transitionsSql,
     "events_zscore" -> zscoreAnomaliesSql,
+    "events_cusum" -> cusumDriftSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,

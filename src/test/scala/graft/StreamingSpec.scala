@@ -670,6 +670,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(landed == expected)
   }
 
+  test("streaming CUSUM == batch flags across ordered micro-batches (frozen baseline)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables.load(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val baseline = Events.cusumBaseline(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(baseline.nonEmpty)
+    // stage 3 CONTIGUOUS ts-ordered slices as separate files (increasing
+    // mtimes) so maxFilesPerTrigger=1 delivers each user's events in
+    // order across three real micro-batches
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = ev.withColumn("rk", row_number().over(w))
+    val n = ev.count().toInt
+    val inDir = java.nio.file.Files.createTempDirectory("graft_cusum_in")
+    (0 until 3).foreach { k =>
+      val lo = k * n / 3 + 1
+      val hi = (k + 1) * n / 3
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cusum_s$k")
+      ranked.filter(col("rk").between(lo, hi)).drop("rk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dst = inDir.resolve(f"slice-$k%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val q = Events.streamingCusum(spark, inDir.toString, baseline,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Events.cusumDrift(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming running moments == batch decimal power sums, bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
