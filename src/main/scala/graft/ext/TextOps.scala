@@ -935,6 +935,131 @@ object TextOps {
       |  CASE WHEN logit > 0 THEN 1 ELSE 0 END AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- BPE vocabulary learning
+  /** Byte-pair-encoding merge learning over the corpus (word-level: the
+    * symbol alphabet starts as whitespace tokens, exactly how a
+    * word-piece vocabulary is grown over a pre-tokenized corpus): each
+    * round counts ADJACENT symbol pairs corpus-wide, promotes the most
+    * frequent pair (ties broken lexicographically) to a new merged
+    * symbol, and rewrites every non-overlapping occurrence left-to-right
+    * — the trainer loop behind every BPE/word-piece tokenizer, run as k
+    * distributed passes.
+    *
+    * The left-to-right greedy rewrite is the part that looks sequential
+    * but is not: within a RUN of consecutive occurrences, greedy keeps
+    * exactly the 1st, 3rd, 5th… occurrence, so "keep" is a parity test
+    * against the run's start, and the run's start is one running max
+    * (last non-occurrence position) — two window passes over the
+    * per-doc sort, fully partition-parallel. Per round the work is one
+    * pair-count aggregation (map-side partial, |vocab|² keys at most)
+    * plus those windows; the argmax is a 1-row aggregate to the driver,
+    * like any ANALYZE scalar. State between rounds is the rewritten
+    * symbol stream, staged and released per round
+    * ([[graft.engine.Materialize]]) so round r+1 never recomputes
+    * round r's windows.
+    *
+    * Output: the merge table (round, pair, its corpus count, and how
+    * many non-overlapping merges actually applied) — graded against a
+    * DuckDB oracle that unrolls the identical rounds as CTEs
+    * ([[bpeLearnSqlFor]]), making the whole training loop cross-engine
+    * exact, the same contract as the fixed-point KMeans
+    * ([[graft.ext.Similarity]]).
+    */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    bpeLearnOn(docs(spark, dir), rounds = 4)
+
+  def bpeLearnOn(documents: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var seq = graft.engine.Materialize.stage(
+      documents.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "sym")))
+        .select(col("doc_id"), (col("p0").cast("long") + 1).as("pos"), col("sym")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val withNext = seq.withColumn("nsym", lead(col("sym"), 1).over(w))
+      val best = withNext.filter(col("nsym").isNotNull)
+        .groupBy(col("sym"), col("nsym")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("sym"), col("nsym"))
+        .limit(1).collect()(0)
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      val flagged = withNext
+        .withColumn("hit", col("nsym").isNotNull &&
+          col("sym") === lit(a) && col("nsym") === lit(b))
+        .withColumn("lastnh", max(when(!col("hit"), col("pos"))).over(wrun))
+        .withColumn("keep", col("hit") &&
+          (col("pos") - coalesce(col("lastnh"), lit(0L)) - 1) % 2 === 0)
+      val applied = flagged.filter(col("keep")).count()
+      val next = graft.engine.Materialize.stage(
+        flagged
+          .withColumn("droprow", lag(col("keep"), 1, false).over(w))
+          .filter(!col("droprow"))
+          .select(col("doc_id"), col("pos").as("opos"),
+            when(col("keep"), lit(s"$a $b")).otherwise(col("sym")).as("sym"))
+          .select(col("doc_id"),
+            row_number().over(Window.partitionBy(col("doc_id"))
+              .orderBy(col("opos"))).cast("long").as("pos"),
+            col("sym")))
+      graft.engine.Materialize.release(seq)
+      seq = next
+      out += ((r, a, b, c, applied))
+    }
+    graft.engine.Materialize.release(seq)
+    import spark.implicits._
+    out.toSeq.toDF("round", "sym_a", "sym_b", "pair_count", "applied")
+      .orderBy(col("round"))
+  }
+
+  /** DuckDB twin of [[bpeLearnOn]]: the k training rounds unrolled as
+    * CTE blocks (pair count → argmax → run-parity rewrite), emitting the
+    * same merge table.
+    */
+  def bpeLearnSqlFor(rounds: Int): String = {
+    val head =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |r0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS sym
+        |       FROM toks, UNNEST(generate_series(1, len(w))) AS t(i))""".stripMargin
+    val blocks = (1 to rounds).map { x =>
+      val p = x - 1
+      s"""n$x AS (SELECT doc_id, pos, sym,
+         |         lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nsym
+         |       FROM r$p),
+         |b$x AS (SELECT sym AS a, nsym AS b, COUNT(*) AS c
+         |       FROM n$x WHERE nsym IS NOT NULL
+         |       GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
+         |f$x AS (SELECT doc_id, pos, sym,
+         |         (nsym IS NOT NULL AND sym = (SELECT a FROM b$x)
+         |          AND nsym = (SELECT b FROM b$x)) AS hit
+         |       FROM n$x),
+         |g$x AS (SELECT *, MAX(CASE WHEN NOT hit THEN pos END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastnh
+         |       FROM f$x),
+         |k$x AS (SELECT *,
+         |         hit AND (pos - COALESCE(lastnh, 0) - 1) % 2 = 0 AS keep
+         |       FROM g$x),
+         |a$x AS (SELECT COUNT(*) AS applied FROM k$x WHERE keep),
+         |d$x AS (SELECT *, COALESCE(lag(keep)
+         |           OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS droprow
+         |       FROM k$x),
+         |r$x AS (SELECT doc_id,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos,
+         |         CASE WHEN keep
+         |           THEN (SELECT a FROM b$x) || ' ' || (SELECT b FROM b$x)
+         |           ELSE sym END AS sym
+         |       FROM d$x WHERE NOT droprow)""".stripMargin
+    }
+    val rows = (1 to rounds).map { x =>
+      s"""SELECT $x AS round, (SELECT a FROM b$x) AS sym_a,
+         |  (SELECT b FROM b$x) AS sym_b, (SELECT c FROM b$x) AS pair_count,
+         |  (SELECT applied FROM a$x) AS applied""".stripMargin
+    }
+    (head +: blocks).mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY round"
+  }
+
   // ------------------------------------- deterministic shard shuffle
   /** Training-order shuffle: every document gets a pseudo-random SHARD
     * (splitmix64 of doc_id mod 8) and a pseudo-random POSITION within
@@ -1410,6 +1535,7 @@ object TextOps {
     "text_quality_filter" -> (qualityFilter _),
     "text_quality_score" -> (qualityScore _),
     "text_classifier_hashed" -> (classifierHashed _),
+    "text_bpe_learn" -> (bpeLearn _),
     "text_shard_shuffle" -> (shardShuffle _),
     "text_lm_surprisal" -> (lmSurprisal _),
     "text_dsir_sample" -> (dsirSample _),
@@ -1437,6 +1563,7 @@ object TextOps {
     "text_quality_filter" -> qualityFilterSql,
     "text_quality_score" -> qualityScoreSql,
     "text_classifier_hashed" -> classifierHashedSql,
+    "text_bpe_learn" -> bpeLearnSqlFor(4),
     "text_shard_shuffle" -> shardShuffleSql,
     "text_lm_surprisal" -> lmSurprisalSql,
     "text_dsir_sample" -> dsirSampleSql,

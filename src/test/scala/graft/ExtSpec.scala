@@ -380,6 +380,24 @@ class ExtSpec extends SparkSpecBase {
       assert(explicit(id) == ((nFeat, logit)), s"doc $id") }
   }
 
+  test("BPE learn: greedy non-overlap counts, lexicographic ties, merged symbols compose") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x x y", "en", "s", 9L),
+      (1L, "x y x y z", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.bpeLearnOn(docs, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // (x,x) ties (x,y) at 3 — lexicographic pick; the run of 3
+      // overlapping occurrences applies only 2 merges (1st and 3rd)
+      (1, "x", "x", 3L, 2L),
+      (2, "x", "y", 2L, 2L),
+      // merged symbols are first-class: round 3 merges two "x x" units
+      (3, "x x", "x x", 1L, 1L),
+      (4, "x x x x", "y", 1L, 1L)))
+  }
+
   test("shard shuffle: a balanced deterministic permutation, layout-independent") {
     val docs = graft.engine.Tables.load(spark, sf(), "documents")
     val n = docs.count()
