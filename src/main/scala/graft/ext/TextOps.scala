@@ -969,8 +969,21 @@ object TextOps {
     bpeLearnOn(docs(spark, dir), rounds = 4)
 
   def bpeLearnOn(documents: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = documents.sparkSession
+    val (merges, seq) = bpeCore(documents, rounds)
+    graft.engine.Materialize.release(seq)
+    import spark.implicits._
+    merges.toDF("round", "sym_a", "sym_b", "pair_count", "applied")
+      .orderBy(col("round"))
+  }
+
+  /** The trainer loop shared by [[bpeLearnOn]] (emits the merge table)
+    * and [[bpeTokenizeOn]] (emits the rewritten corpus stats). Returns
+    * the merges and the FINAL staged symbol stream — caller releases.
+    */
+  private def bpeCore(documents: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var seq = graft.engine.Materialize.stage(
@@ -1006,17 +1019,61 @@ object TextOps {
       seq = next
       out += ((r, a, b, c, applied))
     }
-    graft.engine.Materialize.release(seq)
-    import spark.implicits._
-    out.toSeq.toDF("round", "sym_a", "sym_b", "pair_count", "applied")
-      .orderBy(col("round"))
+    (out.toSeq, seq)
+  }
+
+  /** The APPLY side of BPE: tokenize the corpus under the learned merge
+    * table (replaying the merges in rank order — standard BPE-apply
+    * semantics) and report each document's segmentation: original token
+    * count, symbol count after the merges, and how many merges landed.
+    * This is the bytes-per-token / fertility measurement a tokenizer
+    * change is judged by before anyone retrains with it. Shares
+    * [[bpeCore]] with the trainer, so the rewrite semantics cannot
+    * drift between learn and apply; the oracle shares the CTE chain the
+    * same way.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOn(docs(spark, dir), rounds = 4)
+
+  def bpeTokenizeOn(documents: DataFrame, rounds: Int): DataFrame = {
+    // the final staged stream backs the returned frame, so it has no
+    // release() site here — the between-queries sweep reclaims it
+    // (Materialize.sweep contract, same as the surprisal trigram stage)
+    val (_, seq) = bpeCore(documents, rounds)
+    val after = seq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bpe"))
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(after, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe"),
+        (col("n_tokens") - col("n_bpe")).as("n_merged"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB twin of [[bpeLearnOn]]: the k training rounds unrolled as
     * CTE blocks (pair count → argmax → run-parity rewrite), emitting the
     * same merge table.
     */
-  def bpeLearnSqlFor(rounds: Int): String = {
+  def bpeLearnSqlFor(rounds: Int): String =
+    bpeChainSql(rounds) + "\n" +
+      (1 to rounds).map { x =>
+        s"""SELECT $x AS round, (SELECT a FROM b$x) AS sym_a,
+           |  (SELECT b FROM b$x) AS sym_b, (SELECT c FROM b$x) AS pair_count,
+           |  (SELECT applied FROM a$x) AS applied""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY round"
+
+  /** Tokenize-under-merges tail over the same chain: per-doc counts
+    * before (r0) and after (r-final).
+    */
+  def bpeTokenizeSqlFor(rounds: Int): String =
+    bpeChainSql(rounds) +
+      s""",
+         |c0 AS (SELECT doc_id, COUNT(*) AS n_tokens FROM r0 GROUP BY 1),
+         |cf AS (SELECT doc_id, COUNT(*) AS n_bpe FROM r$rounds GROUP BY 1)
+         |SELECT c0.doc_id, c0.n_tokens, cf.n_bpe,
+         |  c0.n_tokens - cf.n_bpe AS n_merged
+         |FROM c0 JOIN cf USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  private def bpeChainSql(rounds: Int): String = {
     val head =
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |r0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS sym
@@ -1051,13 +1108,7 @@ object TextOps {
          |           ELSE sym END AS sym
          |       FROM d$x WHERE NOT droprow)""".stripMargin
     }
-    val rows = (1 to rounds).map { x =>
-      s"""SELECT $x AS round, (SELECT a FROM b$x) AS sym_a,
-         |  (SELECT b FROM b$x) AS sym_b, (SELECT c FROM b$x) AS pair_count,
-         |  (SELECT applied FROM a$x) AS applied""".stripMargin
-    }
-    (head +: blocks).mkString(",\n") + "\n" +
-      rows.mkString("\nUNION ALL\n") + "\nORDER BY round"
+    (head +: blocks).mkString(",\n")
   }
 
   // ------------------------------------- deterministic shard shuffle
@@ -1536,6 +1587,7 @@ object TextOps {
     "text_quality_score" -> (qualityScore _),
     "text_classifier_hashed" -> (classifierHashed _),
     "text_bpe_learn" -> (bpeLearn _),
+    "text_bpe_tokenize" -> (bpeTokenize _),
     "text_shard_shuffle" -> (shardShuffle _),
     "text_lm_surprisal" -> (lmSurprisal _),
     "text_dsir_sample" -> (dsirSample _),
@@ -1564,6 +1616,7 @@ object TextOps {
     "text_quality_score" -> qualityScoreSql,
     "text_classifier_hashed" -> classifierHashedSql,
     "text_bpe_learn" -> bpeLearnSqlFor(4),
+    "text_bpe_tokenize" -> bpeTokenizeSqlFor(4),
     "text_shard_shuffle" -> shardShuffleSql,
     "text_lm_surprisal" -> lmSurprisalSql,
     "text_dsir_sample" -> dsirSampleSql,
