@@ -835,6 +835,84 @@ object Dedup {
       |  CAST(CAST(n_shared AS DOUBLE) / n_windows >= 0.2 AS INT) AS flagged
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- substring scrub (reconstruction)
+  /** The REWRITE half of exact substring dedup: remove every token
+    * covered by a cross-document-repeated 8-token window and reassemble
+    * the survivors as the cleaned document — what [[substringDedup]]
+    * detects, this one repairs (the Lee et al. 2021 treatment: cut the
+    * memorization fuel, keep the rest of the document). Emits each doc's
+    * token count, removed count, and the reconstructed text; a fully
+    * boilerplate document comes back empty rather than dropped, so the
+    * caller decides the floor.
+    *
+    * Scale shape: the window frequency pass is [[substringDedupOn]]'s
+    * (16-byte keys, two partial-aggregated shuffles); coverage explodes
+    * each SHARED window into its 8 positions (8× the shared windows
+    * only, not the corpus) and anti-joins the token stream; reassembly
+    * is one groupBy per doc with an array_sort over (pos, token)
+    * structs — order restored inside the aggregate, no window sort. No
+    * step touches more than the token stream linearly.
+    */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    substringScrubOn(docs(spark, dir))
+
+  def substringScrubOn(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val leads = (1 to 7).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val tok = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0").cast("long") + 1).as("pos"), col("t"))
+    val win = tok
+      .select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
+      .filter(col("t7").isNotNull)
+      .select(col("doc_id"), col("pos").as("p"),
+        md5(concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"),
+          col("t4"), col("t5"), col("t6"), col("t7")).cast("binary")).as("wkey"))
+    val shared = win.groupBy(col("wkey"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("wkey"))
+    val covered = win.join(shared, Seq("wkey"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"))
+          .as("clean_text"))
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringScrubSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS t
+      |        FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+      |win AS (SELECT doc_id, CAST(i AS BIGINT) AS p, array_to_string(w[i:i+7], ' ') AS g
+      |        FROM toks, UNNEST(generate_series(1, len(w)-7)) AS t(i)
+      |        WHERE len(w) >= 8),
+      |sh AS (SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT w.doc_id, w.p + j.o AS pos
+      |        FROM win w JOIN sh USING (g), UNNEST(generate_series(0, 7)) AS j(o)),
+      |kept AS (SELECT t.doc_id, t.pos, t.t FROM tok t
+      |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |         WHERE c.pos IS NULL),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |          string_agg(t, ' ' ORDER BY pos) AS clean_text
+      |        FROM kept GROUP BY 1),
+      |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+      |SELECT d.doc_id, tot.n_tokens,
+      |  tot.n_tokens - COALESCE(agg.n_kept, 0) AS n_removed,
+      |  COALESCE(agg.clean_text, '') AS clean_text
+      |FROM documents d JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- cross-corpus containment
   /** Cross-corpus near-duplicate detection — decontamination's real
     * shape at scale: find training documents that near-duplicate an
@@ -1167,6 +1245,7 @@ object Dedup {
     "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
     "dedup_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
+    "dedup_substring_scrub" -> (substringScrub _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_triangles" -> (triangles _))
 
@@ -1186,6 +1265,7 @@ object Dedup {
     "dedup_cluster_bigstar" -> dedupClustersSql,
     "dedup_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql,
+    "dedup_substring_scrub" -> substringScrubSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_triangles" -> trianglesSql)
 }

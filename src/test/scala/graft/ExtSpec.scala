@@ -380,6 +380,22 @@ class ExtSpec extends SparkSpecBase {
       assert(explicit(id) == ((nFeat, logit)), s"doc $id") }
   }
 
+  test("substring scrub: shared runs removed, order kept, full-boilerplate goes empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 tailx taily", "en", "s", 1L),
+      (1L, "head1 head2 a1 a2 a3 a4 a5 a6 a7 a8", "en", "s", 1L),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s", 1L),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.substringScrubOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((10L, 8L, "tailx taily")))
+    assert(got(1L) == ((10L, 8L, "head1 head2")))
+    assert(got(2L) == ((9L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    assert(got(3L) == ((8L, 8L, "")))
+  }
+
   test("BPE learn: greedy non-overlap counts, lexicographic ties, merged symbols compose") {
     import spark.implicits._
     val docs = Seq(
