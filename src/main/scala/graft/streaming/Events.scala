@@ -619,6 +619,43 @@ object Events {
       |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------- rolling active users
+  /** Daily and 7-day-rolling distinct active users — the windowed
+    * COUNT(DISTINCT) every engagement dashboard runs, in the shape that
+    * scales: a rolling distinct is NOT a sum of dailies, and the naive
+    * day-grid range join plans a broadcast nested loop. Instead each
+    * (day, user) pair FANS OUT to the ≤ 7 window anchors it contributes
+    * to (`explode(sequence(day, day+6))` — an equi-grouped 7× expansion
+    * of the already-distinct pairs, not of the raw events), and the
+    * anchor-day aggregation counts distinct users per anchor. Work is
+    * 7 × |distinct day-user|, all partial-aggregated equi-shuffles;
+    * phantom anchors past the last observed day drop at the grid join.
+    */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val grid = du.select(col("day")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    grid.join(dau, "day").join(wau, "day")
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val rollingActiveSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |grid AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+      |wau AS (SELECT u.day + CAST(j.o AS INTEGER) AS day, COUNT(DISTINCT u.user_id) AS wau
+      |        FROM du u, UNNEST(generate_series(0, 6)) AS j(o)
+      |        GROUP BY 1)
+      |SELECT CAST(g.day AS VARCHAR) AS day, dau.dau, wau.wau
+      |FROM grid g JOIN dau USING (day) JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------------- CUSUM changepoint
   /** One-sided CUSUM drift detection per user (Page's test): flag the
     * events where the running positive drift of `value` against the
@@ -863,6 +900,7 @@ object Events {
     "events_transitions" -> (transitions _),
     "events_zscore" -> (zscoreAnomalies _),
     "events_cusum" -> (cusumDrift _),
+    "events_rolling_active" -> (rollingActive _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -875,6 +913,7 @@ object Events {
     "events_transitions" -> transitionsSql,
     "events_zscore" -> zscoreAnomaliesSql,
     "events_cusum" -> cusumDriftSql,
+    "events_rolling_active" -> rollingActiveSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,
