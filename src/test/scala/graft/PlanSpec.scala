@@ -311,4 +311,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial"), p.take(800))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
   }
+
+  test("substring scrub: in-aggregate reassembly, no corpus-text shuffle keys") {
+    val p = plan("dedup_substring_scrub")
+    // reconstruction order comes from the ObjectHashAggregate's buffered
+    // (pos, token) array — not from a corpus-wide window sort
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    // the covered-token drop is a real anti join on (doc_id, pos)
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // no cartesian / NL anywhere (PlanHygieneSpec re-checks fleet-wide)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("classifier hashed: scan-side projection — no exchange except the sort") {
+    val p = plan("text_classifier_hashed")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // one rangepartitioning exchange for the presentation orderBy only
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      p.take(2000))
+  }
+
+  test("rolling active: anchor fanout plans as equi aggregates, no NL join") {
+    val p = plan("events_rolling_active")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
 }
