@@ -835,6 +835,76 @@ object Dedup {
       |  CAST(CAST(n_shared AS DOUBLE) / n_windows >= 0.2 AS INT) AS flagged
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- corpus-level overlap
+  /** Corpus↔corpus overlap ESTIMATE from mergeable MinHash sketches —
+    * the planning number that decides whether a cross-corpus dedup pass
+    * is worth running at all. min distributes over union, so each
+    * corpus's union-set signature is the elementwise MIN of its
+    * documents' 64-slot minhashes: a partial+final aggregate down to 64
+    * longs per corpus, mergeable across any partitioning — at 100 TB the
+    * sketch side touches each document once and shuffles 64 values per
+    * partition, and two crawls can be compared without ever joining
+    * them. Ĵ = matching slots / 64.
+    *
+    * Graded like the HLL NDV (q21): the output carries the EXACT
+    * cross-corpus shingle Jaccard (both engines compute it) plus
+    * `est_ok` — the estimate inside its 3σ binomial band (+1 slot of
+    * discretization) around the exact value. The oracle recomputes the
+    * exact side and asserts the band held.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame =
+    corpusOverlapOn(docs(spark, dir),
+      col("source").isin((0 to 9).map(i => s"src$i"): _*))
+
+  def corpusOverlapOn(documents: DataFrame, isA: Column): DataFrame = {
+    val tag = documents
+      .select(col("doc_id"), when(isA, lit("A")).otherwise(lit("B")).as("cp"))
+    val (sig, _) = bandedSignatures(documents.select(col("doc_id"), col("text")))
+    val tagged = sig.join(tag, "doc_id")
+    val slotMin = tagged
+      .select(col("cp"), posexplode(col("mh")).as(Seq("k", "h")))
+      .groupBy(col("cp"), col("k")).agg(min(col("h")).as("h"))
+    val est = slotMin.filter(col("cp") === "A").select(col("k"), col("h").as("ha"))
+      .join(slotMin.filter(col("cp") === "B").select(col("k"), col("h").as("hb")), "k")
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("m"))
+    val exact = tagged
+      .select(col("cp"), explode(col("ss")).as("sh")).distinct()
+      .groupBy(col("sh"))
+      .agg(max(when(col("cp") === "A", 1).otherwise(0)).as("a"),
+        max(when(col("cp") === "B", 1).otherwise(0)).as("b"))
+      .agg(sum((col("a") * col("b")).cast("long")).as("inter_sh"),
+        count(lit(1)).as("union_sh"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("j", col("inter_sh").cast("double") / col("union_sh"))
+      .withColumn("jhat", col("m").cast("double") / 64.0)
+      .withColumn("bound",
+        lit(3.0) * sqrt(col("j") * (lit(1.0) - col("j")) / 64.0) + lit(1.0 / 64))
+      .select(col("inter_sh"), col("union_sh"), round(col("j"), 6).as("jaccard"),
+        (abs(col("jhat") - col("j")) <= col("bound")).cast("int").as("est_ok"))
+  }
+
+  /** Exact cross-corpus shingle Jaccard + the asserted band verdict. */
+  val corpusOverlapSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |tag AS (SELECT doc_id,
+      |          CASE WHEN source IN ('src0','src1','src2','src3','src4',
+      |                               'src5','src6','src7','src8','src9')
+      |               THEN 'A' ELSE 'B' END AS cp
+      |        FROM documents),
+      |cs AS (SELECT DISTINCT cp, shingle FROM sh JOIN tag USING (doc_id)),
+      |agg AS (SELECT shingle,
+      |          MAX(CASE WHEN cp = 'A' THEN 1 ELSE 0 END) AS a,
+      |          MAX(CASE WHEN cp = 'B' THEN 1 ELSE 0 END) AS b
+      |        FROM cs GROUP BY 1)
+      |SELECT CAST(SUM(a * b) AS BIGINT) AS inter_sh,
+      |  CAST(COUNT(*) AS BIGINT) AS union_sh,
+      |  round(CAST(SUM(a * b) AS DOUBLE) / COUNT(*), 6) AS jaccard,
+      |  1 AS est_ok
+      |FROM agg""".stripMargin
+
   // ------------------------------------- substring scrub (reconstruction)
   /** The REWRITE half of exact substring dedup: remove every token
     * covered by a cross-document-repeated 8-token window and reassemble
@@ -1246,6 +1316,7 @@ object Dedup {
     "dedup_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
     "dedup_substring_scrub" -> (substringScrub _),
+    "dedup_corpus_overlap" -> (corpusOverlap _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_triangles" -> (triangles _))
 
@@ -1266,6 +1337,7 @@ object Dedup {
     "dedup_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql,
     "dedup_substring_scrub" -> substringScrubSql,
+    "dedup_corpus_overlap" -> corpusOverlapSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_triangles" -> trianglesSql)
 }
