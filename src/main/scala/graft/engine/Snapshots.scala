@@ -498,6 +498,13 @@ object Snapshots {
     * the restored entry list is derived from the version read at entry,
     * and rebasing onto a concurrent commit would silently discard it — a
     * lost race fails loudly and the caller re-runs against the new state.
+    *
+    * Once published, the restore manifest itself protects the target's
+    * batches from [[vacuum]] (they are referenced by a surviving
+    * version again). The unprotected window is a vacuum running BETWEEN
+    * this call's read of version `version` and its publish — the same
+    * shared-fate contract as [[cloneTable]]: keep restore targets inside
+    * the vacuum retention window, or serialize restore with maintenance.
     */
   def restore(spark: SparkSession, dir: String, version: Int): Int = {
     val vs = versions(spark, dir)

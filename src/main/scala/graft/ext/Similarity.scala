@@ -1300,6 +1300,67 @@ object Similarity {
       |  COUNT(*) AS n, CAST(SUM(val) // COUNT(*) AS BIGINT) AS centroid_fp
       |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Per-cluster embedding outliers — the curation screen that drops
+    * mislabeled / noisy vectors before they poison a centroid or a
+    * semantic-dedup pass: each vector's squared-L2 distance to its OWN
+    * label centroid, ranked per label, top 5% flagged. All exact fixed
+    * point ([[centroidsOn]]'s 10⁻⁶ grid — distances are BIGINT sums, so
+    * the rank order is cross-engine exact, no float quantile anywhere).
+    *
+    * Scale shape: centroid table is labels×dim KBs (broadcast after a
+    * partial+final aggregate); distances are a scan-side zip_with fold;
+    * the per-label rank window is partition-parallel. The 5% cut is
+    * per-label rank arithmetic, not a global quantile.
+    */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame =
+    centroidOutliersOn(emb(spark, dir))
+
+  def centroidOutliersOn(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val cent = vfp
+      .select(col("label"), posexplode(col("vfp")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+        .as("carr"))
+    vfp.join(broadcast(cent), "label")
+      .withColumn("d2",
+        expr("aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_l", count(lit(1)).over(wn))
+      .filter(col("rk") <= ceil(lit(0.05) * col("n_l")))
+      .select(col("vec_id"), col("label"), col("d2"), col("rk"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  val centroidOutliersSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT vec_id, label, CAST(t.i - 1 AS INT) AS dim, vfp[t.i] AS val
+      |  FROM v, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+      |cagg AS (
+      |  SELECT label, dim, SUM(val) // COUNT(*) AS c
+      |  FROM ex GROUP BY 1, 2),
+      |d AS (
+      |  SELECT ex.vec_id, ex.label,
+      |    CAST(SUM((ex.val - c.c) * (ex.val - c.c)) AS BIGINT) AS d2
+      |  FROM ex JOIN cagg c USING (label, dim) GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY label) AS n
+      |  FROM d)
+      |SELECT vec_id, label, d2, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= ceil(0.05 * n) ORDER BY label, rk""".stripMargin
+
   /** One full KMeans assignment iteration as graded relational algebra:
     * centroids from the current (label-seeded) assignment, then every
     * vector reassigned to its nearest centroid by squared L2 — all in
@@ -1454,6 +1515,7 @@ object Similarity {
     "sim_knn_graph" -> (knnGraph _),
     "sim_knn_graph_wide" -> (knnGraphWide _),
     "sim_centroids" -> (centroids _),
+    "sim_centroid_outliers" -> (centroidOutliers _),
     "sim_kmeans_step" -> (kmeansStep _),
     "sim_kmeans3" -> (kmeansIters _),
     "sim_quantize_pq" -> (quantizePq _))
@@ -1468,6 +1530,7 @@ object Similarity {
     "sim_knn_graph" -> knnGraphSql,
     "sim_knn_graph_wide" -> knnGraphWideSql,
     "sim_centroids" -> centroidsSql,
+    "sim_centroid_outliers" -> centroidOutliersSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_kmeans3" -> kmeansItersSqlFor(3),
     "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
