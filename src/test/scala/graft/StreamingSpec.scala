@@ -711,6 +711,73 @@ class StreamingSpec extends SparkSpecBase {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming Misra-Gries heavy hitters: MG bounds hold vs exact counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.HeavyHitters
+    val nShards = 2
+    val cap = 4
+    // skewed corpus: two genuine heavy tokens + 200 distinct rare tokens
+    // (far more than capacity, so eviction/decrement paths really run),
+    // split into 3 stream files to exercise cross-batch state
+    def doc(id: Long, text: String) = (id, text, "en", "s", 1L)
+    val heavyDocs = (0 until 10).map(i => doc(i, Seq.fill(20)("hvy1").mkString(" "))) ++
+      (10 until 16).map(i => doc(i, Seq.fill(20)("hvy2").mkString(" ")))
+    val rareDocs = (16 until 36).map(i =>
+      doc(i, (0 until 10).map(j => s"rare_${i}_$j").mkString(" ")))
+    val all = (heavyDocs ++ rareDocs)
+      .map(d => (d._1, d._2, d._3, d._4, d._5))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_mg_in")
+    all.grouped((all.size + 2) / 3).zipWithIndex.foreach { case (slice, k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_mg_s$k")
+      slice.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = inDir.resolve(f"slice-$k%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val q = HeavyHitters.summaries(spark, inDir.toString, nShards, cap,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val emitted = spark.table("mg_stream").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(emitted.nonEmpty)
+    // final summary per shard = the emission with the highest n_s
+    val finalNs = emitted.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._4).max }
+    val fin = emitted.filter { case (s, _, _, n) => finalNs(s) == n }
+      .map { case (s, tok, est, _) => (s, tok) -> est }.toMap
+    // batch exact counts with the same shard assignment
+    val exact = all.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(nShards)).cast("int").as("shard"),
+        col("token"))
+      .groupBy("shard", "token").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerShard = exact.groupBy(_._1._1).map { case (s, xs) => s -> xs.values.sum }
+    nPerShard.foreach { case (s, ns) =>
+      val slack = ns.toDouble / (cap + 1)
+      // guarantee 1: every token above the MG threshold IS in the summary
+      val mustHave = exact.collect { case ((`s`, tok), c) if c > slack => (tok, c) }
+      assert(mustHave.nonEmpty, s"fixture must have heavy tokens in shard $s")
+      mustHave.foreach { case (tok, c) =>
+        val est = fin.get((s, tok))
+        assert(est.isDefined, s"heavy token $tok missing from shard $s summary")
+        // guarantee 2: under-count bounded by n_s/(cap+1), never over
+        assert(est.get <= c && est.get >= c - slack,
+          s"$tok est=${est.get} exact=$c slack=$slack")
+      }
+    }
+    // guarantee 3 globally: no estimate exceeds its exact count
+    fin.foreach { case ((s, tok), est) =>
+      assert(est <= exact.getOrElse((s, tok), 0L), s"overestimate for $tok") }
+    // the heavy tokens specifically surfaced
+    assert(fin.keys.exists(_._2 == "hvy1") && fin.keys.exists(_._2 == "hvy2"))
+  }
+
   test("streaming running moments == batch decimal power sums, bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
