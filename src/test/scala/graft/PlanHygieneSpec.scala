@@ -57,7 +57,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_dsir_sample", "text_ccnet_terciles", "text_pmi_collocations",
     // hist topk: the 10-query histogram side broadcast with the
     // non-equi qid != cid condition (cosineTopK's shape)
-    "multimodal_hist_topk")
+    "multimodal_hist_topk",
+    // corpus overlap: the 1-row sketch-match frame broadcast onto the
+    // 1-row exact-Jaccard side (q21/q67's split-agg shape)
+    "dedup_corpus_overlap")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
