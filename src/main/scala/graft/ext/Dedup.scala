@@ -835,6 +835,97 @@ object Dedup {
       |  CAST(CAST(n_shared AS DOUBLE) / n_windows >= 0.2 AS INT) AS flagged
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- simhash recall harness
+  /** Recall/precision of the SimHash pair finder against the exact
+    * inverted-index Jaccard pairs — [[lshRecall]]'s sibling for the
+    * OTHER near-dup family. Unlike MinHash-LSH (which estimates Jaccard
+    * directly, so its graded config sits in a zero-loss regime), SimHash
+    * Hamming distance tracks a cosine-like similarity of the token
+    * multiset: its recall against a Jaccard-0.5 truth is genuinely
+    * partial, and THIS number is what justifies (or rejects) swapping
+    * the cheaper signature in for a given corpus. Both sides are exact
+    * and deterministic, so the summary row hash-matches the oracle
+    * computing the same two pair sets.
+    */
+  def simhashRecall(spark: SparkSession, dir: String): DataFrame =
+    simhashRecallOn(docs(spark, dir))
+
+  def simhashRecallOn(documents: DataFrame): DataFrame = {
+    val exact = ngramJaccardOn(documents).select(col("doc_a"), col("doc_b"))
+    val approx = simhashOn(documents)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val cls = exact.withColumn("ex", lit(1L))
+      .join(approx, Seq("doc_a", "doc_b"), "full")
+    cls.agg(
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"),
+        sum(when(col("ex").isNotNull && col("hit").isNotNull, 1L)
+          .otherwise(0L)).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div n_exact"))
+      .withColumn("precision_bp", expr("hits * 10000 div n_found"))
+  }
+
+  /** Both pair sets recomputed exactly: the FNV/majority-bit SimHash
+    * replay ([[simhashSql]]'s chain) full-outer-joined against the
+    * exact-Jaccard pairs ([[lshRecallSql]]'s chain).
+    */
+  val simhashRecallSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tk AS (SELECT doc_id, UNNEST(w) AS tok FROM toks),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |        list_transform(generate_series(0, octet_length(encode(tok)) - 1),
+      |          i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i+1, 1)) - 1) * 16
+      |             + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i+2, 1)) - 1) AS HUGEINT))),
+      |      (acc, b) -> (xor(acc, b) * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS h
+      |  FROM tk),
+      |bits AS (
+      |  SELECT doc_id, t.i AS i, CAST((h >> CAST(t.i AS INT)) % 2 AS BIGINT) AS bit
+      |  FROM th, UNNEST(generate_series(0, 63)) AS t(i)),
+      |counts AS (
+      |  SELECT doc_id, i, SUM(bit) AS c, COUNT(*) AS n FROM bits GROUP BY 1, 2),
+      |sigq AS (
+      |  SELECT doc_id, i // 16 AS q,
+      |    SUM(CASE WHEN 2*c > n THEN (CAST(1 AS BIGINT) << CAST(i % 16 AS INT)) ELSE 0 END) AS qv
+      |  FROM counts GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sigq a JOIN sigq b ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ham AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(SUM(bit_count(CAST(xor(x.qv, y.qv) AS BIGINT))) AS INT) AS hamming
+      |  FROM cand JOIN sigq x ON x.doc_id = doc_a
+      |            JOIN sigq y ON y.doc_id = doc_b AND y.q = x.q
+      |  GROUP BY 1, 2),
+      |sim AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |ex AS (SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.doc_id
+      |       JOIN sz y ON doc_b = y.doc_id
+      |       WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |cls AS (
+      |  SELECT COALESCE(e.doc_a, s.doc_a) AS doc_a,
+      |    COALESCE(e.doc_b, s.doc_b) AS doc_b,
+      |    (e.doc_a IS NOT NULL) AS in_ex, (s.doc_a IS NOT NULL) AS in_sim
+      |  FROM ex e FULL JOIN sim s ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b)
+      |SELECT
+      |  CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(SUM(CASE WHEN in_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+      |  CAST(SUM(CASE WHEN in_ex AND in_sim THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(SUM(CASE WHEN in_ex AND in_sim THEN 1 ELSE 0 END) * 10000
+      |    // SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT) AS recall_bp,
+      |  CAST(SUM(CASE WHEN in_ex AND in_sim THEN 1 ELSE 0 END) * 10000
+      |    // SUM(CASE WHEN in_sim THEN 1 ELSE 0 END) AS BIGINT) AS precision_bp
+      |FROM cls""".stripMargin
+
   // -------------------------------------------- corpus-level overlap
   /** Corpus↔corpus overlap ESTIMATE from mergeable MinHash sketches —
     * the planning number that decides whether a cross-corpus dedup pass
@@ -1317,6 +1408,7 @@ object Dedup {
     "dedup_substring" -> (substringDedup _),
     "dedup_substring_scrub" -> (substringScrub _),
     "dedup_corpus_overlap" -> (corpusOverlap _),
+    "dedup_simhash_recall" -> (simhashRecall _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_triangles" -> (triangles _))
 
@@ -1338,6 +1430,7 @@ object Dedup {
     "dedup_substring" -> substringDedupSql,
     "dedup_substring_scrub" -> substringScrubSql,
     "dedup_corpus_overlap" -> corpusOverlapSql,
+    "dedup_simhash_recall" -> simhashRecallSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_triangles" -> trianglesSql)
 }
