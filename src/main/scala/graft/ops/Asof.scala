@@ -30,17 +30,32 @@ object Asof {
     join(left, right, leftKey, rightKey, leftTime, rightTime,
       isLeftOuter = true, tolerance = tolerance)
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): for
+    * each left row, the FIRST right row with equal key and right-time ≥
+    * left-time — "next event after", which the backward pick cannot
+    * express. `tolerance` bounds rightTime − leftTime the same way.
+    */
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      isLeftOuter: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime,
+      isLeftOuter = isLeftOuter, tolerance = tolerance, isForward = true)
+
   /** `tolerance` (pandas merge_asof semantics): the as-of match only
-    * counts when leftTime − rightTime ≤ tolerance, expressed in the time
-    * type's own units (micros for timestamps, days for dates) — a stale
-    * quote stops matching instead of matching forever. Out-of-tolerance
-    * lefts drop (inner) or null-extend (left outer).
+    * counts when leftTime − rightTime ≤ tolerance (rightTime − leftTime
+    * for the forward direction), expressed in the time type's own units
+    * (micros for timestamps, days for dates) — a stale quote stops
+    * matching instead of matching forever. Out-of-tolerance lefts drop
+    * (inner) or null-extend (left outer).
     */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       isLeftOuter: Boolean = false,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      isForward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lp = left.queryExecution.analyzed
@@ -74,6 +89,6 @@ object Asof {
       else rt0
     Bridge.ofRows(spark, AsofJoinPlan(lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      lt, rt, isLeftOuter, tolerance))
+      lt, rt, isLeftOuter, tolerance, isForward))
   }
 }

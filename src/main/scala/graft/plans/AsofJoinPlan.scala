@@ -9,7 +9,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
 /** Whole-operator Catalyst extension (tier (c) of the extension ladder,
   * SURVEY §7.4): a native AS-OF JOIN — for each left row, the single
-  * right row with equal key and the greatest right-time ≤ left-time.
+  * right row with equal key and the greatest right-time ≤ left-time
+  * (backward, the default), or the smallest right-time ≥ left-time
+  * (`isForward = true`, pandas merge_asof direction='forward' — the
+  * "next event after" join backward cannot express).
   * Inner semantics by default (unmatched left rows drop);
   * `isLeftOuter = true` null-extends unmatched lefts instead, matching
   * DuckDB's ASOF LEFT JOIN.
@@ -31,7 +34,8 @@ case class AsofJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     isLeftOuter: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    isForward: Boolean = false)
   extends BinaryNode {
   // Fail fast at plan construction (not executor runtime): the merge
   // compares times through an ordering derived from the dataType, which
@@ -70,8 +74,8 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, lo, tol) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), lo, tol) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, lo, tol, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), lo, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -85,7 +89,8 @@ case class AsofJoinExec(
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
     isLeftOuter: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    isForward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++
@@ -140,7 +145,56 @@ case class AsofJoinExec(
         private var lastMatchTime: Long = 0L
         private var pending: InternalRow = null
 
+        /** FORWARD direction: for each left row, the FIRST right row
+          * with equal key and rt ≥ lt. Simpler than backward — no carry
+          * state at all: rights strictly before lt are consumed (lefts
+          * ascend in (key, time), so nothing later wants them), and the
+          * matching head is PEEKED, never consumed, because later lefts
+          * of the same key may share the same next-right.
+          */
+        private def computeNextForward(): Unit = {
+          while (pending == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lt = lTimeBound.eval(l)
+            val lk = lKeyProj(l)
+            var matched = false
+            if (lt != null && !lk.anyNull) {
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val rk = rKeyProj(rBuf.head)
+                if (rk.anyNull) { rBuf.next(); () }
+                else {
+                  val c = keyOrd.compare(rk, lk)
+                  val rt = rTimeBound.eval(rBuf.head)
+                  // null right-times sort first within the key and can
+                  // never match — consume them like the backward pass
+                  if (c < 0 || (c == 0 && (rt == null || timeOrd.compare(rt, lt) < 0))) {
+                    rBuf.next(); ()
+                  } else advancing = false
+                }
+              }
+              if (rBuf.hasNext) {
+                val rk = rKeyProj(rBuf.head)
+                if (!rk.anyNull && keyOrd.compare(rk, lk) == 0) {
+                  val rt = rTimeBound.eval(rBuf.head)
+                  // forward tolerance mirror: the pick is the SMALLEST
+                  // rt ≥ lt, so a failed bound proves no later candidate
+                  // can pass either
+                  if (tolerance.forall(timeAsLong(rt) - timeAsLong(lt) <= _)) {
+                    pending = resultProj(joined(l, rBuf.head))
+                    matched = true
+                  }
+                }
+              }
+            }
+            if (!matched && isLeftOuter) {
+              pending = resultProj(joined(l, nullRight))
+            }
+          }
+        }
+
         private def computeNext(): Unit = {
+          if (isForward) { computeNextForward(); return }
           while (pending == null && lIter.hasNext) {
             val l = lIter.next()
             val lt = lTimeBound.eval(l)

@@ -630,6 +630,44 @@ object Core {
 
   private val q62TolMicros = 9000L * 24 * 3600 * 1000000L
 
+  // ---------------------------------------------------------------- q68
+  /** FORWARD as-of join (pandas merge_asof direction='forward') through
+    * the native operator: for each order, the customer's FIRST event
+    * at/after the order date — "next touchpoint after purchase", the
+    * direction the backward pick cannot express (and the fixture's time
+    * layout demands: events postdate every order). Same single-pass
+    * partition merge, simpler state (the match is the right-side HEAD,
+    * peeked not consumed — later orders of the same customer may share
+    * it). Oracle: the composed union + forward-frame window min, the
+    * mirror of q22's composed backward form.
+    */
+  def q68AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
+    graft.ops.Asof.joinForward(ord, ev, "o_custkey", "user_id",
+        "o_orderdate", "ts")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("ts").as("next_event_ts"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q68Sql: String =
+    """WITH u AS (
+      |  SELECT o_orderkey AS id, o_custkey AS k, o_orderdate AS t,
+      |    CAST(NULL AS TIMESTAMP) AS ets, 0 AS is_ev
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT NULL, user_id, ts, ts, 1 FROM events),
+      |w AS (
+      |  SELECT *, min(ets) OVER (PARTITION BY k ORDER BY t ASC, is_ev ASC
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      |  FROM u)
+      |SELECT id AS o_orderkey, k AS o_custkey, t AS o_orderdate,
+      |  next_ts AS next_event_ts
+      |FROM w WHERE is_ev = 0 AND next_ts IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   // the staleness bound is phrased as epoch-micro arithmetic rather than
   // `ts <= o_orderdate + INTERVAL`, which DuckDB's binder would push into
   // the ASOF join and reject ("Multiple ASOF JOIN inequalities")
@@ -1660,6 +1698,7 @@ object Core {
     "q25_intersect_except" -> (q25IntersectExcept _),
     "q26_asof_native" -> (q26AsofNative _),
     "q62_asof_tolerance" -> (q62AsofTolerance _),
+    "q68_asof_forward" -> (q68AsofForward _),
     "q63_equidepth_hist" -> (q63EquidepthHist _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -1712,6 +1751,7 @@ object Core {
     "q22_asof_join" -> q22Sql,
     "q26_asof_native" -> q22Sql, // the native operator answers the same oracle
     "q62_asof_tolerance" -> q62Sql,
+    "q68_asof_forward" -> q68Sql,
     "q63_equidepth_hist" -> q63Sql,
     "q23_deterministic_sample" -> q23Sql,
     "q24_cube" -> q24Sql,

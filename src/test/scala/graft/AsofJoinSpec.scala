@@ -163,4 +163,51 @@ class AsofJoinSpec extends SparkSpecBase {
       Asof.join(l, l, "nope", "k", "t", "t"))
     assert(e.getMessage.contains("nope"))
   }
+
+  test("forward: picks the smallest right time >= left; ties match; rights shared") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:10:00"), 102.0),
+      (2L, ts("2024-01-01 10:07:00"), 200.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:01:00")), // next quote -> 101.0
+      (11L, 1L, ts("2024-01-01 10:02:00")), // SAME next quote -> 101.0 (shared)
+      (12L, 1L, ts("2024-01-01 10:05:00")), // exact tie -> 101.0 (inclusive)
+      (13L, 1L, ts("2024-01-01 10:11:00")), // after last -> no match
+      (14L, 2L, ts("2024-01-01 09:00:00")), // -> 200.0
+      (15L, 3L, ts("2024-01-01 10:00:00"))) // key with no quotes -> no match
+      .toDF("trade_id", "t_key", "t_ts")
+    val r = Asof.joinForward(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(10L -> 101.0, 11L -> 101.0, 12L -> 101.0, 14L -> 200.0))
+    // left-outer forward null-extends the unmatched
+    val lo = Asof.joinForward(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        isLeftOuter = true)
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    assert(lo(13L).isEmpty && lo(15L).isEmpty && lo(10L).contains(101.0))
+    assert(lo.size == 6)
+  }
+
+  test("forward tolerance bounds the wait: distant next match drops") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 12:00:00"), 200.0))
+      .toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")), // 5 min ahead -> in tolerance
+      (11L, 2L, ts("2024-01-01 10:00:00"))) // 2 h ahead -> out
+      .toDF("trade_id", "t_key", "t_ts")
+    val r = Asof.joinForward(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        tolerance = Some(10L * 60 * 1000000L))
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(10L -> 101.0))
+  }
 }
