@@ -43,6 +43,52 @@ object Asof {
     join(left, right, leftKey, rightKey, leftTime, rightTime,
       isLeftOuter = isLeftOuter, tolerance = tolerance, isForward = true)
 
+  /** NEAREST as-of (pandas merge_asof direction='nearest') as a
+    * COMPOSITION of the two native passes — tier (a) of the extension
+    * ladder: backward and forward left-outer joins stitched on a unique
+    * left id, keeping whichever match is closer in time (ties go
+    * backward). No third physical operator: the semantics compose
+    * exactly, at the cost of two extra equi-joins on the id.
+    *
+    * Requirements: `leftId` unique and non-null; left/right column names
+    * disjoint (alias first); time columns timestamp-typed (the distance
+    * comparison runs on microseconds).
+    */
+  def joinNearest(left: DataFrame, right: DataFrame, leftId: String,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      isLeftOuter: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, struct, when}
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "joinNearest needs disjoint left/right column names — alias before joining")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tsFam: Set[org.apache.spark.sql.types.DataType] =
+      Set(TimestampType, TimestampNTZType)
+    require(tsFam(left.schema(leftTime).dataType) &&
+        tsFam(right.schema(rightTime).dataType),
+      "joinNearest needs timestamp time columns (micros distance)")
+    val rStruct = struct(right.columns.map(col): _*)
+    def pass(fwd: Boolean, tag: String) =
+      join(left, right, leftKey, rightKey, leftTime, rightTime,
+        isLeftOuter = true, isForward = fwd)
+        // matched rt is never null by merge semantics, so rt-null ⇔ no match
+        .select(col(leftId).as(s"__id_$tag"),
+          when(col(rightTime).isNotNull, rStruct).as(s"__$tag"))
+    val stitched = left
+      .join(pass(fwd = false, "b"), col(leftId) === col("__id_b"), "left")
+      .join(pass(fwd = true, "f"), col(leftId) === col("__id_f"), "left")
+      .withColumn("__pick",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(expr(s"unix_micros($leftTime) - unix_micros(__b.$rightTime)") <=
+            expr(s"unix_micros(__f.$rightTime) - unix_micros($leftTime)"),
+            col("__b"))
+          .otherwise(col("__f")))
+    val kept = if (isLeftOuter) stitched else stitched.filter(col("__pick").isNotNull)
+    kept.select(left.columns.map(col) ++
+      right.columns.map(c => col(s"__pick.$c").as(c)): _*)
+  }
+
   /** `tolerance` (pandas merge_asof semantics): the as-of match only
     * counts when leftTime − rightTime ≤ tolerance (rightTime − leftTime
     * for the forward direction), expressed in the time type's own units

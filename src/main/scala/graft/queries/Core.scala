@@ -652,6 +652,67 @@ object Core {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------- q69
+  /** NEAREST as-of (merge_asof direction='nearest'): each view event's
+    * closest purchase by the same user, before OR after — the
+    * attribution question neither single direction answers. Composed
+    * from the two native passes ([[graft.ops.Asof.joinNearest]]); ties
+    * go backward. Oracle: union + both window passes (running last /
+    * first purchase row around each view) with the same micros-distance
+    * pick.
+    */
+  def q69AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    graft.ops.Asof.joinNearest(v, p, "event_id", "user_id", "p_user",
+        "ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_id").as("nearest_purchase_id"),
+        col("p_ts").as("nearest_purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val q69Sql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, ts AS t, event_id AS vid,
+      |    CAST(NULL AS BIGINT) AS pid, CAST(NULL AS TIMESTAMP) AS pts, 0 AS is_ev
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, ts, NULL, event_id, ts, 1
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(pts IGNORE NULLS) OVER wb AS bts,
+      |    last_value(pid IGNORE NULLS) OVER wb AS bid,
+      |    first_value(pts IGNORE NULLS) OVER wf AS fts,
+      |    first_value(pid IGNORE NULLS) OVER wf AS fid
+      |  FROM u
+      |  WINDOW
+      |    wb AS (PARTITION BY k ORDER BY t, is_ev DESC, pid
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY k ORDER BY t, is_ev DESC, pid
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |pick AS (
+      |  SELECT vid, k, t,
+      |    CASE WHEN bts IS NULL THEN fid
+      |         WHEN fts IS NULL THEN bid
+      |         WHEN epoch_us(t) - epoch_us(bts) <= epoch_us(fts) - epoch_us(t)
+      |           THEN bid ELSE fid END AS pid,
+      |    CASE WHEN bts IS NULL THEN fts
+      |         WHEN fts IS NULL THEN bts
+      |         WHEN epoch_us(t) - epoch_us(bts) <= epoch_us(fts) - epoch_us(t)
+      |           THEN bts ELSE fts END AS pts
+      |  FROM w WHERE is_ev = 0)
+      |SELECT vid AS event_id, k AS user_id, t AS ts,
+      |  pid AS nearest_purchase_id, pts AS nearest_purchase_ts
+      |FROM pick WHERE pid IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   val q68Sql: String =
     """WITH u AS (
       |  SELECT o_orderkey AS id, o_custkey AS k, o_orderdate AS t,
@@ -1699,6 +1760,7 @@ object Core {
     "q26_asof_native" -> (q26AsofNative _),
     "q62_asof_tolerance" -> (q62AsofTolerance _),
     "q68_asof_forward" -> (q68AsofForward _),
+    "q69_asof_nearest" -> (q69AsofNearest _),
     "q63_equidepth_hist" -> (q63EquidepthHist _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -1752,6 +1814,7 @@ object Core {
     "q26_asof_native" -> q22Sql, // the native operator answers the same oracle
     "q62_asof_tolerance" -> q62Sql,
     "q68_asof_forward" -> q68Sql,
+    "q69_asof_nearest" -> q69Sql,
     "q63_equidepth_hist" -> q63Sql,
     "q23_deterministic_sample" -> q23Sql,
     "q24_cube" -> q24Sql,

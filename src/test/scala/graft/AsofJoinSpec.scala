@@ -194,6 +194,34 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(lo.size == 6)
   }
 
+  test("nearest: closer side wins each way, exact ties go backward") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, 101L, ts("2024-01-01 10:10:00"), 101.0),
+      (2L, 102L, ts("2024-01-01 12:00:00"), 200.0))
+      .toDF("q_key", "q_id", "q_ts", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:01:00")), // 1 min back vs 9 fwd -> 100.0
+      (11L, 1L, ts("2024-01-01 10:09:00")), // 9 back vs 1 fwd -> 101.0
+      (12L, 1L, ts("2024-01-01 10:05:00")), // exact tie -> backward 100.0
+      (13L, 2L, ts("2024-01-01 09:00:00")), // only forward -> 200.0
+      (14L, 2L, ts("2024-01-01 13:00:00")), // only backward -> 200.0
+      (15L, 3L, ts("2024-01-01 10:00:00"))) // no quotes -> drops (inner)
+      .toDF("trade_id", "t_key", "t_ts")
+    val r = Asof.joinNearest(trades, quotes, "trade_id",
+        "t_key", "q_key", "t_ts", "q_ts")
+      .select("trade_id", "price").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(10L -> 100.0, 11L -> 101.0, 12L -> 100.0,
+      13L -> 200.0, 14L -> 200.0))
+    // left outer keeps the unmatched trade null-extended
+    val lo = Asof.joinNearest(trades, quotes, "trade_id",
+        "t_key", "q_key", "t_ts", "q_ts", isLeftOuter = true)
+    assert(lo.count() == 6 &&
+      lo.filter(org.apache.spark.sql.functions.col("price").isNull).count() == 1)
+  }
+
   test("forward tolerance bounds the wait: distant next match drops") {
     import spark.implicits._
     val quotes = Seq(
