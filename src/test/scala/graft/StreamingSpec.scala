@@ -406,6 +406,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < total)
   }
 
+  test("streaming hashed classifier == batch scores (stateless scan-side projection)") {
+    import org.apache.spark.sql.functions._
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_clf_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_clf_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_clf_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3).write.mode("overwrite").parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    val q = graft.ext.TextOps.classifierScoreOn(
+        spark.readStream.schema(schema).parquet(docsDir))
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val batch = graft.ext.TextOps.classifierHashed(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming cell assignment == batch kmeans step on the same corpus (frozen centroids)") {
     import graft.streaming.CellAssignIngest
     val embDir = java.nio.file.Files.createTempDirectory("graft_cell_in").toString
