@@ -279,6 +279,62 @@ object Multimodal {
        |FROM rk WHERE rn <= $k ORDER BY media_id, neighbor_id""".stripMargin
   }
 
+  /** Per-payload Shannon entropy from the scan-side byte histogram —
+    * the codec-free triage signal for binary columns: near-zero entropy
+    * is filler/degenerate padding, near-ln(256) is encrypted or
+    * already-compressed data that no text pipeline should ingest raw.
+    * Exactness: H·n = Σ c_i·(ln n − ln c_i) with each ln of an INTEGER
+    * count snapped to the 10⁻⁶ fixed-point grid
+    * ([[graft.ext.TextOps.lmSurprisalOn]]'s trick), so the accumulated
+    * statistic and the low-entropy flag (compared as integers against
+    * 2.75·10⁶·n) are pure BIGINT — no float boundary anywhere. One
+    * scan: `byte_histogram` + a 256-element fold per row; zero
+    * shuffles except the presentation sort.
+    */
+  def mediaEntropy(spark: SparkSession, dir: String): DataFrame =
+    mediaEntropyOn(docsAsMedia(spark, dir).toDF())
+
+  def mediaEntropyOn(media: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(media.sparkSession)
+    val lnfp = (x: String) => s"cast(round(ln(cast($x as double)) * 1000000.0d) as bigint)"
+    media
+      .select(col("media_id"), col("payload"))
+      .withColumn("n", length(col("payload")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("ent_fp", expr(
+        s"aggregate(filter(byte_histogram(payload), c -> c > 0L), 0L, " +
+          s"(acc, c) -> acc + c * (${lnfp("n")} - ${lnfp("c")}))"))
+      .select(col("media_id"), col("n").as("n_bytes"), col("ent_fp"),
+        round(col("ent_fp").cast("double") / col("n") / 1e6, 6).as("entropy"),
+        (col("ent_fp") < lit(2750000L) * col("n")).cast("int").as("flag_low"))
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin: histogram from the hex dump (nonzero bins only —
+    * zero bins contribute nothing to the sum), same integer ln grid.
+    */
+  val mediaEntropySql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+      |    hex(encode(text)) AS h
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |bytes AS (
+      |  SELECT media_id,
+      |    (strpos('0123456789ABCDEF', substr(h, 2*t.i+1, 1)) - 1) * 16
+      |      + (strpos('0123456789ABCDEF', substr(h, 2*t.i+2, 1)) - 1) AS bv
+      |  FROM b, UNNEST(generate_series(0, n - 1)) AS t(i)),
+      |cnt AS (SELECT media_id, bv, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
+      |e AS (
+      |  SELECT c.media_id, CAST(b.n AS BIGINT) AS n_bytes,
+      |    CAST(SUM(c.c * (CAST(round(ln(b.n) * 1000000.0) AS BIGINT)
+      |      - CAST(round(ln(c.c) * 1000000.0) AS BIGINT))) AS BIGINT) AS ent_fp
+      |  FROM cnt c JOIN b ON b.media_id = c.media_id
+      |  GROUP BY 1, 2)
+      |SELECT media_id, n_bytes, ent_fp,
+      |  round(CAST(ent_fp AS DOUBLE) / n_bytes / 1000000.0, 6) AS entropy,
+      |  CAST(ent_fp < 2750000 * n_bytes AS INT) AS flag_low
+      |FROM e ORDER BY media_id""".stripMargin
+
   def mediaChunkDedup(spark: SparkSession, dir: String): DataFrame =
     mediaChunkDedupOn(docsAsMedia(spark, dir).toDF(), chunkBytes = 64, tau = 0.5)
 
@@ -464,7 +520,8 @@ object Multimodal {
     "multimodal_header_probe" -> (mediaHeaderProbe _),
     "multimodal_chunk_dedup" -> (mediaChunkDedup _),
     "multimodal_cdc_dedup" -> (mediaCdcDedup _),
-    "multimodal_hist_topk" -> (mediaHistTopK _))
+    "multimodal_hist_topk" -> (mediaHistTopK _),
+    "multimodal_entropy" -> (mediaEntropy _))
 
   /** DuckDB twin of `mediaFeatures`: the payload is the utf-8 encoding of
     * `text`, so the byte checksum is recomputed from the blob's hex dump
@@ -492,5 +549,6 @@ object Multimodal {
     "multimodal_header_probe" -> mediaHeaderProbeSql,
     "multimodal_chunk_dedup" -> mediaChunkDedupSqlFor(chunkBytes = 64, tau = 0.5),
     "multimodal_cdc_dedup" -> mediaCdcDedupSqlFor(mask = 64, tau = 0.5),
-    "multimodal_hist_topk" -> mediaHistTopKSqlFor(nQueries = 10, k = 5))
+    "multimodal_hist_topk" -> mediaHistTopKSqlFor(nQueries = 10, k = 5),
+    "multimodal_entropy" -> mediaEntropySql)
 }
