@@ -619,6 +619,58 @@ object Events {
       |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------- cadence / periodicity
+  /** Per-user event-cadence profile — the bot/automation screen: the
+    * MODAL inter-event gap (minute-bucketed) and the share of gaps at
+    * that cadence. Scripted traffic fires on a clock (one dominant gap,
+    * share near 10000 bp); organic traffic spreads. One lag window per
+    * user for the gaps, one partial+final count on (user, gap bucket),
+    * then rank/total windows over the small per-user bucket table —
+    * nothing but integers end to end (share in basis points by integer
+    * division), so the profile is cross-engine exact. Users with < 20
+    * gaps carry no signal and are excluded.
+    */
+  def periodicity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wu = Window.partitionBy(col("user_id"))
+    val wr = Window.partitionBy(col("user_id"))
+      .orderBy(col("c").desc, col("gap_min"))
+    events(spark, dir)
+      .withColumn("tus", expr("unix_micros(ts)"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_min", expr("(tus - prev) div 60000000"))
+      .groupBy(col("user_id"), col("gap_min")).agg(count(lit(1)).as("c"))
+      .withColumn("n_gaps", sum(col("c")).over(wu))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1 && col("n_gaps") >= 20)
+      .select(col("user_id"), col("gap_min").as("modal_gap_min"),
+        col("c").as("modal_count"), col("n_gaps"),
+        expr("c * 10000 div n_gaps").as("share_bp"))
+      .orderBy(col("user_id"))
+  }
+
+  val periodicitySql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |b AS (SELECT user_id, gap_us // 60000000 AS gap_min
+      |      FROM g WHERE gap_us IS NOT NULL),
+      |c AS (SELECT user_id, gap_min, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |r AS (SELECT *,
+      |        SUM(c) OVER (PARTITION BY user_id) AS n_gaps,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY c DESC, gap_min) AS rk
+      |      FROM c)
+      |SELECT user_id, gap_min AS modal_gap_min, CAST(c AS BIGINT) AS modal_count,
+      |  CAST(n_gaps AS BIGINT) AS n_gaps,
+      |  CAST(c * 10000 // n_gaps AS BIGINT) AS share_bp
+      |FROM r WHERE rk = 1 AND n_gaps >= 20
+      |ORDER BY user_id""".stripMargin
+
   // -------------------------------------------- rolling active users
   /** Daily and 7-day-rolling distinct active users — the windowed
     * COUNT(DISTINCT) every engagement dashboard runs, in the shape that
@@ -901,6 +953,7 @@ object Events {
     "events_zscore" -> (zscoreAnomalies _),
     "events_cusum" -> (cusumDrift _),
     "events_rolling_active" -> (rollingActive _),
+    "events_periodicity" -> (periodicity _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -914,6 +967,7 @@ object Events {
     "events_zscore" -> zscoreAnomaliesSql,
     "events_cusum" -> cusumDriftSql,
     "events_rolling_active" -> rollingActiveSql,
+    "events_periodicity" -> periodicitySql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,
