@@ -619,6 +619,57 @@ object Events {
       |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------- strict 3-step sequence funnel
+  /** MATCH_RECOGNIZE-style strict event-sequence detection without the
+    * clause Spark lacks: click → view → purchase chains per user, each
+    * step the MOST RECENT preceding occurrence within a 2-hour deadline.
+    * Built by CHAINING the native backward as-of join (the q26/q62
+    * operator) twice — purchase as-of view on the purchase time, then
+    * the result as-of click on the matched view's time, tolerances
+    * riding the same single-pass merges. Each purchase yields at most
+    * one chain (last-before semantics are deterministic), so the output
+    * is a set of completed funnels, not a pattern explosion; cost is
+    * two co-partitioned merges, exactly two shuffles of the event
+    * stream. Oracle: DuckDB's ASOF JOIN chained the same way, deadlines
+    * as post-filters (equivalent by the q62 staleness argument).
+    */
+  def sequenceFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 24L * 3600 * 1000000L
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    def typed(t: String, id: String, tsc: String, u: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("event_id").as(id), col("user_id").as(u), col("ts").as(tsc))
+    val p = typed("purchase", "purchase_id", "p_ts", "user_id")
+    val v = typed("view", "view_id", "v_ts", "v_user")
+    val c = typed("click", "click_id", "c_ts", "c_user")
+    val pv = graft.ops.Asof.join(p, v, "user_id", "v_user", "p_ts", "v_ts",
+      tolerance = Some(tol))
+    graft.ops.Asof.join(pv, c, "user_id", "c_user", "v_ts", "c_ts",
+        tolerance = Some(tol))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("purchase_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val sequenceFunnelSql: String =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+      |      FROM events WHERE event_type = 'click'),
+      |pv AS (
+      |  SELECT p.user_id, p.purchase_id, p.p_ts, v.view_id, v.v_ts
+      |  FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.p_ts >= v.v_ts
+      |  WHERE epoch_us(p.p_ts) - epoch_us(v.v_ts) <= 86400000000),
+      |pvc AS (
+      |  SELECT pv.user_id, pv.purchase_id, pv.view_id, c.click_id
+      |  FROM pv ASOF JOIN c ON pv.user_id = c.user_id AND pv.v_ts >= c.c_ts
+      |  WHERE epoch_us(pv.v_ts) - epoch_us(c.c_ts) <= 86400000000)
+      |SELECT user_id, click_id, view_id, purchase_id
+      |FROM pvc ORDER BY purchase_id""".stripMargin
+
   // -------------------------------------------- cadence / periodicity
   /** Per-user event-cadence profile — the bot/automation screen: the
     * MODAL inter-event gap (minute-bucketed) and the share of gaps at
@@ -954,6 +1005,7 @@ object Events {
     "events_cusum" -> (cusumDrift _),
     "events_rolling_active" -> (rollingActive _),
     "events_periodicity" -> (periodicity _),
+    "events_sequence_funnel" -> (sequenceFunnel _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -968,6 +1020,7 @@ object Events {
     "events_cusum" -> cusumDriftSql,
     "events_rolling_active" -> rollingActiveSql,
     "events_periodicity" -> periodicitySql,
+    "events_sequence_funnel" -> sequenceFunnelSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,
