@@ -1585,9 +1585,90 @@ object TextOps {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
       |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  // --------------------------------------------- corpus health report
+  /** Per-source corpus HEALTH dashboard — the first query anyone runs on
+    * a new crawl, composing the audit signals into one frame: document
+    * count, corpus-wide exact-duplicate share (md5 window — 16-byte
+    * keys), token volume, mean type-token ratio (decimal-accumulated so
+    * the mean is partition-order-proof), the hashed classifier's keep
+    * rate, and language spread. Two shuffles total: the dup window on
+    * md5(text) and the per-source aggregate; every rate is integer
+    * basis points, the one real-valued mean goes through the dsum
+    * discipline.
+    */
+  def health(spark: SparkSession, dir: String): DataFrame =
+    healthOn(docs(spark, dir))
+
+  def healthOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    documents
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("ttr", size(array_distinct(col("w"))).cast("double") / size(col("w")))
+      .withColumn("is_dup", (count(lit(1)).over(wDup) > 1).cast("long"))
+      .withColumn("grams", expr("word_ngrams(text, 2)"))
+      .withColumn("keep", (expr("aggregate(grams, 0L, (a, g) -> " +
+        "a + pmod(mix64(pmod(roll_hash31(g), 65536)), 8) - 4)") > 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup"),
+        sum(col("n_tokens")).as("tok_sum"),
+        round(sum(col("ttr").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("mean_ttr"),
+        sum(col("keep")).as("n_keep"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 10000 div n_docs").as("dup_bp"),
+        col("tok_sum"), col("mean_ttr"),
+        expr("n_keep * 10000 div n_docs").as("keep_bp"), col("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  val healthSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, text, string_split(text, ' ') AS w,
+      |    COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS gram
+      |      FROM d, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+      |      WHERE len(w) >= 2),
+      |b AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split_regex(gram, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) % 65536 AS bkt
+      |  FROM g),
+      |wt AS (SELECT doc_id,
+      |    (CAST(bkt AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(z3 % 8 AS BIGINT) - 4 AS w8
+      |  FROM b),
+      |k AS (SELECT doc_id, SUM(w8) > 0 AS keep FROM wt GROUP BY 1),
+      |j AS (SELECT d.source, d.lang, d.is_dup,
+      |        CAST(len(d.w) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_distinct(d.w)) AS DOUBLE) / len(d.w) AS ttr,
+      |        k.keep
+      |      FROM d JOIN k USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000
+      |    // COUNT(*) AS BIGINT) AS dup_bp,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+      |  round(CAST(SUM(CAST(ttr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_ttr,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 10000
+      |    // COUNT(*) AS BIGINT) AS keep_bp,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
+    "pipeline_health" -> (health _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_sample_per_group" -> (samplePerGroup _),
     "text_quality_filter" -> (qualityFilter _),
@@ -1617,6 +1698,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
+    "pipeline_health" -> healthSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_sample_per_group" -> samplePerGroupSql,
     "text_quality_filter" -> qualityFilterSql,
