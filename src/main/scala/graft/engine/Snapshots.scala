@@ -137,6 +137,47 @@ object Snapshots {
         ((if (append) prev.filterNot(isKindLine) else prev.filter(isTxnLine)) :+ entry))
   }
 
+  /** Commit with a CHECK constraint (Delta table constraints / DLT
+    * expectations): the ingest-time data-quality gate. The frame is
+    * probed for violating rows BEFORE anything is staged — `limit(1)`
+    * short-circuits, so a clean commit pays one early-exiting scan and a
+    * dirty one aborts with nothing on disk and the version history
+    * untouched. Assumes `df` is deterministic between the probe and the
+    * write (the same assumption [[commit]]'s stats re-scan makes in the
+    * other direction); a nondeterministic source should be staged to
+    * parquet first and committed from there.
+    */
+  def commitChecked(df: DataFrame, dir: String, append: Boolean,
+      constraint: org.apache.spark.sql.Column,
+      statsCol: Option[String] = None): Int = {
+    val bad = df.filter(org.apache.spark.sql.functions.not(constraint))
+      .limit(1).count()
+    require(bad == 0L,
+      s"CHECK constraint violated: [$constraint] — commit aborted, nothing staged")
+    commit(df, dir, append, statsCol)
+  }
+
+  /** Latest version whose manifest was PUBLISHED at or before `tsMillis`
+    * (Delta's `TIMESTAMP AS OF`): commit wall-clock is the manifest
+    * file's modification time — the same source Delta reads, with the
+    * same caveat that writer clock skew makes sub-second ordering
+    * advisory. Fails if the table's first commit postdates the
+    * timestamp.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val f = fs(spark, dir)
+    val hits = versions(spark, dir).filter(v =>
+      f.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+    require(hits.nonEmpty,
+      s"no version of $dir existed at $tsMillis (first commit is later)")
+    hits.last
+  }
+
+  /** Read the table as of a wall-clock instant ([[versionAsOf]]). */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    read(spark, dir, versionAsOf(spark, dir, tsMillis), mergeSchema)
+
   private def isTxnLine(line: String): Boolean = line.startsWith("T\t")
   private def isKindLine(line: String): Boolean = line.startsWith("K\t")
 

@@ -581,6 +581,38 @@ class SnapshotsSpec extends SparkSpecBase {
       == (1L to 10L).toSet)
   }
 
+  test("commitChecked gates on the constraint: clean commits land, dirty abort clean") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable("checked")
+    assert(Snapshots.commitChecked(df(1 to 10), t, append = false,
+      constraint = col("id") > 0) == 0)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitChecked(df(5 to 15), t, append = true,
+        constraint = col("id") <= 12)
+    }
+    assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+    // nothing staged, nothing published
+    assert(Snapshots.versions(spark, t) == Seq(0))
+    assert(Snapshots.read(spark, t).count() == 10)
+    val dataRoot = new java.io.File(s"$t/data")
+    assert(dataRoot.listFiles().length == 1, "dirty commit left a staged dir")
+  }
+
+  test("timestamp travel resolves the latest version at or before the instant") {
+    val t = freshTable("asof_ts")
+    Snapshots.commit(df(1 to 10), t, append = false)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.commit(df(11 to 15), t, append = true)
+    assert(Snapshots.versionAsOf(spark, t, between) == 0)
+    assert(Snapshots.readAsOf(spark, t, between).count() == 10)
+    assert(Snapshots.versionAsOf(spark, t, System.currentTimeMillis()) == 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, t, between - 3600L * 1000)
+    }
+  }
+
   test("restore rejects unknown versions") {
     val t = freshTable("restore_bad")
     Snapshots.commit(df(1 to 3), t, append = false)
