@@ -619,6 +619,66 @@ object Events {
       |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // --------------------------------------- multi-touch attribution
+  /** Linear multi-touch attribution: every click in the 24 h before a
+    * purchase shares that purchase's credit equally — the
+    * position-agnostic sibling of last-touch ([[sequenceFunnel]] /
+    * the attribution stream twins). Credit is INTEGER basis points per
+    * purchase: each contributing click takes 10000 div n, and the most
+    * recent click absorbs the division remainder so every purchase's
+    * credit sums to exactly 10000 — no floats, no drift, cross-engine
+    * exact. The purchase×click pairing is a per-user equi-join with a
+    * time-range residual (the q64 shape: the user key bounds the pair
+    * blowup; never a cartesian). Output: per click, the total credit it
+    * earned and how many purchases credited it.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        expr("unix_micros(p_ts) - unix_micros(c_ts)") <= lit(24L * 3600 * 1000000L))
+    val wp = Window.partitionBy(col("p_id"))
+    val wr = Window.partitionBy(col("p_id"))
+      .orderBy(col("c_ts").desc, col("c_id").desc)
+    pairs
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("credit_bp",
+        expr("10000 div n") + when(col("rk") === 1, expr("10000 % n")).otherwise(0L))
+      .groupBy(col("c_id"))
+      .agg(sum(col("credit_bp")).as("credit_bp"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("c_id"))
+  }
+
+  val attributionLinearSql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+      |      FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.p_id, c.c_id, c.c_ts
+      |  FROM p JOIN c USING (user_id)
+      |  WHERE c.c_ts <= p.p_ts
+      |    AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= 86400000000),
+      |sh AS (
+      |  SELECT p_id, c_id,
+      |    COUNT(*) OVER (PARTITION BY p_id) AS n,
+      |    row_number() OVER (PARTITION BY p_id
+      |      ORDER BY c_ts DESC, c_id DESC) AS rk
+      |  FROM pairs)
+      |SELECT c_id,
+      |  CAST(SUM(10000 // n + CASE WHEN rk = 1 THEN 10000 % n ELSE 0 END) AS BIGINT)
+      |    AS credit_bp,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases
+      |FROM sh GROUP BY c_id ORDER BY c_id""".stripMargin
+
   // ------------------------------------- strict 3-step sequence funnel
   /** MATCH_RECOGNIZE-style strict event-sequence detection without the
     * clause Spark lacks: click → view → purchase chains per user, each
@@ -1006,6 +1066,7 @@ object Events {
     "events_rolling_active" -> (rollingActive _),
     "events_periodicity" -> (periodicity _),
     "events_sequence_funnel" -> (sequenceFunnel _),
+    "events_attribution_linear" -> (attributionLinear _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -1021,6 +1082,7 @@ object Events {
     "events_rolling_active" -> rollingActiveSql,
     "events_periodicity" -> periodicitySql,
     "events_sequence_funnel" -> sequenceFunnelSql,
+    "events_attribution_linear" -> attributionLinearSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,
