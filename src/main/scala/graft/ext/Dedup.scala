@@ -835,6 +835,70 @@ object Dedup {
       |  CAST(CAST(n_shared AS DOUBLE) / n_windows >= 0.2 AS INT) AS flagged
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- novelty burn-down
+  /** Novelty curve across ingest batches — the dedup burn-down metric
+    * that tells you how much NEW data each successive crawl actually
+    * brings: documents are assigned to ordered batches, and a document
+    * is "prior-dup" if it near-duplicates (Jaccard ≥ 0.5) anything in
+    * an EARLIER batch. Per batch: size, prior-dup count, and novelty in
+    * basis points. Built on the existing verified near-dup pair
+    * machinery (here the exact inverted-index pairs; at corpus scale
+    * the LSH pair finder drops in — [[lshRecall]] is the gate for that
+    * swap), plus pure day algebra: one semi-join against the
+    * earlier-batch side of the pair list. The fixture's batch
+    * assignment is pmod(doc_id, 3) so near-dup families genuinely
+    * straddle batches.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
+    noveltyCurveOn(docs(spark, dir), nBatches = 3)
+
+  def noveltyCurveOn(documents: DataFrame, nBatches: Int): DataFrame = {
+    val d = documents.withColumn("batch", pmod(col("doc_id"), lit(nBatches.toLong)))
+    val pairs = ngramJaccardOn(documents).select(col("doc_a"), col("doc_b"))
+    val day = d.select(col("doc_id"), col("batch"))
+    // both orientations: the LATER side of each pair is the non-novel one
+    val withDays = pairs
+      .join(day.select(col("doc_id").as("doc_a"), col("batch").as("ba")), "doc_a")
+      .join(day.select(col("doc_id").as("doc_b"), col("batch").as("bb")), "doc_b")
+    val priorDup = withDays.filter(col("ba") < col("bb"))
+      .select(col("doc_b").as("doc_id"))
+      .union(withDays.filter(col("bb") < col("ba"))
+        .select(col("doc_a").as("doc_id")))
+      .distinct()
+    d.join(priorDup.withColumn("pd", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("pd"), lit(0L))).as("n_prior_dup"))
+      .select(col("batch"), col("n_docs"), col("n_prior_dup"),
+        expr("(n_docs - n_prior_dup) * 10000 div n_docs").as("novelty_bp"))
+      .orderBy(col("batch"))
+  }
+
+  val noveltyCurveSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |ex AS (SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.doc_id
+      |       JOIN sz y ON doc_b = y.doc_id
+      |       WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |day AS (SELECT doc_id, doc_id % 3 AS batch FROM documents),
+      |pd AS (
+      |  SELECT DISTINCT CASE WHEN da.batch < db.batch THEN e.doc_b
+      |                       ELSE e.doc_a END AS doc_id
+      |  FROM ex e JOIN day da ON e.doc_a = da.doc_id
+      |            JOIN day db ON e.doc_b = db.doc_id
+      |  WHERE da.batch <> db.batch)
+      |SELECT d.batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(pd.doc_id) AS BIGINT) AS n_prior_dup,
+      |  CAST((COUNT(*) - COUNT(pd.doc_id)) * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+      |FROM day d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |GROUP BY d.batch ORDER BY d.batch""".stripMargin
+
   // -------------------------------------------- simhash recall harness
   /** Recall/precision of the SimHash pair finder against the exact
     * inverted-index Jaccard pairs — [[lshRecall]]'s sibling for the
@@ -1409,6 +1473,7 @@ object Dedup {
     "dedup_substring_scrub" -> (substringScrub _),
     "dedup_corpus_overlap" -> (corpusOverlap _),
     "dedup_simhash_recall" -> (simhashRecall _),
+    "dedup_novelty_curve" -> (noveltyCurve _),
     "dedup_decontaminate" -> (decontaminate _),
     "dedup_triangles" -> (triangles _))
 
@@ -1431,6 +1496,7 @@ object Dedup {
     "dedup_substring_scrub" -> substringScrubSql,
     "dedup_corpus_overlap" -> corpusOverlapSql,
     "dedup_simhash_recall" -> simhashRecallSql,
+    "dedup_novelty_curve" -> noveltyCurveSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_triangles" -> trianglesSql)
 }
