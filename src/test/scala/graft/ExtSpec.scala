@@ -380,6 +380,62 @@ class ExtSpec extends SparkSpecBase {
       assert(explicit(id) == ((nFeat, logit)), s"doc $id") }
   }
 
+  test("span corruption is lossless: substituting each sentinel's target rebuilds the doc") {
+    val docs = graft.engine.Tables.load(spark, sf(), "documents")
+    val rows = TextOps.spanCorruptOn(docs).collect()
+    assert(rows.nonEmpty)
+    val original = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var sawMask = false
+    rows.foreach { r =>
+      val (id, nTok, nMasked, nSpans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val corrupted = r.getString(4)
+      val target = r.getString(5)
+      if (nSpans > 0) sawMask = true
+      // parse the target into sentinel -> masked tokens
+      val spans = scala.collection.mutable.Map[String, List[String]]()
+      var cur: String = null
+      target.split(" ").filter(_.nonEmpty).foreach { tok =>
+        if (tok.startsWith("<extra_id_")) { cur = tok; spans(cur) = Nil }
+        else spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.size == nSpans, s"doc $id")
+      assert(spans.values.map(_.size).sum == nMasked, s"doc $id")
+      // substitute each sentinel back: must reproduce the original text
+      val rebuilt = corrupted.split(" ").filter(_.nonEmpty).flatMap { tok =>
+        if (tok.startsWith("<extra_id_")) spans(tok) else List(tok)
+      }.mkString(" ")
+      assert(rebuilt == original(id), s"doc $id failed round-trip")
+      assert(rebuilt.split(" ").length.toLong == nTok, s"doc $id")
+      // sentinels are numbered in order of appearance
+      val order = corrupted.split(" ").filter(_.startsWith("<extra_id_"))
+      assert(order.toSeq == (0L until nSpans).map(k => s"<extra_id_$k>"), s"doc $id")
+    }
+    assert(sawMask, "fixture produced no masked docs")
+  }
+
+  test("novelty curve: cross-batch dups counted against the later batch only") {
+    import spark.implicits._
+    // batch = doc_id % 3. docs 0 (b0) and 1 (b1) are near-dups: 1 is
+    // prior-dup, 0 is novel. docs 2 (b2) and 5 (b2) are near-dups of each
+    // other WITHIN the batch: both stay novel. 3, 4 unique.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base, "en", "s", 1L),
+      (1L, base + " lambda", "en", "s", 1L),
+      (2L, "one two three four five six seven eight nine ten", "en", "s", 1L),
+      (3L, "red orange yellow green blue indigo violet pink brown black", "en", "s", 1L),
+      (4L, "cat dog bird fish horse cow sheep goat pig duck", "en", "s", 1L),
+      (5L, "one two three four five six seven eight nine eleven", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.noveltyCurveOn(docs, nBatches = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((2L, 0L, 10000L)))  // docs 0, 3 — both novel
+    assert(got(1L) == ((2L, 1L, 5000L)))   // docs 1 (dup of 0), 4
+    assert(got(2L) == ((2L, 0L, 10000L)))  // docs 2, 5 — same-batch dups stay novel
+  }
+
   test("substring scrub: shared runs removed, order kept, full-boilerplate goes empty") {
     import spark.implicits._
     val docs = Seq(
