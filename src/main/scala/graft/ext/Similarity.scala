@@ -1498,6 +1498,207 @@ object Similarity {
        |FROM a$iters a JOIN v USING (vec_id) ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------- silhouette score
+  /** Simplified (centroid-based) silhouette per label — the clustering
+    * quality metric the KMeans/IVF family reports but never grades:
+    * for each vector, a = squared-L2 to its OWN label centroid, b = min
+    * squared-L2 to any OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1].
+    * The full silhouette is O(n²) pairwise; the centroid form (Hruschka
+    * et al.'s simplified silhouette) is one corpus scan against a
+    * broadcast k×dim table — the only version that exists at 100 TB,
+    * and the one sklearn-scale references approximate anyway.
+    *
+    * All arithmetic is the [[centroidsOn]] fixed-point grid: a, b are
+    * exact BIGINTs; the ratio is scaled integer division with the sign
+    * split out explicitly (both engines then divide nonnegative values,
+    * so truncation direction can't diverge: Spark `div` truncates
+    * toward zero, DuckDB `//` floors — identical on nonnegatives).
+    * Output per label: n, how many vectors sit closer to their own
+    * centroid than any other (`n_well`), and exact sums of s·10⁶, a, b
+    * — sums, not means, so no signed division ever happens.
+    *
+    * Scale shape: centroid table = labels×dim KBs via partial+final
+    * aggregate, broadcast; per-vector distances are scan-side zip_with
+    * folds; the output aggregate ships k partial states per task. One
+    * shuffle of k×64 longs plus one of k rows — embeddings never move.
+    */
+  def silhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouetteOn(emb(spark, dir))
+
+  def silhouetteOn(e: DataFrame): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val cent = vfp
+      .select(col("label").as("clabel"), posexplode(col("vfp")).as(Seq("dim", "v")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("carr"))
+    vfp.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(vfp, carr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a_fp"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b_fp"))
+      .withColumn("g", greatest(col("a_fp"), col("b_fp"), lit(1L)))
+      // s·10⁶ = (b−a)·10⁶/g without overflow: numerator ≤ 2.6e14·10³,
+      // denominator pre-shifted by the other 10³ (exactness loss is the
+      // same truncation on both engines — deterministic, not float)
+      .withColumn("s_fp", when(col("b_fp") >= col("a_fp"),
+          expr("((b_fp - a_fp) * 1000L) div greatest(g div 1000L, 1L)"))
+        .otherwise(-expr("((a_fp - b_fp) * 1000L) div greatest(g div 1000L, 1L)")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b_fp") > col("a_fp"), 1L).otherwise(0L)).as("n_well"),
+        sum(col("s_fp")).as("sum_s_fp"),
+        sum(col("a_fp")).as("sum_a_fp"),
+        sum(col("b_fp")).as("sum_b_fp"))
+      .orderBy(col("label"))
+  }
+
+  val silhouetteSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, t.i AS dim, vfp[t.i] AS val
+      |  FROM v, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+      |cs AS (SELECT label, dim, SUM(val) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+      |         FROM cs GROUP BY label),
+      |d AS (
+      |  SELECT v.vec_id, v.label, c.clabel,
+      |    CAST(list_aggregate(list_transform(list_zip(v.vfp, c.carr),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+      |  FROM v CROSS JOIN cent c),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    MAX(CASE WHEN clabel = label THEN dist END) AS a_fp,
+      |    MIN(CASE WHEN clabel <> label THEN dist END) AS b_fp
+      |  FROM d GROUP BY 1, 2),
+      |s AS (
+      |  SELECT *, greatest(a_fp, b_fp, 1) AS g,
+      |    CASE WHEN b_fp >= a_fp
+      |      THEN ((b_fp - a_fp) * 1000) // greatest(g // 1000, 1)
+      |      ELSE -(((a_fp - b_fp) * 1000) // greatest(g // 1000, 1)) END AS s_fp
+      |  FROM ab)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN b_fp > a_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_well,
+      |  CAST(SUM(s_fp) AS BIGINT) AS sum_s_fp,
+      |  CAST(SUM(a_fp) AS BIGINT) AS sum_a_fp,
+      |  CAST(SUM(b_fp) AS BIGINT) AS sum_b_fp
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------- label spreading
+  /** Semi-supervised label spreading over the exact-fixed-point kNN
+    * graph — the quality-classifier bootstrap loop (FineWeb-Edu-style):
+    * a small seeded subset keeps its label (every 5th vec_id — the
+    * deterministic stand-in for "the rows a teacher model scored"), and
+    * each round every still-unlabeled vector adopts the majority label
+    * among its k nearest labeled neighbors (ties → smallest label;
+    * seeds are clamped). Two rounds reach the fixture's whole graph.
+    *
+    * Unlike [[knnGraphOn]] (float cosine, rounded for grading), the
+    * edge ranking here is squared-L2 on the 10⁻⁶ fixed-point grid —
+    * BIGINT end to end, so edge set, vote counts, and tie-breaks are
+    * cross-engine exact and the whole propagation hash-matches.
+    *
+    * Scale shape: candidates come from the blowup-validated 16×8-bit
+    * sign-LSH bands (id-only pairs, never all-pairs); the kNN cut is a
+    * per-vector window over candidates; each round is one
+    * edges⋈labels shuffle on vec_id plus a (vec_id, label)-key count —
+    * state per round is one id→label row per vector, exactly the
+    * mapGroupsWithState shape if this lifted into the ingest path.
+    */
+  def labelSpread(spark: SparkSession, dir: String): DataFrame =
+    labelSpreadOn(emb(spark, dir), k = 3, nBands = 16, bandBits = 8, rounds = 2)
+
+  def labelSpreadOn(e: DataFrame, k: Int, nBands: Int, bandBits: Int,
+      rounds: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val bd = banded(e, nBands, bandBits)
+    val a = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
+    val b = bd.select(col("vec_id").as("vb"), col("band").as("bband"),
+      col("band_key").as("bkey"))
+    val cand = a.join(b,
+        col("band") === col("bband") && col("band_key") === col("bkey") &&
+          col("va") =!= col("vb"))
+      .select(col("va"), col("vb"))
+      .dropDuplicates("va", "vb")
+    val fa = vfp.select(col("vec_id").as("va"), col("vfp").as("qa"))
+    val fb = vfp.select(col("vec_id").as("vb"), col("vfp").as("qb"))
+    val wk = Window.partitionBy(col("va")).orderBy(col("d2"), col("vb"))
+    // staged: the edge set is re-joined every round and again for the
+    // final projection — without a cut Spark re-runs the banded
+    // candidate join per round
+    val edges = graft.engine.Materialize.stage(
+      cand.join(fa, "va").join(fb, "vb")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, z) -> acc + z)"))
+        .withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= k)
+        .select(col("va"), col("vb")))
+    var labs = vfp.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, col("label")).as("lab"))
+    for (_ <- 1 to rounds) {
+      val nb = labs.select(col("vec_id").as("vb"), col("lab").as("nlab"))
+      val wv = Window.partitionBy(col("va")).orderBy(col("c").desc, col("nlab"))
+      val pick = edges.join(nb, "vb").filter(col("nlab").isNotNull)
+        .groupBy(col("va"), col("nlab")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+        .select(col("va").as("vec_id"), col("nlab"))
+      labs = labs.join(pick, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("lab"), col("nlab")).as("lab"))
+    }
+    vfp.select(col("vec_id"), col("label"))
+      .join(labs, "vec_id")
+      .select(col("vec_id"),
+        (col("vec_id") % 5 === 0).cast("int").as("is_seed"),
+        coalesce(col("lab"), lit(-1)).as("label_spread"),
+        (coalesce(col("lab"), lit(-1)) === col("label")).cast("int").as("agree"))
+      .orderBy(col("vec_id"))
+  }
+
+  def labelSpreadSqlFor(k: Int, nBands: Int, bandBits: Int,
+      rounds: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT e.va, l.lab, COUNT(*) AS c
+         |  FROM e JOIN l${r - 1} l ON l.vec_id = e.vb
+         |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         |w$r AS (SELECT va, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY va ORDER BY c DESC, lab) AS rk
+         |  FROM p$r) WHERE rk = 1),
+         |l$r AS (
+         |  SELECT l.vec_id, COALESCE(l.lab, w.lab) AS lab
+         |  FROM l${r - 1} l LEFT JOIN w$r w ON w.va = l.vec_id)""".stripMargin
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
+       |v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.vec_id <> y.vec_id),
+       |d AS (
+       |  SELECT cand.va, cand.vb,
+       |    CAST(list_aggregate(list_transform(list_zip(a.vfp, b.vfp),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d2
+       |  FROM cand JOIN v a ON a.vec_id = cand.va JOIN v b ON b.vec_id = cand.vb),
+       |e AS (SELECT va, vb FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS rk
+       |  FROM d) WHERE rk <= $k),
+       |l0 AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label END AS lab FROM v),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT v.vec_id, CAST(v.vec_id % 5 = 0 AS INT) AS is_seed,
+       |  COALESCE(l.lab, -1) AS label_spread,
+       |  CAST(COALESCE(l.lab, -1) = v.label AS INT) AS agree
+       |FROM v JOIN l$rounds l USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dedup_keep" -> (semanticDedup _),
     "sim_quantize_i8" -> (quantizeI8 _),
@@ -1518,6 +1719,8 @@ object Similarity {
     "sim_centroid_outliers" -> (centroidOutliers _),
     "sim_kmeans_step" -> (kmeansStep _),
     "sim_kmeans3" -> (kmeansIters _),
+    "sim_silhouette" -> (silhouette _),
+    "sim_label_spread" -> (labelSpread _),
     "sim_quantize_pq" -> (quantizePq _))
 
   val oracles: Map[String, String] = Map(
@@ -1543,5 +1746,8 @@ object Similarity {
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
-    "sim_matryoshka_recall" -> matryoshkaRecallSql)
+    "sim_matryoshka_recall" -> matryoshkaRecallSql,
+    "sim_silhouette" -> silhouetteSql,
+    "sim_label_spread" -> labelSpreadSqlFor(k = 3, nBands = 16, bandBits = 8,
+      rounds = 2))
 }

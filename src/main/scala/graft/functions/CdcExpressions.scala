@@ -97,6 +97,61 @@ object ByteHistUtil {
   }
 }
 
+/** byte_block_means(payload, n): truncated per-block byte means of a
+  * binary payload split into n blocks — the "resize to a fixed grid"
+  * reduction under perceptual hashing ([[graft.ext.Multimodal]]'s
+  * dHash): byte i belongs to block `(i·n) div len` (exact integer
+  * arithmetic, so the DuckDB replay assigns blocks with the same `//`
+  * expression), block value = sum div count. One tight pass per row,
+  * no per-byte explode; empty blocks (len < n) read 0.
+  */
+object ByteBlockUtil {
+  def blockMeans(payload: Array[Byte], n: Int): ArrayData = {
+    val len = payload.length
+    val sums = new Array[Long](n)
+    val cnts = new Array[Long](n)
+    var i = 0
+    while (i < len) {
+      val b = ((i.toLong * n) / len).toInt
+      sums(b) += payload(i) & 0xff
+      cnts(b) += 1L
+      i += 1
+    }
+    val out = new Array[Long](n)
+    var b = 0
+    while (b < n) {
+      out(b) = if (cnts(b) == 0L) 0L else sums(b) / cnts(b)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ByteBlockMeans(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte_block_means expects (binary, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_block_means"
+
+  override def nullSafeEval(payload: Any, n: Any): Any =
+    ByteBlockUtil.blockMeans(payload.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, n) => s"graft.functions.ByteBlockUtil.blockMeans($p, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteBlockMeans =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ByteHistogram(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

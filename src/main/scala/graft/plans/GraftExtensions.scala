@@ -97,7 +97,11 @@ object GraftExtensions {
     (FunctionIdentifier("byte_histogram"),
       info("byte_histogram",
         "byte_histogram(payload) - 256-bin byte-value histogram of a binary column"),
-      (es: Seq[Expression]) => graft.functions.ByteHistogram(es(0))))
+      (es: Seq[Expression]) => graft.functions.ByteHistogram(es(0))),
+    (FunctionIdentifier("byte_block_means"),
+      info("byte_block_means",
+        "byte_block_means(payload, n) - truncated per-block byte means over n blocks"),
+      (es: Seq[Expression]) => graft.functions.ByteBlockMeans(es(0), es(1))))
 
   // sessions already registered — operators call register() defensively
   // on every invocation, and re-registering logs one WARN per function

@@ -808,6 +808,56 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Rolling 7-day distinct users per day from MERGEABLE per-day HLL
+    * sketches — the 100 TB form of [[rollingActive]]'s WAU: the exact
+    * path fans every (day, user) row out to its 7 anchor days and
+    * re-shuffles USER IDS once per anchor; the sketch path aggregates
+    * each day to one fixed-size DataSketches HLL state (lgK=12, ~4 KB)
+    * and the 7-way anchor fanout ships and merges SKETCHES — per-anchor
+    * cost is 7 register-max merges regardless of daily cardinality, and
+    * the same daily sketches serve 28-day or 90-day windows for free
+    * (re-merge, don't re-scan). Register-max merging is
+    * order-independent, so the estimate is deterministic per engine.
+    *
+    * Graded the q67 way: the exact WAU plus a boolean pinning the
+    * estimate inside 3σ of the published HLL error (rsd ≈ 1.04/√2¹² ≈
+    * 1.63% — floor of 16 for the sparse regime, where the sketch is
+    * exact anyway); the oracle recomputes only the exact side and
+    * asserts TRUE, so engine-specific sketch internals never cross the
+    * gate.
+    */
+  def hllRolling(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val grid = du.select(col("day")).distinct()
+    val wau = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    val daily = du.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val est = daily
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("sk"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    grid.join(wau, "day").join(est, "day")
+      .select(col("day").cast("string").as("day"), col("wau"),
+        (abs(col("est") - col("wau")) <=
+          greatest(lit(16.0), lit(3.0 * 0.0163) * col("wau")))
+          .as("within_bound"))
+      .orderBy(col("day"))
+  }
+
+  val hllRollingSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |grid AS (SELECT DISTINCT day FROM du),
+      |wau AS (SELECT u.day + CAST(j.o AS INTEGER) AS day, COUNT(DISTINCT u.user_id) AS wau
+      |        FROM du u, UNNEST(generate_series(0, 6)) AS j(o)
+      |        GROUP BY 1)
+      |SELECT CAST(g.day AS VARCHAR) AS day, wau.wau, TRUE AS within_bound
+      |FROM grid g JOIN wau USING (day) ORDER BY day""".stripMargin
+
   val rollingActiveSql: String =
     """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
       |grid AS (SELECT DISTINCT day FROM du),
@@ -1064,6 +1114,7 @@ object Events {
     "events_zscore" -> (zscoreAnomalies _),
     "events_cusum" -> (cusumDrift _),
     "events_rolling_active" -> (rollingActive _),
+    "events_hll_rolling" -> (hllRolling _),
     "events_periodicity" -> (periodicity _),
     "events_sequence_funnel" -> (sequenceFunnel _),
     "events_attribution_linear" -> (attributionLinear _),
@@ -1080,6 +1131,7 @@ object Events {
     "events_zscore" -> zscoreAnomaliesSql,
     "events_cusum" -> cusumDriftSql,
     "events_rolling_active" -> rollingActiveSql,
+    "events_hll_rolling" -> hllRollingSql,
     "events_periodicity" -> periodicitySql,
     "events_sequence_funnel" -> sequenceFunnelSql,
     "events_attribution_linear" -> attributionLinearSql,

@@ -918,4 +918,84 @@ class ExtSpec extends SparkSpecBase {
     // it remains nearer to B's centroid than to A's
     assert(r.map(_._4).sum == 1)
   }
+
+  test("silhouette: tight well-separated clusters score near +1, all well-assigned") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f), 0),
+      (1L, Array(0.9f, -0.1f), 0),
+      (2L, Array(-1.0f, 0.1f), 1),
+      (3L, Array(-0.9f, -0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.silhouetteOn(e).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // every vector sits closer to its own centroid than to the other's
+    assert(r(0) == ((2L, 2L, r(0)._3)) && r(1)._1 == 2L && r(1)._2 == 2L)
+    // s·10⁶ summed over 2 members ≈ 2e6 for clean separation (a ≈ 0.01,
+    // b ≈ 3.6 on the unit grid → s ≈ 0.997 each)
+    assert(r(0)._3 > 1900000L && r(1)._3 > 1900000L, r.toString)
+  }
+
+  test("silhouette: a straddling vector drags n_well and the score down") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      // labeled 0 but sitting on cluster 1's centroid
+      (2L, Array(-1.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.1f), 1),
+      (4L, Array(-1.0f, -0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.silhouetteOn(e).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(0)._1 == 3L && r(0)._2 == 2L, s"mislabeled vec should not be well-assigned: $r")
+  }
+
+  test("label spreading: seeds clamp, non-seeds adopt the cluster seed's label") {
+    import spark.implicits._
+    // seeds are vec_id % 5 == 0: vec 0 seeds cluster A (label 7), vec 5
+    // seeds cluster B (label 3); non-seeds carry a junk label that must
+    // be ignored (only seed labels may spread)
+    def a(x: Float, y: Float) = Array(x, y, 0.3f, -0.2f)
+    val e = Seq(
+      (0L, a(1.0f, 0.1f), 7),
+      (1L, a(1.0f, 0.1f), 9),
+      (2L, a(1.0f, 0.1f), 9),
+      (5L, a(-1.0f, 0.4f), 3),
+      (6L, a(-1.0f, 0.4f), 9),
+      (7L, a(-1.0f, 0.4f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelSpreadOn(e, k = 2, nBands = 16, bandBits = 8,
+        rounds = 2).collect()
+      .map(x => (x.getLong(0), (x.getInt(1), x.getInt(2)))).toMap
+    assert(r(0L) == ((1, 7)) && r(5L) == ((1, 3)), s"seeds must clamp: $r")
+    assert(r(1L) == ((0, 7)) && r(2L) == ((0, 7)), s"cluster A spread: $r")
+    assert(r(6L) == ((0, 3)) && r(7L) == ((0, 3)), s"cluster B spread: $r")
+  }
+
+  test("phash: near-identical payloads pair up, inverted payload stays out") {
+    import spark.implicits._
+    val base = Array.tabulate(160)(i => ((i * 37 + 11) % 251).toByte)
+    val nearDup = base.clone()
+    nearDup(10) = (nearDup(10) + 1).toByte
+    nearDup(80) = (nearDup(80) + 1).toByte
+    val inverted = base.map(b => (250 - (b & 0xff)).toByte)
+    val media = Seq((1L, base), (2L, nearDup), (3L, inverted))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.mediaPhashDedupOn(media, tau = 6).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 6),
+      s"near-dup pair missing: ${pairs.toList}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"inverted payload must not pair: ${pairs.toList}")
+  }
+
+  test("hll rolling: sketch estimate stays inside the 3-sigma bound on real data") {
+    val r = graft.streaming.Events.hllRolling(spark, sf("0.001")).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getBoolean(2)), "an estimate escaped the published bound")
+    // WAU is a 7-day union: it can never fall below any single day's DAU
+    val wau = r.map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(wau.values.forall(_ > 0))
+  }
 }

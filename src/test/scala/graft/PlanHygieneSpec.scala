@@ -45,6 +45,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "sim_matryoshka_recall",
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
+    // silhouette: sim_kmeans_step's shape — the k×dim centroid table
+    // broadcast so every vector scores its k distances scan-side
+    "sim_silhouette",
     "q67_hll_intersection", // 1-row HLL frame broadcast onto the 1-row exact side (q21's split-agg shape)
     "events_drift_chi2", "q60_skew_probe", "q61_approx_pctl_bound",
     "text_mix_temperature",
