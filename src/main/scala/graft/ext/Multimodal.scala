@@ -533,59 +533,74 @@ object Multimodal {
     * 64-bit gradient hash (bit r·8+c = cell[r][c] > cell[r][c+1]);
     * near-dups are pairs with Hamming distance ≤ 6.
     *
-    * The pair search is EXACT, not probabilistic: the hash splits into
-    * 8 bands of 8 bits and a pair at Hamming ≤ 7 cannot differ in every
-    * band (pigeonhole), so band-equality candidates + a bit_count(xor)
-    * verify lose nothing at τ = 6. Scale shape: the hash is one
-    * scan-side expression; candidates are id+hash rows keyed by 8
-    * (band, byte) values — the corpus shuffles 8 small rows per payload,
-    * never payloads, never all-pairs.
+    * The pair search is EXACT, not probabilistic — HmSearch-style
+    * pigeonholing: the hash splits into 4 words of 16 bits, and a pair
+    * at Hamming ≤ 7 must agree within 1 bit on SOME word, so equi-join
+    * one side's {word} ∪ {16 single-bit flips} against the other side's
+    * exact words and bit_count(xor)-verify the survivors — nothing is
+    * lost at τ ≤ 7. 16-bit keys are the selectivity: plain 8-bit bands
+    * put 4.7M skewed candidate rows through the join at the 10× blowup
+    * (max bucket 534 — structured corpora cluster on narrow band
+    * values); the word-variant join measures 650K with max bucket 45.
+    * Scale shape: the hash is one scan-side expression; candidates
+    * travel as id-only pairs keyed by 68 small rows per payload — never
+    * payloads, never all-pairs.
     *
     * The graded fixture is the operator's actual use-case — find the
     * RE-ENCODED copy of a payload: corpus = originals ∪ minor-edit
-    * copies (every 53rd character uppercased — a deterministic ~2%
-    * byte perturbation standing in for recompression noise; copy id =
-    * original + 10⁶). The block-mean grid absorbs the ±32-byte ripples
-    * (copies land at Hamming ≤ 7 of their original, measured over the
-    * whole fixture) while unrelated documents stay ≥ 13 — so the pair
-    * list is essentially the original↔copy matching, graded exact.
+    * copies (bytes 41–48 uppercased — a deterministic locally-corrupted
+    * region standing in for recompression noise; copy id = original +
+    * 10⁶; plain concat/substr/upper, so the fixture costs no bespoke
+    * codegen). The block-mean grid absorbs the edit (copies land at
+    * Hamming ≤ 4 of their original, measured over the whole fixture)
+    * while unrelated documents stay ≥ 13 — so the pair list is exactly
+    * the original↔copy matching, graded exact.
     */
   def mediaPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val base = docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"))
     val copies = docs.select((col("doc_id") + 1000000L).as("media_id"),
-      expr("cast(array_join(transform(split(text, ''), " +
-        "(c, i) -> IF((i + 1) % 53 = 0, upper(c), c)), '') as binary)")
-        .as("payload"))
+      expr("cast(concat(substr(text, 1, 40), upper(substr(text, 41, 8)), " +
+        "substr(text, 49)) as binary)").as("payload"))
     mediaPhashDedupOn(base.unionByName(copies), tau = 6)
   }
 
   def mediaPhashDedupOn(media: DataFrame, tau: Int): DataFrame = {
     graft.plans.GraftExtensions.register(media.sparkSession)
-    require(tau <= 7, s"8x8-bit banding is exact only to Hamming 7, got $tau")
+    require(tau <= 7,
+      s"4x16-bit word-variant search is exact only to Hamming 7, got $tau")
     // bit k (k = r*8+c): grid cell (r, c) vs its right neighbor — rows of
     // 9 cells give 8 comparisons per row; shiftleft keeps the bit order
     // identical to the oracle's two's-complement BIGINT
-    val h = media
+    // staged: four consumers below (probe, build, both verify sides)
+    // would otherwise each re-run the payload scan + hash fold; the
+    // staged frame is 16 bytes per payload
+    val h = graft.engine.Materialize.stage(media
       .select(col("media_id"), col("payload"))
       .filter(length(col("payload")) >= 72)
-      .withColumn("m", expr("byte_block_means(payload, 72)"))
-      .withColumn("ph", expr(
-        "aggregate(transform(sequence(0, 63), k -> " +
-          "IF(m[(k div 8) * 9 + (k % 8)] > m[(k div 8) * 9 + (k % 8) + 1], " +
-          "shiftleft(1L, k), 0L)), 0L, (acc, x) -> acc + x)"))
-      .select(col("media_id"), col("ph"))
-    val banded = h.select(col("media_id"), col("ph"),
-      explode(expr(
-        "transform(sequence(0, 7), b -> b * 256L + (shiftright(ph, b * 8) & 255L))"))
-        .as("bk"))
-    val a = banded.select(col("bk"), col("media_id").as("ma"), col("ph").as("pa"))
-    val b = banded.select(col("bk").as("bkb"), col("media_id").as("mb"),
-      col("ph").as("pb"))
-    a.join(b, col("bk") === col("bkb") && col("ma") < col("mb"))
-      .select(col("ma"), col("mb"), col("pa"), col("pb"))
+      .select(col("media_id"), expr("phash64(payload)").as("ph")))
+    // probe side: each 16-bit word plus its 16 single-bit flips (68 keys,
+    // j div 17 = word, j mod 17 − 1 = flipped bit or exact); build side:
+    // the 4 exact words. Keys are flat (word, value) encodings — one
+    // arithmetic lambda, no struct building. A pair within 1 bit on word
+    // w meets itself exactly once per direction — id-only rows, deduped
+    // before the hash verify.
+    val wordKey = "shiftleft(cast(j div 17 as bigint), 16) | " +
+      "(shiftright(ph, (j div 17) * 16) & 65535L)"
+    val probe = h.select(col("media_id").as("ma"), explode(expr(
+      s"transform(sequence(0, 67), j -> IF(j % 17 = 0, $wordKey, " +
+        s"$wordKey ^ shiftleft(1L, j % 17 - 1)))")).as("wk"))
+    val build = h.select(col("media_id").as("mb"), explode(expr(
+      "transform(sequence(0, 3), w -> shiftleft(cast(w as bigint), 16) | " +
+        "(shiftright(ph, w * 16) & 65535L))")).as("wk"))
+    val pa = h.select(col("media_id").as("ma"), col("ph").as("pa"))
+    val pb = h.select(col("media_id").as("mb"), col("ph").as("pb"))
+    probe.join(build, "wk")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma"), col("mb"))
       .dropDuplicates("ma", "mb")
+      .join(pa, "ma").join(pb, "mb")
       .withColumn("hamming", expr("bit_count(pa ^ pb)"))
       .filter(col("hamming") <= tau)
       .select(col("ma"), col("mb"), col("hamming"))
@@ -609,14 +624,15 @@ object Multimodal {
        |      + (strpos('0123456789ABCDEF', substr(h, 2 * t.i + 2, 1)) - 1) AS bv,
        |    n
        |  FROM raw, UNNEST(generate_series(0, n - 1)) AS t(i)),
-       |-- corpus = originals + minor-edit copies: the copy uppercases every
-       |-- 53rd character, which on this all-ASCII fixture is exactly the
-       |-- byte map (i+1)%53=0 AND a-z -> bv-32 (copy id = original + 1e6)
+       |-- corpus = originals + minor-edit copies: the copy uppercases
+       |-- characters 41-48 (0-based bytes 40..47), which on this all-ASCII
+       |-- fixture is exactly the byte map a-z -> bv-32 on that range
+       |-- (copy id = original + 1e6)
        |bytes AS (
        |  SELECT media_id, CAST((i * 72) // n AS INT) AS blk, bv FROM raw_bytes
        |  UNION ALL
        |  SELECT media_id + 1000000, CAST((i * 72) // n AS INT) AS blk,
-       |    CASE WHEN (i + 1) % 53 = 0 AND bv BETWEEN 97 AND 122
+       |    CASE WHEN i BETWEEN 40 AND 47 AND bv BETWEEN 97 AND 122
        |      THEN bv - 32 ELSE bv END AS bv
        |  FROM raw_bytes),
        |cells AS (

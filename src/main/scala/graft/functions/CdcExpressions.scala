@@ -97,59 +97,63 @@ object ByteHistUtil {
   }
 }
 
-/** byte_block_means(payload, n): truncated per-block byte means of a
-  * binary payload split into n blocks — the "resize to a fixed grid"
-  * reduction under perceptual hashing ([[graft.ext.Multimodal]]'s
-  * dHash): byte i belongs to block `(i·n) div len` (exact integer
-  * arithmetic, so the DuckDB replay assigns blocks with the same `//`
-  * expression), block value = sum div count. One tight pass per row,
-  * no per-byte explode; empty blocks (len < n) read 0.
+/** phash64(payload): 64-bit dHash of a binary payload over its 8×9
+  * block-mean grid ([[graft.ext.Multimodal.mediaPhashDedupOn]]). Byte i
+  * belongs to block `(i·72) div len` (exact integer arithmetic — the
+  * DuckDB replay assigns blocks with the same `//` expression), block
+  * value = truncated mean, and bit r·8+c is set when grid cell (r, c)
+  * exceeds its right neighbor. One tight pass per row; phrased as SQL
+  * HOFs (a 64-step transform/aggregate over a block-means array) the
+  * same computation generated enough Janino input to dominate the whole
+  * query's wall-clock at bench scale.
   */
-object ByteBlockUtil {
-  def blockMeans(payload: Array[Byte], n: Int): ArrayData = {
+object PHashUtil {
+  def phash(payload: Array[Byte]): Long = {
     val len = payload.length
-    val sums = new Array[Long](n)
-    val cnts = new Array[Long](n)
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
     var i = 0
     while (i < len) {
-      val b = ((i.toLong * n) / len).toInt
+      val b = ((i.toLong * 72L) / len).toInt
       sums(b) += payload(i) & 0xff
       cnts(b) += 1L
       i += 1
     }
-    val out = new Array[Long](n)
+    val m = new Array[Long](72)
     var b = 0
-    while (b < n) {
-      out(b) = if (cnts(b) == 0L) 0L else sums(b) / cnts(b)
+    while (b < 72) {
+      m(b) = if (cnts(b) == 0L) 0L else sums(b) / cnts(b)
       b += 1
     }
-    new GenericArrayData(out)
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      val cell = (k >> 3) * 9 + (k & 7)
+      if (m(cell) > m(cell + 1)) h |= 1L << k
+      k += 1
+    }
+    h
   }
 }
 
-case class ByteBlockMeans(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class PHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"byte_block_means expects (binary, int), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+      s"phash64 expects binary, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "byte_block_means"
+  override def prettyName: String = "phash64"
 
-  override def nullSafeEval(payload: Any, n: Any): Any =
-    ByteBlockUtil.blockMeans(payload.asInstanceOf[Array[Byte]],
-      n.asInstanceOf[Int])
+  override def nullSafeEval(payload: Any): Any =
+    PHashUtil.phash(payload.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (p, n) => s"graft.functions.ByteBlockUtil.blockMeans($p, $n)")
+    defineCodeGen(ctx, ev, p => s"graft.functions.PHashUtil.phash($p)")
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ByteBlockMeans =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
 }
 
 case class ByteHistogram(child: Expression)

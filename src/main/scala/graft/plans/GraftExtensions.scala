@@ -37,6 +37,9 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_f32"),
       info("cosine_f32", "cosine_f32(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => CosineSimF32(es(0), es(1))),
+    (FunctionIdentifier("l2sq_i64"),
+      info("l2sq_i64", "l2sq_i64(a, b) - exact squared-L2 of two bigint arrays"),
+      (es: Seq[Expression]) => graft.functions.L2SqI64(es(0), es(1))),
     (FunctionIdentifier("sign_lsh"),
       info("sign_lsh",
         "sign_lsh(vec, [planeOffset,] nBits) - random-hyperplane sign-LSH signature"),
@@ -98,10 +101,10 @@ object GraftExtensions {
       info("byte_histogram",
         "byte_histogram(payload) - 256-bin byte-value histogram of a binary column"),
       (es: Seq[Expression]) => graft.functions.ByteHistogram(es(0))),
-    (FunctionIdentifier("byte_block_means"),
-      info("byte_block_means",
-        "byte_block_means(payload, n) - truncated per-block byte means over n blocks"),
-      (es: Seq[Expression]) => graft.functions.ByteBlockMeans(es(0), es(1))))
+    (FunctionIdentifier("phash64"),
+      info("phash64",
+        "phash64(payload) - 64-bit dHash over the payload's 8x9 block-mean grid"),
+      (es: Seq[Expression]) => graft.functions.PHash64(es(0))))
 
   // sessions already registered — operators call register() defensively
   // on every invocation, and re-registering logs one WARN per function
