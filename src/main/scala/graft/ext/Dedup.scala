@@ -727,7 +727,16 @@ object Dedup {
   def dedupClustersBigStarQ(spark: SparkSession, dir: String): DataFrame =
     dedupClustersBigStar(docs(spark, dir))
 
-  def dedupClustersBigStarFrom(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  def dedupClustersBigStarFrom(documents: DataFrame, pairs: DataFrame): DataFrame =
+    clusterOutput(documents, bigStarLabels(pairs))
+
+  /** The star-contraction fixed point alone: (doc_id, label) rows for
+    * every node that has an edge, label = component minimum. Shared by
+    * the from-scratch clustering above and the incremental maintenance
+    * path ([[dedupClustersIncremental]]), which runs it twice — once at
+    * corpus scale, once on a contracted root graph.
+    */
+  def bigStarLabels(pairs: DataFrame): DataFrame = {
     val stage = graft.engine.Materialize.stage _
     val first = stage(
       pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -769,9 +778,83 @@ object Dedup {
     }
     if (!done)
       throw new IllegalStateException(
-        s"dedupClustersBigStar did not converge in $maxRounds rounds")
+        s"bigStarLabels did not converge in $maxRounds rounds")
     // at the fixed point every edge is (member, component-min)
-    clusterOutput(documents, edges.select(col("u").as("doc_id"), col("v").as("label")))
+    edges.select(col("u").as("doc_id"), col("v").as("label"))
+  }
+
+  // ------------------------------------- incremental CC maintenance
+  /** INCREMENTAL dedup-cluster maintenance — the production shape of a
+    * growing corpus: yesterday's clustering is an asset (component
+    * roots over the old documents), and today's batch must join it
+    * without re-clustering 100 TB. Three steps, none touching the
+    * old-old pair space again:
+    *  1. yesterday's index: star-contraction roots over the OLD corpus'
+    *     LSH pairs (in production this is a stored table);
+    *  2. delta candidates: only NEW documents' band rows probe the full
+    *     band index — old-old candidate pairs are never regenerated —
+    *     then the usual exact-Jaccard verify;
+    *  3. contraction: delta endpoints map through yesterday's roots
+    *     (old docs → component min, new/singleton → self), and star
+    *     contraction reruns on that ROOT graph — proportional to the
+    *     delta, not the corpus.
+    * Because roots are component MINIMA, the merged root graph's minima
+    * equal the full recompute's minima — so the result is graded
+    * against the SAME transitive-closure oracle as `dedup_cluster`
+    * (hash-equal, not merely consistent). `isNew` must be a predicate
+    * on `doc_id` alone (it is applied to band rows as well as
+    * documents).
+    */
+  def dedupClustersIncrementalQ(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersIncremental(docs(spark, dir), pmod(col("doc_id"), lit(10)) >= 8)
+
+  def dedupClustersIncremental(documents: DataFrame, isNew: Column): DataFrame = {
+    val stage = graft.engine.Materialize.stage _
+    val oldLabels = stage(bigStarLabels(
+      minhashLshOn(documents.filter(!isNew))
+        .select(col("doc_a"), col("doc_b"))))
+    val (sig, bands) = bandedSignatures(documents)
+    val nb = bands.filter(isNew)
+      .select(col("doc_id").as("doc_n"), col("band"), col("bkey"))
+    val ab = bands.select(col("doc_id").as("doc_o"), col("band").as("b2"),
+      col("bkey").as("k2"))
+    val cand = nb.join(ab,
+        col("band") === col("b2") && col("bkey") === col("k2") &&
+          col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), col("ss"), col("sz"))
+    val delta = cand
+      .join(sets.select(col("doc_id"), col("ss").as("sa"), col("sz").as("za")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ss").as("sb"), col("sz").as("zb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter").cast("double") / (col("za") + col("zb") - col("inter"))
+        >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val la = oldLabels.select(col("doc_id").as("doc_a"), col("label").as("ra"))
+    val lb = oldLabels.select(col("doc_id").as("doc_b"), col("label").as("rb"))
+    val rootEdges = delta
+      .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val merge = stage(bigStarLabels(rootEdges))
+    // old docs re-root through their component's merge entry; everything
+    // the old index never labeled (new docs, old singletons) roots
+    // directly — absent from `merge` means untouched by the delta
+    val remappedOld = oldLabels
+      .join(merge.select(col("doc_id").as("label"), col("label").as("merged")),
+        Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("label")).as("label"))
+    val direct = documents.select(col("doc_id"))
+      .join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(merge, Seq("doc_id"), "left")
+      .filter(col("label").isNotNull)
+    clusterOutput(documents, remappedOld.unionByName(direct))
   }
 
   // --------------------------------------------- exact substring windows
@@ -1467,6 +1550,7 @@ object Dedup {
     "dedup_simhash_wide" -> (simhashWide _),
     "dedup_cluster" -> (dedupClusters _),
     "dedup_cluster_lsh" -> (dedupClustersLshQ _),
+    "dedup_cluster_incremental" -> (dedupClustersIncrementalQ _),
     "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
     "dedup_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
@@ -1490,6 +1574,7 @@ object Dedup {
     "dedup_simhash_wide" -> simhashSql,
     "dedup_cluster" -> dedupClustersSql,
     "dedup_cluster_lsh" -> dedupClustersSql,
+    "dedup_cluster_incremental" -> dedupClustersSql,
     "dedup_cluster_bigstar" -> dedupClustersSql,
     "dedup_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql,

@@ -990,6 +990,35 @@ class ExtSpec extends SparkSpecBase {
       s"inverted payload must not pair: ${pairs.toList}")
   }
 
+  test("incremental clustering == from-scratch, including a new doc bridging two old components") {
+    import spark.implicits._
+    // two separate old near-dup clusters {0,2} and {5,7}; new doc 18
+    // shares shingles with BOTH (the merge case incremental paths get
+    // wrong first), new doc 19 is a singleton, new doc 8... old ids are
+    // % 10 < 8, new are % 10 >= 8
+    // the two old clusters sit on overlapping token ranges (J(a,b) =
+    // 0.38, below tau) and the bridge overlaps both at J = 0.64
+    val a = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val b = (9 to 28).map(i => s"alpha$i").mkString(" ")
+    val bridge = (5 to 24).map(i => s"alpha$i").mkString(" ")
+    val docsDf = Seq(
+      (0L, a), (2L, a + " tail0"), (5L, b), (7L, b + " tail1"),
+      (3L, (1 to 12).map(i => s"gamma$i").mkString(" ")), // old singleton
+      (18L, bridge), (19L, (1 to 12).map(i => s"delta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val inc = Dedup.dedupClustersIncremental(docsDf, isNew).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.dedupClustersBigStarFrom(docsDf,
+      Dedup.minhashLshOn(docsDf).select(col("doc_a"), col("doc_b"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental $inc != full $full")
+    // the bridge really merged the two old components under the global min
+    assert(inc(18L) == 0L && inc(5L) == 0L && inc(7L) == 0L && inc(2L) == 0L)
+    // untouched docs kept their clusters; singletons stayed singletons
+    assert(inc(3L) == 3L && inc(19L) == 19L)
+  }
+
   test("hll rolling: sketch estimate stays inside the 3-sigma bound on real data") {
     val r = graft.streaming.Events.hllRolling(spark, sf("0.001")).collect()
     assert(r.nonEmpty)

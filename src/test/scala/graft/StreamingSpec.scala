@@ -932,4 +932,67 @@ class StreamingSpec extends SparkSpecBase {
       .dropDuplicates("event_id").count()
     assert(streamed == batchDistinct)
   }
+
+  test("streaming per-day HLL states reproduce the batch sketch estimates exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.HllRollingIngest
+    // real (day, user) rows split into 3 micro-batch files; the third
+    // file REPLAYS half of the first (at-least-once delivery) — the
+    // register-max state must absorb the duplicates without drift
+    val du = graft.engine.Tables.load(spark, sf(), "events")
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val slices = du.grouped((du.size + 1) / 2).toSeq :+ du.take(du.size / 2)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_hll_in")
+    slices.zipWithIndex.foreach { case (slice, k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_hll_s$k")
+      slice.toDF("day", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = inDir.resolve(f"slice-$k%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val q = HllRollingIngest.sketches(spark, inDir.toString,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("hll_days")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // every emission is a partial register-max state — merging ALL
+    // emissions of a day equals the final state (idempotent), so no
+    // emission ordering is assumed
+    val perDay = spark.table("hll_days").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSeq }
+    // batch twin: the exact SQL-function path hllRolling's estimate uses
+    val batchDaily = du.toDF("day", "user_id")
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDay.keySet == batchDaily.keySet)
+    perDay.foreach { case (d, sks) =>
+      assert(HllRollingIngest.mergedEstimate(sks) == batchDaily(d),
+        s"day $d stream estimate diverged from batch")
+    }
+    // window assembly over the emitted states = the batch 7-day union
+    val days = perDay.keys.toSeq.sorted
+    val batch7 = du.toDF("day", "user_id")
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .select(explode(expr(
+        "sequence(cast(day as date), date_add(cast(day as date), 6))"))
+        .as("d"), col("sk"))
+      .select(col("d").cast("string").as("day"), col("sk"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    days.foreach { anchor =>
+      val window = days.filter(d => d <= anchor &&
+        java.time.LocalDate.parse(d).plusDays(6)
+          .compareTo(java.time.LocalDate.parse(anchor)) >= 0)
+      val est = HllRollingIngest.mergedEstimate(window.flatMap(perDay))
+      assert(est == batch7(anchor), s"anchor $anchor 7-day estimate diverged")
+    }
+  }
 }
