@@ -679,6 +679,149 @@ object Events {
       |  CAST(COUNT(*) AS BIGINT) AS n_purchases
       |FROM sh GROUP BY c_id ORDER BY c_id""".stripMargin
 
+  // -------------------------------- Markov removal-effect attribution
+  /** Markov-chain multi-touch attribution (removal effects) — the
+    * data-driven sibling of [[attributionLinear]]: user journeys become
+    * a first-order Markov chain (START → event types → purchase |
+    * DROP), and a channel's credit is its REMOVAL EFFECT — how much the
+    * chain's conversion probability falls when journeys die at that
+    * channel. The canonical formulation (Anderl et al. 2014) needs an
+    * absorbing-chain solve; here it is 12 rounds of value iteration
+    * p(s) ← Σ_t P(s→t)·p(t) with p(purchase) = 1, p(DROP) = 0, and the
+    * removed state clamped to 0 — entirely in 10⁻⁶ fixed point
+    * (truncated transition probabilities, sum-of-products then one
+    * truncated division per state per round), so all five scenarios
+    * hash-match an oracle that unrolls the rounds as CTEs.
+    *
+    * Scale shape: the ONLY corpus-scale work is one window pass + one
+    * (from, to) count aggregate; everything after runs on a ≤ |types|²
+    * transition table and a 5×7 scenario×state grid. Journeys truncate
+    * at the first purchase; a journey with no purchase exits to DROP.
+    * Removal can only lower conversion, and truncation is monotone, so
+    * the basis-point effect is nonnegative in both engines.
+    */
+  def attributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = events(spark, dir)
+      .select(col("user_id"), substring(col("event_type"), 1, 1).as("c"),
+        row_number().over(w).as("rn"))
+    val wp = Window.partitionBy(col("user_id"))
+    val kept = ev
+      .withColumn("prn", min(when(col("c") === "p", col("rn"))).over(wp))
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val steps = kept
+      .withColumn("prev", lag(col("c"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("rn"))))
+      .select(coalesce(col("prev"), lit("S")).as("f"), col("c").as("t"))
+    val exits = kept
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("rn").desc)))
+      .withColumn("has_p",
+        max((col("c") === "p").cast("int")).over(wp))
+      .filter(col("rr") === 1 && col("has_p") === 0)
+      .select(col("c").as("f"), lit("E").as("t"))
+    val prob = steps.unionByName(exits)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("tn", sum(col("n")).over(Window.partitionBy(col("f"))))
+      .select(col("f"), col("t"), expr("(n * 1000000L) div tn").as("pr"))
+    // The transition table is ≤ |states|² rows REGARDLESS of corpus
+    // size (states = event-type initials + S/E), so the absorbing-chain
+    // solve is a driver-side scalar step — like manifestPrune's range
+    // sizing, NOT a driver loop over corpus data: everything corpus-
+    // scale (the window pass + the count aggregate) already reduced
+    // distributively above. 12 rounds × 5 scenarios × ≤49 edges of
+    // exact integer arithmetic, identical to the oracle's unrolled CTEs.
+    val edges = prob.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(edges.length <= 64,
+      s"transition table unexpectedly large (${edges.length}) — state " +
+        "space is event-type initials + S/E by construction")
+    val states = Seq("S", "v", "c", "e", "s", "p", "E")
+    val scenarios = Seq("full", "no_v", "no_c", "no_e", "no_s")
+    def solve(sc: String): Long = {
+      val removed = sc.stripPrefix("no_")
+      def clamp(st: String, v: Long): Long =
+        if (st == "p") 1000000L
+        else if (st == "E") 0L
+        else if (sc != "full" && st == removed) 0L
+        else v
+      var p = states.map(st => st -> clamp(st, 0L)).toMap
+      for (_ <- 1 to 12) {
+        val nxt = states.map { st =>
+          val acc = edges.collect { case (`st`, t, pr) => pr * p(t) }.sum
+          st -> clamp(st, acc / 1000000L)
+        }.toMap
+        p = nxt
+      }
+      p("S")
+    }
+    val conv = scenarios.map(sc => sc -> solve(sc)).toMap
+    val fp = conv("full")
+    scenarios.sorted
+      .map(sc => (sc, conv(sc),
+        if (sc == "full") 0L else (fp - conv(sc)) * 10000L / math.max(fp, 1L)))
+      .toDF("scenario", "conv_fp", "removal_effect_bp")
+  }
+
+  /** DuckDB twin of [[attributionMarkov]]: the same chain construction
+    * and the 12 value-iteration rounds unrolled as CTEs over the same
+    * fixed-point grid.
+    */
+  val attributionMarkovSql: String = {
+    def round(r: Int): String =
+      s"""a$r AS (
+         |  SELECT g.sc, pr.f AS st,
+         |    CAST(SUM(pr.pr * g.p) // 1000000 AS BIGINT) AS v
+         |  FROM prob pr JOIN p${r - 1} g ON g.st = pr.t
+         |  GROUP BY 1, 2),
+         |p$r AS (
+         |  SELECT b.sc, b.st,
+         |    CASE WHEN b.st = 'p' THEN 1000000
+         |         WHEN b.st = 'E' THEN 0
+         |         WHEN 'no_' || b.st = b.sc THEN 0
+         |         ELSE COALESCE(a.v, 0) END AS p
+         |  FROM p0 b LEFT JOIN a$r a ON a.sc = b.sc AND a.st = b.st)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, substr(event_type, 1, 1) AS c,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, MIN(CASE WHEN c = 'p' THEN rn END) AS prn
+       |       FROM ev GROUP BY 1),
+       |kept AS (SELECT e.user_id, e.c, e.rn FROM ev e JOIN fp USING (user_id)
+       |         WHERE prn IS NULL OR rn <= prn),
+       |steps AS (
+       |  SELECT COALESCE(lag(c) OVER (PARTITION BY user_id ORDER BY rn), 'S') AS f,
+       |    c AS t
+       |  FROM kept),
+       |exits AS (
+       |  SELECT c AS f, 'E' AS t FROM (
+       |    SELECT c,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr,
+       |      MAX(CASE WHEN c = 'p' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id) AS has_p
+       |    FROM kept) WHERE rr = 1 AND has_p = 0),
+       |cnt AS (SELECT f, t, COUNT(*) AS n
+       |        FROM (SELECT * FROM steps UNION ALL SELECT * FROM exits)
+       |        GROUP BY 1, 2),
+       |tot AS (SELECT f, SUM(n) AS tn FROM cnt GROUP BY 1),
+       |prob AS (SELECT f, t, CAST(n * 1000000 // tn AS BIGINT) AS pr
+       |         FROM cnt JOIN tot USING (f)),
+       |p0 AS (
+       |  SELECT x.sc, s.st,
+       |    CASE WHEN s.st = 'p' THEN 1000000 ELSE 0 END AS p
+       |  FROM (VALUES ('full'), ('no_v'), ('no_c'), ('no_e'), ('no_s')) AS x(sc),
+       |       (VALUES ('S'), ('v'), ('c'), ('e'), ('s'), ('p'), ('E')) AS s(st)),
+       |${(1 to 12).map(round).mkString(",\n")}
+       |SELECT g.sc AS scenario, CAST(g.p AS BIGINT) AS conv_fp,
+       |  CAST(CASE WHEN g.sc = 'full' THEN 0
+       |    ELSE ((f.p - g.p) * 10000) // greatest(f.p, 1) END AS BIGINT)
+       |    AS removal_effect_bp
+       |FROM p12 g JOIN (SELECT p FROM p12 WHERE sc = 'full' AND st = 'S') f ON TRUE
+       |WHERE g.st = 'S' ORDER BY scenario""".stripMargin
+  }
+
   // ------------------------------------- strict 3-step sequence funnel
   /** MATCH_RECOGNIZE-style strict event-sequence detection without the
     * clause Spark lacks: click → view → purchase chains per user, each
@@ -857,6 +1000,55 @@ object Events {
       |        GROUP BY 1)
       |SELECT CAST(g.day AS VARCHAR) AS day, wau.wau, TRUE AS within_bound
       |FROM grid g JOIN wau USING (day) ORDER BY day""".stripMargin
+
+  /** MATCH_RECOGNIZE-style sequence pattern matching — the complex-
+    * event-processing surface Spark SQL lacks (no MATCH_RECOGNIZE
+    * clause): each user's event-type history compresses to an ordered
+    * single-char string (one window sort, then the corpus-scale rows
+    * collapse to one row per user) and patterns become plain regular
+    * expressions over it — here `v{2,}c{1,2}p`, "a browse streak of ≥ 2
+    * views, one or two clicks, then a purchase, CONTIGUOUS", which no
+    * join/funnel formulation expresses without a blow-up of window
+    * flags. Non-overlapping leftmost-greedy match counts and the
+    * longest view streak come from the same compressed string.
+    *
+    * Determinism: the (ts, event_id) sort total-orders each sequence;
+    * the pattern uses no alternation, so Java regex and RE2 agree on
+    * every match boundary. Scale shape: one per-user window pass, then
+    * regex over ~|events-per-user| chars per row — the corpus never
+    * shuffles again after the per-user collapse.
+    */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), substring(col("event_type"), 1, 1).as("c"),
+        row_number().over(w).as("rn"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "concat_ws('', transform(array_sort(collect_list(struct(rn, c))), x -> x.c))")
+        .as("seq"))
+      .select(col("user_id"), length(col("seq")).as("seq_len"),
+        expr("regexp_count(seq, 'v{2,}c{1,2}p')").as("n_matches"),
+        expr("coalesce(array_max(transform(regexp_extract_all(seq, 'v+', 0), " +
+          "x -> length(x))), 0)").as("max_view_run"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val patternMatchSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+      |    CAST(len(regexp_extract_all(seq, 'v{2,}c{1,2}p')) AS INT) AS n_matches,
+      |    CAST(COALESCE(list_max(list_transform(regexp_extract_all(seq, 'v+'),
+      |      x -> length(x))), 0) AS INT) AS max_view_run
+      |  FROM s)
+      |SELECT user_id, seq_len, n_matches, max_view_run
+      |FROM m WHERE n_matches > 0 ORDER BY user_id""".stripMargin
 
   /** Rolling 7-day p95 of `value` per day from MERGEABLE fixed-grid
     * histograms — [[hllRolling]]'s technique applied to quantiles: each
@@ -1181,9 +1373,11 @@ object Events {
     "events_rolling_active" -> (rollingActive _),
     "events_hll_rolling" -> (hllRolling _),
     "events_hist_rolling_p95" -> (histRollingP95 _),
+    "events_pattern_match" -> (patternMatch _),
     "events_periodicity" -> (periodicity _),
     "events_sequence_funnel" -> (sequenceFunnel _),
     "events_attribution_linear" -> (attributionLinear _),
+    "events_attribution_markov" -> (attributionMarkov _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -1199,9 +1393,11 @@ object Events {
     "events_rolling_active" -> rollingActiveSql,
     "events_hll_rolling" -> hllRollingSql,
     "events_hist_rolling_p95" -> histRollingP95Sql,
+    "events_pattern_match" -> patternMatchSql,
     "events_periodicity" -> periodicitySql,
     "events_sequence_funnel" -> sequenceFunnelSql,
     "events_attribution_linear" -> attributionLinearSql,
+    "events_attribution_markov" -> attributionMarkovSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,

@@ -933,6 +933,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batchDistinct)
   }
 
+  test("streaming per-day histogram states reproduce the batch rolling p95 exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.HistRollingIngest
+    val dv = graft.engine.Tables.load(spark, sf(), "events")
+      .select(to_date(col("ts")).cast("string").as("day"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val inDir = java.nio.file.Files.createTempDirectory("graft_hist_in")
+    dv.grouped((dv.size + 2) / 3).zipWithIndex.foreach { case (slice, k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_hist_s$k")
+      slice.toDF("day", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(f"slice-$k%02d.parquet"))
+      inDir.resolve(f"slice-$k%02d.parquet").toFile
+        .setLastModified(1700000000000L + k * 60000L)
+    }
+    val q = HistRollingIngest.histograms(spark, inDir.toString,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("hist_days")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // final state per day = the emission with the largest running n
+    // (counting states are NOT merge-idempotent, unlike the HLL twin)
+    val finals = spark.table("hist_days").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Seq[Long]](2).toArray))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.maxBy(_._2) }
+    // batch twin: the graded rolling-p95 query on the same rows
+    val batch = graft.streaming.Events.histRollingP95(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(finals.keySet == batch.keySet)
+    val days = finals.keys.toSeq.sorted
+    days.foreach { anchor =>
+      val window = days.filter(d => d <= anchor &&
+        java.time.LocalDate.parse(d).plusDays(6)
+          .compareTo(java.time.LocalDate.parse(anchor)) >= 0)
+      val (n, b) = HistRollingIngest.p95(window.map(d => finals(d)._3))
+      assert((n, b) == batch(anchor),
+        s"anchor $anchor: stream ($n, $b) != batch ${batch(anchor)}")
+    }
+  }
+
   test("streaming per-day HLL states reproduce the batch sketch estimates exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
