@@ -1387,6 +1387,51 @@ object Dedup {
 
   def pagerankFrom(documents: DataFrame, pairs: DataFrame,
       iters: Int = 5): DataFrame = {
+    val scale = 1000000000000L
+    val n = documents.select(col("doc_id")).count()
+    if (n == 0) // empty corpus: empty result, like the sibling operators
+      return documents.select(col("doc_id"), lit(0L).as("rank_fp"),
+        lit(0L).as("n_neighbors"))
+    val r0 = scale / n
+    val init = documents.select(col("doc_id"), lit(r0).as("r"),
+      lit((15L * r0) / 100L).as("base"))
+    pagerankLoop(init, pairs, iters)
+  }
+
+  /** PERSONALIZED PageRank — teleport mass restricted to a seed set
+    * (doc_id % 50 = 0 in the graded entry): importance RELATIVE TO the
+    * seeds, the crawl-frontier / trusted-source prioritization form
+    * (TrustRank's mechanism). Same scaled-BIGINT loop as [[pagerankOn]]
+    * — only the restart vector changes: seeds start with 1/|seeds| of
+    * the mass and receive the whole 0.15 teleport share; every other
+    * document accumulates only flowed-through rank and decays to its
+    * graph-distance-from-seeds value. Bit-exact cross-engine, graded by
+    * the same unrolled-CTE technique.
+    */
+  def pagerankSeeded(spark: SparkSession, dir: String): DataFrame =
+    pagerankSeededOn(docs(spark, dir), pmod(col("doc_id"), lit(50)) === 0)
+
+  def pagerankSeededOn(documents: DataFrame, isSeed: Column,
+      iters: Int = 5): DataFrame = {
+    val scale = 1000000000000L
+    val nSeeds = documents.filter(isSeed).count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val r0 = scale / nSeeds
+    val init = documents.select(col("doc_id"),
+      when(isSeed, lit(r0)).otherwise(lit(0L)).as("r"),
+      when(isSeed, lit((15L * r0) / 100L)).otherwise(lit(0L)).as("base"))
+    pagerankLoop(init,
+      ngramJaccardOn(documents).select(col("doc_a"), col("doc_b")), iters)
+  }
+
+  /** The shared power-iteration core: `init` carries each document's
+    * starting rank and per-round restart share (uniform for classic
+    * PageRank, seed-concentrated for the personalized form); the loop
+    * is the [[dedupClustersFrom]] staging discipline around one join +
+    * one partial-aggregated groupBy per round.
+    */
+  private def pagerankLoop(init: DataFrame, pairs: DataFrame,
+      iters: Int): DataFrame = {
     val stage = graft.engine.Materialize.stage _
     val edgesAll = stage(pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
@@ -1399,26 +1444,18 @@ object Dedup {
         e
       } else edgesAll
     val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("d"))
-
-    val scale = 1000000000000L
-    val n = documents.select(col("doc_id")).count()
-    if (n == 0) // empty corpus: empty result, like the sibling operators
-      return documents.select(col("doc_id"), lit(0L).as("rank_fp"),
-        lit(0L).as("n_neighbors"))
-    val r0 = scale / n
-    val base = (15L * r0) / 100L
-    var rank = stage(sized(
-      documents.select(col("doc_id")).withColumn("r", lit(r0))))
+    val bases = stage(sized(init.select(col("doc_id"), col("base"))))
+    var rank = stage(sized(init.select(col("doc_id"), col("r"))))
     for (_ <- 1 to iters) {
       val contrib = edges.join(deg, Seq("doc_a"))
         .join(rank.select(col("doc_id").as("doc_a"), col("r")), Seq("doc_a"))
         .select(col("doc_b").as("doc_id"), expr("r div d").as("c"))
         .groupBy(col("doc_id")).agg(sum(col("c")).as("s"))
       val next = stage(sized(
-        rank.select(col("doc_id"))
+        bases
           .join(contrib, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            (lit(base) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))))
+            (col("base") + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))))
       graft.engine.Materialize.release(rank)
       rank = next
     }
@@ -1465,6 +1502,48 @@ object Dedup {
        |                (15 * (1000000000000 // COUNT(*))) // 100 AS b
        |         FROM documents),
        |r0 AS (SELECT doc_id, (SELECT r0v FROM cons) AS r FROM documents),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT p.doc_id, CAST(p.r AS BIGINT) AS rank_fp,
+       |  CAST(COALESCE(deg.d, 0) AS BIGINT) AS n_neighbors
+       |FROM r5 p LEFT JOIN deg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[pagerankSeededOn]]: identical rounds, restart
+    * vector concentrated on the doc_id % 50 = 0 seed set.
+    */
+  val pagerankSeededSql: String = {
+    def round(k: Int): String =
+      s"""r$k AS (
+         |  SELECT p.doc_id,
+         |    b.base + COALESCE((85 * c.s) // 100, 0) AS r
+         |  FROM r${k - 1} p JOIN bases b USING (doc_id) LEFT JOIN (
+         |    SELECT e.b AS doc_id, CAST(SUM(rr.r // deg.d) AS BIGINT) AS s
+         |    FROM edges e JOIN r${k - 1} rr ON e.a = rr.doc_id
+         |                 JOIN deg ON e.a = deg.doc_id
+         |    GROUP BY e.b) c USING (doc_id))""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       |       WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |          WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT a AS doc_id, COUNT(*) AS d FROM edges GROUP BY a),
+       |cons AS (SELECT 1000000000000 // COUNT(*) AS r0v
+       |         FROM documents WHERE doc_id % 50 = 0),
+       |bases AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 50 = 0
+       |      THEN (15 * (SELECT r0v FROM cons)) // 100 ELSE 0 END AS base
+       |  FROM documents),
+       |r0 AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 50 = 0 THEN (SELECT r0v FROM cons) ELSE 0 END AS r
+       |  FROM documents),
        |${(1 to 5).map(round).mkString(",\n")}
        |SELECT p.doc_id, CAST(p.r AS BIGINT) AS rank_fp,
        |  CAST(COALESCE(deg.d, 0) AS BIGINT) AS n_neighbors
@@ -1551,6 +1630,7 @@ object Dedup {
     "dedup_cluster" -> (dedupClusters _),
     "dedup_cluster_lsh" -> (dedupClustersLshQ _),
     "dedup_cluster_incremental" -> (dedupClustersIncrementalQ _),
+    "dedup_pagerank_seeded" -> (pagerankSeeded _),
     "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
     "dedup_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
@@ -1575,6 +1655,7 @@ object Dedup {
     "dedup_cluster" -> dedupClustersSql,
     "dedup_cluster_lsh" -> dedupClustersSql,
     "dedup_cluster_incremental" -> dedupClustersSql,
+    "dedup_pagerank_seeded" -> pagerankSeededSql,
     "dedup_cluster_bigstar" -> dedupClustersSql,
     "dedup_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql,

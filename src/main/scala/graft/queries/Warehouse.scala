@@ -275,6 +275,122 @@ object Warehouse {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY part_a, part_b""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Association-rule mining over co-purchase pairs (the Apriori level-2
+    * step [[q58Copurchase]]'s support counts feed): for each directed
+    * rule a→b, support (orders containing both), confidence
+    * support/orders(a), and lift confidence/P(b) — all in integer fixed
+    * point (10⁻⁶ confidence, 10⁻³ lift-in-thousandths) so the rule
+    * ranking hash-matches cross-engine with zero float drift. Rules
+    * gated at support ≥ 3 and confidence ≥ 5% — the standard market-
+    * basket screen, here pointed at "orders that contain part a also
+    * contain part b".
+    *
+    * Scale shape: per-order distinct items → self-join on the order key
+    * (bounded by items-per-order, never cartesian) → one aggregate; the
+    * per-item order counts broadcast back onto the pair frame. At
+    * 100 TB the known trick is hashing item pairs to partials map-side;
+    * this plan already is that (partial+final on the pair key).
+    */
+  def q70AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val nOrders = li.select(col("l_orderkey")).distinct().count()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("item_a"), col("b.l_partkey").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+    pairs
+      .join(itemN.select(col("l_partkey").as("item_a"), col("n_item").as("n_a")),
+        "item_a")
+      .join(itemN.select(col("l_partkey").as("item_b"), col("n_item").as("n_b")),
+        "item_b")
+      .withColumn("confidence_fp", expr("(support * 1000000L) div n_a"))
+      .filter(col("confidence_fp") >= 50000L)
+      .withColumn("lift_k",
+        expr(s"(support * ${nOrders}L * 1000L) div (n_a * n_b)"))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("confidence_fp"), col("lift_k"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  val q70Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |item_n AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+      |n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+      |pairs AS (
+      |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS support
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT item_a, item_b, support,
+      |  CAST((support * 1000000) // x.n_item AS BIGINT) AS confidence_fp,
+      |  CAST((support * (SELECT n FROM n_orders) * 1000)
+      |    // (x.n_item * y.n_item) AS BIGINT) AS lift_k
+      |FROM pairs JOIN item_n x ON item_a = x.l_partkey
+      |           JOIN item_n y ON item_b = y.l_partkey
+      |WHERE (support * 1000000) // x.n_item >= 50000
+      |ORDER BY item_a, item_b""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** RFM customer segmentation — the canonical warehouse scoring pass:
+    * per customer, Recency (days since their last order, measured from
+    * the corpus max date), Frequency (order count), Monetary (exact
+    * decimal revenue), each cut into quartiles by `ntile(4)` over a
+    * TOTAL order (value, then custkey — both engines define ntile
+    * identically: equal buckets, remainder to the leading ones, so the
+    * segmentation is deterministic). Recency ranks best-first (most
+    * recent = quartile 1); the combined RFM code is r·100 + f·10 + m.
+    *
+    * Scale shape: one orders-scale aggregate to a per-customer row,
+    * then three global sort-based windows over the (customers-sized)
+    * frame — at 100 TB you'd range-partition those sorts, which is
+    * exactly what SortExec already does.
+    */
+  def q71Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(spark, dir, "orders")
+    val maxD = o.agg(max(col("o_orderdate")).as("mx"))
+    val base = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      .crossJoin(broadcast(maxD))
+      .select(col("o_custkey"), datediff(col("mx"), col("last_d")).as("recency"),
+        col("frequency"), col("monetary"))
+    val wr = Window.orderBy(col("recency"), col("o_custkey"))
+    val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
+    base
+      .withColumn("r_q", ntile(4).over(wr))
+      .withColumn("f_q", ntile(4).over(wf))
+      .withColumn("m_q", ntile(4).over(wm))
+      .select(col("o_custkey"), col("recency"), col("frequency"),
+        // decimal-exact through the aggregate and the ntile ordering;
+        // double only at the output boundary (the dsum convention)
+        col("monetary").cast("double").as("monetary"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q71Sql: String =
+    """WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', MAX(o_orderdate), (SELECT mx FROM mx)) AS INT)
+      |      AS recency,
+      |    COUNT(*) AS frequency,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, recency, frequency, CAST(monetary AS DOUBLE) AS monetary,
+      |  ntile(4) OVER (ORDER BY recency, o_custkey) * 100
+      |    + ntile(4) OVER (ORDER BY frequency DESC, o_custkey) * 10
+      |    + ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS rfm_code
+      |FROM base ORDER BY o_custkey""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** Join-key skew profiler — the diagnostic you run BEFORE a big join to
     * decide whether it needs the q39 salting treatment: per heavy key,
@@ -590,7 +706,9 @@ object Warehouse {
     "q64_interval_overlap" -> (q64IntervalOverlap _),
     "q65_kcore" -> (q65Kcore _),
     "q66_interval_buckets" -> (q66IntervalBuckets _),
-    "q67_hll_intersection" -> (q67HllIntersection _))
+    "q67_hll_intersection" -> (q67HllIntersection _),
+    "q70_assoc_rules" -> (q70AssocRules _),
+    "q71_rfm" -> (q71Rfm _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -602,5 +720,7 @@ object Warehouse {
     "q64_interval_overlap" -> q64Sql,
     "q65_kcore" -> q65Sql,
     "q66_interval_buckets" -> q66Sql,
-    "q67_hll_intersection" -> q67Sql)
+    "q67_hll_intersection" -> q67Sql,
+    "q70_assoc_rules" -> q70Sql,
+    "q71_rfm" -> q71Sql)
 }

@@ -45,6 +45,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "sim_matryoshka_recall",
     "text_tfidf",
     "q55_merge_upsert", "sim_kmeans_step", "q21_approx_ndv",
+    // rfm: the 1-row corpus-max-date frame broadcast onto the
+    // per-customer aggregate (q55's max-key-bound shape)
+    "q71_rfm",
     // silhouette: sim_kmeans_step's shape — the k×dim centroid table
     // broadcast so every vector scores its k distances scan-side
     "sim_silhouette",

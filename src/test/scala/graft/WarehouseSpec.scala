@@ -156,4 +156,42 @@ class WarehouseSpec extends SparkSpecBase {
     assert(rate(big) < rate(small), rate.toString)
     assert(kept.values.sum >= n.values.sum / 4)
   }
+
+  test("q70 association rules: confidence and lift are the exact fixed-point forms") {
+    val r = Warehouse.q70AssocRules(spark, sf("0.01")).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (support, conf, lift) = (x.getLong(2), x.getLong(3), x.getLong(4))
+      assert(support >= 3 && conf >= 50000L && conf <= 1000000L,
+        s"rule out of gate: $x")
+      assert(lift > 0L)
+    }
+    // directed rules: a→b and b→a both present with the same support
+    val bySupport = r.map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val mutual = bySupport.keys.filter(k => bySupport.contains((k._2, k._1)))
+    mutual.foreach(k => assert(bySupport(k) == bySupport((k._2, k._1))))
+  }
+
+  test("q71 RFM: quartiles are balanced and the code decomposes") {
+    val r = Warehouse.q71Rfm(spark, sf("0.01")).collect()
+    val codes = r.map(_.getInt(4))
+    assert(codes.forall(c => c >= 111 && c <= 444))
+    // ntile(4) balance: each recency quartile within 1 of n/4
+    val rq = codes.map(_ / 100).groupBy(identity).view.mapValues(_.size)
+    val n = r.length
+    rq.values.foreach(c => assert(math.abs(c - n / 4) <= 1, rq.toMap.toString))
+  }
+
+  test("personalized pagerank concentrates mass on and around the seed set") {
+    val r = graft.ext.Dedup.pagerankSeeded(spark, sf("0.001")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val (seeds, rest) = r.partition(_._1 % 50 == 0)
+    assert(seeds.nonEmpty)
+    // isolated non-seeds get NO teleport mass (unlike classic pagerank)
+    rest.filter(_._3 == 0).foreach(x => assert(x._2 == 0L, x.toString))
+    // every seed keeps at least its own teleport share
+    val nSeeds = seeds.length
+    val base = (15L * (1000000000000L / nSeeds)) / 100L
+    seeds.foreach(x => assert(x._2 >= base, x.toString))
+  }
 }
