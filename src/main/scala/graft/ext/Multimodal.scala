@@ -351,6 +351,96 @@ object Multimodal {
     chunkJaccardPairs(chunks, tau)
   }
 
+  // ------------------------------------------- chunk containment
+  /** Binary CONTAINMENT dedup — the truncated/extended-copy detector
+    * chunk Jaccard misses (the [[graft.ext.Dedup.containmentOn]]
+    * argument, applied to payloads): a payload prefix shares nearly all
+    * of its chunks with its original, but Jaccard divides by the UNION
+    * and a 60% truncation scores only ~0.6 / 1.0 ≈ 0.6 on shared/union
+    * terms that shrink further with boundary damage; containment
+    * divides by the SMALLER chunk set, so a clean prefix scores ~1.0
+    * regardless of how much longer the original is.
+    *
+    * The graded fixture is that exact case: corpus = originals ∪ 60%
+    * prefixes (copy id = original + 2·10⁶, aligned chunk boundaries);
+    * the same chunk-hash join as [[mediaChunkDedupOn]], with the
+    * containment denominator. Scale shape unchanged: chunks travel as
+    * 16-byte md5 keys, one equi-join + one aggregate.
+    */
+  def mediaChunkContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"))
+    // prefix rounded DOWN to a whole chunk: a ragged tail chunk would
+    // differ from the original's same-offset chunk and dilute the
+    // containment of short documents below any useful gate
+    val copies = docs.select((col("doc_id") + 2000000L).as("media_id"),
+      expr("cast(substr(text, 1, (((length(text) * 3) div 5) div 64) * 64) " +
+        "as binary)").as("payload"))
+    mediaChunkContainmentOn(base.unionByName(copies), chunkBytes = 64,
+      tau = 0.9)
+  }
+
+  def mediaChunkContainmentOn(media: DataFrame, chunkBytes: Int,
+      tau: Double): DataFrame = {
+    val chunks = media
+      .select(col("media_id"), col("payload"))
+      .withColumn("n", length(col("payload")))
+      .filter(col("n") > 0)
+      .select(col("media_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(n / ${chunkBytes}.0) as int) - 1), " +
+          s"i -> md5(cast(hex(substring(payload, i * $chunkBytes + 1, $chunkBytes)) as binary)))"))
+        .as("ch"))
+      .distinct()
+    val sizes = chunks.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
+    val a = chunks.select(col("media_id").as("ma"), col("ch"))
+    val b = chunks.select(col("media_id").as("mb"), col("ch"))
+    a.join(b, Seq("ch")).filter(col("ma") < col("mb"))
+      .groupBy(col("ma"), col("mb")).agg(count(lit(1)).as("shared_chunks"))
+      .join(sizes.select(col("media_id").as("ma"), col("sz").as("sza")), "ma")
+      .join(sizes.select(col("media_id").as("mb"), col("sz").as("szb")), "mb")
+      .withColumn("containment",
+        col("shared_chunks").cast("double") / least(col("sza"), col("szb")))
+      .filter(col("containment") >= tau)
+      .select(col("ma").as("media_a"), col("mb").as("media_b"),
+        col("shared_chunks"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  def mediaChunkContainmentSqlFor(chunkBytes: Int, tau: Double): String = {
+    val hexLen = 2 * chunkBytes
+    s"""WITH raw AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+       |    hex(encode(text)) AS h
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |-- corpus = originals + 60% prefixes (copy id = original + 2e6);
+       |-- the prefix keeps whole leading bytes, so its hex dump is the
+       |-- original's first 2*floor(3n/5) chars
+       |b AS (
+       |  SELECT media_id, n, h FROM raw
+       |  UNION ALL
+       |  SELECT media_id + 2000000, (((n * 3) // 5) // $chunkBytes) * $chunkBytes AS n,
+       |    substr(h, 1, 2 * ((((n * 3) // 5) // $chunkBytes) * $chunkBytes)) AS h
+       |  FROM raw WHERE (((n * 3) // 5) // $chunkBytes) * $chunkBytes > 0),
+       |ch AS (
+       |  SELECT DISTINCT media_id, md5(substr(h, $hexLen * t.i + 1, $hexLen)) AS ch
+       |  FROM b, UNNEST(generate_series(0, CAST(ceil(n / $chunkBytes.0) AS INT) - 1)) AS t(i)),
+       |sz AS (SELECT media_id, COUNT(*) AS sz FROM ch GROUP BY 1),
+       |inter AS (
+       |  SELECT x.media_id AS ma, y.media_id AS mb, COUNT(*) AS shared
+       |  FROM ch x JOIN ch y ON x.ch = y.ch AND x.media_id < y.media_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.ma, i.mb, i.shared,
+       |    CAST(i.shared AS DOUBLE) / least(a.sz, c.sz) AS containment
+       |  FROM inter i JOIN sz a ON a.media_id = i.ma
+       |               JOIN sz c ON c.media_id = i.mb)
+       |SELECT ma AS media_a, mb AS media_b, CAST(shared AS BIGINT) AS shared_chunks,
+       |  round(containment, 6) AS containment
+       |FROM j WHERE containment >= CAST($tau AS DOUBLE)
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   /** DuckDB twin of [[mediaChunkDedupOn]]: chunks sliced from the blob's
     * hex dump (2 hex chars per byte), md5 over the SAME uppercase hex
     * text both engines produce.
@@ -522,6 +612,7 @@ object Multimodal {
     "multimodal_cdc_dedup" -> (mediaCdcDedup _),
     "multimodal_hist_topk" -> (mediaHistTopK _),
     "multimodal_phash" -> (mediaPhashDedup _),
+    "multimodal_chunk_containment" -> (mediaChunkContainment _),
     "multimodal_entropy" -> (mediaEntropy _))
 
   // ------------------------------------------------- perceptual hash
@@ -686,5 +777,7 @@ object Multimodal {
     "multimodal_cdc_dedup" -> mediaCdcDedupSqlFor(mask = 64, tau = 0.5),
     "multimodal_hist_topk" -> mediaHistTopKSqlFor(nQueries = 10, k = 5),
     "multimodal_phash" -> mediaPhashDedupSqlFor(tau = 6),
+    "multimodal_chunk_containment" -> mediaChunkContainmentSqlFor(
+      chunkBytes = 64, tau = 0.9),
     "multimodal_entropy" -> mediaEntropySql)
 }

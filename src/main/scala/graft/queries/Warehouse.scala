@@ -391,6 +391,65 @@ object Warehouse {
       |    + ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS rfm_code
       |FROM base ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Spatial radius join via GRID BUCKETING — the missing join family
+    * (no geo type needed): points live on an integer micro-unit plane,
+    * the cell size equals the search radius, one side probes its 3×3
+    * neighbor cells and the other sits in its exact cell, so a pair
+    * within r can never be missed (|Δx| ≤ r bounds the cell delta to 1)
+    * and every candidate pair meets EXACTLY once (probe cells are
+    * distinct; the build cell is unique) — equi-join + integer d²
+    * residual, never the cartesian the inequality predicate would plan.
+    * This is q66's keyless-interval technique lifted to 2-D.
+    *
+    * The fixture synthesizes coordinates from keys with a plain integer
+    * scramble `(k·a + b) mod 10⁶` — exactly replayable in SQL, and the
+    * operator itself ([[q72GeoJoinOn]]) takes ANY (id, x, y) frames.
+    * All arithmetic is BIGINT, so the pair list hash-matches the
+    * oracle's quadratic truth join, boundaries included. Skewed cells
+    * (urban density at 100 TB) get the q60 salting treatment like any
+    * other hot equi-key.
+    */
+  def q72GeoJoin(spark: SparkSession, dir: String): DataFrame = {
+    def pts(df: DataFrame, key: String) = df.select(
+      col(key).as("id"),
+      expr(s"($key * 48271L + 11L) % 1000000L").as("x"),
+      expr(s"($key * 69621L + 7L) % 1000000L").as("y"))
+    q72GeoJoinOn(pts(t(spark, dir, "customer"), "c_custkey"),
+      pts(t(spark, dir, "supplier"), "s_suppkey"), r = 10000L)
+  }
+
+  def q72GeoJoinOn(a: DataFrame, b: DataFrame, r: Long): DataFrame = {
+    val probe = a.select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"))
+      .withColumn("cell", explode(expr(
+        s"flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), " +
+          s"dy -> (xa div ${r}L + dx + 1L) * 4096L + (ya div ${r}L + dy + 1L))))")))
+    val build = b.select(col("id").as("idb"), col("x").as("xb"), col("y").as("yb"))
+      .withColumn("cell",
+        expr(s"(xb div ${r}L + 1L) * 4096L + (yb div ${r}L + 1L)"))
+    probe.join(build, "cell")
+      .withColumn("d2",
+        expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"))
+      .filter(col("d2") <= r * r)
+      .select(col("ida"), col("idb"), col("d2"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  val q72Sql: String =
+    """WITH ca AS (
+      |  SELECT c_custkey AS ida, (c_custkey * 48271 + 11) % 1000000 AS xa,
+      |    (c_custkey * 69621 + 7) % 1000000 AS ya
+      |  FROM customer),
+      |sb AS (
+      |  SELECT s_suppkey AS idb, (s_suppkey * 48271 + 11) % 1000000 AS xb,
+      |    (s_suppkey * 69621 + 7) % 1000000 AS yb
+      |  FROM supplier)
+      |SELECT ida, idb,
+      |  CAST((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS BIGINT) AS d2
+      |FROM ca JOIN sb
+      |  ON (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 100000000
+      |ORDER BY ida, idb""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** Join-key skew profiler — the diagnostic you run BEFORE a big join to
     * decide whether it needs the q39 salting treatment: per heavy key,
@@ -708,7 +767,8 @@ object Warehouse {
     "q66_interval_buckets" -> (q66IntervalBuckets _),
     "q67_hll_intersection" -> (q67HllIntersection _),
     "q70_assoc_rules" -> (q70AssocRules _),
-    "q71_rfm" -> (q71Rfm _))
+    "q71_rfm" -> (q71Rfm _),
+    "q72_geo_join" -> (q72GeoJoin _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -722,5 +782,6 @@ object Warehouse {
     "q66_interval_buckets" -> q66Sql,
     "q67_hll_intersection" -> q67Sql,
     "q70_assoc_rules" -> q70Sql,
-    "q71_rfm" -> q71Sql)
+    "q71_rfm" -> q71Sql,
+    "q72_geo_join" -> q72Sql)
 }

@@ -1019,6 +1019,23 @@ class ExtSpec extends SparkSpecBase {
     assert(inc(3L) == 3L && inc(19L) == 19L)
   }
 
+  test("chunk containment catches a truncated copy that chunk Jaccard misses") {
+    import spark.implicits._
+    val big = Array.tabulate(640)(i => ((i * 13 + 5) % 251).toByte)
+    val prefix = big.take(128) // 2 of big's 10 chunks
+    val other = Array.tabulate(640)(i => ((i * 17 + 3) % 251).toByte)
+    val media = Seq((1L, big), (2L, prefix), (3L, other))
+      .toDF("media_id", "payload")
+    val cont = Multimodal.mediaChunkContainmentOn(media, chunkBytes = 64,
+        tau = 0.9).collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(cont.toSet == Set((1L, 2L)), cont.toList.toString)
+    // the same pair fails the Jaccard gate at the same strictness: the
+    // union denominator dilutes a short prefix (2/10 here)
+    val jac = Multimodal.mediaChunkDedupOn(media, chunkBytes = 64, tau = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(!jac.contains((1L, 2L)), jac.toList.toString)
+  }
+
   test("hll rolling: sketch estimate stays inside the 3-sigma bound on real data") {
     val r = graft.streaming.Events.hllRolling(spark, sf("0.001")).collect()
     assert(r.nonEmpty)

@@ -182,6 +182,29 @@ class WarehouseSpec extends SparkSpecBase {
     rq.values.foreach(c => assert(math.abs(c - n / 4) <= 1, rq.toMap.toString))
   }
 
+  test("geo grid join equals the quadratic truth join, boundaries included") {
+    import spark.implicits._
+    val r = 100L
+    // crafted points: an exact-boundary pair (d = r), a just-outside pair
+    // (d = r+1 on one axis), cell-corner neighbors, and a same-point pair
+    val a = Seq((1L, 0L, 0L), (2L, 500L, 500L), (3L, 1000L, 1000L))
+      .toDF("id", "x", "y")
+    val b = Seq((10L, 100L, 0L), (11L, 601L, 500L), (12L, 1070L, 1070L),
+      (13L, 500L, 500L)).toDF("id", "x", "y")
+    val got = Warehouse.q72GeoJoinOn(a, b, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val want = (for {
+      (ia, xa, ya) <- Seq((1L, 0L, 0L), (2L, 500L, 500L), (3L, 1000L, 1000L))
+      (ib, xb, yb) <- Seq((10L, 100L, 0L), (11L, 601L, 500L), (12L, 1070L, 1070L),
+        (13L, 500L, 500L))
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield (ia, ib, d2)).toSet
+    assert(got == want, s"got $got want $want")
+    // the boundary pair is IN, the r+1 pair is OUT
+    assert(got.contains((1L, 10L, 10000L)) && !got.exists(_._2 == 11L))
+  }
+
   test("personalized pagerank concentrates mass on and around the seed set") {
     val r = graft.ext.Dedup.pagerankSeeded(spark, sf("0.001")).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
