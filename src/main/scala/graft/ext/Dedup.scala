@@ -153,6 +153,67 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** PREFIX-FILTERED set-similarity join (PPJoin's filter, Chaudhuri et
+    * al. / Xiao et al.): instead of indexing EVERY shingle, each
+    * document indexes only its ⌊|d|/2⌋+1 globally-rarest shingles (its
+    * "prefix" under the total order df-then-hash), and a pair at
+    * Jaccard ≥ τ provably shares a prefix shingle — if the ≥ ⌈τ|A|⌉
+    * shared shingles all sat in A's suffix, the suffix would need
+    * ⌈τ|A|⌉ slots but has ⌈τ|A|⌉−1. Same output, same oracle, as
+    * [[ngramJaccardOn]] — this is the CANDIDATE-VOLUME optimization:
+    * the self-join runs over the prefix index (measured at sf0.1:
+    * 134K of 260K index rows, 431K of 1.27M candidate pairs — the
+    * df-ordering puts the COMMONEST shingles, the Σc² hot keys, in the
+    * unindexed suffix, which is where the quadratic bucket cost lives).
+    *
+    * Scale shape: one df count over the exploded index, one per-doc
+    * rank window (prefix selection), the (smaller) self-join, then the
+    * usual exact verify on the full sets. Exact — no recall trade at
+    * all, unlike banding. Honest cost accounting at sf0.1: the constant
+    * factor is HIGHER than the plain inverted-index join (the df pass,
+    * the rank window, and the per-candidate array verify outweigh the
+    * 3× candidate saving at this corpus size) — the filter is the right
+    * tool where the Σc² candidate term dominates, i.e. large corpora
+    * and boilerplate-heavy shingle distributions, and
+    * [[ngramJaccardOn]] (optionally df-capped) remains the default
+    * below that crossover.
+    */
+  def ngramPrefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramPrefixJaccardOn(docs(spark, dir))
+
+  def ngramPrefixJaccardOn(documents: DataFrame): DataFrame = {
+    // staged: consumed by the index derivation, the prefix-length join,
+    // and both verify sides — four plan references, one scan
+    val sets = graft.engine.Materialize.stage(shingleSets(documents))
+    val idx = sets.select(col("doc_id"), explode(col("ss")).as("hs"))
+    val dfc = idx.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("hs"))
+    // staged: both sides of the self-join consume this frame — without
+    // a cut the df-count + rank-window chain executes twice (measured
+    // 29.7 s vs 3.3 s for the UNfiltered join at the 10× blowup, i.e.
+    // the "optimization" lost to plan recomputation, not to data)
+    val prefix = graft.engine.Materialize.stage(idx.join(dfc, "hs")
+      .withColumn("rk", row_number().over(w))
+      .join(sets.select(col("doc_id"), size(col("ss")).cast("long").as("sz")),
+        "doc_id")
+      .filter(col("rk") <= col("sz") - expr("(sz + 1L) div 2L") + lit(1L))
+      .select(col("doc_id"), col("hs")))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Near-CONTAINMENT detection — the asymmetric sibling of Jaccard
     * dedup: C(A→B) = |A∩B| / |A| flags documents mostly embedded in a
     * larger one (quote farms, boilerplate wrappers, doc+appendix
@@ -1620,6 +1681,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_ngram_prefix" -> (ngramPrefixJaccard _),
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "dedup_lsh_recall" -> (lshRecall _),
     "dedup_keep_best" -> (keepBest _),
@@ -1645,6 +1707,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_ngram_prefix" -> ngramJaccardSql,
     "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_lsh_recall" -> lshRecallSql,
     "dedup_keep_best" -> keepBestSql,

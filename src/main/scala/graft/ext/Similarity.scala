@@ -1615,9 +1615,22 @@ object Similarity {
   def labelSpread(spark: SparkSession, dir: String): DataFrame =
     labelSpreadOn(emb(spark, dir), k = 3, nBands = 16, bandBits = 8, rounds = 2)
 
-  def labelSpreadOn(e: DataFrame, k: Int, nBands: Int, bandBits: Int,
-      rounds: Int): DataFrame = {
-    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+  /** Exact-fixed-point kNN edges (va → its k nearest vb): LSH-banded
+    * candidates, native `l2sq_i64` distances, and the kNN cut via the
+    * map-side bounded-heap topk_by (knnGraphOn's technique) rather than
+    * a row_number window — the window form shuffles and fully sorts
+    * every scored candidate per va (measured 6× super-linear at the 10×
+    * blowup); topk_by prunes to k rows per va map-side. ord = −d2
+    * (largest-first heap, smallest distance); d2 ≤ 64·(2·10⁶)² ≈
+    * 2.6e14 < 2⁵³, so the double ord is exact and the heap's
+    * (ord, id ASC) tie-break reproduces the oracle's ORDER BY d2, vb.
+    * STAGED — callers re-join the edge set (per propagation round, per
+    * vote pass); without a cut Spark re-runs the banded candidate join
+    * each time. Shared by [[labelSpreadOn]] and [[labelNoiseOn]].
+    */
+  private def knnEdgesFp(e: DataFrame, k: Int, nBands: Int,
+      bandBits: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
     val bd = banded(e, nBands, bandBits)
     val a = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
     val b = bd.select(col("vec_id").as("vb"), col("band").as("bband"),
@@ -1629,22 +1642,18 @@ object Similarity {
       .dropDuplicates("va", "vb")
     val fa = vfp.select(col("vec_id").as("va"), col("vfp").as("qa"))
     val fb = vfp.select(col("vec_id").as("vb"), col("vfp").as("qb"))
-    // kNN cut via the map-side bounded-heap topk_by (knnGraphOn's
-    // technique) rather than a row_number window: the window form
-    // shuffles and fully sorts every scored candidate per va (measured
-    // 6× super-linear at the 10× blowup); topk_by prunes to k rows per
-    // va map-side. ord = −d2 (largest-first heap, smallest distance);
-    // d2 ≤ 64·(2·10⁶)² ≈ 2.6e14 < 2⁵³, so the double ord is exact and
-    // the heap's (ord, id ASC) tie-break reproduces the oracle's
-    // ORDER BY d2, vb. Staged: the edge set is re-joined every round
-    // and again for the final projection — without a cut Spark re-runs
-    // the banded candidate join per round.
-    val edges = graft.engine.Materialize.stage(
+    graft.engine.Materialize.stage(
       cand.join(fa, "va").join(fb, "vb")
         .withColumn("d2", expr("l2sq_i64(qa, qb)"))
         .groupBy(col("va"))
         .agg(expr(s"topk_by(cast(-d2 as double), vb, $k)").as("top"))
         .select(col("va"), explode(expr("transform(top, x -> x.id)")).as("vb")))
+  }
+
+  def labelSpreadOn(e: DataFrame, k: Int, nBands: Int, bandBits: Int,
+      rounds: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val edges = knnEdgesFp(e, k, nBands, bandBits)
     var labs = vfp.select(col("vec_id"),
       when(col("vec_id") % 5 === 0, col("label")).as("lab"))
     for (_ <- 1 to rounds) {
@@ -1665,6 +1674,77 @@ object Similarity {
         (coalesce(col("lab"), lit(-1)) === col("label")).cast("int").as("agree"))
       .orderBy(col("vec_id"))
   }
+
+  // ------------------------------------------------- label-noise screen
+  /** kNN-disagreement label-noise detection (confident-learning-lite):
+    * a vector whose k nearest neighbors mostly carry a DIFFERENT label
+    * is a mislabel candidate — the curation screen run before any
+    * label-conditioned sampling or classifier training trusts the
+    * labels. Same exact fixed-point kNN edges as [[labelSpreadOn]]
+    * ([[knnEdgesFp]]); the vote is one join + one count per (vector,
+    * neighbor-label), majority by (count DESC, label ASC). Output is
+    * every flagged vector with its own label, the neighborhood's
+    * majority label, and the vote split — flagged when the majority
+    * label differs AND carries a strict majority of the k votes.
+    */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame =
+    labelNoiseOn(emb(spark, dir), k = 5, nBands = 16, bandBits = 8)
+
+  def labelNoiseOn(e: DataFrame, k: Int, nBands: Int,
+      bandBits: Int): DataFrame = {
+    val labels = e.select(col("vec_id"), col("label"))
+    val edges = knnEdgesFp(e, k, nBands, bandBits)
+    val nb = labels.select(col("vec_id").as("vb"), col("label").as("nlab"))
+    val wv = Window.partitionBy(col("va"))
+      .orderBy(col("c").desc, col("nlab"))
+    val votes = edges.join(nb, "vb")
+      .groupBy(col("va"), col("nlab")).agg(count(lit(1)).as("c"))
+      .withColumn("n_total", sum(col("c")).over(
+        Window.partitionBy(col("va"))))
+      .withColumn("rk", row_number().over(wv))
+    val majority = votes.filter(col("rk") === 1)
+      .select(col("va").as("vec_id"), col("nlab").as("knn_label"),
+        col("c").as("n_majority"), col("n_total"))
+    labels.join(majority, "vec_id")
+      .filter(col("knn_label") =!= col("label") &&
+        col("n_majority") * 2 > col("n_total"))
+      .select(col("vec_id"), col("label"), col("knn_label"),
+        col("n_majority"), col("n_total"))
+      .orderBy(col("vec_id"))
+  }
+
+  def labelNoiseSqlFor(k: Int, nBands: Int, bandBits: Int): String =
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
+       |v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.vec_id <> y.vec_id),
+       |d AS (
+       |  SELECT cand.va, cand.vb,
+       |    CAST(list_aggregate(list_transform(list_zip(a.vfp, b.vfp),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d2
+       |  FROM cand JOIN v a ON a.vec_id = cand.va JOIN v b ON b.vec_id = cand.vb),
+       |e AS (SELECT va, vb FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS rk
+       |  FROM d) WHERE rk <= $k),
+       |votes AS (
+       |  SELECT e.va, l.label AS nlab, COUNT(*) AS c
+       |  FROM e JOIN v l ON l.vec_id = e.vb
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT va, nlab, c,
+       |    SUM(c) OVER (PARTITION BY va) AS n_total,
+       |    row_number() OVER (PARTITION BY va ORDER BY c DESC, nlab) AS r
+       |  FROM votes)
+       |SELECT v.vec_id, v.label, rk.nlab AS knn_label,
+       |  CAST(rk.c AS BIGINT) AS n_majority, CAST(rk.n_total AS BIGINT) AS n_total
+       |FROM v JOIN rk ON rk.va = v.vec_id AND rk.r = 1
+       |WHERE rk.nlab <> v.label AND rk.c * 2 > rk.n_total
+       |ORDER BY v.vec_id""".stripMargin
 
   def labelSpreadSqlFor(k: Int, nBands: Int, bandBits: Int,
       rounds: Int): String = {
@@ -1726,6 +1806,7 @@ object Similarity {
     "sim_kmeans3" -> (kmeansIters _),
     "sim_silhouette" -> (silhouette _),
     "sim_label_spread" -> (labelSpread _),
+    "sim_label_noise" -> (labelNoise _),
     "sim_quantize_pq" -> (quantizePq _))
 
   val oracles: Map[String, String] = Map(
@@ -1754,5 +1835,6 @@ object Similarity {
     "sim_matryoshka_recall" -> matryoshkaRecallSql,
     "sim_silhouette" -> silhouetteSql,
     "sim_label_spread" -> labelSpreadSqlFor(k = 3, nBands = 16, bandBits = 8,
-      rounds = 2))
+      rounds = 2),
+    "sim_label_noise" -> labelNoiseSqlFor(k = 5, nBands = 16, bandBits = 8))
 }

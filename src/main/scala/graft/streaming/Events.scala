@@ -679,6 +679,168 @@ object Events {
       |  CAST(COUNT(*) AS BIGINT) AS n_purchases
       |FROM sh GROUP BY c_id ORDER BY c_id""".stripMargin
 
+  // ------------------------------------------- grouped OLS trend slope
+  /** Per-user ordinary-least-squares trend of `value` over time — the
+    * grouped regression primitive (drift direction per entity, the
+    * fleet-health "is this metric creeping up" screen) in EXACT integer
+    * arithmetic: x = minutes since the user's first event, y = cents,
+    * and the closed-form slope (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is
+    * integer sums with ONE sign-split truncated division at the end
+    * (thousandths of a cent per minute), so the output hash-matches
+    * with zero float drift — float Σxy would be partition-order-
+    * dependent. The unit choices keep every product inside BIGINT:
+    * minutes ≤ 10⁵, cents ≤ 10⁵ on this domain.
+    *
+    * Scale shape: one per-user min window + one partial+final aggregate
+    * of five sums; no sort, no join. Users with < 5 events or a
+    * degenerate x spread (all same minute) are dropped, not divided by
+    * zero.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("user_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("x",
+        expr("(unix_micros(ts) - min(unix_micros(ts)) over " +
+          "(partition by user_id)) div 60000000"))
+      .withColumn("y", expr("cast(round(value * 100.0d) as bigint)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .filter(col("n") >= 5)
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .filter(col("den") > 0)
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("slope_k", when(col("num") >= 0,
+          expr("(num * 1000L) div den"))
+        .otherwise(-expr("((-num) * 1000L) div den")))
+      .select(col("user_id"), col("n"), expr("sy div n").as("mean_y_c"),
+        col("slope_k"))
+      .orderBy(col("user_id"))
+  }
+
+  val trendSlopeSql: String =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+      |      // 60000000 AS x,
+      |    CAST(round(value * 100.0) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM b GROUP BY user_id),
+      |g AS (
+      |  SELECT user_id, n, sy,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM s WHERE n >= 5 AND n * sxx - sx * sx > 0)
+      |SELECT user_id, n, CAST(sy // n AS BIGINT) AS mean_y_c,
+      |  CAST(CASE WHEN num >= 0 THEN (num * 1000) // den
+      |    ELSE -(((-num) * 1000) // den) END AS BIGINT) AS slope_k
+      |FROM g ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------ Theil-Sen robust slope
+  /** Theil–Sen robust trend per user — the outlier-proof sibling of
+    * [[trendSlope]]: the MEDIAN of all pairwise slopes (dy/dx over
+    * event pairs), which one wild value cannot drag the way it drags
+    * OLS (breakdown point ~29% vs 0%). Each pairwise slope is the same
+    * sign-split truncated fixed point as trendSlope (thousandths of a
+    * cent per minute); the median is the LOWER median by deterministic
+    * rank (slope, then pair ids), so the whole estimator hash-matches.
+    * Same-minute pairs (dx = 0) are excluded from the slope population.
+    *
+    * Scale shape: the pair join is per-user (bounded by events-per-
+    * user, never cross-user); at production row counts per entity you
+    * window it (last N points) — the estimator is the same. Read beside
+    * [[trendSlope]]: users where the two disagree in sign are exactly
+    * the outlier-dragged ones.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("(unix_micros(ts) - min(unix_micros(ts)) over " +
+          "(partition by user_id)) div 60000000").as("x"),
+        expr("cast(round(value * 100.0d) as bigint)").as("y"))
+    val a = base.select(col("user_id"), col("event_id").as("ia"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = base.select(col("user_id"), col("event_id").as("ib"),
+      col("x").as("xb"), col("y").as("yb"))
+    val slopes = a.join(b, Seq("user_id"))
+      .filter(col("ia") < col("ib") && col("xa") =!= col("xb"))
+      .withColumn("dx", expr("abs(xb - xa)"))
+      .withColumn("dy", expr("IF(xb > xa, yb - ya, ya - yb)"))
+      .withColumn("s_k", when(col("dy") >= 0,
+          expr("(dy * 1000L) div dx"))
+        .otherwise(-expr("((-dy) * 1000L) div dx")))
+    val wm = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_k"), col("ia"), col("ib"))
+    slopes
+      .withColumn("rk", row_number().over(wm))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("m") >= 10 && col("rk") === expr("(m + 1L) div 2L"))
+      .select(col("user_id"), col("m").as("n_pairs"),
+        col("s_k").as("ts_slope_k"))
+      .orderBy(col("user_id"))
+  }
+
+  val theilSenSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id,
+      |    (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+      |      // 60000000 AS x,
+      |    CAST(round(value * 100.0) AS BIGINT) AS y
+      |  FROM events),
+      |sl AS (
+      |  SELECT a.user_id, a.event_id AS ia, b.event_id AS ib,
+      |    abs(b.x - a.x) AS dx,
+      |    CASE WHEN b.x > a.x THEN b.y - a.y ELSE a.y - b.y END AS dy
+      |  FROM base a JOIN base b
+      |    ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |      AND a.x <> b.x),
+      |sk AS (
+      |  SELECT user_id, ia, ib,
+      |    CAST(CASE WHEN dy >= 0 THEN (dy * 1000) // dx
+      |      ELSE -(((-dy) * 1000) // dx) END AS BIGINT) AS s_k
+      |  FROM sl),
+      |rk AS (
+      |  SELECT user_id, s_k,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY s_k, ia, ib) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS m
+      |  FROM sk)
+      |SELECT user_id, CAST(m AS BIGINT) AS n_pairs, s_k AS ts_slope_k
+      |FROM rk WHERE m >= 10 AND rk = (m + 1) // 2
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------- log2-bucket histogram
+  /** Long-tail value profile per event type: log₂ buckets (bucket =
+    * decimal digit count of the binary form — `length(bin(cents))`,
+    * pure integer, identical in both engines) with per-bucket count and
+    * exact min/max. The latency-histogram shape every metrics pipeline
+    * keeps: bounded ~40 buckets regardless of range, mergeable by
+    * addition, and no float log anywhere near the bucketing.
+    */
+  def logHist(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100.0d) as bigint)").as("c"))
+      .withColumn("bucket", length(expr("bin(c)")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"),
+        max(col("c")).as("max_c"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  val logHistSql: String =
+    """SELECT event_type,
+      |  CAST(length(bin(CAST(round(value * 100.0) AS BIGINT))) AS INT) AS bucket,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(round(value * 100.0) AS BIGINT)) AS min_c,
+      |  MAX(CAST(round(value * 100.0) AS BIGINT)) AS max_c
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   // -------------------------------- Markov removal-effect attribution
   /** Markov-chain multi-touch attribution (removal effects) — the
     * data-driven sibling of [[attributionLinear]]: user journeys become
@@ -1378,6 +1540,9 @@ object Events {
     "events_sequence_funnel" -> (sequenceFunnel _),
     "events_attribution_linear" -> (attributionLinear _),
     "events_attribution_markov" -> (attributionMarkov _),
+    "events_trend_slope" -> (trendSlope _),
+    "events_theilsen" -> (theilSen _),
+    "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
@@ -1398,6 +1563,9 @@ object Events {
     "events_sequence_funnel" -> sequenceFunnelSql,
     "events_attribution_linear" -> attributionLinearSql,
     "events_attribution_markov" -> attributionMarkovSql,
+    "events_trend_slope" -> trendSlopeSql,
+    "events_theilsen" -> theilSenSql,
+    "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_sessionize" -> sessionizeSql,
