@@ -60,6 +60,16 @@ object SparkEntry {
   def sketchFamilies: Map[String, (Set[String], String)] = Map(
     "dedup" -> ((Dedup.queries.keySet, "dedup_minhash_lsh")),
     "sim" -> ((Similarity.queries.keySet, "sim_ann_lsh")),
+    // two sim sub-families whose expression trees are NOT covered by
+    // the sim rep and measure multi-second first compiles of their own
+    // (per-executor-lifetime cost at cluster scale, so steady state is
+    // the honest recorded number): the 8-subspace PQ argmin trees
+    // (sim_quantize_pq first run 9.6 s vs 1.9 s warm) and the
+    // fixed-point kNN stack (banded + l2sq_i64 + topk_by)
+    "simpq" -> ((Set("sim_quantize_pq", "sim_ann_ivfpq",
+      "sim_ann_ivfpq_recall"), "sim_quantize_pq")),
+    "simfp" -> ((Set("sim_label_spread", "sim_label_noise"),
+      "sim_label_noise")),
     "text" -> ((TextOps.queries.keySet, "text_quality_score")),
     // reps warm each family's DOMINANT expression set; single tiny
     // scalars a rep misses (e.g. mix64 in cdc_dedup / seeded ivf)
