@@ -1746,6 +1746,69 @@ object Similarity {
        |WHERE rk.nlab <> v.label AND rk.c * 2 > rk.n_total
        |ORDER BY v.vec_id""".stripMargin
 
+  // --------------------------------------------- hard-negative mining
+  /** Contrastive-pair mining for embedding training: for each anchor,
+    * its HARD NEGATIVE — the nearest candidate carrying a DIFFERENT
+    * label (the pair a triplet/contrastive loss learns the most from;
+    * random negatives are trivially separated and teach nothing). Exact
+    * fixed-point distances over the LSH-banded candidates, nearest by
+    * (d2, id) per anchor — one window over the candidate set, id-only
+    * rows on the shuffle. Anchors whose candidate buckets contain no
+    * other-label vector simply emit nothing (at mining time you widen
+    * the bands, not fabricate negatives). Output: anchor, its label,
+    * the negative, its label, and the exact d2 — the mined batch a
+    * trainer would consume.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesOn(emb(spark, dir), nBands = 16, bandBits = 8)
+
+  def hardNegativesOn(e: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val bd = banded(e, nBands, bandBits)
+    val a = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
+    val b = bd.select(col("vec_id").as("vb"), col("band").as("bband"),
+      col("band_key").as("bkey"))
+    val cand = a.join(b,
+        col("band") === col("bband") && col("band_key") === col("bkey") &&
+          col("va") =!= col("vb"))
+      .select(col("va"), col("vb"))
+      .dropDuplicates("va", "vb")
+    val fa = vfp.select(col("vec_id").as("va"), col("label").as("la"),
+      col("vfp").as("qa"))
+    val fb = vfp.select(col("vec_id").as("vb"), col("label").as("lb"),
+      col("vfp").as("qb"))
+    val w = Window.partitionBy(col("va")).orderBy(col("d2"), col("vb"))
+    cand.join(fa, "va").join(fb, "vb")
+      .filter(col("la") =!= col("lb"))
+      .withColumn("d2", expr("l2sq_i64(qa, qb)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("va").as("vec_id"), col("la").as("label"),
+        col("vb").as("hard_neg_id"), col("lb").as("neg_label"), col("d2"))
+      .orderBy(col("vec_id"))
+  }
+
+  def hardNegativesSqlFor(nBands: Int, bandBits: Int): String =
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
+       |v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.vec_id <> y.vec_id),
+       |d AS (
+       |  SELECT cand.va, a.label AS la, cand.vb, b.label AS lb,
+       |    CAST(list_aggregate(list_transform(list_zip(a.vfp, b.vfp),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d2
+       |  FROM cand JOIN v a ON a.vec_id = cand.va JOIN v b ON b.vec_id = cand.vb
+       |  WHERE a.label <> b.label),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY va ORDER BY d2, vb) AS rk
+       |       FROM d)
+       |SELECT va AS vec_id, la AS label, vb AS hard_neg_id, lb AS neg_label, d2
+       |FROM rk WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   def labelSpreadSqlFor(k: Int, nBands: Int, bandBits: Int,
       rounds: Int): String = {
     def round(r: Int): String =
@@ -1807,6 +1870,7 @@ object Similarity {
     "sim_silhouette" -> (silhouette _),
     "sim_label_spread" -> (labelSpread _),
     "sim_label_noise" -> (labelNoise _),
+    "sim_hard_negatives" -> (hardNegatives _),
     "sim_quantize_pq" -> (quantizePq _))
 
   val oracles: Map[String, String] = Map(
@@ -1836,5 +1900,6 @@ object Similarity {
     "sim_silhouette" -> silhouetteSql,
     "sim_label_spread" -> labelSpreadSqlFor(k = 3, nBands = 16, bandBits = 8,
       rounds = 2),
-    "sim_label_noise" -> labelNoiseSqlFor(k = 5, nBands = 16, bandBits = 8))
+    "sim_label_noise" -> labelNoiseSqlFor(k = 5, nBands = 16, bandBits = 8),
+    "sim_hard_negatives" -> hardNegativesSqlFor(nBands = 16, bandBits = 8))
 }

@@ -450,6 +450,89 @@ object Warehouse {
       |  ON (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 100000000
       |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Deterministic NEGATIVE SAMPLING for implicit-feedback training —
+    * the recsys data-prep step: per customer, k items they have NEVER
+    * ordered, ranked by a per-(customer, item) hash so the sample is
+    * reproducible across runs/engines and uniform-ish over the
+    * unseen catalog. The anti-join against the seen set is the
+    * correctness core (a negative that was actually purchased poisons
+    * the loss); the hash ranking replaces the rand() every naive
+    * implementation reaches for and no oracle could replay.
+    *
+    * Scale shape: each customer draws m = 4k pseudo-random CATALOG
+    * INDICES (a per-(customer, draw) scramble mod |catalog|), maps them
+    * to items through a dense-indexed catalog dimension, anti-joins the
+    * seen pairs, dedups repeated draws (min draw number wins), and
+    * keeps the first k by draw order — O(|customers|·m) rows end to
+    * end, NEVER the |C|×|I| cross product a filter-the-grid
+    * formulation would generate. A customer whose draws all collide
+    * with seen items emits fewer than k rows (the overshoot makes that
+    * rare) — deterministic, never silently padded.
+    */
+  def q73NegativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val m = 4 * k
+    val custs = t(spark, dir, "customer").select(col("c_custkey"))
+    val items = t(spark, dir, "part").select(col("p_partkey"))
+    val nItems = items.count()
+    // dense catalog index: the catalog is a dimension table, so the
+    // global order window is a dimension-sized sort, not a fact scan
+    val idx = items.withColumn("iidx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_partkey"))).cast("long") - 1L)
+    val seen = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("p_partkey"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("j"), col("p_partkey"))
+    custs
+      .select(col("c_custkey"), explode(expr(s"sequence(0, ${m - 1})")).as("j"))
+      .withColumn("iidx",
+        expr(s"(c_custkey * 48271L + j * 69621L + 13L) % ${nItems}L"))
+      .join(broadcast(idx), "iidx")
+      .join(seen, Seq("c_custkey", "p_partkey"), "left_anti")
+      // repeated draws of the same item: the earliest draw wins
+      .groupBy(col("c_custkey"), col("p_partkey")).agg(min(col("j")).as("j"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("c_custkey"), col("rk").cast("long").as("rk"),
+        col("p_partkey").as("neg_item"))
+      .orderBy(col("c_custkey"), col("rk"))
+  }
+
+  val q73Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS ni FROM part),
+      |idx AS (
+      |  SELECT p_partkey,
+      |    row_number() OVER (ORDER BY p_partkey) - 1 AS iidx
+      |  FROM part),
+      |seen AS (
+      |  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |draws AS (
+      |  SELECT c.c_custkey, t.j,
+      |    (c.c_custkey * 48271 + t.j * 69621 + 13) % (SELECT ni FROM n) AS iidx
+      |  FROM customer c, UNNEST(generate_series(0, 11)) AS t(j)),
+      |mapped AS (
+      |  SELECT d.c_custkey, d.j, i.p_partkey
+      |  FROM draws d JOIN idx i USING (iidx)),
+      |unseen AS (
+      |  SELECT m.c_custkey, m.p_partkey, MIN(m.j) AS j
+      |  FROM mapped m
+      |  LEFT JOIN seen s ON s.c_custkey = m.c_custkey
+      |    AND s.p_partkey = m.p_partkey
+      |  WHERE s.c_custkey IS NULL
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT c_custkey, p_partkey,
+      |    row_number() OVER (PARTITION BY c_custkey ORDER BY j, p_partkey) AS rk
+      |  FROM unseen)
+      |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, p_partkey AS neg_item
+      |FROM rk WHERE rk <= 3 ORDER BY c_custkey, rk""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** Join-key skew profiler — the diagnostic you run BEFORE a big join to
     * decide whether it needs the q39 salting treatment: per heavy key,
@@ -768,7 +851,8 @@ object Warehouse {
     "q67_hll_intersection" -> (q67HllIntersection _),
     "q70_assoc_rules" -> (q70AssocRules _),
     "q71_rfm" -> (q71Rfm _),
-    "q72_geo_join" -> (q72GeoJoin _))
+    "q72_geo_join" -> (q72GeoJoin _),
+    "q73_negative_sample" -> (q73NegativeSample _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -783,5 +867,6 @@ object Warehouse {
     "q67_hll_intersection" -> q67Sql,
     "q70_assoc_rules" -> q70Sql,
     "q71_rfm" -> q71Sql,
-    "q72_geo_join" -> q72Sql)
+    "q72_geo_join" -> q72Sql,
+    "q73_negative_sample" -> q73Sql)
 }

@@ -205,6 +205,35 @@ class WarehouseSpec extends SparkSpecBase {
     assert(got.contains((1L, 10L, 10000L)) && !got.exists(_._2 == 11L))
   }
 
+  test("q72 geo join plans as an equi-join on the cell key, never nested-loop") {
+    val plan = Warehouse.q72GeoJoin(spark, sf()).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("cell"), plan.take(2000))
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q73 negative samples are never-purchased items, deterministic, k per customer") {
+    val r = Warehouse.q73NegativeSample(spark, sf("0.01")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.nonEmpty)
+    r.groupBy(_._1).values.foreach(xs => assert(xs.length <= 3))
+    // no sampled negative appears in the customer's purchase history
+    val seen = graft.engine.Tables.load(spark, sf("0.01"), "orders")
+      .join(graft.engine.Tables.load(spark, sf("0.01"), "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    r.foreach { case (c, _, item) =>
+      assert(!seen.contains((c, item)), s"negative ($c, $item) was purchased") }
+    // reproducible: a second run returns the identical sample
+    val r2 = Warehouse.q73NegativeSample(spark, sf("0.01")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.sameElements(r2))
+  }
+
   test("personalized pagerank concentrates mass on and around the seed set") {
     val r = graft.ext.Dedup.pagerankSeeded(spark, sf("0.001")).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
