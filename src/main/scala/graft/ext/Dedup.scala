@@ -844,6 +844,42 @@ object Dedup {
     edges.select(col("u").as("doc_id"), col("v").as("label"))
   }
 
+  // ------------------------------------------------- dedup summary
+  /** One-row corpus dedup report — the number a data lead reads before
+    * and after every dedup pass: documents, clusters, duplicates (docs
+    * minus cluster representatives), the dedup ratio in basis points,
+    * and the largest cluster (the boilerplate-family alarm: a corpus
+    * where one cluster holds 5% of documents has a template problem,
+    * not a dedup problem). Derived from the exact connected components
+    * ([[dedupClustersOn]]) so the report hash-matches the same closure
+    * oracle; at 100 TB you run it over the LSH-edged labels instead —
+    * identical aggregate.
+    */
+  def dedupSummary(spark: SparkSession, dir: String): DataFrame =
+    dedupSummaryOn(docs(spark, dir))
+
+  def dedupSummaryOn(documents: DataFrame): DataFrame =
+    dedupClustersOn(documents)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        max(col("cluster_size")).as("max_cluster"))
+      .select(col("n_docs"), col("n_clusters"),
+        (col("n_docs") - col("n_clusters")).as("n_duplicates"),
+        expr("((n_docs - n_clusters) * 10000L) div n_docs").as("dup_ratio_bp"),
+        col("max_cluster"))
+
+  // lazy: textually above dedupClustersSql, which a strict val would
+  // capture as null during object init
+  lazy val dedupSummarySql: String =
+    s"""WITH clusters AS ($dedupClustersSql)
+       |SELECT COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT cluster_id) AS n_clusters,
+       |  COUNT(*) - COUNT(DISTINCT cluster_id) AS n_duplicates,
+       |  CAST(((COUNT(*) - COUNT(DISTINCT cluster_id)) * 10000) // COUNT(*)
+       |    AS BIGINT) AS dup_ratio_bp,
+       |  CAST(MAX(cluster_size) AS BIGINT) AS max_cluster
+       |FROM clusters""".stripMargin
+
   // ------------------------------------- incremental CC maintenance
   /** INCREMENTAL dedup-cluster maintenance — the production shape of a
     * growing corpus: yesterday's clustering is an asset (component
@@ -1693,6 +1729,7 @@ object Dedup {
     "dedup_cluster_lsh" -> (dedupClustersLshQ _),
     "dedup_cluster_incremental" -> (dedupClustersIncrementalQ _),
     "dedup_pagerank_seeded" -> (pagerankSeeded _),
+    "dedup_summary" -> (dedupSummary _),
     "dedup_cluster_bigstar" -> (dedupClustersBigStarQ _),
     "dedup_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
@@ -1719,6 +1756,7 @@ object Dedup {
     "dedup_cluster_lsh" -> dedupClustersSql,
     "dedup_cluster_incremental" -> dedupClustersSql,
     "dedup_pagerank_seeded" -> pagerankSeededSql,
+    "dedup_summary" -> dedupSummarySql,
     "dedup_cluster_bigstar" -> dedupClustersSql,
     "dedup_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql,

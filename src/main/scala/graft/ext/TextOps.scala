@@ -584,6 +584,42 @@ object TextOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- langid evaluation
+  /** Confusion matrix + per-class recall for the stopword language
+    * identifier — the EVAL loop [[langIdOn]] was missing (the
+    * ann_recall argument: a classifier you haven't scored against its
+    * labels is a guess). One aggregate over the per-doc predictions:
+    * (actual, predicted, n) cells plus each cell's share of its actual
+    * class in integer basis points — on the label-agnostic synthetic
+    * corpus the matrix documents exactly how the tie-break cascade
+    * distributes word salad, and on a real corpus it is the
+    * class-imbalance screen run before trusting any lang filter.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    langIdConfusionOn(docs(spark, dir))
+
+  def langIdConfusionOn(documents: DataFrame): DataFrame = {
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_actual"))
+    langIdOn(documents)
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_actual", sum(col("n")).over(wa))
+      .select(col("lang_actual"), col("lang_pred"), col("n"),
+        expr("(n * 10000L) div n_actual").as("share_bp"))
+      .orderBy(col("lang_actual"), col("lang_pred"))
+  }
+
+  val langIdConfusionSql: String =
+    s"""WITH pred AS ($langIdSql),
+       |c AS (SELECT lang_actual, lang_pred, COUNT(*) AS n
+       |      FROM pred GROUP BY 1, 2),
+       |t AS (SELECT lang_actual, SUM(n) AS n_actual FROM c GROUP BY 1)
+       |SELECT c.lang_actual, c.lang_pred, c.n,
+       |  CAST((c.n * 10000) // t.n_actual AS BIGINT) AS share_bp
+       |FROM c JOIN t USING (lang_actual)
+       |ORDER BY lang_actual, lang_pred""".stripMargin
+
   // -------------------------------------------------------- fingerprint
   /** Document fingerprints: md5 digest + a 31-ary polynomial rolling hash
     * mod 1e9+7 over the character codepoints (the classic Rabin-Karp
@@ -1774,6 +1810,7 @@ object TextOps {
     "text_tfidf" -> (tfidf _),
     "text_stats" -> (stats _),
     "text_langid" -> (langId _),
+    "text_langid_confusion" -> (langIdConfusion _),
     "text_fingerprint" -> (fingerprint _),
     "text_top_ngrams" -> (topNgrams _),
     "text_contamination" -> (contamination _),
@@ -1805,6 +1842,7 @@ object TextOps {
     "text_tfidf" -> tfidfSql,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,
+    "text_langid_confusion" -> langIdConfusionSql,
     "text_fingerprint" -> fingerprintSql,
     "text_top_ngrams" -> topNgramsSql,
     "text_contamination" -> contaminationSql,

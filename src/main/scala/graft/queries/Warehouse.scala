@@ -533,6 +533,70 @@ object Warehouse {
       |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, p_partkey AS neg_item
       |FROM rk WHERE rk <= 3 ORDER BY c_custkey, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Referential-integrity audit — the dbt-style relationship tests run
+    * as ONE pass per edge of the star schema: orphaned fact rows
+    * (lineitem → orders, orders → customer, lineitem → part/supplier)
+    * and childless parents (orders with no lineitem). Each check is an
+    * anti-join count; the report is one row per relationship with the
+    * violating count and the parent/child totals, so a CI gate can
+    * assert all-zeros and a drifted ingest shows WHICH edge broke.
+    * Anti-joins plan as broadcast/shuffled hash joins on the key — the
+    * same shape at 100 TB, one scan per table side.
+    */
+  def q74RiAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val p = t(spark, dir, "part")
+    val s = t(spark, dir, "supplier")
+    def orphans(child: DataFrame, ck: String, parent: DataFrame,
+        pk: String): Long =
+      child.select(col(ck)).join(parent.select(col(pk).as(ck)), Seq(ck),
+        "left_anti").count()
+    val rows = Seq(
+      ("lineitem->orders", orphans(li, "l_orderkey", o, "o_orderkey"),
+        li.count(), o.count()),
+      ("orders->customer", orphans(o, "o_custkey", c, "c_custkey"),
+        o.count(), c.count()),
+      ("lineitem->part", orphans(li, "l_partkey", p, "p_partkey"),
+        li.count(), p.count()),
+      ("lineitem->supplier", orphans(li, "l_suppkey", s, "s_suppkey"),
+        li.count(), s.count()),
+      ("orders-childless", o.select(col("o_orderkey"))
+        .join(li.select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"),
+          "left_anti").count(), o.count(), li.count()))
+    rows.toDF("relationship", "violations", "n_child", "n_parent")
+      .orderBy(col("relationship"))
+  }
+
+  val q74Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('lineitem->orders',
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+      |    (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM orders)),
+      |  ('orders->customer',
+      |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+      |       ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+      |    (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM customer)),
+      |  ('lineitem->part',
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+      |       ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+      |    (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM part)),
+      |  ('lineitem->supplier',
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+      |       ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL),
+      |    (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM supplier)),
+      |  ('orders-childless',
+      |    (SELECT COUNT(*) FROM orders o LEFT JOIN
+      |       (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |       ON o.o_orderkey = l.l_orderkey WHERE l.l_orderkey IS NULL),
+      |    (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM lineitem))
+      |) AS t(relationship, violations, n_child, n_parent)
+      |ORDER BY relationship""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** Join-key skew profiler — the diagnostic you run BEFORE a big join to
     * decide whether it needs the q39 salting treatment: per heavy key,
@@ -852,7 +916,8 @@ object Warehouse {
     "q70_assoc_rules" -> (q70AssocRules _),
     "q71_rfm" -> (q71Rfm _),
     "q72_geo_join" -> (q72GeoJoin _),
-    "q73_negative_sample" -> (q73NegativeSample _))
+    "q73_negative_sample" -> (q73NegativeSample _),
+    "q74_ri_audit" -> (q74RiAudit _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -868,5 +933,6 @@ object Warehouse {
     "q70_assoc_rules" -> q70Sql,
     "q71_rfm" -> q71Sql,
     "q72_geo_join" -> q72Sql,
-    "q73_negative_sample" -> q73Sql)
+    "q73_negative_sample" -> q73Sql,
+    "q74_ri_audit" -> q74Sql)
 }

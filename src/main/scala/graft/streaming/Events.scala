@@ -741,6 +741,58 @@ object Events {
       |    ELSE -(((-num) * 1000) // den) END AS BIGINT) AS slope_k
       |FROM g ORDER BY user_id""".stripMargin
 
+  // --------------------------------------- seasonal-naive forecast error
+  /** Seasonal-naive forecast evaluation per event type — the baseline
+    * every real forecast must beat (and the denominator of MASE): the
+    * day-t forecast is the day-(t−7) actual; the report is each type's
+    * total absolute error in cents, the day count scored, and the mean
+    * absolute error ×1000 — ALL integer (daily totals are exact cent
+    * sums, errors are |a−b| of integers), so the whole evaluation
+    * hash-matches. A type whose ingest volume loses its weekly rhythm
+    * shows up as an MAE jump with no float noise to argue about.
+    *
+    * Scale shape: one groupBy to daily totals (the only corpus-scale
+    * pass), one 7-day lag window over the tiny (type × day) frame.
+    */
+  def seasonalError(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100.0d) as bigint)")).as("tot_c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("naive", lag(col("tot_c"), 7).over(w))
+      .withColumn("lag_day", lag(col("day"), 7).over(w))
+      // only score days whose t-7 actually exists AND is exactly 7 days
+      // back (gaps in the day grid would silently compare wrong pairs)
+      .filter(col("naive").isNotNull &&
+        datediff(col("day"), col("lag_day")) === 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("tot_c") - col("naive"))).as("abs_err_c"))
+      .withColumn("mae_k", expr("(abs_err_c * 1000L) div n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalErrorSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)) AS tot_c
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, day, tot_c,
+      |    lag(tot_c, 7) OVER w AS naive,
+      |    lag(day, 7) OVER w AS lag_day
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |scored AS (
+      |  SELECT event_type, abs(tot_c - naive) AS e
+      |  FROM lagged
+      |  WHERE naive IS NOT NULL AND day - lag_day = 7)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(SUM(e) AS BIGINT) AS abs_err_c,
+      |  CAST((SUM(e) * 1000) // COUNT(*) AS BIGINT) AS mae_k
+      |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------ Theil-Sen robust slope
   /** Theil–Sen robust trend per user — the outlier-proof sibling of
     * [[trendSlope]]: the MEDIAN of all pairwise slopes (dy/dx over
@@ -1542,6 +1594,7 @@ object Events {
     "events_attribution_markov" -> (attributionMarkov _),
     "events_trend_slope" -> (trendSlope _),
     "events_theilsen" -> (theilSen _),
+    "events_seasonal_error" -> (seasonalError _),
     "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
@@ -1565,6 +1618,7 @@ object Events {
     "events_attribution_markov" -> attributionMarkovSql,
     "events_trend_slope" -> trendSlopeSql,
     "events_theilsen" -> theilSenSql,
+    "events_seasonal_error" -> seasonalErrorSql,
     "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
