@@ -106,7 +106,9 @@ object Snapshots {
     * exactly what landed).
     */
   def commit(df: DataFrame, dir: String, append: Boolean,
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None, bloomFpp: Double = 0.0): Int = {
+    require(bloomFpp == 0.0 || statsCol.nonEmpty,
+      "bloomFpp needs statsCol: the manifest bloom rides the stats line")
     val spark = df.sparkSession
     // fail fast, before any data is written: the manifest envelope
     // format carries LONG min/max
@@ -125,7 +127,7 @@ object Snapshots {
     var v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
     val batch = s"data/batch-$v-$nonce"
     df.write.mode("errorifexists").parquet(s"$dir/$batch")
-    val entry = statsLine(spark, dir, batch, statsCol)
+    val entry = statsLine(spark, dir, batch, statsCol, bloomFpp)
     // the append case carries the rebased-onto version's full entry list
     // — including its delete lines, so pending row-level deletes survive
     // an append; a replace commit starts from scratch (deletes folded
@@ -269,13 +271,25 @@ object Snapshots {
     * directory + recorded [min, max] envelope of `statsCol`.
     */
   private def statsLine(spark: SparkSession, dir: String, batch: String,
-      statsCol: Option[String]): String = statsCol match {
+      statsCol: Option[String], bloomFpp: Double = 0.0): String = statsCol match {
     case None => batch
     case Some(c) =>
-      import org.apache.spark.sql.functions.{min, max, col}
-      val r = spark.read.parquet(s"$dir/$batch")
-        .agg(min(col(c)), max(col(c))).head()
-      if (r.isNullAt(0)) batch else s"$batch\t$c\t${r.getLong(0)}\t${r.getLong(1)}"
+      import org.apache.spark.sql.functions.{min, max, count, col, lit}
+      val written = spark.read.parquet(s"$dir/$batch")
+      val r = written.agg(min(col(c)), max(col(c)), count(lit(1))).head()
+      if (r.isNullAt(0)) batch
+      else if (bloomFpp <= 0.0) s"$batch\t$c\t${r.getLong(0)}\t${r.getLong(1)}"
+      else {
+        // distributed builder (partial blooms OR-merged — bit-identical
+        // regardless of partitioning), sized from the batch's actual row
+        // count; serialized inline so readers resolve point lookups from
+        // the manifest alone, no file opened
+        val bf = written.stat.bloomFilter(c, math.max(r.getLong(2), 1L), bloomFpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        s"$batch\t$c\t${r.getLong(0)}\t${r.getLong(1)}\t$b64"
+      }
   }
 
   /** Shared optimistic-commit loop: rebase the manifest onto the current
@@ -582,8 +596,8 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val v = if (version < 0) latestVersion(spark, dir) else version
     val kept = batchesAt(spark, dir, v).collect {
-      case BatchEntry(b, None) => b
-      case BatchEntry(b, Some((c, mn, mx)))
+      case BatchEntry(b, None, _) => b
+      case BatchEntry(b, Some((c, mn, mx)), _)
         if c != column || (mx >= lo && mn <= hi) => b
     }
     // mergeSchema threads through like read(): on an evolved table the
@@ -598,6 +612,61 @@ object Snapshots {
     // the same version, and the plain read anti-joins the delete keys
     applyDeletes(spark, dir, v, base)
       .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Batch directories a point lookup on `column ∈ keys` must read at
+    * `version`, resolved from the MANIFEST alone: a batch survives only
+    * if its min/max envelope admits at least one key AND (when the
+    * commit recorded one) its bloom filter might contain one. The bloom
+    * is what makes this work on hash-distributed layouts — batches split
+    * by key hash have fully overlapping envelopes, so the range stats
+    * keep everything, but each key's bits land in exactly one batch's
+    * bloom (plus fpp-rate false positives). Batches without stats, or
+    * with stats on another column, are conservatively kept — skipping
+    * changes cost, never content (no false negatives is the bloom
+    * contract that makes this exact).
+    */
+  def pointBatches(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Long], version: Int = -1): Seq[String] = {
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    batchesAt(spark, dir, v).filter { e =>
+      e.stats match {
+        case None => true
+        case Some((c, _, _)) if c != column => true
+        case Some((_, mn, mx)) =>
+          val inEnv = keys.filter(k => k >= mn && k <= mx)
+          inEnv.nonEmpty && (e.bloom match {
+            case None => true
+            case Some(b64) =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  java.util.Base64.getDecoder.decode(b64)))
+              inEnv.exists(bf.mightContainLong)
+          })
+      }
+    }.map(_.batch)
+  }
+
+  /** Point lookup through the manifest blooms ([[pointBatches]]): read
+    * only the surviving batch directories, then apply the exact filter
+    * (bloom false positives are removed here) and any pending row-level
+    * deletes. Result must equal `read(...).filter(column isin keys)` —
+    * the layout decides cost, never content. The 100 TB shape: a needle
+    * query on a thousand-batch table opens the one batch whose bloom
+    * bits match instead of scanning the table.
+    */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Long], version: Int = -1,
+      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    val kept = pointBatches(spark, dir, column, keys, v)
+    val base =
+      if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0)
+      else spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(kept.map(b => resolve(dir, b)): _*)
+    applyDeletes(spark, dir, v, base)
+      .filter(col(column).isin(keys: _*))
   }
 
   // ------------------------------------------------- clones and tags
@@ -692,8 +761,14 @@ object Snapshots {
     read(spark, dir, tagVersion(spark, dir, name), mergeSchema)
 
   private sealed trait ManifestEntry { def path: String }
+  /** `bloom` carries a base64 `org.apache.spark.util.sketch.BloomFilter`
+    * over the SAME column as `stats` — the point-lookup complement of the
+    * min/max envelope (batches split by hash have fully overlapping
+    * envelopes, so range stats can never skip them; a bloom can).
+    */
   private case class BatchEntry(batch: String,
-      stats: Option[(String, Long, Long)]) extends ManifestEntry {
+      stats: Option[(String, Long, Long)],
+      bloom: Option[String] = None) extends ManifestEntry {
     def path: String = batch
   }
   /** A row-level delete: `path` holds the keys, readers anti-join on
@@ -720,8 +795,9 @@ object Snapshots {
   }
 
   private def render(e: ManifestEntry): String = e match {
-    case BatchEntry(b, None) => b
-    case BatchEntry(b, Some((c, mn, mx))) => s"$b\t$c\t$mn\t$mx"
+    case BatchEntry(b, None, _) => b
+    case BatchEntry(b, Some((c, mn, mx)), None) => s"$b\t$c\t$mn\t$mx"
+    case BatchEntry(b, Some((c, mn, mx)), Some(bl)) => s"$b\t$c\t$mn\t$mx\t$bl"
     case DeleteEntry(p, c) => s"D\t$p\t$c"
     case TxnEntry(a, b) => s"T\t$a\t$b"
     case KindEntry(k) => s"K\t$k"
@@ -734,6 +810,8 @@ object Snapshots {
         case Array("T", a, b) => TxnEntry(a, b.toLong)
         case Array("K", k) => KindEntry(k)
         case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
+        case Array(b, c, mn, mx, bl) =>
+          BatchEntry(b, Some((c, mn.toLong, mx.toLong)), Some(bl))
         case Array(b) => BatchEntry(b, None)
         case other => throw new IllegalStateException(
           s"malformed manifest line: ${other.mkString("\\t")}")

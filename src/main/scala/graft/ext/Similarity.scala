@@ -1847,7 +1847,131 @@ object Similarity {
        |FROM v JOIN l$rounds l USING (vec_id) ORDER BY vec_id""".stripMargin
   }
 
+  // ----------------------------------------------- MMR diversification
+  /** Maximal-marginal-relevance top-k: greedily pick k results per query
+    * balancing relevance to the query against redundancy with what's
+    * already picked — `argmax λ·rel(q,c) − (1−λ)·max_{s∈sel} sim(c,s)` —
+    * the standard diversified-retrieval rerank (and the selection rule
+    * behind diverse training-subset curation: near-duplicate candidates
+    * can't all win). Runs over a POOL of the exact top-`poolN`
+    * candidates, so the iterative part touches O(|Q|·poolN²) tiny rows:
+    * pool and pairwise-sim frames are id-keyed by qid (never a
+    * cartesian — poolN is a constant), and each of the k−1 greedy
+    * rounds is two small joins + one argmax window. At 100 TB the
+    * candidate generation (brute-force here; any ANN family upstream at
+    * scale) dominates; the rerank cost is unchanged. Ties break by
+    * smallest cid; step 1's score is the raw relevance (nothing selected
+    * yet). All-double algebra identical on both engines, so the rerank
+    * is hash-exact, not just recall-graded.
+    */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame =
+    mmrDiversifyOn(emb(spark, dir), nQueries = 8, poolN = 10, k = 4)
+
+  def mmrDiversifyOn(e: DataFrame, nQueries: Int, poolN: Int,
+      k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val pool = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("rel", expr("cosine_f32(qe, ce)"))
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= poolN)
+      .select(col("qid"), col("cid"), col("ce"), col("rel"))
+    // tiny (|Q|·poolN) frames, staged so the k greedy rounds don't
+    // recompute the scan; live for the whole query → Bench's between-
+    // query sweep reclaims them (Materialize.sweep)
+    val pooled = graft.engine.Materialize.stage(pool)
+    val pair = graft.engine.Materialize.stage(
+      pooled.select(col("qid"), col("cid").as("ca"), col("ce").as("ae"))
+        .join(pooled.select(col("qid"), col("cid").as("cb"), col("ce").as("be")),
+          Seq("qid"))
+        .filter(col("ca") =!= col("cb"))
+        .withColumn("sim", expr("cosine_f32(ae, be)"))
+        .select(col("qid"), col("ca"), col("cb"), col("sim")))
+    val cand = pooled.select(col("qid"), col("cid"), col("rel"))
+    var sel = cand.withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), lit(1L).as("step"), col("rel").as("mmr"))
+    for (i <- 2 to k) {
+      val wSc = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val pick = cand
+        .join(sel.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_anti")
+        .join(pair.withColumnRenamed("ca", "cid"), Seq("qid", "cid"))
+        .join(sel.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+        .groupBy(col("qid"), col("cid"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+        .withColumn("rn", row_number().over(wSc)).filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(i.toLong).as("step"),
+          col("score").as("mmr"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("qid").as("vec_id"), col("step"), col("cid").as("pick_id"),
+      round(col("mmr"), 6).as("mmr"))
+      .orderBy(col("vec_id"), col("step"))
+  }
+
+  /** DuckDB twin of [[mmrDiversifyOn]] — pool, pairwise sims, and each
+    * greedy round unrolled as CTEs (the iterative-replay pattern the
+    * KMeans/IVF oracles use).
+    */
+  def mmrDiversifySqlFor(nQueries: Int, poolN: Int, k: Int): String = {
+    def fold(a: String, b: String) =
+      s"""list_aggregate(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+         |    / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |     * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT p.qid, p.cid, p.rel, MAX(pr.sim) AS msim
+         |  FROM pool p
+         |  LEFT JOIN sel${i - 1} x ON x.qid = p.qid AND x.cid = p.cid
+         |  JOIN pair pr ON pr.qid = p.qid AND pr.ca = p.cid
+         |  JOIN sel${i - 1} s ON s.qid = pr.qid AND s.cid = pr.cb
+         |  WHERE x.cid IS NULL
+         |  GROUP BY 1, 2, 3),
+         |s$i AS (
+         |  SELECT qid, cid, CAST($i AS BIGINT) AS step, score AS mmr FROM (
+         |    SELECT qid, cid,
+         |      CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * msim AS score,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * msim DESC,
+         |        cid) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |sel$i AS (SELECT qid, cid FROM sel${i - 1}
+         |  UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries),
+       |cos AS (
+       |  SELECT q.vec_id AS qid, b.vec_id AS cid,
+       |    ${fold("q.embedding", "b.embedding")} AS rel
+       |  FROM q JOIN embeddings b ON b.vec_id <> q.vec_id),
+       |pool AS (
+       |  SELECT qid, cid, rel FROM (
+       |    SELECT qid, cid, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |    FROM cos) WHERE rn <= $poolN),
+       |pair AS (
+       |  SELECT p1.qid, p1.cid AS ca, p2.cid AS cb,
+       |    ${fold("a.embedding", "b.embedding")} AS sim
+       |  FROM pool p1 JOIN pool p2 ON p1.qid = p2.qid AND p1.cid <> p2.cid
+       |  JOIN embeddings a ON a.vec_id = p1.cid
+       |  JOIN embeddings b ON b.vec_id = p2.cid),
+       |s1 AS (
+       |  SELECT qid, cid, CAST(1 AS BIGINT) AS step, rel AS mmr FROM (
+       |    SELECT qid, cid, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |    FROM pool) WHERE rn = 1),
+       |sel1 AS (SELECT qid, cid FROM s1),
+       |${(2 to k).map(round).mkString(",\n")}
+       |SELECT qid AS vec_id, step, cid AS pick_id, round(mmr, 6) AS mmr
+       |FROM (${(1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})
+       |ORDER BY vec_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_diversify" -> (mmrDiversify _),
     "sim_dedup_keep" -> (semanticDedup _),
     "sim_quantize_i8" -> (quantizeI8 _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -1874,6 +1998,7 @@ object Similarity {
     "sim_quantize_pq" -> (quantizePq _))
 
   val oracles: Map[String, String] = Map(
+    "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
     "sim_dedup_keep" -> semanticDedupSql,
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_quantize_i8" -> quantizeI8Sql,

@@ -901,6 +901,51 @@ object Warehouse {
       |  CAST(MAX(ov) // 1000000 AS BIGINT) AS max_overlap_sec
       |FROM p WHERE ov >= 3600000000 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Per-group MODE — the most frequent c_mktsegment per nation, with
+    * its count and corpus share in ppm, ties broken lexicographically
+    * smallest. The categorical profile every imputation / drift check
+    * starts from. Shape: one partial+final count on (nation, segment) —
+    * the exchange carries ≤ |nations|×|segments| partial states at any
+    * data size — then a per-nation argmax over that TINY frame via one
+    * window. Integer ppm arithmetic (truncating div both engines), so
+    * the profile hash-matches cross-engine.
+    */
+  def q75Mode(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val counts = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("tot"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("cnt").desc, col("c_mktsegment"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(tot, Seq("c_nationkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), Seq("c_nationkey"))
+      .select(col("n_name"), col("c_mktsegment").as("mode_segment"),
+        col("cnt").as("n_mode"),
+        expr("cnt * 1000000 div tot").as("share_ppm"))
+      .orderBy(col("n_name"))
+  }
+
+  val q75Sql: String =
+    """WITH counts AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+      |  FROM customer GROUP BY 1, 2),
+      |tot AS (SELECT c_nationkey, COUNT(*) AS tot FROM customer GROUP BY 1),
+      |rk AS (
+      |  SELECT c_nationkey, c_mktsegment, cnt,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY cnt DESC, c_mktsegment) AS rn
+      |  FROM counts)
+      |SELECT n.n_name, r.c_mktsegment AS mode_segment, r.cnt AS n_mode,
+      |  r.cnt * 1000000 // t.tot AS share_ppm
+      |FROM rk r JOIN tot t USING (c_nationkey)
+      |JOIN nation n ON n.n_nationkey = r.c_nationkey
+      |WHERE r.rn = 1 ORDER BY n.n_name""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -917,7 +962,8 @@ object Warehouse {
     "q71_rfm" -> (q71Rfm _),
     "q72_geo_join" -> (q72GeoJoin _),
     "q73_negative_sample" -> (q73NegativeSample _),
-    "q74_ri_audit" -> (q74RiAudit _))
+    "q74_ri_audit" -> (q74RiAudit _),
+    "q75_mode" -> (q75Mode _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -934,5 +980,6 @@ object Warehouse {
     "q71_rfm" -> q71Sql,
     "q72_geo_join" -> q72Sql,
     "q73_negative_sample" -> q73Sql,
-    "q74_ri_audit" -> q74Sql)
+    "q74_ri_audit" -> q74Sql,
+    "q75_mode" -> q75Sql)
 }

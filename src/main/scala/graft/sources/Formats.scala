@@ -559,6 +559,48 @@ object Formats {
       |FROM events, mx WHERE event_id >= 0 AND event_id <= b
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Manifest-BLOOM file skipping — the point-lookup complement of
+    * [[manifestPrune]]'s range envelopes. Four append commits split
+    * orders BY KEY HASH (o_orderkey % 4), so every batch spans the full
+    * key range and min/max envelopes can never skip anything; each
+    * commit also records a serialized bloom filter over o_orderkey in
+    * its manifest line (built with Spark's distributed
+    * `df.stat.bloomFilter` — partial blooms OR-merge, bit-identical on
+    * any partitioning). The needle lookup of three keys, all ≡ 1 mod 4,
+    * then resolves against the manifest alone: three batches' blooms
+    * reject every key and only batch 1 (plus fpp-rate false positives)
+    * is opened. SnapshotsSpec pins the skip via [[Snapshots.pointBatches]];
+    * the graded result must equal the plain IN-filter — skipping changes
+    * cost, never content (blooms have no false negatives). At 100 TB
+    * this is the difference between a needle query opening one batch
+    * and scanning the table.
+    */
+  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snapbloom_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val sc = Some("o_orderkey")
+    (0 until 4).foreach { i =>
+      Snapshots.commit(o.filter(col("o_orderkey") % 4 === i), table,
+        append = i > 0, statsCol = sc, bloomFpp = 0.01)
+    }
+    // the probe keys — a layout-driven lookup set (like manifestPrune's
+    // driver-side max()), not data riding the query plan
+    val keys = o.filter(col("o_orderkey") % 4 === 1)
+      .orderBy(col("o_orderkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    Snapshots.readPoint(spark, table, "o_orderkey", keys)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val bloomSkippingSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE o_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 1
+      |  ORDER BY o_orderkey LIMIT 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Incremental view maintenance over the CDC feed: a per-status
     * aggregate MAINTAINED from the v0 aggregate plus the v0→v1 delta —
     * never recomputed from v1 — must equal the direct v1 recompute
@@ -607,6 +649,7 @@ object Formats {
       |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_bloom_skipping" -> (bloomSkipping _),
     "fmt_delete_read" -> (deleteRead _),
     "fmt_incremental_agg" -> (incrementalAgg _),
     "fmt_manifest_prune" -> (manifestPrune _),
@@ -622,6 +665,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_bloom_skipping" -> bloomSkippingSql,
     "fmt_delete_read" -> deleteReadSql,
     "fmt_incremental_agg" -> incrementalAggSql,
     "fmt_manifest_prune" -> manifestPruneSql,

@@ -619,6 +619,75 @@ object Events {
       |WHERE varr > 0 AND abs((value - s1 / n) / sqrt(varr)) >= CAST(2.0 AS DOUBLE)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------- burst detection
+  /** Burst detection (Kleinberg-style elevated-state runs, discretized):
+    * an hour is BURSTING for an event_type when its count is ≥ 1.5× the
+    * trailing-24-hour hourly mean — expressed all-integer as
+    * `cnt · nbase · 2 ≥ 3 · base` (base = trailing sum, nbase = trailing
+    * populated hours; a RANGE frame over the integer hour index, so
+    * silent hours neither pad the frame nor break it). Contiguous
+    * bursting hours then compress into islands via the gaps-islands
+    * trick (hr − row_number is constant within a run). Output: one row
+    * per burst episode — start/end, duration, total and peak counts —
+    * the alert feed a traffic monitor pages on, with the trailing
+    * baseline making it robust to slow seasonal drift where a global
+    * threshold is not.
+    *
+    * Scale shape: one partial+final count to the (type, hour) grid —
+    * tiny forever after — then two windows and an aggregate over that
+    * grid; cost is the scan, the rest is O(types × hours). First 24
+    * hours per type have no baseline (base NULL) and never burst.
+    */
+  def bursts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val wBase = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-24, -1)
+    val flagged = hourly
+      .withColumn("base", sum(col("cnt")).over(wBase))
+      .withColumn("nbase", count(lit(1)).over(wBase))
+      .filter(col("base").isNotNull &&
+        col("cnt") * col("nbase") * 2 >= col("base") * 3)
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    flagged
+      .withColumn("grp", col("hr") - row_number().over(wRun))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("hr")).as("s"), max(col("hr")).as("e"),
+        count(lit(1)).as("n_hours"), sum(col("cnt")).as("n_events"),
+        max(col("cnt")).as("peak"))
+      .select(col("event_type"),
+        timestamp_seconds(col("s") * 3600L).as("burst_start"),
+        timestamp_seconds(col("e") * 3600L).as("burst_end"),
+        col("n_hours"), col("n_events"), col("peak"))
+      .orderBy(col("event_type"), col("burst_start"))
+  }
+
+  val burstsSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hr,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *,
+      |    SUM(cnt) OVER tw AS base, COUNT(*) OVER tw AS nbase
+      |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+      |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |f AS (
+      |  SELECT event_type, hr, cnt,
+      |    hr - row_number() OVER (PARTITION BY event_type ORDER BY hr) AS grp
+      |  FROM w WHERE base IS NOT NULL AND cnt * nbase * 2 >= base * 3)
+      |SELECT event_type,
+      |  make_timestamp(MIN(hr) * 3600000000) AS burst_start,
+      |  make_timestamp(MAX(hr) * 3600000000) AS burst_end,
+      |  COUNT(*) AS n_hours, CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |  MAX(cnt) AS peak
+      |FROM f GROUP BY event_type, grp
+      |ORDER BY event_type, burst_start""".stripMargin
+
   // --------------------------------------- multi-touch attribution
   /** Linear multi-touch attribution: every click in the 24 h before a
     * purchase shares that purchase's credit equally — the
@@ -1595,6 +1664,7 @@ object Events {
     "events_trend_slope" -> (trendSlope _),
     "events_theilsen" -> (theilSen _),
     "events_seasonal_error" -> (seasonalError _),
+    "events_bursts" -> (bursts _),
     "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
@@ -1619,6 +1689,7 @@ object Events {
     "events_trend_slope" -> trendSlopeSql,
     "events_theilsen" -> theilSenSql,
     "events_seasonal_error" -> seasonalErrorSql,
+    "events_bursts" -> burstsSql,
     "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,

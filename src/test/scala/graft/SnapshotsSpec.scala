@@ -105,6 +105,39 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.readPruned(spark, t, "id", 1000L, 2000L).count() == 0)
   }
 
+  test("manifest blooms skip hash-split batches a range envelope cannot") {
+    val t = freshTable("bloom")
+    // four batches split BY HASH of the key: every envelope spans the
+    // full range, so min/max stats alone keep all four
+    (0 until 4).foreach { i =>
+      Snapshots.commit(df(1 to 400).filter(col("id") % 4 === i), t,
+        append = i > 0, statsCol = Some("id"), bloomFpp = 0.01)
+    }
+    val keys = Seq(5L, 9L, 201L) // all ≡ 1 mod 4 → live in one batch
+    val kept = Snapshots.pointBatches(spark, t, "id", keys)
+    // the residue-1 batch must survive (no false negatives); the other
+    // three are rejected by their blooms (400 items at 1% fpp — a false
+    // positive keeping a 4th batch would still be correct, just slower,
+    // so tolerate at most one)
+    assert(kept.nonEmpty && kept.size <= 2, kept.mkString(","))
+    val got = Snapshots.readPoint(spark, t, "id", keys)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == keys.sorted)
+    // exactness against the plain read, including a missing key
+    val askMissing = Seq(6L, 1000L)
+    assert(Snapshots.readPoint(spark, t, "id", askMissing).collect()
+      .map(_.getLong(0)).toSeq == Seq(6L))
+    // a batch without stats is conservatively kept
+    Snapshots.commit(df(401 to 410), t, append = true)
+    assert(Snapshots.pointBatches(spark, t, "id", Seq(5L))
+      .exists(_.startsWith("data/batch-4-")))
+    // deletes compose: removing a probed key removes it from the lookup
+    import spark.implicits._
+    Snapshots.deleteRows(Seq(9L).toDF("id"), t, "id")
+    assert(Snapshots.readPoint(spark, t, "id", keys).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(5L, 201L))
+  }
+
   test("a dead writer's unpublished batch doesn't wedge the next commit") {
     val t = freshTable("recover")
     Snapshots.commit(df(1 to 5), t, append = false)
