@@ -1789,7 +1789,93 @@ object TextOps {
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------- RAKE keywords
+  /** RAKE keyword extraction: candidate phrases are maximal runs of
+    * non-stopword tokens (the corpus' standard 5-stopword list — same
+    * set as [[statsOn]], so the segmentation can't drift from the
+    * quality features); each word scores `degree·1000 div freq` over
+    * the whole corpus (degree = Σ length of the phrases its occurrences
+    * sit in — all integer, so the ranking hash-matches cross-engine),
+    * and a phrase scores the sum of its words. Output: top-3 distinct
+    * phrases per document, ties broken lexicographically — the
+    * summarization/tagging primitive behind search facets and topic
+    * drill-downs.
+    *
+    * Shape at scale: one posexplode of the token stream, one
+    * gaps-islands window keyed by doc (phrase runs never cross
+    * documents, so partitioning is by doc_id — fully parallel), one
+    * corpus-level word aggregate (partial+final on word), one re-join
+    * to attach word scores, and a per-doc top-k window. The token
+    * stream shuffles twice (phrase assembly, word stats) — inherent to
+    * corpus-level RAKE, and each shuffle carries (doc, grp, word)
+    * triples, not documents.
+    */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    rakeKeywordsOn(docs(spark, dir), k = 3)
+
+  def rakeKeywordsOn(documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "of", "and", "to")
+    val toks = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .filter(!col("w").isin(stop: _*) && col("w") =!= "")
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = toks.withColumn("grp", col("i") - row_number().over(wRun))
+    val wLen = Window.partitionBy(col("doc_id"), col("grp"))
+    val members = runs.withColumn("plen", count(lit(1)).over(wLen))
+    val wordScore = members.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("wscore", expr("degree * 1000 div freq"))
+    val phrases = members.join(wordScore.select(col("w"), col("wscore")), "w")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("i"), col("w"))))
+          .getField("w")).as("phrase"),
+        sum(col("wscore")).as("score"))
+      .select(col("doc_id"), col("phrase"), col("score")).distinct()
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    phrases.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("doc_id"), col("rk"))
+      .select(col("doc_id"), col("rk"), col("phrase"), col("score"))
+  }
+
+  val rakeKeywordsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, i, w[i] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |    UNNEST(generate_series(1, len(w))) AS t(i)
+      |  WHERE NOT list_contains(['the','a','of','and','to'], w[i])
+      |    AND w[i] <> ''),
+      |runs AS (
+      |  SELECT doc_id, i, w,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM toks),
+      |members AS (
+      |  SELECT doc_id, grp, i, w,
+      |    COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+      |  FROM runs),
+      |ws AS (
+      |  SELECT w, COUNT(*) AS freq, SUM(plen) AS degree,
+      |    CAST(SUM(plen) AS BIGINT) * 1000 // COUNT(*) AS wscore
+      |  FROM members GROUP BY w),
+      |phrases AS (
+      |  SELECT DISTINCT doc_id, phrase, score FROM (
+      |    SELECT m.doc_id, m.grp,
+      |      string_agg(m.w, ' ' ORDER BY m.i) AS phrase,
+      |      CAST(SUM(ws.wscore) AS BIGINT) AS score
+      |    FROM members m JOIN ws USING (w)
+      |    GROUP BY m.doc_id, m.grp)),
+      |rk AS (
+      |  SELECT doc_id, phrase, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, phrase) AS rk
+      |  FROM phrases)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, phrase, score
+      |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> (rakeKeywords _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -1822,6 +1908,7 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
+    "text_rake_keywords" -> rakeKeywordsSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,

@@ -1033,7 +1033,7 @@ object Core {
     * builtin `percentile` (value→count ObjectHashAggregate) measured
     * 6.1 s at sf0.1 on mostly-unique doubles and cannot spill its map.
     */
-  private def bucketQuantilesOn(df: DataFrame, ps: Seq[(Double, String)]): DataFrame = {
+  private[graft] def bucketQuantilesOn(df: DataFrame, ps: Seq[(Double, String)]): DataFrame = {
     // bucket width 64: the histogram (and so the cumsum window input)
     // shrinks 64× vs unit buckets while phase 2 still sorts only a few
     // hundred rows per target bucket — measured the best of both at sf0.1

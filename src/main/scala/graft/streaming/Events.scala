@@ -638,12 +638,29 @@ object Events {
     * grid; cost is the scan, the rest is O(types × hours). First 24
     * hours per type have no baseline (base NULL) and never burst.
     */
-  def bursts(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = events(spark, dir)
-      .groupBy(col("event_type"),
-        expr("unix_timestamp(ts) div 3600").as("hr"))
+  def bursts(spark: SparkSession, dir: String): DataFrame =
+    burstsFromHourly(
+      events(spark, dir)
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hr"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** Streaming half of the burst monitor: the (type, hour) counts as a
+    * complete-mode streaming aggregation — state is the O(types × hours)
+    * grid, not the stream (the [[streamingDriftCells]] shape). Score the
+    * sink's final table with [[burstsFromHourly]]; StreamingSpec pins
+    * stream ≡ batch.
+    */
+  def streamingHourlyCells(spark: SparkSession, filesDir: String): DataFrame =
+    eventStream(spark, filesDir)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Burst episodes from an hourly (event_type, hr, cnt) grid — shared
+    * by the batch query and the streaming monitor's scoring pass.
+    */
+  def burstsFromHourly(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wBase = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rangeBetween(-24, -1)
     val flagged = hourly
@@ -687,6 +704,98 @@ object Events {
       |  MAX(cnt) AS peak
       |FROM f GROUP BY event_type, grp
       |ORDER BY event_type, burst_start""".stripMargin
+
+  // --------------------------------------------- IQR outlier profile
+  /** Tukey-fence outlier profile per event_type: exact interpolated
+    * Q1/Q3 (the q35 two-phase bucket quantile — fully parallel
+    * partial+final histogram, never a per-group total sort), fences at
+    * ±1.5·IQR, and the count of rows beyond each fence. The box-plot
+    * profile a data-quality monitor publishes per metric; the fences
+    * adapt to each type's own spread where a global threshold cannot.
+    * Fence arithmetic is identical double ops in identical order on
+    * both engines (quantiles already match bit-for-bit), so even the
+    * boundary comparisons agree. Outlier counting is one broadcast of
+    * the 5-row fence frame against the scan — two passes total at any
+    * data size.
+    */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type").as("f"), col("value").as("x"))
+    val fences = graft.queries.Core.bucketQuantilesOn(e,
+        Seq(0.25 -> "q1", 0.75 -> "q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    e.join(broadcast(fences), Seq("f"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") < col("lo")).cast("long")).as("n_lo"),
+        sum((col("x") > col("hi")).cast("long")).as("n_hi"),
+        max(round(col("lo"), 6)).as("fence_lo"),
+        max(round(col("hi"), 6)).as("fence_hi"))
+      .select(col("f").as("event_type"), col("fence_lo"), col("fence_hi"),
+        col("n_lo"), col("n_hi"),
+        ((col("n_lo") + col("n_hi")) * 1000000L / col("n")).cast("long")
+          .as("out_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val iqrOutliersSql: String =
+    """WITH q AS (
+      |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+      |    quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+      |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+      |SELECT e.event_type, round(MAX(f.lo), 6) AS fence_lo,
+      |  round(MAX(f.hi), 6) AS fence_hi,
+      |  CAST(COUNT(*) FILTER (e.value < f.lo) AS BIGINT) AS n_lo,
+      |  CAST(COUNT(*) FILTER (e.value > f.hi) AS BIGINT) AS n_hi,
+      |  (COUNT(*) FILTER (e.value < f.lo) + COUNT(*) FILTER (e.value > f.hi))
+      |    * 1000000 // COUNT(*) AS out_ppm
+      |FROM events e JOIN f USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // --------------------------------------------- cumulative audience
+  /** Daily audience growth: per day, the distinct users active, the
+    * users seen for the FIRST time (new), and the running cumulative
+    * distinct-user count — the growth curve every corpus/product report
+    * opens with. Running distinct is NOT a windowed COUNT(DISTINCT)
+    * (unsupported, and a set-union window would hold all users in
+    * state): each user contributes exactly once at min(ts), so
+    * cumulative distinct = prefix-sum of the first-seen counts — one
+    * per-user aggregate, one per-day aggregate, one window over the
+    * tiny day grid.
+    */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val active = e.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+    val firstSeen = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    active.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day"))))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH a AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    COUNT(DISTINCT user_id) AS n_active
+      |  FROM events GROUP BY 1),
+      |fs AS (
+      |  SELECT day, COUNT(*) AS n_new FROM (
+      |    SELECT user_id, MIN(date_trunc('day', ts)) AS day
+      |    FROM events GROUP BY 1) GROUP BY 1)
+      |SELECT a.day, a.n_active, COALESCE(fs.n_new, 0) AS n_new,
+      |  CAST(SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT)
+      |    AS cum_users
+      |FROM a LEFT JOIN fs USING (day)
+      |ORDER BY a.day""".stripMargin
 
   // --------------------------------------- multi-touch attribution
   /** Linear multi-touch attribution: every click in the 24 h before a
@@ -1665,6 +1774,8 @@ object Events {
     "events_theilsen" -> (theilSen _),
     "events_seasonal_error" -> (seasonalError _),
     "events_bursts" -> (bursts _),
+    "events_iqr_outliers" -> (iqrOutliers _),
+    "events_cumulative_users" -> (cumulativeUsers _),
     "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
@@ -1690,6 +1801,8 @@ object Events {
     "events_theilsen" -> theilSenSql,
     "events_seasonal_error" -> seasonalErrorSql,
     "events_bursts" -> burstsSql,
+    "events_iqr_outliers" -> iqrOutliersSql,
+    "events_cumulative_users" -> cumulativeUsersSql,
     "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,

@@ -192,6 +192,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming hourly cells == batch bursts (complete-mode grid, scored on final state)") {
+    // the burst monitor's streaming half: hourly (type, hr) counts in
+    // complete mode, episodes scored from the sink's final grid with
+    // the SAME helper the batch operator uses — stream ≡ batch for the
+    // alerting query a traffic monitor leaves running
+    val q = Events.streamingHourlyCells(spark, eventsDir)
+      .writeStream.format("memory").queryName("burst_cells")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = Events.burstsFromHourly(
+      spark.table("burst_cells").localCheckpoint(true))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = Events.bursts(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("gaps and islands: consecutive-day streaks, counts, earliest-tie longest") {
     import spark.implicits._
     val t0 = java.time.LocalDate.of(2024, 3, 1)
