@@ -712,6 +712,29 @@ object Snapshots {
     0
   }
 
+  /** DESCRIBE HISTORY (Delta's audit surface): one row per version with
+    * the commit kind that produced it and what its manifest references —
+    * batch directories, pending delete files, stream-txn marks. Pure
+    * metadata plane (manifests only, no data file touched), same cost
+    * class as [[tags]]; the operational answer to "what happened to this
+    * table and when" that every governed lakehouse table must provide.
+    * Versions predating the kind marker (or hand-built fixtures) read as
+    * 'unknown' rather than failing the audit.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = versions(spark, dir).map { v =>
+      val es = entriesAt(spark, dir, v)
+      (v.toLong,
+        es.collectFirst { case KindEntry(k) => k }.getOrElse("unknown"),
+        es.count(_.isInstanceOf[BatchEntry]).toLong,
+        es.count(_.isInstanceOf[DeleteEntry]).toLong,
+        es.count(_.isInstanceOf[TxnEntry]).toLong)
+    }
+    rows.toDF("version", "kind", "n_batches", "n_deletes", "n_txns")
+      .orderBy(org.apache.spark.sql.functions.col("version"))
+  }
+
   private def refsDir(dir: String) = new Path(s"$dir/_refs")
   private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
 

@@ -952,8 +952,13 @@ object TextOps {
       .withColumn("keep", when(col("logit") > 0, 1).otherwise(0))
   }
 
-  val classifierHashedSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The classifier's scoring chain as a WITH-body — shared verbatim by
+    * [[classifierHashedSql]] and [[classifierLiftSql]] so the replayed
+    * roll_hash31/splitmix64 arithmetic can't drift between the score
+    * query and its evaluation query. Ends in `s(doc_id, n_feat, logit)`.
+    */
+  private val classifierCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS gram
       |      FROM d, UNNEST(generate_series(1, len(w)-1)) AS t(i)
       |      WHERE len(w) >= 2),
@@ -973,10 +978,74 @@ object TextOps {
       |  FROM b),
       |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
       |        CAST(SUM(w8) AS BIGINT) AS logit
-      |      FROM wt GROUP BY 1)
+      |      FROM wt GROUP BY 1)""".stripMargin
+
+  val classifierHashedSql: String =
+    s"""WITH $classifierCtes
       |SELECT doc_id, n_feat, logit,
       |  CASE WHEN logit > 0 THEN 1 ELSE 0 END AS keep
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- classifier lift table
+  /** Decile lift table for the hashed classifier — the campaign-eval /
+    * model-triage report: rank every document by its logit (descending,
+    * doc_id tie-break), cut into 10 rank deciles, and report each
+    * decile's response rate (here: is-English, an independent label the
+    * score never saw) against the corpus base rate, all in integer
+    * basis points so the table hash-matches cross-engine (lift 10000 =
+    * parity).
+    *
+    * The global rank is computed WITHOUT a single-partition window (the
+    * classic lift-table scale trap): per-logit partials rank in
+    * parallel (`row_number` partitioned by logit), and each logit's
+    * rank offset comes from a prefix sum over the tiny distinct-logit
+    * grid — logits are small integers (Σ of ±4-bounded weights), so the
+    * grid is O(hundreds) at any corpus size. Decile assignment is the
+    * explicit `(r−1)·10 div n + 1` formula, identical both engines
+    * (ntile's uneven-bucket fill order is engine-defined — avoided).
+    */
+  def classifierLift(spark: SparkSession, dir: String): DataFrame =
+    classifierLiftOn(docs(spark, dir))
+
+  def classifierLiftOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = classifierScoreOn(documents).select(col("doc_id"), col("logit"))
+      .join(documents.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("pos")), "doc_id")
+    val offs = s.groupBy(col("logit")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("logit").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = s.agg(count(lit(1)).as("n_total"), sum(col("pos")).as("tp"))
+      .select(col("n_total"), expr("tp * 10000 div n_total").as("obp"))
+    val wIn = Window.partitionBy(col("logit")).orderBy(col("doc_id"))
+    s.join(broadcast(offs.select(col("logit"), col("off"))), "logit")
+      .withColumn("r", col("off") + row_number().over(wIn))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(r - 1) * 10 div n_total + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        max(col("obp")).as("obp"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 10000 div n_docs").as("rate_bp"),
+        expr("(n_pos * 10000 div n_docs) * 10000 div obp").as("lift_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val classifierLiftSql: String =
+    s"""WITH $classifierCtes,
+      |resp AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos FROM documents),
+      |j AS (SELECT s.doc_id, s.logit, resp.pos FROM s JOIN resp USING (doc_id)),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY logit DESC, doc_id) AS r,
+      |         COUNT(*) OVER () AS n_total FROM j),
+      |dd AS (SELECT *, (r - 1) * 10 // n_total + 1 AS decile FROM rk),
+      |a AS (SELECT decile, COUNT(*) AS n_docs,
+      |        CAST(SUM(pos) AS BIGINT) AS n_pos FROM dd GROUP BY 1),
+      |o AS (SELECT CAST(SUM(pos) * 10000 // COUNT(*) AS BIGINT) AS obp FROM j)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+      |  n_pos * 10000 // n_docs AS rate_bp,
+      |  (n_pos * 10000 // n_docs) * 10000 // obp AS lift_bp
+      |FROM a, o ORDER BY decile""".stripMargin
 
   // ----------------------------------------- BPE vocabulary learning
   /** Byte-pair-encoding merge learning over the corpus (word-level: the
@@ -1876,6 +1945,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rake_keywords" -> (rakeKeywords _),
+    "text_classifier_lift" -> (classifierLift _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -1909,6 +1979,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_rake_keywords" -> rakeKeywordsSql,
+    "text_classifier_lift" -> classifierLiftSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,

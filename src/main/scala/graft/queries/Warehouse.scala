@@ -946,6 +946,52 @@ object Warehouse {
       |JOIN nation n ON n.n_nationkey = r.c_nationkey
       |WHERE r.rn = 1 ORDER BY n.n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Point-in-time feature backfill — the feature-store join that makes
+    * training data leakage-free: for EVERY order, the customer's state
+    * STRICTLY BEFORE that order (prior order count, prior exact-decimal
+    * spend, days since previous order), computed with a window over
+    * (o_orderdate, o_orderkey) `ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING`. Same-moment ties resolve by orderkey, so "before" is a
+    * total order and the backfill is deterministic — the property that
+    * lets the offline features match what an online store would have
+    * served at request time. One shuffle on custkey, per-partition sort;
+    * at 100 TB this is the canonical per-entity window shape (bounded by
+    * the entity's own history, never a cross-entity sort).
+    */
+  def q77PitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_custkey"),
+        coalesce(count(lit(1)).over(w), lit(0L)).as("prior_orders"),
+        coalesce(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w),
+          lit(0).cast(DecimalType(18, 4))).cast("double").as("prior_spend"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(wLag)))
+          .cast("long").as("days_since_prev"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q77Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  COALESCE(COUNT(*) OVER w, 0) AS prior_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w,
+      |    CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS prior_spend,
+      |  CAST(date_diff('day',
+      |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -963,7 +1009,8 @@ object Warehouse {
     "q72_geo_join" -> (q72GeoJoin _),
     "q73_negative_sample" -> (q73NegativeSample _),
     "q74_ri_audit" -> (q74RiAudit _),
-    "q75_mode" -> (q75Mode _))
+    "q75_mode" -> (q75Mode _),
+    "q77_pit_features" -> (q77PitFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -981,5 +1028,6 @@ object Warehouse {
     "q72_geo_join" -> q72Sql,
     "q73_negative_sample" -> q73Sql,
     "q74_ri_audit" -> q74Sql,
-    "q75_mode" -> q75Sql)
+    "q75_mode" -> q75Sql,
+    "q77_pit_features" -> q77Sql)
 }

@@ -756,6 +756,40 @@ object Events {
       |FROM events e JOIN f USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // --------------------------------------------- seasonal heatmap
+  /** Day-of-week × hour-of-day traffic heatmap: per (dow, hour) cell,
+    * the event count and its corpus share in ppm — the seasonal profile
+    * behind capacity planning and the [[seasonalError]] baseline choice
+    * (it shows WHICH weekly structure the t−7 forecast exploits). One
+    * partial+final count to the fixed 168-cell grid at any data size;
+    * integer ppm arithmetic, ISO day numbering pinned explicitly on
+    * both engines (Spark dayofweek is 1=Sunday, DuckDB isodow is
+    * 1=Monday — the heatmap uses ISO via conversion, a classic silent
+    * cross-engine skew).
+    */
+  def heatmap(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    // ISO dow 1=Mon..7=Sun from Spark's 1=Sun..7=Sat
+    val cells = e.groupBy(
+        expr("((dayofweek(ts) + 5) % 7) + 1").cast("long").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hh"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("iso_dow"), col("hh"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy(col("iso_dow"), col("hh"))
+  }
+
+  val heatmapSql: String =
+    """WITH c AS (
+      |  SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+      |    CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT SUM(n) AS total FROM c)
+      |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
+      |FROM c, t ORDER BY iso_dow, hh""".stripMargin
+
   // --------------------------------------------- cumulative audience
   /** Daily audience growth: per day, the distinct users active, the
     * users seen for the FIRST time (new), and the running cumulative
@@ -1776,6 +1810,7 @@ object Events {
     "events_bursts" -> (bursts _),
     "events_iqr_outliers" -> (iqrOutliers _),
     "events_cumulative_users" -> (cumulativeUsers _),
+    "events_heatmap" -> (heatmap _),
     "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
@@ -1803,6 +1838,7 @@ object Events {
     "events_bursts" -> burstsSql,
     "events_iqr_outliers" -> iqrOutliersSql,
     "events_cumulative_users" -> cumulativeUsersSql,
+    "events_heatmap" -> heatmapSql,
     "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,
