@@ -1439,9 +1439,15 @@ object Similarity {
   def kmeansIters(spark: SparkSession, dir: String): DataFrame =
     kmeansItersOn(emb(spark, dir), iters = 3)
 
-  def kmeansItersOn(e: DataFrame, iters: Int): DataFrame = {
+  /** The training loop with every round's assignment kept — shared by
+    * [[kmeansItersOn]] (reads the last) and [[kmeansChurnOn]] (compares
+    * two rounds). Returns (fixed-point frame, per-round assignments).
+    */
+  private def kmeansAssignRounds(e: DataFrame,
+      iters: Int): (DataFrame, Seq[DataFrame]) = {
     val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
     var assign = vfp.select(col("vec_id"), col("label").as("clabel"), col("vfp"))
+    val rounds = Seq.newBuilder[DataFrame]
     for (_ <- 1 to iters) {
       val cent = assign
         .select(col("clabel").as("cl2"), posexplode(col("vfp")).as(Seq("dim", "v")))
@@ -1459,8 +1465,14 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cl2").as("clabel"), col("vfp"), col("dist"))
         .localCheckpoint(true)
+      rounds += assign
     }
-    assign
+    (vfp, rounds.result())
+  }
+
+  def kmeansItersOn(e: DataFrame, iters: Int): DataFrame = {
+    val (vfp, rounds) = kmeansAssignRounds(e, iters)
+    rounds.last
       .join(vfp.select(col("vec_id"), col("label").as("old_label")), "vec_id")
       .select(col("vec_id"), col("old_label"), col("clabel").as("new_label"),
         col("dist").as("dist_fp"),
@@ -1472,31 +1484,85 @@ object Similarity {
     * the same fixed-point image — centroid truncated-division lists,
     * cross join, argmin with the same (dist, label) tie-break.
     */
-  def kmeansItersSqlFor(iters: Int): String = {
-    def round(r: Int): String =
-      s"""ex$r AS (
-         |  SELECT clabel, t.i AS dim, vfp[t.i] AS val
-         |  FROM a${r - 1}, UNNEST(generate_series(1, len(vfp))) AS t(i)),
-         |cs$r AS (SELECT clabel, dim, SUM(val) AS s, COUNT(*) AS n FROM ex$r GROUP BY 1, 2),
-         |ce$r AS (SELECT clabel AS cl2, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
-         |         FROM cs$r GROUP BY clabel),
-         |d$r AS (
-         |  SELECT a.vec_id, a.vfp, c.cl2,
-         |    CAST(list_aggregate(list_transform(list_zip(a.vfp, c.carr),
-         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
-         |  FROM a${r - 1} a CROSS JOIN ce$r c),
-         |rk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl2) AS rn FROM d$r),
-         |a$r AS (SELECT vec_id, cl2 AS clabel, vfp, dist FROM rk$r WHERE rn = 1)""".stripMargin
-    s"""WITH v AS (
-       |  SELECT vec_id, label,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
-       |  FROM embeddings),
-       |a0 AS (SELECT vec_id, label AS clabel, vfp FROM v),
-       |${(1 to iters).map(round).mkString(",\n")}
+  /** One unrolled KMeans round as CTEs (`a${r-1}` → `a$r`) — shared by
+    * [[kmeansItersSqlFor]] and [[kmeansChurnSqlFor]] so the replayed
+    * fixed-point arithmetic can't drift between the loop and its
+    * convergence diagnostic.
+    */
+  private def kmeansRoundSql(r: Int): String =
+    s"""ex$r AS (
+       |  SELECT clabel, t.i AS dim, vfp[t.i] AS val
+       |  FROM a${r - 1}, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+       |cs$r AS (SELECT clabel, dim, SUM(val) AS s, COUNT(*) AS n FROM ex$r GROUP BY 1, 2),
+       |ce$r AS (SELECT clabel AS cl2, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+       |         FROM cs$r GROUP BY clabel),
+       |d$r AS (
+       |  SELECT a.vec_id, a.vfp, c.cl2,
+       |    CAST(list_aggregate(list_transform(list_zip(a.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+       |  FROM a${r - 1} a CROSS JOIN ce$r c),
+       |rk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl2) AS rn FROM d$r),
+       |a$r AS (SELECT vec_id, cl2 AS clabel, vfp, dist FROM rk$r WHERE rn = 1)""".stripMargin
+
+  private val kmeansVfpCte: String =
+    """v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+      |  FROM embeddings),
+      |a0 AS (SELECT vec_id, label AS clabel, vfp FROM v)""".stripMargin
+
+  def kmeansItersSqlFor(iters: Int): String =
+    s"""WITH $kmeansVfpCte,
+       |${(1 to iters).map(kmeansRoundSql).mkString(",\n")}
        |SELECT a.vec_id, v.label AS old_label, a.clabel AS new_label,
        |  a.dist AS dist_fp, CAST(v.label <> a.clabel AS INT) AS moved
        |FROM a$iters a JOIN v USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------ assignment churn
+  /** KMeans assignment churn between an early and the final round — the
+    * convergence diagnostic that tells you whether the loop has settled
+    * (churn → 0) or is still thrashing (and how the thrash distributes
+    * across clusters: one unstable boundary cluster vs global motion).
+    * Per FINAL cluster: members, how many arrived from a different
+    * round-`early` assignment, churn in bp, and the mean fixed-point
+    * distance improvement (exact BIGINT sums — the improvement is
+    * nonnegative per construction only in aggregate, so it's reported
+    * as the two exact sums, not a ratio). Costs two id-only joins over
+    * frames the training loop already materialized — the eval rides the
+    * training pipeline, the same pattern as [[annRecall]].
+    */
+  def kmeansChurn(spark: SparkSession, dir: String): DataFrame =
+    kmeansChurnOn(emb(spark, dir), early = 1, iters = 3)
+
+  def kmeansChurnOn(e: DataFrame, early: Int, iters: Int): DataFrame = {
+    require(early >= 1 && early < iters, s"need 1 <= early < iters")
+    val (_, rounds) = kmeansAssignRounds(e, iters)
+    val a1 = rounds(early - 1)
+      .select(col("vec_id"), col("clabel").as("c_early"), col("dist").as("d_early"))
+    val aN = rounds.last
+      .select(col("vec_id"), col("clabel").as("cluster"), col("dist").as("d_final"))
+    aN.join(a1, "vec_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("c_early") =!= col("cluster")).cast("long")).as("n_moved"),
+        sum(col("d_early")).as("sum_dist_early"),
+        sum(col("d_final")).as("sum_dist_final"))
+      .select(col("cluster"), col("n"), col("n_moved"),
+        expr("n_moved * 10000 div n").as("churn_bp"),
+        col("sum_dist_early"), col("sum_dist_final"))
+      .orderBy(col("cluster"))
   }
+
+  def kmeansChurnSqlFor(early: Int, iters: Int): String =
+    s"""WITH $kmeansVfpCte,
+       |${(1 to iters).map(kmeansRoundSql).mkString(",\n")}
+       |SELECT aN.clabel AS cluster, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN aE.clabel <> aN.clabel THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       |  CAST(SUM(CASE WHEN aE.clabel <> aN.clabel THEN 1 ELSE 0 END) AS BIGINT) * 10000 // COUNT(*) AS churn_bp,
+       |  CAST(SUM(aE.dist) AS BIGINT) AS sum_dist_early,
+       |  CAST(SUM(aN.dist) AS BIGINT) AS sum_dist_final
+       |FROM a$iters aN JOIN a$early aE USING (vec_id)
+       |GROUP BY aN.clabel ORDER BY cluster""".stripMargin
 
   // ------------------------------------------------- silhouette score
   /** Simplified (centroid-based) silhouette per label — the clustering
@@ -1991,6 +2057,7 @@ object Similarity {
     "sim_centroid_outliers" -> (centroidOutliers _),
     "sim_kmeans_step" -> (kmeansStep _),
     "sim_kmeans3" -> (kmeansIters _),
+    "sim_kmeans_churn" -> (kmeansChurn _),
     "sim_silhouette" -> (silhouette _),
     "sim_label_spread" -> (labelSpread _),
     "sim_label_noise" -> (labelNoise _),
@@ -2011,6 +2078,7 @@ object Similarity {
     "sim_centroid_outliers" -> centroidOutliersSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_kmeans3" -> kmeansItersSqlFor(3),
+    "sim_kmeans_churn" -> kmeansChurnSqlFor(early = 1, iters = 3),
     "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_ivf_seeded" -> annIvfSeededSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobe = 4),

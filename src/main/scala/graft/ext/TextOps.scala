@@ -1559,6 +1559,71 @@ object TextOps {
       |HAVING COUNT(*) >= (SELECT t FROM th)
       |ORDER BY cnt DESC, token""".stripMargin
 
+  // ----------------------------------------------- vocabulary coverage
+  /** Vocabulary coverage curve — for top-k vocabularies (k = 10, 100,
+    * 1000 words by corpus frequency), what share of ALL token
+    * occurrences they cover, in integer ppm. The tokenizer-sizing /
+    * OOV-budget stat every vocab decision starts from (Zipf means the
+    * first few hundred words usually cover most of the stream).
+    *
+    * Rank-k cutoffs are computed WITHOUT a single-partition window over
+    * the vocabulary (the [[classifierLift]] trick): words rank in
+    * parallel within their count class (`row_number` partitioned by
+    * cnt), offset by a prefix sum over the distinct-count grid — Zipf
+    * makes that grid O(√vocab) small. Each checkpoint is then one
+    * filtered aggregate; ties at a cutoff resolve lexicographically,
+    * identically on both engines.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOn(docs(spark, dir), ks = Seq(10L, 100L, 1000L))
+
+  def vocabCoverageOn(documents: DataFrame, ks: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val counts = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val offs = counts.groupBy(col("cnt")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("cnt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = counts
+      .join(broadcast(offs.select(col("cnt"), col("off"))), "cnt")
+      .withColumn("r", col("off") +
+        row_number().over(Window.partitionBy(col("cnt")).orderBy(col("w"))))
+    val tot = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("vocab_size"))
+    import spark.implicits._
+    ranked.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ks.toDF("k")))
+      .filter(col("r") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("total")).as("total_tokens"),
+        max(col("vocab_size")).as("vocab_size"),
+        sum(col("cnt")).as("cum_tokens"))
+      .select(col("k"), col("vocab_size"), col("cum_tokens"),
+        col("total_tokens"),
+        expr("cum_tokens * 1000000 div total_tokens").as("share_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (
+      |  SELECT w, COUNT(*) AS cnt FROM toks WHERE w <> '' GROUP BY w),
+      |rk AS (
+      |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r
+      |  FROM counts),
+      |tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab_size FROM counts)
+      |SELECT k, MAX(vocab_size) AS vocab_size,
+      |  CAST(SUM(cnt) AS BIGINT) AS cum_tokens,
+      |  CAST(MAX(total) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(cnt) AS BIGINT) * 1000000 // MAX(total) AS share_ppm
+      |FROM rk, tot, UNNEST([CAST(10 AS BIGINT), 100, 1000]) AS t(k)
+      |WHERE r <= k GROUP BY k ORDER BY k""".stripMargin
+
   // --------------------------------------------------- curation pipeline
   /** The whole curation pipeline as ONE declarative plan — what a user of
     * this library actually runs at 100 TB, and the reason the stages are
@@ -1946,6 +2011,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
+    "text_vocab_coverage" -> (vocabCoverage _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -1980,6 +2046,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
+    "text_vocab_coverage" -> vocabCoverageSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,

@@ -790,6 +790,110 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- DAU/WAU stickiness
+  /** Engagement stickiness: per anchor day, DAU (distinct users that
+    * day), WAU (trailing 7 days), BAU (trailing 14 days — the corpus
+    * spans ~4 weeks, so the classic 30-day MAU would never have a full
+    * window), and DAU/BAU stickiness in ppm. The [[rollingActive]]
+    * anchor-day fanout generalized to three horizons in ONE pass: the
+    * distinct (user, day) pairs — already tiny vs the event stream —
+    * fan out to the ≤14 anchor days each contributes to, tagged with
+    * which horizons cover that (anchor − day) lag, then one distinct
+    * count per (anchor, horizon). Anchors without a full 14-day history
+    * are excluded (a partial window would understate BAU and overstate
+    * stickiness — the standard dashboard bug). Integer ppm output.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val fan = ud
+      .select(col("user_id"), col("day"), explode(expr("sequence(0, 13)")).as("lag"))
+      .withColumn("anchor", date_add(col("day"), col("lag")))
+    val counts = fan.groupBy(col("anchor"))
+      .agg(
+        count_distinct(when(col("lag") === 0, col("user_id"))).as("dau"),
+        count_distinct(when(col("lag") <= 6, col("user_id"))).as("wau"),
+        count_distinct(col("user_id")).as("bau"))
+    counts.crossJoin(broadcast(bounds))
+      .filter(col("anchor") >= date_add(col("d0"), 13) && col("anchor") <= col("d1"))
+      .select(col("anchor"), col("dau"), col("wau"), col("bau"),
+        expr("dau * 1000000 div bau").as("stickiness_ppm"))
+      .orderBy(col("anchor"))
+  }
+
+  val stickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+      |fan AS (
+      |  SELECT user_id, day, t.lag, day + CAST(t.lag AS INTEGER) AS anchor
+      |  FROM ud, UNNEST(generate_series(0, 13)) AS t(lag)),
+      |c AS (
+      |  SELECT anchor,
+      |    COUNT(DISTINCT CASE WHEN lag = 0 THEN user_id END) AS dau,
+      |    COUNT(DISTINCT CASE WHEN lag <= 6 THEN user_id END) AS wau,
+      |    COUNT(DISTINCT user_id) AS bau
+      |  FROM fan GROUP BY 1)
+      |SELECT anchor, dau, wau, bau, dau * 1000000 // bau AS stickiness_ppm
+      |FROM c, b
+      |WHERE anchor >= d0 + 13 AND anchor <= d1
+      |ORDER BY anchor""".stripMargin
+
+  // --------------------------------------------- sweep-line concurrency
+  /** Interval concurrency by sweep-line — how many user sessions are
+    * simultaneously open at each hour, computed WITHOUT any interval
+    * join: each per-(user, day) session [first event, last event]
+    * contributes +1 at its start hour and −1 after its end hour; the
+    * running sum of deltas over the hour grid IS the concurrency. The
+    * O(n) alternative to q64/q66's pairwise overlap when the question
+    * is "how loaded", not "which pairs" — at 100 TB the deltas
+    * aggregate map-side to the O(hours) grid and the only ordered pass
+    * runs on that tiny grid. Output per hour: starts, ends, and open
+    * sessions (gaps in the grid carry the running level forward —
+    * materialized here only for hours with boundary events; level is
+    * constant between them by construction).
+    */
+  def sweeplineLoad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(expr("unix_timestamp(min(ts)) div 3600").as("sh"),
+        expr("unix_timestamp(max(ts)) div 3600").as("eh"))
+    val deltas = sess.select(col("sh").as("hr"), lit(1L).as("d"))
+      .unionAll(sess.select((col("eh") + 1).as("hr"), lit(-1L).as("d")))
+      .groupBy(col("hr"))
+      .agg(sum(col("d")).as("net"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_ends"))
+    deltas
+      .withColumn("open_sessions",
+        sum(col("net")).over(Window.orderBy(col("hr"))))
+      .select(timestamp_seconds(col("hr") * 3600L).as("hour"),
+        col("n_starts"), col("n_ends"), col("open_sessions"))
+      .orderBy(col("hour"))
+  }
+
+  val sweeplineLoadSql: String =
+    """WITH sess AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) AS sh,
+      |    CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS eh
+      |  FROM events GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT sh AS hr, CAST(1 AS BIGINT) AS d FROM sess
+      |  UNION ALL SELECT eh + 1, CAST(-1 AS BIGINT) FROM sess),
+      |g AS (
+      |  SELECT hr, SUM(d) AS net,
+      |    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_starts,
+      |    SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_ends
+      |  FROM deltas GROUP BY hr)
+      |SELECT make_timestamp(hr * 3600000000) AS hour,
+      |  CAST(n_starts AS BIGINT) AS n_starts, CAST(n_ends AS BIGINT) AS n_ends,
+      |  CAST(SUM(net) OVER (ORDER BY hr) AS BIGINT) AS open_sessions
+      |FROM g ORDER BY hour""".stripMargin
+
   // --------------------------------------------- cumulative audience
   /** Daily audience growth: per day, the distinct users active, the
     * users seen for the FIRST time (new), and the running cumulative
@@ -1811,6 +1915,8 @@ object Events {
     "events_iqr_outliers" -> (iqrOutliers _),
     "events_cumulative_users" -> (cumulativeUsers _),
     "events_heatmap" -> (heatmap _),
+    "events_stickiness" -> (stickiness _),
+    "events_sweepline" -> (sweeplineLoad _),
     "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
     "events_sliding_window" -> (slidingWindow _),
@@ -1839,6 +1945,8 @@ object Events {
     "events_iqr_outliers" -> iqrOutliersSql,
     "events_cumulative_users" -> cumulativeUsersSql,
     "events_heatmap" -> heatmapSql,
+    "events_stickiness" -> stickinessSql,
+    "events_sweepline" -> sweeplineLoadSql,
     "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,
     "events_sliding_window" -> slidingWindowSql,

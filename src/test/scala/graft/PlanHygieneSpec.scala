@@ -66,7 +66,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     "multimodal_hist_topk",
     // corpus overlap: the 1-row sketch-match frame broadcast onto the
     // 1-row exact-Jaccard side (q21/q67's split-agg shape)
-    "dedup_corpus_overlap")
+    "dedup_corpus_overlap",
+    // heatmap / stickiness: the 1-row corpus-total (resp. day-bounds)
+    // frame broadcast onto the tiny cell/anchor grid (q60's shape);
+    // lift / vocab coverage: the 1-row total frame plus the O(distinct
+    // logits/counts) offset grid (and coverage's 3-row checkpoint
+    // list) broadcast for the distributed global rank
+    "events_heatmap", "events_stickiness", "text_classifier_lift",
+    "text_vocab_coverage")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
