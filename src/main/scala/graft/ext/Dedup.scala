@@ -1713,7 +1713,63 @@ object Dedup {
       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- cross-source dup matrix
+  /** Cross-source duplication matrix — WHERE the duplicate mass comes
+    * from: per unordered source pair, how many NEAR-duplicate document
+    * pairs (the [[minhashLshOn]] verified J ≥ 0.5 pairs) span it, with
+    * the exact mean Jaccard in bp (sum·10⁴ div n — integer, so the
+    * report hash-matches). Diagonal = within-source duplication. The
+    * attribution report that decides which feed to fix or down-weight
+    * after [[dedupSummary]] says there's a problem. Rides the LSH
+    * pipeline's id-only pair list (candidates, never all-pairs); the
+    * source attribution adds two broadcast-sized joins of (doc_id,
+    * source). Oracle: the exact inverted-index pairs (LSH ≡ exact at
+    * the graded band config — the regime [[lshRecall]] pins).
+    */
+  def sourceMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceMatrixOn(docs(spark, dir))
+
+  def sourceMatrixOn(documents: DataFrame): DataFrame = {
+    val pairs = minhashLshOn(documents)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(floor(col("jaccard") * 10000.0).cast("long")) / count(lit(1)))
+          .cast("long").as("mean_j_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceMatrixSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b,
+      |        CAST(c AS DOUBLE)/(x.sz + y.sz - c) AS jaccard
+      |      FROM inter JOIN sz x ON doc_a = x.doc_id
+      |      JOIN sz y ON doc_b = y.doc_id
+      |      WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |m AS (
+      |  SELECT least(da.source, db.source) AS src_a,
+      |    greatest(da.source, db.source) AS src_b, jaccard
+      |  FROM p JOIN documents da ON da.doc_id = p.doc_a
+      |  JOIN documents db ON db.doc_id = p.doc_b)
+      |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(floor(jaccard * 10000) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_j_bp
+      |FROM m GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_matrix" -> (sourceMatrix _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1741,6 +1797,7 @@ object Dedup {
     "dedup_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_matrix" -> sourceMatrixSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -604,7 +604,85 @@ object Multimodal {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  // ------------------------------------------------ audio frame energy
+  /** Audio frame-energy profile — the payload interpreted as
+    * little-endian signed 16-bit PCM, per-16-sample windows' EXACT
+    * integer energies (Σ s² as BIGINT) computed scan-side by the native
+    * `pcm16_energy` expression, then summarized per clip: sample/window
+    * counts, total and peak energy, the first peak window (1-based),
+    * and how many windows fall under a quiet threshold — the VAD-style
+    * silence/activity triage every audio-curation pipeline runs before
+    * paying for transcription. Real PCM decode is a codec swap upstream
+    * ([[decodeStub]]'s contract); the windowing, exact arithmetic, and
+    * per-clip reduction — the Spark-side plumbing — are real and
+    * oracle-graded (DuckDB replays the samples from the hex dump).
+    * Whole pass is one scan projection + presentation sort: payloads
+    * never shuffle.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+    audioEnergyOn(docsAsMedia(spark, dir).toDF(), win = 16,
+      quiet = 4000000000L)
+
+  def audioEnergyOn(media: DataFrame, win: Int, quiet: Long): DataFrame = {
+    graft.plans.GraftExtensions.register(media.sparkSession)
+    media
+      .select(col("media_id"), col("payload"))
+      .withColumn("n", length(col("payload")).cast("long"))
+      .filter(col("n") >= 2)
+      .withColumn("e", expr(s"pcm16_energy(payload, $win)"))
+      .select(col("media_id"),
+        expr("n div 2").as("n_samples"),
+        size(col("e")).cast("long").as("n_windows"),
+        expr("aggregate(e, 0L, (a, x) -> a + x)").as("total_energy"),
+        expr("array_max(e)").as("peak_energy"),
+        expr("array_position(e, array_max(e))").cast("long").as("peak_win"),
+        expr(s"size(filter(e, x -> x < ${quiet}L))").cast("long").as("n_quiet"))
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin: samples from the hex dump (lo | signed-hi·256),
+    * windows of 16, the same exact integer sums.
+    */
+  val audioEnergySql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+      |    hex(encode(text)) AS h
+      |  FROM documents WHERE octet_length(encode(text)) >= 2),
+      |smp AS (
+      |  SELECT media_id, t.j,
+      |    (strpos('0123456789ABCDEF', substr(h, 4*t.j+1, 1)) - 1) * 16
+      |      + (strpos('0123456789ABCDEF', substr(h, 4*t.j+2, 1)) - 1) AS lo,
+      |    (strpos('0123456789ABCDEF', substr(h, 4*t.j+3, 1)) - 1) * 16
+      |      + (strpos('0123456789ABCDEF', substr(h, 4*t.j+4, 1)) - 1) AS hi
+      |  FROM b, UNNEST(generate_series(0, n // 2 - 1)) AS t(j)),
+      |sv AS (
+      |  SELECT media_id, j,
+      |    CAST((CASE WHEN hi >= 128 THEN hi - 256 ELSE hi END) * 256 + lo
+      |      AS BIGINT) AS s
+      |  FROM smp),
+      |w AS (
+      |  SELECT media_id, j // 16 AS wi, SUM(s * s) AS e
+      |  FROM sv GROUP BY 1, 2),
+      |pk AS (
+      |  SELECT media_id, wi + 1 AS peak_win FROM (
+      |    SELECT media_id, wi,
+      |      row_number() OVER (PARTITION BY media_id ORDER BY e DESC, wi) AS rn
+      |    FROM w) WHERE rn = 1),
+      |agg AS (
+      |  SELECT w.media_id, COUNT(*) AS n_windows,
+      |    CAST(SUM(e) AS BIGINT) AS total_energy,
+      |    CAST(MAX(e) AS BIGINT) AS peak_energy,
+      |    CAST(SUM(CASE WHEN e < 4000000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_quiet
+      |  FROM w GROUP BY 1)
+      |SELECT b.media_id, CAST(b.n // 2 AS BIGINT) AS n_samples,
+      |  CAST(a.n_windows AS BIGINT) AS n_windows, a.total_energy,
+      |  a.peak_energy, CAST(pk.peak_win AS BIGINT) AS peak_win, a.n_quiet
+      |FROM b JOIN agg a USING (media_id) JOIN pk USING (media_id)
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_energy" -> (audioEnergy _),
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_frames" -> (mediaFrames _),
     "multimodal_header_probe" -> (mediaHeaderProbe _),
@@ -779,5 +857,6 @@ object Multimodal {
     "multimodal_phash" -> mediaPhashDedupSqlFor(tau = 6),
     "multimodal_chunk_containment" -> mediaChunkContainmentSqlFor(
       chunkBytes = 64, tau = 0.9),
-    "multimodal_entropy" -> mediaEntropySql)
+    "multimodal_entropy" -> mediaEntropySql,
+    "multimodal_audio_energy" -> audioEnergySql)
 }

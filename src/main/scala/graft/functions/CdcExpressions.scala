@@ -175,3 +175,56 @@ case class ByteHistogram(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
     copy(child = newChild)
 }
+
+/** `pcm16_energy(payload, win)` — per-window exact energy of a binary
+  * payload interpreted as little-endian SIGNED 16-bit PCM: sample j =
+  * bytes (2j, 2j+1) as lo | (signed hi << 8); window w's energy is the
+  * exact Σ s² (BIGINT — 2¹⁵² · win « 2⁶³ for any practical win) over
+  * samples [w·win, (w+1)·win); a trailing partial window keeps its
+  * partial sum, a trailing odd byte is ignored (not a sample). The
+  * audio sibling of [[ByteHistogram]]: the whole frame-energy pass is
+  * one tight scan-side loop in whole-stage codegen — the SQL form (hex
+  * dump → per-byte strpos → per-sample CASE → regroup) materializes
+  * rows per BYTE and is the exact shape that made the CDC boundary
+  * scan the slowest query in the bench before [[CdcHashUtil]].
+  */
+object Pcm16Util {
+  def energies(payload: Array[Byte], win: Int): ArrayData = {
+    require(win > 0, s"pcm16_energy window must be positive, got $win")
+    val nS = payload.length / 2
+    val nW = (nS + win - 1) / win
+    val out = new Array[Long](nW)
+    var j = 0
+    while (j < nS) {
+      val s = ((payload(2 * j + 1).toInt << 8) | (payload(2 * j) & 0xff)).toLong
+      out(j / win) += s * s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class Pcm16Energy(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"pcm16_energy expects binary payload, got ${left.dataType.simpleString}")
+    else if (right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"pcm16_energy expects int window, got ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pcm16_energy"
+
+  override def nullSafeEval(payload: Any, win: Any): Any =
+    Pcm16Util.energies(payload.asInstanceOf[Array[Byte]], win.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, w) => s"graft.functions.Pcm16Util.energies($p, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Pcm16Energy =
+    copy(left = newLeft, right = newRight)
+}

@@ -104,7 +104,11 @@ object GraftExtensions {
     (FunctionIdentifier("phash64"),
       info("phash64",
         "phash64(payload) - 64-bit dHash over the payload's 8x9 block-mean grid"),
-      (es: Seq[Expression]) => graft.functions.PHash64(es(0))))
+      (es: Seq[Expression]) => graft.functions.PHash64(es(0))),
+    (FunctionIdentifier("pcm16_energy"),
+      info("pcm16_energy",
+        "pcm16_energy(payload, win) - per-window exact energy of little-endian int16 PCM"),
+      (es: Seq[Expression]) => graft.functions.Pcm16Energy(es(0), es(1))))
 
   // sessions already registered — operators call register() defensively
   // on every invocation, and re-registering logs one WARN per function

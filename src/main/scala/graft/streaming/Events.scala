@@ -790,6 +790,50 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- cohort retention
+  /** Weekly cohort retention triangle: users cohorted by first-active
+    * week; cell (cohort, k) = how many of them were active k weeks
+    * later, in ppm of the cohort — the product-analytics complement of
+    * [[retention]]'s day-over-day rate (a cohort view separates "new
+    * users churn fast" from "old users are leaving", which a single
+    * rate conflates). Weeks are date_trunc('week') Mondays on both
+    * engines; offsets are exact (day-difference of week starts div 7).
+    * Shape: per-user min week + distinct (user, week) pairs, one join
+    * keyed by user, one count to the O(weeks²) triangle.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = events(spark, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+    val fw = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sizes = fw.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    uw.join(fw, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("k"), col("n_active"), col("n_cohort"),
+        expr("n_active * 1000000 div n_cohort").as("ret_ppm"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |fw AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY 1),
+      |sz AS (SELECT cohort, COUNT(*) AS n_cohort FROM fw GROUP BY 1),
+      |cells AS (
+      |  SELECT fw.cohort,
+      |    CAST(date_diff('day', fw.cohort, uw.wk) // 7 AS BIGINT) AS k,
+      |    COUNT(*) AS n_active
+      |  FROM uw JOIN fw USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort, c.k, c.n_active, sz.n_cohort,
+      |  c.n_active * 1000000 // sz.n_cohort AS ret_ppm
+      |FROM cells c JOIN sz USING (cohort)
+      |ORDER BY c.cohort, c.k""".stripMargin
+
   // --------------------------------------------- DAU/WAU stickiness
   /** Engagement stickiness: per anchor day, DAU (distinct users that
     * day), WAU (trailing 7 days), BAU (trailing 14 days — the corpus
@@ -855,12 +899,29 @@ object Events {
     * materialized here only for hours with boundary events; level is
     * constant between them by construction).
     */
-  def sweeplineLoad(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sess = events(spark, dir)
+  def sweeplineLoad(spark: SparkSession, dir: String): DataFrame =
+    sweeplineFromSessions(
+      events(spark, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(expr("unix_timestamp(min(ts)) div 3600").as("sh"),
+          expr("unix_timestamp(max(ts)) div 3600").as("eh")))
+
+  /** Streaming half of the load monitor: per-(user, day) session bounds
+    * as a complete-mode aggregation (state = the session grid, not the
+    * stream); score the sink's final table with
+    * [[sweeplineFromSessions]] — StreamingSpec pins stream ≡ batch.
+    */
+  def streamingSessionBounds(spark: SparkSession, filesDir: String): DataFrame =
+    eventStream(spark, filesDir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(expr("unix_timestamp(min(ts)) div 3600").as("sh"),
         expr("unix_timestamp(max(ts)) div 3600").as("eh"))
+
+  /** Concurrency curve from a (user, day, sh, eh) session frame —
+    * shared by the batch query and the streaming monitor's scoring.
+    */
+  def sweeplineFromSessions(sess: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val deltas = sess.select(col("sh").as("hr"), lit(1L).as("d"))
       .unionAll(sess.select((col("eh") + 1).as("hr"), lit(-1L).as("d")))
       .groupBy(col("hr"))
@@ -1916,6 +1977,7 @@ object Events {
     "events_cumulative_users" -> (cumulativeUsers _),
     "events_heatmap" -> (heatmap _),
     "events_stickiness" -> (stickiness _),
+    "events_cohort_retention" -> (cohortRetention _),
     "events_sweepline" -> (sweeplineLoad _),
     "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
@@ -1946,6 +2008,7 @@ object Events {
     "events_cumulative_users" -> cumulativeUsersSql,
     "events_heatmap" -> heatmapSql,
     "events_stickiness" -> stickinessSql,
+    "events_cohort_retention" -> cohortRetentionSql,
     "events_sweepline" -> sweeplineLoadSql,
     "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,

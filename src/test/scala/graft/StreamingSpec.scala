@@ -211,6 +211,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming session bounds == batch sweepline (complete-mode grid, scored on final state)") {
+    val q = Events.streamingSessionBounds(spark, eventsDir)
+      .writeStream.format("memory").queryName("sweep_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = Events.sweeplineFromSessions(
+      spark.table("sweep_sessions").localCheckpoint(true))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = Events.sweeplineLoad(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("gaps and islands: consecutive-day streaks, counts, earliest-tie longest") {
     import spark.implicits._
     val t0 = java.time.LocalDate.of(2024, 3, 1)
