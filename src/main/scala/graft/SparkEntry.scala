@@ -67,7 +67,7 @@ object SparkEntry {
     // (sim_quantize_pq first run 9.6 s vs 1.9 s warm) and the
     // fixed-point kNN stack (banded + l2sq_i64 + topk_by)
     "simpq" -> ((Set("sim_quantize_pq", "sim_ann_ivfpq",
-      "sim_ann_ivfpq_recall"), "sim_quantize_pq")),
+      "sim_ann_ivfpq_recall", "sim_pq_distortion"), "sim_quantize_pq")),
     "simfp" -> ((Set("sim_label_spread", "sim_label_noise"),
       "sim_label_noise")),
     "text" -> ((TextOps.queries.keySet, "text_quality_score")),

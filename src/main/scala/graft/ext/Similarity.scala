@@ -549,6 +549,37 @@ object Similarity {
        |SELECT vec_id, subspace, cl AS code, dist AS err_fp
        |FROM rk WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
 
+  // --------------------------------------- PQ codebook utilization
+  /** PQ codebook utilization & distortion report — per (subspace, code):
+    * how many vectors chose it, their exact total and mean fixed-point
+    * squared error. The codebook-quality table behind every PQ config
+    * decision: dead codewords (n = 0 rows simply absent), overloaded
+    * ones, and the per-subspace error budget all read straight off it —
+    * the quantization sibling of [[annRecall]]'s "fast but is it right
+    * enough" loop. One aggregate over [[quantizePqOn]]'s per-assignment
+    * output (which is itself scan-side argmin over broadcast
+    * codebooks); mean is truncating integer division, so the report
+    * hash-matches.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    pqDistortionOn(emb(spark, dir), nSub = 8, subDim = 8)
+
+  def pqDistortionOn(e: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    quantizePqOn(e, nSub, subDim)
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n"), sum(col("err_fp")).as("sum_err_fp"))
+      .select(col("subspace"), col("code"), col("n"), col("sum_err_fp"),
+        expr("sum_err_fp div n").as("mean_err_fp"))
+      .orderBy(col("subspace"), col("code"))
+
+  def pqDistortionSqlFor(nSub: Int, subDim: Int): String =
+    s"""SELECT subspace, code, COUNT(*) AS n,
+       |  CAST(SUM(err_fp) AS BIGINT) AS sum_err_fp,
+       |  CAST(SUM(err_fp) AS BIGINT) // COUNT(*) AS mean_err_fp
+       |FROM (
+       |${quantizePqSqlFor(nSub, subDim)}
+       |) q GROUP BY subspace, code ORDER BY subspace, code""".stripMargin
+
   // ------------------------------------------- IVF-PQ (ADC) search
   /** IVF-PQ with re-ranking: the index layout large-scale ANN serving
     * actually deploys (Jégou et al.'s IVFADC, plus the IVFADC+R re-rank
@@ -2062,7 +2093,8 @@ object Similarity {
     "sim_label_spread" -> (labelSpread _),
     "sim_label_noise" -> (labelNoise _),
     "sim_hard_negatives" -> (hardNegatives _),
-    "sim_quantize_pq" -> (quantizePq _))
+    "sim_quantize_pq" -> (quantizePq _),
+    "sim_pq_distortion" -> (pqDistortion _))
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
@@ -2087,6 +2119,7 @@ object Similarity {
     "sim_ann_ivf_recall" -> annIvfRecallSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobe = 2),
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8),
+    "sim_pq_distortion" -> pqDistortionSqlFor(nSub = 8, subDim = 8),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,

@@ -992,6 +992,119 @@ object Warehouse {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** ABC (Pareto) classification of parts by revenue: class A = parts
+    * whose cumulative revenue prefix (revenue-descending) is within the
+    * top 80% of total revenue, B = next 15%, C = the tail — the 80/20
+    * inventory/SKU analysis. The global revenue-ordered prefix sum is
+    * computed WITHOUT a single-partition window (the [[graft.queries.Core
+    * bucketQuantilesOn]] decomposition applied to cumsum): parts
+    * histogram into $1000 revenue buckets, the bucket prefix runs over
+    * that VALUE-BOUNDED grid, and within-bucket prefixes window in
+    * parallel (partitioned by bucket). Bucket order is consistent with
+    * revenue order, so the composed prefix equals the global one. All
+    * class arithmetic is exact integer (revenue in 10⁻⁴ units,
+    * thresholds as 5·cum < 4·T / 20·cum < 19·T), boundaries on the
+    * EXCLUSIVE prefix — a part is A while the revenue before it hasn't
+    * reached 80%. Output: per class, part count and exact revenue share
+    * in bp.
+    */
+  def q79AbcPareto(spark: SparkSession, dir: String): DataFrame = {
+    val pr = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("rev"))
+    val bkt = pr.withColumn("bkt", expr("rev div 10000000"))
+    val bucketSums = bkt.groupBy(col("bkt")).agg(sum(col("rev")).as("bs"))
+      .withColumn("above", coalesce(
+        sum(col("bs")).over(Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = pr.agg(sum(col("rev")).as("t"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bkt
+      .withColumn("wcum", coalesce(sum(col("rev")).over(wIn), lit(0L)))
+      .join(broadcast(bucketSums.select(col("bkt"), col("above"))), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("above") + col("wcum"))
+      .withColumn("cls",
+        when(col("cum") * 5 < col("t") * 4, "A")
+          .when(col("cum") * 20 < col("t") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_units"),
+        max(col("t")).as("t"))
+      .select(col("cls"), col("n_parts"), col("rev_units"),
+        expr("rev_units * 10000 div t").as("share_bp"))
+      .orderBy(col("cls"))
+  }
+
+  val q79Sql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS t FROM pr),
+      |c AS (
+      |  SELECT l_partkey, rev,
+      |    COALESCE(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM pr),
+      |k AS (
+      |  SELECT rev,
+      |    CASE WHEN cum * 5 < t * 4 THEN 'A'
+      |         WHEN cum * 20 < t * 19 THEN 'B'
+      |         ELSE 'C' END AS cls, t
+      |  FROM c, t)
+      |SELECT cls, COUNT(*) AS n_parts, CAST(SUM(rev) AS BIGINT) AS rev_units,
+      |  CAST(SUM(rev) AS BIGINT) * 10000 // MAX(t) AS share_bp
+      |FROM k GROUP BY cls ORDER BY cls""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Conversion latency — how long before a purchase the user's most
+    * recent click happened, profiled per purchase weekday: the native
+    * as-of join ([[graft.ops.Asof]], single-pass partition merge) pairs
+    * each purchase with its latest preceding click, and the exact
+    * interpolated median/p90 of the latency seconds come from the q35
+    * two-phase bucket quantile — a composition of the repo's two
+    * heaviest custom operators, graded end-to-end against DuckDB's own
+    * ASOF JOIN + quantile_cont. Purchases with no prior click drop
+    * (inner as-of). At 100 TB both pieces keep their shapes: one
+    * (key, time)-clustered merge, one value-bounded histogram.
+    */
+  def q80ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts")).distinct()
+    val m = graft.ops.Asof.join(p, c, "user_id", "c_user", "ts", "cts")
+      .select(expr("((dayofweek(ts) + 5) % 7) + 1").cast("long").as("f"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("cts")))
+          .cast("double").as("x"))
+    val qs = Core.bucketQuantilesOn(m, Seq(0.5 -> "med", 0.9 -> "p90"))
+    val counts = m.groupBy(col("f")).agg(count(lit(1)).as("n_conversions"))
+    qs.join(counts, "f")
+      .select(col("f").as("iso_dow"), col("n_conversions"),
+        round(col("med"), 6).as("median_sec"), round(col("p90"), 6).as("p90_sec"))
+      .orderBy(col("iso_dow"))
+  }
+
+  val q80Sql: String =
+    """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT DISTINCT user_id AS c_user, ts AS cts FROM events
+      |      WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT CAST(isodow(p.ts) AS BIGINT) AS f,
+      |    CAST(epoch_us(p.ts) // 1000000 - epoch_us(c.cts) // 1000000 AS DOUBLE) AS x
+      |  FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.ts >= c.cts)
+      |SELECT f AS iso_dow, COUNT(*) AS n_conversions,
+      |  round(quantile_cont(x, 0.5), 6) AS median_sec,
+      |  round(quantile_cont(x, 0.9), 6) AS p90_sec
+      |FROM m GROUP BY f ORDER BY iso_dow""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1010,7 +1123,9 @@ object Warehouse {
     "q73_negative_sample" -> (q73NegativeSample _),
     "q74_ri_audit" -> (q74RiAudit _),
     "q75_mode" -> (q75Mode _),
-    "q77_pit_features" -> (q77PitFeatures _))
+    "q77_pit_features" -> (q77PitFeatures _),
+    "q79_abc_pareto" -> (q79AbcPareto _),
+    "q80_conversion_latency" -> (q80ConversionLatency _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1029,5 +1144,7 @@ object Warehouse {
     "q73_negative_sample" -> q73Sql,
     "q74_ri_audit" -> q74Sql,
     "q75_mode" -> q75Sql,
-    "q77_pit_features" -> q77Sql)
+    "q77_pit_features" -> q77Sql,
+    "q79_abc_pareto" -> q79Sql,
+    "q80_conversion_latency" -> q80Sql)
 }

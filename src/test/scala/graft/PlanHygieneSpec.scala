@@ -73,7 +73,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // logits/counts) offset grid (and coverage's 3-row checkpoint
     // list) broadcast for the distributed global rank
     "events_heatmap", "events_stickiness", "text_classifier_lift",
-    "text_vocab_coverage")
+    "text_vocab_coverage",
+    // abc pareto: the 1-row total-revenue frame broadcast onto the
+    // per-part prefix rows (q60's shape)
+    "q79_abc_pareto")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed

@@ -120,4 +120,24 @@ class VectorExprSpec extends SparkSpecBase {
     // somewhere across the fixture) keeps the sign path honest
     assert(got.exists(_ < 0L) || payloads.map(ref).forall(_ >= 0L))
   }
+
+  test("pcm16_energy: LE signed samples, partial window, odd byte, empty") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    def run(bytes: Array[Byte], win: Int): Seq[Long] =
+      Seq(Tuple1(bytes)).toDF("p")
+        .select(expr(s"pcm16_energy(p, $win)")).head.getSeq[Long](0)
+    // two samples: 0x0102 -> 258 stored LE (02 01); 0xFF80 hi byte 0x80
+    // -> sample 0x80FF = -32513 (signed): energy = 258² + (-32513)²
+    val s1 = Array[Byte](0x02, 0x01, 0xFF.toByte, 0x80.toByte)
+    assert(run(s1, 2) == Seq(258L * 258 + 32513L * 32513))
+    // window split: win=1 gives one window per sample, in order
+    assert(run(s1, 1) == Seq(258L * 258, 32513L * 32513))
+    // partial trailing window keeps its partial sum; odd trailing byte
+    // is not a sample
+    val s2 = Array[Byte](0x02, 0x01, 0x02, 0x01, 0x02, 0x01, 0x7F)
+    assert(run(s2, 2) == Seq(2 * 258L * 258, 258L * 258))
+    // empty payload -> no windows
+    assert(run(Array.empty[Byte], 4).isEmpty)
+  }
 }
