@@ -1105,6 +1105,47 @@ object Warehouse {
       |  round(quantile_cont(x, 0.9), 6) AS p90_sec
       |FROM m GROUP BY f ORDER BY iso_dow""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Duplicate-transaction screen — the billing/fraud-ops record-linkage
+    * pass: pairs of orders from the SAME customer whose totals are
+    * within $1000 and whose dates are within 30 days are flagged as
+    * potential double charges. The join is equi on custkey with the
+    * amount/date bounds as residual predicates — the q64 discipline: the
+    * entity key bounds the pair blowup (a customer's own orders), never
+    * a cartesian, and at 100 TB the shuffle is one clustered pass.
+    * Output: the flagged pairs with their exact gaps, orderkey-ordered
+    * for the case queue.
+    */
+  def q81DuplicateTxn(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("d"))
+    val a = o.select(col("o_orderkey").as("order_a"), col("o_custkey"),
+      col("o_totalprice").as("price_a"), col("d").as("da"))
+    val b = o.select(col("o_orderkey").as("order_b"), col("o_custkey"),
+      col("o_totalprice").as("price_b"), col("d").as("db"))
+    a.join(b, Seq("o_custkey"))
+      .filter(col("order_a") < col("order_b") &&
+        abs(col("price_a") - col("price_b")) < 1000.0 &&
+        abs(datediff(col("da"), col("db"))) <= 30)
+      .select(col("o_custkey"), col("order_a"), col("order_b"),
+        round(abs(col("price_a") - col("price_b")), 2).as("price_gap"),
+        abs(datediff(col("da"), col("db"))).cast("long").as("day_gap"))
+      .orderBy(col("order_a"), col("order_b"))
+  }
+
+  val q81Sql: String =
+    """SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+      |  round(abs(a.o_totalprice - b.o_totalprice), 2) AS price_gap,
+      |  CAST(abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+      |    CAST(a.o_orderdate AS DATE))) AS BIGINT) AS day_gap
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |  AND abs(a.o_totalprice - b.o_totalprice) < 1000.0
+      |  AND abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+      |    CAST(a.o_orderdate AS DATE))) <= 30
+      |ORDER BY order_a, order_b""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1125,7 +1166,8 @@ object Warehouse {
     "q75_mode" -> (q75Mode _),
     "q77_pit_features" -> (q77PitFeatures _),
     "q79_abc_pareto" -> (q79AbcPareto _),
-    "q80_conversion_latency" -> (q80ConversionLatency _))
+    "q80_conversion_latency" -> (q80ConversionLatency _),
+    "q81_duplicate_txn" -> (q81DuplicateTxn _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1146,5 +1188,6 @@ object Warehouse {
     "q75_mode" -> q75Sql,
     "q77_pit_features" -> q77Sql,
     "q79_abc_pareto" -> q79Sql,
-    "q80_conversion_latency" -> q80Sql)
+    "q80_conversion_latency" -> q80Sql,
+    "q81_duplicate_txn" -> q81Sql)
 }

@@ -790,6 +790,147 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- clickstream top paths
+  /** Top clickstream paths: the most common 3-step event-type sequences
+    * across all users (consecutive by time within a user, event_id
+    * tie-break), with count and corpus share in ppm — the navigation
+    * summary behind funnel design ([[funnel]] asks about ONE path; this
+    * finds which paths matter). Trigrams assemble per user with two
+    * lead() windows — partitioned by user, fully parallel, no
+    * cross-user sort — then one partial+final count over the ≤|types|³
+    * path space. Top-10, ties alphabetical.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tri = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+    val counts = tri.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
+  val topPathsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (
+      |  SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      |  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1),
+      |t AS (SELECT SUM(n) AS total FROM p)
+      |SELECT path, n, n * 1000000 // total AS share_ppm
+      |FROM p, t ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  // --------------------------------------------- SPC control rules
+  /** Statistical process control (Western Electric / Nelson-style
+    * rules) over the daily count per event_type: with per-type center μ
+    * and spread σ from the day grid (population moments, the
+    * [[zscoreAnomalies]] algebra), flag
+    *  - rule1: a day beyond ±3σ (the classic spike rule);
+    *  - rule2: 2 of 3 consecutive days beyond 1σ on the SAME side;
+    *  - rule4: 5 consecutive days on the same side of center —
+    * the run-rule layer that catches drifts too small for a single
+    * spike. The 1σ/5-day sensitized thresholds are chart parameters
+    * (the canonical 2σ/8-day chart is this query with two literals
+    * changed); at this corpus's dispersion they're the ones with
+    * discriminating power, and the fixture asserts they fire. All
+    * windows run per type over the O(days) grid; z is identical double
+    * algebra on both engines, so even boundary comparisons agree.
+    * Output: one row per (day, type, rule) hit.
+    */
+  def spcRules(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bigsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 6))).cast("double")
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"), bigsum(col("x")).as("s1"),
+        bigsum(col("x") * col("x")).as("s2"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("sig", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+      .filter(col("sig") > 0)
+      .select(col("event_type"), col("mu"), col("sig"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val z = daily.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("x") - col("mu")) / col("sig"))
+      .withColumn("side", when(col("z") > 0, 1).when(col("z") < 0, -1).otherwise(0))
+    val flagged = z
+      .withColumn("r1", abs(col("z")) > 3.0)
+      .withColumn("hi2", (col("z") > 1.0).cast("int"))
+      .withColumn("lo2", (col("z") < -1.0).cast("int"))
+      .withColumn("r2",
+        sum(col("hi2")).over(w.rowsBetween(-2, 0)) >= 2 && col("hi2") === 1 ||
+          sum(col("lo2")).over(w.rowsBetween(-2, 0)) >= 2 && col("lo2") === 1)
+      .withColumn("up", (col("side") === 1).cast("int"))
+      .withColumn("dn", (col("side") === -1).cast("int"))
+      .withColumn("r4",
+        sum(col("up")).over(w.rowsBetween(-4, 0)) === 5 ||
+          sum(col("dn")).over(w.rowsBetween(-4, 0)) === 5)
+    flagged
+      .select(col("event_type"), col("day"), round(col("z"), 6).as("z"),
+        explode(array(
+          when(col("r1"), lit("rule1_3sigma")),
+          when(col("r2"), lit("rule2_2of3_1sigma")),
+          when(col("r4"), lit("rule4_5_same_side")))).as("rule"))
+      .filter(col("rule").isNotNull)
+      .orderBy(col("event_type"), col("day"), col("rule"))
+  }
+
+  val spcRulesSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      |  FROM daily GROUP BY 1),
+      |mu AS (
+      |  SELECT event_type, s1 / n AS mu,
+      |    sqrt((s2 - s1 * s1 / n) / n) AS sig
+      |  FROM st WHERE sqrt((s2 - s1 * s1 / n) / n) > 0),
+      |z AS (
+      |  SELECT d.event_type, d.day, (d.x - mu.mu) / mu.sig AS z,
+      |    CASE WHEN (d.x - mu.mu) / mu.sig > 0 THEN 1
+      |         WHEN (d.x - mu.mu) / mu.sig < 0 THEN -1 ELSE 0 END AS side
+      |  FROM daily d JOIN mu USING (event_type)),
+      |f AS (
+      |  SELECT event_type, day, z,
+      |    abs(z) > 3.0 AS r1,
+      |    (SUM(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER tw >= 2
+      |      AND z > 1.0)
+      |    OR (SUM(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) OVER tw >= 2
+      |      AND z < -1.0) AS r2,
+      |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER ew = 5
+      |    OR SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END) OVER ew = 5 AS r4
+      |  FROM z
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |  ew AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |hits AS (
+      |  SELECT event_type, day, round(z, 6) AS z, 'rule1_3sigma' AS rule
+      |  FROM f WHERE r1
+      |  UNION ALL
+      |  SELECT event_type, day, round(z, 6), 'rule2_2of3_1sigma'
+      |  FROM f WHERE r2
+      |  UNION ALL
+      |  SELECT event_type, day, round(z, 6), 'rule4_5_same_side'
+      |  FROM f WHERE r4)
+      |SELECT event_type, day, z, rule FROM hits
+      |ORDER BY event_type, day, rule""".stripMargin
+
   // --------------------------------------------- cohort retention
   /** Weekly cohort retention triangle: users cohorted by first-active
     * week; cell (cohort, k) = how many of them were active k weeks
@@ -1978,6 +2119,8 @@ object Events {
     "events_heatmap" -> (heatmap _),
     "events_stickiness" -> (stickiness _),
     "events_cohort_retention" -> (cohortRetention _),
+    "events_top_paths" -> (topPaths _),
+    "events_spc_rules" -> (spcRules _),
     "events_sweepline" -> (sweeplineLoad _),
     "events_log_hist" -> (logHist _),
     "events_window_1h" -> (windowedCounts _),
@@ -2009,6 +2152,8 @@ object Events {
     "events_heatmap" -> heatmapSql,
     "events_stickiness" -> stickinessSql,
     "events_cohort_retention" -> cohortRetentionSql,
+    "events_top_paths" -> topPathsSql,
+    "events_spc_rules" -> spcRulesSql,
     "events_sweepline" -> sweeplineLoadSql,
     "events_log_hist" -> logHistSql,
     "events_window_1h" -> windowedCountsSql,

@@ -76,7 +76,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_vocab_coverage",
     // abc pareto: the 1-row total-revenue frame broadcast onto the
     // per-part prefix rows (q60's shape)
-    "q79_abc_pareto")
+    "q79_abc_pareto",
+    // top paths: the 1-row trigram-total frame broadcast onto the
+    // ≤|types|³ path counts (q60's shape)
+    "events_top_paths")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
