@@ -549,6 +549,67 @@ object Similarity {
        |SELECT vec_id, subspace, cl AS code, dist AS err_fp
        |FROM rk WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
 
+  // --------------------------------------- embedding drift monitor
+  /** Embedding drift between two corpus halves (vec_id below/above the
+    * midpoint — standing in for "last month's embeddings vs this
+    * month's"): per label, the exact fixed-point squared-L2 shift
+    * between the two halves' centroids, plus both member counts. The
+    * serving-time monitor that catches a retrained or silently changed
+    * encoder before the ANN index degrades — alarms read directly off
+    * `shift_fp` (the grid is the [[kmeansStep]] fixed point, so the
+    * whole report hash-matches). One scan with the 1-row split frame
+    * broadcast, one k×dim aggregate per half, one k-row join.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOn(emb(spark, dir))
+
+  def embeddingDriftOn(e: DataFrame): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val split = vfp.agg(expr("max(vec_id) div 2").as("mid"))
+    val halves = vfp.crossJoin(broadcast(split))
+      .withColumn("half", (col("vec_id") <= col("mid")).cast("int"))
+    val cents = halves
+      .select(col("label"), col("half"), posexplode(col("vfp")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("label"), col("half"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("carr"), max(col("n")).as("n"))
+    cents.filter(col("half") === 1)
+      .select(col("label"), col("carr").as("c1"), col("n").as("n_first"))
+      .join(cents.filter(col("half") === 0)
+        .select(col("label"), col("carr").as("c2"), col("n").as("n_second")),
+        "label")
+      .select(col("label"), col("n_first"), col("n_second"),
+        expr("aggregate(zip_with(c1, c2, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("shift_fp"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+      |  FROM embeddings),
+      |m AS (SELECT MAX(vec_id) // 2 AS mid FROM v),
+      |h AS (SELECT v.*, CASE WHEN vec_id <= mid THEN 1 ELSE 0 END AS half
+      |      FROM v, m),
+      |ex AS (
+      |  SELECT label, half, t.i AS dim, vfp[t.i] AS val
+      |  FROM h, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+      |cs AS (SELECT label, half, dim, SUM(val) AS s, COUNT(*) AS n
+      |       FROM ex GROUP BY 1, 2, 3),
+      |ce AS (SELECT label, half, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr,
+      |         MAX(n) AS n
+      |       FROM cs GROUP BY 1, 2)
+      |SELECT a.label, CAST(a.n AS BIGINT) AS n_first,
+      |  CAST(b.n AS BIGINT) AS n_second,
+      |  CAST(list_aggregate(list_transform(list_zip(a.carr, b.carr),
+      |    z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS shift_fp
+      |FROM ce a JOIN ce b ON a.label = b.label AND a.half = 1 AND b.half = 0
+      |ORDER BY a.label""".stripMargin
+
   // --------------------------------------- PQ codebook utilization
   /** PQ codebook utilization & distortion report — per (subspace, code):
     * how many vectors chose it, their exact total and mean fixed-point
@@ -2094,7 +2155,8 @@ object Similarity {
     "sim_label_noise" -> (labelNoise _),
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_quantize_pq" -> (quantizePq _),
-    "sim_pq_distortion" -> (pqDistortion _))
+    "sim_pq_distortion" -> (pqDistortion _),
+    "sim_embedding_drift" -> (embeddingDrift _))
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
@@ -2120,6 +2182,7 @@ object Similarity {
       nQueries = 10, k = 5, nprobe = 2),
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8),
     "sim_pq_distortion" -> pqDistortionSqlFor(nSub = 8, subDim = 8),
+    "sim_embedding_drift" -> embeddingDriftSql,
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,

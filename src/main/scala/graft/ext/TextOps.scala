@@ -1624,6 +1624,52 @@ object TextOps {
       |FROM rk, tot, UNNEST([CAST(10 AS BIGINT), 100, 1000]) AS t(k)
       |WHERE r <= k GROUP BY k ORDER BY k""".stripMargin
 
+  // ----------------------------------------------------- word burstiness
+  /** Word burstiness — which words CLUMP into few documents vs spread
+    * evenly: concentration B = Σ_d c_d² · D · 10⁴ div (Σ_d c_d)² per
+    * word (D = corpus size; B ≈ 10⁴·D/df for a word appearing once per
+    * doc it touches, and grows as occurrences concentrate). The
+    * corpus-linguistics signal that separates topical keywords (bursty)
+    * from function words (uniform) — the statistical justification
+    * behind stopword lists and the [[rakeKeywords]] degree scores. All
+    * integer (counts, squares, one truncating division), so the
+    * ranking hash-matches. Words in ≥ 20 docs only (burstiness of a
+    * 2-doc word is noise); top-20 by B desc, word asc. One token
+    * explode + two aggregates — partial+final on (doc, word) then
+    * word.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOn(docs(spark, dir), minDf = 20L, k = 20)
+
+  def burstinessOn(documents: DataFrame, minDf: Long, k: Int): DataFrame = {
+    val dw = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = documents.agg(count(lit(1)).as("d"))
+    dw.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("sq"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("df"), col("tf"),
+        expr("sq * d * 10000 div (tf * tf)").as("burst"))
+      .orderBy(col("burst").desc, col("w")).limit(k)
+  }
+
+  val burstinessSql: String =
+    """WITH dw AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |t AS (SELECT COUNT(*) AS d FROM documents),
+      |agg AS (
+      |  SELECT w, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS tf,
+      |    CAST(SUM(c * c) AS BIGINT) AS sq
+      |  FROM dw GROUP BY w HAVING COUNT(*) >= 20)
+      |SELECT w, df, tf, sq * d * 10000 // (tf * tf) AS burst
+      |FROM agg, t ORDER BY burst DESC, w LIMIT 20""".stripMargin
+
   // --------------------------------------------------- curation pipeline
   /** The whole curation pipeline as ONE declarative plan — what a user of
     * this library actually runs at 100 TB, and the reason the stages are
@@ -2012,6 +2058,7 @@ object TextOps {
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
+    "text_burstiness" -> (burstiness _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -2047,6 +2094,7 @@ object TextOps {
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,
+    "text_burstiness" -> burstinessSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,

@@ -790,6 +790,126 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- outage detection
+  /** Outage detection — contiguous runs of SILENT hours per event_type
+    * (≥ 2 hours with zero events, bounded by activity on both sides —
+    * the threshold is a chart parameter, and at this corpus's hourly
+    * density 2 is the discriminating value), derived from GAPS in the
+    * hourly count grid: consecutive present hours with
+    * `hr − lag(hr) − 1 ≥ 2` bracket a silent stretch. The
+    * complement of [[bursts]] — it finds where the pipeline stopped,
+    * not where it spiked — and the reason it's cheap is the same: the
+    * scan collapses to the O(types × hours) grid map-side, and the lag
+    * window runs on that grid alone. Leading/trailing silence is
+    * undetectable by construction (no bracketing activity) — the
+    * correct semantics for "the feed stopped mid-stream".
+    */
+  def outages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev", lag(col("hr"), 1).over(w))
+      .filter(col("prev").isNotNull && col("hr") - col("prev") - 1 >= 2)
+      .select(col("event_type"),
+        timestamp_seconds((col("prev") + 1) * 3600L).as("silent_start"),
+        timestamp_seconds((col("hr") - 1) * 3600L).as("silent_end"),
+        (col("hr") - col("prev") - 1).as("n_hours"))
+      .orderBy(col("event_type"), col("silent_start"))
+  }
+
+  val outagesSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hr
+      |  FROM events GROUP BY event_type,
+      |    CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)),
+      |g AS (
+      |  SELECT event_type, hr,
+      |    lag(hr, 1) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+      |  FROM h)
+      |SELECT event_type,
+      |  make_timestamp((prev + 1) * 3600000000) AS silent_start,
+      |  make_timestamp((hr - 1) * 3600000000) AS silent_end,
+      |  hr - prev - 1 AS n_hours
+      |FROM g WHERE prev IS NOT NULL AND hr - prev - 1 >= 2
+      |ORDER BY event_type, silent_start""".stripMargin
+
+  // --------------------------------------------- Neyman allocation
+  /** Neyman-allocated stratified sample — the statistically optimal way
+    * to spend a fixed sampling budget across strata: each event_type
+    * gets sample size ∝ N_h·σ_h (big AND volatile strata earn more
+    * rows than proportional allocation gives them — the estimator-
+    * variance-minimizing split), with the fractional targets resolved
+    * to EXACTLY the 100-row budget by largest-remainder apportionment
+    * (ties by type name), then filled by the deterministic hash-rank
+    * draw ([[graft.queries.Core]] q23's replay-safe sampler). Two
+    * passes: one moments aggregate (5 partial states), one scan with
+    * the per-stratum targets broadcast. Output: the drawn rows with
+    * their stratum and rank — reproducible on any cluster.
+    */
+  def neymanSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bigsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 6))).cast("double")
+    val e = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"), bigsum(col("value")).as("s1"),
+        bigsum(col("value") * col("value")).as("s2"))
+      .withColumn("w", col("n") * sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+    val tot = stats.agg(sum(col("w")).as("tw"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("exact", col("w") * 100.0 / col("tw"))
+      .withColumn("base", floor(col("exact")).cast("long"))
+      .withColumn("rem", col("exact") - floor(col("exact")))
+    val short = alloc.agg((lit(100L) - sum(col("base"))).as("k"))
+    val wRem = Window.orderBy(col("rem").desc, col("event_type"))
+    val targets = alloc.crossJoin(broadcast(short))
+      .withColumn("extra",
+        (row_number().over(wRem) <= col("k")).cast("long"))
+      .select(col("event_type"), (col("base") + col("extra")).as("n_target"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string").cast("binary")), col("event_id"))
+    e.join(broadcast(targets), "event_type")
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= col("n_target"))
+      .select(col("event_type"), col("n_target"), col("rk"), col("event_id"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val neymanSampleSql: String =
+    """WITH st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY 1),
+      |wt AS (
+      |  SELECT event_type, n * sqrt((s2 - s1 * s1 / n) / n) AS w FROM st),
+      |t AS (SELECT SUM(w) AS tw FROM wt),
+      |alloc AS (
+      |  SELECT event_type, w * 100.0 / tw AS exact,
+      |    CAST(floor(w * 100.0 / tw) AS BIGINT) AS base,
+      |    w * 100.0 / tw - floor(w * 100.0 / tw) AS rem
+      |  FROM wt, t),
+      |k AS (SELECT 100 - SUM(base) AS k FROM alloc),
+      |tgt AS (
+      |  SELECT event_type,
+      |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, event_type)
+      |      <= (SELECT k FROM k) THEN 1 ELSE 0 END AS n_target
+      |  FROM alloc),
+      |rk AS (
+      |  SELECT e.event_type, e.event_id,
+      |    row_number() OVER (PARTITION BY e.event_type
+      |      ORDER BY md5(CAST(e.event_id AS VARCHAR)), e.event_id) AS rk
+      |  FROM events e)
+      |SELECT rk.event_type, CAST(tgt.n_target AS BIGINT) AS n_target,
+      |  CAST(rk.rk AS BIGINT) AS rk, rk.event_id
+      |FROM rk JOIN tgt USING (event_type)
+      |WHERE rk.rk <= tgt.n_target
+      |ORDER BY rk.event_type, rk.rk""".stripMargin
+
   // --------------------------------------------- clickstream top paths
   /** Top clickstream paths: the most common 3-step event-type sequences
     * across all users (consecutive by time within a user, event_id
@@ -2120,6 +2240,8 @@ object Events {
     "events_stickiness" -> (stickiness _),
     "events_cohort_retention" -> (cohortRetention _),
     "events_top_paths" -> (topPaths _),
+    "events_outages" -> (outages _),
+    "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
     "events_sweepline" -> (sweeplineLoad _),
     "events_log_hist" -> (logHist _),
@@ -2153,6 +2275,8 @@ object Events {
     "events_stickiness" -> stickinessSql,
     "events_cohort_retention" -> cohortRetentionSql,
     "events_top_paths" -> topPathsSql,
+    "events_outages" -> outagesSql,
+    "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,
     "events_sweepline" -> sweeplineLoadSql,
     "events_log_hist" -> logHistSql,

@@ -79,7 +79,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q79_abc_pareto",
     // top paths: the 1-row trigram-total frame broadcast onto the
     // ≤|types|³ path counts (q60's shape)
-    "events_top_paths")
+    "events_top_paths",
+    // neyman: two 1-row frames (weight total, leftover budget)
+    // broadcast onto the 5-row allocation grid
+    "events_neyman_sample",
+    // burstiness: the 1-row corpus-size frame broadcast onto the
+    // per-word aggregate; drift: the 1-row id-split frame onto the scan
+    "text_burstiness", "sim_embedding_drift")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
