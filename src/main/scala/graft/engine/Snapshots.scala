@@ -408,6 +408,76 @@ object Snapshots {
       })
   }
 
+  /** OVERWRITE BY FILTER as a metadata commit (Delta `replaceWhere` /
+    * Iceberg overwrite-by-filter semantics, WITHOUT the rewrite): the
+    * new batch replaces every existing row with `column ∈ [lo, hi]`.
+    * Existing batches are not touched on disk — each surviving prior
+    * batch line gains a per-batch [[MaskEntry]] excluding the range at
+    * read time, and a batch whose stats envelope proves it lies FULLY
+    * inside the range is simply dropped from the manifest (its file
+    * stays for time travel; vacuum reclaims it once no surviving
+    * version references it). This is the "reload one day of a 100 TB
+    * partitioned fact table" primitive: cost is writing the new day,
+    * never rewriting the neighbors. Masks are scoped to batch NAMES,
+    * so later appends are unaffected; [[optimize]]/[[compactDeletes]]
+    * bake masks into their rewrites and drop the lines.
+    *
+    * Contract (Delta's): every incoming row must satisfy the predicate
+    * — probed with an early-exit scan before anything is staged.
+    * Concurrency: strictest arbitration of the store — ANY commit
+    * landing after this call read its base version aborts the
+    * overwrite (an intervening append's rows in-range must not be
+    * silently masked, a replace/restore invalidates the target, and a
+    * maintenance fold renames the batches the masks would attach to);
+    * the caller reruns against the new state.
+    */
+  def overwriteRange(df: DataFrame, dir: String, column: String,
+      lo: Long, hi: Long, statsCol: Option[String] = None,
+      beforePublish: () => Unit = () => ()): Int = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"overwriteRange needs lo <= hi, got [$lo, $hi]")
+    require(versions(spark, dir).nonEmpty, s"no snapshot table at $dir")
+    val bad = df.filter(col(column).isNull || col(column) < lo ||
+      col(column) > hi).limit(1).count()
+    require(bad == 0L,
+      s"overwriteRange: incoming rows outside $column ∈ [$lo, $hi] — " +
+        "commit aborted, nothing staged (replaceWhere contract)")
+    val f = fs(spark, dir)
+    val vEntry = versions(spark, dir).last
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val v = vEntry + 1
+    val batch = s"data/batch-$v-$nonce"
+    df.write.mode("errorifexists").parquet(s"$dir/$batch")
+    val entry = statsLine(spark, dir, batch, statsCol)
+    beforePublish()
+    publishLoop(spark, f, dir, nonce, batch, v,
+      prev => {
+        val es = prev.map(parseEntry)
+        val dropped = es.collect {
+          case BatchEntry(b, Some((c, mn, mx)), _)
+            if c == column && mn >= lo && mx <= hi => b
+        }.toSet
+        val kept = es.flatMap {
+          case _: KindEntry => None
+          case b: BatchEntry if dropped(b.batch) => None
+          case b: BatchEntry =>
+            Seq(render(b), render(MaskEntry(b.batch, column, lo, hi)))
+          case m: MaskEntry if dropped(m.batch) => None
+          case e => Some(render(e))
+        }.distinct
+        "K\treplace-where" +: (kept :+ entry)
+      },
+      validateRebase = { latest =>
+        if (latest > vEntry) {
+          f.delete(new Path(s"$dir/$batch"), true) // staged batch is garbage
+          throw new IllegalStateException(
+            s"table at $dir advanced (v$latest) while the overwrite was " +
+              "in flight — rerun overwriteRange against the new state")
+        }
+      })
+  }
+
   /** Fold pending deletes into rewritten data — the maintenance pass that
     * makes [[deleteRows]]'s read-side anti-join temporary: batches whose
     * recorded stats envelope provably misses every delete key are carried
@@ -459,8 +529,11 @@ object Snapshots {
     val newLine: Option[String] =
       if (rewrite.isEmpty) None
       else {
+        // masks apply before the delete anti-join (a raw read would
+        // resurrect overwritten rows into the compacted batch)
         val folded = delFrames.foldLeft(
-          spark.read.parquet(rewrite.map(b => resolve(dir, b.batch)): _*)) {
+          readMasked(spark, dir, rewrite.map(_.batch), masksOf(entries),
+            mergeSchema = false)) {
             case (df, (c, keys)) => df.join(keys, Seq(c), "left_anti")
           }
         val rel = s"data/batch-$vNew-$nonce"
@@ -468,11 +541,18 @@ object Snapshots {
         Some(statsLine(spark, dir, rel, statsCol))
       }
     // stream-txn marks survive the fold: compaction rewrites data, not
-    // the streams' replay ledger
+    // the streams' replay ledger. Untouched batches keep their mask
+    // lines — their files were not rewritten, so the masks still gate
+    // their reads.
+    val untouchedSet = untouched.map(_.batch).toSet
+    val keptMasks = entries.collect {
+      case m: MaskEntry if untouchedSet(m.batch) => render(m)
+    }
     val txns = entries.collect { case t: TxnEntry => render(t) }
     val ok = publishIfAbsent(f = fs(spark, dir), dir = dir, v = vNew,
       nonce = nonce,
-      batches = "K\tcompact" +: (untouched.map(render) ++ newLine.toSeq ++ txns))
+      batches = "K\tcompact" +: (untouched.map(render) ++ keptMasks ++
+        newLine.toSeq ++ txns))
     require(ok, s"concurrent commit during compactDeletes at $dir — rerun compaction")
     vNew
   }
@@ -512,9 +592,11 @@ object Snapshots {
     val rel = s"data/batch-$vNew-$nonce"
     // mergeSchema: on an evolved table the folded batches may span
     // schemas — a plain union-by-position read would drop the columns
-    // only the newer batches carry
-    spark.read.option("mergeSchema", "true")
-      .parquet(batches.map(b => resolve(dir, b.batch)): _*)
+    // only the newer batches carry. Masks apply during the fold (a raw
+    // read would resurrect overwritten rows) and are thereby baked into
+    // the folded batch — the new manifest carries no mask lines.
+    readMasked(spark, dir, batches.map(_.batch), masksOf(entries),
+      mergeSchema = true)
       .write.mode("errorifexists").parquet(s"$dir/$rel")
     // keep pruning envelopes alive across the rewrite: when the caller
     // passes no statsCol but every existing envelope agrees on one
@@ -569,6 +651,7 @@ object Snapshots {
     val target = entriesAt(spark, dir, version).collect {
       case b: BatchEntry => render(b)
       case d: DeleteEntry => render(d)
+      case m: MaskEntry => render(m) // restored state keeps its masks
     }
     val txns = entriesAt(spark, dir, vLatest).collect {
       case t: TxnEntry => render(t)
@@ -595,7 +678,8 @@ object Snapshots {
       mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = if (version < 0) latestVersion(spark, dir) else version
-    val kept = batchesAt(spark, dir, v).collect {
+    val entries = entriesAt(spark, dir, v)
+    val kept = entries.collect {
       case BatchEntry(b, None, _) => b
       case BatchEntry(b, Some((c, mn, mx)), _)
         if c != column || (mx >= lo && mn <= hi) => b
@@ -606,8 +690,7 @@ object Snapshots {
     // only satisfies schema-merged
     val base =
       if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0) // schema-preserving empty
-      else spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(kept.map(b => resolve(dir, b)): _*)
+      else readMasked(spark, dir, kept, masksOf(entries), mergeSchema)
     // row-level deletes apply here too: pruned result == plain filter at
     // the same version, and the plain read anti-joins the delete keys
     applyDeletes(spark, dir, v, base)
@@ -663,8 +746,8 @@ object Snapshots {
     val kept = pointBatches(spark, dir, column, keys, v)
     val base =
       if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0)
-      else spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(kept.map(b => resolve(dir, b)): _*)
+      else readMasked(spark, dir, kept,
+        masksOf(entriesAt(spark, dir, v)), mergeSchema)
     applyDeletes(spark, dir, v, base)
       .filter(col(column).isin(keys: _*))
   }
@@ -704,6 +787,9 @@ object Snapshots {
     val entries = entriesAt(spark, srcDir, v).collect {
       case b: BatchEntry => render(b.copy(batch = resolve(srcDir, b.batch)))
       case d: DeleteEntry => render(d.copy(path = resolve(srcDir, d.path)))
+      // masks absolutize WITH their batch, or the clone's reads would
+      // resurrect the parent's overwritten rows
+      case m: MaskEntry => render(m.copy(batch = resolve(srcDir, m.batch)))
     }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val ok = publishIfAbsent(fs(spark, dstDir), dstDir, 0, nonce,
@@ -800,6 +886,20 @@ object Snapshots {
     */
   private case class DeleteEntry(path: String, keyCol: String) extends ManifestEntry
 
+  /** A per-batch predicate mask `M <batch> <col> <lo> <hi>`: when
+    * reading THAT batch, rows with col ∈ [lo, hi] are excluded — the
+    * metadata half of [[overwriteRange]] (Iceberg overwrite-by-filter):
+    * replaced ranges of OLD batches are masked out instead of
+    * rewritten. Scoped to one batch by name, so later appends are
+    * never affected (unlike key-deletes, which are content-addressed
+    * and global). No file behind it (path empty — the batch file
+    * belongs to its own line); masks stack across overwrites.
+    */
+  private case class MaskEntry(batch: String, col: String, lo: Long,
+      hi: Long) extends ManifestEntry {
+    def path: String = ""
+  }
+
   /** A stream-transaction mark `T <appId> <batchId>`: no file behind it
     * (path is empty — vacuum and the reference-set computations skip
     * empty paths), pure idempotence metadata for [[commitWithTxn]].
@@ -822,27 +922,60 @@ object Snapshots {
     case BatchEntry(b, Some((c, mn, mx)), None) => s"$b\t$c\t$mn\t$mx"
     case BatchEntry(b, Some((c, mn, mx)), Some(bl)) => s"$b\t$c\t$mn\t$mx\t$bl"
     case DeleteEntry(p, c) => s"D\t$p\t$c"
+    case MaskEntry(b, c, lo, hi) => s"M\t$b\t$c\t$lo\t$hi"
     case TxnEntry(a, b) => s"T\t$a\t$b"
     case KindEntry(k) => s"K\t$k"
   }
 
-  private def entriesAt(spark: SparkSession, dir: String, v: Int): Seq[ManifestEntry] =
-    readManifestEntries(spark, dir, v).map { line =>
-      line.split('\t') match {
-        case Array("D", p, c) => DeleteEntry(p, c)
-        case Array("T", a, b) => TxnEntry(a, b.toLong)
-        case Array("K", k) => KindEntry(k)
-        case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
-        case Array(b, c, mn, mx, bl) =>
-          BatchEntry(b, Some((c, mn.toLong, mx.toLong)), Some(bl))
-        case Array(b) => BatchEntry(b, None)
-        case other => throw new IllegalStateException(
-          s"malformed manifest line: ${other.mkString("\\t")}")
-      }
+  private def parseEntry(line: String): ManifestEntry =
+    line.split('\t') match {
+      case Array("D", p, c) => DeleteEntry(p, c)
+      case Array("M", b, c, lo, hi) => MaskEntry(b, c, lo.toLong, hi.toLong)
+      case Array("T", a, b) => TxnEntry(a, b.toLong)
+      case Array("K", k) => KindEntry(k)
+      case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
+      case Array(b, c, mn, mx, bl) =>
+        BatchEntry(b, Some((c, mn.toLong, mx.toLong)), Some(bl))
+      case Array(b) => BatchEntry(b, None)
+      case other => throw new IllegalStateException(
+        s"malformed manifest line: ${other.mkString("\\t")}")
     }
+
+  private def entriesAt(spark: SparkSession, dir: String, v: Int): Seq[ManifestEntry] =
+    readManifestEntries(spark, dir, v).map(parseEntry)
 
   private def batchesAt(spark: SparkSession, dir: String, v: Int): Seq[BatchEntry] =
     entriesAt(spark, dir, v).collect { case b: BatchEntry => b }
+
+  private def masksOf(entries: Seq[ManifestEntry]): Map[String, Seq[MaskEntry]] =
+    entries.collect { case m: MaskEntry => m }.groupBy(_.batch)
+
+  /** Read batch directories applying their per-batch predicate masks
+    * ([[MaskEntry]]): batches sharing a mask signature read in one
+    * pass (the no-mask common case is a single read, byte-identical to
+    * the pre-mask path); null mask-column rows survive (they are not
+    * in any [lo, hi]). All raw batch reads — [[read]], the pruned and
+    * point paths, and the maintenance folds — MUST come through here:
+    * a raw `spark.read.parquet` on a masked batch would resurrect
+    * overwritten rows.
+    */
+  private def readMasked(spark: SparkSession, dir: String,
+      batches: Seq[String], masks: Map[String, Seq[MaskEntry]],
+      mergeSchema: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val groups = batches
+      .groupBy(b => masks.getOrElse(b, Seq.empty)
+        .map(m => (m.col, m.lo, m.hi)).sorted)
+      .toSeq.sortBy(_._2.head)
+    val frames = groups.map { case (ms, bs) =>
+      val base = spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(bs.map(b => resolve(dir, b)): _*)
+      ms.foldLeft(base) { case (df, (c, lo, hi)) =>
+        df.filter(col(c).isNull || not(col(c).between(lo, hi)))
+      }
+    }
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+  }
 
   /** Anti-join `base` against every delete file visible at version `v`,
     * grouped per key column (one anti-join per distinct column, however
@@ -870,9 +1003,11 @@ object Snapshots {
   def read(spark: SparkSession, dir: String, version: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
     val v = if (version < 0) latestVersion(spark, dir) else version
-    val dirs = batchesAt(spark, dir, v).map(e => resolve(dir, e.batch))
+    val entries = entriesAt(spark, dir, v)
     applyDeletes(spark, dir, v,
-      spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*))
+      readMasked(spark, dir,
+        entries.collect { case b: BatchEntry => b.batch },
+        masksOf(entries), mergeSchema))
   }
 
   /** Change-data feed between two versions: every row added or removed

@@ -1130,6 +1130,41 @@ object Similarity {
       |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
       |GROUP BY e.qid ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------- nprobe tuning curve
+  /** The IVF nprobe tuning curve — corpus-level recall@k at nprobe ∈
+    * {1, 2, 4}, one row per setting: the table you read before picking
+    * the latency/recall point for a deployment (recall climbs with
+    * probed cells, scan cost climbs linearly with it). Each point is
+    * the full [[annIvfRecallOn]] harness aggregated across queries
+    * (total hits over total truth, integer bp). Honest cost note: the
+    * three points retrain the same coarse quantizer three times
+    * (~3× one IVF run) — the index build is deterministic so a
+    * production sweep would share it; keeping the points independent
+    * keeps each one equal to its own graded single-config twin.
+    */
+  def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Seq(1, 2, 4).map { np =>
+      annIvfRecallOn(e, nSeeds = 5, iters = 2, nQueries = 10, k = 5,
+        nprobe = np)
+        .agg(sum(col("k_exact")).as("k_exact"), sum(col("hits")).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("k_exact"), col("hits"),
+          expr("hits * 10000 div k_exact").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
+  def annNprobeCurveSqlFor(nSeeds: Int, iters: Int, nQueries: Int,
+      k: Int, nprobes: Seq[Int]): String =
+    nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(SUM(k_exact) AS BIGINT) AS k_exact,
+         |  CAST(SUM(hits) AS BIGINT) AS hits,
+         |  CAST(SUM(hits) * 10000 // SUM(k_exact) AS BIGINT) AS recall_bp
+         |FROM (
+         |${annIvfRecallSqlFor(nSeeds, iters, nQueries, k, np)}
+         |) t$np""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
+
   // --------------------------------------- matryoshka truncation recall
   /** Recall@k of TRUNCATED-dimension cosine search against the full-dim
     * exact top-k — the evaluation behind matryoshka-style dimension
@@ -2156,7 +2191,8 @@ object Similarity {
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_quantize_pq" -> (quantizePq _),
     "sim_pq_distortion" -> (pqDistortion _),
-    "sim_embedding_drift" -> (embeddingDrift _))
+    "sim_embedding_drift" -> (embeddingDrift _),
+    "sim_ann_nprobe_curve" -> (annNprobeCurve _))
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
@@ -2183,6 +2219,8 @@ object Similarity {
     "sim_quantize_pq" -> quantizePqSqlFor(nSub = 8, subDim = 8),
     "sim_pq_distortion" -> pqDistortionSqlFor(nSub = 8, subDim = 8),
     "sim_embedding_drift" -> embeddingDriftSql,
+    "sim_ann_nprobe_curve" -> annNprobeCurveSqlFor(nSeeds = 5, iters = 2,
+      nQueries = 10, k = 5, nprobes = Seq(1, 2, 4)),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,

@@ -596,6 +596,62 @@ object Formats {
       |) AS t(version, kind, n_batches, n_deletes, n_txns)
       |ORDER BY version""".stripMargin
 
+  /** REPLACE WHERE as a metadata commit
+    * ([[graft.engine.Snapshots.overwriteRange]]): the "reload one day
+    * of a partitioned fact table" flow, graded end-to-end. Three
+    * key-range batches land (low / mid / high thirds of event_id);
+    * the overwrite then RELOADS the middle third with corrected values
+    * (value doubled, the reload marker) without touching the neighbor
+    * batches on disk — the fully-covered middle batch drops from the
+    * manifest, the straddling neighbors (none here — ranges are
+    * disjoint, so the masks are pure safety) gate at read time. A
+    * fourth straddling overwrite then replaces a range CUTTING ACROSS
+    * the remaining batches, exercising the mask path proper. The
+    * graded aggregate must equal the oracle's recompute from the
+    * residue algebra; time travel to v2 must still see the original
+    * middle (pinned in SnapshotsSpec with the skip/mask accounting).
+    */
+  def replaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snaprw_events", dir))
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val mx = e.agg(max(col("event_id"))).head.getLong(0)
+    val b = mx / 3
+    val sc = Some("event_id")
+    Snapshots.commit(e.filter(col("event_id") <= b), table, append = false, statsCol = sc)
+    Snapshots.commit(e.filter(col("event_id") > b && col("event_id") <= 2 * b),
+      table, append = true, statsCol = sc)
+    Snapshots.commit(e.filter(col("event_id") > 2 * b), table, append = true, statsCol = sc)
+    // reload the middle third, values corrected (×2)
+    Snapshots.overwriteRange(
+      e.filter(col("event_id") > b && col("event_id") <= 2 * b)
+        .withColumn("value", col("value") * 2),
+      table, "event_id", b + 1, 2 * b, statsCol = sc)
+    // straddling overwrite: a band cutting across the low and (new)
+    // middle batches — the mask path proper
+    Snapshots.overwriteRange(
+      e.filter(col("event_id") > b / 2 && col("event_id") <= 3 * b / 2)
+        .withColumn("value", col("value") * 3),
+      table, "event_id", b / 2 + 1, 3 * b / 2, statsCol = sc)
+    Snapshots.read(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val replaceWhereSql: String =
+    """WITH mx AS (SELECT MAX(event_id) // 3 AS b FROM events),
+      |v AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id > b // 2 AND event_id <= 3 * b // 2 THEN value * 3
+      |         WHEN event_id > b AND event_id <= 2 * b THEN value * 2
+      |         ELSE value END AS value
+      |  FROM events, mx)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Manifest-BLOOM file skipping — the point-lookup complement of
     * [[manifestPrune]]'s range envelopes. Four append commits split
     * orders BY KEY HASH (o_orderkey % 4), so every batch spans the full
@@ -688,6 +744,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_bloom_skipping" -> (bloomSkipping _),
     "fmt_history" -> (historyAudit _),
+    "fmt_replace_where" -> (replaceWhere _),
     "fmt_delete_read" -> (deleteRead _),
     "fmt_incremental_agg" -> (incrementalAgg _),
     "fmt_manifest_prune" -> (manifestPrune _),
@@ -705,6 +762,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "fmt_bloom_skipping" -> bloomSkippingSql,
     "fmt_history" -> historyAuditSql,
+    "fmt_replace_where" -> replaceWhereSql,
     "fmt_delete_read" -> deleteReadSql,
     "fmt_incremental_agg" -> incrementalAggSql,
     "fmt_manifest_prune" -> manifestPruneSql,

@@ -35,6 +35,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_seeded", "sim_ann_recall",
     "sim_ann_ivf_recall", // composes annIvfSeeded + cosineTopK — same bounded broadcasts
+    "sim_ann_nprobe_curve", // three annIvfRecall points — same composition
     // IVF-PQ: the k×dim centroid table and nSub×K codebook broadcast to
     // rank cells / train codes (KBs by construction); the recall twin
     // additionally broadcasts the nQueries-row query side for the exact

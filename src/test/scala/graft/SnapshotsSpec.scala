@@ -138,6 +138,52 @@ class SnapshotsSpec extends SparkSpecBase {
       .map(_.getLong(0)).sorted.toSeq == Seq(5L, 201L))
   }
 
+  test("overwriteRange: metadata replace-where — drop, mask, travel, fold, rebase-abort") {
+    val t = freshTable("rw")
+    Snapshots.commit(df(1 to 100), t, append = false, statsCol = Some("id"))    // v0
+    Snapshots.commit(df(101 to 200), t, append = true, statsCol = Some("id"))   // v1
+    import spark.implicits._
+    def vals(dfm: org.apache.spark.sql.DataFrame) =
+      dfm.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fully-covered batch [101,200] drops; [1,100] untouched, no mask needed
+    Snapshots.overwriteRange(
+      (101 to 200).map(i => (i.toLong, s"new$i")).toDF("id", "v"),
+      t, "id", 101L, 200L)                                                      // v2
+    val v2 = vals(Snapshots.read(spark, t))
+    assert(v2.size == 200 && v2(150L) == "new150" && v2(50L) == "row50")
+    // straddling overwrite [51,120]: masks both surviving batches
+    Snapshots.overwriteRange(
+      (51 to 120).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
+      t, "id", 51L, 120L)                                                       // v3
+    val v3 = vals(Snapshots.read(spark, t))
+    assert(v3.size == 200 && v3(50L) == "row50" && v3(51L) == "x51" &&
+      v3(120L) == "x120" && v3(121L) == "new121")
+    // time travel: pre-overwrite versions still see original rows
+    assert(vals(Snapshots.read(spark, t, 1))(150L) == "row150")
+    assert(vals(Snapshots.read(spark, t, 2))(51L) == "row51")
+    // incoming rows outside the range abort with nothing staged
+    intercept[IllegalArgumentException](
+      Snapshots.overwriteRange(df(1 to 5), t, "id", 10L, 20L))
+    // pruned/point reads respect masks
+    assert(Snapshots.readPruned(spark, t, "id", 40L, 60L).count() == 21)
+    assert(Snapshots.readPoint(spark, t, "id", Seq(55L)).collect()
+      .map(_.getString(1)).toSeq == Seq("x55"))
+    // optimize bakes masks into the fold and drops the M lines
+    val vOpt = Snapshots.optimize(spark, t)
+    val v4 = vals(Snapshots.read(spark, t, vOpt))
+    assert(v4 == v3)
+    // ANY commit landing between read-base and publish aborts loudly
+    // and leaves the table untouched (strictest arbitration)
+    val before = Snapshots.read(spark, t).count()
+    val ex = intercept[IllegalStateException](
+      Snapshots.overwriteRange(
+        (1 to 10).map(i => (i.toLong, "z")).toDF("id", "v"), t, "id", 1L, 10L,
+        beforePublish = () =>
+          { Snapshots.commit(df(201 to 210), t, append = true); () }))
+    assert(ex.getMessage.contains("rerun overwriteRange"))
+    assert(Snapshots.read(spark, t).count() == before + 10) // only the append landed
+  }
+
   test("a dead writer's unpublished batch doesn't wedge the next commit") {
     val t = freshTable("recover")
     Snapshots.commit(df(1 to 5), t, append = false)
