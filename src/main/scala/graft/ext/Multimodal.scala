@@ -681,8 +681,80 @@ object Multimodal {
       |FROM b JOIN agg a USING (media_id) JOIN pk USING (media_id)
       |ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------ energy-delta cuts
+  /** Energy-delta segmentation — the scene-cut/voice-activity-boundary
+    * analog over the [[audioEnergy]] window grid: window i (1-based,
+    * i ≥ 2) is a CUT when |e_i − e_{i−1}| · 4 > max(e), i.e. the
+    * frame-to-frame energy jump exceeds a quarter of the clip's peak.
+    * Per clip: window count, cut count, and the first cut index (0 =
+    * none) — the pre-segmentation a transcription/highlight pipeline
+    * uses to split long media before paying per-segment model cost.
+    * Everything derives from the one `pcm16_energy` scan projection
+    * via array HOFs — exact integers, no shuffle, payloads never move.
+    */
+  def energyCuts(spark: SparkSession, dir: String): DataFrame =
+    energyCutsOn(docsAsMedia(spark, dir).toDF(), win = 16)
+
+  def energyCutsOn(media: DataFrame, win: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(media.sparkSession)
+    media
+      .select(col("media_id"), col("payload"))
+      .filter(length(col("payload")) >= 2)
+      .withColumn("e", expr(s"pcm16_energy(payload, $win)"))
+      .withColumn("cuts", expr(
+        """CASE WHEN size(e) >= 2 THEN
+          |  filter(sequence(2, size(e)),
+          |    i -> abs(element_at(e, i) - element_at(e, i - 1)) * 4 > array_max(e))
+          |ELSE array() END""".stripMargin))
+      .select(col("media_id"), size(col("e")).cast("long").as("n_windows"),
+        size(col("cuts")).cast("long").as("n_cuts"),
+        expr("CASE WHEN size(cuts) > 0 THEN CAST(element_at(cuts, 1) AS BIGINT) ELSE 0L END")
+          .as("first_cut"))
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin: the [[audioEnergySql]] window chain plus a lag per
+    * clip, same integer cut predicate, 1-based indices.
+    */
+  val energyCutsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+      |    hex(encode(text)) AS h
+      |  FROM documents WHERE octet_length(encode(text)) >= 2),
+      |smp AS (
+      |  SELECT media_id, t.j,
+      |    (strpos('0123456789ABCDEF', substr(h, 4*t.j+1, 1)) - 1) * 16
+      |      + (strpos('0123456789ABCDEF', substr(h, 4*t.j+2, 1)) - 1) AS lo,
+      |    (strpos('0123456789ABCDEF', substr(h, 4*t.j+3, 1)) - 1) * 16
+      |      + (strpos('0123456789ABCDEF', substr(h, 4*t.j+4, 1)) - 1) AS hi
+      |  FROM b, UNNEST(generate_series(0, n // 2 - 1)) AS t(j)),
+      |sv AS (
+      |  SELECT media_id, j,
+      |    CAST((CASE WHEN hi >= 128 THEN hi - 256 ELSE hi END) * 256 + lo
+      |      AS BIGINT) AS s
+      |  FROM smp),
+      |w AS (
+      |  SELECT media_id, j // 16 AS wi, SUM(s * s) AS e
+      |  FROM sv GROUP BY 1, 2),
+      |mx AS (SELECT media_id, MAX(e) AS me, COUNT(*) AS nw FROM w GROUP BY 1),
+      |d AS (
+      |  SELECT media_id, wi, e,
+      |    lag(e) OVER (PARTITION BY media_id ORDER BY wi) AS pe
+      |  FROM w),
+      |cuts AS (
+      |  SELECT d.media_id, d.wi + 1 AS i
+      |  FROM d JOIN mx USING (media_id)
+      |  WHERE d.pe IS NOT NULL AND abs(d.e - d.pe) * 4 > mx.me)
+      |SELECT mx.media_id, CAST(mx.nw AS BIGINT) AS n_windows,
+      |  CAST(COALESCE(COUNT(cuts.i), 0) AS BIGINT) AS n_cuts,
+      |  CAST(COALESCE(MIN(cuts.i), 0) AS BIGINT) AS first_cut
+      |FROM mx LEFT JOIN cuts USING (media_id)
+      |GROUP BY mx.media_id, mx.nw
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_audio_energy" -> (audioEnergy _),
+    "multimodal_energy_cuts" -> (energyCuts _),
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_frames" -> (mediaFrames _),
     "multimodal_header_probe" -> (mediaHeaderProbe _),
@@ -858,5 +930,6 @@ object Multimodal {
     "multimodal_chunk_containment" -> mediaChunkContainmentSqlFor(
       chunkBytes = 64, tau = 0.9),
     "multimodal_entropy" -> mediaEntropySql,
-    "multimodal_audio_energy" -> audioEnergySql)
+    "multimodal_audio_energy" -> audioEnergySql,
+    "multimodal_energy_cuts" -> energyCutsSql)
 }

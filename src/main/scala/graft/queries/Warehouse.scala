@@ -1146,6 +1146,114 @@ object Warehouse {
       |    CAST(a.o_orderdate AS DATE))) <= 30
       |ORDER BY order_a, order_b""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Hierarchical share-of-parent — revenue rolled region → nation with
+    * each nation's share of its region and each region's share of the
+    * corpus, in integer bp (revenue summed exactly in 10⁻⁴ units, one
+    * truncating division per ratio — hash-exact). The ratio-to-report
+    * BI primitive, done WITHOUT window functions: the nation aggregate
+    * is the only scan-sized shuffle; region and corpus totals are
+    * re-aggregates of that tiny frame, joined back broadcast. At
+    * 100 TB the cost is the one partial+final nation aggregate.
+    */
+  def q82ShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("rev"))
+    val regions = rev.groupBy(col("r_name")).agg(sum(col("rev")).as("rrev"))
+    val tot = rev.agg(sum(col("rev")).as("trev"))
+    rev.join(broadcast(regions), "r_name").crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"), col("rev"),
+        expr("rev * 10000 div rrev").as("share_of_region_bp"),
+        expr("rrev * 10000 div trev").as("region_share_bp"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q82Sql: String =
+    """WITH rev AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |rg AS (SELECT r_name, SUM(rev) AS rrev FROM rev GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS trev FROM rev)
+      |SELECT rev.r_name, rev.n_name, rev.rev,
+      |  rev.rev * 10000 // rg.rrev AS share_of_region_bp,
+      |  rg.rrev * 10000 // t.trev AS region_share_bp
+      |FROM rev JOIN rg USING (r_name), t
+      |ORDER BY rev.r_name, rev.n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** Exact Gini coefficient of customer revenue concentration, in ppm:
+    * G = (2·Σ rank·x − (n+1)·Σx) · 10⁶ div (n·Σx) over revenue-ascending
+    * ranks (ties by custkey). All integer — revenue in 10⁻⁴ units,
+    * rank·value products summed as BIGINTs — so the single-row answer
+    * hash-matches. The global rank uses the q79 decomposition (value
+    * buckets + parallel within-bucket windows + a prefix over the
+    * bucket grid), never a single-partition window: the inequality
+    * statistic that normally "needs a total sort" costs one aggregate
+    * and tiny-grid arithmetic at any scale.
+    */
+  def q83Gini(spark: SparkSession, dir: String): DataFrame = {
+    val cr = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("x"))
+    val bkt = cr.withColumn("bkt", expr("x div 10000000"))
+    val bucketSums = bkt.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("below", coalesce(
+        sum(col("bc")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("x"), col("o_custkey"))
+    bkt
+      .withColumn("rin", row_number().over(wIn).cast("long"))
+      .join(broadcast(bucketSums.select(col("bkt"), col("below"))), "bkt")
+      .withColumn("rank", col("below") + col("rin"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        // rank·x products and their sum in DECIMAL(38,0): at billions of
+        // entities × 10⁻⁴-unit revenues the BIGINT sum would overflow
+        sum(col("rank").cast(DecimalType(38, 0)) *
+          col("x").cast(DecimalType(38, 0))).as("srx"))
+      .withColumn("num",
+        (lit(2).cast(DecimalType(38, 0)) * col("srx") -
+          (col("n") + 1).cast(DecimalType(38, 0)) * col("sx").cast(DecimalType(38, 0))) *
+          lit(1000000).cast(DecimalType(38, 0)))
+      .withColumn("den",
+        col("n").cast(DecimalType(38, 0)) * col("sx").cast(DecimalType(38, 0)))
+      // `div` = IntegralDivide: EXACT integral quotient of the decimals
+      // (a decimal `/` would round at the result scale before any
+      // truncation — a different number near integer boundaries)
+      .select(col("n"), col("sx"), expr("num div den").as("gini_ppm"))
+  }
+
+  val q83Sql: String =
+    """WITH cr AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rank FROM cr)
+      |SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |  CAST((2 * SUM(rank * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+      |    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+      |FROM rk""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1167,7 +1275,9 @@ object Warehouse {
     "q77_pit_features" -> (q77PitFeatures _),
     "q79_abc_pareto" -> (q79AbcPareto _),
     "q80_conversion_latency" -> (q80ConversionLatency _),
-    "q81_duplicate_txn" -> (q81DuplicateTxn _))
+    "q81_duplicate_txn" -> (q81DuplicateTxn _),
+    "q82_share_of_parent" -> (q82ShareOfParent _),
+    "q83_gini" -> (q83Gini _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1189,5 +1299,7 @@ object Warehouse {
     "q77_pit_features" -> q77Sql,
     "q79_abc_pareto" -> q79Sql,
     "q80_conversion_latency" -> q80Sql,
-    "q81_duplicate_txn" -> q81Sql)
+    "q81_duplicate_txn" -> q81Sql,
+    "q82_share_of_parent" -> q82Sql,
+    "q83_gini" -> q83Sql)
 }

@@ -75,9 +75,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // list) broadcast for the distributed global rank
     "events_heatmap", "events_stickiness", "text_classifier_lift",
     "text_vocab_coverage",
-    // abc pareto: the 1-row total-revenue frame broadcast onto the
-    // per-part prefix rows (q60's shape)
-    "q79_abc_pareto",
+    // abc pareto / share-of-parent: the 1-row total-revenue frame
+    // broadcast onto the per-part prefix rows / nation grid (q60's shape)
+    "q79_abc_pareto", "q82_share_of_parent",
     // top paths: the 1-row trigram-total frame broadcast onto the
     // ≤|types|³ path counts (q60's shape)
     "events_top_paths",
