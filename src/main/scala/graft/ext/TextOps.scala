@@ -1670,6 +1670,71 @@ object TextOps {
       |SELECT w, df, tf, sq * d * 10000 // (tf * tf) AS burst
       |FROM agg, t ORDER BY burst DESC, w LIMIT 20""".stripMargin
 
+  // ----------------------------------------------- source divergence
+  /** Pairwise source divergence — squared Hellinger distance between
+    * each pair of sources' unigram distributions: H² = ½·Σ_w (√p_w −
+    * √q_w)², the corpus-mix diagnostic that says WHICH feeds differ
+    * and how much (0 = identical mix, 1 = disjoint vocabularies) —
+    * what you check before concluding a blend ratio change is safe.
+    * Hellinger over KL/JS deliberately: it needs only sqrt (correctly
+    * rounded IEEE on both engines), no logarithms (whose last-ulp
+    * behavior is library-defined and would break the hash match).
+    * Shape: one (source, word) count aggregate, then a word-keyed
+    * self-join over SHARED words only — the union-vocabulary sum
+    * decomposes as Σ_union (√p−√q)² = Σ_shared (√p−√q)² +
+    * (1 − Σ_shared p) + (1 − Σ_shared q), so words absent from one
+    * side never join (the sparse-vector trick that keeps the pair
+    * pass at O(overlap), not O(vocabulary × sources²)). Output:
+    * unordered source pairs with shared-word count and H² rounded.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOn(docs(spark, dir))
+
+  def sourceDivergenceOn(documents: DataFrame): DataFrame = {
+    val sw = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = sw.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val p = sw.join(broadcast(totals), "source")
+      .select(col("source"), col("w"),
+        (col("c").cast("double") / col("t").cast("double")).as("p"))
+    val a = p.select(col("source").as("sa"), col("w"), col("p").as("pa"))
+    val b = p.select(col("source").as("sb"), col("w"), col("p").as("pb"))
+    // decimal accumulation (the dsum discipline): raw double sums are
+    // partition-order-dependent; scale 15 sits inside the zone where
+    // Spark's shortest-repr and DuckDB's binary-expansion double→decimal
+    // casts agree digit-for-digit
+    def dsum15(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 15))).cast("double")
+    a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_shared"),
+        dsum15(pow(sqrt(col("pa")) - sqrt(col("pb")), 2.0)).as("shared_sq"),
+        dsum15(col("pa")).as("pa_shared"), dsum15(col("pb")).as("pb_shared"))
+      .select(col("sa"), col("sb"), col("n_shared"),
+        round((col("shared_sq") + (lit(1.0) - col("pa_shared")) +
+          (lit(1.0) - col("pb_shared"))) / 2.0, 6).as("hellinger_sq"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val sourceDivergenceSql: String =
+    """WITH sw AS (
+      |  SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |t AS (SELECT source, SUM(c) AS t FROM sw GROUP BY 1),
+      |p AS (
+      |  SELECT sw.source, sw.w,
+      |    CAST(sw.c AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+      |  FROM sw JOIN t USING (source))
+      |SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_shared,
+      |  round((CAST(SUM(CAST(pow(sqrt(a.p) - sqrt(b.p), 2) AS DECIMAL(38,15))) AS DOUBLE)
+      |    + (1.0 - CAST(SUM(CAST(a.p AS DECIMAL(38,15))) AS DOUBLE))
+      |    + (1.0 - CAST(SUM(CAST(b.p AS DECIMAL(38,15))) AS DOUBLE))) / 2.0, 6) AS hellinger_sq
+      |FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin
+
   // --------------------------------------------------- curation pipeline
   /** The whole curation pipeline as ONE declarative plan — what a user of
     * this library actually runs at 100 TB, and the reason the stages are
@@ -2059,6 +2124,7 @@ object TextOps {
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_burstiness" -> (burstiness _),
+    "text_source_divergence" -> (sourceDivergence _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -2095,6 +2161,7 @@ object TextOps {
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_burstiness" -> burstinessSql,
+    "text_source_divergence" -> sourceDivergenceSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,

@@ -1254,6 +1254,113 @@ object Warehouse {
       |    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
       |FROM rk""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Repurchase survival curve: the distribution of gaps between a
+    * customer's consecutive orders, read as survival — at each horizon
+    * t ∈ {30, 60, 90, 180, 365} days, what fraction of inter-order
+    * gaps exceed t (ppm). The retention-economics table behind "how
+    * long until we call a customer churned". Gaps come from one lag
+    * window per customer (the q77 shape); each checkpoint is a filtered
+    * count over the gap frame against a broadcast 5-row horizon list —
+    * all integer, one scan regardless of scale. Completed gaps only
+    * (the open gap after a customer's last order is right-censored and
+    * would bias every horizon downward).
+    */
+  def q84RepurchaseCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap", datediff(to_date(col("o_orderdate")),
+        to_date(lag(col("o_orderdate"), 1).over(w))).cast("long"))
+      .filter(col("gap").isNotNull)
+    val horizons = Seq(30L, 60L, 90L, 180L, 365L).toDF("t_days")
+    gaps.crossJoin(broadcast(horizons))
+      .groupBy(col("t_days"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum((col("gap") > col("t_days")).cast("long")).as("n_surviving"))
+      .select(col("t_days"), col("n_gaps"), col("n_surviving"),
+        expr("n_surviving * 1000000 div n_gaps").as("survival_ppm"))
+      .orderBy(col("t_days"))
+  }
+
+  val q84Sql: String =
+    """WITH g AS (
+      |  SELECT date_diff('day',
+      |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders),
+      |gg AS (SELECT CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL)
+      |SELECT t.t_days, COUNT(*) AS n_gaps,
+      |  CAST(SUM(CASE WHEN gap > t.t_days THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_surviving,
+      |  CAST(SUM(CASE WHEN gap > t.t_days THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS survival_ppm
+      |FROM gg, UNNEST([CAST(30 AS BIGINT), 60, 90, 180, 365]) AS t(t_days)
+      |GROUP BY t.t_days ORDER BY t.t_days""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** One-way ANOVA of event value by ISO weekday: the F statistic
+    * F = (SSB/(k−1)) / (SSW/(n−k)) with between/within sums of squares
+    * derived from per-group decimal-exact power sums (the q43 moments
+    * algebra — SSW = Σ_g (S2_g − S1_g²/n_g), SSB = Σ_g S1_g²/n_g −
+    * S1²/n), so the only floating-point steps are the final identical-
+    * on-both-engines divisions. The "does weekday actually matter"
+    * test you run before building the [[graft.streaming.Events
+    * heatmap]]-driven capacity model. One partial+final aggregate to
+    * the 7-group grid; everything after is arithmetic on 7 rows.
+    */
+  def q85AnovaWeekday(spark: SparkSession, dir: String): DataFrame = {
+    def bigsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+    val g = t(spark, dir, "events")
+      .select(expr("((dayofweek(ts) + 5) % 7) + 1").cast("long").as("dow"),
+        col("value"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).cast("double").as("ng"), bigsum(col("value")).as("s1"),
+        bigsum(col("value") * col("value")).as("s2"))
+    // the 7-row reduction also accumulates in decimal: even 7 doubles
+    // sum order-dependently across partitions
+    def dsum6(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+    val k = g.agg(
+      count(lit(1)).cast("double").as("k"),
+      sum(col("ng")).as("n"), // exact integer-valued doubles
+      dsum6(col("s1")).as("s1t"),
+      dsum6(col("s2")).as("s2t"),
+      dsum6(col("s1") * col("s1") / col("ng")).as("sb"))
+    val f = k.select(
+      col("k").cast("long").as("k_groups"), col("n").cast("long").as("n_rows"),
+      (col("sb") - col("s1t") * col("s1t") / col("n")).as("ssb"),
+      (col("s2t") - col("sb")).as("ssw"))
+      .select(col("k_groups"), col("n_rows"),
+        round(col("ssb"), 4).as("ssb"), round(col("ssw"), 4).as("ssw"),
+        round((col("ssb") / (col("k_groups") - 1).cast("double")) /
+          (col("ssw") / (col("n_rows") - col("k_groups")).cast("double")), 6)
+          .as("f_stat"))
+    f
+  }
+
+  val q85Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+      |    CAST(COUNT(*) AS DOUBLE) AS ng,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY 1),
+      |k AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(ng) AS n,
+      |    CAST(SUM(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) AS s1t,
+      |    CAST(SUM(CAST(s2 AS DECIMAL(38,6))) AS DOUBLE) AS s2t,
+      |    CAST(SUM(CAST(s1 * s1 / ng AS DECIMAL(38,6))) AS DOUBLE) AS sb
+      |  FROM g)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+      |  round(sb - s1t * s1t / n, 4) AS ssb,
+      |  round(s2t - sb, 4) AS ssw,
+      |  round((sb - s1t * s1t / n) / (k - 1)
+      |    / ((s2t - sb) / (n - k)), 6) AS f_stat
+      |FROM k""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1277,7 +1384,9 @@ object Warehouse {
     "q80_conversion_latency" -> (q80ConversionLatency _),
     "q81_duplicate_txn" -> (q81DuplicateTxn _),
     "q82_share_of_parent" -> (q82ShareOfParent _),
-    "q83_gini" -> (q83Gini _))
+    "q83_gini" -> (q83Gini _),
+    "q84_repurchase_curve" -> (q84RepurchaseCurve _),
+    "q85_anova_weekday" -> (q85AnovaWeekday _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1301,5 +1410,7 @@ object Warehouse {
     "q80_conversion_latency" -> q80Sql,
     "q81_duplicate_txn" -> q81Sql,
     "q82_share_of_parent" -> q82Sql,
-    "q83_gini" -> q83Sql)
+    "q83_gini" -> q83Sql,
+    "q84_repurchase_curve" -> q84Sql,
+    "q85_anova_weekday" -> q85Sql)
 }

@@ -84,6 +84,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     // neyman: two 1-row frames (weight total, leftover budget)
     // broadcast onto the 5-row allocation grid
     "events_neyman_sample",
+    // repurchase curve: the 5-row horizon list broadcast onto the gaps
+    "q84_repurchase_curve",
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
     "text_burstiness", "sim_embedding_drift")
