@@ -549,6 +549,56 @@ object Similarity {
        |SELECT vec_id, subspace, cl AS code, dist AS err_fp
        |FROM rk WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
 
+  // --------------------------------------- embedding norm profile
+  /** Embedding norm sanity profile — per label: member count, exact
+    * min/max/mean of the fixed-point squared L2 norm, and how many
+    * vectors are near-degenerate (‖v‖² under 1% of the label mean).
+    * The 30-second health check that catches zeroed rows, truncated
+    * writes, or an un-normalized encoder BEFORE cosine similarity
+    * silently degrades (a near-zero vector's cosine is noise). All
+    * BIGINT on the [[kmeansStep]] fixed-point grid — one scan-side
+    * norm projection, one partial+final per-label aggregate, then a
+    * rescan against the broadcast per-label means for the degenerate
+    * count.
+    */
+  def normProfile(spark: SparkSession, dir: String): DataFrame =
+    normProfileOn(emb(spark, dir))
+
+  def normProfileOn(e: DataFrame): DataFrame = {
+    val n2 = e.select(col("label"), col("vec_id"),
+      expr(s"aggregate($vfpExpr, 0L, (a, x) -> a + x * x)").as("n2"))
+    val stats = n2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"), sum(col("n2")).as("s"))
+      .withColumn("mean_n2", expr("s div n"))
+    n2.join(broadcast(stats.select(col("label"), col("mean_n2"))), "label")
+      .groupBy(col("label"))
+      .agg(sum((col("n2") * 100 < col("mean_n2")).cast("long")).as("n_degenerate"))
+      .join(stats, "label")
+      .select(col("label"), col("n"), col("min_n2"), col("max_n2"),
+        col("mean_n2"), col("n_degenerate"))
+      .orderBy(col("label"))
+  }
+
+  val normProfileSql: String =
+    """WITH v AS (
+      |  SELECT label, vec_id,
+      |    CAST(list_aggregate(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+      |        * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
+      |      'sum') AS BIGINT) AS n2
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT label, COUNT(*) AS n, MIN(n2) AS min_n2, MAX(n2) AS max_n2,
+      |    CAST(SUM(n2) // COUNT(*) AS BIGINT) AS mean_n2
+      |  FROM v GROUP BY 1)
+      |SELECT v.label, st.n, st.min_n2, st.max_n2, st.mean_n2,
+      |  CAST(SUM(CASE WHEN v.n2 * 100 < st.mean_n2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_degenerate
+      |FROM v JOIN st USING (label)
+      |GROUP BY v.label, st.n, st.min_n2, st.max_n2, st.mean_n2
+      |ORDER BY v.label""".stripMargin
+
   // --------------------------------------- embedding drift monitor
   /** Embedding drift between two corpus halves (vec_id below/above the
     * midpoint — standing in for "last month's embeddings vs this
@@ -2192,7 +2242,8 @@ object Similarity {
     "sim_quantize_pq" -> (quantizePq _),
     "sim_pq_distortion" -> (pqDistortion _),
     "sim_embedding_drift" -> (embeddingDrift _),
-    "sim_ann_nprobe_curve" -> (annNprobeCurve _))
+    "sim_ann_nprobe_curve" -> (annNprobeCurve _),
+    "sim_norm_profile" -> (normProfile _))
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
@@ -2221,6 +2272,7 @@ object Similarity {
     "sim_embedding_drift" -> embeddingDriftSql,
     "sim_ann_nprobe_curve" -> annNprobeCurveSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobes = Seq(1, 2, 4)),
+    "sim_norm_profile" -> normProfileSql,
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,

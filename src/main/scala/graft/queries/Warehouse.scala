@@ -1361,6 +1361,67 @@ object Warehouse {
       |    / ((s2t - sb) / (n - k)), 6) AS f_stat
       |FROM k""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** New-vs-returning revenue split per month: each order classified by
+    * whether it's the customer's FIRST (min orderdate + orderkey
+    * tie-break — one per-customer aggregate, never a window over
+    * orders), then monthly counts, exact-decimal revenue, and the
+    * returning-revenue share in bp. The acquisition-vs-retention lens
+    * every revenue review opens with. Two shuffles at any scale: the
+    * per-customer first-order aggregate and the month rollup.
+    */
+  def q86NewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("f"))
+      .select(col("o_custkey"), col("f.o_orderkey").as("first_key"))
+    o.join(first, "o_custkey")
+      .withColumn("is_new", (col("o_orderkey") === col("first_key")).cast("int"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("is_new").cast("long")).as("n_new"),
+        // exact integer revenue units (decimal(18,4)·10⁴) so the share
+        // is one truncating BIGINT division, no decimal-division rounding
+        (sum(col("o_totalprice").cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as("rev_units"),
+        (sum(when(col("is_new") === 0,
+          col("o_totalprice").cast(DecimalType(18, 4)))
+          .otherwise(lit(0).cast(DecimalType(18, 4)))) * 10000)
+          .cast("long").as("ret_units"))
+      .select(col("month"), col("n_orders"), col("n_new"),
+        (col("rev_units").cast(DecimalType(18, 0)) / 10000)
+          .cast("double").as("revenue"),
+        expr("ret_units * 10000 div rev_units").as("returning_share_bp"))
+      .orderBy(col("month"))
+  }
+
+  val q86Sql: String =
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |    MIN(struct_pack(d := o_orderdate, k := o_orderkey)) AS fr
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT date_trunc('month', o.o_orderdate) AS month,
+      |    CASE WHEN o.o_orderkey = f.fr.k THEN 1 ELSE 0 END AS is_new,
+      |    o.o_totalprice
+      |  FROM orders o JOIN f USING (o_custkey)),
+      |m AS (
+      |  SELECT month, COUNT(*) AS n_orders,
+      |    CAST(SUM(is_new) AS BIGINT) AS n_new,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |      AS rev_units,
+      |    CAST(SUM(CASE WHEN is_new = 0
+      |        THEN CAST(o_totalprice AS DECIMAL(18,4))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+      |      AS ret_units
+      |  FROM c GROUP BY month)
+      |SELECT month, n_orders, n_new,
+      |  CAST(CAST(rev_units AS DECIMAL(18,0)) / 10000 AS DOUBLE) AS revenue,
+      |  ret_units * 10000 // rev_units AS returning_share_bp
+      |FROM m ORDER BY month""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1386,7 +1447,8 @@ object Warehouse {
     "q82_share_of_parent" -> (q82ShareOfParent _),
     "q83_gini" -> (q83Gini _),
     "q84_repurchase_curve" -> (q84RepurchaseCurve _),
-    "q85_anova_weekday" -> (q85AnovaWeekday _))
+    "q85_anova_weekday" -> (q85AnovaWeekday _),
+    "q86_new_vs_returning" -> (q86NewVsReturning _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1412,5 +1474,6 @@ object Warehouse {
     "q82_share_of_parent" -> q82Sql,
     "q83_gini" -> q83Sql,
     "q84_repurchase_curve" -> q84Sql,
-    "q85_anova_weekday" -> q85Sql)
+    "q85_anova_weekday" -> q85Sql,
+    "q86_new_vs_returning" -> q86Sql)
 }

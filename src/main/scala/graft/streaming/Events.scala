@@ -790,6 +790,87 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- behavior diversity
+  /** Per-user behavioral diversity — Gini impurity of each user's
+    * event-type mix, all-integer: impurity_ppm = (n² − Σc²)·10⁶ div n²
+    * (0 = every event the same type, → 800000 for uniform over 5
+    * types). The log-free predictability score (entropy's last-ulp
+    * library variance would break the hash; impurity ranks identically
+    * for this use) behind bot screens and engagement segmentation —
+    * single-type users at volume are scripts, high-impurity users are
+    * engaged humans. One (user, type) count + one per-user aggregate.
+    */
+  def userDiversity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        expr("(n * n - sq) * 1000000 div (n * n)").as("impurity_ppm"))
+      .orderBy(col("user_id"))
+
+  val userDiversitySql: String =
+    """WITH uc AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+      |    CAST(SUM(c * c) AS BIGINT) AS sq
+      |  FROM uc GROUP BY 1)
+      |SELECT user_id, n, n_types,
+      |  (n * n - sq) * 1000000 // (n * n) AS impurity_ppm
+      |FROM u ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------- activity concentration
+  /** Power-user concentration: what share of all events the top 1%,
+    * 5%, and 10% most-active users generate (ppm) — the concentration
+    * slice every abuse/capacity review opens with (complemented by
+    * [[userDiversity]]: concentrated AND single-type is the bot
+    * signature). Users rank by activity with the distinct-count offset
+    * grid (the [[graft.ext.TextOps.vocabCoverage]] decomposition —
+    * activity counts are Zipf-ish, the grid is tiny); each percentile
+    * checkpoint is ceil(p·U) users, summed in one filtered aggregate.
+    */
+  def powerUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val offs = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
+      .withColumn("off", coalesce(
+        sum(col("k")).over(Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = counts.agg(count(lit(1)).as("u"), sum(col("c")).as("total"))
+    val ranked = counts
+      .join(broadcast(offs.select(col("c"), col("off"))), "c")
+      .withColumn("r", col("off") +
+        row_number().over(Window.partitionBy(col("c")).orderBy(col("user_id"))))
+    import spark.implicits._
+    ranked.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(Seq(100L, 500L, 1000L).toDF("p_tenbp")))
+      .filter(col("r") * 10000 <= col("p_tenbp") * col("u"))
+      .groupBy(col("p_tenbp"))
+      .agg(count(lit(1)).as("n_users"), max(col("total")).as("total"),
+        sum(col("c")).as("n_events"))
+      .select(col("p_tenbp"), col("n_users"), col("n_events"),
+        expr("n_events * 1000000 div total").as("share_ppm"))
+      .orderBy(col("p_tenbp"))
+  }
+
+  val powerUsersSql: String =
+    """WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS u, SUM(c) AS total FROM uc),
+      |rk AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS r
+      |  FROM uc)
+      |SELECT p.p_tenbp, COUNT(*) AS n_users,
+      |  CAST(SUM(c) AS BIGINT) AS n_events,
+      |  CAST(SUM(c) AS BIGINT) * 1000000 // MAX(t.total) AS share_ppm
+      |FROM rk, t, UNNEST([CAST(100 AS BIGINT), 500, 1000]) AS p(p_tenbp)
+      |WHERE r * 10000 <= p.p_tenbp * t.u
+      |GROUP BY p.p_tenbp ORDER BY p.p_tenbp""".stripMargin
+
   // --------------------------------------------- outage detection
   /** Outage detection — contiguous runs of SILENT hours per event_type
     * (≥ 2 hours with zero events, bounded by activity on both sides —
@@ -997,7 +1078,8 @@ object Events {
         sum(col("up")).over(w.rowsBetween(-4, 0)) === 5 ||
           sum(col("dn")).over(w.rowsBetween(-4, 0)) === 5)
     flagged
-      .select(col("event_type"), col("day"), round(col("z"), 6).as("z"),
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        round(col("z"), 6).as("z"),
         explode(array(
           when(col("r1"), lit("rule1_3sigma")),
           when(col("r2"), lit("rule2_2of3_1sigma")),
@@ -1040,13 +1122,14 @@ object Events {
       |  ew AS (PARTITION BY event_type ORDER BY day
       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
       |hits AS (
-      |  SELECT event_type, day, round(z, 6) AS z, 'rule1_3sigma' AS rule
+      |  SELECT event_type, CAST(day AS VARCHAR) AS day, round(z, 6) AS z,
+      |    'rule1_3sigma' AS rule
       |  FROM f WHERE r1
       |  UNION ALL
-      |  SELECT event_type, day, round(z, 6), 'rule2_2of3_1sigma'
+      |  SELECT event_type, CAST(day AS VARCHAR), round(z, 6), 'rule2_2of3_1sigma'
       |  FROM f WHERE r2
       |  UNION ALL
-      |  SELECT event_type, day, round(z, 6), 'rule4_5_same_side'
+      |  SELECT event_type, CAST(day AS VARCHAR), round(z, 6), 'rule4_5_same_side'
       |  FROM f WHERE r4)
       |SELECT event_type, day, z, rule FROM hits
       |ORDER BY event_type, day, rule""".stripMargin
@@ -1073,7 +1156,8 @@ object Events {
         (datediff(col("wk"), col("cohort")) / 7).cast("long").as("k"))
       .agg(count(lit(1)).as("n_active"))
       .join(sizes, "cohort")
-      .select(col("cohort"), col("k"), col("n_active"), col("n_cohort"),
+      .select(col("cohort").cast("string").as("cohort"), col("k"),
+        col("n_active"), col("n_cohort"),
         expr("n_active * 1000000 div n_cohort").as("ret_ppm"))
       .orderBy(col("cohort"), col("k"))
   }
@@ -1090,7 +1174,7 @@ object Events {
       |    COUNT(*) AS n_active
       |  FROM uw JOIN fw USING (user_id)
       |  GROUP BY 1, 2)
-      |SELECT c.cohort, c.k, c.n_active, sz.n_cohort,
+      |SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.k, c.n_active, sz.n_cohort,
       |  c.n_active * 1000000 // sz.n_cohort AS ret_ppm
       |FROM cells c JOIN sz USING (cohort)
       |ORDER BY c.cohort, c.k""".stripMargin
@@ -1122,7 +1206,8 @@ object Events {
         count_distinct(col("user_id")).as("bau"))
     counts.crossJoin(broadcast(bounds))
       .filter(col("anchor") >= date_add(col("d0"), 13) && col("anchor") <= col("d1"))
-      .select(col("anchor"), col("dau"), col("wau"), col("bau"),
+      .select(col("anchor").cast("string").as("anchor"), col("dau"),
+        col("wau"), col("bau"),
         expr("dau * 1000000 div bau").as("stickiness_ppm"))
       .orderBy(col("anchor"))
   }
@@ -1141,7 +1226,8 @@ object Events {
       |    COUNT(DISTINCT CASE WHEN lag <= 6 THEN user_id END) AS wau,
       |    COUNT(DISTINCT user_id) AS bau
       |  FROM fan GROUP BY 1)
-      |SELECT anchor, dau, wau, bau, dau * 1000000 // bau AS stickiness_ppm
+      |SELECT CAST(anchor AS VARCHAR) AS anchor, dau, wau, bau,
+      |  dau * 1000000 // bau AS stickiness_ppm
       |FROM c, b
       |WHERE anchor >= d0 + 13 AND anchor <= d1
       |ORDER BY anchor""".stripMargin
@@ -2241,6 +2327,8 @@ object Events {
     "events_cohort_retention" -> (cohortRetention _),
     "events_top_paths" -> (topPaths _),
     "events_outages" -> (outages _),
+    "events_user_diversity" -> (userDiversity _),
+    "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
     "events_sweepline" -> (sweeplineLoad _),
@@ -2276,6 +2364,8 @@ object Events {
     "events_cohort_retention" -> cohortRetentionSql,
     "events_top_paths" -> topPathsSql,
     "events_outages" -> outagesSql,
+    "events_user_diversity" -> userDiversitySql,
+    "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,
     "events_sweepline" -> sweeplineLoadSql,
