@@ -1075,6 +1075,42 @@ object Similarity {
       |SELECT qid AS vec_id, cid AS neighbor_id, round(cos, 6) AS cos_sim
       |FROM rk WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
 
+  // --------------------------------------------- LSH bucket costing
+  /** LSH bucket-occupancy profile — the pre-flight COSTING table for a
+    * banded self-join: per band, bucket count, the largest bucket, the
+    * exact Σc² (the candidate-join's row volume: the number every
+    * blowup validation in SCALING_MEASURED.md starts from) and the
+    * resulting candidate-pair count Σ c(c−1)/2. Run this BEFORE a
+    * near-dup pass at a new scale or band config: a band whose Σc²
+    * grew superlinearly is the one that needs more bits — measured as
+    * numbers here, not discovered as a hung stage. One aggregate to
+    * the (band, key) grid, one to the band grid; the sign-LSH family
+    * is the replayable one (splitmix hyperplanes), so the whole
+    * profile is hash-graded.
+    */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    lshBucketStatsOn(emb(spark, dir), nBands = 16, bandBits = 4)
+
+  def lshBucketStatsOn(e: DataFrame, nBands: Int, bandBits: Int): DataFrame =
+    banded(e, nBands, bandBits)
+      .groupBy(col("band").cast("long").as("band"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sum(expr("c * (c - 1) div 2")).as("n_cand_pairs"))
+      .orderBy(col("band"))
+
+  def lshBucketStatsSqlFor(nBands: Int, bandBits: Int): String =
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
+       |bc AS (
+       |  SELECT CAST(band AS BIGINT) AS band, band_key, COUNT(*) AS c
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT band, COUNT(*) AS n_buckets, MAX(c) AS max_bucket,
+       |  CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+       |FROM bc GROUP BY band ORDER BY band""".stripMargin
+
   // ------------------------------------------------- recall evaluation
   /** Recall@k of the LSH ANN against the exact brute force — the
     * evaluation harness an ANN serving deployment runs before trusting
@@ -2243,7 +2279,8 @@ object Similarity {
     "sim_pq_distortion" -> (pqDistortion _),
     "sim_embedding_drift" -> (embeddingDrift _),
     "sim_ann_nprobe_curve" -> (annNprobeCurve _),
-    "sim_norm_profile" -> (normProfile _))
+    "sim_norm_profile" -> (normProfile _),
+    "sim_lsh_bucket_stats" -> (lshBucketStats _))
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
@@ -2273,6 +2310,7 @@ object Similarity {
     "sim_ann_nprobe_curve" -> annNprobeCurveSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobes = Seq(1, 2, 4)),
     "sim_norm_profile" -> normProfileSql,
+    "sim_lsh_bucket_stats" -> lshBucketStatsSqlFor(nBands = 16, bandBits = 4),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,

@@ -1422,6 +1422,53 @@ object Warehouse {
       |  ret_units * 10000 // rev_units AS returning_share_bp
       |FROM m ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Co-purchase graph degree distribution — distinct-partner degree
+    * per part, histogrammed in log₂ buckets (bucket = bit length of
+    * the degree, the [[graft.streaming.Events.logHist]] engine-exact
+    * trick): per bucket, node count, exact degree extrema, and the
+    * node share in ppm. The graph-shape profile read BEFORE every
+    * graph operator here ([[q65Kcore]], PageRank, triangles) — a heavy
+    * power-law tail is what decides salting and the star-contraction
+    * path. Edges come from the q58 order-bounded self-join; degrees
+    * are one aggregate over the symmetric edge list (each edge counts
+    * at both endpoints).
+    */
+  def q87DegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val deg = edges.select(col("pa").as("p"))
+      .unionAll(edges.select(col("pb").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val tot = deg.agg(count(lit(1)).as("n_nodes"))
+    deg.groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("min_deg"), col("max_deg"),
+        expr("n * 1000000 div n_nodes").as("share_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val q87Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |d AS (
+      |  SELECT p, COUNT(*) AS deg FROM (
+      |    SELECT pa AS p FROM e UNION ALL SELECT pb FROM e)
+      |  GROUP BY p),
+      |t AS (SELECT COUNT(*) AS n_nodes FROM d)
+      |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+      |  COUNT(*) * 1000000 // MAX(t.n_nodes) AS share_ppm
+      |FROM d, t GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1448,7 +1495,8 @@ object Warehouse {
     "q83_gini" -> (q83Gini _),
     "q84_repurchase_curve" -> (q84RepurchaseCurve _),
     "q85_anova_weekday" -> (q85AnovaWeekday _),
-    "q86_new_vs_returning" -> (q86NewVsReturning _))
+    "q86_new_vs_returning" -> (q86NewVsReturning _),
+    "q87_degree_dist" -> (q87DegreeDist _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1475,5 +1523,6 @@ object Warehouse {
     "q83_gini" -> q83Sql,
     "q84_repurchase_curve" -> q84Sql,
     "q85_anova_weekday" -> q85Sql,
-    "q86_new_vs_returning" -> q86Sql)
+    "q86_new_vs_returning" -> q86Sql,
+    "q87_degree_dist" -> q87Sql)
 }

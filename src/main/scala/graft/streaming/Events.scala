@@ -790,6 +790,52 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- interarrival profile
+  /** Inter-arrival profile — exact interpolated median and p90 of the
+    * seconds between consecutive SAME-TYPE events, per type, plus gap
+    * count and exact integer max. The latency fingerprint of each feed
+    * (a monitor that knows "clicks arrive ~every 20 min, p90 1 h"
+    * distinguishes jitter from [[outages]]); also the principled way
+    * to size [[bursts]]/outage thresholds. One lag window per type
+    * over (ts, event_id)-ordered events, then the q35 bucket quantile
+    * over the gap population — both fully parallel shapes.
+    */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))).cast("long"))
+      .filter(col("gap").isNotNull)
+    val qs = graft.queries.Core.bucketQuantilesOn(
+      gaps.select(col("event_type").as("f"), col("gap").cast("double").as("x")),
+      Seq(0.5 -> "med", 0.9 -> "p90"))
+    val agg = gaps.groupBy(col("event_type").as("f"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_gap_sec"))
+    qs.join(agg, "f")
+      .select(col("f").as("event_type"), col("n_gaps"),
+        round(col("med"), 6).as("median_sec"), round(col("p90"), 6).as("p90_sec"),
+        col("max_gap_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  val interarrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) // 1000000
+      |      - epoch_us(lag(ts, 1) OVER (PARTITION BY event_type
+      |          ORDER BY ts, event_id)) // 1000000 AS gap
+      |  FROM events),
+      |gg AS (SELECT event_type, CAST(gap AS BIGINT) AS gap FROM g
+      |       WHERE gap IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 6) AS median_sec,
+      |  round(quantile_cont(CAST(gap AS DOUBLE), 0.9), 6) AS p90_sec,
+      |  MAX(gap) AS max_gap_sec
+      |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------- behavior diversity
   /** Per-user behavioral diversity — Gini impurity of each user's
     * event-type mix, all-integer: impurity_ppm = (n² − Σc²)·10⁶ div n²
@@ -2328,6 +2374,7 @@ object Events {
     "events_top_paths" -> (topPaths _),
     "events_outages" -> (outages _),
     "events_user_diversity" -> (userDiversity _),
+    "events_interarrival" -> (interarrival _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2365,6 +2412,7 @@ object Events {
     "events_top_paths" -> topPathsSql,
     "events_outages" -> outagesSql,
     "events_user_diversity" -> userDiversitySql,
+    "events_interarrival" -> interarrivalSql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,

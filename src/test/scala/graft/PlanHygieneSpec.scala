@@ -84,8 +84,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // neyman: two 1-row frames (weight total, leftover budget)
     // broadcast onto the 5-row allocation grid
     "events_neyman_sample",
-    // repurchase curve: the 5-row horizon list broadcast onto the gaps
-    "q84_repurchase_curve",
+    // repurchase curve: the 5-row horizon list broadcast onto the gaps;
+    // degree dist / power users: the 1-row node/user-total frame (q60)
+    "q84_repurchase_curve", "q87_degree_dist", "events_power_users",
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
     "text_burstiness", "sim_embedding_drift")
