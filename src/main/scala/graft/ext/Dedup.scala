@@ -1768,8 +1768,60 @@ object Dedup {
       |  CAST(SUM(CAST(floor(jaccard * 10000) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_j_bp
       |FROM m GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------- dup-rate length bias
+  /** Duplicate-rate length bias — near-dup involvement rate per
+    * document-length bucket (log₂ of n_chars): whether dedup pressure
+    * concentrates on short documents, the standard audit before
+    * trusting a corpus-wide dup ratio (short docs share shingles far
+    * more easily, and a dedup threshold tuned on the average length
+    * over-deletes the short tail). Rides the verified LSH pair list
+    * ([[minhashLshOn]]); involvement = distinct doc ids appearing in
+    * any pair. Output per bucket: docs, involved docs, rate ppm.
+    */
+  def lengthBias(spark: SparkSession, dir: String): DataFrame =
+    lengthBiasOn(docs(spark, dir))
+
+  def lengthBiasOn(documents: DataFrame): DataFrame = {
+    val pairs = minhashLshOn(documents)
+    val involved = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("dup", lit(1L))
+    documents.select(col("doc_id"), length(bin(col("n_chars"))).cast("long").as("bucket"))
+      .join(involved, Seq("doc_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("bucket"), col("n_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val lengthBiasSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.doc_id
+      |      JOIN sz y ON doc_b = y.doc_id
+      |      WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |inv AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p))
+      |SELECT CAST(length(bin(d.n_chars)) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(SUM(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // COUNT(*) AS dup_ppm
+      |FROM documents d LEFT JOIN inv USING (doc_id)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_matrix" -> (sourceMatrix _),
+    "dedup_length_bias" -> (lengthBias _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1798,6 +1850,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_source_matrix" -> sourceMatrixSql,
+    "dedup_length_bias" -> lengthBiasSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

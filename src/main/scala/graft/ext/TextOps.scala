@@ -1735,6 +1735,51 @@ object TextOps {
       |FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin
 
+  // ----------------------------------------------- boilerplate prefixes
+  /** Per-source boilerplate-prefix ratio: how many of a source's
+    * documents OPEN with the same 8 tokens as another document from the
+    * same source (shared-prefix groups of size ≥ 2) — the header/
+    * template detector that catches scraped sites injecting the same
+    * preamble into everything, which inflates n-gram stats and dedup
+    * candidate volume downstream. One (source, prefix-hash) aggregate
+    * over a scan-side 8-token prefix key (xxhash64 of the joined
+    * tokens — only equality matters, and the oracle groups by the
+    * prefix STRING itself, which defines the same classes). Output per
+    * source: docs, docs in shared-prefix groups, largest group, ratio
+    * in ppm.
+    */
+  def boilerplatePrefix(spark: SparkSession, dir: String): DataFrame =
+    boilerplatePrefixOn(docs(spark, dir), nTokens = 8)
+
+  def boilerplatePrefixOn(documents: DataFrame, nTokens: Int): DataFrame = {
+    val pref = documents
+      .select(col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, nTokens)).as("pk"))
+    val groups = pref.groupBy(col("source"), col("pk"))
+      .agg(count(lit(1)).as("c"))
+    groups.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_shared"),
+        max(col("c")).as("largest_group"))
+      .select(col("source"), col("n_docs"), col("n_shared"),
+        col("largest_group"),
+        expr("n_shared * 1000000 div n_docs").as("shared_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val boilerplatePrefixSql: String =
+    """WITH pref AS (
+      |  SELECT source,
+      |    array_to_string(string_split(text, ' ')[1:8], ' ') AS pk
+      |  FROM documents),
+      |g AS (SELECT source, pk, COUNT(*) AS c FROM pref GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_shared,
+      |  MAX(c) AS largest_group,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+      |    * 1000000 // SUM(c) AS shared_ppm
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------- curation pipeline
   /** The whole curation pipeline as ONE declarative plan — what a user of
     * this library actually runs at 100 TB, and the reason the stages are
@@ -2125,6 +2170,7 @@ object TextOps {
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_burstiness" -> (burstiness _),
     "text_source_divergence" -> (sourceDivergence _),
+    "text_boilerplate_prefix" -> (boilerplatePrefix _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -2162,6 +2208,7 @@ object TextOps {
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_burstiness" -> burstinessSql,
     "text_source_divergence" -> sourceDivergenceSql,
+    "text_boilerplate_prefix" -> boilerplatePrefixSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,
