@@ -1641,7 +1641,10 @@ object TextOps {
   def burstiness(spark: SparkSession, dir: String): DataFrame =
     burstinessOn(docs(spark, dir), minDf = 20L, k = 20)
 
-  def burstinessOn(documents: DataFrame, minDf: Long, k: Int): DataFrame = {
+  /** The scored word frame (w, df, tf, burst) both burstiness consumers
+    * rank — top-burst keywords and bottom-burst stopword candidates.
+    */
+  private def burstScores(documents: DataFrame, minDf: Long): DataFrame = {
     val dw = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -1654,8 +1657,38 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .select(col("w"), col("df"), col("tf"),
         expr("sq * d * 10000 div (tf * tf)").as("burst"))
-      .orderBy(col("burst").desc, col("w")).limit(k)
   }
+
+  def burstinessOn(documents: DataFrame, minDf: Long, k: Int): DataFrame =
+    burstScores(documents, minDf)
+      .orderBy(col("burst").desc, col("w")).limit(k)
+
+  // ----------------------------------------- stopword discovery
+  /** Data-driven stopword discovery — the OTHER end of the
+    * [[burstiness]] ranking: high-document-frequency words with the
+    * LOWEST burstiness spread evenly through the corpus regardless of
+    * topic, which is the distributional definition of a function word.
+    * This is how the curated 5-word list the quality features hardcode
+    * would be grown for a new language/domain where no list exists.
+    * Same integer scores; df ≥ 100 (a stopword is everywhere), bottom
+    * 10 by burst asc, word asc.
+    */
+  def stopwordCandidates(spark: SparkSession, dir: String): DataFrame =
+    burstScores(docs(spark, dir), minDf = 100L)
+      .orderBy(col("burst"), col("w")).limit(10)
+
+  val stopwordCandidatesSql: String =
+    """WITH dw AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |t AS (SELECT COUNT(*) AS d FROM documents),
+      |agg AS (
+      |  SELECT w, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS tf,
+      |    CAST(SUM(c * c) AS BIGINT) AS sq
+      |  FROM dw GROUP BY w HAVING COUNT(*) >= 100)
+      |SELECT w, df, tf, sq * d * 10000 // (tf * tf) AS burst
+      |FROM agg, t ORDER BY burst, w LIMIT 10""".stripMargin
 
   val burstinessSql: String =
     """WITH dw AS (
@@ -2171,6 +2204,7 @@ object TextOps {
     "text_burstiness" -> (burstiness _),
     "text_source_divergence" -> (sourceDivergence _),
     "text_boilerplate_prefix" -> (boilerplatePrefix _),
+    "text_stopword_candidates" -> (stopwordCandidates _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -2209,6 +2243,7 @@ object TextOps {
     "text_burstiness" -> burstinessSql,
     "text_source_divergence" -> sourceDivergenceSql,
     "text_boilerplate_prefix" -> boilerplatePrefixSql,
+    "text_stopword_candidates" -> stopwordCandidatesSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,

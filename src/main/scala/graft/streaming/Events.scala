@@ -790,6 +790,39 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- peak load summary
+  /** Peak-load summary — the single-row answer capacity planning
+    * actually asks of [[sweeplineLoad]]'s curve: the maximum number of
+    * simultaneously open sessions, WHEN it first happened, and the mean
+    * open-session level across boundary hours (integer: sum of levels
+    * div hours). One aggregate over the sweep-line frame.
+    */
+  def peakLoad(spark: SparkSession, dir: String): DataFrame = {
+    val curve = sweeplineLoad(spark, dir)
+    val peak = curve.agg(max(col("open_sessions")).as("peak"))
+    curve.crossJoin(broadcast(peak))
+      .agg(max(col("peak")).as("peak"),
+        min(when(col("open_sessions") === col("peak"), col("hour")))
+          .as("first_peak_hour"),
+        count(lit(1)).as("n_hours"),
+        sum(col("open_sessions")).as("level_sum"))
+      .select(col("peak"), col("first_peak_hour"), col("n_hours"),
+        expr("level_sum div n_hours").as("mean_level"))
+  }
+
+  // lazy: textually precedes sweeplineLoadSql, which it embeds
+  lazy val peakLoadSql: String =
+    s"""WITH curve AS (
+      |${sweeplineLoadSql.replace("ORDER BY hour", "")}
+      |),
+      |p AS (SELECT MAX(open_sessions) AS peak FROM curve)
+      |SELECT p.peak,
+      |  MIN(CASE WHEN c.open_sessions = p.peak THEN c.hour END)
+      |    AS first_peak_hour,
+      |  COUNT(*) AS n_hours,
+      |  CAST(SUM(c.open_sessions) AS BIGINT) // COUNT(*) AS mean_level
+      |FROM curve c, p GROUP BY p.peak""".stripMargin
+
   // --------------------------------------------- interarrival profile
   /** Inter-arrival profile — exact interpolated median and p90 of the
     * seconds between consecutive SAME-TYPE events, per type, plus gap
@@ -2375,6 +2408,7 @@ object Events {
     "events_outages" -> (outages _),
     "events_user_diversity" -> (userDiversity _),
     "events_interarrival" -> (interarrival _),
+    "events_peak_load" -> (peakLoad _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2413,6 +2447,7 @@ object Events {
     "events_outages" -> outagesSql,
     "events_user_diversity" -> userDiversitySql,
     "events_interarrival" -> interarrivalSql,
+    "events_peak_load" -> peakLoadSql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,
