@@ -681,6 +681,58 @@ object Multimodal {
       |FROM b JOIN agg a USING (media_id) JOIN pk USING (media_id)
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------- dedup savings estimate
+  /** Content-addressable-store savings estimate — if payload chunks
+    * (the [[mediaChunkDedupOn]] 64-byte grid, md5-addressed) were
+    * stored once per distinct hash corpus-wide: how many chunk
+    * instances exist (each media's distinct chunks — the per-media CAS
+    * model), how many distinct chunks corpus-wide, the saved share in
+    * ppm and saved bytes at the chunk size. THE number that justifies
+    * (or kills) deploying chunk-level dedup storage for a media
+    * corpus, computed before building anything: two aggregates over
+    * scan-side chunk hashes, payloads never shuffle.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame =
+    dedupSavingsOn(docsAsMedia(spark, dir).toDF(), chunkBytes = 64)
+
+  def dedupSavingsOn(media: DataFrame, chunkBytes: Int): DataFrame = {
+    val chunks = media
+      .select(col("media_id"), col("payload"))
+      .withColumn("n", length(col("payload")))
+      .filter(col("n") > 0)
+      .select(col("media_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(n / ${chunkBytes}.0) as int) - 1), " +
+          s"i -> md5(cast(hex(substring(payload, i * $chunkBytes + 1, $chunkBytes)) as binary)))"))
+        .as("ch"))
+      .distinct()
+    chunks.agg(
+        count_distinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("chunk_instances"),
+        count_distinct(col("ch")).as("distinct_chunks"))
+      .select(col("n_media"), col("chunk_instances"), col("distinct_chunks"),
+        expr("(chunk_instances - distinct_chunks) * 1000000 div chunk_instances")
+          .as("saved_ppm"),
+        ((col("chunk_instances") - col("distinct_chunks")) * chunkBytes)
+          .as("saved_bytes"))
+  }
+
+  def dedupSavingsSqlFor(chunkBytes: Int): String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+       |    hex(encode(text)) AS h
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |ch AS (
+       |  SELECT DISTINCT media_id,
+       |    md5(substr(h, t.i * ${2 * chunkBytes} + 1, ${2 * chunkBytes})) AS ch
+       |  FROM b, UNNEST(generate_series(0,
+       |    CAST(ceil(n / ${chunkBytes}.0) AS BIGINT) - 1)) AS t(i))
+       |SELECT CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+       |  COUNT(*) AS chunk_instances,
+       |  CAST(COUNT(DISTINCT ch) AS BIGINT) AS distinct_chunks,
+       |  (COUNT(*) - COUNT(DISTINCT ch)) * 1000000 // COUNT(*) AS saved_ppm,
+       |  (COUNT(*) - COUNT(DISTINCT ch)) * $chunkBytes AS saved_bytes
+       |FROM ch""".stripMargin
+
   // ------------------------------------------------ energy-delta cuts
   /** Energy-delta segmentation — the scene-cut/voice-activity-boundary
     * analog over the [[audioEnergy]] window grid: window i (1-based,
@@ -755,6 +807,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_audio_energy" -> (audioEnergy _),
     "multimodal_energy_cuts" -> (energyCuts _),
+    "multimodal_dedup_savings" -> (dedupSavings _),
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_frames" -> (mediaFrames _),
     "multimodal_header_probe" -> (mediaHeaderProbe _),
@@ -931,5 +984,6 @@ object Multimodal {
       chunkBytes = 64, tau = 0.9),
     "multimodal_entropy" -> mediaEntropySql,
     "multimodal_audio_energy" -> audioEnergySql,
-    "multimodal_energy_cuts" -> energyCutsSql)
+    "multimodal_energy_cuts" -> energyCutsSql,
+    "multimodal_dedup_savings" -> dedupSavingsSqlFor(chunkBytes = 64))
 }

@@ -790,6 +790,77 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- A/A test calibration
+  /** A/A test calibration — split users into two arms by a
+    * deterministic hash (mix64 parity, the same replayable family as
+    * every sampler here), compare their heavy-purchaser rates
+    * (> the ~13-purchase corpus median — the mid-prevalence outcome
+    * here; plain did-purchase saturates at 100% on this fixture) with the
+    * two-proportion z statistic. Arms see the SAME product, so a
+    * |z| repeatedly far from 0 means the assignment, logging, or stats
+    * pipeline is broken — the calibration run every experimentation
+    * platform executes before any real A/B is trusted. Rates are
+    * integer ppm; z uses only +,−,×,÷,√ (no logs), identical on both
+    * engines. One per-user aggregate + a 2-row arm rollup.
+    */
+  def aaTest(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val users = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum((col("event_type") === "purchase").cast("long")) >= 14)
+        .cast("long").as("converted"))
+      .withColumn("arm", expr("pmod(mix64(user_id), 2)").cast("int"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+    val wide = arms.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("k").as("k0"))
+      .crossJoin(broadcast(arms.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("k").as("k1"))))
+    wide.select(col("n0"), col("k0"), col("n1"), col("k1"),
+        expr("k0 * 1000000 div n0").as("rate0_ppm"),
+        expr("k1 * 1000000 div n1").as("rate1_ppm"))
+      .withColumn("p0", col("k0").cast("double") / col("n0").cast("double"))
+      .withColumn("p1", col("k1").cast("double") / col("n1").cast("double"))
+      .withColumn("pp", (col("k0") + col("k1")).cast("double") /
+        (col("n0") + col("n1")).cast("double"))
+      .select(col("n0"), col("k0"), col("rate0_ppm"),
+        col("n1"), col("k1"), col("rate1_ppm"),
+        round((col("p0") - col("p1")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n0").cast("double") +
+              lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+  }
+
+  val aaTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |      THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY 1),
+      |arm AS (
+      |  SELECT converted,
+      |    (CAST(((((xor(z2, z2 >> 31)) % 2) + 2) % 2) AS INT)) AS arm
+      |  FROM (
+      |    SELECT converted,
+      |      (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |      xor(z0, z0 >> 30) AS x1,
+      |      (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |      xor(z1, z1 >> 27) AS x2,
+      |      (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2
+      |    FROM u)),
+      |a AS (SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS k
+      |      FROM arm GROUP BY 1),
+      |w AS (
+      |  SELECT a0.n AS n0, a0.k AS k0, a1.n AS n1, a1.k AS k1
+      |  FROM a a0, a a1 WHERE a0.arm = 0 AND a1.arm = 1)
+      |SELECT n0, k0, k0 * 1000000 // n0 AS rate0_ppm,
+      |  n1, k1, k1 * 1000000 // n1 AS rate1_ppm,
+      |  round((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+      |    / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1)), 6) AS z
+      |FROM w""".stripMargin
+
   // --------------------------------------------- peak load summary
   /** Peak-load summary — the single-row answer capacity planning
     * actually asks of [[sweeplineLoad]]'s curve: the maximum number of
@@ -2409,6 +2480,7 @@ object Events {
     "events_user_diversity" -> (userDiversity _),
     "events_interarrival" -> (interarrival _),
     "events_peak_load" -> (peakLoad _),
+    "events_aa_test" -> (aaTest _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2448,6 +2520,7 @@ object Events {
     "events_user_diversity" -> userDiversitySql,
     "events_interarrival" -> interarrivalSql,
     "events_peak_load" -> peakLoadSql,
+    "events_aa_test" -> aaTestSql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,

@@ -87,8 +87,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // repurchase curve: the 5-row horizon list broadcast onto the gaps;
     // degree dist / power users: the 1-row node/user-total frame (q60)
     "q84_repurchase_curve", "q87_degree_dist", "events_power_users",
-    // peak load: the 1-row peak frame broadcast onto the hour curve
-    "events_peak_load",
+    // peak load: the 1-row peak frame broadcast onto the hour curve;
+    // aa test: the two 1-row arm frames joined
+    "events_peak_load", "events_aa_test",
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
     "text_burstiness", "sim_embedding_drift")
