@@ -92,7 +92,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "events_peak_load", "events_aa_test",
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
-    "text_burstiness", "sim_embedding_drift")
+    "text_burstiness", "text_stopword_candidates", "sim_embedding_drift")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
