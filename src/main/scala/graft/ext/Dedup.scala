@@ -1819,9 +1819,67 @@ object Dedup {
       |FROM documents d LEFT JOIN inv USING (doc_id)
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------- detector agreement harness
+  /** Two-detector agreement — the MinHash-LSH verified pairs against
+    * the MOSS-winnowing pairs ([[graft.ext.TextOps.winnowPairsOn]]),
+    * as one summary row: each detector's pair count, the overlap, and
+    * the pair-set Jaccard in bp. The meta-evaluation that says whether
+    * two "near-duplicate" definitions (shingle-set Jaccard ≥ τ vs
+    * shared winnowing fingerprints) actually agree on THIS corpus —
+    * run it before swapping detectors in a pipeline and discovering
+    * the replacement deletes a different corpus. Both pair lists are
+    * existing graded operators; the harness adds one full-outer join
+    * of id pairs.
+    */
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val lsh = minhashLshOn(d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_lsh"))
+    val win = graft.ext.TextOps.winnowPairsOn(d, k = 8, w = 4, tau = 0.5,
+        dfCap = 8, minShared = 3)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_win"))
+    lsh.join(win, Seq("doc_a", "doc_b"), "full")
+      .agg(sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_win"), lit(0L))).as("n_win"),
+        sum(when(col("in_lsh").isNotNull && col("in_win").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_lsh"), col("n_win"), col("n_both"),
+        expr("n_both * 10000 div (n_lsh + n_win - n_both)").as("jaccard_bp"))
+  }
+
+  val detectorAgreementSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |lsh AS (SELECT doc_a, doc_b FROM inter JOIN szs x ON doc_a = x.doc_id
+      |        JOIN szs y ON doc_b = y.doc_id
+      |        WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |win AS (SELECT doc_a, doc_b FROM (
+      |${graft.ext.TextOps.winnowPairsSql}
+      |)),
+      |u AS (
+      |  SELECT COALESCE(l.doc_a, w.doc_a) AS doc_a,
+      |    COALESCE(l.doc_b, w.doc_b) AS doc_b,
+      |    CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+      |    CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_win
+      |  FROM lsh l FULL OUTER JOIN win w
+      |    ON l.doc_a = w.doc_a AND l.doc_b = w.doc_b)
+      |SELECT CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+      |  CAST(SUM(in_win) AS BIGINT) AS n_win,
+      |  CAST(SUM(in_lsh * in_win) AS BIGINT) AS n_both,
+      |  CAST(SUM(in_lsh * in_win) AS BIGINT) * 10000
+      |    // (SUM(in_lsh) + SUM(in_win) - SUM(in_lsh * in_win)) AS jaccard_bp
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_matrix" -> (sourceMatrix _),
     "dedup_length_bias" -> (lengthBias _),
+    "dedup_detector_agreement" -> (detectorAgreement _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1851,6 +1909,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_source_matrix" -> sourceMatrixSql,
     "dedup_length_bias" -> lengthBiasSql,
+    "dedup_detector_agreement" -> detectorAgreementSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

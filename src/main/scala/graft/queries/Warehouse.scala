@@ -1469,6 +1469,57 @@ object Warehouse {
       |  COUNT(*) * 1000000 // MAX(t.n_nodes) AS share_ppm
       |FROM d, t GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Month-over-month segment growth — revenue per (month, mktsegment)
+    * in exact integer units, with MoM growth in bp from a lag window
+    * over the tiny month×segment grid (first month per segment has no
+    * baseline and drops). The top-movers view every revenue review
+    * sorts by; one scan-sized aggregate, everything after runs on
+    * O(months × segments) rows. Integer growth with the sign SPLIT
+    * OUT: Spark `div` truncates toward zero while DuckDB `//` floors,
+    * so a naive negative division diverges by one — both sides divide
+    * only nonnegative magnitudes (the [[graft.ext.Similarity
+    * silhouetteOn]] discipline) and reattach the sign.
+    */
+  def q88SegmentGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("month"))
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("c_mktsegment"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("rev_units"))
+      .withColumn("prev", lag(col("rev_units"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("month"), col("c_mktsegment"), col("rev_units"),
+        expr("""CASE WHEN rev_units >= prev
+                THEN (rev_units - prev) * 10000 div prev
+                ELSE -((prev - rev_units) * 10000 div prev) END""")
+          .as("growth_bp"))
+      .orderBy(col("month"), col("c_mktsegment"))
+  }
+
+  val q88Sql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o.o_orderdate) AS month, c.c_mktsegment,
+      |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |      AS rev_units
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT month, c_mktsegment, rev_units,
+      |    lag(rev_units, 1) OVER (PARTITION BY c_mktsegment ORDER BY month)
+      |      AS prev
+      |  FROM m)
+      |SELECT month, c_mktsegment, rev_units,
+      |  CASE WHEN rev_units >= prev
+      |    THEN (rev_units - prev) * 10000 // prev
+      |    ELSE -((prev - rev_units) * 10000 // prev) END AS growth_bp
+      |FROM g WHERE prev IS NOT NULL
+      |ORDER BY month, c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1496,7 +1547,8 @@ object Warehouse {
     "q84_repurchase_curve" -> (q84RepurchaseCurve _),
     "q85_anova_weekday" -> (q85AnovaWeekday _),
     "q86_new_vs_returning" -> (q86NewVsReturning _),
-    "q87_degree_dist" -> (q87DegreeDist _))
+    "q87_degree_dist" -> (q87DegreeDist _),
+    "q88_segment_growth" -> (q88SegmentGrowth _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1524,5 +1576,6 @@ object Warehouse {
     "q84_repurchase_curve" -> q84Sql,
     "q85_anova_weekday" -> q85Sql,
     "q86_new_vs_returning" -> q86Sql,
-    "q87_degree_dist" -> q87Sql)
+    "q87_degree_dist" -> q87Sql,
+    "q88_segment_growth" -> q88Sql)
 }

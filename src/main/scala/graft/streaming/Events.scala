@@ -790,6 +790,71 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- user feature table
+  /** Per-user feature assembly — the wide table a churn/engagement
+    * model trains on, built in one pass plus one tiny join: event and
+    * purchase counts, distinct types and active days, recency (days
+    * from the user's last event to the corpus max day — broadcast
+    * 1-row scalar), exact-decimal value total, and the
+    * [[userDiversity]] impurity. Every feature is integer or
+    * decimal-exact, so the whole training table hash-matches — the
+    * property that makes offline/online feature parity CHECKABLE
+    * instead of hoped-for. Composes with [[graft.queries.Warehouse
+    * q77PitFeatures]] (per-event point-in-time form) and
+    * [[neymanSample]]/[[graft.ext.TextOps.shardShuffleOn]] for the
+    * downstream split/shuffle.
+    */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val base = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        count_distinct(to_date(col("ts"))).as("active_days"),
+        max(to_date(col("ts"))).as("last_day"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
+        dsum(col("value")).as("total_value"))
+    val mx = e.agg(max(to_date(col("ts"))).as("corpus_max"))
+    val imp = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sq"))
+      .select(col("user_id"),
+        expr("(n * n - sq) * 1000000 div (n * n)").as("impurity_ppm"))
+    base.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff(col("corpus_max"), col("last_day")).cast("long"))
+      .join(imp, "user_id")
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("active_days"), col("recency_days"), col("n_purchases"),
+        col("total_value"), col("impurity_ppm"))
+      .orderBy(col("user_id"))
+  }
+
+  val userFeaturesSql: String =
+    """WITH base AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    COUNT(DISTINCT event_type) AS n_types,
+      |    COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS active_days,
+      |    MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchases,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1),
+      |mx AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS cm FROM events),
+      |uc AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+      |imp AS (
+      |  SELECT user_id,
+      |    CAST((CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)
+      |        - CAST(SUM(c * c) AS BIGINT)) * 1000000
+      |      // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT))
+      |      AS BIGINT) AS impurity_ppm
+      |  FROM uc GROUP BY 1)
+      |SELECT b.user_id, b.n_events, b.n_types, b.active_days,
+      |  CAST(date_diff('day', b.last_day, mx.cm) AS BIGINT) AS recency_days,
+      |  b.n_purchases, b.total_value, imp.impurity_ppm
+      |FROM base b JOIN imp ON b.user_id = imp.user_id, mx
+      |ORDER BY b.user_id""".stripMargin
+
   // --------------------------------------------- A/A test calibration
   /** A/A test calibration — split users into two arms by a
     * deterministic hash (mix64 parity, the same replayable family as
@@ -2481,6 +2546,7 @@ object Events {
     "events_interarrival" -> (interarrival _),
     "events_peak_load" -> (peakLoad _),
     "events_aa_test" -> (aaTest _),
+    "events_user_features" -> (userFeatures _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2521,6 +2587,7 @@ object Events {
     "events_interarrival" -> interarrivalSql,
     "events_peak_load" -> peakLoadSql,
     "events_aa_test" -> aaTestSql,
+    "events_user_features" -> userFeaturesSql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,

@@ -89,7 +89,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q84_repurchase_curve", "q87_degree_dist", "events_power_users",
     // peak load: the 1-row peak frame broadcast onto the hour curve;
     // aa test: the two 1-row arm frames joined
-    "events_peak_load", "events_aa_test",
+    "events_peak_load", "events_aa_test", "events_user_features",
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
     "text_burstiness", "text_stopword_candidates", "sim_embedding_drift")
