@@ -1876,10 +1876,40 @@ object Dedup {
       |    // (SUM(in_lsh) + SUM(in_win) - SUM(in_lsh * in_win)) AS jaccard_bp
       |FROM u""".stripMargin
 
+  // ----------------------------------------------- cluster size census
+  /** Near-dup cluster size distribution — one row per component size
+    * (including singletons at size 1) with the cluster count and the
+    * document share in ppm. The shape report for the dedup decision
+    * itself: a corpus whose dup mass sits in two giant clusters needs
+    * canonical-selection care ([[keepBest]]); ten thousand pairs need
+    * none. One aggregate over the exact connected components.
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClustersOn(docs(spark, dir))
+    val tot = cl.agg(count(lit(1)).as("n_docs"))
+    cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("sz"), col("n_clusters"),
+        expr("sz * n_clusters * 1000000 div n_docs").as("doc_share_ppm"))
+      .orderBy(col("sz"))
+  }
+
+  lazy val clusterSizesSql: String =
+    s"""SELECT sz, COUNT(*) AS n_clusters,
+       |  sz * COUNT(*) * 1000000
+       |    // (SELECT COUNT(*) FROM documents) AS doc_share_ppm
+       |FROM (
+       |  SELECT cluster_id, COUNT(*) AS sz FROM (
+       |${dedupClustersSql}
+       |  ) GROUP BY cluster_id)
+       |GROUP BY sz ORDER BY sz""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_matrix" -> (sourceMatrix _),
     "dedup_length_bias" -> (lengthBias _),
     "dedup_detector_agreement" -> (detectorAgreement _),
+    "dedup_cluster_sizes" -> (clusterSizes _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hashkey" -> (exactHashKey _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1910,6 +1940,7 @@ object Dedup {
     "dedup_source_matrix" -> sourceMatrixSql,
     "dedup_length_bias" -> lengthBiasSql,
     "dedup_detector_agreement" -> detectorAgreementSql,
+    "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_hashkey" -> exactHashKeySql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

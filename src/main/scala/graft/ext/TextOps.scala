@@ -1813,6 +1813,38 @@ object TextOps {
       |    * 1000000 // SUM(c) AS shared_ppm
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // ----------------------------------------------- length profile
+  /** Per-source length profile — exact interpolated median/p90 of
+    * n_chars plus count and extrema, per source: the first table a
+    * corpus intake review reads (a source whose median length halved
+    * is a scraper change, not a content change), and the principled
+    * input to length-based quality gates. The q35 two-phase bucket
+    * quantile per source — fully parallel histogram, never a per-group
+    * sort.
+    */
+  def lengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("source").as("f"), col("n_chars").cast("double").as("x"))
+    val qs = graft.queries.Core.bucketQuantilesOn(d,
+      Seq(0.5 -> "med", 0.9 -> "p90"))
+    val agg = d.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_docs"), min(col("x")).cast("long").as("min_chars"),
+        max(col("x")).cast("long").as("max_chars"))
+    qs.join(agg, "f")
+      .select(col("f").as("source"), col("n_docs"),
+        round(col("med"), 6).as("median_chars"),
+        round(col("p90"), 6).as("p90_chars"),
+        col("min_chars"), col("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  val lengthProfileSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------- curation pipeline
   /** The whole curation pipeline as ONE declarative plan — what a user of
     * this library actually runs at 100 TB, and the reason the stages are
@@ -2205,6 +2237,7 @@ object TextOps {
     "text_source_divergence" -> (sourceDivergence _),
     "text_boilerplate_prefix" -> (boilerplatePrefix _),
     "text_stopword_candidates" -> (stopwordCandidates _),
+    "text_length_profile" -> (lengthProfile _),
     "text_split_stratified" -> (splitStratified _),
     "pipeline_curate" -> (curate _),
     "pipeline_health" -> (health _),
@@ -2244,6 +2277,7 @@ object TextOps {
     "text_source_divergence" -> sourceDivergenceSql,
     "text_boilerplate_prefix" -> boilerplatePrefixSql,
     "text_stopword_candidates" -> stopwordCandidatesSql,
+    "text_length_profile" -> lengthProfileSql,
     "text_split_stratified" -> splitStratifiedSql,
     "pipeline_curate" -> curateSql,
     "pipeline_health" -> healthSql,

@@ -790,6 +790,47 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- velocity screening
+  /** Velocity screening — events that complete a burst from one user:
+    * ≥ 3 events inside a trailing hour, or ≥ 8 inside a trailing day
+    * (both RANGE windows over the user's epoch-second timeline, so
+    * silent stretches neither pad nor break the frame). The
+    * rate-limit/abuse screen run at ingest review time; thresholds are
+    * per-deployment knobs, chosen here at the corpus's discriminating
+    * values. One row per (event, rule) hit, fully parallel by user.
+    */
+  def velocityFlags(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_timestamp(ts)").as("sec"))
+    def trail(secs: Long) = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec")).rangeBetween(-secs, 0)
+    base
+      .withColumn("c1h", count(lit(1)).over(trail(3600L)))
+      .withColumn("c24h", count(lit(1)).over(trail(86400L)))
+      .select(col("user_id"), col("event_id"),
+        explode(array(
+          when(col("c1h") >= 3, lit("rate_1h_3")),
+          when(col("c24h") >= 8, lit("rate_24h_8")))).as("rule"))
+      .filter(col("rule").isNotNull)
+      .orderBy(col("user_id"), col("event_id"), col("rule"))
+  }
+
+  val velocityFlagsSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS c1h,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS c24h
+      |  FROM events)
+      |SELECT user_id, event_id, rule FROM (
+      |  SELECT user_id, event_id, 'rate_1h_3' AS rule FROM w WHERE c1h >= 3
+      |  UNION ALL
+      |  SELECT user_id, event_id, 'rate_24h_8' FROM w WHERE c24h >= 8)
+      |ORDER BY user_id, event_id, rule""".stripMargin
+
   // --------------------------------------------- user feature table
   /** Per-user feature assembly — the wide table a churn/engagement
     * model trains on, built in one pass plus one tiny join: event and
@@ -2547,6 +2588,7 @@ object Events {
     "events_peak_load" -> (peakLoad _),
     "events_aa_test" -> (aaTest _),
     "events_user_features" -> (userFeatures _),
+    "events_velocity_flags" -> (velocityFlags _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2588,6 +2630,7 @@ object Events {
     "events_peak_load" -> peakLoadSql,
     "events_aa_test" -> aaTestSql,
     "events_user_features" -> userFeaturesSql,
+    "events_velocity_flags" -> velocityFlagsSql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,

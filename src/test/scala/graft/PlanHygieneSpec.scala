@@ -92,7 +92,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "events_peak_load", "events_aa_test", "events_user_features",
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
-    "text_burstiness", "text_stopword_candidates", "sim_embedding_drift")
+    "text_burstiness", "text_stopword_candidates", "sim_embedding_drift",
+    // cluster sizes: the 1-row doc-total frame broadcast onto the size grid
+    "dedup_cluster_sizes")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
