@@ -1905,8 +1905,81 @@ object Dedup {
        |  ) GROUP BY cluster_id)
        |GROUP BY sz ORDER BY sz""".stripMargin
 
+  // ----------------------------------------------- partition modularity
+  /** Modularity of the near-dup clustering over its own edge graph —
+    * Q·10⁶ = Σ_c (4·m·e_c − d_c²) · 10⁶ div (4·m²), with e_c =
+    * intra-cluster edges, d_c = total degree of cluster c, m = edges.
+    * The partition-quality number (0 ≈ random, →1 strongly modular)
+    * that says whether the connected components are tight communities
+    * or chains of borderline pairs — exactly the thing to check before
+    * collapsing each cluster to one canonical document. All integer
+    * (one final truncating division), so the score hash-matches. Cost:
+    * the clustering itself plus two joins of the id-only edge list
+    * against the labels.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = ngramJaccardOn(d).select(col("doc_a"), col("doc_b"))
+    val labels = dedupClustersFrom(d, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val edges = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+    val m = edges.count()
+    val ec = edges.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e"))
+    val dc = edges.select(col("ca").as("c"))
+      .unionAll(edges.select(col("cb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    dc.join(ec, Seq("c"), "left")
+      .withColumn("e", coalesce(col("e"), lit(0L)))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(lit(4L) * m * col("e") - col("deg") * col("deg")).as("num"))
+      .select(col("n_clusters"), lit(m).as("n_edges"),
+        expr(s"num * 1000000 div (4 * ${m}L * ${m}L)").as("modularity_ppm"))
+  }
+
+  val modularitySql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN szs x ON doc_a = x.doc_id JOIN szs y ON doc_b = y.doc_id
+      |          WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  WITH RECURSIVE r(a, b) AS (
+      |    SELECT a, b FROM ed
+      |    UNION
+      |    SELECT r.a, e.b FROM r JOIN ed e ON r.b = e.a)
+      |  SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM r GROUP BY a),
+      |lab AS (SELECT doc_id, cluster_id FROM reach),
+      |je AS (
+      |  SELECT la.cluster_id AS ca, lb.cluster_id AS cb
+      |  FROM pairs p JOIN lab la ON p.doc_a = la.doc_id
+      |  JOIN lab lb ON p.doc_b = lb.doc_id),
+      |m AS (SELECT COUNT(*) AS m FROM je),
+      |ec AS (SELECT ca AS c, COUNT(*) AS e FROM je WHERE ca = cb GROUP BY 1),
+      |dc AS (SELECT c, COUNT(*) AS deg FROM (
+      |  SELECT ca AS c FROM je UNION ALL SELECT cb FROM je) GROUP BY 1),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_clusters,
+      |    CAST(SUM(4 * m.m * COALESCE(ec.e, 0) - dc.deg * dc.deg) AS BIGINT) AS num,
+      |    MAX(m.m) AS m
+      |  FROM dc LEFT JOIN ec USING (c), m)
+      |SELECT n_clusters, CAST(m AS BIGINT) AS n_edges,
+      |  num * 1000000 // (4 * m * m) AS modularity_ppm
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_matrix" -> (sourceMatrix _),
+    "dedup_modularity" -> (modularity _),
     "dedup_length_bias" -> (lengthBias _),
     "dedup_detector_agreement" -> (detectorAgreement _),
     "dedup_cluster_sizes" -> (clusterSizes _),
@@ -1938,6 +2011,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_source_matrix" -> sourceMatrixSql,
+    "dedup_modularity" -> modularitySql,
     "dedup_length_bias" -> lengthBiasSql,
     "dedup_detector_agreement" -> detectorAgreementSql,
     "dedup_cluster_sizes" -> clusterSizesSql,

@@ -790,6 +790,67 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- stationary behavior
+  /** Stationary distribution of the event-type transition chain —
+    * 4 rounds of fixed-point power iteration v' = v·P from the uniform
+    * start, all integer (transition probabilities scaled 10⁶ with
+    * truncating division; each product term truncates before summing,
+    * identically on both engines — the PageRank discipline applied to
+    * the behavior matrix). The long-run "where does a session settle"
+    * profile that complements [[transitions]]' one-step counts; the
+    * drift of v across rounds also shows how fast behavior mixes.
+    * Shape: one lead() window builds the 25-cell count matrix; every
+    * iteration is arithmetic on ≤ 5×5 rows.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("i"), col("nxt").as("j"))
+      .agg(count(lit(1)).as("n"))
+    val rows = trans.groupBy(col("i")).agg(sum(col("n")).as("ni"))
+    val p = graft.engine.Materialize.stage(
+      trans.join(rows, "i")
+        .select(col("i"), col("j"), expr("n * 1000000 div ni").as("p")))
+    var v = rows.select(col("i").as("s"), lit(200000L).as("v"))
+    for (_ <- 1 to 4) {
+      v = v.join(p, col("s") === col("i"))
+        .groupBy(col("j").as("s2"))
+        .agg(sum(expr("v * p div 1000000")).as("v"))
+        .select(col("s2").as("s"), col("v"))
+    }
+    v.join(rows.select(col("i").as("s"), col("ni")), "s")
+      .select(col("s").as("event_type"), col("ni").as("n_out"),
+        col("v").as("stationary_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val markovStationarySql: String = {
+    def round(r: Int): String =
+      s"""v$r AS (
+         |  SELECT p.j AS s, CAST(SUM(v.v * p.p // 1000000) AS BIGINT) AS v
+         |  FROM v${r - 1} v JOIN p ON v.s = p.i GROUP BY p.j)""".stripMargin
+    s"""WITH tr AS (
+       |  SELECT event_type AS i,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS j
+       |  FROM events),
+       |cnt AS (SELECT i, j, COUNT(*) AS n FROM tr WHERE j IS NOT NULL
+       |        GROUP BY 1, 2),
+       |rows_ AS (SELECT i, CAST(SUM(n) AS BIGINT) AS ni FROM cnt GROUP BY 1),
+       |p AS (SELECT cnt.i, cnt.j, CAST(cnt.n AS BIGINT) * 1000000 // rows_.ni AS p
+       |      FROM cnt JOIN rows_ USING (i)),
+       |v0 AS (SELECT i AS s, CAST(200000 AS BIGINT) AS v FROM rows_),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT v4.s AS event_type, rows_.ni AS n_out,
+       |  v4.v AS stationary_ppm
+       |FROM v4 JOIN rows_ ON v4.s = rows_.i
+       |ORDER BY event_type""".stripMargin
+  }
+
   // --------------------------------------------- velocity screening
   /** Velocity screening — events that complete a burst from one user:
     * ≥ 3 events inside a trailing hour, or ≥ 8 inside a trailing day
@@ -2589,6 +2650,7 @@ object Events {
     "events_aa_test" -> (aaTest _),
     "events_user_features" -> (userFeatures _),
     "events_velocity_flags" -> (velocityFlags _),
+    "events_markov_stationary" -> (markovStationary _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2631,6 +2693,7 @@ object Events {
     "events_aa_test" -> aaTestSql,
     "events_user_features" -> userFeaturesSql,
     "events_velocity_flags" -> velocityFlagsSql,
+    "events_markov_stationary" -> markovStationarySql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,
