@@ -1075,6 +1075,62 @@ object Similarity {
       |SELECT qid AS vec_id, cid AS neighbor_id, round(cos, 6) AS cos_sim
       |FROM rk WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
 
+  // --------------------------------------------- NN ratio (Lowe) test
+  /** Nearest-neighbor ratio profile — Lowe's ratio test over the exact
+    * top-2: per query, (1 − cos₁)/(1 − cos₂), the distance ratio of
+    * best to runner-up match. Ratios near 1 mean the "match" is
+    * ambiguous (the retrieval-confidence gate feature matching and RAG
+    * rerankers threshold on, classically at 0.8); a corpus whose
+    * ratios cluster near 1 — like this near-orthogonal fixture — tells
+    * you top-1 retrieval is noise BEFORE you ship it. One
+    * [[cosineTopKOn]] pass at k = 2, then per-query arithmetic;
+    * identical double ops both engines.
+    */
+  def nnRatio(spark: SparkSession, dir: String): DataFrame =
+    nnRatioOn(emb(spark, dir), nQueries = 10)
+
+  def nnRatioOn(e: DataFrame, nQueries: Int): DataFrame = {
+    val top2 = cosineTopKOn(e, nQueries, k = 2)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    top2.withColumn("rn", row_number().over(w))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("rn") === 1, col("neighbor_id"))).as("nn1"),
+        max(when(col("rn") === 1, col("cos_sim"))).as("cos1"),
+        max(when(col("rn") === 2, col("neighbor_id"))).as("nn2"),
+        max(when(col("rn") === 2, col("cos_sim"))).as("cos2"))
+      .select(col("vec_id"), col("nn1"), col("nn2"),
+        col("cos1"), col("cos2"),
+        round((lit(1.0) - col("cos1")) / (lit(1.0) - col("cos2")), 6)
+          .as("ratio"),
+        ((lit(1.0) - col("cos1")) / (lit(1.0) - col("cos2")) < 0.8)
+          .cast("int").as("confident"))
+      .orderBy(col("vec_id"))
+  }
+
+  val nnRatioSql: String =
+    s"""WITH cos AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    $cosExprSql AS cosv
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |         ORDER BY cosv DESC, neighbor_id) AS rn FROM cos),
+      |t2 AS (SELECT vec_id, neighbor_id, round(cosv, 6) AS cos_sim, rn
+      |       FROM rk WHERE rn <= 2),
+      |agg AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN rn = 1 THEN neighbor_id END) AS nn1,
+      |    MAX(CASE WHEN rn = 1 THEN cos_sim END) AS cos1,
+      |    MAX(CASE WHEN rn = 2 THEN neighbor_id END) AS nn2,
+      |    MAX(CASE WHEN rn = 2 THEN cos_sim END) AS cos2
+      |  FROM t2 GROUP BY 1)
+      |SELECT vec_id, nn1, nn2, cos1, cos2,
+      |  round((1.0 - cos1) / (1.0 - cos2), 6) AS ratio,
+      |  CAST((1.0 - cos1) / (1.0 - cos2) < 0.8 AS INT) AS confident
+      |FROM agg ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------- LSH bucket costing
   /** LSH bucket-occupancy profile — the pre-flight COSTING table for a
     * banded self-join: per band, bucket count, the largest bucket, the
@@ -2280,7 +2336,8 @@ object Similarity {
     "sim_embedding_drift" -> (embeddingDrift _),
     "sim_ann_nprobe_curve" -> (annNprobeCurve _),
     "sim_norm_profile" -> (normProfile _),
-    "sim_lsh_bucket_stats" -> (lshBucketStats _))
+    "sim_lsh_bucket_stats" -> (lshBucketStats _),
+    "sim_nn_ratio" -> (nnRatio _))
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
@@ -2311,6 +2368,7 @@ object Similarity {
       nQueries = 10, k = 5, nprobes = Seq(1, 2, 4)),
     "sim_norm_profile" -> normProfileSql,
     "sim_lsh_bucket_stats" -> lshBucketStatsSqlFor(nBands = 16, bandBits = 4),
+    "sim_nn_ratio" -> nnRatioSql,
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,

@@ -790,6 +790,82 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- composite bot score
+  /** Composite bot score — the three independent signals this module
+    * already grades, fused per user into one integer score: behavioral
+    * MONOTONY (10⁶ − [[userDiversity]] impurity), VELOCITY (trailing-
+    * hour burst flags from [[velocityFlags]]' rule), and VOLUME (event
+    * count ≥ 2× the user median — scripted accounts are loud). Score =
+    * monotony_ppm div 10⁴ (0–100) + 100 per velocity hit + 100 if
+    * high-volume; users scoring ≥ 150 are flagged. The point is the
+    * COMPOSITION: each signal alone false-positives (a quiet
+    * single-type user; one bursty human session) — the fused score is
+    * what an abuse queue actually ranks by, and every term is integer
+    * so the queue order hash-matches. Three aggregates, all keyed by
+    * user.
+    */
+  def botScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+    val imp = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sq"))
+      .select(col("user_id"), col("n"),
+        (lit(1000000L) - expr("(n * n - sq) * 1000000 div (n * n)"))
+          .as("monotony_ppm"))
+    val vel = e.select(col("user_id"), expr("unix_timestamp(ts)").as("sec"))
+      .withColumn("c1h", count(lit(1)).over(
+        Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3600, 0)))
+      .groupBy(col("user_id"))
+      .agg(sum((col("c1h") >= 3).cast("long")).as("n_bursts"))
+    val medianN = graft.queries.Core.bucketQuantilesOn(
+      imp.select(lit("all").as("f"), col("n").cast("double").as("x")),
+      Seq(0.5 -> "med"))
+      .select(col("med"))
+    imp.join(vel, "user_id")
+      .crossJoin(broadcast(medianN))
+      .withColumn("high_volume", (col("n").cast("double") >= col("med") * 2.0).cast("long"))
+      .withColumn("score",
+        expr("monotony_ppm div 10000") + col("n_bursts") * 100L +
+          col("high_volume") * 100L)
+      .filter(col("score") >= 150)
+      .select(col("user_id"), col("n").as("n_events"), col("monotony_ppm"),
+        col("n_bursts"), col("high_volume"), col("score"))
+      .orderBy(col("score").desc, col("user_id"))
+  }
+
+  val botScoreSql: String =
+    """WITH uc AS (SELECT user_id, event_type, COUNT(*) AS c
+      |            FROM events GROUP BY 1, 2),
+      |imp AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    1000000 - (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)
+      |      - CAST(SUM(c * c) AS BIGINT)) * 1000000
+      |      // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS monotony_ppm
+      |  FROM uc GROUP BY 1),
+      |vel AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN c1h >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
+      |  FROM (
+      |    SELECT user_id, COUNT(*) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS c1h
+      |    FROM events) GROUP BY 1),
+      |md AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med FROM imp),
+      |s AS (
+      |  SELECT i.user_id, i.n, i.monotony_ppm, v.n_bursts,
+      |    CASE WHEN CAST(i.n AS DOUBLE) >= md.med * 2.0 THEN 1 ELSE 0 END
+      |      AS high_volume
+      |  FROM imp i JOIN vel v USING (user_id), md)
+      |SELECT user_id, n AS n_events, monotony_ppm, n_bursts,
+      |  CAST(high_volume AS BIGINT) AS high_volume,
+      |  monotony_ppm // 10000 + n_bursts * 100 + high_volume * 100 AS score
+      |FROM s
+      |WHERE monotony_ppm // 10000 + n_bursts * 100 + high_volume * 100 >= 150
+      |ORDER BY score DESC, user_id""".stripMargin
+
   // --------------------------------------------- stationary behavior
   /** Stationary distribution of the event-type transition chain —
     * 4 rounds of fixed-point power iteration v' = v·P from the uniform
@@ -2651,6 +2727,7 @@ object Events {
     "events_user_features" -> (userFeatures _),
     "events_velocity_flags" -> (velocityFlags _),
     "events_markov_stationary" -> (markovStationary _),
+    "events_bot_score" -> (botScore _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2694,6 +2771,7 @@ object Events {
     "events_user_features" -> userFeaturesSql,
     "events_velocity_flags" -> velocityFlagsSql,
     "events_markov_stationary" -> markovStationarySql,
+    "events_bot_score" -> botScoreSql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,

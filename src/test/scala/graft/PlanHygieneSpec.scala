@@ -94,7 +94,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
     "text_burstiness", "text_stopword_candidates", "sim_embedding_drift",
     // cluster sizes: the 1-row doc-total frame broadcast onto the size grid
-    "dedup_cluster_sizes")
+    "dedup_cluster_sizes",
+    // nn ratio: cosineTopK's 10-query broadcast; bot score: the 1-row
+    // median frame broadcast onto the per-user scores
+    "sim_nn_ratio", "events_bot_score")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
