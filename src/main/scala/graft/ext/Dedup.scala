@@ -1977,9 +1977,55 @@ object Dedup {
       |  num * 1000000 // (4 * m * m) AS modularity_ppm
       |FROM agg""".stripMargin
 
+  // ----------------------------------------------- threshold sensitivity
+  /** Jaccard histogram of the verified near-dup pairs — pair counts in
+    * 0.05-wide similarity buckets above the τ = 0.5 gate, with the
+    * cumulative pair count FROM THE TOP (how many pairs survive if τ
+    * were raised to this bucket's floor). The threshold-sensitivity
+    * table read before moving τ: a mass of pairs piled just above the
+    * gate means the dup population is threshold-fragile; a bimodal
+    * histogram means the gate sits in the natural gap. Bucket =
+    * floor(j·20) (exact double multiply + floor — same on both
+    * engines); the cumulative runs over the ≤10-bucket grid.
+    */
+  def jaccardHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    minhashLshOn(docs(spark, dir))
+      .groupBy(floor(col("jaccard") * 20.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"), (col("bucket").cast("double") / 20.0).as("tau_floor"),
+        col("n_pairs"), col("n_at_or_above"))
+      .orderBy(col("bucket"))
+  }
+
+  val jaccardHistSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT CAST(c AS DOUBLE)/(x.sz + y.sz - c) AS j
+      |      FROM inter JOIN szs x ON doc_a = x.doc_id
+      |      JOIN szs y ON doc_b = y.doc_id
+      |      WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |h AS (SELECT CAST(floor(j * 20.0) AS BIGINT) AS bucket, COUNT(*) AS n_pairs
+      |      FROM p GROUP BY 1)
+      |SELECT bucket, CAST(bucket AS DOUBLE) / 20.0 AS tau_floor, n_pairs,
+      |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_at_or_above
+      |FROM h ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_matrix" -> (sourceMatrix _),
     "dedup_modularity" -> (modularity _),
+    "dedup_jaccard_hist" -> (jaccardHist _),
     "dedup_length_bias" -> (lengthBias _),
     "dedup_detector_agreement" -> (detectorAgreement _),
     "dedup_cluster_sizes" -> (clusterSizes _),
@@ -2012,6 +2058,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_source_matrix" -> sourceMatrixSql,
     "dedup_modularity" -> modularitySql,
+    "dedup_jaccard_hist" -> jaccardHistSql,
     "dedup_length_bias" -> lengthBiasSql,
     "dedup_detector_agreement" -> detectorAgreementSql,
     "dedup_cluster_sizes" -> clusterSizesSql,

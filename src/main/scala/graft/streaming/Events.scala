@@ -790,6 +790,74 @@ object Events {
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
+  // --------------------------------------------- session profile
+  /** Session profile — 5-minute-gap sessions (the [[sessionize]] rule
+    * at whole-second granularity, rebuilt via the lag/cumsum form so
+    * each session also carries its duration) summarized as exact
+    * interpolated median/p90
+    * and max for BOTH session metrics (events per session, duration
+    * seconds) in one pass: the two metric populations union into the
+    * q35 bucket quantile TAGGED BY METRIC NAME, so one grouped
+    * histogram pass prices both distributions. The engagement-depth
+    * table a product review reads next to [[cohortRetention]].
+    */
+  def sessionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        (lag(col("ts"), 1).over(w).isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 300)
+          .cast("long"))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+    val pop = sess.select(lit("n_events").as("f"), col("n_events").cast("double").as("x"))
+      .unionByName(sess.select(lit("duration_sec").as("f"),
+        col("duration_sec").cast("double").as("x")))
+    val qs = graft.queries.Core.bucketQuantilesOn(pop,
+      Seq(0.5 -> "med", 0.9 -> "p90"))
+    val agg = pop.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("x")).cast("long").as("max_val"))
+    qs.join(agg, "f")
+      .select(col("f").as("metric"), col("n_sessions"),
+        round(col("med"), 6).as("median"), round(col("p90"), 6).as("p90"),
+        col("max_val"))
+      .orderBy(col("metric"))
+  }
+
+  val sessionProfileSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) // 1000000
+      |              - epoch_us(lag(ts) OVER w) // 1000000 > 300
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged),
+      |s AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |    epoch_us(MAX(ts)) // 1000000 - epoch_us(MIN(ts)) // 1000000
+      |      AS duration_sec
+      |  FROM sess GROUP BY 1, 2),
+      |pop AS (
+      |  SELECT 'n_events' AS f, CAST(n_events AS DOUBLE) AS x FROM s
+      |  UNION ALL
+      |  SELECT 'duration_sec', CAST(duration_sec AS DOUBLE) FROM s)
+      |SELECT f AS metric, COUNT(*) AS n_sessions,
+      |  round(quantile_cont(x, 0.5), 6) AS median,
+      |  round(quantile_cont(x, 0.9), 6) AS p90,
+      |  CAST(MAX(x) AS BIGINT) AS max_val
+      |FROM pop GROUP BY f ORDER BY metric""".stripMargin
+
   // --------------------------------------------- composite bot score
   /** Composite bot score — the three independent signals this module
     * already grades, fused per user into one integer score: behavioral
@@ -2728,6 +2796,7 @@ object Events {
     "events_velocity_flags" -> (velocityFlags _),
     "events_markov_stationary" -> (markovStationary _),
     "events_bot_score" -> (botScore _),
+    "events_session_profile" -> (sessionProfile _),
     "events_power_users" -> (powerUsers _),
     "events_neyman_sample" -> (neymanSample _),
     "events_spc_rules" -> (spcRules _),
@@ -2772,6 +2841,7 @@ object Events {
     "events_velocity_flags" -> velocityFlagsSql,
     "events_markov_stationary" -> markovStationarySql,
     "events_bot_score" -> botScoreSql,
+    "events_session_profile" -> sessionProfileSql,
     "events_power_users" -> powerUsersSql,
     "events_neyman_sample" -> neymanSampleSql,
     "events_spc_rules" -> spcRulesSql,
