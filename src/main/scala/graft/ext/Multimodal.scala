@@ -808,6 +808,7 @@ object Multimodal {
     "multimodal_audio_energy" -> (audioEnergy _),
     "multimodal_energy_cuts" -> (energyCuts _),
     "multimodal_dedup_savings" -> (dedupSavings _),
+    "multimodal_phash_hist" -> (phashHist _),
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_frames" -> (mediaFrames _),
     "multimodal_header_probe" -> (mediaHeaderProbe _),
@@ -858,6 +859,44 @@ object Multimodal {
       expr("cast(concat(substr(text, 1, 40), upper(substr(text, 41, 8)), " +
         "substr(text, 49)) as binary)").as("payload"))
     mediaPhashDedupOn(base.unionByName(copies), tau = 6)
+  }
+
+  // --------------------------------------------- phash distance census
+  /** Hamming-distance histogram of the perceptual-hash near-dup pairs —
+    * pair counts per exact distance 0..7 (the HmSearch guarantee
+    * radius, so every such pair is FOUND, making the histogram exact)
+    * with the cumulative pairs-within-d. The [[graft.ext.Dedup
+    * jaccardHist]] sensitivity table for the visual-dup domain: it
+    * shows where the τ knob actually bites before anyone moves it.
+    * Rides [[mediaPhashDedupOn]] at the full exact radius; the census
+    * is two aggregates on the ≤8-row grid.
+    */
+  def phashHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"))
+    val copies = docs.select((col("doc_id") + 1000000L).as("media_id"),
+      expr("cast(concat(substr(text, 1, 40), upper(substr(text, 41, 8)), " +
+        "substr(text, 49)) as binary)").as("payload"))
+    mediaPhashDedupOn(base.unionByName(copies), tau = 7)
+      .groupBy(col("hamming").cast("long").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_within", sum(col("n_pairs")).over(
+        Window.orderBy(col("hamming"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("hamming"))
+  }
+
+  lazy val phashHistSql: String = {
+    val pairQuery = mediaPhashDedupSqlFor(tau = 7)
+    s"""SELECT CAST(hamming AS BIGINT) AS hamming, COUNT(*) AS n_pairs,
+       |  CAST(SUM(COUNT(*)) OVER (ORDER BY hamming
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_within
+       |FROM (
+       |$pairQuery
+       |) GROUP BY hamming ORDER BY hamming""".stripMargin
   }
 
   def mediaPhashDedupOn(media: DataFrame, tau: Int): DataFrame = {
@@ -985,5 +1024,6 @@ object Multimodal {
     "multimodal_entropy" -> mediaEntropySql,
     "multimodal_audio_energy" -> audioEnergySql,
     "multimodal_energy_cuts" -> energyCutsSql,
-    "multimodal_dedup_savings" -> dedupSavingsSqlFor(chunkBytes = 64))
+    "multimodal_dedup_savings" -> dedupSavingsSqlFor(chunkBytes = 64),
+    "multimodal_phash_hist" -> phashHistSql)
 }

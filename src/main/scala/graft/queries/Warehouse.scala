@@ -1520,6 +1520,50 @@ object Warehouse {
       |FROM g WHERE prev IS NOT NULL
       |ORDER BY month, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Herfindahl–Hirschman concentration index of supplier revenue —
+    * HHI·10⁶ = Σ rev_i² · 10⁶ div (Σ rev_i)², exact (revenues in 10⁻⁴
+    * units, squares and the final quotient in DECIMAL(38,0) with
+    * integral `div` — the q83 Gini discipline; the two statistics
+    * together are the standard concentration pair). Plus the top
+    * supplier's share in bp. One per-supplier aggregate; the index is
+    * arithmetic on its sums — no ranking needed at all, which is why
+    * HHI is the concentration stat that scales for free.
+    */
+  def q89Hhi(spark: SparkSession, dir: String): DataFrame = {
+    val sr = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("rev"))
+    sr.agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev").cast(DecimalType(38, 0)) * col("rev").cast(DecimalType(38, 0)))
+          .as("sq"),
+        sum(col("rev")).as("t"), max(col("rev")).as("top_rev"))
+      .withColumn("num", col("sq") * lit(1000000).cast(DecimalType(38, 0)))
+      .withColumn("den",
+        col("t").cast(DecimalType(38, 0)) * col("t").cast(DecimalType(38, 0)))
+      .select(col("n_suppliers"),
+        expr("num div den").as("hhi_ppm"),
+        expr("top_rev * 10000 div t").as("top_share_bp"))
+  }
+
+  val q89Sql: String =
+    """WITH sr AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |a AS (
+      |  SELECT COUNT(*) AS n_suppliers,
+      |    SUM(CAST(rev AS HUGEINT) * rev) AS sq,
+      |    CAST(SUM(rev) AS HUGEINT) AS t,
+      |    MAX(rev) AS top_rev
+      |  FROM sr)
+      |SELECT n_suppliers,
+      |  CAST(sq * 1000000 // (t * t) AS BIGINT) AS hhi_ppm,
+      |  CAST(top_rev * 10000 // t AS BIGINT) AS top_share_bp
+      |FROM a""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1548,7 +1592,8 @@ object Warehouse {
     "q85_anova_weekday" -> (q85AnovaWeekday _),
     "q86_new_vs_returning" -> (q86NewVsReturning _),
     "q87_degree_dist" -> (q87DegreeDist _),
-    "q88_segment_growth" -> (q88SegmentGrowth _))
+    "q88_segment_growth" -> (q88SegmentGrowth _),
+    "q89_hhi" -> (q89Hhi _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1577,5 +1622,6 @@ object Warehouse {
     "q85_anova_weekday" -> q85Sql,
     "q86_new_vs_returning" -> q86Sql,
     "q87_degree_dist" -> q87Sql,
-    "q88_segment_growth" -> q88Sql)
+    "q88_segment_growth" -> q88Sql,
+    "q89_hhi" -> q89Sql)
 }
