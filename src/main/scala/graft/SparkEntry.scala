@@ -68,8 +68,8 @@ object SparkEntry {
     // fixed-point kNN stack (banded + l2sq_i64 + topk_by)
     "simpq" -> ((Set("sim_quantize_pq", "sim_ann_ivfpq",
       "sim_ann_ivfpq_recall", "sim_pq_distortion"), "sim_quantize_pq")),
-    "simfp" -> ((Set("sim_label_spread", "sim_label_noise"),
-      "sim_label_noise")),
+    "simfp" -> ((Set("sim_label_spread", "sim_label_noise",
+      "sim_triplet_margin"), "sim_label_noise")),
     "text" -> ((TextOps.queries.keySet, "text_quality_score")),
     // reps warm each family's DOMINANT expression set; single tiny
     // scalars a rep misses (e.g. mix64 in cdc_dedup / seeded ivf)

@@ -2123,6 +2123,82 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ----------------------------------------------- triplet margin audit
+  /** Triplet-margin audit — for every anchor that has BOTH a same-label
+    * and an other-label candidate in its LSH neighborhood, the exact
+    * fixed-point margin d²(anchor, nearest-other) − d²(anchor,
+    * nearest-same): the quantity a contrastive/triplet loss pushes
+    * positive. Per label: anchors, VIOLATIONS (margin ≤ 0 — an
+    * other-label vector closer than every same-label one, the
+    * mislabel/collapse signature [[labelNoise]] votes on), and exact
+    * sum/min margins. The report that says whether mined hard
+    * negatives ([[hardNegativesOn]]) are genuinely hard or the space
+    * is already separated. One banded candidate pass split by label
+    * equality, two per-anchor argmins, one label rollup.
+    */
+  def tripletMargin(spark: SparkSession, dir: String): DataFrame =
+    tripletMarginOn(emb(spark, dir), nBands = 16, bandBits = 8)
+
+  def tripletMarginOn(e: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), col("label"), expr(vfpExpr).as("vfp"))
+    val bd = banded(e, nBands, bandBits)
+    val cand = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
+      .join(bd.select(col("vec_id").as("vb"), col("band").as("bband"),
+        col("band_key").as("bkey")),
+        col("band") === col("bband") && col("band_key") === col("bkey") &&
+          col("va") =!= col("vb"))
+      .select(col("va"), col("vb")).dropDuplicates("va", "vb")
+    val scored = cand
+      .join(vfp.select(col("vec_id").as("va"), col("label").as("la"),
+        col("vfp").as("qa")), "va")
+      .join(vfp.select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("vfp").as("qb")), "vb")
+      .withColumn("d2", expr("l2sq_i64(qa, qb)"))
+      .select(col("va"), col("la"), col("lb"), col("vb"), col("d2"))
+    val w = Window.partitionBy(col("va")).orderBy(col("d2"), col("vb"))
+    def nearest(cond: org.apache.spark.sql.Column, out: String) =
+      scored.filter(cond)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("va"), col("la"), col("d2").as(out))
+    nearest(col("la") === col("lb"), "d_pos")
+      .join(nearest(col("la") =!= col("lb"), "d_neg").drop("la"), "va")
+      .withColumn("margin", col("d_neg") - col("d_pos"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum((col("margin") <= 0).cast("long")).as("n_violations"),
+        sum(col("margin")).as("sum_margin"), min(col("margin")).as("min_margin"))
+      .orderBy(col("label"))
+  }
+
+  def tripletMarginSqlFor(nBands: Int, bandBits: Int): String =
+    s"""WITH ${lshBandsCte(nBands, bandBits)},
+       |v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.vec_id <> y.vec_id),
+       |d AS (
+       |  SELECT cand.va, a.label AS la, b.label AS lb, cand.vb,
+       |    CAST(list_aggregate(list_transform(list_zip(a.vfp, b.vfp),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d2
+       |  FROM cand JOIN v a ON a.vec_id = cand.va JOIN v b ON b.vec_id = cand.vb),
+       |pos AS (SELECT va, la, d2 AS d_pos FROM (
+       |  SELECT va, la, d2, row_number() OVER (PARTITION BY va
+       |    ORDER BY d2, vb) AS rk FROM d WHERE la = lb) WHERE rk = 1),
+       |neg AS (SELECT va, d2 AS d_neg FROM (
+       |  SELECT va, d2, row_number() OVER (PARTITION BY va
+       |    ORDER BY d2, vb) AS rk FROM d WHERE la <> lb) WHERE rk = 1)
+       |SELECT p.la AS label, COUNT(*) AS n_anchors,
+       |  CAST(SUM(CASE WHEN n.d_neg - p.d_pos <= 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_violations,
+       |  CAST(SUM(n.d_neg - p.d_pos) AS BIGINT) AS sum_margin,
+       |  MIN(n.d_neg - p.d_pos) AS min_margin
+       |FROM pos p JOIN neg n USING (va)
+       |GROUP BY p.la ORDER BY label""".stripMargin
+
   def hardNegativesSqlFor(nBands: Int, bandBits: Int): String =
     s"""WITH ${lshBandsCte(nBands, bandBits)},
        |v AS (
@@ -2337,7 +2413,8 @@ object Similarity {
     "sim_ann_nprobe_curve" -> (annNprobeCurve _),
     "sim_norm_profile" -> (normProfile _),
     "sim_lsh_bucket_stats" -> (lshBucketStats _),
-    "sim_nn_ratio" -> (nnRatio _))
+    "sim_nn_ratio" -> (nnRatio _),
+    "sim_triplet_margin" -> (tripletMargin _))
 
   val oracles: Map[String, String] = Map(
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
@@ -2369,6 +2446,7 @@ object Similarity {
     "sim_norm_profile" -> normProfileSql,
     "sim_lsh_bucket_stats" -> lshBucketStatsSqlFor(nBands = 16, bandBits = 4),
     "sim_nn_ratio" -> nnRatioSql,
+    "sim_triplet_margin" -> tripletMarginSqlFor(nBands = 16, bandBits = 8),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,
