@@ -1564,6 +1564,48 @@ object Warehouse {
       |  CAST(top_rev * 10000 // t AS BIGINT) AS top_share_bp
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Pareto frontier (skyline) of parts — minimize retail price,
+    * maximize size: every part not dominated by another that is
+    * cheaper-or-equal AND bigger-or-equal (strictly better in one).
+    * The multi-criteria shortlist operator (cheapest-per-capability
+    * curves, price/quality menus) done WITHOUT the naive all-pairs
+    * NOT EXISTS: group to the distinct-price grid with each price's
+    * max size, take the strictly-cheaper running max over that TINY
+    * grid, and a part survives iff its size beats every cheaper max
+    * AND equals its own price's max (exact price/size ties are
+    * mutually non-dominating and all kept — standard skyline
+    * semantics). One aggregate + one broadcast of the price grid; the
+    * only ordered pass runs on distinct prices.
+    */
+  def q90Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val grid = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("ms"))
+      .withColumn("cmax", coalesce(
+        max(col("ms")).over(Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(-1)))
+    p.join(broadcast(grid), "p_retailprice")
+      .filter(col("p_size") > col("cmax") && col("p_size") === col("ms"))
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  val q90Sql: String =
+    """WITH grid AS (
+      |  SELECT p_retailprice, MAX(p_size) AS ms FROM part GROUP BY 1),
+      |g AS (
+      |  SELECT p_retailprice, ms,
+      |    COALESCE(MAX(ms) OVER (ORDER BY p_retailprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS cmax
+      |  FROM grid)
+      |SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+      |FROM part p JOIN g USING (p_retailprice)
+      |WHERE p.p_size > g.cmax AND p.p_size = g.ms
+      |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1593,7 +1635,8 @@ object Warehouse {
     "q86_new_vs_returning" -> (q86NewVsReturning _),
     "q87_degree_dist" -> (q87DegreeDist _),
     "q88_segment_growth" -> (q88SegmentGrowth _),
-    "q89_hhi" -> (q89Hhi _))
+    "q89_hhi" -> (q89Hhi _),
+    "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
     "q60_skew_probe" -> q60Sql,
@@ -1623,5 +1666,6 @@ object Warehouse {
     "q86_new_vs_returning" -> q86Sql,
     "q87_degree_dist" -> q87Sql,
     "q88_segment_growth" -> q88Sql,
-    "q89_hhi" -> q89Sql)
+    "q89_hhi" -> q89Sql,
+    "q90_skyline" -> q90Sql)
 }
