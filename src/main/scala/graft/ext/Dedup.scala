@@ -1873,7 +1873,7 @@ object Dedup {
       |  CAST(SUM(in_win) AS BIGINT) AS n_win,
       |  CAST(SUM(in_lsh * in_win) AS BIGINT) AS n_both,
       |  CAST(SUM(in_lsh * in_win) AS BIGINT) * 10000
-      |    // (SUM(in_lsh) + SUM(in_win) - SUM(in_lsh * in_win)) AS jaccard_bp
+      |    // CAST(SUM(in_lsh) + SUM(in_win) - SUM(in_lsh * in_win) AS BIGINT) AS jaccard_bp
       |FROM u""".stripMargin
 
   // ----------------------------------------------- cluster size census

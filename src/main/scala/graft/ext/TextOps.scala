@@ -1620,7 +1620,7 @@ object TextOps {
       |SELECT k, MAX(vocab_size) AS vocab_size,
       |  CAST(SUM(cnt) AS BIGINT) AS cum_tokens,
       |  CAST(MAX(total) AS BIGINT) AS total_tokens,
-      |  CAST(SUM(cnt) AS BIGINT) * 1000000 // MAX(total) AS share_ppm
+      |  CAST(SUM(cnt) AS BIGINT) * 1000000 // CAST(MAX(total) AS BIGINT) AS share_ppm
       |FROM rk, tot, UNNEST([CAST(10 AS BIGINT), 100, 1000]) AS t(k)
       |WHERE r <= k GROUP BY k ORDER BY k""".stripMargin
 
@@ -1810,7 +1810,7 @@ object TextOps {
       |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_shared,
       |  MAX(c) AS largest_group,
       |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
-      |    * 1000000 // SUM(c) AS shared_ppm
+      |    * 1000000 // CAST(SUM(c) AS BIGINT) AS shared_ppm
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   // ----------------------------------------------- length profile

@@ -1058,7 +1058,7 @@ object Warehouse {
       |         ELSE 'C' END AS cls, t
       |  FROM c, t)
       |SELECT cls, COUNT(*) AS n_parts, CAST(SUM(rev) AS BIGINT) AS rev_units,
-      |  CAST(SUM(rev) AS BIGINT) * 10000 // MAX(t) AS share_bp
+      |  CAST(SUM(rev) AS BIGINT) * 10000 // CAST(MAX(t) AS BIGINT) AS share_bp
       |FROM k GROUP BY cls ORDER BY cls""".stripMargin
 
   // ---------------------------------------------------------------- q80
@@ -1190,8 +1190,8 @@ object Warehouse {
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |  JOIN region r ON n.n_regionkey = r.r_regionkey
       |  GROUP BY 1, 2),
-      |rg AS (SELECT r_name, SUM(rev) AS rrev FROM rev GROUP BY 1),
-      |t AS (SELECT SUM(rev) AS trev FROM rev)
+      |rg AS (SELECT r_name, CAST(SUM(rev) AS BIGINT) AS rrev FROM rev GROUP BY 1),
+      |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS trev FROM rev)
       |SELECT rev.r_name, rev.n_name, rev.rev,
       |  rev.rev * 10000 // rg.rrev AS share_of_region_bp,
       |  rg.rrev * 10000 // t.trev AS region_share_bp

@@ -786,7 +786,7 @@ object Events {
       |  SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
       |    CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
       |  FROM events GROUP BY 1, 2),
-      |t AS (SELECT SUM(n) AS total FROM c)
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
       |SELECT iso_dow, hh, n, n * 1000000 // total AS share_ppm
       |FROM c, t ORDER BY iso_dow, hh""".stripMargin
 
@@ -1321,7 +1321,7 @@ object Events {
 
   val powerUsersSql: String =
     """WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
-      |t AS (SELECT COUNT(*) AS u, SUM(c) AS total FROM uc),
+      |t AS (SELECT COUNT(*) AS u, CAST(SUM(c) AS BIGINT) AS total FROM uc),
       |rk AS (
       |  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS r
       |  FROM uc)
@@ -1487,7 +1487,7 @@ object Events {
       |p AS (
       |  SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
       |  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1),
-      |t AS (SELECT SUM(n) AS total FROM p)
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM p)
       |SELECT path, n, n * 1000000 // total AS share_ppm
       |FROM p, t ORDER BY n DESC, path LIMIT 10""".stripMargin
 

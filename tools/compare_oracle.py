@@ -39,6 +39,18 @@ for name in sorted(oracle):
         failures += 1; continue
     ok = True
     for c in odf.columns:
+        # Dtype-kind-strict: the driver's hash is dtype-sensitive at the
+        # value-repr level — int64 vs float64 differ (5 vs 5.0: the
+        # DuckDB SUM(BIGINT)->HUGEINT->float64 trap), but width and
+        # resolution do not (int32==int64, datetime64[us]==datetime64[ns]
+        # all passed the r09 driver gate). Mirror that: fail when the
+        # numpy dtype KIND differs (i/u, f, M, b, O), tolerate widths.
+        okind = odf[c].dtype.kind.replace("u", "i")
+        skind = sdf[c].dtype.kind.replace("u", "i")
+        if okind != skind:
+            print(f"{name}: DTYPE KIND MISMATCH col={c} "
+                  f"oracle={odf[c].dtype} spark={sdf[c].dtype}")
+            ok = False
         a, b = odf[c].values, sdf[c].values
         try:
             eq = (pd.isna(a) & pd.isna(b)) | (a == b)
