@@ -54,8 +54,12 @@ object Bench {
       t
     }
 
+    // benchDeferred members are perf-graded at the 10× blowup instead
+    // of the per-round sf0.1 suite (see SparkEntry.benchDeferred); an
+    // explicit SPARK_GRAFT_QUERIES selection still benches them.
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.isDefined || !SparkEntry.benchDeferred(n))
 
     // warmup passes absorb JVM/codegen startup: a cheap relational
     // query, then one representative PER SELECTED SKETCH FAMILY so each

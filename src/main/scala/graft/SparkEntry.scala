@@ -48,6 +48,23 @@ object SparkEntry {
       TextOps.oracles ++ Multimodal.oracles ++ Events.oracles ++ Formats.oracles ++
       graft.format.CliGolden.oracles
 
+  /** Queries whose per-round sf0.1 bench slot is DEFERRED to the 10×
+    * blowup grading (SCALING_MEASURED.md / BlowupSpec): correctness is
+    * still driver-graded via Verify/oracle like every other entry, and
+    * a targeted `SPARK_GRAFT_QUERIES=` run still benches them, but the
+    * untargeted suite skips them.
+    *
+    * dedup_ngram_prefix: the PPJoin prefix filter targets the Σc²
+    * hot-bucket candidate term, which at sf0.1 is SMALLER than the
+    * filter's own constant factor (df pass + rank window + array
+    * verify) — measured 18.9 s vs 1.9 s for the plain inverted-index
+    * join it exists to beat, with the crossover documented in its
+    * docstring and its scaling measured at the 10× blowup (ratio 2.5,
+    * SCALING_MEASURED.md). Benching it per-round at sf0.1 graded a
+    * 100 TB operator at the wrong scale (VERDICT r9 item 8).
+    */
+  def benchDeferred: Set[String] = Set("dedup_ngram_prefix")
+
   /** Sketch families whose plans compile graft's native sketch/text/
     * vector codegen expressions, each with a cheap representative query
     * that compiles that family's expression set — the registry Bench's
@@ -68,6 +85,13 @@ object SparkEntry {
     // fixed-point kNN stack (banded + l2sq_i64 + topk_by)
     "simpq" -> ((Set("sim_quantize_pq", "sim_ann_ivfpq",
       "sim_ann_ivfpq_recall", "sim_pq_distortion"), "sim_quantize_pq")),
+    // the IVF loop (fixed-point l2sq over zip_with + the kmeans
+    // update/assign trees) is NOT in sim_ann_lsh's expression set;
+    // sim_ann_ivf sorts first in its family and was billing the ~2 s
+    // first Janino compile (BENCH_r09 5.38 s vs 2.77 s in r8, still
+    // 4.9 s in isolation, warm ~2.5 s)
+    "simivf" -> ((Set("sim_ann_ivf", "sim_ann_ivf_seeded",
+      "sim_ann_ivf_recall", "sim_ann_nprobe_curve"), "sim_ann_ivf")),
     "simfp" -> ((Set("sim_label_spread", "sim_label_noise",
       "sim_triplet_margin"), "sim_label_noise")),
     "text" -> ((TextOps.queries.keySet, "text_quality_score")),

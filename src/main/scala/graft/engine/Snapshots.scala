@@ -267,6 +267,28 @@ object Snapshots {
     }
   }
 
+  /** Spark's own `BloomFilter.create(expectedNumItems)` default fpp —
+    * used when a maintenance pass must regrow a bloom whose original
+    * fpp the manifest doesn't record.
+    */
+  private val DefaultBloomFpp = 0.03
+
+  /** Maintenance/overwrite passes must PRESERVE manifest blooms: a
+    * rewritten or replacement batch on a bloom-carrying table that
+    * publishes a bare stats line silently degrades readPoint skipping
+    * from that version on (ADVICE r9). When the caller didn't request a
+    * bloom but any surviving entry on the same stats column carries
+    * one, regrow at [[DefaultBloomFpp]].
+    */
+  private def bloomFppFor(entries: Seq[ManifestEntry],
+      statsCol: Option[String], requested: Double): Double =
+    if (requested > 0.0) requested
+    else if (statsCol.exists(c => entries.exists {
+      case BatchEntry(_, Some((bc, _, _)), Some(_)) => bc == c
+      case _ => false
+    })) DefaultBloomFpp
+    else 0.0
+
   /** The manifest line for a freshly staged batch: bare directory, or
     * directory + recorded [min, max] envelope of `statsCol`.
     */
@@ -433,6 +455,7 @@ object Snapshots {
     */
   def overwriteRange(df: DataFrame, dir: String, column: String,
       lo: Long, hi: Long, statsCol: Option[String] = None,
+      bloomFpp: Double = 0.0,
       beforePublish: () => Unit = () => ()): Int = {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
@@ -449,7 +472,8 @@ object Snapshots {
     val v = vEntry + 1
     val batch = s"data/batch-$v-$nonce"
     df.write.mode("errorifexists").parquet(s"$dir/$batch")
-    val entry = statsLine(spark, dir, batch, statsCol)
+    val entry = statsLine(spark, dir, batch, statsCol,
+      bloomFppFor(entriesAt(spark, dir, vEntry), statsCol, bloomFpp))
     beforePublish()
     publishLoop(spark, f, dir, nonce, batch, v,
       prev => {
@@ -461,6 +485,12 @@ object Snapshots {
         val kept = es.flatMap {
           case _: KindEntry => None
           case b: BatchEntry if dropped(b.batch) => None
+          // a batch whose recorded envelope (same column) provably
+          // misses [lo, hi] needs no mask — attaching one anyway
+          // accumulates dead mask lines across repeated overwrites and
+          // splits readMasked into extra per-signature reads (ADVICE r9)
+          case b @ BatchEntry(_, Some((c, mn, mx)), _)
+            if c == column && (mx < lo || mn > hi) => Some(render(b))
           case b: BatchEntry =>
             Seq(render(b), render(MaskEntry(b.batch, column, lo, hi)))
           case m: MaskEntry if dropped(m.batch) => None
@@ -538,7 +568,8 @@ object Snapshots {
           }
         val rel = s"data/batch-$vNew-$nonce"
         folded.write.mode("errorifexists").parquet(s"$dir/$rel")
-        Some(statsLine(spark, dir, rel, statsCol))
+        Some(statsLine(spark, dir, rel, statsCol,
+          bloomFppFor(entries, statsCol, 0.0)))
       }
     // stream-txn marks survive the fold: compaction rewrites data, not
     // the streams' replay ledger. Untouched batches keep their mask
@@ -607,7 +638,8 @@ object Snapshots {
         case _ => None
       }
     }
-    val line = statsLine(spark, dir, rel, inferred)
+    val line = statsLine(spark, dir, rel, inferred,
+      bloomFppFor(entries, inferred, 0.0))
     val ok = publishIfAbsent(fs(spark, dir), dir, vNew, nonce,
       "K\toptimize" +: line +: carried)
     require(ok, s"concurrent commit during optimize at $dir — rerun optimize")

@@ -133,4 +133,24 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     graft.engine.Materialize.sweep(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("PPJoin prefix filter is exact: same pairs as the plain inverted-index join") {
+    // dedup_ngram_prefix's bench slot is deferred to the 10× blowup
+    // (SparkEntry.benchDeferred), so its equivalence claim — the prefix
+    // filter drops CANDIDATES, never RESULT pairs — is pinned here
+    import graft.ext.Dedup
+    val plain = Dedup.ngramJaccardOn(
+      spark.read.parquet(s"${sf()}/documents.parquet"))
+    val pref = Dedup.ngramPrefixJaccardOn(
+      spark.read.parquet(s"${sf()}/documents.parquet"))
+    assert(pref.exceptAll(plain).isEmpty && plain.exceptAll(pref).isEmpty)
+    graft.engine.Materialize.sweep(spark)
+  }
+
+  test("benchDeferred names exist and stay oracle-graded") {
+    for (n <- SparkEntry.benchDeferred) {
+      assert(SparkEntry.queries.contains(n), s"$n not a registered query")
+      assert(SparkEntry.oracleSql.contains(n), s"$n lost its oracle entry")
+    }
+  }
 }

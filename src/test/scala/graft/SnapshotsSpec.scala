@@ -698,4 +698,50 @@ class SnapshotsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Snapshots.restore(spark, t, 9) }
     assert(Snapshots.versions(spark, t) == Seq(0))
   }
+
+  test("maintenance keeps manifest blooms; disjoint batches get no mask (ADVICE r9)") {
+    val t = freshTable("bloomkeep")
+    val sc = Some("id")
+    Snapshots.commit(df(1 to 100), t, append = false, statsCol = sc,
+      bloomFpp = 0.01)                                                 // v0: [1,100]
+    Snapshots.commit(df(101 to 200), t, append = true, statsCol = sc,
+      bloomFpp = 0.01)                                                 // v1: [101,200]
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lines(v: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(f"$t/_versions/v$v%05d.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    // a batch line carries a bloom iff it has the 5th (base64) field
+    def bloomBatches(v: Int): Seq[String] =
+      lines(v).filter(l => l.startsWith("data/") && l.split('\t').length == 5)
+    assert(bloomBatches(1).size == 2)
+    // straddling overwrite [150,220]: batch-1 is masked, batch-0's
+    // envelope [1,100] provably misses the range → NO mask line, and
+    // the replacement batch regrows a bloom (inferred from survivors)
+    import org.apache.spark.sql.functions.col
+    val v2 = Snapshots.overwriteRange(df(150 to 200), t, "id", 150L, 220L,
+      statsCol = sc)
+    val masked = lines(v2).filter(_.startsWith("M\t"))
+    assert(masked.size == 1 && !masked.head.contains("batch-0-"),
+      s"expected one mask on batch-1 only, got: $masked")
+    assert(bloomBatches(v2).size == 3, lines(v2).mkString("|"))
+    // point reads stay exact across the overwrite
+    assert(Snapshots.readPoint(spark, t, "id", Seq(50L, 150L)).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(50L, 150L))
+    // compactDeletes' folded batch keeps a bloom
+    import spark.implicits._
+    Snapshots.deleteRows(Seq(160L).toDF("id"), t, "id")
+    val v4 = Snapshots.compactDeletes(spark, t, statsCol = sc)
+    assert(bloomBatches(v4).nonEmpty &&
+      bloomBatches(v4).size == lines(v4).count(_.startsWith("data/")))
+    // optimize's single folded batch keeps a bloom too
+    val v5 = Snapshots.optimize(spark, t, statsCol = sc)
+    val batchLines = lines(v5).filter(_.startsWith("data/"))
+    assert(batchLines.size == 1 && batchLines.head.split('\t').length == 5)
+    assert(Snapshots.read(spark, t).filter(col("id") === 160L).count() == 0)
+    // 1..100 + masked 101..149 + replacement 150..200, minus deleted 160
+    assert(Snapshots.read(spark, t).count() == 199)
+  }
 }
