@@ -24,6 +24,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full chain on demand — getMessage alone hides the cause of
+        // wrapped errors like EXPRESSION_DECODING_FAILED
+        if (sys.env.contains("SPARK_GRAFT_STACKTRACE")) e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1192,10 +1192,34 @@ object Events {
         expr("level_sum div n_hours").as("mean_level"))
   }
 
-  // lazy: textually precedes sweeplineLoadSql, which it embeds
-  lazy val peakLoadSql: String =
+  /** The sweep-line curve CTE body, UN-ordered: shared verbatim by
+    * [[sweeplineLoadSql]] (which appends its own ORDER BY) and
+    * [[peakLoadSql]] (which embeds it as a subquery, where an ORDER BY
+    * would be dead weight) — so the two can never drift apart the way
+    * a post-hoc string replace could (ADVICE r9).
+    */
+  private val sweeplineCurveSql: String =
+    """WITH sess AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) AS sh,
+      |    CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS eh
+      |  FROM events GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT sh AS hr, CAST(1 AS BIGINT) AS d FROM sess
+      |  UNION ALL SELECT eh + 1, CAST(-1 AS BIGINT) FROM sess),
+      |g AS (
+      |  SELECT hr, SUM(d) AS net,
+      |    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_starts,
+      |    SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_ends
+      |  FROM deltas GROUP BY hr)
+      |SELECT make_timestamp(hr * 3600000000) AS hour,
+      |  CAST(n_starts AS BIGINT) AS n_starts, CAST(n_ends AS BIGINT) AS n_ends,
+      |  CAST(SUM(net) OVER (ORDER BY hr) AS BIGINT) AS open_sessions
+      |FROM g""".stripMargin
+
+  val peakLoadSql: String =
     s"""WITH curve AS (
-      |${sweeplineLoadSql.replace("ORDER BY hour", "")}
+      |$sweeplineCurveSql
       |),
       |p AS (SELECT MAX(open_sessions) AS peak FROM curve)
       |SELECT p.peak,
@@ -1744,24 +1768,7 @@ object Events {
       .orderBy(col("hour"))
   }
 
-  val sweeplineLoadSql: String =
-    """WITH sess AS (
-      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-      |    CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) AS sh,
-      |    CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS eh
-      |  FROM events GROUP BY 1, 2),
-      |deltas AS (
-      |  SELECT sh AS hr, CAST(1 AS BIGINT) AS d FROM sess
-      |  UNION ALL SELECT eh + 1, CAST(-1 AS BIGINT) FROM sess),
-      |g AS (
-      |  SELECT hr, SUM(d) AS net,
-      |    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_starts,
-      |    SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_ends
-      |  FROM deltas GROUP BY hr)
-      |SELECT make_timestamp(hr * 3600000000) AS hour,
-      |  CAST(n_starts AS BIGINT) AS n_starts, CAST(n_ends AS BIGINT) AS n_ends,
-      |  CAST(SUM(net) OVER (ORDER BY hr) AS BIGINT) AS open_sessions
-      |FROM g ORDER BY hour""".stripMargin
+  val sweeplineLoadSql: String = s"$sweeplineCurveSql\nORDER BY hour"
 
   // --------------------------------------------- cumulative audience
   /** Daily audience growth: per day, the distinct users active, the

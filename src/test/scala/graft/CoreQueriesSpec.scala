@@ -173,4 +173,26 @@ class CoreQueriesSpec extends SparkSpecBase {
       spark.sql("SELECT topk_by(cast(1.0 as double), 1L, cast(null as int))").collect())
     assert(e.getMessage.contains("non-null literal int"))
   }
+
+  test("q52 recursive CTE equals sequence() calendar densification") {
+    // the only query with no dedicated pin (VERDICT r9): check the
+    // WITH RECURSIVE month generator against Spark's closed-form
+    // sequence() over the same span — same months, same counts, and
+    // gap months present as explicit zeros
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Core.q52RecursiveCte(spark, sf())
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("m", trunc(col("o_orderdate"), "MM"))
+    val expected = orders
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("m"))
+      .join(orders, Seq("m"), "left")
+      .groupBy(date_format(col("m"), "yyyy-MM").as("month"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .select(col("month"), col("n_orders"),
+        coalesce(col("rev"), lit(0)).cast("double").as("revenue"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
 }
