@@ -147,16 +147,85 @@ object CliGolden {
       |  '  n_regionkey INT64 (ndv: ' || ndv3 || ', min: ' || mn3 || ', max: ' || mx3 || ')' FROM s
       |ORDER BY line_no""".stripMargin
 
+  /** The interactive REPL dispatch itself (the last §2 surface with no
+    * driver grade, VERDICT r9 item 4): a scripted session drives the
+    * REAL [[graft.cli.Repl.loop]] — LOAD TABLE, SHOW TABLES, DESCRIBE
+    * (found and missing), SET FORMAT (valid and bogus), a SELECT
+    * rendered in the switched format, EXIT — through injected
+    * stdin/stdout, and the byte stream (prompts, banner, errors and
+    * all) is graded line-by-line against DuckDB reconstructing it.
+    */
+  def cliRepl(spark: SparkSession, dir: String): DataFrame = {
+    val script =
+      s"""LOAD TABLE nation FROM '$dir/nation.parquet'
+         |SHOW TABLES
+         |DESCRIBE nation
+         |DESCRIBE missing
+         |SET FORMAT csv
+         |SET FORMAT bogus
+         |SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+         |EXIT
+         |""".stripMargin
+    val in = new java.io.ByteArrayInputStream(script.getBytes("UTF-8"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(bos, true, "UTF-8")
+    Console.withOut(ps) {
+      Console.withIn(in) {
+        graft.cli.Repl.loop(spark, new graft.catalog.Catalog(spark),
+          initialFormat = "markdown")
+      }
+    }
+    ps.flush()
+    linesDf(spark, bos.toString("UTF-8"))
+  }
+
+  val cliReplSql: String =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS nrows,
+      |    COUNT(DISTINCT n_nationkey) AS ndv1,
+      |    CAST(MIN(n_nationkey) AS VARCHAR) AS mn1, CAST(MAX(n_nationkey) AS VARCHAR) AS mx1,
+      |    COUNT(DISTINCT n_name) AS ndv2,
+      |    COUNT(DISTINCT n_regionkey) AS ndv3,
+      |    CAST(MIN(n_regionkey) AS VARCHAR) AS mn3, CAST(MAX(n_regionkey) AS VARCHAR) AS mx3
+      |  FROM nation),
+      |g AS (
+      |  SELECT n_regionkey, COUNT(*) AS n,
+      |    row_number() OVER (ORDER BY n_regionkey) AS rn
+      |  FROM nation GROUP BY n_regionkey),
+      |c AS (SELECT COUNT(*) AS ng FROM g)
+      |SELECT CAST(0 AS BIGINT) AS line_no,
+      |  'graft-sql - Spark-native SQL engine (EXIT to quit)' AS line
+      |UNION ALL SELECT CAST(1 AS BIGINT),
+      |  'sql> loaded nation: ' || nrows || ' rows, 3 columns' FROM s
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'sql> nation'
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'sql> Table: nation (' || nrows || ' rows)' FROM s
+      |UNION ALL SELECT CAST(4 AS BIGINT), 'Columns:'
+      |UNION ALL SELECT CAST(5 AS BIGINT),
+      |  '  n_nationkey INT64 (ndv: ' || ndv1 || ', min: ' || mn1 || ', max: ' || mx1 || ')' FROM s
+      |UNION ALL SELECT CAST(6 AS BIGINT), '  n_name STRING (ndv: ' || ndv2 || ')' FROM s
+      |UNION ALL SELECT CAST(7 AS BIGINT),
+      |  '  n_regionkey INT64 (ndv: ' || ndv3 || ', min: ' || mn3 || ', max: ' || mx3 || ')' FROM s
+      |UNION ALL SELECT CAST(8 AS BIGINT), 'sql> error: Table ''missing'' not found'
+      |UNION ALL SELECT CAST(9 AS BIGINT), 'sql> format=csv'
+      |UNION ALL SELECT CAST(10 AS BIGINT), 'sql> error: unknown format bogus (markdown|csv)'
+      |UNION ALL SELECT CAST(11 AS BIGINT), 'sql> n_regionkey,n'
+      |UNION ALL SELECT CAST(11 + rn AS BIGINT),
+      |  CAST(n_regionkey AS VARCHAR) || ',' || CAST(n AS VARCHAR) FROM g
+      |UNION ALL SELECT CAST(12 + ng AS BIGINT), 'sql> ' FROM c
+      |ORDER BY line_no""".stripMargin
+
   // ---------------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cli_markdown" -> (cliMarkdown _),
     "cli_markdown_trunc" -> (cliMarkdownTrunc _),
     "cli_csv" -> (cliCsv _),
-    "cli_describe" -> (cliDescribe _))
+    "cli_describe" -> (cliDescribe _),
+    "cli_repl" -> (cliRepl _))
 
   val oracles: Map[String, String] = Map(
     "cli_markdown" -> cliMarkdownSql,
     "cli_markdown_trunc" -> cliMarkdownTruncSql,
     "cli_csv" -> cliCsvSql,
-    "cli_describe" -> cliDescribeSql)
+    "cli_describe" -> cliDescribeSql,
+    "cli_repl" -> cliReplSql)
 }
