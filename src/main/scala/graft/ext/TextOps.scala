@@ -1093,45 +1093,86 @@ object TextOps {
     * and [[bpeTokenizeOn]] (emits the rewritten corpus stats). Returns
     * the merges and the FINAL staged symbol stream — caller releases.
     */
+  /** The initial per-document symbol stream (doc_id, pos, sym) both the
+    * trainer and the apply-only replay start from.
+    */
+  private def bpeSymbols(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "sym")))
+      .select(col("doc_id"), (col("p0").cast("long") + 1).as("pos"), col("sym"))
+
+  /** One merge round for the pair (a, b): flag left-to-right
+    * non-overlapping occurrences (run-parity on the distance to the
+    * last non-hit), drop each hit's right symbol, renumber. Returns
+    * (flagged, next): the trainer counts `keep` on `flagged`; both
+    * trainer and [[bpeApplyOn]] continue on `next` — ONE rewrite
+    * definition, so learn-time and ingest-time segmentation cannot
+    * drift.
+    */
+  private def bpeRound(seq: DataFrame, a: String, b: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withNext = seq.withColumn("nsym", lead(col("sym"), 1).over(w))
+    val flagged = withNext
+      .withColumn("hit", col("nsym").isNotNull &&
+        col("sym") === lit(a) && col("nsym") === lit(b))
+      .withColumn("lastnh", max(when(!col("hit"), col("pos"))).over(wrun))
+      .withColumn("keep", col("hit") &&
+        (col("pos") - coalesce(col("lastnh"), lit(0L)) - 1) % 2 === 0)
+    val next = flagged
+      .withColumn("droprow", lag(col("keep"), 1, false).over(w))
+      .filter(!col("droprow"))
+      .select(col("doc_id"), col("pos").as("opos"),
+        when(col("keep"), lit(s"$a $b")).otherwise(col("sym")).as("sym"))
+      .select(col("doc_id"),
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("opos"))).cast("long").as("pos"),
+        col("sym"))
+    (flagged, next)
+  }
+
   private def bpeCore(documents: DataFrame,
       rounds: Int): (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var seq = graft.engine.Materialize.stage(
-      documents.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("p0", "sym")))
-        .select(col("doc_id"), (col("p0").cast("long") + 1).as("pos"), col("sym")))
+    var seq = graft.engine.Materialize.stage(bpeSymbols(documents))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     for (r <- 1 to rounds) {
-      val withNext = seq.withColumn("nsym", lead(col("sym"), 1).over(w))
-      val best = withNext.filter(col("nsym").isNotNull)
+      val best = seq.withColumn("nsym", lead(col("sym"), 1).over(w))
+        .filter(col("nsym").isNotNull)
         .groupBy(col("sym"), col("nsym")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("sym"), col("nsym"))
         .limit(1).collect()(0)
       val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      val flagged = withNext
-        .withColumn("hit", col("nsym").isNotNull &&
-          col("sym") === lit(a) && col("nsym") === lit(b))
-        .withColumn("lastnh", max(when(!col("hit"), col("pos"))).over(wrun))
-        .withColumn("keep", col("hit") &&
-          (col("pos") - coalesce(col("lastnh"), lit(0L)) - 1) % 2 === 0)
+      val (flagged, nextPlan) = bpeRound(seq, a, b)
       val applied = flagged.filter(col("keep")).count()
-      val next = graft.engine.Materialize.stage(
-        flagged
-          .withColumn("droprow", lag(col("keep"), 1, false).over(w))
-          .filter(!col("droprow"))
-          .select(col("doc_id"), col("pos").as("opos"),
-            when(col("keep"), lit(s"$a $b")).otherwise(col("sym")).as("sym"))
-          .select(col("doc_id"),
-            row_number().over(Window.partitionBy(col("doc_id"))
-              .orderBy(col("opos"))).cast("long").as("pos"),
-            col("sym")))
+      val next = graft.engine.Materialize.stage(nextPlan)
       graft.engine.Materialize.release(seq)
       seq = next
       out += ((r, a, b, c, applied))
     }
     (out.toSeq, seq)
+  }
+
+  /** APPLY-ONLY BPE replay under a FROZEN merge list (rank order): the
+    * ingest-time form — no corpus-wide argmax, no per-round action, so
+    * every window is doc_id-partitioned and the whole rewrite is
+    * batch-local (the streaming twin [[graft.streaming.BpeTokenizeIngest]]
+    * runs it per micro-batch against a broadcastable merge table).
+    * Returns the same per-document segmentation stats as
+    * [[bpeTokenizeOn]]; applied to the training corpus itself the two
+    * are equal by construction (StreamingSpec pins it).
+    */
+  def bpeApplyOn(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var seq = bpeSymbols(documents)
+    for ((a, b) <- merges) seq = bpeRound(seq, a, b)._2
+    val after = seq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bpe"))
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(after, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe"),
+        (col("n_tokens") - col("n_bpe")).as("n_merged"))
   }
 
   /** The APPLY side of BPE: tokenize the corpus under the learned merge

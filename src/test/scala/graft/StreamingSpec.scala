@@ -1072,4 +1072,51 @@ class StreamingSpec extends SparkSpecBase {
       assert(est == batch7(anchor), s"anchor $anchor 7-day estimate diverged")
     }
   }
+
+  test("streaming BPE tokenize == batch segmentation on the same corpus (frozen merges)") {
+    import graft.streaming.BpeTokenizeIngest
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_bpe_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bpe_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bpe_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3) // several input files → several micro-batches
+      .write.mode("overwrite").parquet(docsDir)
+    BpeTokenizeIngest.start(spark, docsDir, docsDir, outDir, ckpt)
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_tokens", "n_bpe", "n_merged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ext.TextOps.bpeTokenize(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    // the merges actually landed somewhere
+    assert(streamed.exists(_._4 > 0))
+    graft.engine.Materialize.sweep(spark)
+  }
+
+  test("streaming boilerplate flags == batch census n_shared per source (frozen prefix table)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.BoilerplateIngest
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_bp_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bp_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bp_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3)
+      .write.mode("overwrite").parquet(docsDir)
+    BoilerplateIngest.start(spark, docsDir, docsDir, outDir, ckpt)
+      .awaitTermination(120000)
+    val flags = spark.read.parquet(outDir)
+    // every document gets exactly one flag row
+    assert(flags.count() == spark.read.parquet(docsDir).count())
+    assert(flags.select("doc_id").distinct().count() == flags.count())
+    // per source, the flagged total equals the batch census's n_shared
+    // (flags on the training corpus ARE membership in a ≥2 group)
+    val streamed = flags.groupBy(col("source"))
+      .agg(sum(col("boilerplate")).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.ext.TextOps.boilerplatePrefix(spark, sf())
+      .select("source", "n_shared")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
