@@ -2209,7 +2209,16 @@ object TextOps {
   def rakeKeywords(spark: SparkSession, dir: String): DataFrame =
     rakeKeywordsOn(docs(spark, dir), k = 3)
 
-  def rakeKeywordsOn(documents: DataFrame, k: Int): DataFrame = {
+  def rakeKeywordsOn(documents: DataFrame, k: Int): DataFrame =
+    rakeScoreOn(documents, rakeWordScores(documents), k)
+      .orderBy(col("doc_id"), col("rk"))
+
+  /** RAKE candidate-phrase members: stopword-delimited runs of content
+    * words, each row one word with its phrase group and phrase length.
+    * Per-document only (every window is doc_id-partitioned) — the
+    * batch-local half shared by the batch operator and the ingest twin.
+    */
+  private def rakeMembers(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stop = Seq("the", "a", "of", "and", "to")
     val toks = documents
@@ -2218,11 +2227,33 @@ object TextOps {
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val runs = toks.withColumn("grp", col("i") - row_number().over(wRun))
     val wLen = Window.partitionBy(col("doc_id"), col("grp"))
-    val members = runs.withColumn("plen", count(lit(1)).over(wLen))
-    val wordScore = members.groupBy(col("w"))
+    runs.withColumn("plen", count(lit(1)).over(wLen))
+  }
+
+  /** The corpus-wide RAKE word-score table (degree/frequency per word,
+    * ×1000 integer) — the PLANNING ARTIFACT the ingest twin
+    * [[graft.streaming.RakeIngest]] freezes from a reference snapshot.
+    */
+  def rakeWordScores(documents: DataFrame): DataFrame =
+    rakeMembers(documents).groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
       .withColumn("wscore", expr("degree * 1000 div freq"))
-    val phrases = members.join(wordScore.select(col("w"), col("wscore")), "w")
+      .select(col("w"), col("wscore"))
+
+  /** Score `documents`' candidate phrases under a FROZEN word-score
+    * table and keep each document's top k. Words absent from the table
+    * score 0 (left join) — on the training corpus itself every word is
+    * present, so batch ≡ ingest there by construction.
+    */
+  def rakeScoreOn(documents: DataFrame, wordScore: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // no broadcast hint: a reference-snapshot score table is usually
+    // broadcast-sized and AQE picks that up, but a 100 TB corpus's full
+    // vocabulary may not be — forcing it would OOM the driver there
+    val phrases = rakeMembers(documents)
+      .join(wordScore, Seq("w"), "left")
+      .withColumn("wscore", coalesce(col("wscore"), lit(0L)))
       .groupBy(col("doc_id"), col("grp"))
       .agg(concat_ws(" ", array_sort(collect_list(struct(col("i"), col("w"))))
           .getField("w")).as("phrase"),
@@ -2232,7 +2263,6 @@ object TextOps {
       .orderBy(col("score").desc, col("phrase"))
     phrases.withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= k)
-      .orderBy(col("doc_id"), col("rk"))
       .select(col("doc_id"), col("rk"), col("phrase"), col("score"))
   }
 

@@ -1119,4 +1119,23 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("streaming RAKE keywords == batch top-k on the same corpus (frozen word scores)") {
+    import graft.streaming.RakeIngest
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_rake_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rake_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rake_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3)
+      .write.mode("overwrite").parquet(docsDir)
+    RakeIngest.start(spark, docsDir, docsDir, outDir, ckpt)
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "rk", "phrase", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val batch = graft.ext.TextOps.rakeKeywords(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
 }
