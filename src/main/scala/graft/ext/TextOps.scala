@@ -743,6 +743,103 @@ object TextOps {
       .orderBy(col("doc_id"), col("probe"))
   }
 
+  // ---------------------------------------------------- overlap spans
+  /** Maximum contiguous token-overlap span against an eval set — the
+    * GPT-3/PaLM decontamination rule proper ("drop any training document
+    * sharing an N-token contiguous span with a benchmark"), which the
+    * membership probes ([[contamination]]) cannot express: they say a
+    * phrase occurs, not how LONG the shared run is. Exact for every
+    * span ≥ k via k-gram anchoring: both sides explode positional
+    * k-grams; matches land on (doc, eval, diagonal = pos_d − pos_e);
+    * a run of L CONSECUTIVE anchor matches on one diagonal is a shared
+    * span of exactly L + k − 1 tokens, found with gaps-and-islands —
+    * so the distributed longest-common-substring reduces to one join +
+    * one window, never a per-pair alignment.
+    *
+    * Scale shape: the eval suite (every benchmark k-gram, positions
+    * attached) is the small side — broadcast here; at a 10⁸-gram suite
+    * it becomes a shuffle join on the gram key, and hot grams get the
+    * same df-cap the Jaccard index uses ([[graft.ext.Dedup]]) since a
+    * boilerplate anchor's matches are exactly the pairs a long-span
+    * rule doesn't need. The corpus is scanned once; only anchor
+    * matches (id pairs + positions) shuffle.
+    *
+    * The pseudo eval-suite is deterministic: every doc_id ≡ 0 (mod 50).
+    * Output per contaminated corpus doc: its longest span, the eval doc
+    * achieving it (ties → smaller eval_id), and how many eval docs it
+    * shares a ≥ `flagSpan`-token span with.
+    */
+  def overlapSpans(spark: SparkSession, dir: String): DataFrame =
+    overlapSpansOn(docs(spark, dir), k = 5, evalMod = 50, flagSpan = 8)
+
+  def overlapSpansOn(documents: DataFrame, k: Int, evalMod: Int,
+      flagSpan: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // guard: Spark's sequence(1, 0) DESCENDS instead of emptying, so
+      // docs shorter than k tokens need the explicit empty branch
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(ws) >= $k THEN transform(sequence(1, size(ws) - ${k - 1})," +
+          s" i -> concat_ws(' ', slice(ws, i, $k))) ELSE CAST(array() AS array<string>) END"))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
+    val evalG = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("pos").as("pe"), col("gram"))
+    val corpG = grams.filter(col("doc_id") % evalMod =!= 0)
+    val matches = corpG.join(broadcast(evalG), "gram")
+      .select(col("doc_id"), col("eval_id"), col("pos").as("pd"),
+        (col("pos") - col("pe")).as("diag"))
+    val wDiag = Window.partitionBy(col("doc_id"), col("eval_id"), col("diag"))
+      .orderBy(col("pd"))
+    val spans = matches
+      .withColumn("grp", col("pd") - row_number().over(wDiag))
+      .groupBy(col("doc_id"), col("eval_id"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (k - 1)).as("span"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(max(col("span")).as("span"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("span").desc, col("eval_id"))
+    spans
+      .withColumn("rk", row_number().over(wTop))
+      .withColumn("n_flagged", sum(when(col("span") >= flagSpan, 1L)
+        .otherwise(0L)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("span").as("max_span"), col("eval_id"),
+        col("n_flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val overlapSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    array_to_string(w[i:i+4], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      |  WHERE len(w) >= 5),
+      |ev AS (SELECT doc_id AS eval_id, pos AS pe, gram FROM grams
+      |       WHERE doc_id % 50 = 0),
+      |cp AS (SELECT doc_id, pos AS pd, gram FROM grams WHERE doc_id % 50 <> 0),
+      |m AS (
+      |  SELECT cp.doc_id, ev.eval_id, cp.pd, cp.pd - ev.pe AS diag
+      |  FROM cp JOIN ev USING (gram)),
+      |runs AS (
+      |  SELECT doc_id, eval_id, diag, pd,
+      |    pd - row_number() OVER (PARTITION BY doc_id, eval_id, diag ORDER BY pd) AS grp
+      |  FROM m),
+      |sp AS (
+      |  SELECT doc_id, eval_id, CAST(COUNT(*) + 4 AS BIGINT) AS span
+      |  FROM runs GROUP BY doc_id, eval_id, diag, grp),
+      |pair AS (SELECT doc_id, eval_id, MAX(span) AS span FROM sp GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, eval_id, span,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY span DESC, eval_id) AS rk,
+      |    CAST(SUM(CASE WHEN span >= 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id) AS BIGINT) AS n_flagged
+      |  FROM pair)
+      |SELECT doc_id, span AS max_span, eval_id, n_flagged
+      |FROM top WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   /** TF-IDF top-3 terms per document: token explode → per-(doc, term) tf,
     * df derived from tf, idf joined back broadcast-or-shuffle by
     * Catalyst. Oracle-checked (tfidfSql): round-6 scores + (tfidf DESC,
@@ -2333,6 +2430,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _),
     "text_top_ngrams" -> (topNgrams _),
     "text_contamination" -> (contamination _),
+    "text_overlap_span" -> (overlapSpans _),
     "text_chunk_pack" -> (chunkPack _),
     "text_pii_scrub" -> (piiScrub _),
     "text_weighted_sample" -> (weightedSample _),
@@ -2373,6 +2471,7 @@ object TextOps {
     "text_fingerprint" -> fingerprintSql,
     "text_top_ngrams" -> topNgramsSql,
     "text_contamination" -> contaminationSql,
+    "text_overlap_span" -> overlapSpansSql,
     "text_chunk_pack" -> chunkPackSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_weighted_sample" -> weightedSampleSql,

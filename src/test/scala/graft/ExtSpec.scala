@@ -1044,4 +1044,24 @@ class ExtSpec extends SparkSpecBase {
     val wau = r.map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(wau.values.forall(_ > 0))
   }
+
+  test("overlap spans: k-gram anchored LCS finds the exact shared run length") {
+    import spark.implicits._
+    // eval doc 0 (id % 50 == 0) shares exactly tokens "b c d e f g h"
+    // (7 tokens) with corpus doc 1; doc 2 shares nothing ≥ 5; doc 3 is
+    // shorter than k and must not crash the gram extraction
+    val docs = Seq(
+      (0L, "a b c d e f g h x y z", "en", "s", 1L),
+      (1L, "q q b c d e f g h q q q", "en", "s", 1L),
+      (2L, "m n o p r s t u v w", "en", "s", 1L),
+      (3L, "x y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.overlapSpansOn(docs, k = 5, evalMod = 50, flagSpan = 8)
+      .collect()
+    assert(r.length == 1, r.mkString("|"))
+    assert(r.head.getLong(0) == 1L)     // only doc 1 is contaminated
+    assert(r.head.getLong(1) == 7L)     // span is exactly the 7 shared tokens
+    assert(r.head.getLong(2) == 0L)     // against eval doc 0
+    assert(r.head.getLong(3) == 0L)     // 7 < flagSpan=8 → not flagged
+  }
 }
