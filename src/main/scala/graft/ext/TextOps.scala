@@ -1234,6 +1234,11 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var seq = graft.engine.Materialize.stage(bpeSymbols(documents))
+    // each landed merge removes EXACTLY one row (the pair's right
+    // symbol), so `applied` is the staged frames' length difference —
+    // counting the already-materialized stages instead of re-running
+    // the flag-window chain halves the per-round work (BENCH r10)
+    var nPrev = seq.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     for (r <- 1 to rounds) {
       val best = seq.withColumn("nsym", lead(col("sym"), 1).over(w))
@@ -1242,11 +1247,12 @@ object TextOps {
         .orderBy(col("c").desc, col("sym"), col("nsym"))
         .limit(1).collect()(0)
       val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      val (flagged, nextPlan) = bpeRound(seq, a, b)
-      val applied = flagged.filter(col("keep")).count()
-      val next = graft.engine.Materialize.stage(nextPlan)
+      val next = graft.engine.Materialize.stage(bpeRound(seq, a, b)._2)
+      val nNext = next.count()
+      val applied = nPrev - nNext
       graft.engine.Materialize.release(seq)
       seq = next
+      nPrev = nNext
       out += ((r, a, b, c, applied))
     }
     (out.toSeq, seq)
