@@ -223,17 +223,21 @@ object Multimodal {
   def mediaHistTopKOn(media: DataFrame, nQueries: Int, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(media.sparkSession)
     import org.apache.spark.sql.expressions.{Window => W}
-    val h = media.select(col("media_id"),
-      expr("byte_histogram(payload)").as("hist"))
-    val q = h.filter(col("media_id") < nQueries)
-      .select(col("media_id").as("qid"), col("hist").as("qh"))
-    val c = h.select(col("media_id").as("cid"), col("hist").as("ch"))
     val dot = (a: String, b: String) =>
       s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    // norms hoisted to one fold per ROW instead of two per PAIR (the
+    // nQueries× blowup of the join would otherwise re-fold them);
+    // cos = dot / (nrm_q · nrm_c) is the same doubles in the same
+    // order, so scores stay bit-identical to the oracle's
+    val h = media.select(col("media_id"),
+        expr("byte_histogram(payload)").as("hist"))
+      .withColumn("nrm", expr(s"sqrt(${dot("hist", "hist")})"))
+    val q = h.filter(col("media_id") < nQueries)
+      .select(col("media_id").as("qid"), col("hist").as("qh"), col("nrm").as("qn"))
+    val c = h.select(col("media_id").as("cid"), col("hist").as("ch"), col("nrm").as("cn"))
     val w = W.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos", expr(
-        s"${dot("qh", "ch")} / (sqrt(${dot("qh", "qh")}) * sqrt(${dot("ch", "ch")}))"))
+      .withColumn("cos", expr(s"${dot("qh", "ch")} / (qn * cn)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid").as("media_id"), col("cid").as("neighbor_id"),
