@@ -334,9 +334,14 @@ object TextOps {
 
   def ccnetTercilesOn(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val scored = lmSurprisalOn(documents)
+    // staged: the local-rank window, the offset grid, and the total
+    // each reference this frame — without a cut the whole trigram-LM
+    // scoring chain executes three times in the one job (no release
+    // site: the returned frame is backed by it; the between-queries
+    // sweep reclaims, same convention as bpeTokenize)
+    val scored = graft.engine.Materialize.stage(lmSurprisalOn(documents)
       .select(col("doc_id"), col("surprisal"))
-      .withColumn("bkt", floor(col("surprisal") * 100).cast("long"))
+      .withColumn("bkt", floor(col("surprisal") * 100).cast("long")))
     val wLocal = W.partitionBy(col("bkt"))
       .orderBy(col("surprisal"), col("doc_id"))
     val local = scored.withColumn("lrn", row_number().over(wLocal).cast("long"))
