@@ -1045,6 +1045,64 @@ class ExtSpec extends SparkSpecBase {
     assert(wau.values.forall(_ > 0))
   }
 
+  test("overlap spans equal brute-force token LCS on a random collision-heavy corpus") {
+    import spark.implicits._
+    // tiny vocabulary forces anchor collisions and repeated runs — the
+    // regime where diagonal bookkeeping could plausibly go wrong
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 8).map(i => s"t$i")
+    def randToks(n: Int): Seq[String] = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val evalToks = Map(0L -> randToks(30), 50L -> randToks(30))
+    // a third of corpus docs get a spliced eval slice (3..12 tokens —
+    // both below and above k) at a random position, so real shared runs
+    // of known provenance exist alongside the incidental vocab collisions
+    def randDoc(): String = {
+      val base = randToks(rnd.nextInt(26))
+      val doc =
+        if (rnd.nextInt(3) == 0) {
+          val src = evalToks(if (rnd.nextBoolean()) 0L else 50L)
+          val len = 3 + rnd.nextInt(10)
+          val from = rnd.nextInt(src.length - len + 1)
+          val at = rnd.nextInt(base.length + 1)
+          base.take(at) ++ src.slice(from, from + len) ++ base.drop(at)
+        } else base
+      doc.mkString(" ")
+    }
+    val ids = (0L to 60L)
+    val corpus = ids.map(i =>
+      (i, if (evalToks.contains(i)) evalToks(i).mkString(" ") else randDoc(),
+        "en", "s", 1L))
+    val docs = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val k = 5
+    def toks(s: String): Array[String] = s.split(" ").filter(_.nonEmpty)
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    val evalDocs = corpus.filter(_._1 % 50 == 0).map(d => d._1 -> toks(d._2))
+    val expected = corpus.filter(_._1 % 50 != 0).flatMap { d =>
+      val spans = evalDocs.map { case (eid, et) => (eid, lcs(toks(d._2), et)) }
+        .filter(_._2 >= k)
+      if (spans.isEmpty) None
+      else {
+        val maxSpan = spans.map(_._2).max
+        val evalId = spans.filter(_._2 == maxSpan).map(_._1).min
+        Some((d._1, maxSpan.toLong, evalId, spans.count(_._2 >= 8).toLong))
+      }
+    }.toSet
+    val got = graft.ext.TextOps.overlapSpansOn(docs, k, evalMod = 50, flagSpan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"only-op=${got -- expected} only-brute=${expected -- got}")
+    assert(expected.nonEmpty, "fixture produced no contaminated docs — regenerate")
+  }
+
   test("overlap spans: k-gram anchored LCS finds the exact shared run length") {
     import spark.implicits._
     // eval doc 0 (id % 50 == 0) shares exactly tokens "b c d e f g h"
