@@ -2770,7 +2770,92 @@ object Events {
       |  CAST(SUM(term_fp) AS BIGINT) AS chi2_fp
       |FROM terms GROUP BY day ORDER BY day""".stripMargin
 
+  // --------------------------------------------- EWMA control chart
+  /** EWMA control monitor over hourly event volume, per type — the
+    * smoothing-memory sibling of [[cusumDrift]] (mean-shift) and the SPC
+    * run rules (point patterns): an exponentially-weighted level tracks
+    * slow drift, a second EWMA of absolute residuals tracks spread, and
+    * an hour flags when its residual exceeds 3 smoothed deviations.
+    *
+    * All fixed-point (ppm): α = 1/4 updates are written in the
+    * nonnegative form `(3·prev + obs) div 4` — algebraically identical
+    * to `prev + (obs − prev) div 4` but with no negative quotient, so
+    * Spark's truncating `div` and DuckDB's flooring `//` cannot diverge
+    * (the q88 sign trap). The recursion is inherently serial in TIME but
+    * the state is per-type and the series length is bounded by the
+    * CALENDAR, not the corpus (8 760 hours/year), so the fold is one
+    * `aggregate` over each type's zero-filled hourly array — counts
+    * aggregate distributed; only the bounded count series folds. The
+    * oracle replays the recursion as a recursive CTE stepping
+    * (type, hour-index). First 24 hours are warm-up (spread estimate
+    * still forming) and don't flag.
+    */
+  def ewmaMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val hc = events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+    val range = hc.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = hc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("h"))
+    val xs = grid.join(hc, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(h, x))), p -> p.x)")
+        .as("series"))
+    xs.select(col("event_type"),
+        expr("""aggregate(series, CAST(array(-1, 0, 0, 0) AS array<bigint>),
+          |  (acc, x) -> CASE WHEN acc[0] = -1L
+          |    THEN array(x * 1000000L, 0L, 0L, 1L)
+          |    ELSE array(
+          |      (3L * acc[0] + x * 1000000L) div 4L,
+          |      (3L * acc[1] + abs(x * 1000000L - acc[0])) div 4L,
+          |      acc[2] + (CASE WHEN acc[3] >= 24L
+          |        AND abs(x * 1000000L - acc[0]) > 3L * acc[1]
+          |        THEN 1L ELSE 0L END),
+          |      acc[3] + 1L)
+          |    END)""".stripMargin).as("st"))
+      .select(col("event_type"),
+        expr("st[0]").as("ewma_fp"), expr("st[1]").as("dev_fp"),
+        expr("st[2]").as("n_flags"), expr("st[3]").as("n_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  val ewmaMonitorSql: String =
+    """WITH RECURSIVE hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS h FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.h, COALESCE(hc.x, 0) AS x,
+      |    row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.h) AS i
+      |  FROM grid LEFT JOIN hc USING (event_type, h)),
+      |rec AS (
+      |  SELECT event_type, i, CAST(x * 1000000 AS BIGINT) AS e,
+      |    CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS flags
+      |  FROM xs WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CAST((3 * r.e + x.x * 1000000) // 4 AS BIGINT),
+      |    CAST((3 * r.d + abs(x.x * 1000000 - r.e)) // 4 AS BIGINT),
+      |    r.flags + CASE WHEN r.i >= 24
+      |      AND abs(x.x * 1000000 - r.e) > 3 * r.d THEN 1 ELSE 0 END
+      |  FROM rec r JOIN xs x ON x.event_type = r.event_type AND x.i = r.i + 1),
+      |last AS (
+      |  SELECT event_type, e, d, flags,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk,
+      |    i
+      |  FROM rec)
+      |SELECT event_type, e AS ewma_fp, d AS dev_fp,
+      |  CAST(flags AS BIGINT) AS n_flags, CAST(i AS BIGINT) AS n_hours
+      |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma_monitor" -> (ewmaMonitor _),
     "events_drift_chi2" -> (driftChi2 _),
     "events_gaps_islands" -> (gapsIslands _),
     "events_transitions" -> (transitions _),
@@ -2816,6 +2901,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_ewma_monitor" -> ewmaMonitorSql,
     "events_drift_chi2" -> driftChi2Sql,
     "events_gaps_islands" -> gapsIslandsSql,
     "events_transitions" -> transitionsSql,
