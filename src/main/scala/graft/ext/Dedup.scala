@@ -429,6 +429,80 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------------------------------- split leakage
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs that straddle a
+    * split boundary — the eval-integrity number a random split silently
+    * destroys (a val document whose near-twin sits in train is a leaked
+    * label, and random splits leak every duplicate cluster pro rata).
+    * Composes the deterministic stratified split rule
+    * ([[graft.ext.TextOps.splitStratified]]'s md5-rank assignment,
+    * replayed verbatim) with the exact inverted-index Jaccard pairs
+    * ([[ngramJaccardOn]]): one census row per unordered split pair with
+    * its near-dup count and a `leaked` marker on the cross-split rows.
+    * Scale shape: the pair list is the dedup join (id pairs only); the
+    * split table is one window over (lang, md5) and joins by doc_id.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOn(docs(spark, dir))
+
+  def splitLeakageOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("h"), col("doc_id"))
+    val split = documents
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(byLang).cast("long"))
+      .withColumn("split",
+        when(col("rk") * 10 <= col("n_lang") * 8, "train")
+          .when(col("rk") * 10 <= col("n_lang") * 9, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    ngramJaccardOn(documents)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked",
+        when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |  WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |spl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN rk * 10 <= n_lang * 8 THEN 'train'
+      |         WHEN rk * 10 <= n_lang * 9 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |      COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      |    FROM documents))
+      |SELECT least(a.split, b.split) AS split_a,
+      |  greatest(a.split, b.split) AS split_b,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(CASE WHEN least(a.split, b.split) <> greatest(a.split, b.split)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS leaked
+      |FROM pairs JOIN spl a ON pairs.doc_a = a.doc_id
+      |  JOIN spl b ON pairs.doc_b = b.doc_id
+      |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+
   // ------------------------------------------- dedup recall evaluation
   /** Precision/recall of the MinHash-LSH pair finder against the exact
     * inverted-index Jaccard — the dedup twin of the ANN recall
@@ -2035,6 +2109,7 @@ object Dedup {
     "dedup_ngram_prefix" -> (ngramPrefixJaccard _),
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "dedup_lsh_recall" -> (lshRecall _),
+    "dedup_split_leakage" -> (splitLeakage _),
     "dedup_keep_best" -> (keepBest _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -2068,6 +2143,7 @@ object Dedup {
     "dedup_ngram_prefix" -> ngramJaccardSql,
     "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_lsh_recall" -> lshRecallSql,
+    "dedup_split_leakage" -> splitLeakageSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,
