@@ -503,6 +503,87 @@ object Dedup {
       |  JOIN spl b ON pairs.doc_b = b.doc_id
       |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
 
+  /** The leakage REPAIR for [[splitLeakage]]: cluster-aware splitting —
+    * every near-dup CLUSTER lands wholly in one split, so no split
+    * boundary can cross a near-dup edge by construction. Assignment is
+    * a hash of the cluster representative (`mix64(cluster_id) mod 32`,
+    * 26/3/3 buckets ≈ 81/9/9; a power-of-two modulus because two's-
+    * complement low bits agree between Spark's signed pmod and the
+    * oracle's unsigned HUGEINT chain — mod 10 would NOT). Trades exact
+    * per-language stratification for zero leakage — the standard
+    * resolution (dedup before split, or split by cluster). Output: per
+    * split, docs and clusters, plus the cross-split near-dup pair count
+    * the construction pins at 0.
+    */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitOn(docs(spark, dir))
+
+  def clusterSplitOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val assigned = dedupClustersOn(documents)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("bkt", expr("pmod(mix64(cluster_id), 32L)"))
+      .withColumn("split",
+        when(col("bkt") < 26, "train").when(col("bkt") < 29, "val")
+          .otherwise("test"))
+    val cross = ngramJaccardOn(documents)
+      .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+        .as("cross_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(cross))
+      .orderBy(col("split"))
+  }
+
+  val clusterSplitSql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |       WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |          WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (SELECT d.doc_id,
+      |          COALESCE(LEAST(c.min_reach, d.doc_id), d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |hx AS (
+      |  SELECT doc_id, cluster_id,
+      |    (CAST(cluster_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(z3 % 32 AS BIGINT) AS bkt
+      |  FROM lab),
+      |asg AS (
+      |  SELECT doc_id, cluster_id,
+      |    CASE WHEN bkt < 26 THEN 'train' WHEN bkt < 29 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM hx),
+      |cr AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS cross_pairs
+      |  FROM pairs JOIN asg a ON pairs.doc_a = a.doc_id
+      |    JOIN asg b ON pairs.doc_b = b.doc_id)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT cluster_id) AS n_clusters, cr.cross_pairs
+      |FROM asg, cr GROUP BY split, cr.cross_pairs ORDER BY split""".stripMargin
+
   // ------------------------------------------- dedup recall evaluation
   /** Precision/recall of the MinHash-LSH pair finder against the exact
     * inverted-index Jaccard — the dedup twin of the ANN recall
@@ -2110,6 +2191,7 @@ object Dedup {
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "dedup_lsh_recall" -> (lshRecall _),
     "dedup_split_leakage" -> (splitLeakage _),
+    "dedup_cluster_split" -> (clusterSplit _),
     "dedup_keep_best" -> (keepBest _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -2144,6 +2226,7 @@ object Dedup {
     "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_lsh_recall" -> lshRecallSql,
     "dedup_split_leakage" -> splitLeakageSql,
+    "dedup_cluster_split" -> clusterSplitSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> ngramJaccardSql,

@@ -68,6 +68,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // corpus overlap: the 1-row sketch-match frame broadcast onto the
     // 1-row exact-Jaccard side (q21/q67's split-agg shape)
     "dedup_corpus_overlap",
+    // ewma monitor: the 1-row (min_h, max_h) range frame broadcast onto
+    // the per-type grid before the zero-fill explode;
+    // cluster split: the 1-row cross-pair count broadcast onto the
+    // 3-row per-split census (the construction's zero-leak assertion)
+    "events_ewma_monitor", "dedup_cluster_split",
     // heatmap / stickiness: the 1-row corpus-total (resp. day-bounds)
     // frame broadcast onto the tiny cell/anchor grid (q60's shape);
     // lift / vocab coverage: the 1-row total frame plus the O(distinct
