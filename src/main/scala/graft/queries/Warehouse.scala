@@ -1607,7 +1607,64 @@ object Warehouse {
       |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
 
   // ---------------------------------------------------------------- maps
+  // ---------------------------------------------------------------- q91
+  /** Structured-record linkage (entity matching) over the parts catalog
+    * — the RECORD-attribute sibling of the document dedup family: find
+    * catalog rows that are plausibly the same product listed twice,
+    * Fellegi–Sunter shape (blocking key, per-attribute agreement
+    * weights, threshold). Blocking on (name noun, brand) bounds the
+    * candidate set to within-block pairs — the Σc² term every linkage
+    * join lives or dies by; at larger corpora the block key widens
+    * (add type, size band) exactly like a dedup df-cap. Agreement
+    * score: adjective +3, type +2, size within 2 +1, price within 1.00
+    * +1; matches at ≥ 5 (adjective agreement plus at least one
+    * corroborating attribute). Prices compare as integer deci-units
+    * via explicit floor on BOTH engines (DuckDB CAST rounds, Spark
+    * truncates — the dedup_source_matrix trap).
+    */
+  def q91RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("adj"),
+        split(col("p_name"), " ").getItem(1).as("noun"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        floor(col("p_retailprice") * 10 + 0.5).cast("long").as("price_dec"))
+    p.as("a").join(p.as("b"),
+        col("a.noun") === col("b.noun") && col("a.p_brand") === col("b.p_brand")
+          && col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("score",
+        when(col("a.adj") === col("b.adj"), 3L).otherwise(0L)
+          + when(col("a.p_type") === col("b.p_type"), 2L).otherwise(0L)
+          + when(abs(col("a.p_size") - col("b.p_size")) <= 2, 1L).otherwise(0L)
+          + when(abs(col("a.price_dec") - col("b.price_dec")) <= 10L, 1L).otherwise(0L))
+      .filter(col("score") >= 5)
+      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        col("score"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val q91Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, string_split(p_name, ' ')[1] AS adj,
+      |    string_split(p_name, ' ')[2] AS noun, p_brand, p_type, p_size,
+      |    CAST(floor(p_retailprice * 10 + 0.5) AS BIGINT) AS price_dec
+      |  FROM part)
+      |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |  CAST(CASE WHEN a.adj = b.adj THEN 3 ELSE 0 END
+      |    + CASE WHEN a.p_type = b.p_type THEN 2 ELSE 0 END
+      |    + CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0 END
+      |    + CASE WHEN abs(a.price_dec - b.price_dec) <= 10 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS score
+      |FROM p a JOIN p b ON a.noun = b.noun AND a.p_brand = b.p_brand
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE CASE WHEN a.adj = b.adj THEN 3 ELSE 0 END
+      |    + CASE WHEN a.p_type = b.p_type THEN 2 ELSE 0 END
+      |    + CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0 END
+      |    + CASE WHEN abs(a.price_dec - b.price_dec) <= 10 THEN 1 ELSE 0 END >= 5
+      |ORDER BY part_a, part_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_record_linkage" -> (q91RecordLinkage _),
     "q60_skew_probe" -> (q60SkewProbe _),
     "q54_histogram" -> (q54Histogram _),
     "q55_merge_upsert" -> (q55MergeUpsert _),
@@ -1639,6 +1696,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q91_record_linkage" -> q91Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,
