@@ -808,7 +808,86 @@ object Multimodal {
       |GROUP BY mx.media_id, mx.nw
       |ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------ keyframe selection
+  /** Keyframe selection by frame differencing — the video-sampling
+    * primitive (ffmpeg's scene-change filter, shot-boundary detection):
+    * a frame is a keyframe when its positional byte-wise L1 distance
+    * from the previous frame clears a threshold; the first frame always
+    * is. The 64-byte payload frames stand in for decoded frames (a real
+    * decoder feeds the same per-frame byte arrays from resized luma);
+    * the comparison itself — explode frames, lag window per media,
+    * zip_with |a−b| fold with insertion cost for the length tail — is
+    * real and graded byte-exact. The threshold (2500) sits between the
+    * corpus's p75 and p90 consecutive-frame distances, so ~20% of
+    * frames key. Scale shape: everything is scan-side per payload plus
+    * one media-partitioned window; payloads never join or shuffle
+    * beyond their own frames.
+    */
+  def mediaKeyframes(spark: SparkSession, dir: String): DataFrame =
+    mediaKeyframesOn(docsAsMedia(spark, dir).toDF(), frameBytes = 64,
+      threshold = 2500L)
+
+  def mediaKeyframesOn(media: DataFrame, frameBytes: Int,
+      threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val frames = media.select(col("media_id"), col("payload"))
+      .withColumn("n", length(col("payload")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("media_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(n / ${frameBytes}.0) as int) - 1)," +
+          s" i -> substring(payload, i * $frameBytes + 1, $frameBytes))"))
+        .as(Seq("frame_idx", "fb")))
+      .withColumn("bytes", expr(
+        "transform(sequence(1, length(fb))," +
+          " j -> cast(conv(hex(substring(fb, j, 1)), 16, 10) as bigint))"))
+    val w = W.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("bytes"), 1).over(w))
+      .withColumn("dist", when(col("prev").isNull, lit(null))
+        .otherwise(expr(
+          "aggregate(zip_with(bytes, prev, (x, y) -> coalesce(abs(x - y), coalesce(x, y)))," +
+            " 0L, (a, v) -> a + v)")))
+      .filter(col("dist").isNull || col("dist") >= threshold)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        coalesce(col("dist"), lit(0L)).as("dist"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val mediaKeyframesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+      |    hex(encode(text)) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
+      |    least(64, n - 64*t.i) AS fl, h
+      |  FROM b, UNNEST(generate_series(0, CAST(ceil(n/64.0) AS INT) - 1)) AS t(i)
+      |  WHERE n > 0),
+      |byt AS (
+      |  SELECT media_id, frame_idx,
+      |    list_transform(generate_series(1, CAST(fl AS INT)),
+      |      j -> CAST((strpos('0123456789ABCDEF',
+      |             substr(h, CAST(128*frame_idx + 2*j - 1 AS INT), 1)) - 1) * 16
+      |         + (strpos('0123456789ABCDEF',
+      |             substr(h, CAST(128*frame_idx + 2*j AS INT), 1)) - 1) AS BIGINT)) AS bytes
+      |  FROM f),
+      |lg AS (
+      |  SELECT media_id, frame_idx, bytes,
+      |    lag(bytes) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+      |  FROM byt),
+      |d AS (
+      |  SELECT media_id, frame_idx,
+      |    CASE WHEN prev IS NULL THEN NULL ELSE
+      |      list_aggregate(list_transform(list_zip(bytes, prev),
+      |        z -> COALESCE(abs(z[1] - z[2]), COALESCE(z[1], z[2]))), 'sum')
+      |    END AS dist
+      |  FROM lg)
+      |SELECT media_id, frame_idx, CAST(COALESCE(dist, 0) AS BIGINT) AS dist
+      |FROM d WHERE dist IS NULL OR dist >= 2500
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_keyframes" -> (mediaKeyframes _),
     "multimodal_audio_energy" -> (audioEnergy _),
     "multimodal_energy_cuts" -> (energyCuts _),
     "multimodal_dedup_savings" -> (dedupSavings _),
@@ -1016,6 +1095,7 @@ object Multimodal {
       |FROM s ORDER BY media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "multimodal_keyframes" -> mediaKeyframesSql,
     "multimodal_features" -> mediaFeaturesSql,
     "multimodal_frames" -> mediaFramesSql,
     "multimodal_header_probe" -> mediaHeaderProbeSql,

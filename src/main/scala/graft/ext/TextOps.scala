@@ -779,8 +779,20 @@ object TextOps {
 
   def overlapSpansOn(documents: DataFrame, k: Int, evalMod: Int,
       flagSpan: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = documents
+    val grams = overlapGrams(documents, k)
+    overlapSpanScore(
+      grams.filter(col("doc_id") % evalMod =!= 0),
+      grams.filter(col("doc_id") % evalMod === 0)
+        .select(col("doc_id").as("eval_id"), col("pos").as("pe"), col("gram")),
+      k, flagSpan)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Positional k-gram extraction shared by the batch operator (both
+    * sides) and the ingest twin (arriving documents).
+    */
+  private def overlapGrams(documents: DataFrame, k: Int): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       // guard: Spark's sequence(1, 0) DESCENDS instead of emptying, so
       // docs shorter than k tokens need the explicit empty branch
@@ -789,10 +801,30 @@ object TextOps {
           s" i -> concat_ws(' ', slice(ws, i, $k))) ELSE CAST(array() AS array<string>) END"))
         .as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
-    val evalG = grams.filter(col("doc_id") % evalMod === 0)
+
+  /** Public gram extraction for the ingest twin's corpus side. */
+  def overlapCorpusGrams(documents: DataFrame, k: Int = 5): DataFrame =
+    overlapGrams(documents, k)
+
+  /** The eval-suite k-gram table (eval_id, pe, gram) for a reference
+    * snapshot — the frozen artifact [[graft.streaming.OverlapSpanIngest]]
+    * builds once and probes every micro-batch against.
+    */
+  def overlapEvalGrams(reference: DataFrame, k: Int = 5,
+      evalMod: Int = 50): DataFrame =
+    overlapGrams(reference.filter(col("doc_id") % evalMod === 0), k)
       .select(col("doc_id").as("eval_id"), col("pos").as("pe"), col("gram"))
-    val corpG = grams.filter(col("doc_id") % evalMod =!= 0)
-    val matches = corpG.join(broadcast(evalG), "gram")
+
+  /** Score corpus grams against a FROZEN eval-gram table: the diagonal
+    * gaps-and-islands core. Every window is doc_id-partitioned, so the
+    * scoring is batch-local — shared verbatim by the batch operator and
+    * the ingest twin (a document's spans depend only on its own grams
+    * and the frozen table).
+    */
+  def overlapSpanScore(corpGrams: DataFrame, evalGrams: DataFrame,
+      k: Int, flagSpan: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matches = corpGrams.join(broadcast(evalGrams), "gram")
       .select(col("doc_id"), col("eval_id"), col("pos").as("pd"),
         (col("pos") - col("pe")).as("diag"))
     val wDiag = Window.partitionBy(col("doc_id"), col("eval_id"), col("diag"))
@@ -812,7 +844,6 @@ object TextOps {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("span").as("max_span"), col("eval_id"),
         col("n_flagged"))
-      .orderBy(col("doc_id"))
   }
 
   val overlapSpansSql: String =

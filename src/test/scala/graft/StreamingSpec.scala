@@ -1120,6 +1120,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streaming span decontamination == batch overlap spans (frozen eval grams)") {
+    import graft.streaming.OverlapSpanIngest
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_span_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_span_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_span_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3)
+      .write.mode("overwrite").parquet(docsDir)
+    OverlapSpanIngest.start(spark, docsDir, docsDir, outDir, ckpt)
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "max_span", "eval_id", "n_flagged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ext.TextOps.overlapSpans(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty) // sf0.001 carries 2 contaminated docs
+  }
+
   test("streaming RAKE keywords == batch top-k on the same corpus (frozen word scores)") {
     import graft.streaming.RakeIngest
     val docsDir = java.nio.file.Files.createTempDirectory("graft_rake_in").toString
