@@ -90,7 +90,7 @@ object SparkEntry {
     // sim_ann_ivf sorts first in its family and was billing the ~2 s
     // first Janino compile (BENCH_r09 5.38 s vs 2.77 s in r8, still
     // 4.9 s in isolation, warm ~2.5 s)
-    "simivf" -> ((Set("sim_ann_ivf", "sim_ann_ivf_seeded",
+    "simivf" -> ((Set("sim_ann_ivf", "sim_ann_ivf_seeded", "sim_ann_ivf_cached",
       "sim_ann_ivf_recall", "sim_ann_nprobe_curve"), "sim_ann_ivf")),
     "simfp" -> ((Set("sim_label_spread", "sim_label_noise",
       "sim_triplet_margin"), "sim_label_noise")),

@@ -191,6 +191,24 @@ object Similarity {
       iters, nQueries, k, nprobe)
   }
 
+  /** The index LIFECYCLE form of [[annIvf]]: build the IVF index, WRITE
+    * it to parquet, read it back, and probe the reload — the
+    * build-once/probe-many amortization a deployed ANN service lives
+    * on (the per-query cost is the probe alone; training is a one-off
+    * the sweep in [[annNprobeCurve]] deliberately does NOT share so
+    * each of its points stays independently graded). vec_id/cell/vfp
+    * all round-trip parquet exactly, so the cached probe hash-matches
+    * [[annIvfSqlFor]] — the same oracle as the in-memory form.
+    */
+  def annIvfCached(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val init = e.select(col("vec_id"), col("label").as("cell"),
+      expr(vfpExpr).as("vfp"))
+    val idxDir = s"${graft.engine.WorkDirs.processScoped("graft_ivf_idx")}/index"
+    ivfTrain(init, iters = 2).write.mode("overwrite").parquet(idxDir)
+    ivfProbe(e, spark.read.parquet(idxDir), nQueries = 10, k = 5, nprobe = 4)
+  }
+
   /** IVF without the label crutch: the coarse cells are seeded by
     * deterministic kmeans++-style FARTHEST-POINT selection, so the
     * operator runs on any corpus — no pre-existing cluster column
@@ -279,21 +297,42 @@ object Similarity {
       .as("carr"))
 
   private def annIvfCore(e: DataFrame, init: DataFrame, iters: Int,
-      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    graft.plans.GraftExtensions.register(e.sparkSession)
+      nQueries: Int, k: Int, nprobe: Int): DataFrame =
+    ivfProbe(e, ivfTrain(init, iters), nQueries, k, nprobe)
+
+  /** The IVF trainer alone: `iters` KMeans rounds from `init`
+    * (vec_id, cell, vfp), returning the trained assignment table — the
+    * INDEX. Persist it with a plain parquet write (vec_id/cell/vfp all
+    * round-trip exactly) and probe any number of query batches against
+    * the reload via [[ivfProbe]]: the build-once/probe-many lifecycle a
+    * production ANN deployment amortizes its training over
+    * ([[annIvfCached]] grades the full save→load→probe loop).
+    */
+  def ivfTrain(init: DataFrame, iters: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(init.sparkSession)
     val distExpr = ivfDistExpr
-    def centsOf(a: DataFrame): DataFrame = cellCentroids(a)
     var assign = init
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("ccell"))
-      assign = assign.crossJoin(broadcast(centsOf(assign)))
+      assign = assign.crossJoin(broadcast(cellCentroids(assign)))
         .withColumn("dist", expr(distExpr))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("ccell").as("cell"), col("vfp"))
         .localCheckpoint(true)
     }
-    val cent = centsOf(assign)
+    assign
+  }
+
+  /** Probe a trained (possibly reloaded) IVF index: rank cells per
+    * query, search only the nprobe nearest cells' members with exact
+    * cosine, keep top k.
+    */
+  def ivfProbe(e: DataFrame, assign: DataFrame, nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val distExpr = ivfDistExpr
+    val cent = cellCentroids(assign)
     // rank cells per query by fixed-point L2 to the trained centroids,
     // keep nprobe; the query side re-joins its float embedding for the
     // exact-cosine scoring pass (assignments travel without vectors).
@@ -2388,6 +2427,7 @@ object Similarity {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_ivf_cached" -> (annIvfCached _),
     "sim_ann_ivf_seeded" -> (annIvfSeeded _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ann_ivf_recall" -> (annIvfRecall _),
@@ -2432,6 +2472,7 @@ object Similarity {
     "sim_kmeans3" -> kmeansItersSqlFor(3),
     "sim_kmeans_churn" -> kmeansChurnSqlFor(early = 1, iters = 3),
     "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
+    "sim_ann_ivf_cached" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_ivf_seeded" -> annIvfSeededSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_recall" -> annRecallSqlFor(nQueries = 10, k = 5,
