@@ -31,6 +31,8 @@ import graft.engine.Tables
   */
 object Similarity {
 
+  private val ivfIdxNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
@@ -204,7 +206,10 @@ object Similarity {
     val e = emb(spark, dir)
     val init = e.select(col("vec_id"), col("label").as("cell"),
       expr(vfpExpr).as("vfp"))
-    val idxDir = s"${graft.engine.WorkDirs.processScoped("graft_ivf_idx")}/index"
+    // per-invocation nonce: two concurrent invocations in one JVM (parallel
+    // query scheduling) must not race write-vs-read on a shared index path
+    val idxDir = s"${graft.engine.WorkDirs.processScoped("graft_ivf_idx")}/" +
+      s"index-${Similarity.ivfIdxNonce.incrementAndGet()}"
     ivfTrain(init, iters = 2).write.mode("overwrite").parquet(idxDir)
     ivfProbe(e, spark.read.parquet(idxDir), nQueries = 10, k = 5, nprobe = 4)
   }

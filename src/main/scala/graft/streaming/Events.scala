@@ -2792,7 +2792,12 @@ object Events {
     */
   def ewmaMonitor(spark: SparkSession, dir: String): DataFrame = {
     val hc = events(spark, dir)
-      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      // date_trunc first so the div operand is an exact hour multiple:
+      // truncate == floor there, closing the pre-1970 div-vs-floor gap
+      // against the oracle's `epoch_us(ts) // 3600000000` (the q88 sign
+      // trap this function's own comment guards the EWMA update against).
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
     val range = hc.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val grid = hc.select(col("event_type")).distinct()
