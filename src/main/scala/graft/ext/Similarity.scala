@@ -442,19 +442,25 @@ object Similarity {
     * Constants are splitmix64's: 11400714819323198485 = golden-ratio
     * increment, the hi/lo pairs are the two finalizer multipliers.
     */
-  def annIvfSeededSqlFor(nSeeds: Int, iters: Int, nQueries: Int, k: Int,
-      nprobe: Int): String = {
-    val fpDist =
-      """CAST(list_aggregate(list_transform(list_zip(v.vfp, s.svfp),
-        |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
+  /** Fixed-point squared-L2 between a corpus row `v` and a seed row `s`
+    * — the distance kernel of the farthest-point seed CTEs, shared by
+    * [[annIvfSeededSqlFor]] and [[coresetKCenterSqlFor]]. */
+  private val fpSeedDistSql =
+    """CAST(list_aggregate(list_transform(list_zip(v.vfp, s.svfp),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
+
+  /** WITH-body prefix replaying [[farthestPointSeeds]]: fixed-point
+    * corpus `v`, the splitmix64 hash chain `hx`, and the greedy
+    * farthest-point selection `sel1..sel{nSeeds}`. */
+  private def fpSeedChainSql(nSeeds: Int): String = {
     def pick(r: Int): String =
       s"""md$r AS (
-         |  SELECT v.vec_id, v.vfp, MIN($fpDist) AS mind
+         |  SELECT v.vec_id, v.vfp, MIN($fpSeedDistSql) AS mind
          |  FROM v CROSS JOIN sel${r - 1} s GROUP BY v.vec_id, v.vfp),
          |pk$r AS (SELECT vec_id AS seed_id, vfp AS svfp FROM md$r
          |         ORDER BY mind DESC, vec_id LIMIT 1),
          |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)""".stripMargin
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, embedding,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
        |  FROM embeddings),
@@ -469,15 +475,19 @@ object Similarity {
        |    CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - 18446744073709551616 ELSE z3 END AS BIGINT) AS h
        |  FROM v),
        |sel1 AS (SELECT vec_id AS seed_id, vfp AS svfp FROM hx ORDER BY h, vec_id LIMIT 1),
-       |${(2 to nSeeds).map(pick).mkString(",\n")},
+       |${(2 to nSeeds).map(pick).mkString(",\n")}""".stripMargin
+  }
+
+  def annIvfSeededSqlFor(nSeeds: Int, iters: Int, nQueries: Int, k: Int,
+      nprobe: Int): String =
+    s"""WITH ${fpSeedChainSql(nSeeds)},
        |d0 AS (
-       |  SELECT v.vec_id, v.vfp, s.seed_id, $fpDist AS dist
+       |  SELECT v.vec_id, v.vfp, s.seed_id, $fpSeedDistSql AS dist
        |  FROM v CROSS JOIN sel$nSeeds s),
        |rk0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn FROM d0),
        |a0 AS (SELECT vec_id, seed_id AS cell, vfp FROM rk0 WHERE rn = 1),
        |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
        |${ivfProbeSql(iters, nQueries, k, nprobe)}""".stripMargin
-  }
 
   // ------------------------------------------------------- quantization
   /** Int8 embedding quantization (symmetric, per-vector scale): codes =
@@ -2425,7 +2435,121 @@ object Similarity {
        |ORDER BY vec_id, step""".stripMargin
   }
 
+  // ----------------------------------------- k-center greedy coreset
+  /** k-center greedy coreset: the [[farthestPointSeeds]] selection read
+    * as a SUBSET SELECTOR rather than an index seeder — greedy k-center
+    * is the classic 2-approximation to the min-radius cover, and "pick
+    * the 8 most mutually-distant exemplars, then report how well they
+    * cover the corpus" is the coreset/diverse-subset primitive behind
+    * active-learning batches and eval-set selection. Output is the
+    * per-center cover profile: member count, coverage radius (max
+    * fixed-point squared-L2 to the center), and truncated mean distance
+    * — the radius column IS the k-center objective, so a selection
+    * regression shows up as a hash mismatch. Scale shape: nCenters
+    * corpus scans against a broadcast ≤nCenters-row seed table (the
+    * selection), then ONE scan for the assignment; vectors never
+    * shuffle or self-join.
+    */
+  def coresetKCenter(spark: SparkSession, dir: String): DataFrame =
+    coresetKCenterOn(emb(spark, dir), nCenters = 8)
+
+  def coresetKCenterOn(e: DataFrame, nCenters: Int): DataFrame = {
+    val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
+    val seeds = farthestPointSeeds(vfp, nCenters)
+    val wSeed = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("seed_id"))
+    vfp.crossJoin(broadcast(seeds))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(vfp, svfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") === 1)
+      .groupBy(col("seed_id").as("center_id"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("dist")).as("radius_fp"),
+        sum(col("dist")).as("sd"))
+      .select(col("center_id"), col("n_assigned"), col("radius_fp"),
+        expr("sd div n_assigned").as("mean_d_fp"))
+      .orderBy(col("center_id"))
+  }
+
+  def coresetKCenterSqlFor(nCenters: Int): String =
+    s"""WITH ${fpSeedChainSql(nCenters)},
+       |d0 AS (SELECT v.vec_id, s.seed_id, $fpSeedDistSql AS dist
+       |       FROM v CROSS JOIN sel$nCenters s),
+       |rk0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn FROM d0),
+       |a AS (SELECT vec_id, seed_id, dist FROM rk0 WHERE rn = 1)
+       |SELECT seed_id AS center_id, COUNT(*) AS n_assigned,
+       |  CAST(MAX(dist) AS BIGINT) AS radius_fp,
+       |  CAST(SUM(dist) AS BIGINT) // COUNT(*) AS mean_d_fp
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------- SemDeDup threshold sweep
+  /** SemDeDup threshold tuning curve: pair count, docs removed, and
+    * removal rate (bp) at six cosine cutoffs 0.30…0.80 — the table a
+    * pipeline owner reads to PICK the [[semanticDedup]] threshold
+    * before committing to a corpus-wide removal. The expensive work
+    * (band join + exact cosine on the candidate pairs) runs ONCE,
+    * unthresholded; the sweep is a broadcast 6-row grid over the bare
+    * (va, vb, cos) pair list — ids only, so the 100 TB cost is one
+    * candidate generation regardless of how many cutoffs the curve
+    * carries. Removal per cutoff uses the greedy keep-smaller-id rule
+    * (a doc is removed iff some smaller-id doc sits within the cutoff)
+    * — the same canonical-representative convention as the cluster
+    * family, without re-running connected components per point.
+    */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val bd = banded(e, 16, 4)
+    val a = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
+    val b = bd.select(col("vec_id").as("vb"), col("band").as("bband"),
+      col("band_key").as("bkey"))
+    val cand = a.join(b,
+        col("band") === col("bband") && col("band_key") === col("bkey") &&
+          col("va") < col("vb"))
+      .select(col("va"), col("vb")).dropDuplicates("va", "vb")
+    val ea = e.select(col("vec_id").as("va"), col("embedding").as("qe"))
+    val eb = e.select(col("vec_id").as("vb"), col("embedding").as("ce"))
+    val scored = cand.join(ea, "va").join(eb, "vb")
+      .withColumn("cos", cosine(e)).select(col("va"), col("vb"), col("cos"))
+    val grid = e.sparkSession.range(3, 9)
+      .select((col("id") * 1000).cast("long").as("tau_bp"))
+    val agg = scored.crossJoin(broadcast(grid))
+      .filter(col("cos") >= col("tau_bp").cast("double") / 10000.0)
+      .groupBy(col("tau_bp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("vb")).as("n_removed"))
+    val tot = e.agg(count(lit(1)).as("n"))
+    grid.join(agg, Seq("tau_bp"), "left").crossJoin(broadcast(tot))
+      .select(col("tau_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        expr("coalesce(n_removed, 0L) * 10000 div n").as("removed_bp"))
+      .orderBy(col("tau_bp"))
+  }
+
+  val dedupThresholdCurveSql: String =
+    s"""WITH ${lshBandsCte(16, 4)},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT cand.va, cand.vb, $cosExprSql AS cos
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.va
+       |            JOIN embeddings b ON b.vec_id = cand.vb),
+       |taus AS (SELECT CAST(unnest([3000, 4000, 5000, 6000, 7000, 8000]) AS BIGINT) AS tau_bp),
+       |agg AS (
+       |  SELECT t.tau_bp, COUNT(*) AS n_pairs, COUNT(DISTINCT s.vb) AS n_removed
+       |  FROM scored s JOIN taus t ON s.cos >= CAST(t.tau_bp AS DOUBLE) / 10000.0
+       |  GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n FROM embeddings)
+       |SELECT t.tau_bp, CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE(a.n_removed, 0) * 10000 AS BIGINT) // tot.n AS removed_bp
+       |FROM taus t LEFT JOIN agg a USING (tau_bp) CROSS JOIN tot
+       |ORDER BY t.tau_bp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_coreset_kcenter" -> (coresetKCenter _),
+    "sim_dedup_threshold_curve" -> (dedupThresholdCurve _),
     "sim_mmr_diversify" -> (mmrDiversify _),
     "sim_dedup_keep" -> (semanticDedup _),
     "sim_quantize_i8" -> (quantizeI8 _),
@@ -2462,6 +2586,8 @@ object Similarity {
     "sim_triplet_margin" -> (tripletMargin _))
 
   val oracles: Map[String, String] = Map(
+    "sim_coreset_kcenter" -> coresetKCenterSqlFor(8),
+    "sim_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
     "sim_dedup_keep" -> semanticDedupSql,
     "sim_cosine_topk" -> cosineTopKSql,

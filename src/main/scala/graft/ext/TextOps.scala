@@ -2456,7 +2456,220 @@ object TextOps {
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, phrase, score
       |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ------------------------------------------------ Gopher rule battery
+  /** Gopher-style rule battery (Rae et al. 2021 §A1.1, adapted to the
+    * fixture's whitespace corpus): five independent keep/drop rules per
+    * document, reported as a BITMAP plus a fail count — pipelines keep
+    * the per-rule bits (not just the verdict) so a corpus audit can say
+    * WHICH rule is responsible for the removal mass. Rules: word count
+    * in [50, 100k]; mean word length in [3, 10]; alpha-char fraction of
+    * non-space text ≥ 0.8; ≥ 2 distinct stopwords present; top-token
+    * share ≤ 0.2 (the repetition guard standing in for Gopher's
+    * duplicate-line ratios, which need line structure this corpus lacks).
+    * All thresholds are integer cross-multiplications (5·na ≥ 4·ns, not
+    * na/ns ≥ 0.8) so no float compare can straddle an ulp across
+    * engines. Everything except the top-token count is scan-side
+    * arithmetic over the token array; the top-token count is one
+    * explode → (doc, token) partial-agg → per-doc max, re-joined on
+    * doc_id — the only shuffle, keyed by doc, map-side combinable.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(docs(spark, dir))
+
+  def gopherRulesOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val d = documents.withColumn("w", split(col("text"), " "))
+    val scan = d.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n"),
+      expr("sum_strlen(w)").cast("long").as("sl"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("na"),
+      (length(col("text")) - (size(col("w")) - 1)).cast("long").as("ns"),
+      expr("""size(filter(array_distinct(w),
+        |  x -> array_contains(array('the','a','of','and','to'), x)))"""
+        .stripMargin).cast("long").as("nstop"))
+    val rep = d.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).cast("long").as("max_tok"))
+    scan.join(rep, "doc_id")
+      .withColumn("r_wc", (col("n") >= 50 && col("n") <= 100000L).cast("long"))
+      .withColumn("r_mtl",
+        (col("sl") >= col("n") * 3 && col("sl") <= col("n") * 10).cast("long"))
+      .withColumn("r_alpha", (col("na") * 5 >= col("ns") * 4).cast("long"))
+      .withColumn("r_stop", (col("nstop") >= 2).cast("long"))
+      .withColumn("r_rep", (col("max_tok") * 5 <= col("n")).cast("long"))
+      .select(
+        col("doc_id"), col("n").as("n_tokens"),
+        (col("r_wc") + col("r_mtl") * 2 + col("r_alpha") * 4 +
+          col("r_stop") * 8 + col("r_rep") * 16).as("rule_bits"),
+        (lit(5L) - col("r_wc") - col("r_mtl") - col("r_alpha") -
+          col("r_stop") - col("r_rep")).as("n_failed"),
+        (col("r_wc") * col("r_mtl") * col("r_alpha") * col("r_stop") *
+          col("r_rep")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesSql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n,
+      |    CAST(list_aggregate(list_transform(w, x -> CAST(length(x) AS INT)), 'sum') AS BIGINT) AS sl,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+      |    CAST(length(text) - (len(w) - 1) AS BIGINT) AS ns,
+      |    CAST(len(list_filter(list_distinct(w),
+      |      x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS nstop
+      |  FROM d),
+      |rep AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_tok FROM (
+      |    SELECT doc_id, t, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2) GROUP BY 1),
+      |r AS (SELECT s.doc_id, s.n,
+      |    CASE WHEN s.n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+      |    CASE WHEN s.sl BETWEEN 3 * s.n AND 10 * s.n THEN 1 ELSE 0 END AS r_mtl,
+      |    CASE WHEN s.na * 5 >= s.ns * 4 THEN 1 ELSE 0 END AS r_alpha,
+      |    CASE WHEN s.nstop >= 2 THEN 1 ELSE 0 END AS r_stop,
+      |    CASE WHEN rep.max_tok * 5 <= s.n THEN 1 ELSE 0 END AS r_rep
+      |  FROM s JOIN rep ON s.doc_id = rep.doc_id)
+      |SELECT doc_id, n AS n_tokens,
+      |  CAST(r_wc + r_mtl * 2 + r_alpha * 4 + r_stop * 8 + r_rep * 16 AS BIGINT) AS rule_bits,
+      |  CAST(5 - r_wc - r_mtl - r_alpha - r_stop - r_rep AS BIGINT) AS n_failed,
+      |  CAST(r_wc * r_mtl * r_alpha * r_stop * r_rep AS BIGINT) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- token-budget allocation
+  /** Token-budget mixture planner: given per-source token counts, a
+    * global training budget (⅓ of the corpus here), temperature-√
+    * weights, and a 2-epoch repetition cap, allocate the budget across
+    * sources — the planning table behind every "how many tokens of each
+    * source does the run actually see" decision. Two deterministic
+    * passes: a proportional integer allocation (B·w_s div Σw), then one
+    * redistribution of the capped sources' surplus to the uncapped ones
+    * (again ∝ weight). Everything is BIGINT arithmetic (isqrt weights,
+    * truncating div) so both engines agree bit-for-bit; epochs are
+    * reported in basis points. Shape: one map-side-combinable per-source
+    * token sum over the corpus (the only big scan), then all planning
+    * math runs on the |sources|-row table against broadcast scalars —
+    * the 100 TB cost is exactly one pass over `documents`.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOn(docs(spark, dir))
+
+  def tokenBudgetOn(documents: DataFrame): DataFrame = {
+    val n = documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tok"))
+      .withColumn("wt", expr("cast(floor(sqrt(cast(n_tok as double))) as bigint)"))
+    val tot = n.agg(sum(col("n_tok")).as("total"), sum(col("wt")).as("sw"))
+    val alloc = n.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total div 3"))
+      .withColumn("raw", expr("budget * wt div sw"))
+      .withColumn("cap", col("n_tok") * 2)
+      .withColumn("capped", (col("raw") > col("cap")).cast("long"))
+      .withColumn("c", least(col("raw"), col("cap")))
+    val redo = alloc.agg(
+      (first(col("budget")) - sum(col("c"))).as("leftover"),
+      sum(when(col("capped") === 0, col("wt")).otherwise(lit(0L))).as("sw_u"))
+    alloc.crossJoin(broadcast(redo))
+      .withColumn("extra",
+        when(col("capped") === 1 || col("sw_u") === 0, lit(0L))
+          .otherwise(expr("leftover * wt div sw_u")))
+      .select(col("source"), col("n_tok").as("n_tokens"), col("wt"),
+        col("raw").as("alloc_raw"), col("capped"),
+        least(col("c") + col("extra"), col("cap")).as("alloc_final"),
+        expr("least(c + extra, cap) * 10000 div n_tok").as("epochs_bp"))
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetSql: String =
+    """WITH n AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_tok,
+      |    CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS wt FROM n),
+      |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total,
+      |    CAST(SUM(wt) AS BIGINT) AS sw FROM w),
+      |alloc AS (
+      |  SELECT source, n_tok, wt,
+      |    t.total // 3 AS budget,
+      |    t.total // 3 * wt // t.sw AS raw,
+      |    n_tok * 2 AS cap,
+      |    CASE WHEN t.total // 3 * wt // t.sw > n_tok * 2 THEN 1 ELSE 0 END AS capped,
+      |    least(t.total // 3 * wt // t.sw, n_tok * 2) AS c
+      |  FROM w CROSS JOIN tot t),
+      |redo AS (SELECT CAST(MIN(budget) - SUM(c) AS BIGINT) AS leftover,
+      |    CAST(SUM(CASE WHEN capped = 0 THEN wt ELSE 0 END) AS BIGINT) AS sw_u
+      |  FROM alloc)
+      |SELECT a.source, a.n_tok AS n_tokens, a.wt,
+      |  a.raw AS alloc_raw, CAST(a.capped AS BIGINT) AS capped,
+      |  least(a.c + CASE WHEN a.capped = 1 OR r.sw_u = 0 THEN 0
+      |    ELSE r.leftover * a.wt // r.sw_u END, a.cap) AS alloc_final,
+      |  least(a.c + CASE WHEN a.capped = 1 OR r.sw_u = 0 THEN 0
+      |    ELSE r.leftover * a.wt // r.sw_u END, a.cap) * 10000 // a.n_tok AS epochs_bp
+      |FROM alloc a CROSS JOIN redo r ORDER BY a.source""".stripMargin
+
+  // ------------------------------------------------- Heaps'-law curve
+  /** Heaps'-law vocabulary growth curve: cumulative distinct-token count
+    * against cumulative corpus size at 10 ingestion checkpoints (equal-
+    * width slices of the doc_id range — ids are the arrival order in
+    * this corpus). The curve's flattening rate is how a crawl decides
+    * whether more of the same source still buys new vocabulary. Scale
+    * shape: each token's FIRST document (min doc_id, one explode +
+    * map-side-combinable min) and each document's token count are both
+    * bucketed into their checkpoint by pure arithmetic — no global
+    * rank/ntile window over the corpus, no 10× duplication of the scan;
+    * the running totals fold over the 10-row checkpoint grid only.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame =
+    heapsLawOn(docs(spark, dir))
+
+  def heapsLawOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents.withColumn("w", split(col("text"), " "))
+    val bounds = d.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+    // integer div (operands nonnegative, so truncate == floor on both engines)
+    def bucket(c: String) = expr(s"1L + ($c - lo) * 10L div span")
+    val perDoc = d.select(col("doc_id"), size(col("w")).cast("long").as("nt"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket("doc_id").as("k"))
+      .agg(count(lit(1)).as("nd"), sum(col("nt")).as("ntok"))
+    val firsts = d.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("f"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket("f").as("k")).agg(count(lit(1)).as("nv"))
+    // 10-row grid; the running sums fold over it alone (bounded frame)
+    val grid = documents.sparkSession.range(1, 11).select(col("id").as("k"))
+    val wc = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(perDoc, Seq("k"), "left").join(firsts, Seq("k"), "left")
+      .select(col("k").as("decile"),
+        sum(coalesce(col("nd"), lit(0L))).over(wc).as("n_docs_cum"),
+        sum(coalesce(col("ntok"), lit(0L))).over(wc).as("n_tokens_cum"),
+        sum(coalesce(col("nv"), lit(0L))).over(wc).as("vocab_cum"))
+      .orderBy(col("decile"))
+  }
+
+  val heapsLawSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span FROM d),
+      |pd AS (
+      |  SELECT 1 + (doc_id - b.lo) * 10 // b.span AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(len(w)) AS BIGINT) AS ntok
+      |  FROM d CROSS JOIN b GROUP BY 1),
+      |fs AS (SELECT t, MIN(doc_id) AS f FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1),
+      |fv AS (
+      |  SELECT 1 + (f - b.lo) * 10 // b.span AS k, CAST(COUNT(*) AS BIGINT) AS nv
+      |  FROM fs CROSS JOIN b GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(1, 10)) AS k)
+      |SELECT CAST(g.k AS BIGINT) AS decile,
+      |  CAST(SUM(COALESCE(pd.nd, 0)) OVER (ORDER BY g.k) AS BIGINT) AS n_docs_cum,
+      |  CAST(SUM(COALESCE(pd.ntok, 0)) OVER (ORDER BY g.k) AS BIGINT) AS n_tokens_cum,
+      |  CAST(SUM(COALESCE(fv.nv, 0)) OVER (ORDER BY g.k) AS BIGINT) AS vocab_cum
+      |FROM grid g LEFT JOIN pd ON g.k = pd.k LEFT JOIN fv ON g.k = fv.k
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> (gopherRules _),
+    "text_token_budget" -> (tokenBudget _),
+    "text_heaps_law" -> (heapsLaw _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -2498,6 +2711,9 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" -> gopherRulesSql,
+    "text_token_budget" -> tokenBudgetSql,
+    "text_heaps_law" -> heapsLawSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,
