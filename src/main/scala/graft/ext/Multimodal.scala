@@ -886,7 +886,74 @@ object Multimodal {
       |FROM d WHERE dist IS NULL OR dist >= 2500
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------ aspect-ratio bucketing
+  /** Aspect-ratio bucketing for image-batch training (the SDXL-style
+    * trick: batches must share a resolution, so images group by the
+    * nearest of a fixed ratio ladder and batches form within each
+    * bucket). Dimensions here are header-derived synthetic stand-ins
+    * (two big-endian u16s off the payload front, the [[mediaHeaderProbe]]
+    * pattern — a real column would carry the probe's parsed width/
+    * height); everything downstream is the real pipeline: ratio in
+    * basis points (integer), argmin assignment against the broadcast
+    * 7-rung ladder (ties to the smaller rung), then fixed-size batch
+    * packing per bucket by media_id order. Scale shape: the ladder is a
+    * broadcast constant; assignment is scan-side; the only shuffle is
+    * the per-bucket pack window, keyed by bucket — and a production
+    * packer shards that window by (bucket, media_id range) since batch
+    * boundaries only need order within a shard.
+    */
+  def aspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = docsAsMedia(spark, dir).toDF()
+      .select(col("media_id"), col("payload"))
+      .withColumn("w",
+        expr("128 + cast(conv(hex(substring(payload, 1, 2)), 16, 10) as bigint) % 897"))
+      .withColumn("h",
+        expr("128 + cast(conv(hex(substring(payload, 3, 2)), 16, 10) as bigint) % 897"))
+      .withColumn("ratio_bp", expr("w * 10000 div h"))
+    val ladder = Seq(5000L, 6667L, 7500L, 10000L, 13333L, 15000L, 20000L)
+    val grid = dims.sparkSession.range(1)
+      .select(explode(array(ladder.map(lit): _*)).as("bucket_bp"))
+    val wB = Window.partitionBy(col("media_id"))
+      .orderBy(abs(col("ratio_bp") - col("bucket_bp")), col("bucket_bp"))
+    val wPack = Window.partitionBy(col("bucket_bp")).orderBy(col("media_id"))
+    dims.crossJoin(broadcast(grid))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+      .withColumn("rnb", row_number().over(wPack).cast("long"))
+      .select(col("media_id"), col("w"), col("h"), col("ratio_bp"),
+        col("bucket_bp"), expr("(rnb - 1) div 32").as("batch_idx"))
+      .orderBy(col("media_id"))
+  }
+
+  val aspectBucketsSql: String = {
+    def by(k: Int): String =
+      s"((strpos('0123456789ABCDEF', substr(h, ${2 * k + 1}, 1)) - 1) * 16" +
+        s" + (strpos('0123456789ABCDEF', substr(h, ${2 * k + 2}, 1)) - 1))"
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents),
+       |dims AS (
+       |  SELECT media_id,
+       |    CAST(128 + (${by(0)} * 256 + ${by(1)}) % 897 AS BIGINT) AS w,
+       |    CAST(128 + (${by(2)} * 256 + ${by(3)}) % 897 AS BIGINT) AS h
+       |  FROM b),
+       |r AS (SELECT media_id, w, h, w * 10000 // h AS ratio_bp FROM dims),
+       |ladder AS (SELECT CAST(unnest([5000, 6667, 7500, 10000, 13333, 15000, 20000]) AS BIGINT) AS bucket_bp),
+       |asg AS (
+       |  SELECT r.*, l.bucket_bp,
+       |    row_number() OVER (PARTITION BY r.media_id
+       |      ORDER BY abs(r.ratio_bp - l.bucket_bp), l.bucket_bp) AS rn
+       |  FROM r CROSS JOIN ladder l),
+       |pick AS (SELECT * FROM asg WHERE rn = 1),
+       |pack AS (
+       |  SELECT media_id, w, h, ratio_bp, bucket_bp,
+       |    CAST(row_number() OVER (PARTITION BY bucket_bp ORDER BY media_id) AS BIGINT) AS rnb
+       |  FROM pick)
+       |SELECT media_id, w, h, ratio_bp, bucket_bp, (rnb - 1) // 32 AS batch_idx
+       |FROM pack ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_aspect_buckets" -> (aspectBuckets _),
     "multimodal_keyframes" -> (mediaKeyframes _),
     "multimodal_audio_energy" -> (audioEnergy _),
     "multimodal_energy_cuts" -> (energyCuts _),
@@ -1095,6 +1162,7 @@ object Multimodal {
       |FROM s ORDER BY media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "multimodal_aspect_buckets" -> aspectBucketsSql,
     "multimodal_keyframes" -> mediaKeyframesSql,
     "multimodal_features" -> mediaFeaturesSql,
     "multimodal_frames" -> mediaFramesSql,

@@ -2859,7 +2859,67 @@ object Events {
       |  CAST(flags AS BIGINT) AS n_flags, CAST(i AS BIGINT) AS n_hours
       |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------- changepoint detection
+  /** Single-changepoint detection over daily event volume by binary
+    * segmentation: every candidate split t scores the between-segment
+    * variance reduction gain(t) = n_l·n_r·(μ_l − μ_r)²/n, and the top-3
+    * splits are reported — the offline sibling of [[cusumDrift]]
+    * (sequential) and [[ewmaMonitor]] (smoothing): CUSUM asks "has the
+    * mean shifted by now", binary segmentation asks "WHERE did it
+    * shift". All arithmetic is integer fixed point: fp3 means via
+    * truncating div (nonnegative operands, so Spark `div` == DuckDB
+    * `//`), gain in the (μ_l−μ_r)²-first form — exact while per-day
+    * mean < ~3×10⁶ fp3 (beyond that, drop the 1000× scaling; the
+    * S²-first form would overflow much earlier at corpus scale). The
+    * cumulative window runs over the DAILY series, whose length is
+    * bounded by the calendar, not the corpus — the per-day counts
+    * underneath aggregate distributed with map-side combine.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    // calendar-bounded frame: see docstring (≤ days-in-range rows)
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.agg(sum(col("x")).as("s_tot"), count(lit(1)).as("n_tot"))
+    daily
+      .withColumn("s_l", sum(col("x")).over(w))
+      .withColumn("n_l", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_l") < col("n_tot"))
+      .withColumn("n_r", col("n_tot") - col("n_l"))
+      .withColumn("s_r", col("s_tot") - col("s_l"))
+      .withColumn("ml_fp", expr("s_l * 1000 div n_l"))
+      .withColumn("mr_fp", expr("s_r * 1000 div n_r"))
+      .withColumn("gain_fp",
+        expr("(ml_fp - mr_fp) * (ml_fp - mr_fp) * n_l * n_r div (n_tot * 1000)"))
+      .orderBy(col("gain_fp").desc, col("day")).limit(3)
+      .select(col("day").cast("string").as("day"), col("n_l"), col("n_r"),
+        col("ml_fp"), col("mr_fp"), col("gain_fp"))
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s_tot, COUNT(*) AS n_tot FROM daily),
+      |cum AS (
+      |  SELECT day, CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS s_l,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n_l
+      |  FROM daily),
+      |g AS (
+      |  SELECT c.day, c.n_l, t.n_tot - c.n_l AS n_r,
+      |    c.s_l * 1000 // c.n_l AS ml_fp,
+      |    (t.s_tot - c.s_l) * 1000 // (t.n_tot - c.n_l) AS mr_fp,
+      |    t.n_tot AS n_tot
+      |  FROM cum c CROSS JOIN tot t WHERE c.n_l < t.n_tot)
+      |SELECT CAST(day AS VARCHAR) AS day, n_l, n_r, ml_fp, mr_fp,
+      |  (ml_fp - mr_fp) * (ml_fp - mr_fp) * n_l * n_r // (n_tot * 1000) AS gain_fp
+      |FROM g ORDER BY gain_fp DESC, day LIMIT 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_changepoint" -> (changepoint _),
     "events_ewma_monitor" -> (ewmaMonitor _),
     "events_drift_chi2" -> (driftChi2 _),
     "events_gaps_islands" -> (gapsIslands _),
@@ -2906,6 +2966,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_changepoint" -> changepointSql,
     "events_ewma_monitor" -> ewmaMonitorSql,
     "events_drift_chi2" -> driftChi2Sql,
     "events_gaps_islands" -> gapsIslandsSql,

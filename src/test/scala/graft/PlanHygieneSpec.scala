@@ -103,7 +103,21 @@ class PlanHygieneSpec extends SparkSpecBase {
     "dedup_cluster_sizes",
     // nn ratio: cosineTopK's 10-query broadcast; bot score: the 1-row
     // median frame broadcast onto the per-user scores
-    "sim_nn_ratio", "events_bot_score")
+    "sim_nn_ratio", "events_bot_score",
+    // token budget: two 1-row planning frames (totals, leftover)
+    // broadcast onto the |sources|-row allocation (events_neyman's shape);
+    // heaps law: the 1-row (lo, span) bounds frame broadcast for the
+    // arithmetic bucket assignment
+    "text_token_budget", "text_heaps_law",
+    // coreset: farthestPointSeeds' packed-seed broadcast per selection
+    // round plus the ≤nCenters-row seed table for the assignment scan
+    // (sim_ann_ivf_seeded's shape); threshold curve: the 6-row tau grid
+    // and 1-row corpus-total broadcast onto the bare id-pair list
+    "sim_coreset_kcenter", "sim_dedup_threshold_curve",
+    // changepoint: the 1-row (s_tot, n_tot) frame broadcast onto the
+    // calendar-bounded daily series; aspect buckets: the 7-row ratio
+    // ladder broadcast for the scan-side argmin assignment
+    "events_changepoint", "multimodal_aspect_buckets")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
