@@ -2875,9 +2875,12 @@ object Events {
     * bounded by the calendar, not the corpus — the per-day counts
     * underneath aggregate distributed with map-side combine.
     */
-  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOn(events(spark, dir))
+
+  def changepointOn(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = events(spark, dir)
+    val daily = ev
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("long").as("x"))
     // calendar-bounded frame: see docstring (≤ days-in-range rows)

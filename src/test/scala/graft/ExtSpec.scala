@@ -1122,4 +1122,105 @@ class ExtSpec extends SparkSpecBase {
     assert(r.head.getLong(2) == 0L)     // against eval doc 0
     assert(r.head.getLong(3) == 0L)     // 7 < flagSpan=8 → not flagged
   }
+
+  test("gopher rules: per-rule bits, fail count, and keep verdict") {
+    import spark.implicits._
+    // docA passes all five rules: 63 tokens, 4-char words, 3 distinct
+    // stopwords, all-alpha, max token count 3 (3*5 <= 63)
+    val wordsA = "the a of " +
+      (0 until 60).map(i => ('a' + i % 26).toChar.toString * 4).mkString(" ")
+    // docB: too short (wc), no stopwords, top-token share 1/2 > 0.2 (rep)
+    val docs = Seq(
+      (0L, wordsA, "en", "s", 1L),
+      (1L, "hello world", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.gopherRulesOn(docs).collect()
+    val a = r.find(_.getLong(0) == 0L).get
+    assert(a.getLong(2) == 31L && a.getLong(3) == 0L && a.getLong(4) == 1L)
+    val b = r.find(_.getLong(0) == 1L).get
+    // bits: wc=0, mtl=2, alpha=4, stop=0, rep=0 -> 6; 3 failures; dropped
+    assert(b.getLong(2) == 6L && b.getLong(3) == 3L && b.getLong(4) == 0L)
+  }
+
+  test("token budget: allocations respect the budget, the epoch cap, and the capped flag") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val r = TextOps.tokenBudgetOn(d).collect()
+    val total = d.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    val budget = total / 3
+    assert(r.map(_.getLong(5)).sum <= budget) // Σ alloc_final ≤ budget
+    r.foreach { row =>
+      val (nTok, raw, capped, fin, epochsBp) =
+        (row.getLong(1), row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+      assert(fin >= 0 && fin <= 2 * nTok)            // epoch cap
+      assert(epochsBp <= 20000L)
+      assert((capped == 1L) == (raw > 2 * nTok))     // flag consistency
+      if (capped == 0L) assert(fin >= raw)           // uncapped only gain
+    }
+  }
+
+  test("heaps law: cumulative curve is monotone and ends at the corpus totals") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val r = TextOps.heapsLawOn(d).collect()
+    assert(r.length == 10 && r.map(_.getLong(0)).toSeq == (1L to 10L))
+    for (c <- 1 to 3; i <- 1 until 10)
+      assert(r(i).getLong(c) >= r(i - 1).getLong(c), s"col $c not monotone")
+    val last = r.last
+    assert(last.getLong(1) == d.count())
+    assert(last.getLong(2) ==
+      d.select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0))
+    assert(last.getLong(3) ==
+      d.select(explode(split(col("text"), " "))).distinct().count())
+  }
+
+  test("k-center coreset: full cover, radius bounds the mean") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val r = Similarity.coresetKCenterOn(e, nCenters = 4).collect()
+    assert(r.length == 4)
+    assert(r.map(_.getLong(1)).sum == e.count()) // every vector assigned once
+    r.foreach { row =>
+      assert(row.getLong(2) >= row.getLong(3) && row.getLong(3) >= 0L)
+    }
+  }
+
+  test("semdedup threshold curve: counts are nonincreasing in the cutoff") {
+    val r = ext.Similarity.dedupThresholdCurve(spark, sf()).collect()
+    assert(r.length == 6)
+    for (i <- 1 until 6) {
+      assert(r(i).getLong(1) <= r(i - 1).getLong(1)) // n_pairs
+      assert(r(i).getLong(2) <= r(i - 1).getLong(2)) // n_removed
+    }
+    assert(r.head.getLong(2) <= 500L)
+  }
+
+  test("changepoint: binary segmentation locates a constructed mean shift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 days: 5 quiet days (2 events) then 5 loud days (20 events) —
+    // the top split must be the last quiet day
+    val rows = for {
+      d <- 1 to 10
+      i <- 1 to (if (d <= 5) 2 else 20)
+    } yield (d.toLong * 1000 + i,
+      Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), 1L, "click", 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.Events.changepointOn(ev).collect()
+    assert(r.head.getString(0) == "2024-03-05")
+    assert(r.head.getLong(1) == 5L && r.head.getLong(2) == 5L)
+    assert(r.head.getLong(3) == 2000L && r.head.getLong(4) == 20000L)
+  }
+
+  test("aspect buckets: ladder membership and 32-cap batch packing") {
+    val ladder = Set(5000L, 6667L, 7500L, 10000L, 13333L, 15000L, 20000L)
+    val r = Multimodal.aspectBuckets(spark, sf()).collect()
+    assert(r.map(_.getLong(0)).distinct.length == r.length) // one row per image
+    assert(r.forall(row => ladder.contains(row.getLong(4))))
+    r.groupBy(row => (row.getLong(4), row.getLong(5))).foreach { case (_, g) =>
+      assert(g.length <= 32)
+    }
+    // batches fill densely: max idx == (n-1)/32 within each bucket
+    r.groupBy(_.getLong(4)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(5)).max == (g.length - 1) / 32)
+    }
+  }
 }
