@@ -507,6 +507,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < total)
   }
 
+  test("streaming Gopher rule filter == batch keep set on the same corpus") {
+    import graft.streaming.GopherIngest
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_gr_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_gr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gr_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3) // several input files → several micro-batches
+      .write.mode("overwrite").parquet(docsDir)
+    GopherIngest.start(spark, docsDir, outDir, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "rule_bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ext.TextOps.gopherRules(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id", "rule_bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    val total = spark.read.parquet(docsDir).count()
+    assert(streamed.nonEmpty && streamed.size < total)
+  }
+
   test("streaming CDC chunk dedup == batch pair semantics; replay touches nothing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
