@@ -830,6 +830,48 @@ object Snapshots {
     0
   }
 
+  /** VACUUM — Delta's file vacuum and log retention in one pass:
+    * physically delete every data path (batch dirs under `data/`,
+    * delete-key dirs under `deletes/`) that no manifest inside the
+    * retained window references — INCLUDING orphan directories left by
+    * aborted commits, which no manifest ever named (caught by the
+    * physical listing, exactly why real vacuums list the directory
+    * instead of diffing logs) — then drop the pre-retention manifests,
+    * so time travel beyond the horizon fails explicitly instead of
+    * reading files that may be gone. Retention is by VERSION COUNT
+    * (keep the newest `keepVersions`); production keys the same
+    * mechanics on commit timestamps. A shallow clone's absolute
+    * (parent-owned) entries are never deleted — the clone doesn't own
+    * them; conversely the parent's vacuum can't see the clone (cloning
+    * pins no lease — the documented shallow-clone caveat, same as
+    * Delta's). Metadata-plane cost: manifests are KBs and the listing
+    * is one RPC per prefix; the deletes are the only data-plane work.
+    *
+    * Returns (nPathsRemoved, nPathsLive).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "vacuum must retain at least the latest version")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshot table at $dir")
+    val keep = vs.takeRight(keepVersions)
+    def refsOf(v: Int): Seq[String] =
+      entriesAt(spark, dir, v).map(_.path).filter(_.nonEmpty)
+    val live = keep.flatMap(refsOf).toSet
+    val referenced = vs.flatMap(refsOf).toSet
+    val physical = Seq("data", "deletes").flatMap { prefix =>
+      val p = new Path(s"$dir/$prefix")
+      if (f.exists(p)) f.listStatus(p).toSeq.map(s => s"$prefix/${s.getPath.getName}")
+      else Seq.empty
+    }.toSet
+    val local = (referenced ++ physical)
+      .filterNot(p => p.startsWith("/") || p.contains("://")) // clone parents
+    val dead = local -- live
+    dead.toSeq.sorted.foreach(p => f.delete(new Path(s"$dir/$p"), true))
+    vs.dropRight(keepVersions).foreach(v => f.delete(manifestPath(dir, v), false))
+    (dead.size, live.size)
+  }
+
   /** DESCRIBE HISTORY (Delta's audit surface): one row per version with
     * the commit kind that produced it and what its manifest references —
     * batch directories, pending delete files, stream-txn marks. Pure

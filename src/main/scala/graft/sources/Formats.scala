@@ -368,6 +368,46 @@ object Formats {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** VACUUM lifecycle ([[graft.engine.Snapshots.vacuum]]) graded end to
+    * end: the shared v0/v1/v2 orders lifecycle, an orphan batch dir
+    * planted as an aborted-commit leftover, then `vacuum(keepVersions=1)`.
+    * The graded row proves the two contracts at once: the retained
+    * version reads back EXACTLY from the surviving files (summary
+    * columns — v0/v1's batches and the orphan are gone from disk when
+    * this read runs), and the physical census matches the lifecycle's
+    * construction (3 commits → one batch dir each, v2's replace is the
+    * only live one, plus the orphan → removed=3/live=1, deterministic
+    * by construction, not by layout luck). The deeper physics —
+    * pre-retention reads die, replays are no-ops, clone parents
+    * survive a clone's vacuum — is pinned in SnapshotsSpec.
+    */
+  def vacuumQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snapvac_orders", dir))
+    ordersV012(spark, dir, table)
+    val orphan = new org.apache.hadoop.fs.Path(s"$table/data/batch-9-orphan")
+    orphan.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(orphan)
+    val (removed, live) = Snapshots.vacuum(spark, table, keepVersions = 1)
+    Snapshots.read(spark, table, 2).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .select(lit(2L).as("version"), col("n_rows"), col("sum_price"),
+        col("min_key"), col("max_key"),
+        lit(removed.toLong).as("n_removed"), lit(live.toLong).as("n_live"))
+  }
+
+  val vacuumSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 IN (0, 1)),
+      |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 5 <> 0)
+      |SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |  CAST(3 AS BIGINT) AS n_removed, CAST(1 AS BIGINT) AS n_live
+      |FROM v2""".stripMargin
+
   val timeTravelSql: String =
     """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
       |v0 AS (SELECT * FROM o WHERE o_orderkey % 3 = 0),
@@ -750,6 +790,7 @@ object Formats {
     "fmt_manifest_prune" -> (manifestPrune _),
     "fmt_version_diff" -> (versionDiff _),
     "fmt_time_travel" -> (timeTravel _),
+    "fmt_vacuum" -> (vacuumQuery _),
     "fmt_restore" -> (restoreVersion _),
     "fmt_shallow_clone" -> (shallowClone _),
     "fmt_compaction" -> (compaction _),
@@ -768,6 +809,7 @@ object Formats {
     "fmt_manifest_prune" -> manifestPruneSql,
     "fmt_version_diff" -> versionDiffSql,
     "fmt_time_travel" -> timeTravelSql,
+    "fmt_vacuum" -> vacuumSql,
     "fmt_restore" -> restoreVersionSql,
     "fmt_shallow_clone" -> shallowCloneSql,
     "fmt_compaction" -> compactionSql,

@@ -605,6 +605,46 @@ class SnapshotsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "../evil") }
   }
 
+  test("vacuum removes dead batches and orphans, keeps retained reads exact, kills expired travel") {
+    val t = freshTable("vacuum")
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.commit(df(1 to 10), t, append = false)   // v0: batch A
+    Snapshots.commit(df(11 to 15), t, append = true)   // v1: batch B (refs A,B)
+    Snapshots.commit(df(100 to 104), t, append = false) // v2: batch C only
+    // orphan from an "aborted commit": no manifest names it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/data/batch-9-orphan"))
+    val before = Snapshots.read(spark, t).collect().map(_.getLong(0)).sorted
+    val (removed, live) = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(removed == 3 && live == 1) // A, B, orphan gone; C live
+    // retained read reproduces exactly from surviving files
+    assert(Snapshots.read(spark, t).collect().map(_.getLong(0)).sorted
+      .sameElements(before))
+    // expired manifests are gone: history starts at the horizon and
+    // time travel beyond it fails loudly instead of reading dead files
+    assert(Snapshots.versions(spark, t) == Seq(2))
+    intercept[Exception] { Snapshots.read(spark, t, 0).collect() }
+    // dead dirs are physically gone
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data")).length == 1)
+    // idempotent replay: nothing left to remove
+    assert(Snapshots.vacuum(spark, t, keepVersions = 1) == ((0, 1)))
+  }
+
+  test("a shallow clone's vacuum never deletes parent-owned files") {
+    val src = freshTable("vacsrc")
+    val dst = freshTable("vacdst")
+    Snapshots.commit(df(1 to 10), src, append = false)
+    Snapshots.cloneTable(spark, src, dst)
+    // clone-local commit so the clone has a dead local batch after replace
+    Snapshots.commit(df(11 to 12), dst, append = true)  // v1: parent A + local D
+    Snapshots.commit(df(20 to 22), dst, append = false) // v2: local E only
+    val (removed, live) = Snapshots.vacuum(spark, dst, keepVersions = 1)
+    assert(removed == 1 && live == 1) // only the clone-local dead batch D
+    // the parent is untouched and fully readable
+    assert(Snapshots.read(spark, src).count() == 10)
+    assert(Snapshots.read(spark, dst).count() == 3)
+  }
+
   test("restore rewinds state as a new commit; history intact; deletes re-apply") {
     import spark.implicits._
     val t = freshTable("restore")
