@@ -952,7 +952,80 @@ object Multimodal {
        |FROM pack ORDER BY media_id""".stripMargin
   }
 
+  // ------------------------------------- text-image alignment scoring
+  /** CLIP-score-shaped text–image alignment filtering (the LAION recipe:
+    * score every caption/image pair, drop the misaligned tail before
+    * training). The "image" side is the embeddings row paired by id;
+    * the "text" side is a deterministic 64-dim bag-of-hashed-tokens
+    * vector (roll_hash31 mod 64 — the [[graft.ext.TextOps]] hashed-
+    * feature trick, vocabulary-free so the featurizer is a fixed
+    * broadcast-nothing projection at any corpus size; a production
+    * pipeline drops in its text-tower embedding and nothing else
+    * changes). Alignment = cosine between the two, rounded to 6 dp
+    * (the sequential double fold both engines replay bit-for-bit);
+    * pairs below 0 flag as misaligned. Scale shape: the text vector
+    * builds from one explode + (doc, dim)-keyed count + map re-pack —
+    * all map-side-combinable; the pair join is id-keyed; nothing
+    * self-joins.
+    */
+  def alignment(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val d = Tables.load(spark, dir, "documents")
+    val e = Tables.load(spark, dir, "embeddings")
+    val counts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("d", expr("cast(pmod(roll_hash31(t), 64) as int)"))
+      .groupBy(col("doc_id"), col("d")).agg(count(lit(1)).as("c"))
+    val tvec = counts.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 63), dd -> coalesce(element_at(m, dd), 0L))")
+          .as("tvec"))
+    d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(tvec, "doc_id")
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .withColumn("cos", expr(
+        """aggregate(zip_with(tvec, embedding,
+          |    (a, b) -> cast(a as double) * cast(b as double)),
+          |  cast(0.0 as double), (s, x) -> s + x)
+          |/ (sqrt(aggregate(tvec, cast(0.0 as double),
+          |    (s, a) -> s + cast(a as double) * cast(a as double)))
+          | * sqrt(aggregate(embedding, cast(0.0 as double),
+          |    (s, b) -> s + cast(b as double) * cast(b as double))))""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), round(col("cos"), 6).as("cos_sim"),
+        (col("cos") < 0.0).cast("long").as("flag_misaligned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val alignmentSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tk AS (SELECT doc_id, unnest(w) AS t FROM d),
+      |hb AS (SELECT doc_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS INT) AS dd
+      |  FROM tk),
+      |cnt AS (SELECT doc_id, dd, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, CAST(g.d AS INT) AS dd
+      |  FROM (SELECT DISTINCT doc_id FROM d), UNNEST(generate_series(0, 63)) AS g(d)),
+      |tv AS (SELECT g.doc_id, list(COALESCE(c.c, 0) ORDER BY g.dd) AS tvec
+      |  FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.dd = c.dd
+      |  GROUP BY g.doc_id),
+      |al AS (
+      |  SELECT t.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+      |    list_aggregate(list_transform(list_zip(t.tvec, e.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(t.tvec,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(e.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+      |  FROM tv t JOIN d ON d.doc_id = t.doc_id
+      |            JOIN embeddings e ON e.vec_id = t.doc_id)
+      |SELECT doc_id, n_tokens, round(cos, 6) AS cos_sim,
+      |  CASE WHEN cos < 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flag_misaligned
+      |FROM al ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_alignment" -> (alignment _),
     "multimodal_aspect_buckets" -> (aspectBuckets _),
     "multimodal_keyframes" -> (mediaKeyframes _),
     "multimodal_audio_energy" -> (audioEnergy _),
@@ -1162,6 +1235,7 @@ object Multimodal {
       |FROM s ORDER BY media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "multimodal_alignment" -> alignmentSql,
     "multimodal_aspect_buckets" -> aspectBucketsSql,
     "multimodal_keyframes" -> mediaKeyframesSql,
     "multimodal_features" -> mediaFeaturesSql,

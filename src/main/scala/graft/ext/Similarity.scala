@@ -2435,6 +2435,82 @@ object Similarity {
        |ORDER BY vec_id, step""".stripMargin
   }
 
+  // --------------------------------------- dominant-direction probe
+  /** Dominant direction of the embedding corpus by fixed-point POWER
+    * ITERATION (3 rounds of v ← Xᵀ(Xv), max-|component| rescaled to the
+    * ±10⁶ grid): the anisotropy probe behind "all our embeddings share
+    * one rogue direction" diagnoses (Ethayarajh 2019; common-direction
+    * removal is the standard fix whose input is exactly this vector).
+    * Every step is integer with SIGN-SPLIT truncating division
+    * (sign·(|x| div d) — Spark `div` truncates, DuckDB `//` floors,
+    * they diverge on negative quotients, so negatives never reach the
+    * divide). Scale shape per round: one corpus scan against the
+    * broadcast 64-long direction (per-row dot), one posexplode +
+    * dim-keyed partial-agg (64 groups), one 64-row rescale — vectors
+    * never shuffle; the rescale bound m div 10⁶ also keeps |Σ s·x|
+    * inside BIGINT for ~10⁹ rows, and the docstringed production form
+    * divides the dot by the corpus count first to push that bound out.
+    */
+  def dominantDirection(spark: SparkSession, dir: String): DataFrame =
+    dominantDirectionOn(emb(spark, dir), iters = 3)
+
+  def dominantDirectionOn(e: DataFrame, iters: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
+    var v = e.sparkSession.range(0, 64)
+      .select(col("id").cast("int").as("d"), lit(1000000L).as("v"))
+    for (_ <- 1 to iters) {
+      val vl = v.groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(d, v))), p -> p.v)")
+          .as("vl"))
+      val sx = vfp.crossJoin(broadcast(vl))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(vfp, vl, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select(col("vfp"), expr(
+          "cast(sign(dot) as bigint) * (abs(dot) div 1000000L)").as("s"))
+      val w = sx.select(col("s"), posexplode(col("vfp")).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(sum(expr("s * x")).as("wv"))
+      val m = w.agg(max(abs(col("wv"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("d"), expr(
+          "cast(sign(wv) as bigint) * (abs(wv) div greatest(m div 1000000L, 1L))")
+          .as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("d").cast("long").as("dim"), col("v").as("dir_fp"))
+      .orderBy(col("dim"))
+  }
+
+  def dominantDirectionSqlFor(iters: Int): String = {
+    def round(r: Int): String =
+      s"""vl$r AS (SELECT list(v ORDER BY d) AS vl FROM v${r - 1}),
+         |sx$r AS (
+         |  SELECT e.vfp,
+         |    CASE WHEN dot < 0 THEN -1 ELSE 1 END * (abs(dot) // 1000000) AS s
+         |  FROM (SELECT v.vfp,
+         |      CAST(list_aggregate(list_transform(list_zip(v.vfp, l.vl),
+         |        z -> z[1] * z[2]), 'sum') AS BIGINT) AS dot
+         |    FROM v v CROSS JOIN vl$r l) e),
+         |w$r AS (
+         |  SELECT CAST(t.d AS INT) AS d,
+         |    CAST(SUM(s * vfp[t.d + 1]) AS BIGINT) AS wv
+         |  FROM sx$r, UNNEST(generate_series(0, 63)) AS t(d) GROUP BY 1),
+         |m$r AS (SELECT CAST(MAX(abs(wv)) AS BIGINT) AS m FROM w$r),
+         |v$r AS (
+         |  SELECT w.d,
+         |    (CASE WHEN w.wv < 0 THEN -1 ELSE 1 END)
+         |      * (abs(w.wv) // greatest(m.m // 1000000, 1)) AS v
+         |  FROM w$r w CROSS JOIN m$r m)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |v0 AS (SELECT CAST(t.d AS INT) AS d, CAST(1000000 AS BIGINT) AS v
+       |       FROM UNNEST(generate_series(0, 63)) AS t(d)),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT CAST(d AS BIGINT) AS dim, v AS dir_fp FROM v$iters ORDER BY dim""".stripMargin
+  }
+
   // ----------------------------------------- k-center greedy coreset
   /** k-center greedy coreset: the [[farthestPointSeeds]] selection read
     * as a SUBSET SELECTOR rather than an index seeder — greedy k-center
@@ -2548,6 +2624,7 @@ object Similarity {
        |ORDER BY t.tau_bp""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dominant_direction" -> (dominantDirection _),
     "sim_coreset_kcenter" -> (coresetKCenter _),
     "sim_dedup_threshold_curve" -> (dedupThresholdCurve _),
     "sim_mmr_diversify" -> (mmrDiversify _),
@@ -2586,6 +2663,7 @@ object Similarity {
     "sim_triplet_margin" -> (tripletMargin _))
 
   val oracles: Map[String, String] = Map(
+    "sim_dominant_direction" -> dominantDirectionSqlFor(3),
     "sim_coreset_kcenter" -> coresetKCenterSqlFor(8),
     "sim_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),
