@@ -2573,7 +2573,12 @@ object Similarity {
     */
   def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val bd = banded(e, 16, 4)
+    // (16, 8) bands — the SAME banding as [[semanticDedup]], for two
+    // reasons: the curve tunes THAT operator's cutoff, so its candidate
+    // universe must match, and 8-bit keys keep the self-join's Σc²
+    // term linear at blowup (4-bit keys measured 3.0 → 59.9 s at 10×;
+    // 8-bit holds the ratio — SCALING_MEASURED.md round-11 batch)
+    val bd = banded(e, 16, 8)
     val a = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
     val b = bd.select(col("vec_id").as("vb"), col("band").as("bband"),
       col("band_key").as("bkey"))
@@ -2602,7 +2607,7 @@ object Similarity {
   }
 
   val dedupThresholdCurveSql: String =
-    s"""WITH ${lshBandsCte(16, 4)},
+    s"""WITH ${lshBandsCte(16, 8)},
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
