@@ -2606,6 +2606,53 @@ object TextOps {
       |    ELSE r.leftover * a.wt // r.sw_u END, a.cap) * 10000 // a.n_tok AS epochs_bp
       |FROM alloc a CROSS JOIN redo r ORDER BY a.source""".stripMargin
 
+  // --------------------------------------- tokenizer fertility by lang
+  /** Tokenizer fertility per language — the fairness table a tokenizer
+    * change is audited by (Petrov et al. 2023: languages whose text
+    * fragments into more subword tokens pay more compute and fit less
+    * context per sentence). Fertility here is BPE-ish regex tokens per
+    * whitespace word, and compression is chars per BPE-ish token, both
+    * in integer basis points over per-language EXACT sums (never means
+    * of ratios — the per-doc mean of a ratio is the classic weighted/
+    * unweighted bug this table exists to avoid). One scan, one
+    * |langs|-group partial agg; every division is BIGINT-over-BIGINT
+    * with nonnegative operands.
+    */
+  def fertilityByLang(spark: SparkSession, dir: String): DataFrame =
+    fertilityByLangOn(docs(spark, dir))
+
+  def fertilityByLangOn(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nb")).as("n_bpe"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bpe"),
+        expr("n_bpe * 10000 div n_tokens").as("fertility_bp"),
+        expr("n_chars * 10000 div n_bpe").as("chars_per_bpe_bp"))
+      .orderBy(col("lang"))
+
+  val fertilityByLangSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS nb,
+      |    CAST(length(text) AS BIGINT) AS nc
+      |  FROM documents),
+      |g AS (SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(nb) AS BIGINT) AS n_bpe,
+      |    CAST(SUM(nc) AS BIGINT) AS n_chars
+      |  FROM d GROUP BY 1)
+      |SELECT lang, n_docs, n_tokens, n_bpe,
+      |  n_bpe * 10000 // n_tokens AS fertility_bp,
+      |  n_chars * 10000 // n_bpe AS chars_per_bpe_bp
+      |FROM g ORDER BY lang""".stripMargin
+
   // ------------------------------------------------- Heaps'-law curve
   /** Heaps'-law vocabulary growth curve: cumulative distinct-token count
     * against cumulative corpus size at 10 ingestion checkpoints (equal-
@@ -2670,6 +2717,7 @@ object TextOps {
     "text_gopher_rules" -> (gopherRules _),
     "text_token_budget" -> (tokenBudget _),
     "text_heaps_law" -> (heapsLaw _),
+    "text_fertility_by_lang" -> (fertilityByLang _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -2714,6 +2762,7 @@ object TextOps {
     "text_gopher_rules" -> gopherRulesSql,
     "text_token_budget" -> tokenBudgetSql,
     "text_heaps_law" -> heapsLawSql,
+    "text_fertility_by_lang" -> fertilityByLangSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,

@@ -368,6 +368,48 @@ object Formats {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** Additive SCHEMA EVOLUTION lifecycle: v0 commits the narrow orders
+    * projection; v1 appends rows that also carry a NEW column
+    * (`o_tier`); reading the latest with mergeSchema widens to the
+    * union, and pre-evolution rows surface the new column as NULL —
+    * Delta's default additive-evolution allowance, the one schema
+    * change a 100 TB table can absorb without rewriting a byte. The
+    * graded frame summarizes the merged read split by origin (legacy =
+    * tier-less rows), so the grade pins the union schema, the NULL
+    * back-fill, and that typed aggregation over the evolved column
+    * still works across mixed batches.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snapevo_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    Snapshots.commit(
+      o.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_tier", (col("o_orderkey") % 4).cast("long")),
+      table, append = true)
+    Snapshots.read(spark, table, mergeSchema = true)
+      .groupBy(col("o_tier").isNull.cast("long").as("legacy"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        sum(coalesce(col("o_tier"), lit(0L))).as("sum_tier"))
+      .orderBy(col("legacy"))
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |v0 AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_tier
+      |       FROM o WHERE o_orderkey % 3 = 0),
+      |v1 AS (SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 4 AS BIGINT) AS o_tier
+      |       FROM o WHERE o_orderkey % 3 = 1),
+      |u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+      |SELECT CAST(CASE WHEN o_tier IS NULL THEN 1 ELSE 0 END AS BIGINT) AS legacy,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(COALESCE(o_tier, 0)) AS BIGINT) AS sum_tier
+      |FROM u GROUP BY 1 ORDER BY legacy""".stripMargin
+
   /** VACUUM lifecycle ([[graft.engine.Snapshots.vacuum]]) graded end to
     * end: the shared v0/v1/v2 orders lifecycle, an orphan batch dir
     * planted as an aborted-commit leftover, then `vacuum(keepVersions=1)`.
@@ -791,6 +833,7 @@ object Formats {
     "fmt_version_diff" -> (versionDiff _),
     "fmt_time_travel" -> (timeTravel _),
     "fmt_vacuum" -> (vacuumQuery _),
+    "fmt_schema_evolution" -> (schemaEvolution _),
     "fmt_restore" -> (restoreVersion _),
     "fmt_shallow_clone" -> (shallowClone _),
     "fmt_compaction" -> (compaction _),
@@ -810,6 +853,7 @@ object Formats {
     "fmt_version_diff" -> versionDiffSql,
     "fmt_time_travel" -> timeTravelSql,
     "fmt_vacuum" -> vacuumSql,
+    "fmt_schema_evolution" -> schemaEvolutionSql,
     "fmt_restore" -> restoreVersionSql,
     "fmt_shallow_clone" -> shallowCloneSql,
     "fmt_compaction" -> compactionSql,
