@@ -2435,6 +2435,131 @@ object Similarity {
        |ORDER BY vec_id, step""".stripMargin
   }
 
+  // --------------------------------------- graph-ANN greedy search
+  /** Graph-based ANN search (single-layer HNSW-lite): build the
+    * LSH-bounded kNN graph ONCE (the index — [[knnGraphOn]]'s candidate
+    * shape, ranked here by exact fixed-point L2 so every edge decision
+    * is integer), then answer queries by greedy BEAM SEARCH from a
+    * data-independent entry point (min-mix64 vector): each hop expands
+    * the beam's out-edges, scores candidates exactly, and keeps the
+    * best `beam` of everything visited. This is the serving pattern of
+    * HNSW/NSG/Vamana — at query time the corpus is touched only along
+    * the walk (hops × beam × degree vectors), never scanned; the graph
+    * build is the one-off index cost, and the walk state is
+    * (qid, cid) id pairs. All ranking is BIGINT fp-L2 with id
+    * tie-breaks — no float compare anywhere in the control flow, so
+    * the whole search (entry, every beam, the final top-k) hash-matches
+    * the unrolled-CTE oracle.
+    */
+  def annGraphSearch(spark: SparkSession, dir: String): DataFrame =
+    annGraphSearchOn(emb(spark, dir), degree = 4, nQueries = 10, hops = 3,
+      beam = 4, k = 3)
+
+  def annGraphSearchOn(e: DataFrame, degree: Int, nQueries: Int, hops: Int,
+      beam: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
+    val dfpExpr =
+      "aggregate(zip_with(avfp, bvfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    // ---- index build: banded candidates → exact-ranked out-edges
+    val bd = banded(e, 16, 8)
+    val cand = bd.select(col("vec_id").as("va"), col("band"), col("band_key"))
+      .join(bd.select(col("vec_id").as("vb"), col("band").as("bband"),
+          col("band_key").as("bkey")),
+        col("band") === col("bband") && col("band_key") === col("bkey") &&
+          col("va") =!= col("vb"))
+      .select(col("va"), col("vb")).dropDuplicates("va", "vb")
+    val wEdge = Window.partitionBy(col("va")).orderBy(col("dfp"), col("vb"))
+    val edges = cand
+      .join(vfp.select(col("vec_id").as("va"), col("vfp").as("avfp")), "va")
+      .join(vfp.select(col("vec_id").as("vb"), col("vfp").as("bvfp")), "vb")
+      .withColumn("dfp", expr(dfpExpr))
+      .withColumn("rn", row_number().over(wEdge)).filter(col("rn") <= degree)
+      .select(col("va").as("src"), col("vb").as("dst"))
+      .localCheckpoint(true)
+    // ---- search: entry = min-mix64 vector; greedy beam over the graph
+    val entry = vfp.withColumn("h", expr("mix64(vec_id)"))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"))
+    val q = vfp.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vfp").as("qvfp"))
+    def scored(vis: DataFrame): DataFrame = vis
+      .join(vfp.select(col("vec_id").as("cid"), col("vfp").as("bvfp")), "cid")
+      .join(broadcast(q.withColumnRenamed("qvfp", "avfp")), "qid")
+      .withColumn("dfp", expr(dfpExpr))
+      .select(col("qid"), col("cid"), col("dfp"))
+    val wBeam = Window.partitionBy(col("qid")).orderBy(col("dfp"), col("cid"))
+    var visited = q.select(col("qid")).crossJoin(broadcast(entry))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (_ <- 1 to hops) {
+      val nb = frontier.join(edges, col("cid") === col("src"))
+        .select(col("qid"), col("dst").as("cid"))
+      visited = visited.unionByName(nb).dropDuplicates("qid", "cid")
+        .localCheckpoint(true)
+      frontier = scored(visited)
+        .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= beam)
+        .select(col("qid"), col("cid"))
+    }
+    scored(visited).filter(col("cid") =!= col("qid"))
+      .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k)
+      .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
+        col("dfp").as("dist_fp"))
+      .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
+  def annGraphSearchSqlFor(degree: Int, nQueries: Int, hops: Int, beam: Int,
+      k: Int): String = {
+    val dfpSql = (a: String, b: String) =>
+      s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
+         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
+    def hop(r: Int): String =
+      s"""nb$r AS (SELECT DISTINCT f.qid, ed.dst AS cid
+         |         FROM fr${r - 1} f JOIN ed ON ed.src = f.cid),
+         |vis$r AS (SELECT qid, cid FROM vis${r - 1}
+         |          UNION SELECT qid, cid FROM nb$r),
+         |sc$r AS (SELECT vi.qid, vi.cid, ${dfpSql("q.qvfp", "c.vfp")} AS dfp
+         |         FROM vis$r vi JOIN v c ON c.vec_id = vi.cid
+         |                       JOIN q ON q.qid = vi.qid),
+         |fr$r AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dfp, cid) AS rn
+         |    FROM sc$r) WHERE rn <= $beam)""".stripMargin
+    s"""WITH ${lshBandsCte(16, 8)},
+       |v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.vec_id <> y.vec_id),
+       |dd AS (SELECT c.va, c.vb, ${dfpSql("a.vfp", "b.vfp")} AS dfp
+       |       FROM cand c JOIN v a ON a.vec_id = c.va JOIN v b ON b.vec_id = c.vb),
+       |ed AS (SELECT va AS src, vb AS dst FROM (
+       |    SELECT va, vb, row_number() OVER (PARTITION BY va ORDER BY dfp, vb) AS rn
+       |    FROM dd) WHERE rn <= $degree),
+       |hx AS (
+       |  SELECT vec_id,
+       |    (CAST(vec_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+       |    xor(z0, z0 >> 30) AS x1,
+       |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+       |    xor(z1, z1 >> 27) AS x2,
+       |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+       |    xor(z2, z2 >> 31) AS z3,
+       |    CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - 18446744073709551616 ELSE z3 END AS BIGINT) AS h
+       |  FROM v),
+       |entry AS (SELECT vec_id AS cid FROM hx ORDER BY h, vec_id LIMIT 1),
+       |q AS (SELECT vec_id AS qid, vfp AS qvfp FROM v WHERE vec_id < $nQueries),
+       |vis0 AS (SELECT q.qid, e.cid FROM q CROSS JOIN entry e),
+       |fr0 AS (SELECT qid, cid FROM vis0),
+       |${(1 to hops).map(hop).mkString(",\n")}
+       |SELECT qid AS vec_id, cid AS neighbor_id, dfp AS dist_fp FROM (
+       |  SELECT qid, cid, dfp,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dfp, cid) AS rn
+       |  FROM sc$hops WHERE cid <> qid) t
+       |WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
+  }
+
   // --------------------------------------- dominant-direction probe
   /** Dominant direction of the embedding corpus by fixed-point POWER
     * ITERATION (3 rounds of v ← Xᵀ(Xv), max-|component| rescaled to the
@@ -2630,6 +2755,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dominant_direction" -> (dominantDirection _),
+    "sim_ann_graph_search" -> (annGraphSearch _),
     "sim_coreset_kcenter" -> (coresetKCenter _),
     "sim_dedup_threshold_curve" -> (dedupThresholdCurve _),
     "sim_mmr_diversify" -> (mmrDiversify _),
@@ -2669,6 +2795,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_dominant_direction" -> dominantDirectionSqlFor(3),
+    "sim_ann_graph_search" -> annGraphSearchSqlFor(degree = 4, nQueries = 10, hops = 3, beam = 4, k = 3),
     "sim_coreset_kcenter" -> coresetKCenterSqlFor(8),
     "sim_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),

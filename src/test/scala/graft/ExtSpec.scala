@@ -1210,6 +1210,32 @@ class ExtSpec extends SparkSpecBase {
     assert(r.head.getLong(3) == 2000L && r.head.getLong(4) == 20000L)
   }
 
+  test("graph-ANN beam search: k results per query, walk quality beats the entry point") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val r = Similarity.annGraphSearchOn(e, degree = 4, nQueries = 10,
+      hops = 3, beam = 4, k = 3).collect()
+    assert(r.length == 30) // 10 queries × top-3
+    assert(r.map(_.getLong(0)).distinct.length == 10)
+    r.foreach(row => assert(row.getLong(0) != row.getLong(1))) // self excluded
+    // each query's best found neighbor is at least as close as the
+    // fixed entry point (the walk can only improve on where it starts)
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val vfp = e.selectExpr("vec_id",
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint)) as vfp")
+    val entry = vfp.withColumn("h", expr("mix64(vec_id)"))
+      .orderBy(col("h"), col("vec_id")).limit(1).collect()(0)
+    val ev = entry.getSeq[Long](entry.fieldIndex("vfp"))
+    val qv = vfp.filter(col("vec_id") < 10).collect()
+      .map(q => q.getLong(0) -> q.getSeq[Long](1)).toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val bestFound = r.groupBy(_.getLong(0)).map { case (q, g) =>
+      q -> g.map(_.getLong(2)).min }
+    bestFound.foreach { case (q, best) =>
+      if (entry.getLong(0) != q) assert(best <= d2(qv(q), ev), s"query $q") }
+  }
+
   test("aspect buckets: ladder membership and 32-cap batch packing") {
     val ladder = Set(5000L, 6667L, 7500L, 10000L, 13333L, 15000L, 20000L)
     val r = Multimodal.aspectBuckets(spark, sf()).collect()
