@@ -2508,11 +2508,14 @@ object Similarity {
       .orderBy(col("vec_id"), col("neighbor_id"))
   }
 
-  def annGraphSearchSqlFor(degree: Int, nQueries: Int, hops: Int, beam: Int,
-      k: Int): String = {
-    val dfpSql = (a: String, b: String) =>
-      s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
-         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
+  private val dfpSql = (a: String, b: String) =>
+    s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
+
+  /** WITH-body of the graph-search replay through the last hop's scored
+    * visited set `sc{hops}` — shared by the search and recall oracles. */
+  private def annGraphSearchCtes(degree: Int, nQueries: Int, hops: Int,
+      beam: Int): String = {
     def hop(r: Int): String =
       s"""nb$r AS (SELECT DISTINCT f.qid, ed.dst AS cid
          |         FROM fr${r - 1} f JOIN ed ON ed.src = f.cid),
@@ -2524,7 +2527,7 @@ object Similarity {
          |fr$r AS (SELECT qid, cid FROM (
          |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dfp, cid) AS rn
          |    FROM sc$r) WHERE rn <= $beam)""".stripMargin
-    s"""WITH ${lshBandsCte(16, 8)},
+    s"""${lshBandsCte(16, 8)},
        |v AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
@@ -2552,13 +2555,69 @@ object Similarity {
        |q AS (SELECT vec_id AS qid, vfp AS qvfp FROM v WHERE vec_id < $nQueries),
        |vis0 AS (SELECT q.qid, e.cid FROM q CROSS JOIN entry e),
        |fr0 AS (SELECT qid, cid FROM vis0),
-       |${(1 to hops).map(hop).mkString(",\n")}
+       |${(1 to hops).map(hop).mkString(",\n")}""".stripMargin
+  }
+
+  def annGraphSearchSqlFor(degree: Int, nQueries: Int, hops: Int, beam: Int,
+      k: Int): String =
+    s"""WITH ${annGraphSearchCtes(degree, nQueries, hops, beam)}
        |SELECT qid AS vec_id, cid AS neighbor_id, dfp AS dist_fp FROM (
        |  SELECT qid, cid, dfp,
        |    row_number() OVER (PARTITION BY qid ORDER BY dfp, cid) AS rn
        |  FROM sc$hops WHERE cid <> qid) t
        |WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
+
+  /** Recall@k harness for [[annGraphSearchOn]] — the same eval loop the
+    * LSH/IVF/IVFPQ families carry: the beam walk's top-k against the
+    * exact fixed-point-L2 top-k (the metric the walk itself ranks by),
+    * per-query hits and recall in basis points. With hops=3/beam=4 the
+    * walk sees only entry + 3·beam·degree candidates, so recall here
+    * reads as the coverage of a SHORT walk — the knob table (hops, beam,
+    * degree) is what a deployment tunes against exactly this number.
+    */
+  def annGraphSearchRecall(spark: SparkSession, dir: String): DataFrame =
+    annGraphSearchRecallOn(emb(spark, dir), degree = 4, nQueries = 10,
+      hops = 3, beam = 4, k = 3)
+
+  def annGraphSearchRecallOn(e: DataFrame, degree: Int, nQueries: Int,
+      hops: Int, beam: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val approx = annGraphSearchOn(e, degree, nQueries, hops, beam, k)
+      .select(col("vec_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
+    val q = vfp.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vfp").as("avfp"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("dfp"), col("cid"))
+    val exact = vfp.select(col("vec_id").as("cid"), col("vfp").as("bvfp"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("dfp", expr(
+        "aggregate(zip_with(avfp, bvfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= k)
+      .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"))
+    exact.join(approx, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div k_exact"))
+      .orderBy(col("vec_id"))
   }
+
+  def annGraphSearchRecallSqlFor(degree: Int, nQueries: Int, hops: Int,
+      beam: Int, k: Int): String =
+    s"""WITH ${annGraphSearchCtes(degree, nQueries, hops, beam)},
+       |approx AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dfp, cid) AS rn
+       |    FROM sc$hops WHERE cid <> qid) t WHERE rn <= $k),
+       |escored AS (
+       |  SELECT q.qid, b.vec_id AS cid, ${dfpSql("q.qvfp", "b.vfp")} AS dfp
+       |  FROM q JOIN v b ON b.vec_id <> q.qid),
+       |erk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dfp, cid) AS rn FROM escored),
+       |exact AS (SELECT qid, cid FROM erk WHERE rn <= $k)
+       |SELECT e.qid AS vec_id, COUNT(*) AS k_exact,
+       |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+       |GROUP BY e.qid ORDER BY vec_id""".stripMargin
 
   // --------------------------------------- dominant-direction probe
   /** Dominant direction of the embedding corpus by fixed-point POWER
@@ -2756,6 +2815,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dominant_direction" -> (dominantDirection _),
     "sim_ann_graph_search" -> (annGraphSearch _),
+    "sim_ann_graph_recall" -> (annGraphSearchRecall _),
     "sim_coreset_kcenter" -> (coresetKCenter _),
     "sim_dedup_threshold_curve" -> (dedupThresholdCurve _),
     "sim_mmr_diversify" -> (mmrDiversify _),
@@ -2796,6 +2856,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_dominant_direction" -> dominantDirectionSqlFor(3),
     "sim_ann_graph_search" -> annGraphSearchSqlFor(degree = 4, nQueries = 10, hops = 3, beam = 4, k = 3),
+    "sim_ann_graph_recall" -> annGraphSearchRecallSqlFor(degree = 4, nQueries = 10, hops = 3, beam = 4, k = 3),
     "sim_coreset_kcenter" -> coresetKCenterSqlFor(8),
     "sim_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "sim_mmr_diversify" -> mmrDiversifySqlFor(nQueries = 8, poolN = 10, k = 4),

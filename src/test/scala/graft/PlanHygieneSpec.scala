@@ -117,7 +117,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // changepoint: the 1-row (s_tot, n_tot) frame broadcast onto the
     // calendar-bounded daily series; aspect buckets: the 7-row ratio
     // ladder broadcast for the scan-side argmin assignment
-    "events_changepoint", "multimodal_aspect_buckets")
+    "events_changepoint", "multimodal_aspect_buckets",
+    // graph recall: the exact baseline is cosineTopK's whitelisted
+    // shape — the nQueries-row query side broadcast with the non-equi
+    // qid != cid condition
+    "sim_ann_graph_recall")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
