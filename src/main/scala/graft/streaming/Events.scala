@@ -2859,6 +2859,107 @@ object Events {
       |  CAST(flags AS BIGINT) AS n_flags, CAST(i AS BIGINT) AS n_hours
       |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- alert debounce/hysteresis
+  /** Alert DEBOUNCING with hysteresis over hourly event volume: a raw
+    * "hot hour" (count > 2× the type's hourly mean, integer
+    * cross-multiplied) only RAISES an alert after 2 consecutive hot
+    * hours, and a raised alert only CLEARS after 3 consecutive quiet
+    * ones — the flap-suppression state machine every paging pipeline
+    * puts between a detector ([[ewmaMonitor]], [[spcRules]] — which
+    * flag POINTS) and a human (who wants INCIDENTS: distinct, stable
+    * episodes). Same scale shape as [[ewmaMonitor]]: hourly counts
+    * aggregate distributed with map-side combine; only the
+    * calendar-bounded 0/1 flag series folds serially per type, and the
+    * whole fold is integer so the recursive-CTE oracle replays every
+    * state transition exactly.
+    */
+  def alertDebounce(spark: SparkSession, dir: String): DataFrame =
+    alertDebounceOn(events(spark, dir))
+
+  def alertDebounceOn(ev: DataFrame): DataFrame = {
+    val hc = ev
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+    val range = hc.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = hc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("h"))
+    val xs = grid.join(hc, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(h, x))), p -> p.x)")
+          .as("series"),
+        sum(col("x")).as("total"), count(lit(1)).as("n"))
+    xs.select(col("event_type"), col("n").as("n_hours"),
+        expr("transform(series, x -> IF(x * n > 2L * total, 1L, 0L))").as("flags"))
+      .select(col("event_type"), col("n_hours"),
+        expr("aggregate(flags, 0L, (a, f) -> a + f)").as("n_hot"),
+        expr("""aggregate(flags, CAST(array(0, 0, 0, 0, 0) AS array<bigint>),
+          |  (acc, f) -> CASE WHEN f = 1L THEN array(
+          |      CASE WHEN acc[0] = 0L AND acc[1] + 1L >= 2L THEN 1L ELSE acc[0] END,
+          |      acc[1] + 1L, 0L,
+          |      acc[3] + (CASE WHEN acc[0] = 0L AND acc[1] + 1L >= 2L THEN 1L ELSE 0L END),
+          |      acc[4] + (CASE WHEN acc[0] = 0L AND acc[1] + 1L >= 2L THEN 1L ELSE acc[0] END))
+          |    ELSE array(
+          |      CASE WHEN acc[0] = 1L AND acc[2] + 1L >= 3L THEN 0L ELSE acc[0] END,
+          |      0L, acc[2] + 1L, acc[3],
+          |      acc[4] + (CASE WHEN acc[0] = 1L AND acc[2] + 1L >= 3L THEN 0L ELSE acc[0] END))
+          |    END)""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_hours"), col("n_hot"),
+        expr("st[3]").as("n_alerts"), expr("st[4]").as("n_alert_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  val alertDebounceSql: String =
+    """WITH RECURSIVE hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS h FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.h, COALESCE(hc.x, 0) AS x,
+      |    row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.h) AS i
+      |  FROM grid LEFT JOIN hc USING (event_type, h)),
+      |tt AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM xs GROUP BY 1),
+      |fl AS (
+      |  SELECT x.event_type, x.i,
+      |    CASE WHEN x.x * t.n > 2 * t.total THEN 1 ELSE 0 END AS f
+      |  FROM xs x JOIN tt t USING (event_type)),
+      |rec AS (
+      |  SELECT event_type, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS ia,
+      |    CAST(0 AS BIGINT) AS cf, CAST(0 AS BIGINT) AS cc,
+      |    CAST(0 AS BIGINT) AS alerts, CAST(0 AS BIGINT) AS ah
+      |  FROM (SELECT DISTINCT event_type FROM xs)
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CASE WHEN f.f = 1 THEN
+      |      CASE WHEN r.ia = 0 AND r.cf + 1 >= 2 THEN 1 ELSE r.ia END
+      |    ELSE
+      |      CASE WHEN r.ia = 1 AND r.cc + 1 >= 3 THEN 0 ELSE r.ia END END,
+      |    CASE WHEN f.f = 1 THEN r.cf + 1 ELSE 0 END,
+      |    CASE WHEN f.f = 1 THEN 0 ELSE r.cc + 1 END,
+      |    r.alerts + CASE WHEN f.f = 1 AND r.ia = 0 AND r.cf + 1 >= 2
+      |      THEN 1 ELSE 0 END,
+      |    r.ah + CASE WHEN f.f = 1 THEN
+      |      CASE WHEN r.ia = 0 AND r.cf + 1 >= 2 THEN 1 ELSE r.ia END
+      |    ELSE
+      |      CASE WHEN r.ia = 1 AND r.cc + 1 >= 3 THEN 0 ELSE r.ia END END
+      |  FROM rec r JOIN fl f ON f.event_type = r.event_type AND f.i = r.i + 1),
+      |hot AS (SELECT event_type, CAST(SUM(f) AS BIGINT) AS n_hot FROM fl GROUP BY 1),
+      |last AS (
+      |  SELECT event_type, i, alerts, ah,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+      |  FROM rec)
+      |SELECT l.event_type, l.i AS n_hours, h.n_hot,
+      |  l.alerts AS n_alerts, l.ah AS n_alert_hours
+      |FROM last l JOIN hot h USING (event_type)
+      |WHERE l.rk = 1 ORDER BY l.event_type""".stripMargin
+
   // -------------------------------------------- changepoint detection
   /** Single-changepoint detection over daily event volume by binary
     * segmentation: every candidate split t scores the between-segment
@@ -2923,6 +3024,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_changepoint" -> (changepoint _),
+    "events_alert_debounce" -> (alertDebounce _),
     "events_ewma_monitor" -> (ewmaMonitor _),
     "events_drift_chi2" -> (driftChi2 _),
     "events_gaps_islands" -> (gapsIslands _),
@@ -2970,6 +3072,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_changepoint" -> changepointSql,
+    "events_alert_debounce" -> alertDebounceSql,
     "events_ewma_monitor" -> ewmaMonitorSql,
     "events_drift_chi2" -> driftChi2Sql,
     "events_gaps_islands" -> gapsIslandsSql,

@@ -1236,6 +1236,28 @@ class ExtSpec extends SparkSpecBase {
       if (entry.getLong(0) != q) assert(best <= d2(qv(q), ev), s"query $q") }
   }
 
+  test("alert debounce: single hot hours suppressed, 2-consecutive raises, 3-quiet clears") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 12 hours of baseline 2 events/hour (mean stays ~2; hot needs > 2×mean):
+    // h3 is a lone spike (suppressed); h6+h7 spike together (one alert),
+    // then 3 quiet hours clear it; h11 lone spike again (suppressed)
+    val perHour = Map(3 -> 20, 6 -> 20, 7 -> 20, 11 -> 20).withDefaultValue(2)
+    val rows = for { h <- 0 until 12; i <- 1 to perHour(h) }
+      yield ((h * 100 + i).toLong,
+        Timestamp.valueOf(f"2024-03-01 $h%02d:30:00"), 1L, "click", 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.Events.alertDebounceOn(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 12L)  // n_hours
+    assert(row.getLong(2) == 4L)   // n_hot: the four spike hours
+    assert(row.getLong(3) == 1L)   // only the consecutive pair raises
+    // alert active h7..h9 (raised at the 2nd hot hour, cleared after the
+    // 3rd quiet hour h8,h9,h10 -> inactive again from h10)
+    assert(row.getLong(4) == 3L)
+  }
+
   test("aspect buckets: ladder membership and 32-cap batch packing") {
     val ladder = Set(5000L, 6667L, 7500L, 10000L, 13333L, 15000L, 20000L)
     val r = Multimodal.aspectBuckets(spark, sf()).collect()
