@@ -2606,6 +2606,84 @@ object TextOps {
       |    ELSE r.leftover * a.wt // r.sw_u END, a.cap) * 10000 // a.n_tok AS epochs_bp
       |FROM alloc a CROSS JOIN redo r ORDER BY a.source""".stripMargin
 
+  // ------------------------------------- token-budget APPLY (epochs)
+  /** The APPLY side of [[tokenBudget]]: turn each source's allocation
+    * into per-document COPY COUNTS — whole epochs for everyone plus a
+    * hash-thresholded fractional tail (doc repeats ⌊rate⌋ times, +1 iff
+    * the low 20 bits of splitmix64(doc_id) fall under the fractional
+    * remainder) — exactly how a training run realizes "1.7 epochs of
+    * source X": deterministic, replay-safe on any cluster size, no
+    * sampling state. Same plan→apply split as [[mixThresholds]]/
+    * [[mixApply]], so the decision for a document needs only its own
+    * (doc_id, source) plus the broadcast |sources|-row plan, and the
+    * apply lifts into an ingest stream unchanged. Achieved tokens land
+    * within one document of each source's quota (ExtSpec pins the
+    * copies ∈ {⌊rate⌋, ⌈rate⌉} invariant). The 2²⁰-scaled rate is
+    * BIGINT-safe to ~8×10¹² allocated tokens per source; past that a
+    * production plan pre-divides before scaling (same note as
+    * [[mixTemperature]]).
+    */
+  def tokenBudgetApply(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetApplyOn(docs(spark, dir))
+
+  def tokenBudgetApplyOn(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(documents.sparkSession)
+    val plan = tokenBudgetOn(documents)
+      .select(col("source"),
+        expr("alloc_final * 1048576 div n_tokens").as("rate"))
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .select(col("doc_id"), col("source"),
+        (expr("rate div 1048576") +
+          (expr("pmod(mix64(doc_id), 1048576)") < expr("rate % 1048576"))
+            .cast("long")).as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenBudgetApplySql: String = {
+    // the plan CTEs are tokenBudgetSql's, re-expressed to end in a rate
+    val planCtes =
+      """n AS (
+        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tok,
+        |    CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS wt FROM n),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total,
+        |    CAST(SUM(wt) AS BIGINT) AS sw FROM w),
+        |alloc AS (
+        |  SELECT source, n_tok, wt,
+        |    t.total // 3 AS budget,
+        |    t.total // 3 * wt // t.sw AS raw,
+        |    n_tok * 2 AS cap,
+        |    CASE WHEN t.total // 3 * wt // t.sw > n_tok * 2 THEN 1 ELSE 0 END AS capped,
+        |    least(t.total // 3 * wt // t.sw, n_tok * 2) AS c
+        |  FROM w CROSS JOIN tot t),
+        |redo AS (SELECT CAST(MIN(budget) - SUM(c) AS BIGINT) AS leftover,
+        |    CAST(SUM(CASE WHEN capped = 0 THEN wt ELSE 0 END) AS BIGINT) AS sw_u
+        |  FROM alloc),
+        |plan AS (
+        |  SELECT a.source,
+        |    least(a.c + CASE WHEN a.capped = 1 OR r.sw_u = 0 THEN 0
+        |      ELSE r.leftover * a.wt // r.sw_u END, a.cap)
+        |      * 1048576 // a.n_tok AS rate
+        |  FROM alloc a CROSS JOIN redo r)""".stripMargin
+    s"""WITH $planCtes,
+       |hx AS (
+       |  SELECT doc_id, source,
+       |    (CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+       |    xor(z0, z0 >> 30) AS x1,
+       |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+       |    xor(z1, z1 >> 27) AS x2,
+       |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2,
+       |    xor(z2, z2 >> 31) AS z3,
+       |    CAST(z3 % 1048576 AS BIGINT) AS low20
+       |  FROM documents)
+       |SELECT h.doc_id, h.source,
+       |  p.rate // 1048576
+       |    + CASE WHEN h.low20 < p.rate % 1048576 THEN 1 ELSE 0 END AS n_copies
+       |FROM hx h JOIN plan p USING (source) ORDER BY h.doc_id""".stripMargin
+  }
+
   // --------------------------------------- tokenizer fertility by lang
   /** Tokenizer fertility per language — the fairness table a tokenizer
     * change is audited by (Petrov et al. 2023: languages whose text
@@ -2716,6 +2794,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_gopher_rules" -> (gopherRules _),
     "text_token_budget" -> (tokenBudget _),
+    "text_token_budget_apply" -> (tokenBudgetApply _),
     "text_heaps_law" -> (heapsLaw _),
     "text_fertility_by_lang" -> (fertilityByLang _),
     "text_rake_keywords" -> (rakeKeywords _),
@@ -2761,6 +2840,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_gopher_rules" -> gopherRulesSql,
     "text_token_budget" -> tokenBudgetSql,
+    "text_token_budget_apply" -> tokenBudgetApplySql,
     "text_heaps_law" -> heapsLawSql,
     "text_fertility_by_lang" -> fertilityByLangSql,
     "text_rake_keywords" -> rakeKeywordsSql,

@@ -1159,6 +1159,18 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("token budget apply: copies take only the two integers bracketing each source's rate") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val copies = TextOps.tokenBudgetApplyOn(d).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val rates = TextOps.tokenBudgetOn(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(5) * 1048576L) / r.getLong(1)).toMap
+    copies.foreach { case (src, cs) =>
+      val lo = rates(src) / 1048576L
+      assert(cs.subsetOf(Set(lo, lo + 1)), s"$src: $cs vs rate ${rates(src)}")
+    }
+  }
+
   test("heaps law: cumulative curve is monotone and ends at the corpus totals") {
     val d = graft.engine.Tables.load(spark, sf(), "documents")
     val r = TextOps.heapsLawOn(d).collect()

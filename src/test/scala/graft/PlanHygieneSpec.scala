@@ -121,7 +121,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // graph recall: the exact baseline is cosineTopK's whitelisted
     // shape — the nQueries-row query side broadcast with the non-equi
     // qid != cid condition
-    "sim_ann_graph_recall")
+    "sim_ann_graph_recall",
+    // alert debounce: events_ewma_monitor's 1-row hour-range frame
+    // broadcast onto the per-type grid; budget apply: the planning
+    // CTEs' two 1-row frames (text_token_budget's shape) inside the
+    // broadcast plan join
+    "events_alert_debounce", "text_token_budget_apply")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
