@@ -2606,6 +2606,56 @@ object TextOps {
       |    ELSE r.leftover * a.wt // r.sw_u END, a.cap) * 10000 // a.n_tok AS epochs_bp
       |FROM alloc a CROSS JOIN redo r ORDER BY a.source""".stripMargin
 
+  // ------------------------------------------------ k-anonymity census
+  /** k-anonymity census over quasi-identifiers — the governance
+    * complement of [[piiScrub]] (scrub removes DIRECT identifiers;
+    * k-anonymity asks whether the remaining attribute COMBINATION
+    * still singles a document out). Quasi-identifier here: (lang,
+    * source, length bucket of 100 chars); a group is k-anonymous at
+    * k = 5. Reports every equivalence class with its size, the flag,
+    * and what the standard remedy (generalizing the length bucket
+    * 100 → 500) would merge it into — so the table answers both "how
+    * exposed are we" and "does one generalization step fix it". One
+    * groupBy over derived columns — partial+final agg, no shuffle
+    * beyond the class key at any corpus size.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOn(docs(spark, dir), k = 5)
+
+  def kAnonymityOn(documents: DataFrame, k: Int): DataFrame = {
+    val classes = documents
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val coarse = classes
+      .groupBy(col("lang"), col("source"),
+        expr("len_bucket div 5").as("coarse_bucket"))
+      .agg(sum(col("n")).as("n_coarse"))
+    classes
+      .withColumn("coarse_bucket", expr("len_bucket div 5"))
+      .join(coarse, Seq("lang", "source", "coarse_bucket"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        (col("n") < k).cast("long").as("below_k"),
+        (col("n_coarse") < k).cast("long").as("below_k_coarse"))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH c AS (
+      |  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT lang, source, len_bucket // 5 AS coarse_bucket,
+      |    CAST(SUM(n) AS BIGINT) AS n_coarse
+      |  FROM c GROUP BY 1, 2, 3)
+      |SELECT c.lang, c.source, c.len_bucket, c.n,
+      |  CAST(CASE WHEN c.n < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k,
+      |  CAST(CASE WHEN g.n_coarse < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k_coarse
+      |FROM c JOIN g ON c.lang = g.lang AND c.source = g.source
+      |  AND c.len_bucket // 5 = g.coarse_bucket
+      |ORDER BY c.lang, c.source, c.len_bucket""".stripMargin
+
   // ------------------------------------- token-budget APPLY (epochs)
   /** The APPLY side of [[tokenBudget]]: turn each source's allocation
     * into per-document COPY COUNTS — whole epochs for everyone plus a
@@ -2797,6 +2847,7 @@ object TextOps {
     "text_token_budget_apply" -> (tokenBudgetApply _),
     "text_heaps_law" -> (heapsLaw _),
     "text_fertility_by_lang" -> (fertilityByLang _),
+    "text_k_anonymity" -> (kAnonymity _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -2843,6 +2894,7 @@ object TextOps {
     "text_token_budget_apply" -> tokenBudgetApplySql,
     "text_heaps_law" -> heapsLawSql,
     "text_fertility_by_lang" -> fertilityByLangSql,
+    "text_k_anonymity" -> kAnonymitySql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,
