@@ -2676,18 +2676,27 @@ object TextOps {
   def tokenBudgetApply(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetApplyOn(docs(spark, dir))
 
-  def tokenBudgetApplyOn(documents: DataFrame): DataFrame = {
-    graft.plans.GraftExtensions.register(documents.sparkSession)
-    val plan = tokenBudgetOn(documents)
+  def tokenBudgetApplyOn(documents: DataFrame): DataFrame =
+    tokenBudgetApplyWith(documents, tokenBudgetPlanOf(documents))
+      .orderBy(col("doc_id"))
+
+  /** The plan half: per-source 2²⁰-scaled copy rates from a corpus
+    * snapshot — the planning artifact the ingest twin broadcasts. */
+  def tokenBudgetPlanOf(documents: DataFrame): DataFrame =
+    tokenBudgetOn(documents)
       .select(col("source"),
         expr("alloc_final * 1048576 div n_tokens").as("rate"))
-    documents.select(col("doc_id"), col("source"))
+
+  /** The apply half — batch or streaming alike (stateless: broadcast
+    * the |sources|-row plan, per-row integer copy count). */
+  def tokenBudgetApplyWith(docs: DataFrame, plan: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("source"))
       .join(broadcast(plan), "source")
       .select(col("doc_id"), col("source"),
         (expr("rate div 1048576") +
           (expr("pmod(mix64(doc_id), 1048576)") < expr("rate % 1048576"))
             .cast("long")).as("n_copies"))
-      .orderBy(col("doc_id"))
   }
 
   val tokenBudgetApplySql: String = {

@@ -507,6 +507,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < total)
   }
 
+  test("streaming budget apply == batch copy counts under the shared plan") {
+    import graft.streaming.BudgetApplyIngest
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_ba_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ba_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ba_ck").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartition(3)
+      .write.mode("overwrite").parquet(docsDir)
+    BudgetApplyIngest.start(spark, docsDir, docsDir, outDir, ckpt)
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ext.TextOps.tokenBudgetApply(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("n_copies") >= 1)
+      .select("doc_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    val total = spark.read.parquet(docsDir).count()
+    assert(streamed.nonEmpty && streamed.size < total)
+  }
+
   test("streaming Gopher rule filter == batch keep set on the same corpus") {
     import graft.streaming.GopherIngest
     val docsDir = java.nio.file.Files.createTempDirectory("graft_gr_in").toString
