@@ -1185,6 +1185,46 @@ class ExtSpec extends SparkSpecBase {
       d.select(explode(split(col("text"), " "))).distinct().count())
   }
 
+  test("fertility by lang: ratios reproduce from the per-language sums") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val r = TextOps.fertilityByLangOn(d).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nTok, nBpe, fert) = (row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(fert == nBpe * 10000L / nTok)
+      assert(fert >= 10000L) // BPE-ish segmentation never merges words
+    }
+  }
+
+  test("k-anonymity: class sizes sum to the corpus; coarsening only helps") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val r = TextOps.kAnonymityOn(d, k = 5).collect()
+    assert(r.map(_.getLong(3)).sum == d.count())
+    // a class whose coarse group is still below k must itself be below k
+    r.foreach { row =>
+      if (row.getLong(5) == 1L) assert(row.getLong(4) == 1L)
+    }
+  }
+
+  test("alignment: cosine bounded, flag consistent with sign") {
+    val r = Multimodal.alignment(spark, sf()).collect()
+    assert(r.length == 500)
+    r.foreach { row =>
+      val cos = row.getDouble(2)
+      assert(cos >= -1.0000001 && cos <= 1.0000001)
+      assert((row.getLong(3) == 1L) == (cos < 0))
+    }
+  }
+
+  test("dominant direction: rescale saturates at the fixed-point bound") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val r = Similarity.dominantDirectionOn(e, iters = 3).collect()
+    assert(r.length == 64)
+    val mags = r.map(row => math.abs(row.getLong(1)))
+    assert(mags.max == 1000000L) // the max-|component| rescale hits ±10⁶
+    assert(mags.forall(_ <= 1000000L))
+  }
+
   test("k-center coreset: full cover, radius bounds the mean") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     val r = Similarity.coresetKCenterOn(e, nCenters = 4).collect()
