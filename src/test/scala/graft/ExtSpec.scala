@@ -1310,6 +1310,44 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getLong(4) == 3L)
   }
 
+  test("alert debounce: SQL fold matches a reference simulation on 50 random series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(42)
+    val hours = 48
+    // 50 independent types, bursty counts so flags/alerts actually occur
+    val series: Map[String, IndexedSeq[Long]] = (0 until 50).map { t =>
+      f"t$t%02d" -> IndexedSeq.fill(hours)(
+        if (rng.nextInt(8) == 0) 10L + rng.nextInt(30) else rng.nextInt(4).toLong)
+    }.toMap
+    val rows = for {
+      (t, xs) <- series.toSeq; (c, h) <- xs.zipWithIndex; i <- 1L to c
+    } yield (h * 1000 + i, Timestamp.valueOf(
+      f"2024-03-${h / 24 + 1}%02d ${h % 24}%02d:15:00"), 1L, t, 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.Events.alertDebounceOn(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // reference simulation of the exact contract: hot = x·n > 2·total,
+    // raise after 2 consecutive hot, clear after 3 consecutive quiet
+    series.foreach { case (t, xs) =>
+      val total = xs.sum; val n = xs.length.toLong
+      val flags = xs.map(x => if (x * n > 2 * total) 1L else 0L)
+      var (ia, cf, cc, alerts, ah) = (0L, 0L, 0L, 0L, 0L)
+      flags.foreach { f =>
+        if (f == 1L) {
+          cf += 1; cc = 0
+          if (ia == 0L && cf >= 2) { ia = 1; alerts += 1 }
+        } else {
+          cc += 1; cf = 0
+          if (ia == 1L && cc >= 3) ia = 0
+        }
+        ah += ia
+      }
+      assert(got(t) == ((n, flags.sum, alerts, ah)), s"type $t")
+    }
+  }
+
   test("aspect buckets: ladder membership and 32-cap batch packing") {
     val ladder = Set(5000L, 6667L, 7500L, 10000L, 13333L, 15000L, 20000L)
     val r = Multimodal.aspectBuckets(spark, sf()).collect()
