@@ -131,6 +131,43 @@ object Similarity {
       .orderBy(col("vec_id"), col("neighbor_id"))
   }
 
+  /** The index LIFECYCLE form of [[annLsh]] ([[annIvfCached]]'s
+    * contract for the LSH family): the banded signature table — the
+    * inverted band index a serving deployment actually persists — is
+    * WRITTEN to parquet, read back, and probed. Queries arrive raw and
+    * are signed on the fly; candidates come from the reloaded index as
+    * bare ids; payload vectors are fetched by id only for the exact
+    * re-score. (vec_id, band, band_key) round-trip parquet exactly, so
+    * the cached probe hash-matches [[annLshSql]] — the same oracle as
+    * the in-memory form.
+    */
+  def annLshCached(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idxDir = s"${graft.engine.WorkDirs.processScoped("graft_lsh_idx")}/" +
+      s"index-${ivfIdxNonce.incrementAndGet()}"
+    banded(e, 16, 4).select(col("vec_id"), col("band"), col("band_key"))
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val q = banded(e.filter(col("vec_id") < 10), 16, 4)
+      .select(col("vec_id").as("qid"), col("band").as("qband"),
+        col("band_key").as("qkey"))
+    val cand = idx.join(broadcast(q),
+        col("band") === col("qband") && col("band_key") === col("qkey") &&
+          col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
+      .withColumn("cos", cosine(e))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded-LSH self-join for
     * candidates, exact cosine ≥ `tau` verification — the embedding
     * variant of dedup; never a full cross join (the join key is (band,
@@ -2823,6 +2860,7 @@ object Similarity {
     "sim_quantize_i8" -> (quantizeI8 _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_lsh_cached" -> (annLshCached _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_cached" -> (annIvfCached _),
     "sim_ann_ivf_seeded" -> (annIvfSeeded _),
@@ -2864,6 +2902,8 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_quantize_i8" -> quantizeI8Sql,
     "sim_ann_lsh" -> annLshSql,
+    // cached form probes the reloaded index over identical candidates
+    "sim_ann_lsh_cached" -> annLshSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "sim_cosine_neardup_wide" -> cosineNearDupWideSql,
     "sim_knn_graph" -> knnGraphSql,
