@@ -2155,6 +2155,7 @@ object Dedup {
     minhashLshOn(docs(spark, dir))
       .groupBy(floor(col("jaccard") * 20.0).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
+      // global window over the 21-row jaccard-bucket grid (bounded)
       .withColumn("n_at_or_above", sum(col("n_pairs")).over(
         Window.orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, 0)))

@@ -1105,6 +1105,7 @@ object Multimodal {
     mediaPhashDedupOn(base.unionByName(copies), tau = 7)
       .groupBy(col("hamming").cast("long").as("hamming"))
       .agg(count(lit(1)).as("n_pairs"))
+      // global window over the 8-row hamming-distance grid (bounded)
       .withColumn("n_within", sum(col("n_pairs")).over(
         Window.orderBy(col("hamming"))
           .rowsBetween(Window.unboundedPreceding, 0)))

@@ -361,6 +361,9 @@ object Warehouse {
       .crossJoin(broadcast(maxD))
       .select(col("o_custkey"), datediff(col("mx"), col("last_d")).as("recency"),
         col("frequency"), col("monetary"))
+    // global rank windows over the per-customer aggregate, not line items;
+    // |customers| is the dimension cardinality — at true scale these flip
+    // to the two-level offset-grid rank (classifierLift's shape)
     val wr = Window.orderBy(col("recency"), col("o_custkey"))
     val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
     val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
@@ -1015,6 +1018,7 @@ object Warehouse {
       .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))) * 10000)
         .cast("long").as("rev"))
     val bkt = pr.withColumn("bkt", expr("rev div 10000000"))
+    // global window over the O(hundreds)-row revenue-bucket grid (bounded)
     val bucketSums = bkt.groupBy(col("bkt")).agg(sum(col("rev")).as("bs"))
       .withColumn("above", coalesce(
         sum(col("bs")).over(Window.orderBy(col("bkt").desc)
@@ -1215,6 +1219,7 @@ object Warehouse {
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 4))) * 10000)
         .cast("long").as("x"))
     val bkt = cr.withColumn("bkt", expr("x div 10000000"))
+    // global window over the O(hundreds)-row value-bucket grid (bounded)
     val bucketSums = bkt.groupBy(col("bkt"))
       .agg(count(lit(1)).as("bc"))
       .withColumn("below", coalesce(

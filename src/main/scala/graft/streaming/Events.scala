@@ -1431,6 +1431,7 @@ object Events {
       .withColumn("base", floor(col("exact")).cast("long"))
       .withColumn("rem", col("exact") - floor(col("exact")))
     val short = alloc.agg((lit(100L) - sum(col("base"))).as("k"))
+    // global window over the |event types|-row allocation grid (bounded)
     val wRem = Window.orderBy(col("rem").desc, col("event_type"))
     val targets = alloc.crossJoin(broadcast(short))
       .withColumn("extra",
@@ -1761,6 +1762,7 @@ object Events {
         sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_starts"),
         sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_ends"))
     deltas
+      // global window over the calendar-bounded hour grid, not the corpus
       .withColumn("open_sessions",
         sum(col("net")).over(Window.orderBy(col("hr"))))
       .select(timestamp_seconds(col("hr") * 3600L).as("hour"),
@@ -1791,6 +1793,7 @@ object Events {
       .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
     active.join(firstSeen, Seq("day"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      // global window over the calendar-bounded day grid, not the corpus
       .withColumn("cum_users",
         sum(col("n_new")).over(Window.orderBy(col("day"))))
       .orderBy(col("day"))
