@@ -906,6 +906,9 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val dims = docsAsMedia(spark, dir).toDF()
       .select(col("media_id"), col("payload"))
+      // PRECONDITION: payload >= 4 bytes (fixture min is 48; a real
+      // pipeline fails short payloads at the header probe before this) —
+      // below 4 the two engines' partial-read arithmetic diverges
       .withColumn("w",
         expr("128 + cast(conv(hex(substring(payload, 1, 2)), 16, 10) as bigint) % 897"))
       .withColumn("h",
