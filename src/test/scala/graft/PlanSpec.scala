@@ -338,4 +338,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("Generate explode"), p.take(2000))
   }
+
+  test("alignment: one token explode, partial-before-shuffle counts, id-keyed broadcast pair joins (PLANS.md)") {
+    val p = plan("multimodal_alignment")
+    assert("Generate explode".r.findAllIn(p).size == 1, p.take(2000))
+    // (doc, dim) counts combine map-side before their exchange
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(2000))
+    // both pair joins are broadcast equi-joins; nothing self-joins or NLs
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }
