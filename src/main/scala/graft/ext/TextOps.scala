@@ -2606,6 +2606,87 @@ object TextOps {
       |    ELSE r.leftover * a.wt // r.sw_u END, a.cap) * 10000 // a.n_tok AS epochs_bp
       |FROM alloc a CROSS JOIN redo r ORDER BY a.source""".stripMargin
 
+  // ------------------------------------------------------ BM25 retrieval
+  /** BM25 top-k retrieval (Robertson–Spärck Jones) for a fixed 8-term
+    * query — the ranking function behind corpus search, eval-set
+    * retrieval, and retrieval-based curation. k1 = 1.2, b = 0.75 are
+    * cleared of floats by scaling the term's rational through 20·avgdl:
+    * tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl) becomes EXACTLY
+    * 44·avgdl·tf / (20·avgdl·tf + 6·avgdl + 18·dl) in BIGINTs (avgdl is
+    * the truncated corpus mean); only the idf takes the repo's ln grid
+    * (round(ln·10⁶), the [[pmiCollocations]] convention). Scale shape:
+    * tf is one explode filtered AGAINST THE BROADCAST QUERY TERMS
+    * before it ever groups — the token stream that shuffles is |terms
+    * matched|, not the corpus; df/idf live on the 8-row term table;
+    * the numerator product idf·44·avgdl·tf stays under 2⁶³ while
+    * avgdl·tf < ~10¹¹ (pre-divide avgdl for pathological corpora).
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOn(docs(spark, dir),
+      Seq("spark", "window", "merge", "stream", "vector", "customer",
+        "hash", "slow"), k = 20)
+
+  def bm25TopKOn(documents: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    import documents.sparkSession.implicits._
+    val base = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val tot = base.agg(sum(col("dl")).as("tdl"), count(lit(1)).as("n"))
+      .select(expr("tdl div n").as("avgdl"), col("n"))
+    val terms = query.toDF("term")
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .join(broadcast(terms), col("t") === col("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("avgdl"), expr(
+        "cast(round(ln((n - dfc + 0.5d) / (dfc + 0.5d) + 1.0d) * 1000000.0d) as bigint)")
+        .as("idf_fp"))
+    val scoredDocs = tf.join(base, "doc_id").join(broadcast(idf), "term")
+      .withColumn("term_fp", expr(
+        "idf_fp * (44L * avgdl * tf) div (20L * avgdl * tf + 6L * avgdl + 18L * dl)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("doc_id")).limit(k)
+    // rank window runs over the ≤k-row top list only (bounded frame)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scoredDocs.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_fp"), col("n_terms"))
+      .orderBy(col("rank"))
+  }
+
+  val bm25TopKSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl,
+      |    COUNT(*) AS n FROM base),
+      |terms AS (SELECT unnest(['spark', 'window', 'merge', 'stream',
+      |    'vector', 'customer', 'hash', 'slow']) AS term),
+      |tf AS (
+      |  SELECT d.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents) d
+      |  JOIN terms t ON d.tok = t.term GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT f.term, o.avgdl,
+      |    CAST(round(ln((o.n - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_fp
+      |  FROM (SELECT DISTINCT doc_id, term FROM tf) f CROSS JOIN tot o
+      |  GROUP BY f.term, o.avgdl, o.n),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(SUM(i.idf_fp * (44 * i.avgdl * tf.tf)
+      |      // (20 * i.avgdl * tf.tf + 6 * i.avgdl + 18 * b.dl)) AS BIGINT) AS score_fp,
+      |    COUNT(*) AS n_terms
+      |  FROM tf JOIN base b USING (doc_id) JOIN idf i USING (term)
+      |  GROUP BY tf.doc_id
+      |  ORDER BY score_fp DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, score_fp, n_terms
+      |FROM sc ORDER BY rank""".stripMargin
+
   // ------------------------------------------------ k-anonymity census
   /** k-anonymity census over quasi-identifiers — the governance
     * complement of [[piiScrub]] (scrub removes DIRECT identifiers;
@@ -2857,6 +2938,7 @@ object TextOps {
     "text_heaps_law" -> (heapsLaw _),
     "text_fertility_by_lang" -> (fertilityByLang _),
     "text_k_anonymity" -> (kAnonymity _),
+    "text_bm25_topk" -> (bm25TopK _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -2904,6 +2986,7 @@ object TextOps {
     "text_heaps_law" -> heapsLawSql,
     "text_fertility_by_lang" -> fertilityByLangSql,
     "text_k_anonymity" -> kAnonymitySql,
+    "text_bm25_topk" -> bm25TopKSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,

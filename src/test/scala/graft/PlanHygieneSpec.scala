@@ -126,7 +126,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // broadcast onto the per-type grid; budget apply: the planning
     // CTEs' two 1-row frames (text_token_budget's shape) inside the
     // broadcast plan join
-    "events_alert_debounce", "text_token_budget_apply")
+    "events_alert_debounce", "text_token_budget_apply",
+    // bm25: the 1-row (avgdl, N) corpus frame broadcast onto the 8-row
+    // term table for the idf (text_tfidf's corpus-count shape)
+    "text_bm25_topk")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
