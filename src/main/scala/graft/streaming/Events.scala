@@ -3025,7 +3025,265 @@ object Events {
       |  (ml_fp - mr_fp) * (ml_fp - mr_fp) * n_l * n_r // (n_tot * 1000) AS gain_fp
       |FROM g ORDER BY gain_fp DESC, day LIMIT 3""".stripMargin
 
+  // ------------------------------------------- Holt linear smoothing
+  /** Holt's DOUBLE-exponential smoothing (level + trend) over hourly
+    * event volume per type — the trend-aware sibling of [[ewmaMonitor]]
+    * (whose single EWMA state lags ramps by construction; Holt's second
+    * state absorbs the ramp so the one-step forecast stays centred).
+    * α = β = 1/4, all fixed-point ppm:
+    *
+    *   f  = l + b                      (one-step forecast)
+    *   l' = (x + 3·f)  div 4           (level: α·x + (1−α)·f)
+    *   b' = (3·b + (l' − l)) div 4     (trend: β·Δlevel + (1−β)·b)
+    *
+    * Unlike the EWMA update, the Holt dividends CAN go negative (a
+    * declining series drives b and even l+b below zero), so the
+    * nonnegative-form rewrite that sidesteps negative quotients there
+    * doesn't apply — the division semantics must MATCH on negatives.
+    * Measured on this DuckDB: BIGINT `//` TRUNCATES toward zero
+    * ((-7)//4 = -1), exactly like Spark's `div` (IntegralDivide), so
+    * both sides use the truncating form and agree bit-for-bit;
+    * `shiftright` would NOT work (arithmetic shift floors: -7>>2 = -2,
+    * verified to drift the fold by a few ppm within 24 steps).
+    * Same scale shape as [[ewmaMonitor]]: the recursion is serial in
+    * TIME but per-type, and the series length is bounded by the
+    * calendar, not the corpus — counts aggregate distributed, only
+    * the bounded per-type count array folds. First 24 hours warm up
+    * (trend still forming) and don't contribute forecast error.
+    */
+  def holtTrend(spark: SparkSession, dir: String): DataFrame =
+    holtTrendOn(events(spark, dir))
+
+  def holtTrendOn(ev: DataFrame): DataFrame = {
+    val hc = ev
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+    val range = hc.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = hc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("h"))
+    val xs = grid.join(hc, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(h, x))), p -> p.x)")
+        .as("series"))
+    // state: [level_fp, trend_fp, sae_fp, i]; first observation seeds the
+    // level (sentinel i = 0 distinguishes "unseeded" from level 0)
+    xs.select(col("event_type"),
+        expr("""aggregate(series, CAST(array(0, 0, 0, 0) AS array<bigint>),
+          |  (acc, x) -> CASE WHEN acc[3] = 0L
+          |    THEN array(x * 1000000L, 0L, 0L, 1L)
+          |    ELSE array(
+          |      (x * 1000000L + 3L * (acc[0] + acc[1])) div 4L,
+          |      (3L * acc[1]
+          |        + ((x * 1000000L + 3L * (acc[0] + acc[1])) div 4L - acc[0])) div 4L,
+          |      acc[2] + (CASE WHEN acc[3] >= 24L
+          |        THEN abs(x * 1000000L - (acc[0] + acc[1])) ELSE 0L END),
+          |      acc[3] + 1L)
+          |    END)""".stripMargin).as("st"))
+      .select(col("event_type"),
+        expr("st[0]").as("level_fp"), expr("st[1]").as("trend_fp"),
+        expr("st[0] + st[1]").as("forecast_fp"),
+        expr("st[2]").as("sae_fp"), expr("st[3]").as("n_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  val holtTrendSql: String =
+    """WITH RECURSIVE hc AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS h FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.h, COALESCE(hc.x, 0) AS x,
+      |    row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.h) AS i
+      |  FROM grid LEFT JOIN hc USING (event_type, h)),
+      |rec AS (
+      |  SELECT event_type, i, CAST(x * 1000000 AS BIGINT) AS l,
+      |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+      |  FROM xs WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CAST((x.x * 1000000 + 3 * (r.l + r.b)) // 4 AS BIGINT),
+      |    CAST((3 * r.b
+      |      + ((x.x * 1000000 + 3 * (r.l + r.b)) // 4 - r.l)) // 4 AS BIGINT),
+      |    r.sae + CASE WHEN r.i >= 24
+      |      THEN abs(x.x * 1000000 - (r.l + r.b)) ELSE 0 END
+      |  FROM rec r JOIN xs x ON x.event_type = r.event_type AND x.i = r.i + 1),
+      |last AS (
+      |  SELECT event_type, l, b, sae, i,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+      |  FROM rec)
+      |SELECT event_type, l AS level_fp, b AS trend_fp,
+      |  l + b AS forecast_fp, sae AS sae_fp, CAST(i AS BIGINT) AS n_hours
+      |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------- late-arrival census
+  /** Watermark late-data accounting — the batch audit of the question
+    * every Structured Streaming job answers implicitly: with a 10-minute
+    * watermark delay, WHICH events would have been dropped, and how
+    * late do stragglers actually run? Arrival order is the ingest id
+    * (event_id); the watermark before an arrival is the running max of
+    * event TIME over all earlier arrivals, and an event is late when it
+    * trails that watermark by more than the delay.
+    *
+    * The prefix-max is computed as the classic TWO-LEVEL distributed
+    * scan, not one global window: arrivals bucket into 1024-id chunks,
+    * a per-chunk window (bounded partitions) gives the within-chunk
+    * prefix max, and a second window over the per-chunk MAXIMA (one row
+    * per 1024 events — bounded by corpus/1024, a scan over maxima, not
+    * events) gives the carry-in from all prior chunks; the combined max
+    * equals the global prefix-max exactly. The oracle states the same
+    * quantity as the single global window, which is the semantic spec —
+    * the chunked form is the one that survives 100 TB.
+    * Output: per event-time hour, arrivals, late count, worst lateness.
+    */
+  def lateArrivals(spark: SparkSession, dir: String): DataFrame =
+    lateArrivalsOn(events(spark, dir))
+
+  def lateArrivalsOn(evIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = evIn
+      .select(col("event_id"), col("ts"),
+        expr("event_id div 1024").as("chunk"),
+        expr("unix_micros(ts)").as("ts_us"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // chunk maxima: one row per 1024 arrivals; the unpartitioned window
+    // below runs over THIS bounded series, never the event rows
+    val wCh = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cmax = ev.groupBy(col("chunk")).agg(max(col("ts_us")).as("cmax_us"))
+      .withColumn("carry_us", max(col("cmax_us")).over(wCh))
+      .select(col("chunk"), col("carry_us"))
+    val delayUs = 600L * 1000000L
+    ev.join(cmax, Seq("chunk"))
+      .withColumn("wm_us",
+        greatest(max(col("ts_us")).over(wIn), col("carry_us")))
+      .withColumn("late", col("wm_us").isNotNull &&
+        col("wm_us") - col("ts_us") > delayUs)
+      .withColumn("h", expr("unix_micros(date_trunc('hour', ts)) div 3600000000"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(col("late"),
+          expr("(wm_us - ts_us) div 1000000"))), lit(0L)).as("max_late_s"))
+      .orderBy(col("h"))
+  }
+
+  val lateArrivalsSql: String =
+    """WITH w AS (
+      |  SELECT ts, epoch_us(ts) AS ts_us,
+      |    max(epoch_us(ts)) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+      |  FROM events),
+      |f AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h,
+      |    CASE WHEN wm_us IS NOT NULL AND wm_us - ts_us > 600000000
+      |      THEN 1 ELSE 0 END AS late,
+      |    CASE WHEN wm_us IS NOT NULL AND wm_us - ts_us > 600000000
+      |      THEN (wm_us - ts_us) // 1000000 ELSE NULL END AS late_s
+      |  FROM w)
+      |SELECT h, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(late) AS BIGINT) AS n_late,
+      |  CAST(COALESCE(MAX(late_s), 0) AS BIGINT) AS max_late_s
+      |FROM f GROUP BY h ORDER BY h""".stripMargin
+
+  // --------------------------------------------- Shapley attribution
+  /** EXACT Shapley-value channel attribution — the game-theoretic
+    * completion of [[attributionLinear]] (equal split) and
+    * [[attributionMarkov]] (removal effect): each non-purchase channel
+    * is a player, a user's coalition is the set of channels they
+    * touched before their FIRST purchase, and the characteristic
+    * function v(S) counts converters whose coalition ⊆ S. With n = 4
+    * channels every Shapley weight |S|!·(n−1−|S|)!/n! is an integer
+    * multiple of 1/24, so credits are reported ×24 and are EXACT
+    * integers — no floats, no sampling, cross-engine bit-equal. The
+    * efficiency identity Σφ = 24·(v(full) − v(∅)) is pinned in the spec.
+    *
+    * Scale: ONE user-keyed aggregate (bit_or of channel bits) reduces
+    * the corpus to ≤2ⁿ mask rows; everything after — the subset
+    * lattice, the ⊆-join computing v, the per-channel marginal sums —
+    * is arithmetic on a ≤16-row table (the two broadcast nested-loop
+    * joins below are over that bounded lattice, whitelisted in
+    * PlanHygieneSpec). 100 TB of events changes only the first
+    * aggregate.
+    */
+  def attributionShapley(spark: SparkSession, dir: String): DataFrame =
+    attributionShapleyOn(events(spark, dir))
+
+  def attributionShapleyOn(evIn: DataFrame): DataFrame = {
+    val ev = evIn
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp_ts"))
+    val masks = fp.join(ev, Seq("user_id"), "left")
+      .withColumn("bit", when(col("event_type") === "click", 1)
+        .when(col("event_type") === "error", 2)
+        .when(col("event_type") === "signup", 4)
+        .when(col("event_type") === "view", 8))
+      .withColumn("bit",
+        when(col("ts") < col("fp_ts"), col("bit")).otherwise(lit(null)))
+      .groupBy(col("user_id"))
+      .agg(coalesce(bit_or(col("bit")), lit(0)).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_conv"))
+    val spark2 = ev.sparkSession
+    val subsets = spark2.range(16).select(col("id").cast("int").as("s"))
+    // v(S) = converters whose mask ⊆ S — a ⊆-join on the ≤16×16 lattice
+    val v = subsets.join(broadcast(masks), expr("(mask & s) = mask"), "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("n_conv")), lit(0L)).as("v"))
+    val chan = spark2.createDataFrame(Seq(
+        (1, "click"), (2, "error"), (4, "signup"), (8, "view")))
+      .toDF("bit", "channel")
+    val grid = chan.join(broadcast(v), expr("(s & bit) = 0"))
+      .join(broadcast(v.select(col("s").as("s2"), col("v").as("v2"))),
+        expr("s2 = (s | bit)"))
+      .withColumn("w", expr("""CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        WHEN 2 THEN 2 ELSE 6 END"""))
+    grid.groupBy(col("channel"))
+      .agg(sum(expr("w * (v2 - v)")).as("phi_x24"),
+        sum(when(col("s") === 0, col("v2") - col("v"))
+          .otherwise(0L)).as("solo_lift"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionShapleySql: String =
+    """WITH fp AS (
+      |  SELECT user_id, MIN(ts) AS fp_ts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |m AS (
+      |  SELECT fp.user_id,
+      |    COALESCE(bit_or(CASE WHEN e.ts < fp.fp_ts THEN
+      |      CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END END), 0) AS mask
+      |  FROM fp LEFT JOIN events e ON e.user_id = fp.user_id
+      |  GROUP BY 1),
+      |mset AS (SELECT mask, COUNT(*) AS n_conv FROM m GROUP BY 1),
+      |subsets AS (SELECT UNNEST(generate_series(0, 15)) AS s),
+      |v AS (
+      |  SELECT s, CAST(COALESCE(SUM(n_conv), 0) AS BIGINT) AS v
+      |  FROM subsets LEFT JOIN mset ON (mask & s) = mask GROUP BY s),
+      |chan AS (SELECT * FROM (VALUES (1, 'click'), (2, 'error'),
+      |  (4, 'signup'), (8, 'view')) AS t(bit, channel)),
+      |grid AS (
+      |  SELECT c.channel, a.s, a.v, b.v AS v2,
+      |    CASE bit_count(a.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |      WHEN 2 THEN 2 ELSE 6 END AS w
+      |  FROM chan c JOIN v a ON (a.s & c.bit) = 0
+      |  JOIN v b ON b.s = (a.s | c.bit))
+      |SELECT channel, CAST(SUM(w * (v2 - v)) AS BIGINT) AS phi_x24,
+      |  CAST(SUM(CASE WHEN s = 0 THEN v2 - v ELSE 0 END) AS BIGINT)
+      |    AS solo_lift
+      |FROM grid GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_holt_trend" -> (holtTrend _),
+    "events_late_arrivals" -> (lateArrivals _),
+    "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
     "events_alert_debounce" -> (alertDebounce _),
     "events_ewma_monitor" -> (ewmaMonitor _),
@@ -3074,6 +3332,9 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_holt_trend" -> holtTrendSql,
+    "events_late_arrivals" -> lateArrivalsSql,
+    "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,
     "events_alert_debounce" -> alertDebounceSql,
     "events_ewma_monitor" -> ewmaMonitorSql,

@@ -1361,4 +1361,116 @@ class ExtSpec extends SparkSpecBase {
       assert(g.map(_.getLong(5)).max == (g.length - 1) / 32)
     }
   }
+
+  test("holt trend: SQL fold matches a reference simulation on 40 random series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(7)
+    val hours = 60
+    // ramps up then down so the trend state (and the division dividends)
+    // actually go NEGATIVE — the truncate-vs-floor case the docstring pins
+    val series: Map[String, IndexedSeq[Long]] = (0 until 40).map { t =>
+      val peak = 20 + rng.nextInt(30)
+      f"t$t%02d" -> (0 until hours).map { h =>
+        val base = if (h < 30) h * peak / 30 else (60 - h) * peak / 30
+        math.max(0L, base + rng.nextInt(5) - 2L)
+      }
+    }.toMap
+    val rows = for {
+      (t, xs) <- series.toSeq; (c, h) <- xs.zipWithIndex; i <- 1L to c
+    } yield (h * 1000 + i, Timestamp.valueOf(
+      f"2024-03-${h / 24 + 1}%02d ${h % 24}%02d:15:00"), 1L, t, 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.Events.holtTrendOn(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    series.foreach { case (t, xs) =>
+      // Scala Long `/` truncates toward zero — the same semantics as
+      // Spark `div` and DuckDB integer `//`
+      var (l, b, sae, i) = (xs.head * 1000000L, 0L, 0L, 1L)
+      xs.tail.foreach { x =>
+        val f = l + b
+        if (i >= 24) sae += math.abs(x * 1000000L - f)
+        val l2 = (x * 1000000L + 3L * f) / 4L
+        b = (3L * b + (l2 - l)) / 4L
+        l = l2
+        i += 1
+      }
+      assert(got(t) == ((l, b, l + b, sae, i)), s"type $t")
+    }
+  }
+
+  test("late arrivals: chunked two-level prefix max equals the global scan") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(11)
+    val n = 3000 // > 2 chunks of 1024, so the carry-in path is exercised
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime // ms
+    var cur = 0L
+    val tsMs = (0 until n).map { _ =>
+      cur += rng.nextInt(5000)
+      // ~5% stragglers: event time up to 30 min behind the arrival front
+      if (rng.nextInt(20) == 0) cur - (600000L + rng.nextInt(1200000))
+      else cur
+    }
+    val rows = tsMs.zipWithIndex.map { case (ms, id) =>
+      (id.toLong, new Timestamp(base + ms), 1L, "click", 1.0, "{}") }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.Events.lateArrivalsOn(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // reference: one serial scan in arrival order
+    var wm = Long.MinValue
+    val sim = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    tsMs.foreach { ms =>
+      val us = (base + ms) * 1000L
+      val late = wm != Long.MinValue && wm - us > 600000000L
+      val lateS = if (late) (wm - us) / 1000000L else 0L
+      val h = us / 3600000000L
+      val (e, lt, mx) = sim.getOrElse(h, (0L, 0L, 0L))
+      sim(h) = (e + 1, lt + (if (late) 1L else 0L), math.max(mx, lateS))
+      wm = math.max(wm, us)
+    }
+    assert(got == sim.toMap)
+    assert(got.values.map(_._2).sum > 0, "fixture must actually produce late events")
+  }
+
+  test("shapley attribution: subset-weight formula equals permutation enumeration") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-03-01 10:$min%02d:00")
+    // converters with masks {click}, {signup,view}, {}, {click,view};
+    // u5 never converts (drops out of the game entirely)
+    val rows = Seq(
+      (1L, t(0), 1L, "click", 1.0, "{}"), (2L, t(5), 1L, "purchase", 1.0, "{}"),
+      (3L, t(0), 2L, "view", 1.0, "{}"), (4L, t(1), 2L, "signup", 1.0, "{}"),
+      (5L, t(5), 2L, "purchase", 1.0, "{}"),
+      (6L, t(0), 3L, "purchase", 1.0, "{}"),
+      (7L, t(0), 4L, "click", 1.0, "{}"), (8L, t(1), 4L, "view", 1.0, "{}"),
+      (9L, t(5), 4L, "purchase", 1.0, "{}"),
+      (10L, t(0), 5L, "error", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.Events.attributionShapleyOn(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val masks = Seq(1, 4 | 8, 0, 1 | 8) // the four converters
+    def v(s: Int): Long = masks.count(m => (m & s) == m).toLong
+    // brute force: marginal contribution of each channel over all 4! = 24
+    // orderings; the sum over orderings IS phi ×24
+    val bits = Map("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    val phi = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    bits.keys.toSeq.permutations.foreach { perm =>
+      var s = 0
+      perm.foreach { c =>
+        val s2 = s | bits(c)
+        phi(c) += v(s2) - v(s)
+        s = s2
+      }
+    }
+    bits.keys.foreach { c =>
+      assert(got(c)._1 == phi(c), s"channel $c")
+      assert(got(c)._2 == v(bits(c)) - v(0), s"solo $c")
+    }
+    // efficiency: credits sum to 24 × (v(full) − v(∅))
+    assert(got.values.map(_._1).sum == 24L * (v(15) - v(0)))
+  }
 }

@@ -71,9 +71,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     "dedup_corpus_overlap",
     // ewma monitor: the 1-row (min_h, max_h) range frame broadcast onto
     // the per-type grid before the zero-fill explode;
+    // holt trend: the identical range-frame broadcast (ewma's sibling);
     // cluster split: the 1-row cross-pair count broadcast onto the
     // 3-row per-split census (the construction's zero-leak assertion)
-    "events_ewma_monitor", "dedup_cluster_split",
+    "events_ewma_monitor", "events_holt_trend", "dedup_cluster_split",
+    // shapley attribution: the ≤16-row mask table broadcast twice over
+    // the 16-subset lattice (⊆-join and the S|bit lookup) — the entire
+    // post-aggregate stage is arithmetic on a bounded lattice
+    "events_attribution_shapley",
     // heatmap / stickiness: the 1-row corpus-total (resp. day-bounds)
     // frame broadcast onto the tiny cell/anchor grid (q60's shape);
     // lift / vocab coverage: the 1-row total frame plus the O(distinct
