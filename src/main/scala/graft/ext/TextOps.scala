@@ -2737,6 +2737,136 @@ object TextOps {
       |  AND c.len_bucket // 5 = g.coarse_bucket
       |ORDER BY c.lang, c.source, c.len_bucket""".stripMargin
 
+  // ------------------------------------------------ l-diversity census
+  /** l-diversity census — the follow-up question to [[kAnonymity]]:
+    * a class can be k-anonymous yet still leak its SENSITIVE attribute
+    * if every member shares one value (the homogeneity attack). Quasi-
+    * identifiers here are (source, 100-char length bucket); the
+    * sensitive attribute is `lang`. Reports each class's size, its
+    * distinct-l, the dominant value's share (the recursive-(c,l)
+    * ingredient), and the l < 2 homogeneity flag.
+    *
+    * Scale: one groupBy to (class × lang) counts, one more to fold the
+    * per-class profile — both partial+final aggregates; the class table
+    * is bounded by attribute cardinality, never corpus size.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOn(docs(spark, dir))
+
+  def lDiversityOn(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), expr("n_chars div 100").as("len_bucket"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("source"), col("len_bucket"), col("n"), col("l_distinct"),
+        expr("top_c * 1000000 div n").as("top_share_ppm"),
+        (col("l_distinct") < 2).cast("long").as("below_l"))
+      .orderBy(col("source"), col("len_bucket"))
+
+  val lDiversitySql: String =
+    """WITH cl AS (
+      |  SELECT source, n_chars // 100 AS len_bucket, lang, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT source, len_bucket, CAST(SUM(c) AS BIGINT) AS n,
+      |  COUNT(*) AS l_distinct,
+      |  CAST(MAX(c) * 1000000 // CAST(SUM(c) AS BIGINT) AS BIGINT)
+      |    AS top_share_ppm,
+      |  CAST(CASE WHEN COUNT(*) < 2 THEN 1 ELSE 0 END AS BIGINT) AS below_l
+      |FROM cl GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
+
+  // ---------------------------------------- quality-score calibration
+  /** Per-source quantile calibration of the quality score — the fix for
+    * the classic mixing bug where one source's scorer runs hot and a
+    * global threshold silently drains the others: each document's score
+    * is replaced by its PERCENTILE WITHIN ITS SOURCE, so every source's
+    * calibrated distribution is uniform by construction. The output is
+    * the (source × decile) census under BOTH rankings — the raw column
+    * shows the skew (hot sources pile into the top deciles), the
+    * calibrated column is flat at n_source/10 per decile, which the spec
+    * pins.
+    *
+    * Scale: the per-source rank is a source-partitioned window (shuffles
+    * on source like any grouped op). The GLOBAL raw rank uses the
+    * distributed-rank decomposition ([[classifierLiftOn]]'s shape): per-
+    * score counts → prefix offsets over the DISTINCT score values (a
+    * window over score cardinality, not corpus rows) + a score-
+    * partitioned row_number, with the 1-row total broadcast.
+    */
+  def qualityCalibrate(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibrateOn(docs(spark, dir))
+
+  def qualityCalibrateOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = qualityScoreOn(documents).select(col("doc_id"), col("quality_logit"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality_logit"), col("doc_id"))
+    val cal = s
+      .withColumn("r_s", row_number().over(wSrc))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("decile", expr("(r_s - 1) * 10 div n_s"))
+      .groupBy(col("source"), col("decile")).agg(count(lit(1)).as("n_cal"))
+    val offs = s.groupBy(col("quality_logit")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("quality_logit"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = s.agg(count(lit(1)).as("n_total"))
+    val wIn = Window.partitionBy(col("quality_logit")).orderBy(col("doc_id"))
+    val raw = s
+      .join(broadcast(offs.select(col("quality_logit"), col("off"))),
+        "quality_logit")
+      .withColumn("r", col("off") + row_number().over(wIn))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(r - 1) * 10 div n_total"))
+      .groupBy(col("source"), col("decile")).agg(count(lit(1)).as("n_raw"))
+    raw.join(cal, Seq("source", "decile"), "full_outer")
+      .select(col("source"), col("decile"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val qualityCalibrateSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+      |        x -> CAST(length(x) AS INT)), 'sum') AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_tok_len
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    round(-2.5 + n_tokens * 0.01 + ttr * 1.5 + stop_ratio * 6.0
+      |      + mean_tok_len * 0.08, 6) AS q
+      |  FROM f),
+      |rk AS (
+      |  SELECT source,
+      |    (row_number() OVER (PARTITION BY source ORDER BY q, doc_id) - 1)
+      |      * 10 // COUNT(*) OVER (PARTITION BY source) AS cal_decile,
+      |    (row_number() OVER (ORDER BY q, doc_id) - 1)
+      |      * 10 // COUNT(*) OVER () AS raw_decile
+      |  FROM s),
+      |a AS (SELECT source, raw_decile AS decile, COUNT(*) AS n_raw
+      |      FROM rk GROUP BY 1, 2),
+      |b AS (SELECT source, cal_decile AS decile, COUNT(*) AS n_cal
+      |      FROM rk GROUP BY 1, 2)
+      |SELECT COALESCE(a.source, b.source) AS source,
+      |  CAST(COALESCE(a.decile, b.decile) AS BIGINT) AS decile,
+      |  CAST(COALESCE(n_raw, 0) AS BIGINT) AS n_raw,
+      |  CAST(COALESCE(n_cal, 0) AS BIGINT) AS n_cal
+      |FROM a FULL OUTER JOIN b
+      |  ON a.source = b.source AND a.decile = b.decile
+      |ORDER BY source, decile""".stripMargin
+
   // ------------------------------------- token-budget APPLY (epochs)
   /** The APPLY side of [[tokenBudget]]: turn each source's allocation
     * into per-document COPY COUNTS — whole epochs for everyone plus a
@@ -2938,6 +3068,8 @@ object TextOps {
     "text_heaps_law" -> (heapsLaw _),
     "text_fertility_by_lang" -> (fertilityByLang _),
     "text_k_anonymity" -> (kAnonymity _),
+    "text_l_diversity" -> (lDiversity _),
+    "text_quality_calibrate" -> (qualityCalibrate _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
@@ -2986,6 +3118,8 @@ object TextOps {
     "text_heaps_law" -> heapsLawSql,
     "text_fertility_by_lang" -> fertilityByLangSql,
     "text_k_anonymity" -> kAnonymitySql,
+    "text_l_diversity" -> lDiversitySql,
+    "text_quality_calibrate" -> qualityCalibrateSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,

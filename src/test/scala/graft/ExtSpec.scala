@@ -1435,6 +1435,41 @@ class ExtSpec extends SparkSpecBase {
     assert(got.values.map(_._2).sum > 0, "fixture must actually produce late events")
   }
 
+  test("quality calibrate: per-source deciles are flat; raw deciles partition the corpus") {
+    val r = TextOps.qualityCalibrate(spark, sf()).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+    // calibrated: each source's deciles differ by at most 1 (uniform by
+    // construction of the within-source percentile rank)
+    r.groupBy(_._1).foreach { case (src, g) =>
+      val cal = g.map(_._4).filter(_ > 0)
+      assert(cal.max - cal.min <= 1, s"source $src calibrated deciles not flat")
+      assert(g.map(_._2).distinct.length == g.length, s"source $src dup deciles")
+    }
+    // both rankings count every document exactly once
+    assert(r.map(_._3).sum == r.map(_._4).sum)
+    // raw ranking is NOT flat for at least one source (the skew the
+    // operator exists to correct — guards against a degenerate fixture)
+    assert(r.groupBy(_._1).exists { case (_, g) =>
+      val raw = g.map(_._3); raw.max - raw.min > 1 })
+  }
+
+  test("l-diversity: profile matches a direct groupBy on the corpus") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val r = TextOps.lDiversityOn(d).collect()
+    val classes = d.groupBy(col("source"), expr("n_chars div 100"), col("lang"))
+      .count().collect()
+      .map(row => ((row.getString(0), row.getLong(1)), row.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(r.length == classes.size)
+    r.foreach { row =>
+      val cs = classes((row.getString(0), row.getLong(1)))
+      assert(row.getLong(2) == cs.sum)
+      assert(row.getLong(3) == cs.length)
+      assert(row.getLong(4) == cs.max * 1000000L / cs.sum)
+      assert(row.getLong(5) == (if (cs.length < 2) 1L else 0L))
+    }
+  }
+
   test("shapley attribution: subset-weight formula equals permutation enumeration") {
     import spark.implicits._
     import java.sql.Timestamp

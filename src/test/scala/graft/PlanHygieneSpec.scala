@@ -86,6 +86,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // list) broadcast for the distributed global rank
     "events_heatmap", "events_stickiness", "text_classifier_lift",
     "text_vocab_coverage",
+    // quality calibrate: classifier_lift's distributed-global-rank shape
+    // (1-row total broadcast onto the ranked docs)
+    "text_quality_calibrate",
     // abc pareto / share-of-parent: the 1-row total-revenue frame
     // broadcast onto the per-part prefix rows / nation grid (q60's shape)
     "q79_abc_pareto", "q82_share_of_parent",
