@@ -3193,6 +3193,96 @@ object Events {
       |  CAST(COALESCE(MAX(late_s), 0) AS BIGINT) AS max_late_s
       |FROM f GROUP BY h ORDER BY h""".stripMargin
 
+  // --------------------------------------------- Kaplan–Meier survival
+  /** Kaplan–Meier survival estimate of TIME TO FIRST ERROR per user —
+    * the censoring-aware "how long until a user hits a failure" curve
+    * a naive mean-duration query gets wrong (users who never failed are
+    * CENSORED at their last observation, not dropped, and not counted
+    * as failing then). Durations are hours from the user's first event;
+    * a user with an error "dies" at their first error, everyone else is
+    * censored at their last event.
+    *
+    * All integer, ppm: the survival product S(t) = Π (n_s − d_s)/n_s
+    * folds left-to-right over the duration-ordered risk table with the
+    * truncating integer division both engines share, so the curve is
+    * bit-exact. Standard KM conventions: at-risk n_t counts deaths AND
+    * censorings with duration ≥ t (censored-at-t still at risk at t);
+    * censor-only rows carry the running S unchanged.
+    *
+    * Scale: the corpus reduces to one row per user (two grouped
+    * aggregates), then one row per DISTINCT duration — bounded by the
+    * observation window in hours, i.e. the calendar, never the corpus;
+    * the suffix-sum window and the fold run on that bounded table.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    kaplanMeierOn(events(spark, dir))
+
+  def kaplanMeierOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+        min(when(col("event_type") === "error", col("ts"))).as("te"))
+      .select(col("user_id"),
+        when(col("te").isNotNull,
+          expr("(unix_micros(te) - unix_micros(t0)) div 3600000000"))
+          .otherwise(expr("(unix_micros(t1) - unix_micros(t0)) div 3600000000"))
+          .as("t_hours"),
+        col("te").isNotNull.cast("long").as("death"))
+    // risk table: one row per distinct duration (calendar-bounded); the
+    // unpartitioned suffix-sum window runs over THIS table, not events
+    val risk = perUser.groupBy(col("t_hours"))
+      .agg(sum(col("death")).as("d"),
+        sum(lit(1L) - col("death")).as("c"))
+      .withColumn("n", sum(col("d") + col("c")).over(
+        Window.orderBy(col("t_hours").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    risk.groupBy()
+      .agg(expr("array_sort(collect_list(struct(t_hours, d, c, n)))").as("arr"))
+      .select(expr("""posexplode(arrays_zip(arr,
+        |  aggregate(arr, CAST(array() AS array<bigint>),
+        |    (acc, x) -> array_append(acc,
+        |      (CASE WHEN size(acc) = 0 THEN 1000000L
+        |            ELSE acc[size(acc) - 1] END) * (x.n - x.d) div x.n))))
+        |""".stripMargin).as(Seq("i", "z")))
+      .select(expr("z.arr.t_hours").as("t_hours"),
+        expr("z.arr.n").as("n_risk"), expr("z.arr.d").as("n_deaths"),
+        expr("z.arr.c").as("n_censored"), expr("z.`1`").as("surv_ppm"))
+      .orderBy(col("t_hours"))
+  }
+
+  val kaplanMeierSql: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+      |    MIN(CASE WHEN event_type = 'error' THEN ts END) AS te
+      |  FROM events GROUP BY 1),
+      |pu AS (
+      |  SELECT CASE WHEN te IS NOT NULL
+      |      THEN (epoch_us(te) - epoch_us(t0)) // 3600000000
+      |      ELSE (epoch_us(t1) - epoch_us(t0)) // 3600000000 END AS t_hours,
+      |    CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS death
+      |  FROM u),
+      |risk AS (
+      |  SELECT t_hours, CAST(SUM(death) AS BIGINT) AS d,
+      |    CAST(SUM(1 - death) AS BIGINT) AS c
+      |  FROM pu GROUP BY 1),
+      |rt AS (
+      |  SELECT t_hours, d, c,
+      |    CAST(SUM(d + c) OVER (ORDER BY t_hours DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+      |    row_number() OVER (ORDER BY t_hours) AS i
+      |  FROM risk),
+      |rec AS (
+      |  SELECT t_hours, d, c, n, i,
+      |    CAST(1000000 * (n - d) // n AS BIGINT) AS s
+      |  FROM rt WHERE i = 1
+      |  UNION ALL
+      |  SELECT rt.t_hours, rt.d, rt.c, rt.n, rt.i,
+      |    CAST(rec.s * (rt.n - rt.d) // rt.n AS BIGINT)
+      |  FROM rec JOIN rt ON rt.i = rec.i + 1)
+      |SELECT t_hours, n AS n_risk, d AS n_deaths, c AS n_censored,
+      |  s AS surv_ppm
+      |FROM rec ORDER BY t_hours""".stripMargin
+
   // --------------------------------------------- Shapley attribution
   /** EXACT Shapley-value channel attribution — the game-theoretic
     * completion of [[attributionLinear]] (equal split) and
@@ -3282,6 +3372,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_holt_trend" -> (holtTrend _),
+    "events_kaplan_meier" -> (kaplanMeier _),
     "events_late_arrivals" -> (lateArrivals _),
     "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
@@ -3333,6 +3424,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_holt_trend" -> holtTrendSql,
+    "events_kaplan_meier" -> kaplanMeierSql,
     "events_late_arrivals" -> lateArrivalsSql,
     "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,

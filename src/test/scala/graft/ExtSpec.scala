@@ -1470,6 +1470,45 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("kaplan-meier: fold matches a serial simulation on random censored lifetimes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(23)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // 200 users: everyone starts at a random hour; ~60% hit an error at a
+    // random later hour, the rest are censored at their last click
+    val users = (1 to 200).map { u =>
+      val start = rng.nextInt(48)
+      val span = 1 + rng.nextInt(120)
+      val dies = rng.nextInt(10) < 6
+      (u.toLong, start, span, dies)
+    }
+    val rows = users.flatMap { case (u, start, span, dies) =>
+      val first = (u * 1000L, new Timestamp(base + start * 3600000L), u, "click", 1.0, "{}")
+      val lastTy = if (dies) "error" else "click"
+      val last = (u * 1000L + 1,
+        new Timestamp(base + (start + span) * 3600000L), u, lastTy, 1.0, "{}")
+      Seq(first, last)
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.Events.kaplanMeierOn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // serial reference: group by duration, suffix-sum at-risk, fold S
+    val byDur = users.groupBy(_._3.toLong).view.mapValues { g =>
+      (g.count(_._4).toLong, g.count(!_._4).toLong) }.toMap
+    val durs = byDur.keys.toSeq.sorted
+    val suffix = durs.reverse.scanLeft(0L) { case (acc, t) =>
+      acc + byDur(t)._1 + byDur(t)._2 }.tail.reverse
+    var s = 1000000L
+    val sim = durs.zip(suffix).map { case (t, n) =>
+      val (d, c) = byDur(t)
+      s = s * (n - d) / n
+      (t, n, d, c, s)
+    }
+    assert(got.toSeq == sim)
+    assert(got.exists(_._3 > 0) && got.exists(_._4 > 0), "needs deaths AND censorings")
+  }
+
   test("shapley attribution: subset-weight formula equals permutation enumeration") {
     import spark.implicits._
     import java.sql.Timestamp
