@@ -2778,6 +2778,77 @@ object TextOps {
       |  CAST(CASE WHEN COUNT(*) < 2 THEN 1 ELSE 0 END AS BIGINT) AS below_l
       |FROM cl GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
 
+  // ------------------------------------------------ t-closeness census
+  /** t-closeness census — the third privacy lens after [[kAnonymity]]
+    * (class size) and [[lDiversity]] (distinct sensitive values): a
+    * class can be large AND diverse yet still leak if its sensitive
+    * DISTRIBUTION differs sharply from the corpus-wide one (the
+    * skewness attack). For each (source, length-bucket) class this
+    * reports the total-variation distance between the class's `lang`
+    * distribution and the global one, in ppm:
+    * tv = ½ Σ_l |p_class(l) − p_global(l)|, with both shares snapped to
+    * the ppm grid first so the statistic is integer-exact cross-engine
+    * and overflow-safe at any corpus size (no c×N cross-products).
+    * Flagged at t = 0.2.
+    *
+    * Scale: two grouped aggregates to (class × lang) and class sizes;
+    * the |langs|-row global distribution (window over ≤|langs| rows)
+    * broadcasts onto the bounded class table — corpus rows are touched
+    * exactly once.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOn(docs(spark, dir))
+
+  def tClosenessOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = documents
+      .select(col("source"), expr("n_chars div 100").as("len_bucket"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val cls = cl.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c")).as("n"))
+    // global lang distribution: one row per language (bounded); the
+    // unpartitioned window runs over that ≤|langs|-row table only
+    val gl = documents.groupBy(col("lang")).agg(count(lit(1)).as("gc"))
+      .withColumn("gn", sum(col("gc")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("lang"), expr("gc * 1000000 div gn").as("g_ppm"))
+    cls.crossJoin(broadcast(gl))
+      .join(cl, Seq("source", "len_bucket", "lang"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("diff", abs(expr("c * 1000000 div n") - col("g_ppm")))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(max(col("n")).as("n"), expr("sum(diff) div 2").as("tv_ppm"))
+      .select(col("source"), col("len_bucket"), col("n"), col("tv_ppm"),
+        (col("tv_ppm") > 200000L).cast("long").as("above_t"))
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
+  val tClosenessSql: String =
+    """WITH cl AS (
+      |  SELECT source, n_chars // 100 AS len_bucket, lang, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT source, len_bucket, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM cl GROUP BY 1, 2),
+      |gl AS (
+      |  SELECT lang,
+      |    CAST(COUNT(*) * 1000000 // CAST(SUM(COUNT(*)) OVER () AS BIGINT)
+      |      AS BIGINT) AS g_ppm
+      |  FROM documents GROUP BY 1),
+      |grid AS (
+      |  SELECT cls.source, cls.len_bucket, cls.n, gl.lang, gl.g_ppm,
+      |    COALESCE(cl.c, 0) AS c
+      |  FROM cls CROSS JOIN gl
+      |  LEFT JOIN cl ON cl.source = cls.source
+      |    AND cl.len_bucket = cls.len_bucket AND cl.lang = gl.lang)
+      |SELECT source, len_bucket, n,
+      |  CAST(SUM(abs(c * 1000000 // n - g_ppm)) // 2 AS BIGINT) AS tv_ppm,
+      |  CAST(CASE WHEN CAST(SUM(abs(c * 1000000 // n - g_ppm)) // 2 AS BIGINT)
+      |    > 200000 THEN 1 ELSE 0 END AS BIGINT) AS above_t
+      |FROM grid GROUP BY 1, 2, 3 ORDER BY source, len_bucket""".stripMargin
+
   // ---------------------------------------- quality-score calibration
   /** Per-source quantile calibration of the quality score — the fix for
     * the classic mixing bug where one source's scorer runs hot and a
@@ -3069,6 +3140,7 @@ object TextOps {
     "text_fertility_by_lang" -> (fertilityByLang _),
     "text_k_anonymity" -> (kAnonymity _),
     "text_l_diversity" -> (lDiversity _),
+    "text_t_closeness" -> (tCloseness _),
     "text_quality_calibrate" -> (qualityCalibrate _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_rake_keywords" -> (rakeKeywords _),
@@ -3119,6 +3191,7 @@ object TextOps {
     "text_fertility_by_lang" -> fertilityByLangSql,
     "text_k_anonymity" -> kAnonymitySql,
     "text_l_diversity" -> lDiversitySql,
+    "text_t_closeness" -> tClosenessSql,
     "text_quality_calibrate" -> qualityCalibrateSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_rake_keywords" -> rakeKeywordsSql,

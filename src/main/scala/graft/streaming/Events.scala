@@ -3193,6 +3193,143 @@ object Events {
       |  CAST(COALESCE(MAX(late_s), 0) AS BIGINT) AS max_late_s
       |FROM f GROUP BY h ORDER BY h""".stripMargin
 
+  // ------------------------------------------------ CUPED A/B readout
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    * the adjustment every large experimentation platform applies before
+    * computing lift): each user's post-period metric is debiased by
+    * their own PRE-period activity, y′ = y − θ·(x − x̄), with
+    * θ = cov(x,y)/var(x) pooled across arms; the arm means shift by
+    * provably-zero expectation while the variance drops by the squared
+    * pre/post correlation. Reports both raw and adjusted mean/variance
+    * per arm and the realized variance-reduction (basis points).
+    *
+    * Pre/post split: first 15 days of the observation window vs the
+    * rest; arms by `pmod(mix64(user_id), 2)` — the same deterministic
+    * splitmix hash randomization as [[aaTest]].
+    *
+    * Cross-engine exactness: `value` lives on the 0.01 grid, so per-user
+    * pre/post totals are summed as INTEGER centi-units — every moment
+    * (Σx, Σy, Σx², Σy², Σxy per arm) is an exact BIGINT regardless of
+    * partitioning; θ and the variances are then scalar double math on
+    * those integers with identical expression trees both engines, and
+    * the bp reduction floors before casting. Scale: one corpus scan to
+    * per-user rows, one grouped aggregate to the 2-row arm table; the
+    * 1-row window-bound and pooled-total frames broadcast.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame =
+    cupedOn(events(spark, dir))
+
+  def cupedOn(ev: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(ev.sparkSession)
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val cutUs = 15L * 86400L * 1000000L
+    val pu = ev.crossJoin(broadcast(t0))
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("pre",
+        expr("unix_micros(ts) - unix_micros(t0)") < cutUs)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("vc")).otherwise(0L)).as("y"))
+      .withColumn("arm", expr("pmod(mix64(user_id), 2)").cast("int"))
+    val arms = pu.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    val g = arms.agg(sum(col("n")).as("gn"), sum(col("sx")).as("gsx"),
+      sum(col("sy")).as("gsy"), sum(col("sxx")).as("gsxx"),
+      sum(col("sxy")).as("gsxy"))
+    arms.crossJoin(broadcast(g))
+      .withColumn("theta",
+        (col("gn").cast("double") * col("gsxy").cast("double") -
+          col("gsx").cast("double") * col("gsy").cast("double")) /
+        (col("gn").cast("double") * col("gsxx").cast("double") -
+          col("gsx").cast("double") * col("gsx").cast("double")))
+      .withColumn("vpost",
+        (col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0)))
+      .withColumn("vpre",
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0)))
+      .withColumn("covxy",
+        (col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0)))
+      .withColumn("vadj",
+        col("vpost") - lit(2.0) * col("theta") * col("covxy") +
+          col("theta") * col("theta") * col("vpre"))
+      .select(col("arm"), col("n"),
+        round(col("theta"), 6).as("theta"),
+        round(col("sy").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("mean_post"),
+        round((col("sy").cast("double") / col("n").cast("double") -
+          col("theta") * (col("sx").cast("double") / col("n").cast("double") -
+            col("gsx").cast("double") / col("gn").cast("double"))) / lit(100.0), 6)
+          .as("mean_adj"),
+        round(col("vpost") / lit(10000.0), 6).as("var_post"),
+        round(col("vadj") / lit(10000.0), 6).as("var_adj"),
+        floor((lit(1.0) - col("vadj") / col("vpost")) * lit(10000.0))
+          .cast("long").as("var_red_bp"))
+      .orderBy(col("arm"))
+  }
+
+  val cupedSql: String =
+    """WITH m AS (SELECT MIN(ts) AS t0 FROM events),
+      |pu0 AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(t0) < 1296000000000
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(t0) >= 1296000000000
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events, m GROUP BY 1),
+      |pu AS (
+      |  SELECT x, y,
+      |    (CAST(((((xor(z2, z2 >> 31)) % 2) + 2) % 2) AS INT)) AS arm
+      |  FROM (
+      |    SELECT x, y,
+      |      (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |      xor(z0, z0 >> 30) AS x1,
+      |      (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |      xor(z1, z1 >> 27) AS x2,
+      |      (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2
+      |    FROM pu0)),
+      |a AS (
+      |  SELECT arm, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy, CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pu GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(sx) AS BIGINT) AS gsx,
+      |    CAST(SUM(sy) AS BIGINT) AS gsy, CAST(SUM(sxx) AS BIGINT) AS gsxx,
+      |    CAST(SUM(sxy) AS BIGINT) AS gsxy
+      |  FROM a),
+      |s AS (
+      |  SELECT arm, n, sx, sy, sxx, syy, sxy, gn, gsx,
+      |    (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+      |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+      |    / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+      |      - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)) AS theta,
+      |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vpost,
+      |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vpre,
+      |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS covxy
+      |  FROM a, g),
+      |v AS (
+      |  SELECT *, vpost - 2.0 * theta * covxy + theta * theta * vpre AS vadj
+      |  FROM s)
+      |SELECT arm, n, round(theta, 6) AS theta,
+      |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_post,
+      |  round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE))) / 100.0, 6) AS mean_adj,
+      |  round(vpost / 10000.0, 6) AS var_post,
+      |  round(vadj / 10000.0, 6) AS var_adj,
+      |  CAST(floor((1.0 - vadj / vpost) * 10000.0) AS BIGINT) AS var_red_bp
+      |FROM v ORDER BY arm""".stripMargin
+
   // --------------------------------------------- Kaplan–Meier survival
   /** Kaplan–Meier survival estimate of TIME TO FIRST ERROR per user —
     * the censoring-aware "how long until a user hits a failure" curve
@@ -3373,6 +3510,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_holt_trend" -> (holtTrend _),
     "events_kaplan_meier" -> (kaplanMeier _),
+    "events_cuped" -> (cuped _),
     "events_late_arrivals" -> (lateArrivals _),
     "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
@@ -3425,6 +3563,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "events_holt_trend" -> holtTrendSql,
     "events_kaplan_meier" -> kaplanMeierSql,
+    "events_cuped" -> cupedSql,
     "events_late_arrivals" -> lateArrivalsSql,
     "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,

@@ -1470,6 +1470,56 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("t-closeness: TV distance matches a direct recomputation on the corpus") {
+    val d = graft.engine.Tables.load(spark, sf(), "documents")
+    val rows = d.select(col("source"), expr("n_chars div 100"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val langs = rows.map(_._3).distinct.sorted
+    val n = rows.length.toLong
+    val gppm = langs.map(l => l -> rows.count(_._3 == l).toLong * 1000000L / n).toMap
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+      val cn = g.length.toLong
+      val tv = langs.map { l =>
+        math.abs(g.count(_._3 == l).toLong * 1000000L / cn - gppm(l)) }.sum / 2
+      k -> (cn, tv)
+    }
+    val got = TextOps.tCloseness(spark, sf()).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (cn, tv) = expected((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == cn && r.getLong(3) == tv,
+        s"class ${r.getString(0)}/${r.getLong(1)}")
+      assert(r.getLong(4) == (if (tv > 200000L) 1L else 0L))
+    }
+  }
+
+  test("cuped: correlated pre/post collapses variance; global mean is preserved") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(31)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00")
+    val post = Timestamp.valueOf("2024-03-20 00:00:00") // past the 15-day cut
+    // per-user activity level a; pre ≈ a, post ≈ 2a + small noise → CUPED
+    // should recover θ ≈ 2 and collapse most of the between-user variance
+    val rows = (1 to 300).flatMap { u =>
+      val a = 10.0 + rng.nextInt(90)
+      val noise = rng.nextInt(11) - 5.0
+      Seq((u * 10L, base, u.toLong, "click", a, "{}"),
+        (u * 10L + 1, post, u.toLong, "view", 2.0 * a + noise, "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.Events.cupedOn(ev).collect()
+    assert(r.length == 2)
+    val theta = r.head.getDouble(2)
+    assert(math.abs(theta - 2.0) < 0.05, s"theta $theta")
+    r.foreach { row =>
+      assert(row.getLong(7) > 9000, s"arm ${row.getInt(0)} var_red_bp ${row.getLong(7)}")
+    }
+    // CUPED shifts arms but preserves the pooled mean: Σ n·mean_adj = Σ n·mean_post
+    def wsum(i: Int) = r.map(row => row.getLong(1) * row.getDouble(i)).sum
+    assert(math.abs(wsum(4) - wsum(3)) < 1e-3)
+  }
+
   test("kaplan-meier: fold matches a serial simulation on random censored lifetimes") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -89,6 +89,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // quality calibrate: classifier_lift's distributed-global-rank shape
     // (1-row total broadcast onto the ranked docs)
     "text_quality_calibrate",
+    // t-closeness: the ≤|langs|-row global distribution broadcast onto
+    // the bounded class table
+    "text_t_closeness",
+    // cuped: the 1-row window-bound frame onto the scan and the 1-row
+    // pooled-moment frame onto the 2-row arm table (aa_test's shape)
+    "events_cuped",
     // abc pareto / share-of-parent: the 1-row total-revenue frame
     // broadcast onto the per-part prefix rows / nation grid (q60's shape)
     "q79_abc_pareto", "q82_share_of_parent",
