@@ -1200,4 +1200,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming Holt trend monitor's final readout equals the batch fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.HoltTrendIngest
+    // real (event_type, hour) rows; the configured window is the batch
+    // grid's global span, which is what makes stream ≡ batch exact
+    val th = graft.engine.Tables.load(spark, sf(), "events")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val lo = th.map(_._2).min
+    val hi = th.map(_._2).max
+    // 3 micro-batches, stateful carry across all of them
+    val slices = th.grouped((th.size + 2) / 3).toSeq
+    val inDir = java.nio.file.Files.createTempDirectory("graft_holt_in")
+    slices.zipWithIndex.foreach { case (slice, k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_holt_s$k")
+      slice.toDF("event_type", "h")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = inDir.resolve(f"slice-$k%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + k * 60000L)
+    }
+    val q = HoltTrendIngest.monitor(spark, inDir.toString, lo, hi,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("holt_monitor")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // final readout per type = the emission with the max observed count
+    val finals = spark.table("holt_monitor").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .groupBy(_._1).map { case (ty, g) => ty -> g.maxBy(_._7) }
+    val batch = Events.holtTrend(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(finals.keySet == batch.keySet)
+    finals.foreach { case (ty, f) =>
+      assert((f._2, f._3, f._4, f._5, f._6) == batch(ty), s"type $ty")
+    }
+    // statefulness actually exercised: some type emitted more than once
+    assert(spark.table("holt_monitor").count() > finals.size)
+  }
 }
