@@ -1668,7 +1668,80 @@ object Warehouse {
       |    + CASE WHEN abs(a.price_dec - b.price_dec) <= 10 THEN 1 ELSE 0 END >= 5
       |ORDER BY part_a, part_b""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Sequential association rules — the ORDERED sibling of q58/q70's
+    * same-basket analysis: "customers who buy A later buy B", mined
+    * from FIRST-purchase dates (a→b counts a customer once, when their
+    * first A strictly precedes their first B). Support ≥ 4 customers
+    * and confidence ≥ 10% of A's buyers; lift against B's base rate.
+    * All integer fixed-point.
+    *
+    * Scale: the corpus reduces to one (customer, part, first-date) row
+    * per customer-part; the sequential pair join is keyed on the
+    * CUSTOMER (per-customer fan-out is basket breadth squared, never a
+    * cartesian), and the part-popularity side is a broadcast-size
+    * aggregate. The one action (customer count) is a driver scalar,
+    * q70's shape.
+    */
+  def q92SequentialRules(spark: SparkSession, dir: String): DataFrame = {
+    // staged: branches 4 ways (count action, n_part, both sides of the
+    // sequential pair join) — unstaged, Spark replays the lineitem⋈orders
+    // aggregate per branch. Measured at sf0.1: stage 3.4 s + count 1.0 s
+    // + pair join 4.5 s; an array-pairs rewrite (collect_list + HOF pair
+    // explode, one customer shuffle) measured 6.1 s vs the self-join's
+    // 4.5 s, so the join stays. No release site: the returned frame is
+    // backed by it (Dedup.scala keep-best pattern).
+    val cp = graft.engine.Materialize.stage(t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          col("o_orderdate")), "l_orderkey")
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(min(col("o_orderdate")).as("fp")))
+    val nPart = cp.groupBy(col("p")).agg(count(lit(1)).as("n_buyers"))
+    val nCust = cp.select(col("c")).distinct().count()
+    cp.as("a").join(cp.as("b"),
+        col("a.c") === col("b.c") && col("a.fp") < col("b.fp") &&
+          col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 4)
+      .join(nPart.select(col("p").as("part_a"), col("n_buyers").as("n_a")),
+        "part_a")
+      .join(nPart.select(col("p").as("part_b"), col("n_buyers").as("n_b")),
+        "part_b")
+      .withColumn("confidence_fp", expr("(support * 1000000L) div n_a"))
+      .filter(col("confidence_fp") >= 100000L)
+      .withColumn("lift_k",
+        expr(s"(support * ${nCust}L * 1000L) div (n_a * n_b)"))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("confidence_fp"), col("lift_k"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val q92Sql: String =
+    """WITH cp AS (
+      |  SELECT o.o_custkey AS c, l.l_partkey AS p, MIN(o.o_orderdate) AS fp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |n_part AS (SELECT p, COUNT(*) AS n_buyers FROM cp GROUP BY 1),
+      |n_cust AS (SELECT COUNT(DISTINCT c) AS n FROM cp),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
+      |  FROM cp a JOIN cp b
+      |    ON a.c = b.c AND a.fp < b.fp AND a.p <> b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+      |SELECT part_a, part_b, support,
+      |  CAST((support * 1000000) // x.n_buyers AS BIGINT) AS confidence_fp,
+      |  CAST((support * (SELECT n FROM n_cust) * 1000)
+      |    // (x.n_buyers * y.n_buyers) AS BIGINT) AS lift_k
+      |FROM pairs JOIN n_part x ON part_a = x.p
+      |           JOIN n_part y ON part_b = y.p
+      |WHERE (support * 1000000) // x.n_buyers >= 100000
+      |ORDER BY part_a, part_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_sequential_rules" -> (q92SequentialRules _),
     "q91_record_linkage" -> (q91RecordLinkage _),
     "q60_skew_probe" -> (q60SkewProbe _),
     "q54_histogram" -> (q54Histogram _),
@@ -1702,6 +1775,7 @@ object Warehouse {
 
   val oracles: Map[String, String] = Map(
     "q91_record_linkage" -> q91Sql,
+    "q92_sequential_rules" -> q92Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,
