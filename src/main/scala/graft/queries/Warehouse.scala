@@ -1740,7 +1740,79 @@ object Warehouse {
       |WHERE (support * 1000000) // x.n_buyers >= 100000
       |ORDER BY part_a, part_b""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Benford first-digit audit over the four money columns — the
+    * classic forensic-accounting screen: a column whose leading-digit
+    * distribution deviates hard from log10(1+1/d) was fabricated,
+    * truncated, or range-clamped. One row per (column, digit 1-9) with
+    * observed count, observed ppm, the Benford expectation in ppm, and
+    * the signed delta. p_retailprice (generator range-clamped to
+    * [900, 1000)) shows up as the designed positive control: ~all mass
+    * on digit 9.
+    *
+    * Determinism: doubles are snapped to exact integer cents with the
+    * same IEEE `floor(x*100+0.5)` in both engines; the leading digit
+    * comes from the integer's string form (exact), never log10. The
+    * Benford expectations are pinned integer literals (they sum to
+    * exactly 1 000 000), not runtime log() calls.
+    *
+    * Scale: one projection-pruned pass per source table, partial+final
+    * aggregate on ≤ 9×4 keys, a 36-row window for the per-source total
+    * — nothing grows with the data.
+    */
+  def q93BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    def digits(table: String, column: String) =
+      t(spark, dir, table)
+        .select(expr(s"cast(floor($column * 100.0 + 0.5) as bigint)").as("cents"))
+        .filter(col("cents") > 0)
+        .select(lit(s"$table.$column").as("src"),
+          expr("cast(substring(cast(cents as string), 1, 1) as int)").as("digit"))
+    val all = digits("lineitem", "l_extendedprice")
+      .unionAll(digits("orders", "o_totalprice"))
+      .unionAll(digits("part", "p_retailprice"))
+      .unionAll(digits("customer", "c_acctbal"))
+      .groupBy(col("src"), col("digit")).agg(count(lit(1)).as("n"))
+    all
+      .withColumn("total", sum(col("n"))
+        // 36-row frame: one row per (source, digit), digits bounded at 9
+        .over(Window.partitionBy(col("src"))))
+      .withColumn("obs_ppm", expr("(n * 1000000L) div total"))
+      .withColumn("benford_ppm", expr(
+        """element_at(array(301030, 176091, 124939, 96910, 79181,
+          |                 66947, 57992, 51153, 45757), digit)""".stripMargin))
+      .withColumn("delta_ppm", col("obs_ppm") - col("benford_ppm"))
+      .select(col("src"), col("digit"), col("n"), col("obs_ppm"),
+        col("benford_ppm"), col("delta_ppm"))
+      .orderBy(col("src"), col("digit"))
+  }
+
+  val q93Sql: String =
+    """WITH cents AS (
+      |  SELECT 'lineitem.l_extendedprice' AS src,
+      |         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice', CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'part.p_retailprice', CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) FROM part
+      |  UNION ALL
+      |  SELECT 'customer.c_acctbal', CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) FROM customer),
+      |d AS (
+      |  SELECT src, CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |         COUNT(*) AS n
+      |  FROM cents WHERE cents > 0 GROUP BY 1, 2),
+      |b AS (
+      |  SELECT src, digit, n,
+      |         CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS BIGINT) AS obs_ppm,
+      |         ([301030, 176091, 124939, 96910, 79181,
+      |           66947, 57992, 51153, 45757])[digit] AS benford_ppm
+      |  FROM d)
+      |SELECT src, digit, n, obs_ppm, benford_ppm,
+      |       obs_ppm - benford_ppm AS delta_ppm
+      |FROM b ORDER BY src, digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_benford_audit" -> (q93BenfordAudit _),
     "q92_sequential_rules" -> (q92SequentialRules _),
     "q91_record_linkage" -> (q91RecordLinkage _),
     "q60_skew_probe" -> (q60SkewProbe _),
@@ -1776,6 +1848,7 @@ object Warehouse {
   val oracles: Map[String, String] = Map(
     "q91_record_linkage" -> q91Sql,
     "q92_sequential_rules" -> q92Sql,
+    "q93_benford_audit" -> q93Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

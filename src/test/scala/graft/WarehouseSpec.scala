@@ -246,4 +246,28 @@ class WarehouseSpec extends SparkSpecBase {
     val base = (15L * (1000000000000L / nSeeds)) / 100L
     seeds.foreach(x => assert(x._2 >= base, x.toString))
   }
+
+  test("q93 Benford audit: ppm shares close, expectations exact, clamp control flags") {
+    val r = Warehouse.q93BenfordAudit(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getLong(3),
+        x.getInt(4), x.getLong(5)))
+    // the pinned Benford expectations match log10(1+1/d) to the ppm and
+    // sum to exactly 1e6 over the 9 digits
+    val benford = Map(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+      5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+    assert(benford.values.sum == 1000000)
+    benford.foreach { case (d, v) =>
+      assert(math.abs(v - 1e6 * math.log10(1.0 + 1.0 / d)) < 1.0) }
+    r.foreach(x => assert(x._5 == benford(x._2)))
+    // per source: observed ppm sums to 1e6 within the ≤9-row floor loss,
+    // and delta is exactly obs - expected
+    r.groupBy(_._1).foreach { case (src, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s >= 1000000L - 9, s"$src obs_ppm sum $s")
+      rows.foreach(x => assert(x._6 == x._4 - x._5))
+    }
+    // the range-clamped positive control: every part price leads with 9
+    val part = r.filter(_._1 == "part.p_retailprice")
+    assert(part.length == 1 && part.head._2 == 9 && part.head._4 == 1000000L)
+  }
 }
