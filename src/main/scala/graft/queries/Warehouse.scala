@@ -1811,7 +1811,80 @@ object Warehouse {
       |       obs_ppm - benford_ppm AS delta_ppm
       |FROM b ORDER BY src, digit""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Cohort LTV curve — cumulative revenue per signup cohort by month
+    * age, the marketing-warehouse complement of q44's retention and
+    * q84's repurchase survival: cohort = month of a customer's FIRST
+    * order, age = months since, and each (cohort, age) row carries that
+    * month's order count, active customers, revenue, the running
+    * cumulative revenue, and per-customer LTV (cumulative div cohort
+    * size). Revenue snaps to exact integer cents (the q93 IEEE snap);
+    * month arithmetic is the exact year*12+month index both engines
+    * share — never months_between's fractional form.
+    *
+    * Scale: orders fold once per (cohort, age) — a calendar-bounded
+    * grid (≤ months² rows at any corpus size); the first-order frame is
+    * customer-keyed (one shuffle), the cumulative window runs inside
+    * each cohort's ≤ months-row partition, and cohort sizes broadcast.
+    * Ages with zero orders are absent, so the curve is sparse — the
+    * cumulative is over present months (same rows both engines).
+    */
+  def q94CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val first = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fd"))
+      .select(col("o_custkey"),
+        date_format(col("fd"), "yyyy-MM").as("cohort"),
+        expr("year(fd) * 12 + month(fd)").as("m0"))
+    val size = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    val monthly = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("cents"))
+      .join(first, "o_custkey")
+      .withColumn("age", expr("year(o_orderdate) * 12 + month(o_orderdate)") - col("m0"))
+      .groupBy(col("cohort"), col("age"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("active_customers"),
+        sum(col("cents")).as("rev_cents"))
+    monthly
+      .withColumn("cum_rev_cents", sum(col("rev_cents"))
+        // per-cohort frame is calendar-bounded (≤ distinct months rows)
+        .over(Window.partitionBy(col("cohort")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(size, "cohort")
+      .withColumn("ltv_cents", expr("cum_rev_cents div cohort_size"))
+      .select(col("cohort"), col("age"), col("n_orders"),
+        col("active_customers"), col("rev_cents"), col("cum_rev_cents"),
+        col("cohort_size"), col("ltv_cents"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  val q94Sql: String =
+    """WITH first AS (
+      |  SELECT o_custkey, strftime(MIN(o_orderdate), '%Y-%m') AS cohort,
+      |         year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate)) AS m0
+      |  FROM orders GROUP BY 1),
+      |sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+      |monthly AS (
+      |  SELECT f.cohort, year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.m0 AS age,
+      |         COUNT(*) AS n_orders,
+      |         COUNT(DISTINCT o.o_custkey) AS active_customers,
+      |         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(SUM(rev_cents) OVER (
+      |    PARTITION BY cohort ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+      |  FROM monthly)
+      |SELECT c.cohort, c.age, c.n_orders, c.active_customers, c.rev_cents,
+      |       c.cum_rev_cents, s.cohort_size,
+      |       CAST(c.cum_rev_cents // s.cohort_size AS BIGINT) AS ltv_cents
+      |FROM cum c JOIN sz s ON c.cohort = s.cohort
+      |ORDER BY c.cohort, c.age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_cohort_ltv" -> (q94CohortLtv _),
     "q93_benford_audit" -> (q93BenfordAudit _),
     "q92_sequential_rules" -> (q92SequentialRules _),
     "q91_record_linkage" -> (q91RecordLinkage _),
@@ -1849,6 +1922,7 @@ object Warehouse {
     "q91_record_linkage" -> q91Sql,
     "q92_sequential_rules" -> q92Sql,
     "q93_benford_audit" -> q93Sql,
+    "q94_cohort_ltv" -> q94Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

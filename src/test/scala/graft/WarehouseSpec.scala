@@ -270,4 +270,23 @@ class WarehouseSpec extends SparkSpecBase {
     val part = r.filter(_._1 == "part.p_retailprice")
     assert(part.length == 1 && part.head._2 == 9 && part.head._4 == 1000000L)
   }
+
+  test("q94 cohort LTV: age-0 covers the cohort, cumulative is a running total") {
+    val orders = graft.engine.Tables.load(spark, sf(), "orders")
+    val r = Warehouse.q94CohortLtv(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getInt(1).toLong, x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+    assert(r.map(_._3).sum == orders.count()) // every order in exactly one cell
+    r.groupBy(_._1).foreach { case (cohort, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // a cohort's first month IS its members' first order month
+      assert(sorted.head._2 == 0L, s"$cohort min age ${sorted.head._2}")
+      assert(sorted.head._4 == sorted.head._7, s"$cohort age-0 active != size")
+      // cumulative = prefix sum of the sparse monthly revenue
+      sorted.scanLeft(0L)(_ + _._5).tail.zip(sorted).foreach { case (pre, row) =>
+        assert(row._6 == pre, s"$cohort age ${row._2}")
+        assert(row._8 == pre / row._7) // ltv = cum div size (both nonneg)
+      }
+    }
+  }
 }
