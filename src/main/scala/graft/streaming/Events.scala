@@ -3330,6 +3330,110 @@ object Events {
       |  CAST(floor((1.0 - vadj / vpost) * 10000.0) AS BIGINT) AS var_red_bp
       |FROM v ORDER BY arm""".stripMargin
 
+  // ------------------------------------------------- Difference-in-differences
+  /** Difference-in-differences readout — the observational sibling of
+    * [[cuped]]/[[aaTest]]: when the "treated" group is SELF-SELECTED
+    * (here: heavy buyers, ≥ 7 pre-period purchases) a raw post-period
+    * comparison is confounded by the level difference, so the estimand
+    * is the difference of pre→post CHANGES, identified under parallel
+    * trends. One summary row: group sizes, each group's mean per-user
+    * value change, the DiD estimate, its two-sample standard error
+    * (from per-user delta variances), and a milli-scaled t statistic.
+    *
+    * Cross-engine exactness: per-user pre/post totals are exact
+    * centi-unit BIGINTs (the [[cuped]] snap), so every group moment
+    * (n, Σd, Σd²) is exact; the estimate/SE/t are scalar double math
+    * with identical expression trees, rounded at 6dp, and the t floors
+    * before casting (floor, not trunc — the engines' cast rounding
+    * differs but floor agrees). Scale: one corpus scan folds to one
+    * row per user, then a single global aggregate — the summary never
+    * grows with the data.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame =
+    diffInDiffOn(events(spark, dir))
+
+  def diffInDiffOn(ev: DataFrame): DataFrame = {
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val cutUs = 15L * 86400L * 1000000L
+    val pu = ev.crossJoin(broadcast(t0))
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("pre",
+        expr("unix_micros(ts) - unix_micros(t0)") < cutUs)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("vc")).otherwise(0L)).as("y"),
+        sum(when(col("pre") && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("np"))
+      .withColumn("g", (col("np") >= 7).cast("long"))
+      .withColumn("d", col("y") - col("x"))
+    pu.agg(
+        sum(lit(1L) - col("g")).as("n_ctl"), sum(col("g")).as("n_exp"),
+        sum(col("d") * (lit(1L) - col("g"))).as("sd0"),
+        sum(col("d") * col("g")).as("sd1"),
+        sum(col("d") * col("d") * (lit(1L) - col("g"))).as("sdd0"),
+        sum(col("d") * col("d") * col("g")).as("sdd1"))
+      .withColumn("md0", col("sd0").cast("double") / col("n_ctl").cast("double"))
+      .withColumn("md1", col("sd1").cast("double") / col("n_exp").cast("double"))
+      .withColumn("v0",
+        (col("sdd0").cast("double") - col("sd0").cast("double") *
+          col("sd0").cast("double") / col("n_ctl").cast("double")) /
+          (col("n_ctl").cast("double") - lit(1.0)))
+      .withColumn("v1",
+        (col("sdd1").cast("double") - col("sd1").cast("double") *
+          col("sd1").cast("double") / col("n_exp").cast("double")) /
+          (col("n_exp").cast("double") - lit(1.0)))
+      .withColumn("did_raw", col("md1") - col("md0"))
+      .withColumn("se_raw", sqrt(col("v0") / col("n_ctl").cast("double") +
+        col("v1") / col("n_exp").cast("double")))
+      .select(col("n_ctl"), col("n_exp"),
+        round(col("md0") / lit(100.0), 6).as("mean_delta_ctl"),
+        round(col("md1") / lit(100.0), 6).as("mean_delta_exp"),
+        round(col("did_raw") / lit(100.0), 6).as("did"),
+        round(col("se_raw") / lit(100.0), 6).as("se"),
+        floor(col("did_raw") / col("se_raw") * lit(1000.0))
+          .cast("long").as("t_milli"))
+      .orderBy(col("n_ctl"))
+  }
+
+  val diffInDiffSql: String =
+    """WITH m AS (SELECT MIN(ts) AS t0 FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(t0) < 1296000000000
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(t0) >= 1296000000000
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(t0) < 1296000000000
+      |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM events, m GROUP BY 1),
+      |d AS (SELECT y - x AS d, CASE WHEN np >= 7 THEN 1 ELSE 0 END AS g FROM pu),
+      |a AS (
+      |  SELECT CAST(SUM(1 - g) AS BIGINT) AS n_ctl, CAST(SUM(g) AS BIGINT) AS n_exp,
+      |    CAST(SUM(d * (1 - g)) AS BIGINT) AS sd0, CAST(SUM(d * g) AS BIGINT) AS sd1,
+      |    CAST(SUM(d * d * (1 - g)) AS BIGINT) AS sdd0,
+      |    CAST(SUM(d * d * g) AS BIGINT) AS sdd1
+      |  FROM d),
+      |s AS (
+      |  SELECT *,
+      |    CAST(sd0 AS DOUBLE) / CAST(n_ctl AS DOUBLE) AS md0,
+      |    CAST(sd1 AS DOUBLE) / CAST(n_exp AS DOUBLE) AS md1,
+      |    (CAST(sdd0 AS DOUBLE) - CAST(sd0 AS DOUBLE) * CAST(sd0 AS DOUBLE)
+      |      / CAST(n_ctl AS DOUBLE)) / (CAST(n_ctl AS DOUBLE) - 1.0) AS v0,
+      |    (CAST(sdd1 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)
+      |      / CAST(n_exp AS DOUBLE)) / (CAST(n_exp AS DOUBLE) - 1.0) AS v1
+      |  FROM a),
+      |v AS (
+      |  SELECT *, md1 - md0 AS did_raw,
+      |    sqrt(v0 / CAST(n_ctl AS DOUBLE) + v1 / CAST(n_exp AS DOUBLE)) AS se_raw
+      |  FROM s)
+      |SELECT n_ctl, n_exp,
+      |  round(md0 / 100.0, 6) AS mean_delta_ctl,
+      |  round(md1 / 100.0, 6) AS mean_delta_exp,
+      |  round(did_raw / 100.0, 6) AS did,
+      |  round(se_raw / 100.0, 6) AS se,
+      |  CAST(floor(did_raw / se_raw * 1000.0) AS BIGINT) AS t_milli
+      |FROM v ORDER BY n_ctl""".stripMargin
+
   // --------------------------------------------- Kaplan–Meier survival
   /** Kaplan–Meier survival estimate of TIME TO FIRST ERROR per user —
     * the censoring-aware "how long until a user hits a failure" curve
@@ -3511,6 +3615,7 @@ object Events {
     "events_holt_trend" -> (holtTrend _),
     "events_kaplan_meier" -> (kaplanMeier _),
     "events_cuped" -> (cuped _),
+    "events_did" -> (diffInDiff _),
     "events_late_arrivals" -> (lateArrivals _),
     "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
@@ -3564,6 +3669,7 @@ object Events {
     "events_holt_trend" -> holtTrendSql,
     "events_kaplan_meier" -> kaplanMeierSql,
     "events_cuped" -> cupedSql,
+    "events_did" -> diffInDiffSql,
     "events_late_arrivals" -> lateArrivalsSql,
     "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,

@@ -1520,6 +1520,39 @@ class ExtSpec extends SparkSpecBase {
     assert(math.abs(wsum(4) - wsum(3)) < 1e-3)
   }
 
+  test("diff-in-diff: recovers an injected effect under a level confound") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-03-01 00:00:00")
+    val post = Timestamp.valueOf("2024-03-20 00:00:00") // past the 15-day cut
+    // exposed users (1..150): 7 pre purchases totalling 70+j, a 5× level
+    // confound vs control (151..300, one pre view of 10+j). Parallel
+    // trend +5 for everyone, true treatment effect +3 on exposed only.
+    // Jitters are mean-zero over each group (sizes are multiples of 5).
+    def j(u: Int) = (u % 5 - 2) * 0.4
+    val rows = (1 to 300).flatMap { u =>
+      val eid = u * 100L
+      if (u <= 150)
+        (0 until 6).map(i => (eid + i, base, u.toLong, "purchase", 10.0, "{}")) ++
+          Seq((eid + 6, base, u.toLong, "purchase", 10.0 + j(u), "{}"),
+            (eid + 7, post, u.toLong, "view", 70.0 + j(u) + 5.0 + 3.0 + j(u + 1), "{}"))
+      else
+        Seq((eid, base, u.toLong, "view", 10.0 + j(u), "{}"),
+          (eid + 1, post, u.toLong, "view", 10.0 + j(u) + 5.0 + j(u + 1), "{}"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.Events.diffInDiffOn(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 150L && row.getLong(1) == 150L)
+    assert(math.abs(row.getDouble(2) - 5.0) < 1e-9) // ctl delta = trend only
+    assert(math.abs(row.getDouble(3) - 8.0) < 1e-9) // exp delta = trend + effect
+    // the estimate is the +3 effect, NOT the 5× level confound (raw
+    // post-period gap is 63 units); t is decisively positive
+    assert(math.abs(row.getDouble(4) - 3.0) < 1e-9)
+    assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
+  }
+
   test("kaplan-meier: fold matches a serial simulation on random censored lifetimes") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -93,8 +93,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // the bounded class table
     "text_t_closeness",
     // cuped: the 1-row window-bound frame onto the scan and the 1-row
-    // pooled-moment frame onto the 2-row arm table (aa_test's shape)
-    "events_cuped",
+    // pooled-moment frame onto the 2-row arm table (aa_test's shape);
+    // did: the same 1-row window-bound frame onto the scan
+    "events_cuped", "events_did",
     // abc pareto / share-of-parent: the 1-row total-revenue frame
     // broadcast onto the per-part prefix rows / nation grid (q60's shape)
     "q79_abc_pareto", "q82_share_of_parent",
