@@ -1883,7 +1883,142 @@ object Warehouse {
       |FROM cum c JOIN sz s ON c.cohort = s.cohort
       |ORDER BY c.cohort, c.age""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Declarative data-quality expectation suite (the Deequ-style gate a
+    * lakehouse runs before publishing a batch): 12 constraints across 5
+    * tables — completeness, key uniqueness, value domains, numeric
+    * ranges, a name pattern, referential integrity, a cross-table date
+    * ordering, and a fixed-cardinality check — each reported as one row
+    * with rows checked, violations, violation ppm, and a pass flag.
+    * `lineitem.l_shipdate.ge(o_orderdate)` is the designed red row: the
+    * generator doesn't enforce it (~half the lines ship "before" their
+    * order), proving the gate actually fails things.
+    *
+    * Scale: one aggregate pass per table (all of a table's row-level
+    * checks fold in the same scan, unpivoted with `stack`), ONE
+    * orderkey-shuffle join covering both referential integrity and the
+    * date ordering, and a 12-row union. Violation counts are exact
+    * BIGINTs; no doubles leave the scan.
+    */
+  def q95ExpectationSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uni"),
+        sum(when(!col("o_orderstatus").isin("P", "O", "F"), 1L).otherwise(0L))
+          .as("v_dom"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_pos"))
+      .selectExpr("""stack(4,
+        'orders.o_custkey.complete', n, v_null,
+        'orders.o_orderkey.unique', n, v_uni,
+        'orders.o_orderstatus.domain', n, v_dom,
+        'orders.o_totalprice.positive', n, v_pos)
+        AS (check_name, rows_checked, violations)""")
+    val l = t(spark, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("v_disc"))
+      .selectExpr("""stack(2,
+        'lineitem.l_quantity.range[1,50]', n, v_qty,
+        'lineitem.l_discount.range[0,0.1]', n, v_disc)
+        AS (check_name, rows_checked, violations)""")
+    // one orderkey join answers both cross-table checks
+    val x = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_ri"),
+        sum(when(col("o_orderkey").isNotNull &&
+          col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("v_ship"))
+      .selectExpr("""stack(2,
+        'lineitem.l_orderkey.ref(orders)', n, v_ri,
+        'lineitem.l_shipdate.ge(o_orderdate)', n, v_ship)
+        AS (check_name, rows_checked, violations)""")
+    val c = t(spark, dir, "customer").agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("c_name").rlike("^Customer#[0-9]{9}$"), 1L)
+          .otherwise(0L)).as("v_pat"),
+        sum(when(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+          "FURNITURE", "HOUSEHOLD", "MACHINERY"), 1L).otherwise(0L)).as("v_seg"))
+      .selectExpr("""stack(2,
+        'customer.c_name.pattern', n, v_pat,
+        'customer.c_mktsegment.domain', n, v_seg)
+        AS (check_name, rows_checked, violations)""")
+    val nat = t(spark, dir, "nation").agg(count(lit(1)).as("n"))
+      .select(lit("nation.rowcount==25").as("check_name"),
+        col("n").as("rows_checked"), abs(col("n") - 25L).as("violations"))
+    val p = t(spark, dir, "part").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p_retailprice") <= 0.0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(col("p_name").isNull || length(col("p_name")) === 0, 1L)
+          .otherwise(0L)).as("v_name"))
+      .selectExpr("""stack(2,
+        'part.p_retailprice.positive', n, v_price,
+        'part.p_name.complete', n, v_name)
+        AS (check_name, rows_checked, violations)""")
+    o.unionAll(l).unionAll(x).unionAll(c).unionAll(nat).unionAll(p)
+      .withColumn("viol_ppm", expr("(violations * 1000000L) div rows_checked"))
+      .withColumn("pass", (col("violations") === 0L).cast("int"))
+      .orderBy(col("check_name"))
+  }
+
+  val q95Sql: String =
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uni,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_pos
+      |  FROM orders),
+      |l AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      |  FROM lineitem),
+      |x AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ri,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL AND li.l_shipdate < o.o_orderdate
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+      |  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey),
+      |c AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_pat,
+      |    CAST(SUM(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING',
+      |      'FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) AS BIGINT) AS v_seg
+      |  FROM customer),
+      |nat AS (SELECT COUNT(*) AS n FROM nation),
+      |p AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN p_retailprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(SUM(CASE WHEN p_name IS NULL OR length(p_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_name
+      |  FROM part),
+      |u AS (
+      |  SELECT 'orders.o_custkey.complete' AS check_name, n AS rows_checked, v_null AS violations FROM o
+      |  UNION ALL SELECT 'orders.o_orderkey.unique', n, v_uni FROM o
+      |  UNION ALL SELECT 'orders.o_orderstatus.domain', n, v_dom FROM o
+      |  UNION ALL SELECT 'orders.o_totalprice.positive', n, v_pos FROM o
+      |  UNION ALL SELECT 'lineitem.l_quantity.range[1,50]', n, v_qty FROM l
+      |  UNION ALL SELECT 'lineitem.l_discount.range[0,0.1]', n, v_disc FROM l
+      |  UNION ALL SELECT 'lineitem.l_orderkey.ref(orders)', n, v_ri FROM x
+      |  UNION ALL SELECT 'lineitem.l_shipdate.ge(o_orderdate)', n, v_ship FROM x
+      |  UNION ALL SELECT 'customer.c_name.pattern', n, v_pat FROM c
+      |  UNION ALL SELECT 'customer.c_mktsegment.domain', n, v_seg FROM c
+      |  UNION ALL SELECT 'nation.rowcount==25', n, abs(n - 25) FROM nat
+      |  UNION ALL SELECT 'part.p_retailprice.positive', n, v_price FROM p
+      |  UNION ALL SELECT 'part.p_name.complete', n, v_name FROM p)
+      |SELECT check_name, rows_checked, violations,
+      |  CAST((violations * 1000000) // rows_checked AS BIGINT) AS viol_ppm,
+      |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+      |FROM u ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_expectations" -> (q95ExpectationSuite _),
     "q94_cohort_ltv" -> (q94CohortLtv _),
     "q93_benford_audit" -> (q93BenfordAudit _),
     "q92_sequential_rules" -> (q92SequentialRules _),
@@ -1923,6 +2058,7 @@ object Warehouse {
     "q92_sequential_rules" -> q92Sql,
     "q93_benford_audit" -> q93Sql,
     "q94_cohort_ltv" -> q94Sql,
+    "q95_expectations" -> q95Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

@@ -289,4 +289,24 @@ class WarehouseSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q95 expectations: rows-checked honest, pass flag consistent, red row red") {
+    val r = Warehouse.q95ExpectationSuite(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getInt(4)))
+    assert(r.length == 13)
+    val byName = r.map(x => x._1 -> x).toMap
+    // rows_checked is the real table size, not a sampled count
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem").count()
+    assert(byName("lineitem.l_shipdate.ge(o_orderdate)")._2 == li)
+    assert(byName("nation.rowcount==25")._2 == 25L)
+    r.foreach { x =>
+      assert(x._5 == (if (x._3 == 0L) 1 else 0), x._1) // pass ⇔ zero violations
+      assert(x._4 == x._3 * 1000000L / x._2, x._1)     // ppm is the floor div
+    }
+    // the generator doesn't order ship dates after order dates: the gate
+    // must actually fail that check, and only that check
+    assert(r.filter(_._5 == 0).map(_._1).toSeq ==
+      Seq("lineitem.l_shipdate.ge(o_orderdate)"))
+  }
 }
