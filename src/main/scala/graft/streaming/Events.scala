@@ -3434,6 +3434,84 @@ object Events {
       |  CAST(floor(did_raw / se_raw * 1000.0) AS BIGINT) AS t_milli
       |FROM v ORDER BY n_ctl""".stripMargin
 
+  // --------------------------------------------------- ingest DQ gate
+  /** Row-level data-quality gate over the event stream — the ingest
+    * twin of [[graft.queries.Warehouse.q95ExpectationSuite]]'s batch
+    * publish gate: four per-row constraints (user present, type in
+    * domain, value in [0,100], timestamp in the sane window) folded
+    * into one violation bitmap per row; rows with any violation are
+    * quarantined, the rest pass through. [[dqGateRows]] is the shared
+    * per-row core (the streaming [[DqGateIngest]] runs it per
+    * micro-batch); [[dqGate]] is the graded census: one row per
+    * constraint plus the quarantine total. `value.range[0,100]` is the
+    * designed red constraint (~13% of fixture events exceed the cap).
+    *
+    * Scale: the bitmap is scan-side integer arithmetic (codegen'd
+    * CASE/bit ops, no UDF); the census is one partial+final aggregate
+    * to 5 rows. Nothing is per-key stateful — the gate is
+    * embarrassingly parallel at any width.
+    */
+  def dqGateRows(ev: DataFrame): DataFrame =
+    ev.withColumn("viol_bits",
+      when(col("user_id").isNull, 1L).otherwise(0L) +
+      when(!col("event_type").isin("click", "view", "purchase", "error",
+        "signup"), 2L).otherwise(0L) +
+      when(col("value") < 0.0 || col("value") > 100.0, 4L).otherwise(0L) +
+      when(expr("ts < timestamp'2024-01-01 00:00:00' OR " +
+        "ts >= timestamp'2026-01-01 00:00:00'"), 8L).otherwise(0L))
+      .withColumn("keep", (col("viol_bits") === 0L).cast("int"))
+
+  def dqGate(spark: SparkSession, dir: String): DataFrame =
+    dqGateOn(events(spark, dir))
+
+  def dqGateOn(ev: DataFrame): DataFrame = {
+    val agg = dqGateRows(ev).agg(
+      count(lit(1)).as("n"),
+      sum(expr("viol_bits & 1")).as("v_user"),
+      sum(expr("(viol_bits & 2) div 2")).as("v_type"),
+      sum(expr("(viol_bits & 4) div 4")).as("v_value"),
+      sum(expr("(viol_bits & 8) div 8")).as("v_ts"),
+      sum(lit(1L) - col("keep").cast("long")).as("v_any"))
+    agg.selectExpr("""stack(5,
+      'events.user_id.complete', n, v_user,
+      'events.event_type.domain', n, v_type,
+      'events.value.range[0,100]', n, v_value,
+      'events.ts.window[2024,2026)', n, v_ts,
+      'events.rows.quarantined', n, v_any)
+      AS (check_name, rows_checked, violations)""")
+      .withColumn("viol_ppm", expr("(violations * 1000000L) div rows_checked"))
+      .withColumn("pass", (col("violations") === 0L).cast("int"))
+      .orderBy(col("check_name"))
+  }
+
+  val dqGateSql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN event_type NOT IN ('click','view','purchase','error','signup')
+      |        THEN 2 ELSE 0 END
+      |    + CASE WHEN value < 0.0 OR value > 100.0 THEN 4 ELSE 0 END
+      |    + CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+      |        OR ts >= TIMESTAMP '2026-01-01 00:00:00' THEN 8 ELSE 0 END AS viol_bits
+      |  FROM events),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(viol_bits & 1) AS BIGINT) AS v_user,
+      |    CAST(SUM((viol_bits & 2) // 2) AS BIGINT) AS v_type,
+      |    CAST(SUM((viol_bits & 4) // 4) AS BIGINT) AS v_value,
+      |    CAST(SUM((viol_bits & 8) // 8) AS BIGINT) AS v_ts,
+      |    CAST(SUM(CASE WHEN viol_bits <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_any
+      |  FROM b),
+      |u AS (
+      |  SELECT 'events.user_id.complete' AS check_name, n AS rows_checked, v_user AS violations FROM a
+      |  UNION ALL SELECT 'events.event_type.domain', n, v_type FROM a
+      |  UNION ALL SELECT 'events.value.range[0,100]', n, v_value FROM a
+      |  UNION ALL SELECT 'events.ts.window[2024,2026)', n, v_ts FROM a
+      |  UNION ALL SELECT 'events.rows.quarantined', n, v_any FROM a)
+      |SELECT check_name, rows_checked, violations,
+      |  CAST((violations * 1000000) // rows_checked AS BIGINT) AS viol_ppm,
+      |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+      |FROM u ORDER BY check_name""".stripMargin
+
   // --------------------------------------------- Kaplan–Meier survival
   /** Kaplan–Meier survival estimate of TIME TO FIRST ERROR per user —
     * the censoring-aware "how long until a user hits a failure" curve
@@ -3616,6 +3694,7 @@ object Events {
     "events_kaplan_meier" -> (kaplanMeier _),
     "events_cuped" -> (cuped _),
     "events_did" -> (diffInDiff _),
+    "events_dq_gate" -> (dqGate _),
     "events_late_arrivals" -> (lateArrivals _),
     "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
@@ -3670,6 +3749,7 @@ object Events {
     "events_kaplan_meier" -> kaplanMeierSql,
     "events_cuped" -> cupedSql,
     "events_did" -> diffInDiffSql,
+    "events_dq_gate" -> dqGateSql,
     "events_late_arrivals" -> lateArrivalsSql,
     "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,

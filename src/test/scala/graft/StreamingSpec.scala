@@ -1247,4 +1247,32 @@ class StreamingSpec extends SparkSpecBase {
     // statefulness actually exercised: some type emitted more than once
     assert(spark.table("holt_monitor").count() > finals.size)
   }
+
+  test("streaming DQ gate == batch row split and census on the same corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DqGateIngest
+    val evDir = java.nio.file.Files.createTempDirectory("graft_dq_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dq_out").toString
+    val qDir = java.nio.file.Files.createTempDirectory("graft_dq_q").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dq_ck").toString
+    graft.engine.Tables.load(spark, sf(), "events")
+      .repartition(3) // several input files → several micro-batches
+      .write.mode("overwrite").parquet(evDir)
+    DqGateIngest.start(spark, evDir, outDir, qDir, ckpt).awaitTermination(120000)
+    val clean = spark.read.parquet(outDir).select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    val bad = spark.read.parquet(qDir).select("event_id", "viol_bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val flagged = Events.dqGateRows(graft.engine.Tables.load(spark, sf(), "events"))
+      .select("event_id", "viol_bits", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exact split: every row lands in exactly one sink, bitmaps preserved
+    assert(clean == flagged.filter(_._3 == 1).map(_._1).toSet)
+    assert(bad == flagged.filter(_._3 == 0).map(x => (x._1, x._2)).toMap)
+    assert(bad.nonEmpty && clean.nonEmpty) // the gate actually splits
+    // census totals agree with the graded batch op
+    val census = Events.dqGate(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(census("events.rows.quarantined") == bad.size.toLong)
+  }
 }
