@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Materialized aggregate view over lineitem — the summary table behind
+  * [[graft.plans.MvRewriteRule]]'s transparent query rewrite.
+  *
+  * Grain: (l_returnflag, l_linestatus, l_shipdate) — the dashboard
+  * dimensions — carrying the re-aggregable partial states: `mv_cnt`
+  * (row count, answers COUNT(*)) and `mv_sum_l_quantity` (partial sum,
+  * answers SUM(l_quantity); quantities are integral so the double sum
+  * is exact at any partition order). At 100 TB this is THE classic
+  * win: the base fact has ~10⁴ rows per (flag, status, day) cell, so a
+  * rewritten dashboard aggregate scans 10⁴× fewer bytes — and because
+  * the rewrite happens in the optimizer, no query text changes.
+  *
+  * The view is maintained like any other snapshot table (rebuild per
+  * partition / incremental-agg fold, see sources/Formats incremental
+  * agg); here the builder is the one-shot batch form.
+  */
+object MatView {
+
+  /** Dimension columns the rewrite can group/filter by. */
+  val lineitemDims: Seq[String] = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+
+  def buildLineitem(spark: SparkSession, dir: String, mvPath: String): Unit =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(lineitemDims.map(col): _*)
+      .agg(count(lit(1)).as("mv_cnt"),
+        sum(col("l_quantity")).as("mv_sum_l_quantity"))
+      .write.mode("overwrite").parquet(mvPath)
+}

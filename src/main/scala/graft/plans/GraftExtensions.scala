@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => ApproxNdvRule)
     ext.injectOptimizerRule(_ => ApproxPercentileRule)
     ext.injectOptimizerRule(_ => NativeTextRewriteRule)
+    ext.injectOptimizerRule(_ => MvRewriteRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.internal.SQLConf
+
+/** Materialized-view query rewrite (the `Rule[LogicalPlan]` tier of the
+  * extension ladder, like [[ApproxNdvRule]]): when
+  * `spark.graft.mv.lineitem.path` points at a [[graft.engine.MatView]]
+  * summary, any eligible aggregate over the lineitem BASE relation is
+  * transparently redirected to the view — the query text doesn't
+  * change, the answer doesn't change, the scan shrinks by the cell
+  * fan-in (~10⁴× at warehouse scale).
+  *
+  * Eligibility (all checked, else the plan passes through untouched):
+  *  - the subtree is Aggregate over optional pruning-Projects/Filters
+  *    over a parquet relation with lineitem's exact column signature;
+  *  - grouping keys are plain columns ⊆ the view's dimensions;
+  *  - every filter references dimensions only (a predicate on a
+  *    non-dimension column can't be answered post-aggregation);
+  *  - every aggregate call is COUNT(literal) or SUM(l_quantity) —
+  *    the two re-aggregable states the view carries. COUNT becomes
+  *    SUM(mv_cnt) (coalesced to 0 for the empty-input edge);
+  *    SUM(l_quantity) re-sums the partial sums, which the alias
+  *    remapping below routes to `mv_sum_l_quantity` unchanged.
+  *
+  * Mechanics: the view relation is wrapped in a Project that aliases
+  * each view column to the ORIGINAL base attribute's exprId, so the
+  * untouched grouping keys, filters, and Sum children resolve against
+  * the view without rewriting them — only Count nodes change shape.
+  * The rewrite is idempotent (the view's signature has mv_ columns, so
+  * the rewritten subtree can't match again) and runs per-query, so a
+  * session flips the conf on/off at will.
+  */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  val PathKey = "spark.graft.mv.lineitem.path"
+
+  private val lineitemSig = Set("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val path = SQLConf.get.getConfString(PathKey, "")
+    if (path.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg, path).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate, mvPath: String): Option[LogicalPlan] = {
+    // unwrap pruning Projects / Filters down to the base relation,
+    // keeping the filter conditions in application order (outermost
+    // first — re-applied below in the same nesting)
+    var filters = List.empty[Expression]
+    var cur: LogicalPlan = agg.child
+    var ok = true
+    while (ok && !cur.isInstanceOf[LogicalRelation]) cur = cur match {
+      case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+        child
+      case Filter(cond, child) => filters = filters :+ cond; child
+      case _ => ok = false; cur
+    }
+    if (!ok) return None
+    val rel = cur.asInstanceOf[LogicalRelation]
+    if (rel.output.map(_.name).toSet != lineitemSig) return None
+
+    val dims = graft.engine.MatView.lineitemDims.toSet
+    val baseByName = rel.output.map(a => a.name -> a).toMap
+    // grouping keys: plain dimension columns only
+    if (!agg.groupingExpressions.forall {
+      case a: AttributeReference => dims(a.name)
+      case _ => false
+    }) return None
+    // filters touch dimensions only
+    if (!filters.forall(_.references.forall(a => dims(a.name)))) return None
+
+    // every aggregate call must be COUNT(literal) or SUM(l_quantity),
+    // plain (no DISTINCT / FILTER clause); everything outside aggregate
+    // calls may reference dimensions only
+    val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    val supported = aggCalls.forall {
+      case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) => true
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
+        if a.name == "l_quantity" => true
+      case _ => false
+    }
+    if (!supported) return None
+    val outsideRefs = agg.aggregateExpressions.flatMap(_.collect {
+      case a: AttributeReference => a
+    }).filterNot(a => aggCalls.exists(_.references.contains(a)))
+    if (!outsideRefs.forall(a => dims(a.name))) return None
+
+    // the view relation (fresh attribute ids), aliased back to the base
+    // attribute ids so the plan above resolves unchanged
+    val spark = SparkSession.active
+    val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed
+    val mvByName = mvRel.output.map(a => a.name -> a).toMap
+    if (!(dims + "mv_cnt" + "mv_sum_l_quantity").subsetOf(mvByName.keySet))
+      return None
+    val cntAttr = mvByName("mv_cnt")
+    val aliases: Seq[NamedExpression] =
+      dims.toSeq.sorted.map { d =>
+        Alias(mvByName(d), d)(exprId = baseByName(d).exprId)
+      } :+ Alias(mvByName("mv_sum_l_quantity"), "l_quantity")(
+        exprId = baseByName("l_quantity").exprId) :+ cntAttr
+    val mvProject = Project(aliases, mvRel)
+    val newChild = filters.foldRight(mvProject: LogicalPlan)(Filter(_, _))
+
+    val newAggExprs = agg.aggregateExpressions.map(_.transform {
+      case ae @ AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) =>
+        // COUNT(*) over base rows = Σ mv_cnt; coalesce for the global-
+        // aggregate-over-empty-input edge where COUNT is 0 but SUM null
+        Coalesce(Seq(ae.copy(aggregateFunction = Sum(cntAttr)), Literal(0L)))
+    }.asInstanceOf[NamedExpression])
+    Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
+  }
+
+  /** Idempotently attach to a live session via experimental methods. */
+  def register(spark: SparkSession): Unit = {
+    val ex = spark.experimental
+    if (!ex.extraOptimizations.contains(MvRewriteRule))
+      ex.extraOptimizations = ex.extraOptimizations :+ MvRewriteRule
+  }
+}

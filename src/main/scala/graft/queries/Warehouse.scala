@@ -2017,7 +2017,60 @@ object Warehouse {
       |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
       |FROM u ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  private val mvNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Materialized-view transparent rewrite, end to end: build the
+    * [[graft.engine.MatView]] lineitem summary, flip
+    * `spark.graft.mv.lineitem.path` on, and run the dashboard
+    * aggregate UNCHANGED — [[graft.plans.MvRewriteRule]] redirects it
+    * to the view in the optimizer (COUNT(*) → Σ mv_cnt,
+    * SUM(l_quantity) re-sums partials, dimension filter applies on the
+    * view). The oracle runs the same SQL against the BASE table, so
+    * the driver gate proves the rewrite is answer-preserving; the
+    * `require` pins that the rewrite actually fired (the result alone
+    * can't show it), and WarehouseSpec pins plan shape + off/on
+    * equality.
+    *
+    * Scale: this is the optimizer feature that pays the most at
+    * 100 TB — the view has one row per (flag, status, day) cell
+    * (~10⁴ fan-in), so the dashboard query's scan shrinks by that
+    * factor with zero query changes. The conf is per-invocation
+    * (set → stage → unset in finally) so concurrent queries in the
+    * same session never see a leaked rewrite path.
+    */
+  def q96MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.MvRewriteRule.register(spark)
+    // per-invocation nonce: annIvfCached's convention — concurrent
+    // invocations must not race write-vs-read on a shared view path
+    val mvPath = s"${graft.engine.WorkDirs.processScoped("graft_mv_li")}/" +
+      s"mv-${mvNonce.incrementAndGet()}"
+    graft.engine.MatView.buildLineitem(spark, dir, mvPath)
+    spark.conf.set(graft.plans.MvRewriteRule.PathKey, mvPath)
+    try {
+      val res = t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+      // staged under the conf (optimization happens here), so the
+      // returned frame is rewrite-independent and the conf can drop
+      val staged = graft.engine.Materialize.stage(res)
+      require(res.queryExecution.optimizedPlan.toString.contains("mv_cnt"),
+        "MV rewrite did not fire")
+      staged
+    } finally spark.conf.unset(graft.plans.MvRewriteRule.PathKey)
+  }
+
+  val q96Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_mv_rewrite" -> (q96MvRewrite _),
     "q95_expectations" -> (q95ExpectationSuite _),
     "q94_cohort_ltv" -> (q94CohortLtv _),
     "q93_benford_audit" -> (q93BenfordAudit _),
@@ -2059,6 +2112,7 @@ object Warehouse {
     "q93_benford_audit" -> q93Sql,
     "q94_cohort_ltv" -> q94Sql,
     "q95_expectations" -> q95Sql,
+    "q96_mv_rewrite" -> q96Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

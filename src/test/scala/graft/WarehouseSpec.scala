@@ -309,4 +309,34 @@ class WarehouseSpec extends SparkSpecBase {
     assert(r.filter(_._5 == 0).map(_._1).toSeq ==
       Seq("lineitem.l_shipdate.ge(o_orderdate)"))
   }
+
+  test("q96 MV rewrite: plan reads the view, answers match base, ineligible untouched") {
+    graft.plans.MvRewriteRule.register(spark)
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_spec").toString + "/mv"
+    graft.engine.MatView.buildLineitem(spark, sf(), mvPath)
+    def dashboard() = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+    val off = dashboard().collect().toSeq
+    spark.conf.set(graft.plans.MvRewriteRule.PathKey, mvPath)
+    try {
+      val on = dashboard()
+      val plan = on.queryExecution.optimizedPlan.toString
+      // rewrote: reads the view's partial-state columns, not the fact table
+      assert(plan.contains("mv_cnt"), plan)
+      assert(!plan.contains("l_orderkey"), plan)
+      assert(on.collect().toSeq == off)
+      // ineligible shapes pass through: a SUM the view doesn't carry, and
+      // a filter on a non-dimension column
+      val inel1 = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_extendedprice")).as("s"))
+      assert(!inel1.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
+      val inel2 = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .filter(col("l_quantity") > 10.0)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(!inel2.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
+    } finally spark.conf.unset(graft.plans.MvRewriteRule.PathKey)
+  }
 }
