@@ -2678,7 +2678,18 @@ object Similarity {
   def dominantDirectionOn(e: DataFrame, iters: Int): DataFrame = {
     graft.plans.GraftExtensions.register(e.sparkSession)
     val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
-    var v = e.sparkSession.range(0, 64)
+    powerIterOn(vfp, iters)
+      .select(col("d").cast("long").as("dim"), col("v").as("dir_fp"))
+      .orderBy(col("dim"))
+  }
+
+  /** Fixed-point power iteration core: `vfp` is (vec_id, vfp 64-long
+    * array at 1e6 scale); returns the (d, v) direction table, max-norm
+    * rescaled to 1e6 each round. Shared by [[dominantDirectionOn]] and
+    * the deflated second component in [[pcaDeflateOn]].
+    */
+  private def powerIterOn(vfp: DataFrame, iters: Int): DataFrame = {
+    var v = vfp.sparkSession.range(0, 64)
       .select(col("id").cast("int").as("d"), lit(1000000L).as("v"))
     for (_ <- 1 to iters) {
       val vl = v.groupBy()
@@ -2698,8 +2709,7 @@ object Similarity {
           .as("v"))
         .localCheckpoint(true)
     }
-    v.select(col("d").cast("long").as("dim"), col("v").as("dir_fp"))
-      .orderBy(col("dim"))
+    v
   }
 
   def dominantDirectionSqlFor(iters: Int): String = {
@@ -2730,6 +2740,105 @@ object Similarity {
        |       FROM UNNEST(generate_series(0, 63)) AS t(d)),
        |${(1 to iters).map(round).mkString(",\n")}
        |SELECT CAST(d AS BIGINT) AS dim, v AS dir_fp FROM v$iters ORDER BY dim""".stripMargin
+  }
+
+  // ------------------------------------------- two-component PCA (deflation)
+  /** Top-2 principal directions via DEFLATED power iteration — the
+    * natural extension of [[dominantDirection]]: compute v1, project it
+    * out of every vector (x′ = x − (x·v1/‖v1‖²)·v1, all truncating
+    * fixed point), and power-iterate the residuals for v2. Two
+    * components is where embedding-drift dashboards and 2-D corpus maps
+    * start; further components repeat the same deflation step.
+    *
+    * Exactness: the projection coefficient is milli-scaled integer
+    * division ((dot·1000) div ‖v1‖²) and the subtraction truncates the
+    * same way in both engines, so the residual vectors — and hence v2 —
+    * are bit-exact. Orthogonality is approximate only through the
+    * fixed-point rounding (ExtSpec bounds |v̂1·v̂2|).
+    *
+    * Scale: [[dominantDirection]]'s shape twice — per-round one corpus
+    * scan against a broadcast 64-long direction plus a 64-row
+    * re-normalize; the deflation itself is one scan with the direction
+    * and its norm broadcast. Vectors never shuffle or self-join.
+    */
+  def pcaDeflate(spark: SparkSession, dir: String): DataFrame =
+    pcaDeflateOn(emb(spark, dir), iters = 3)
+
+  def pcaDeflateOn(e: DataFrame, iters: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
+    val v1 = powerIterOn(vfp, iters) // localCheckpointed by its last round
+    val v1l = v1.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(d, v))), p -> p.v)")
+        .as("vl"))
+    val n2 = v1l.select(expr(
+      "aggregate(transform(vl, x -> x * x), 0L, (acc, x) -> acc + x)").as("n2"))
+    val deflated = vfp.crossJoin(broadcast(v1l)).crossJoin(broadcast(n2))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(vfp, vl, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("c", expr("(dot * 1000L) div n2"))
+      .select(col("vec_id"),
+        expr("zip_with(vfp, vl, (x, w) -> x - (c * w) div 1000L)").as("vfp"))
+    // staged: the second chain scans the residuals once per round —
+    // unstaged each round replays the deflation joins too
+    val v2 = powerIterOn(graft.engine.Materialize.stage(deflated), iters)
+    v1.select(lit(1L).as("component"), col("d").cast("long").as("dim"),
+        col("v").as("dir_fp"))
+      .unionAll(v2.select(lit(2L).as("component"), col("d").cast("long").as("dim"),
+        col("v").as("dir_fp")))
+      .orderBy(col("component"), col("dim"))
+  }
+
+  def pcaDeflateSqlFor(iters: Int): String = {
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |${powerIterSql("a", "v", iters)},
+       |al AS (SELECT list(v ORDER BY d) AS vl FROM av$iters),
+       |n2 AS (
+       |  SELECT CAST(list_aggregate(list_transform(vl, x -> x * x), 'sum') AS BIGINT) AS n2
+       |  FROM al),
+       |w AS (
+       |  SELECT vec_id,
+       |    list_transform(list_zip(vfp, vl), z -> z[1] - (c * z[2]) // 1000) AS vfp
+       |  FROM (
+       |    SELECT v.vec_id, v.vfp, al.vl,
+       |      (CAST(list_aggregate(list_transform(list_zip(v.vfp, al.vl),
+       |        z -> z[1] * z[2]), 'sum') AS BIGINT) * 1000) // n2.n2 AS c
+       |    FROM v CROSS JOIN al CROSS JOIN n2)),
+       |${powerIterSql("b", "w", iters)}
+       |SELECT CAST(1 AS BIGINT) AS component, CAST(d AS BIGINT) AS dim, v AS dir_fp FROM av$iters
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(d AS BIGINT), v FROM bv$iters
+       |ORDER BY component, dim""".stripMargin
+  }
+
+  /** The power-iteration CTE chain (prefix-named so two chains coexist
+    * in one oracle), over `input`(vec_id, vfp). */
+  private def powerIterSql(pfx: String, input: String, iters: Int): String = {
+    def round(r: Int): String =
+      s"""${pfx}vl$r AS (SELECT list(v ORDER BY d) AS vl FROM ${pfx}v${r - 1}),
+         |${pfx}sx$r AS (
+         |  SELECT e.vfp,
+         |    CASE WHEN dot < 0 THEN -1 ELSE 1 END * (abs(dot) // 1000000) AS s
+         |  FROM (SELECT v.vfp,
+         |      CAST(list_aggregate(list_transform(list_zip(v.vfp, l.vl),
+         |        z -> z[1] * z[2]), 'sum') AS BIGINT) AS dot
+         |    FROM $input v CROSS JOIN ${pfx}vl$r l) e),
+         |${pfx}w$r AS (
+         |  SELECT CAST(t.d AS INT) AS d,
+         |    CAST(SUM(s * vfp[t.d + 1]) AS BIGINT) AS wv
+         |  FROM ${pfx}sx$r, UNNEST(generate_series(0, 63)) AS t(d) GROUP BY 1),
+         |${pfx}m$r AS (SELECT CAST(MAX(abs(wv)) AS BIGINT) AS m FROM ${pfx}w$r),
+         |${pfx}v$r AS (
+         |  SELECT w.d,
+         |    (CASE WHEN w.wv < 0 THEN -1 ELSE 1 END)
+         |      * (abs(w.wv) // greatest(m.m // 1000000, 1)) AS v
+         |  FROM ${pfx}w$r w CROSS JOIN ${pfx}m$r m)""".stripMargin
+    s"""${pfx}v0 AS (SELECT CAST(t.d AS INT) AS d, CAST(1000000 AS BIGINT) AS v
+       |       FROM UNNEST(generate_series(0, 63)) AS t(d)),
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
   }
 
   // ----------------------------------------- k-center greedy coreset
@@ -2851,6 +2960,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dominant_direction" -> (dominantDirection _),
+    "sim_pca_deflate" -> (pcaDeflate _),
     "sim_ann_graph_search" -> (annGraphSearch _),
     "sim_ann_graph_recall" -> (annGraphSearchRecall _),
     "sim_coreset_kcenter" -> (coresetKCenter _),
@@ -2893,6 +3003,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_dominant_direction" -> dominantDirectionSqlFor(3),
+    "sim_pca_deflate" -> pcaDeflateSqlFor(3),
     "sim_ann_graph_search" -> annGraphSearchSqlFor(degree = 4, nQueries = 10, hops = 3, beam = 4, k = 3),
     "sim_ann_graph_recall" -> annGraphSearchRecallSqlFor(degree = 4, nQueries = 10, hops = 3, beam = 4, k = 3),
     "sim_coreset_kcenter" -> coresetKCenterSqlFor(8),

@@ -1225,6 +1225,27 @@ class ExtSpec extends SparkSpecBase {
     assert(mags.forall(_ <= 1000000L))
   }
 
+  test("pca deflation: second component is near-orthogonal and normalized") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val r = Similarity.pcaDeflateOn(e, iters = 3).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    assert(r.length == 128)
+    val v1 = r.filter(_._1 == 1L).sortBy(_._2).map(_._3.toDouble)
+    val v2 = r.filter(_._1 == 2L).sortBy(_._2).map(_._3.toDouble)
+    // component 1 is exactly dominantDirection's output
+    val dd = Similarity.dominantDirectionOn(e, iters = 3).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    assert(v1.sameElements(dd))
+    // both live on the fixed-point grid; the rescale saturates at ±10⁶
+    assert(v1.map(math.abs).max == 1e6 && v2.map(math.abs).max <= 1e6)
+    assert(v2.exists(_ != 0.0))
+    // deflation worked: the directions are near-orthogonal (fixed-point
+    // rounding is the only slack)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cos = v1.zip(v2).map { case (a, b) => a * b }.sum / (norm(v1) * norm(v2))
+    assert(math.abs(cos) < 0.05, s"cos $cos")
+  }
+
   test("k-center coreset: full cover, radius bounds the mean") {
     val e = graft.engine.Tables.load(spark, sf(), "embeddings")
     val r = Similarity.coresetKCenterOn(e, nCenters = 4).collect()
