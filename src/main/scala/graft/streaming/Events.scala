@@ -3434,6 +3434,140 @@ object Events {
       |  CAST(floor(did_raw / se_raw * 1000.0) AS BIGINT) AS t_milli
       |FROM v ORDER BY n_ctl""".stripMargin
 
+  // ------------------------------------------- group-sequential monitoring
+  /** Group-sequential A/B monitoring with O'Brien–Fleming boundaries —
+    * the "peek early without inflating alpha" readout every
+    * experimentation platform runs between [[aaTest]] (one final look)
+    * and full sequential testing: five interim looks at days 6/12/18/
+    * 24/30, a two-sample z per look on the per-user cumulative value,
+    * and the pinned OBF two-sided α=0.05 critical values for K=5
+    * (4.562, 3.226, 2.634, 2.281, 2.040 — conservative early, nominal
+    * late). A look "crosses" when |z| ≥ the boundary. Arms are the
+    * [[aaTest]] splitmix randomization, so on this fixture the
+    * expected readout is NO crossing at any look — a crossing here
+    * means the boundary math (or the hash) broke.
+    *
+    * Exactness: per-(user, look) totals are exact centi-unit BIGINTs;
+    * a user's events fan out only to the looks that include them
+    * (explode of ≤5 look ids — no user×look grid), absent users
+    * contribute 0 to Σ and Σ² but stay in n via the arm census. The z
+    * is scalar double math on exact moments (the [[cuped]] contract),
+    * floored to milli; boundaries are pinned integer literals.
+    *
+    * Scale: one corpus scan → (user, look) partial sums (≤5× the
+    * events in shuffle weight), one fold to the 10-row (look, arm)
+    * moment table, the arm census broadcast. Nothing driver-side.
+    */
+  def sequentialTest(spark: SparkSession, dir: String): DataFrame =
+    sequentialTestOn(events(spark, dir))
+
+  def sequentialTestOn(ev: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(ev.sparkSession)
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val perUserLook = ev.crossJoin(broadcast(t0))
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("day", expr(
+        "(unix_micros(ts) - unix_micros(t0)) div 86400000000"))
+      .filter(col("day") < 30)
+      .select(col("user_id"), col("vc"),
+        explode(expr("sequence(cast(day div 6 as int) + 1, 5)")).as("look"))
+      .groupBy(col("user_id"), col("look"))
+      .agg(sum(col("vc")).as("tot"))
+      .withColumn("arm", expr("pmod(mix64(user_id), 2)").cast("int"))
+    val census = perUserLook.select(col("user_id"), col("arm")).distinct()
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_arm"))
+    val moments = perUserLook.groupBy(col("look"), col("arm"))
+      .agg(sum(col("tot")).as("s1"), sum(col("tot") * col("tot")).as("s2"))
+      .join(broadcast(census), "arm")
+    val wide = moments.groupBy(col("look")).agg(
+      max(when(col("arm") === 0, col("n_arm"))).as("n0"),
+      max(when(col("arm") === 1, col("n_arm"))).as("n1"),
+      max(when(col("arm") === 0, col("s1"))).as("s10"),
+      max(when(col("arm") === 1, col("s1"))).as("s11"),
+      max(when(col("arm") === 0, col("s2"))).as("s20"),
+      max(when(col("arm") === 1, col("s2"))).as("s21"))
+    wide
+      .withColumn("m0", col("s10").cast("double") / col("n0").cast("double"))
+      .withColumn("m1", col("s11").cast("double") / col("n1").cast("double"))
+      .withColumn("v0",
+        (col("s20").cast("double") - col("s10").cast("double") *
+          col("s10").cast("double") / col("n0").cast("double")) /
+          (col("n0").cast("double") - lit(1.0)))
+      .withColumn("v1",
+        (col("s21").cast("double") - col("s11").cast("double") *
+          col("s11").cast("double") / col("n1").cast("double")) /
+          (col("n1").cast("double") - lit(1.0)))
+      .withColumn("z", (col("m1") - col("m0")) /
+        sqrt(col("v0") / col("n0").cast("double") +
+          col("v1") / col("n1").cast("double")))
+      .withColumn("bound_milli", expr(
+        "element_at(array(4562L, 3226L, 2634L, 2281L, 2040L), look)"))
+      .select(col("look").cast("long").as("look"),
+        (col("look") * 6L).cast("long").as("cut_day"),
+        col("n0"), col("n1"),
+        floor(col("z") * lit(1000.0)).cast("long").as("z_milli"),
+        col("bound_milli"),
+        (abs(floor(col("z") * lit(1000.0))) >= col("bound_milli"))
+          .cast("int").as("crossed"))
+      .orderBy(col("look"))
+  }
+
+  val sequentialTestSql: String =
+    """WITH m AS (SELECT MIN(ts) AS t0 FROM events),
+      |d AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+      |    (epoch_us(ts) - epoch_us(t0)) // 86400000000 AS day
+      |  FROM events, m),
+      |pl AS (
+      |  SELECT user_id, CAST(t.look AS INT) AS look,
+      |    CAST(SUM(vc) AS BIGINT) AS tot
+      |  FROM d, UNNEST(generate_series(CAST(day // 6 AS INT) + 1, 5)) AS t(look)
+      |  WHERE day < 30 GROUP BY 1, 2),
+      |armed AS (
+      |  SELECT user_id, look, tot,
+      |    (CAST(((((xor(z2, z2 >> 31)) % 2) + 2) % 2) AS INT)) AS arm
+      |  FROM (
+      |    SELECT user_id, look, tot,
+      |      (CAST(user_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z0,
+      |      xor(z0, z0 >> 30) AS x1,
+      |      (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065) % 18446744073709551616 AS z1,
+      |      xor(z1, z1 >> 27) AS x2,
+      |      (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955) % 18446744073709551616 AS z2
+      |    FROM pl)),
+      |census AS (
+      |  SELECT arm, COUNT(*) AS n_arm FROM (SELECT DISTINCT user_id, arm FROM armed) GROUP BY 1),
+      |mo AS (
+      |  SELECT look, a.arm, CAST(SUM(tot) AS BIGINT) AS s1,
+      |    CAST(SUM(tot * tot) AS BIGINT) AS s2, MAX(c.n_arm) AS n_arm
+      |  FROM armed a JOIN census c ON a.arm = c.arm GROUP BY 1, 2),
+      |w AS (
+      |  SELECT look,
+      |    MAX(CASE WHEN arm = 0 THEN n_arm END) AS n0,
+      |    MAX(CASE WHEN arm = 1 THEN n_arm END) AS n1,
+      |    MAX(CASE WHEN arm = 0 THEN s1 END) AS s10,
+      |    MAX(CASE WHEN arm = 1 THEN s1 END) AS s11,
+      |    MAX(CASE WHEN arm = 0 THEN s2 END) AS s20,
+      |    MAX(CASE WHEN arm = 1 THEN s2 END) AS s21
+      |  FROM mo GROUP BY 1),
+      |zc AS (
+      |  SELECT *,
+      |    (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s10 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |    / sqrt(
+      |      ((CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE)
+      |        / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
+      |      + ((CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE)
+      |        / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)) AS z,
+      |    ([4562, 3226, 2634, 2281, 2040])[look] AS bound_milli
+      |  FROM w)
+      |SELECT CAST(look AS BIGINT) AS look, CAST(look * 6 AS BIGINT) AS cut_day,
+      |  n0, n1,
+      |  CAST(floor(z * 1000.0) AS BIGINT) AS z_milli,
+      |  CAST(bound_milli AS BIGINT) AS bound_milli,
+      |  CASE WHEN abs(CAST(floor(z * 1000.0) AS BIGINT)) >= bound_milli
+      |    THEN 1 ELSE 0 END AS crossed
+      |FROM zc ORDER BY look""".stripMargin
+
   // --------------------------------------------------- ingest DQ gate
   /** Row-level data-quality gate over the event stream — the ingest
     * twin of [[graft.queries.Warehouse.q95ExpectationSuite]]'s batch
@@ -3695,6 +3829,7 @@ object Events {
     "events_cuped" -> (cuped _),
     "events_did" -> (diffInDiff _),
     "events_dq_gate" -> (dqGate _),
+    "events_sequential_test" -> (sequentialTest _),
     "events_late_arrivals" -> (lateArrivals _),
     "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
@@ -3750,6 +3885,7 @@ object Events {
     "events_cuped" -> cupedSql,
     "events_did" -> diffInDiffSql,
     "events_dq_gate" -> dqGateSql,
+    "events_sequential_test" -> sequentialTestSql,
     "events_late_arrivals" -> lateArrivalsSql,
     "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,

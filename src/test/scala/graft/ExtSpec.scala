@@ -1574,6 +1574,38 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
   }
 
+  test("sequential test: OBF crossing starts exactly when the injected effect does") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // resolve each user's hash arm the same way the operator will
+    graft.plans.GraftExtensions.register(spark)
+    val arms = spark.range(1, 201).selectExpr("id AS user_id",
+      "cast(pmod(mix64(id), 2) as int) AS arm").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def j(u: Long) = (u % 5 - 2) * 0.4
+    // one event per look window (days 1,7,13,19,25); arm 1 gains +20
+    // per event from day 13 on → the effect exists only from look 3
+    val rows = (1L to 200L).flatMap { u =>
+      Seq(1, 7, 13, 19, 25).zipWithIndex.map { case (day, i) =>
+        val eff = if (arms(u) == 1 && day >= 13) 20.0 else 0.0
+        (u * 10L + i, new Timestamp(base + day.toLong * 86400000L),
+          u, "click", 10.0 + j(u) + eff, "{}")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.Events.sequentialTestOn(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getInt(6)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.forall(x => x._2 == x._1 * 6 && x._3 + x._4 == 200L))
+    // pinned OBF K=5 boundaries, conservative-early
+    assert(r.map(_._6).toSeq == Seq(4562L, 3226L, 2634L, 2281L, 2040L))
+    // no crossing before the effect exists, crossing ever after
+    assert(r.map(_._7).toSeq == Seq(0, 0, 1, 1, 1),
+      r.map(x => (x._1, x._5, x._7)).mkString(", "))
+  }
+
   test("kaplan-meier: fold matches a serial simulation on random censored lifetimes") {
     import spark.implicits._
     import java.sql.Timestamp
