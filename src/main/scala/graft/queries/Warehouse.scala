@@ -2069,7 +2069,59 @@ object Warehouse {
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Open-order backlog burn-down — the operations dashboard between
+    * q88's segment growth and q84's repurchase curve: an order OPENS at
+    * o_orderdate and CLOSES when its last line ships (max l_shipdate),
+    * and the curve reports per day how many opened, how many closed,
+    * and the running open backlog. Days with no activity are absent
+    * (the running sum is over present days — same rows both engines).
+    *
+    * Scale: one customer-free aggregate per side — opens fold straight
+    * off the orders scan, closes fold lineitem once per order then per
+    * day — and the curve join + running sum live on the
+    * calendar-bounded day table. The unpartitioned window is over that
+    * ≤ |days| grid, never the facts.
+    */
+  def q97BacklogCurve(spark: SparkSession, dir: String): DataFrame = {
+    val opened = t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("opened"))
+    val closed = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("cd"))
+      .groupBy(date_format(col("cd"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("closed"))
+    opened.join(closed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      // global window over the calendar-bounded day grid (bounded)
+      .withColumn("backlog", sum(col("opened") - col("closed")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
+  val q97Sql: String =
+    """WITH opened AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS opened
+      |  FROM orders GROUP BY 1),
+      |closed AS (
+      |  SELECT strftime(cd, '%Y-%m-%d') AS day, COUNT(*) AS closed
+      |  FROM (SELECT l_orderkey, MAX(l_shipdate) AS cd FROM lineitem GROUP BY 1)
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT COALESCE(o.day, cl.day) AS day,
+      |    COALESCE(o.opened, 0) AS opened, COALESCE(cl.closed, 0) AS closed
+      |  FROM opened o FULL OUTER JOIN closed cl ON o.day = cl.day)
+      |SELECT day, opened, closed,
+      |  CAST(SUM(opened - closed) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM c ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_backlog_curve" -> (q97BacklogCurve _),
     "q96_mv_rewrite" -> (q96MvRewrite _),
     "q95_expectations" -> (q95ExpectationSuite _),
     "q94_cohort_ltv" -> (q94CohortLtv _),
@@ -2113,6 +2165,7 @@ object Warehouse {
     "q94_cohort_ltv" -> q94Sql,
     "q95_expectations" -> q95Sql,
     "q96_mv_rewrite" -> q96Sql,
+    "q97_backlog_curve" -> q97Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

@@ -310,6 +310,22 @@ class WarehouseSpec extends SparkSpecBase {
       Seq("lineitem.l_shipdate.ge(o_orderdate)"))
   }
 
+  test("q97 backlog curve: conservation and prefix-sum replay") {
+    val orders = graft.engine.Tables.load(spark, sf(), "orders")
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+    val r = Warehouse.q97BacklogCurve(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._1).toSeq == r.map(_._1).toSeq.sorted)
+    assert(r.map(_._2).sum == orders.count()) // every order opens once
+    // every order with lines closes exactly once
+    assert(r.map(_._3).sum == li.select("l_orderkey").distinct().count())
+    // the backlog is the exact prefix sum; the final value is the number
+    // of orders that never close (no lines)
+    var run = 0L
+    r.foreach { x => run += x._2 - x._3; assert(x._4 == run, x._1) }
+    assert(r.last._4 == orders.count() - li.select("l_orderkey").distinct().count())
+  }
+
   test("q96 MV rewrite: plan reads the view, answers match base, ineligible untouched") {
     graft.plans.MvRewriteRule.register(spark)
     val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_spec").toString + "/mv"
