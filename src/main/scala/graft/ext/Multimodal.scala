@@ -1027,7 +1027,63 @@ object Multimodal {
       |  CASE WHEN cos < 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flag_misaligned
       |FROM al ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ training-shard packing
+  /** WebDataset-style shard packing manifest: media items, in id order,
+    * are packed into ~4 KiB shards by running payload bytes (shard =
+    * bytes-before div target — greedy, deterministic, no reordering),
+    * and the manifest reports each shard's item count, byte total, id
+    * range, and largest item. This is the dataloader-throughput step a
+    * training pipeline runs after curation: shards must be contiguous
+    * in id order (sequential reads), byte-balanced (worker fairness),
+    * and reproducible (same corpus → same shards).
+    *
+    * Scale: the prefix sum is the two-level chunked scan
+    * ([[graft.streaming.Events]] late-arrivals pattern) — per-chunk
+    * windows stay ≤ 1024 rows and the carry window runs over chunk
+    * TOTALS (corpus/1024 rows), so no window ever sees the raw corpus;
+    * the manifest fold is one aggregate on the shard key. Payloads
+    * themselves never move — only (id, byte-length) pairs.
+    */
+  def mediaShardPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = docsAsMedia(spark, dir).toDF()
+      .select(col("media_id"), length(col("payload")).cast("long").as("n"))
+    val ch = items.withColumn("chunk", expr("media_id div 1024"))
+    val within = ch.withColumn("pre", sum(col("n")).over(
+      Window.partitionBy(col("chunk")).orderBy(col("media_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
+    // global window over the corpus/1024-row chunk-total table (bounded)
+    val totals = ch.groupBy(col("chunk")).agg(sum(col("n")).as("ct"))
+      .withColumn("carry", coalesce(sum(col("ct")).over(
+        Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("carry"))
+    within.join(totals, "chunk")
+      .withColumn("shard_id", expr("(carry + pre) div 4096"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n")).as("shard_bytes"),
+        min(col("media_id")).as("min_id"), max(col("media_id")).as("max_id"),
+        max(col("n")).as("max_item_bytes"))
+      .orderBy(col("shard_id"))
+  }
+
+  val mediaShardPackSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT media_id, n,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY media_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+      |  FROM b)
+      |SELECT pre // 4096 AS shard_id, COUNT(*) AS n_items,
+      |  CAST(SUM(n) AS BIGINT) AS shard_bytes,
+      |  MIN(media_id) AS min_id, MAX(media_id) AS max_id,
+      |  MAX(n) AS max_item_bytes
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_shard_pack" -> (mediaShardPack _),
     "multimodal_alignment" -> (alignment _),
     "multimodal_aspect_buckets" -> (aspectBuckets _),
     "multimodal_keyframes" -> (mediaKeyframes _),
@@ -1240,6 +1296,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_alignment" -> alignmentSql,
+    "multimodal_shard_pack" -> mediaShardPackSql,
     "multimodal_aspect_buckets" -> aspectBucketsSql,
     "multimodal_keyframes" -> mediaKeyframesSql,
     "multimodal_features" -> mediaFeaturesSql,

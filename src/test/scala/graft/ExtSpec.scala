@@ -1574,6 +1574,24 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
   }
 
+  test("shard pack: contiguous id ranges, byte conservation, dense shard ids") {
+    val docs = graft.engine.Tables.load(spark, sf(), "documents")
+    val total = docs.selectExpr("sum(octet_length(text))").head().getLong(0)
+    val r = ext.Multimodal.mediaShardPack(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == r.indices.map(_.toLong)) // dense 0..k
+    assert(r.map(_._3).sum == total)                     // every byte shipped
+    assert(r.map(_._2).sum == docs.count())              // every item shipped
+    // shards are contiguous id ranges in id order (sequential reads)
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 == a._5 + 1, s"gap after shard ${a._1}")
+      case _ =>
+    }
+    // greedy bound: a shard never exceeds target + its largest item
+    r.foreach(x => assert(x._3 <= 4096L + x._6, x.toString))
+  }
+
   test("sequential test: OBF crossing starts exactly when the injected effect does") {
     import spark.implicits._
     import java.sql.Timestamp
