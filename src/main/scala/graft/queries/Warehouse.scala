@@ -2120,7 +2120,41 @@ object Warehouse {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
       |FROM c ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Incremental materialized-view maintenance, graded semantically:
+    * lineitem splits into a 90% base and a 10% delta (orderkey mod 10),
+    * the view is built from the base alone, the delta folds in via
+    * [[graft.engine.MatView.applyDelta]] (partial states are an abelian
+    * monoid — counts and sums add per cell), and the DRIVER's oracle
+    * computes the view directly from the FULL table. A hash match means
+    * incremental refresh ≡ full rebuild, cell for cell — the property
+    * that lets the q96 rewrite stay fresh under streaming ingest
+    * without ever rescanning the base.
+    *
+    * Scale: the delta fold shuffles only (dims, partial) rows — the
+    * base is touched once at build time, never again. Quantities are
+    * integral doubles, so every partial sum is an exact integer at any
+    * partition order.
+    */
+  def q98MvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val mv0 = graft.engine.MatView.aggregate(
+      li.filter(expr("l_orderkey % 10 != 0")))
+    val merged = graft.engine.MatView.applyDelta(mv0,
+      li.filter(expr("l_orderkey % 10 = 0")))
+    merged.select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+        col("mv_cnt"), col("mv_sum_l_quantity").as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+  }
+
+  val q98Sql: String =
+    """SELECT l_returnflag, l_linestatus, l_shipdate,
+      |  COUNT(*) AS mv_cnt, SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_mv_incremental" -> (q98MvIncremental _),
     "q97_backlog_curve" -> (q97BacklogCurve _),
     "q96_mv_rewrite" -> (q96MvRewrite _),
     "q95_expectations" -> (q95ExpectationSuite _),
@@ -2166,6 +2200,7 @@ object Warehouse {
     "q95_expectations" -> q95Sql,
     "q96_mv_rewrite" -> q96Sql,
     "q97_backlog_curve" -> q97Sql,
+    "q98_mv_incremental" -> q98Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

@@ -326,6 +326,30 @@ class WarehouseSpec extends SparkSpecBase {
     assert(r.last._4 == orders.count() - li.select("l_orderkey").distinct().count())
   }
 
+  test("q98 MV delta fold: identity on empty delta, new cells appear, monoid assoc") {
+    import graft.engine.MatView
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+    val full = MatView.aggregate(li).collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2).toString,
+        r.getLong(3), r.getDouble(4))).toSet
+    // empty delta is identity
+    val mv = MatView.aggregate(li)
+    val same = MatView.applyDelta(mv, li.filter(lit(false))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2).toString,
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(same == full)
+    // two folds in sequence (base ⊕ d1 ⊕ d2) equal the full rebuild,
+    // including cells that exist ONLY in a delta
+    val base = MatView.aggregate(li.filter(expr("l_orderkey % 3 = 0")))
+    val step1 = MatView.applyDelta(base, li.filter(expr("l_orderkey % 3 = 1")))
+    val step2 = MatView.applyDelta(step1, li.filter(expr("l_orderkey % 3 = 2")))
+    val got = step2.collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2).toString,
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == full)
+    assert(base.count() < full.size) // deltas genuinely added new cells
+  }
+
   test("q96 MV rewrite: plan reads the view, answers match base, ineligible untouched") {
     graft.plans.MvRewriteRule.register(spark)
     val mvPath = java.nio.file.Files.createTempDirectory("graft_mv_spec").toString + "/mv"
