@@ -2185,7 +2185,100 @@ object Dedup {
       |    AS n_at_or_above
       |FROM h ORDER BY bucket""".stripMargin
 
+  // ----------------------------------------------- bounded-hop BFS reach
+  /** Bounded-hop BFS reach census from a seed set over the near-dup
+    * graph — "how much of the corpus is within k dup-hops of these
+    * known-bad documents", the blast-radius question behind seeded
+    * contamination sweeps (seeds = flagged docs, reach = what else to
+    * quarantine). Frontier expansion with an explicit visited set:
+    * round k joins the PREVIOUS FRONTIER (not the whole visited set)
+    * against the edges, anti-joins visited, labels survivors dist = k.
+    * Output: one census row per distance 0..4 plus the unreached
+    * remainder (dist −1), each with its corpus share in ppm.
+    *
+    * Scale: per round one edge join keyed on the frontier plus one
+    * anti-join on visited — both id-only shuffles; frontier/visited are
+    * staged and superseded frames released ([[dedupClustersFrom]]
+    * discipline). No path enumeration anywhere (the oracle's unrolled
+    * DISTINCT sets mirror this — a recursive CTE would enumerate walks
+    * and explode on cycles).
+    */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame =
+    bfsReachOn(docs(spark, dir), pmod(col("doc_id"), lit(50)) === 0, maxHops = 4)
+
+  def bfsReachOn(documents: DataFrame, isSeed: Column, maxHops: Int): DataFrame = {
+    val stage = graft.engine.Materialize.stage _
+    val pairs = ngramJaccardOn(documents).select(col("doc_a"), col("doc_b"))
+    val edges = stage(pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var visited = stage(documents.filter(isSeed)
+      .select(col("doc_id"), lit(0).as("dist")))
+    var frontier = visited
+    for (k <- 1 to maxHops) {
+      val nxt = stage(edges
+        .join(frontier.select(col("doc_id").as("doc_a")), "doc_a")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("dist", lit(k)))
+      val nv = stage(visited.unionByName(nxt))
+      // superseded frames die per round (ADVICE r3 pattern); at k = 1
+      // frontier IS the initial visited frame — release it once
+      if (frontier ne visited) graft.engine.Materialize.release(frontier)
+      graft.engine.Materialize.release(visited)
+      visited = nv
+      frontier = nxt
+    }
+    graft.engine.Materialize.release(frontier)
+    graft.engine.Materialize.release(edges)
+    val total = documents.groupBy().agg(count(lit(1)).as("n_total"))
+    val byDist = visited.groupBy(col("dist").cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_docs"))
+    val reached = visited.groupBy().agg(count(lit(1)).as("n_reached"))
+    val unreached = total.crossJoin(broadcast(reached))
+      .select(lit(-1L).as("dist"), (col("n_total") - col("n_reached")).as("n_docs"))
+    byDist.unionByName(unreached)
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(n_docs * 1000000L) div n_total"))
+      .select(col("dist"), col("n_docs"), col("share_ppm"))
+      .orderBy(col("dist"))
+  }
+
+  val bfsReachSql: String = {
+    def round(k: Int): String =
+      s"""f$k AS (
+         |  SELECT DISTINCT e.b AS doc_id FROM edges e
+         |  JOIN f${k - 1} f ON e.a = f.doc_id
+         |  WHERE e.b NOT IN (SELECT doc_id FROM v${k - 1})),
+         |v$k AS (SELECT doc_id, dist FROM v${k - 1}
+         |        UNION ALL SELECT doc_id, $k FROM f$k)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+       |       WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |          WHERE CAST(c AS DOUBLE)/(x.sz + y.sz - c) >= CAST(0.5 AS DOUBLE)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |f0 AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+       |v0 AS (SELECT doc_id, 0 AS dist FROM f0),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |census AS (
+       |  SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_docs FROM v4 GROUP BY 1
+       |  UNION ALL
+       |  SELECT -1, (SELECT n_total FROM tot) - (SELECT COUNT(*) FROM v4))
+       |SELECT dist, n_docs,
+       |  CAST((n_docs * 1000000) // (SELECT n_total FROM tot) AS BIGINT) AS share_ppm
+       |FROM census ORDER BY dist""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bfs_reach" -> (bfsReach _),
     "dedup_source_matrix" -> (sourceMatrix _),
     "dedup_modularity" -> (modularity _),
     "dedup_jaccard_hist" -> (jaccardHist _),
@@ -2244,6 +2337,7 @@ object Dedup {
     "dedup_cluster_lsh" -> dedupClustersSql,
     "dedup_cluster_incremental" -> dedupClustersSql,
     "dedup_pagerank_seeded" -> pagerankSeededSql,
+    "dedup_bfs_reach" -> bfsReachSql,
     "dedup_summary" -> dedupSummarySql,
     "dedup_cluster_bigstar" -> dedupClustersSql,
     "dedup_pagerank" -> pagerankSql,

@@ -1574,6 +1574,25 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
   }
 
+  test("bfs reach: walks a dup chain hop by hop and stops at the bound") {
+    import spark.implicits._
+    // doc i = 10 words starting at 2i over a shared token stream:
+    // consecutive docs share 8 words (trigram jaccard 0.6 ≥ τ), docs two
+    // apart share 6 (0.33 < τ) — so the dup graph is an exact CHAIN
+    val docs = (0 until 12).map { i =>
+      (i.toLong, (2 * i until 2 * i + 10).map(j => s"t$j").mkString(" "),
+        "en", "src0", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = ext.Dedup.bfsReachOn(docs, col("doc_id") === 0, maxHops = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // seed reaches exactly one new doc per hop, then the bound cuts it
+    assert(r.toSeq == Seq(
+      (-1L, 7L, 7L * 1000000L / 12L),
+      (0L, 1L, 1000000L / 12L), (1L, 1L, 1000000L / 12L),
+      (2L, 1L, 1000000L / 12L), (3L, 1L, 1000000L / 12L),
+      (4L, 1L, 1000000L / 12L)), r.mkString(", "))
+  }
+
   test("shard pack: contiguous id ranges, byte conservation, dense shard ids") {
     val docs = graft.engine.Tables.load(spark, sf(), "documents")
     val total = docs.selectExpr("sum(octet_length(text))").head().getLong(0)

@@ -94,8 +94,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_t_closeness",
     // cuped: the 1-row window-bound frame onto the scan and the 1-row
     // pooled-moment frame onto the 2-row arm table (aa_test's shape);
-    // did: the same 1-row window-bound frame onto the scan
-    "events_cuped", "events_did",
+    // did / sequential test: the same 1-row window-bound frame onto the scan
+    "events_cuped", "events_did", "events_sequential_test",
     // abc pareto / share-of-parent: the 1-row total-revenue frame
     // broadcast onto the per-part prefix rows / nation grid (q60's shape)
     "q79_abc_pareto", "q82_share_of_parent",
@@ -114,8 +114,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
     "text_burstiness", "text_stopword_candidates", "sim_embedding_drift",
-    // cluster sizes: the 1-row doc-total frame broadcast onto the size grid
-    "dedup_cluster_sizes",
+    // cluster sizes: the 1-row doc-total frame broadcast onto the size grid;
+    // bfs reach: the 1-row corpus-total and reached-count frames broadcast
+    // onto the ≤6-row distance census
+    "dedup_cluster_sizes", "dedup_bfs_reach",
     // nn ratio: cosineTopK's 10-query broadcast; bot score: the 1-row
     // median frame broadcast onto the per-user scores
     "sim_nn_ratio", "events_bot_score",
