@@ -2687,6 +2687,100 @@ object TextOps {
       |  doc_id, score_fp, n_terms
       |FROM sc ORDER BY rank""".stripMargin
 
+  // --------------------------------------------- retrieval quality (nDCG)
+  /** nDCG@10 harness for [[bm25TopK]] — the eval loop the recall@k
+    * harnesses give the ANN family, for lexical retrieval: graded
+    * relevance = a document's total query-term OCCURRENCE count
+    * (judgment-free, recomputable, and genuinely divergent from the
+    * BM25 ordering — BM25 length-normalizes and idf-weights, the ideal
+    * ordering doesn't, so ndcg < 1 measures that gap), DCG over the BM25 top-10
+    * with pinned milli 1/log2(rank+1) gains, IDCG from the corpus-wide
+    * ideal ordering (relevance desc, id asc), ndcg = dcg·1000 div idcg.
+    * Everything after the (already-graded) BM25 scores is pure integer
+    * arithmetic — the gains are literals, not runtime logs.
+    *
+    * Scale: relevance is one term-filtered aggregate (the BM25 tf
+    * shape); the ideal top-10 is a TakeOrdered over (rel, id) — no
+    * global sort materializes; DCG/IDCG fold ≤10 rows each.
+    */
+  def bm25Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "window", "merge", "stream", "vector",
+      "customer", "hash", "slow")
+    val documents = docs(spark, dir)
+    import documents.sparkSession.implicits._
+    val gains = "array(1000L, 630L, 500L, 430L, 386L, 356L, 333L, 315L, 301L, 289L)"
+    val rel = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .join(broadcast(terms.toDF("term")), col("t") === col("term"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("rel"))
+    val dcg = bm25TopKOn(documents, terms, k = 10)
+      .join(rel, Seq("doc_id"), "left")
+      .select(expr(s"coalesce(rel, 0L) * element_at($gains, cast(rank as int))")
+        .as("g"))
+      .agg(sum(col("g")).as("dcg_milli"))
+    // ideal ordering: top-10 relevances corpus-wide (TakeOrdered, bounded)
+    val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rel").desc, col("doc_id")) // ≤10-row frame (bounded)
+    val idcg = ideal.withColumn("rank", row_number().over(w))
+      .select(expr(s"rel * element_at($gains, rank)").as("g"))
+      .agg(sum(col("g")).as("idcg_milli"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel_docs"))
+    dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(nRel))
+      .select(lit(10L).as("k"), col("dcg_milli"), col("idcg_milli"),
+        expr("(dcg_milli * 1000L) div idcg_milli").as("ndcg_milli"),
+        col("n_rel_docs"))
+      .orderBy(col("k"))
+  }
+
+  val bm25NdcgSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl,
+      |    COUNT(*) AS n FROM base),
+      |terms AS (SELECT unnest(['spark', 'window', 'merge', 'stream',
+      |    'vector', 'customer', 'hash', 'slow']) AS term),
+      |tf AS (
+      |  SELECT d.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents) d
+      |  JOIN terms t ON d.tok = t.term GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT f.term, o.avgdl,
+      |    CAST(round(ln((o.n - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_fp
+      |  FROM (SELECT DISTINCT doc_id, term FROM tf) f CROSS JOIN tot o
+      |  GROUP BY f.term, o.avgdl, o.n),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(SUM(i.idf_fp * (44 * i.avgdl * tf.tf)
+      |      // (20 * i.avgdl * tf.tf + 6 * i.avgdl + 18 * b.dl)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN base b USING (doc_id) JOIN idf i USING (term)
+      |  GROUP BY tf.doc_id
+      |  ORDER BY score_fp DESC, doc_id LIMIT 10),
+      |ranked AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rank
+      |  FROM sc),
+      |rel AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS rel FROM tf GROUP BY 1),
+      |gains(rank, g) AS (SELECT CAST(t.i AS INT),
+      |    ([1000, 630, 500, 430, 386, 356, 333, 315, 301, 289])[t.i]
+      |  FROM UNNEST(generate_series(1, 10)) AS t(i)),
+      |dcg AS (
+      |  SELECT CAST(SUM(COALESCE(rel.rel, 0) * g.g) AS BIGINT) AS dcg_milli
+      |  FROM ranked LEFT JOIN rel USING (doc_id) JOIN gains g USING (rank)),
+      |ideal AS (
+      |  SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS INT) AS rank
+      |  FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+      |idcg AS (
+      |  SELECT CAST(SUM(i.rel * g.g) AS BIGINT) AS idcg_milli
+      |  FROM ideal i JOIN gains g USING (rank)),
+      |nr AS (SELECT COUNT(*) AS n_rel_docs FROM rel)
+      |SELECT CAST(10 AS BIGINT) AS k, dcg_milli, idcg_milli,
+      |  CAST((dcg_milli * 1000) // idcg_milli AS BIGINT) AS ndcg_milli,
+      |  n_rel_docs
+      |FROM dcg, idcg, nr ORDER BY k""".stripMargin
+
   // ------------------------------------------------ k-anonymity census
   /** k-anonymity census over quasi-identifiers — the governance
     * complement of [[piiScrub]] (scrub removes DIRECT identifiers;
@@ -3143,6 +3237,7 @@ object TextOps {
     "text_t_closeness" -> (tCloseness _),
     "text_quality_calibrate" -> (qualityCalibrate _),
     "text_bm25_topk" -> (bm25TopK _),
+    "text_bm25_ndcg" -> (bm25Ndcg _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -3194,6 +3289,7 @@ object TextOps {
     "text_t_closeness" -> tClosenessSql,
     "text_quality_calibrate" -> qualityCalibrateSql,
     "text_bm25_topk" -> bm25TopKSql,
+    "text_bm25_ndcg" -> bm25NdcgSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,

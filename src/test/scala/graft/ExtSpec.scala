@@ -1574,6 +1574,25 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
   }
 
+  test("bm25 ndcg: idcg replayed serially, dcg bounded by it, milli ratio exact") {
+    val terms = Set("spark", "window", "merge", "stream", "vector",
+      "customer", "hash", "slow")
+    val gains = Array(1000L, 630L, 500L, 430L, 386L, 356L, 333L, 315L, 301L, 289L)
+    val rels = graft.engine.Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").count(terms)))
+      .filter(_._2 > 0)
+    val idealIdcg = rels.sortBy(x => (-x._2, x._1)).take(10).map(_._2.toLong)
+      .zip(gains).map { case (r, g) => r * g }.sum
+    val row = ext.TextOps.bm25Ndcg(spark, sf()).collect().head
+    assert(row.getLong(0) == 10L)
+    assert(row.getLong(2) == idealIdcg)             // idcg == serial replay
+    assert(row.getLong(1) <= row.getLong(2))        // dcg never beats ideal
+    assert(row.getLong(3) == row.getLong(1) * 1000L / row.getLong(2))
+    assert(row.getLong(3) > 0L && row.getLong(3) <= 1000L)
+    assert(row.getLong(4) == rels.length.toLong)
+  }
+
   test("bfs reach: walks a dup chain hop by hop and stops at the bound") {
     import spark.implicits._
     // doc i = 10 words starting at 2i over a shared token stream:

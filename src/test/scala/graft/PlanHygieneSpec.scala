@@ -145,8 +145,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // broadcast plan join
     "events_alert_debounce", "text_token_budget_apply",
     // bm25: the 1-row (avgdl, N) corpus frame broadcast onto the 8-row
-    // term table for the idf (text_tfidf's corpus-count shape)
-    "text_bm25_topk")
+    // term table for the idf (text_tfidf's corpus-count shape); the ndcg
+    // harness adds the 1-row dcg/idcg/count frames joined at the end
+    "text_bm25_topk", "text_bm25_ndcg")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
