@@ -2781,6 +2781,81 @@ object TextOps {
       |  n_rel_docs
       |FROM dcg, idcg, nr ORDER BY k""".stripMargin
 
+  // -------------------------------------------- split-conformal calibration
+  /** Split-conformal prediction interval, end to end — the
+    * distribution-free coverage guarantee every model-serving pipeline
+    * can wrap around ANY point predictor: a pinned toy predictor
+    * (chars ≈ 6·tokens), absolute residuals as nonconformity, the
+    * k = ⌈0.9·(n_cal+1)⌉-th smallest calibration residual as the
+    * radius q, and the held-out coverage of ±q (guaranteed ≥ 90% in
+    * expectation; the readout shows the realized ppm). Splits are
+    * deterministic (doc_id parity).
+    *
+    * Scale: the k-th order statistic is NOT a sort-and-limit — the
+    * residual is value-bounded, so calibration folds to a ≤|distinct
+    * residuals| grid, a bounded cumulative window finds q, and the
+    * test side is one filtered aggregate with q broadcast. Exact
+    * integers throughout.
+    */
+  def conformal(spark: SparkSession, dir: String): DataFrame =
+    conformalOn(docs(spark, dir))
+
+  def conformalOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val resid = documents.select(col("doc_id"),
+      expr("abs(n_chars - 6L * size(split(text, ' ')))").as("r"),
+      expr("doc_id % 2 = 0").as("cal"))
+    val calN = resid.filter(col("cal"))
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr("(9L * (n_cal + 1L) + 9L) div 10L"))
+    // global window over the ≤|distinct residual values| grid (bounded)
+    val grid = resid.filter(col("cal")).groupBy(col("r"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val q = grid.crossJoin(broadcast(calN))
+      .filter(col("cum") >= col("k"))
+      .agg(min(col("r")).as("q_resid"))
+    val test = resid.filter(!col("cal")).crossJoin(broadcast(q))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_resid"), 1L).otherwise(0L)).as("n_covered"),
+        max(col("q_resid")).as("q_resid"))
+    test.crossJoin(broadcast(calN))
+      .select(col("n_cal"), col("k"), col("q_resid"), col("n_test"),
+        col("n_covered"),
+        expr("(n_covered * 1000000L) div n_test").as("coverage_ppm"))
+      .orderBy(col("n_cal"))
+  }
+
+  val conformalSql: String =
+    """WITH resid AS (
+      |  SELECT doc_id,
+      |    abs(n_chars - 6 * len(string_split(text, ' '))) AS r,
+      |    doc_id % 2 = 0 AS cal
+      |  FROM documents),
+      |cn AS (
+      |  SELECT COUNT(*) AS n_cal,
+      |    (9 * (COUNT(*) + 1) + 9) // 10 AS k
+      |  FROM resid WHERE cal),
+      |grid AS (
+      |  SELECT r, COUNT(*) AS c,
+      |    CAST(SUM(COUNT(*)) OVER (ORDER BY r
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM resid WHERE cal GROUP BY r),
+      |q AS (
+      |  SELECT CAST(MIN(r) AS BIGINT) AS q_resid
+      |  FROM grid, cn WHERE cum >= k),
+      |t AS (
+      |  SELECT COUNT(*) AS n_test,
+      |    CAST(SUM(CASE WHEN r <= q_resid THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |    MAX(q_resid) AS q_resid
+      |  FROM resid, q WHERE NOT cal)
+      |SELECT cn.n_cal, CAST(cn.k AS BIGINT) AS k, t.q_resid, t.n_test,
+      |  t.n_covered,
+      |  CAST((t.n_covered * 1000000) // t.n_test AS BIGINT) AS coverage_ppm
+      |FROM t, cn ORDER BY n_cal""".stripMargin
+
   // ------------------------------------------------ k-anonymity census
   /** k-anonymity census over quasi-identifiers — the governance
     * complement of [[piiScrub]] (scrub removes DIRECT identifiers;
@@ -3238,6 +3313,7 @@ object TextOps {
     "text_quality_calibrate" -> (qualityCalibrate _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_bm25_ndcg" -> (bm25Ndcg _),
+    "text_conformal" -> (conformal _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_classifier_lift" -> (classifierLift _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -3290,6 +3366,7 @@ object TextOps {
     "text_quality_calibrate" -> qualityCalibrateSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_ndcg" -> bm25NdcgSql,
+    "text_conformal" -> conformalSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_classifier_lift" -> classifierLiftSql,
     "text_vocab_coverage" -> vocabCoverageSql,

@@ -1574,6 +1574,22 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
   }
 
+  test("conformal: q is the exact k-th order statistic, coverage replayed serially") {
+    val rs = graft.engine.Tables.load(spark, sf(), "documents")
+      .selectExpr("doc_id", "abs(n_chars - 6L * size(split(text, ' '))) AS r")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cal = rs.filter(_._1 % 2 == 0).map(_._2).sorted
+    val k = ((9L * (cal.length + 1) + 9L) / 10L).toInt
+    val q = cal(k - 1) // k-th smallest, 1-indexed
+    val test = rs.filter(_._1 % 2 != 0).map(_._2)
+    val row = ext.TextOps.conformal(spark, sf()).collect().head
+    assert(row.getLong(0) == cal.length.toLong && row.getLong(1) == k.toLong)
+    assert(row.getLong(2) == q)
+    assert(row.getLong(3) == test.length.toLong)
+    assert(row.getLong(4) == test.count(_ <= q).toLong)
+    assert(row.getLong(5) == row.getLong(4) * 1000000L / row.getLong(3))
+  }
+
   test("bm25 ndcg: idcg replayed serially, dcg bounded by it, milli ratio exact") {
     val terms = Set("spark", "window", "merge", "stream", "vector",
       "customer", "hash", "slow")

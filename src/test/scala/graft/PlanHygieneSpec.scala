@@ -147,7 +147,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // bm25: the 1-row (avgdl, N) corpus frame broadcast onto the 8-row
     // term table for the idf (text_tfidf's corpus-count shape); the ndcg
     // harness adds the 1-row dcg/idcg/count frames joined at the end
-    "text_bm25_topk", "text_bm25_ndcg")
+    "text_bm25_topk", "text_bm25_ndcg",
+    // conformal: the 1-row calibration-count and radius frames broadcast
+    // onto the bounded residual grid / the test-side aggregate
+    "text_conformal")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
