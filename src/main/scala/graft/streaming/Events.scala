@@ -3646,6 +3646,70 @@ object Events {
       |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
       |FROM u ORDER BY check_name""".stripMargin
 
+  // --------------------------------------------- seasonal anomaly score
+  /** Seasonality-aware hourly anomaly flags — the readout [[zscore]]
+    * gets wrong on weekly-patterned traffic: each observed hour is
+    * compared against its OWN (iso_dow, hour) cell's history across
+    * weeks, with a robust discrete median/MAD baseline (so one prior
+    * outage doesn't poison the baseline), flagging
+    * |n − med| > 3·max(MAD, 1). Hours with zero events are absent from
+    * both the observations and the baselines (documented: on a corpus
+    * with quiet hours, zero-fill against the calendar first — the
+    * [[ewmaMonitor]] grid does exactly that).
+    *
+    * Exactness: counts are integers; median/MAD are DISCRETE order
+    * statistics over each cell's ≤|weeks| values (element_at of the
+    * sorted list — no interpolation, no doubles anywhere).
+    *
+    * Scale: hourly counts aggregate distributed; the per-cell collect
+    * is ≤|weeks| values × 168 cells; the flag join is keyed on the
+    * bounded cell id.
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalyOn(events(spark, dir))
+
+  def seasonalAnomalyOn(ev: DataFrame): DataFrame = {
+    val hc = ev.groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("((dayofweek(ts) + 5) % 7) + 1").cast("long").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hh"))
+      .agg(count(lit(1)).as("n"))
+    val base = hc.groupBy(col("iso_dow"), col("hh"))
+      .agg(expr("sort_array(collect_list(n))").as("s"))
+      .select(col("iso_dow"), col("hh"),
+        expr("element_at(s, cast((size(s) + 1) div 2 as int))").as("med"),
+        col("s"))
+      .select(col("iso_dow"), col("hh"), col("med"),
+        expr("""element_at(sort_array(transform(s, x -> abs(x - med))),
+                cast((size(s) + 1) div 2 as int))""").as("mad"))
+    hc.join(base, Seq("iso_dow", "hh"))
+      .select(col("day"), col("iso_dow"), col("hh"), col("n"),
+        col("med"), col("mad"),
+        (abs(col("n") - col("med")) > lit(3L) * greatest(col("mad"), lit(1L)))
+          .cast("int").as("anomaly"))
+      .orderBy(col("day"), col("hh"))
+  }
+
+  val seasonalAnomalySql: String =
+    """WITH hc AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(isodow(ts) AS BIGINT) AS iso_dow,
+      |    CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |cell AS (
+      |  SELECT iso_dow, hh, list_sort(list(n)) AS s FROM hc GROUP BY 1, 2),
+      |med AS (
+      |  SELECT iso_dow, hh, s, s[(len(s) + 1) // 2] AS med FROM cell),
+      |base AS (
+      |  SELECT iso_dow, hh, med,
+      |    list_sort(list_transform(s, x -> abs(x - med)))[(len(s) + 1) // 2] AS mad
+      |  FROM med)
+      |SELECT hc.day, hc.iso_dow, hc.hh, hc.n, b.med, b.mad,
+      |  CASE WHEN abs(hc.n - b.med) > 3 * greatest(b.mad, 1)
+      |    THEN 1 ELSE 0 END AS anomaly
+      |FROM hc JOIN base b ON hc.iso_dow = b.iso_dow AND hc.hh = b.hh
+      |ORDER BY hc.day, hc.hh""".stripMargin
+
   // --------------------------------------------- Kaplan–Meier survival
   /** Kaplan–Meier survival estimate of TIME TO FIRST ERROR per user —
     * the censoring-aware "how long until a user hits a failure" curve
@@ -3830,6 +3894,7 @@ object Events {
     "events_did" -> (diffInDiff _),
     "events_dq_gate" -> (dqGate _),
     "events_sequential_test" -> (sequentialTest _),
+    "events_seasonal_anomaly" -> (seasonalAnomaly _),
     "events_late_arrivals" -> (lateArrivals _),
     "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
@@ -3886,6 +3951,7 @@ object Events {
     "events_did" -> diffInDiffSql,
     "events_dq_gate" -> dqGateSql,
     "events_sequential_test" -> sequentialTestSql,
+    "events_seasonal_anomaly" -> seasonalAnomalySql,
     "events_late_arrivals" -> lateArrivalsSql,
     "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,

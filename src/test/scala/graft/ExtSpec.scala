@@ -1574,6 +1574,33 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
   }
 
+  test("seasonal anomaly: injected spike flags, the periodic baseline never does") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-03-04 00:00:00").getTime // a Monday
+    // 28 days × 24 h, each cell exactly 10+hh events every week — plus one
+    // injected 50-event spike at day 16, hour 5
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Long, String, Double, String)]
+    var id = 0L
+    for (d <- 0 until 28; h <- 0 until 24) {
+      val extra = if (d == 16 && h == 5) 50 else 0
+      for (_ <- 0 until (10 + h + extra)) {
+        rows += ((id, new Timestamp(base + (d * 24L + h) * 3600000L + (id % 1000)),
+          id % 37, "click", 1.0, "{}"))
+        id += 1
+      }
+    }
+    val ev = rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.Events.seasonalAnomalyOn(ev)
+      .select("day", "hh", "n", "med", "mad", "anomaly").collect()
+    assert(r.length == 28 * 24)
+    val flagged = r.filter(_.getInt(5) == 1)
+    assert(flagged.length == 1)
+    assert(flagged.head.getString(0) == "2024-03-20" && flagged.head.getLong(1) == 5L)
+    assert(flagged.head.getLong(2) == 10L + 5L + 50L && flagged.head.getLong(3) == 15L
+      && flagged.head.getLong(4) == 0L)
+  }
+
   test("conformal: q is the exact k-th order statistic, coverage replayed serially") {
     val rs = graft.engine.Tables.load(spark, sf(), "documents")
       .selectExpr("doc_id", "abs(n_chars - 6L * size(split(text, ' '))) AS r")
