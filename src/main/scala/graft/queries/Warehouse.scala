@@ -2153,7 +2153,74 @@ object Warehouse {
       |FROM lineitem
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Wilson lower-bound ranking of brand return rates — the "sort by
+    * lower confidence bound, not by raw rate" correction every ranking
+    * over UNEVEN sample sizes needs (a brand with 2/3 returned must not
+    * outrank one with 400/1000): per brand, lines, returns, the raw
+    * rate, and the Wilson score interval's lower bound at z = 1.96,
+    * both in ppm, with both rankings side by side so the reorder is
+    * visible in the output.
+    *
+    * Exactness: counts are exact integers; the Wilson formula is
+    * scalar double math with identical expression trees both engines
+    * (the [[graft.streaming.Events.cuped]] contract), floored to ppm.
+    * Scale: one lineitem⋈part join (part side broadcastable), one
+    * aggregate to the ≤|brands| table; rank windows run on that
+    * bounded table.
+    */
+  def q99WilsonRank(spark: SparkSession, dir: String): DataFrame = {
+    val byBrand = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), (col("l_returnflag") === "R").cast("long").as("ret"))
+      .join(t(spark, dir, "part").select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("r"))
+    val scored = byBrand
+      .withColumn("p", col("r").cast("double") / col("n").cast("double"))
+      .withColumn("z2", lit(3.8416))
+      .withColumn("lb",
+        (col("p") + col("z2") / (lit(2.0) * col("n").cast("double")) -
+          lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n").cast("double") +
+            col("z2") / (lit(4.0) * col("n").cast("double") * col("n").cast("double")))) /
+        (lit(1.0) + col("z2") / col("n").cast("double")))
+    // rank windows over the ≤|brands| table (bounded)
+    val wNaive = Window.orderBy(col("p").desc, col("p_brand"))
+    val wWilson = Window.orderBy(col("lb").desc, col("p_brand"))
+    scored
+      .withColumn("rate_ppm", expr("(r * 1000000L) div n"))
+      .withColumn("wilson_lb_ppm", floor(col("lb") * lit(1000000.0)).cast("long"))
+      .withColumn("naive_rank", row_number().over(wNaive).cast("long"))
+      .withColumn("wilson_rank", row_number().over(wWilson).cast("long"))
+      .select(col("p_brand"), col("n"), col("r"), col("rate_ppm"),
+        col("wilson_lb_ppm"), col("naive_rank"), col("wilson_rank"))
+      .orderBy(col("wilson_rank"))
+  }
+
+  val q99Sql: String =
+    """WITH b AS (
+      |  SELECT p.p_brand, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT *, CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+      |      - 1.96 * sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+      |        + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS lb
+      |  FROM b)
+      |SELECT p_brand, n, r,
+      |  CAST((r * 1000000) // n AS BIGINT) AS rate_ppm,
+      |  CAST(floor(lb * 1000000.0) AS BIGINT) AS wilson_lb_ppm,
+      |  CAST(row_number() OVER (ORDER BY p DESC, p_brand) AS BIGINT) AS naive_rank,
+      |  CAST(row_number() OVER (ORDER BY lb DESC, p_brand) AS BIGINT) AS wilson_rank
+      |FROM s ORDER BY wilson_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_wilson_rank" -> (q99WilsonRank _),
     "q98_mv_incremental" -> (q98MvIncremental _),
     "q97_backlog_curve" -> (q97BacklogCurve _),
     "q96_mv_rewrite" -> (q96MvRewrite _),
@@ -2201,6 +2268,7 @@ object Warehouse {
     "q96_mv_rewrite" -> q96Sql,
     "q97_backlog_curve" -> q97Sql,
     "q98_mv_incremental" -> q98Sql,
+    "q99_wilson_rank" -> q99Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

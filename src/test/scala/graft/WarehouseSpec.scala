@@ -326,6 +326,24 @@ class WarehouseSpec extends SparkSpecBase {
     assert(r.last._4 == orders.count() - li.select("l_orderkey").distinct().count())
   }
 
+  test("q99 Wilson rank: serial formula replay, LB below the rate, ranks permute") {
+    val r = Warehouse.q99WilsonRank(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    val k = r.length
+    assert(r.map(_._6).sorted.toSeq == (1L to k) && r.map(_._7).sorted.toSeq == (1L to k))
+    r.foreach { x =>
+      val (n, ret) = (x._2.toDouble, x._3.toDouble)
+      val p = ret / n
+      val lb = (p + 3.8416 / (2.0 * n) -
+        1.96 * math.sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n))) /
+        (1.0 + 3.8416 / n)
+      assert(x._5 == math.floor(lb * 1000000.0).toLong, x._1)
+      assert(x._5 <= x._4, x._1)  // the bound is a LOWER bound
+      assert(x._4 == x._3 * 1000000L / x._2)
+    }
+  }
+
   test("q98 MV delta fold: identity on empty delta, new cells appear, monoid assoc") {
     import graft.engine.MatView
     val li = graft.engine.Tables.load(spark, sf(), "lineitem")
