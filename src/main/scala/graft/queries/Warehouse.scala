@@ -2219,7 +2219,74 @@ object Warehouse {
       |  CAST(row_number() OVER (ORDER BY lb DESC, p_brand) AS BIGINT) AS wilson_rank
       |FROM s ORDER BY wilson_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** Item-item collaborative filtering — the "customers who bought this
+    * also bought" recommender output: per part, the top-3 most
+    * CO-PURCHASE-SIMILAR parts by cosine over customer co-occurrence
+    * vectors. Ranking uses the exact SQUARED cosine in fixed point
+    * (c²·10⁶ div (n_a·n_b) — monotone in cosine, no sqrt, no doubles),
+    * support ≥ 3 shared customers so singleton flukes don't rank.
+    * Differs from q70/q92's association rules: cosine normalizes BOTH
+    * sides, so popular parts don't dominate every list.
+    *
+    * Scale: co-occurrence counts come from the customer-keyed pair join
+    * (q92's shape — fan-out is basket breadth², never cartesian);
+    * n_buyers is a broadcast-size aggregate; the top-3 window
+    * partitions by part. The one staged frame is the (customer, part)
+    * dedup both sides reuse.
+    */
+  def q100ItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val cp = graft.engine.Materialize.stage(t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
+    val nBuy = cp.groupBy(col("p")).agg(count(lit(1)).as("nb"))
+    val co = cp.as("a").join(cp.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 3)
+    val sym = co.unionByName(co.select(col("pb").as("pa"), col("pa").as("pb"),
+      col("co")))
+    val scored = sym
+      .join(nBuy.select(col("p").as("pa"), col("nb").as("na")), "pa")
+      .join(nBuy.select(col("p").as("pb"), col("nb").as("nb2")), "pb")
+      .withColumn("cos2_fp", expr("(co * co * 1000000L) div (na * nb2)"))
+    val w = Window.partitionBy(col("pa"))
+      .orderBy(col("cos2_fp").desc, col("pb"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("pa").as("part"), col("rk").cast("long").as("rk"),
+        col("pb").as("also_bought"), col("co").as("shared_customers"),
+        col("cos2_fp"))
+      .orderBy(col("part"), col("rk"))
+  }
+
+  val q100Sql: String =
+    """WITH cp AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |nb AS (SELECT p, COUNT(*) AS nb FROM cp GROUP BY 1),
+      |co AS (
+      |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS co
+      |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |sym AS (SELECT pa, pb, co FROM co UNION ALL SELECT pb, pa, co FROM co),
+      |sc AS (
+      |  SELECT s.pa, s.pb, s.co,
+      |    (s.co * s.co * 1000000) // (x.nb * y.nb) AS cos2_fp
+      |  FROM sym s JOIN nb x ON s.pa = x.p JOIN nb y ON s.pb = y.p),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY pa
+      |    ORDER BY cos2_fp DESC, pb) AS rk
+      |  FROM sc)
+      |SELECT pa AS part, CAST(rk AS BIGINT) AS rk, pb AS also_bought,
+      |  co AS shared_customers, CAST(cos2_fp AS BIGINT) AS cos2_fp
+      |FROM rk WHERE rk <= 3 ORDER BY part, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_item_cf" -> (q100ItemCf _),
     "q99_wilson_rank" -> (q99WilsonRank _),
     "q98_mv_incremental" -> (q98MvIncremental _),
     "q97_backlog_curve" -> (q97BacklogCurve _),
@@ -2269,6 +2336,7 @@ object Warehouse {
     "q97_backlog_curve" -> q97Sql,
     "q98_mv_incremental" -> q98Sql,
     "q99_wilson_rank" -> q99Sql,
+    "q100_item_cf" -> q100Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

@@ -326,6 +326,24 @@ class WarehouseSpec extends SparkSpecBase {
     assert(r.last._4 == orders.count() - li.select("l_orderkey").distinct().count())
   }
 
+  test("q100 item CF: dense top-3 ranks, cosine bounded, support floor holds") {
+    val r = Warehouse.q100ItemCf(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (part, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"part $part")
+      assert(rows.length <= 3)
+      // scores nonincreasing in rank
+      rows.sortBy(_._2).map(_._5).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b, s"part $part"); case _ => }
+    }
+    r.foreach { x =>
+      assert(x._4 >= 3L)                        // support floor
+      assert(x._5 >= 0L && x._5 <= 1000000L)    // cos² ≤ 1 (c ≤ min(na, nb))
+      assert(x._3 != x._1)                      // never recommends itself
+    }
+  }
+
   test("q99 Wilson rank: serial formula replay, LB below the rate, ranks permute") {
     val r = Warehouse.q99WilsonRank(spark, sf()).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
