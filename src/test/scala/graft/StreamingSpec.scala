@@ -1248,6 +1248,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("holt_monitor").count() > finals.size)
   }
 
+  test("streaming seasonal anomaly: final per-cell emission == batch flags") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.SeasonalAnomalyIngest
+    val evDir = java.nio.file.Files.createTempDirectory("graft_sa_in").toString
+    val ev = graft.engine.Tables.load(spark, sf(), "events")
+    ev.repartition(3).write.mode("overwrite").parquet(evDir)
+    val q = SeasonalAnomalyIngest.monitor(spark, evDir,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("sa_monitor")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val all = spark.table("sa_monitor").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)),
+        r.getLong(7)))
+    // final emission per cell = rows carrying that cell's max n_obs
+    val finals = all.groupBy(_._1).toSeq.flatMap { case (cell, rows) =>
+      val top = rows.map(_._3).max
+      rows.filter(_._3 == top).map(x => (cell._1, cell._2) -> x._2).toSeq
+    }.toSet
+    val batch = graft.streaming.Events.seasonalAnomalyOn(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))))
+      .toSet
+    assert(finals == batch,
+      s"stream=${finals.size} batch=${batch.size}")
+    // statefulness exercised: some cell re-emitted across micro-batches
+    assert(all.length > finals.size)
+  }
+
   test("streaming DQ gate == batch row split and census on the same corpus") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.DqGateIngest
