@@ -854,7 +854,13 @@ object Snapshots {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no snapshot table at $dir")
-    val keep = vs.takeRight(keepVersions)
+    // tagged versions are pinned: a tag promises read(tagVersion(name))
+    // reproduces that state, so vacuum must never reclaim it (Iceberg's
+    // ref-protected expiry) — the retention window applies to UNTAGGED
+    // history only
+    val tagged = tags(spark, dir).map(_._2).toSet
+    val keep = (vs.takeRight(keepVersions).toSet ++ tagged.filter(vs.contains))
+      .toSeq.sorted
     def refsOf(v: Int): Seq[String] =
       entriesAt(spark, dir, v).map(_.path).filter(_.nonEmpty)
     val live = keep.flatMap(refsOf).toSet
@@ -868,7 +874,7 @@ object Snapshots {
       .filterNot(p => p.startsWith("/") || p.contains("://")) // clone parents
     val dead = local -- live
     dead.toSeq.sorted.foreach(p => f.delete(new Path(s"$dir/$p"), true))
-    vs.dropRight(keepVersions).foreach(v => f.delete(manifestPath(dir, v), false))
+    vs.filterNot(keep.contains).foreach(v => f.delete(manifestPath(dir, v), false))
     (dead.size, live.size)
   }
 
@@ -900,8 +906,8 @@ object Snapshots {
 
   /** Tag `version` (default latest) with an immutable name — the
     * release-pinning primitive (Iceberg tags): `read(tagVersion(...))`
-    * reproduces a named state forever (until [[vacuum]] reclaims it —
-    * production keeps tagged versions out of vacuum's range). Tags are
+    * reproduces a named state forever — [[vacuum]] treats tagged
+    * versions as pinned, outside its retention window. Tags are
     * create-once: re-tagging an existing name fails loudly rather than
     * silently moving a pin someone else resolved.
     */
@@ -1133,7 +1139,10 @@ object Snapshots {
     val f = fs(spark, dir)
     val all = versions(spark, dir)
     require(all.contains(keepFrom), s"keepFrom=$keepFrom not a version of $dir")
-    val (drop, keep) = all.partition(_ < keepFrom)
+    // tagged versions are pinned below the watermark too (same contract
+    // as the keepVersions overload): a tag's state must stay readable
+    val tagged = tags(spark, dir).map(_._2).toSet
+    val (drop, keep) = all.partition(v => v < keepFrom && !tagged(v))
     // "referenced" spans batch dirs AND delete files — a delete file a
     // surviving version still anti-joins must outlive the vacuum, and one
     // only dropped manifests reference (e.g. after compactDeletes folded

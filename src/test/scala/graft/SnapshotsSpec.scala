@@ -605,6 +605,29 @@ class SnapshotsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "../evil") }
   }
 
+  test("vacuum never reclaims a tagged version; untagged expired history goes") {
+    val t = freshTable("tagvac")
+    Snapshots.commit(df(1 to 10), t, append = false)    // v0: tagged
+    Snapshots.tag(spark, t, "pinned")
+    Snapshots.commit(df(100 to 102), t, append = false) // v1: untagged replace
+    Snapshots.commit(df(200 to 204), t, append = false) // v2: head
+    // keepVersions overload: retention window 1, but v0 is pinned
+    Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(Snapshots.readTagged(spark, t, "pinned").count() == 10) // survives
+    assert(Snapshots.read(spark, t).count() == 5)
+    assert(Snapshots.versions(spark, t) == Seq(0, 2)) // v1 expired, v0 pinned
+    intercept[Exception] { Snapshots.read(spark, t, version = 1) }
+    // keepFrom overload: same pin semantics below the watermark
+    val t2 = freshTable("tagvac2")
+    Snapshots.commit(df(1 to 4), t2, append = false)
+    Snapshots.tag(spark, t2, "rel")
+    Snapshots.commit(df(5 to 6), t2, append = false)
+    Snapshots.commit(df(7 to 9), t2, append = false)
+    Snapshots.vacuum(spark, t2, keepFrom = 2, orphanGraceMs = 0L)
+    assert(Snapshots.readTagged(spark, t2, "rel").count() == 4)
+    assert(Snapshots.versions(spark, t2) == Seq(0, 2))
+  }
+
   test("vacuum removes dead batches and orphans, keeps retained reads exact, kills expired travel") {
     val t = freshTable("vacuum")
     val p = new org.apache.hadoop.fs.Path(t)
