@@ -28,11 +28,16 @@ object MatView {
     aggregate(Tables.load(spark, dir, "lineitem"))
       .write.mode("overwrite").parquet(mvPath)
 
-  /** The view's aggregation, factored so deltas use the identical fold. */
+  /** The view's aggregation, factored so deltas use the identical fold.
+    * `mv_sum_price_cents` carries the repo's exact-cents revenue idiom
+    * (floor(price·100 + 0.5) — an integer, so partial sums re-add
+    * exactly), answering `SUM(floor(l_extendedprice * 100.0 + 0.5))`.
+    */
   def aggregate(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     lineitem.groupBy(lineitemDims.map(col): _*)
       .agg(count(lit(1)).as("mv_cnt"),
-        sum(col("l_quantity")).as("mv_sum_l_quantity"))
+        sum(col("l_quantity")).as("mv_sum_l_quantity"),
+        sum(expr("floor(l_extendedprice * 100.0 + 0.5)")).as("mv_sum_price_cents"))
 
   /** Incremental maintenance: fold a DELTA batch of base rows into an
     * existing view state — the partial states are an abelian monoid
@@ -47,5 +52,6 @@ object MatView {
     mv.unionByName(aggregate(delta))
       .groupBy(lineitemDims.map(col): _*)
       .agg(sum(col("mv_cnt")).as("mv_cnt"),
-        sum(col("mv_sum_l_quantity")).as("mv_sum_l_quantity"))
+        sum(col("mv_sum_l_quantity")).as("mv_sum_l_quantity"),
+        sum(col("mv_sum_price_cents")).as("mv_sum_price_cents"))
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Coalesce, Expression, Floor, Literal, Multiply, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -22,11 +22,13 @@ import org.apache.spark.sql.internal.SQLConf
   *  - grouping keys are plain columns ⊆ the view's dimensions;
   *  - every filter references dimensions only (a predicate on a
   *    non-dimension column can't be answered post-aggregation);
-  *  - every aggregate call is COUNT(literal) or SUM(l_quantity) —
-  *    the two re-aggregable states the view carries. COUNT becomes
-  *    SUM(mv_cnt) (coalesced to 0 for the empty-input edge);
-  *    SUM(l_quantity) re-sums the partial sums, which the alias
-  *    remapping below routes to `mv_sum_l_quantity` unchanged.
+  *  - every aggregate call is COUNT(literal), SUM(l_quantity), or the
+  *    exact-cents revenue sum SUM(floor(l_extendedprice·100 + 0.5)) —
+  *    the three re-aggregable states the view carries. COUNT becomes
+  *    SUM(mv_cnt) (coalesced to 0 for the empty-input edge); the cents
+  *    sum becomes SUM(mv_sum_price_cents); SUM(l_quantity) re-sums the
+  *    partial sums, which the alias remapping below routes to
+  *    `mv_sum_l_quantity` unchanged.
   *
   * Mechanics: the view relation is wrapped in a Project that aliases
   * each view column to the ORIGINAL base attribute's exprId, so the
@@ -85,10 +87,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
+    // the exact-cents revenue idiom, as the optimizer folds it:
+    // floor((l_extendedprice * 100.0) + 0.5) — LongType, so its partial
+    // sums re-add exactly and SUM redirects to the precomputed column
+    def isCents(e: Expression): Boolean = e match {
+      case Floor(Add(Multiply(a: AttributeReference, Literal(h, _), _),
+          Literal(half, _), _))
+        if a.name == "l_extendedprice" && h == 100.0 && half == 0.5 => true
+      case _ => false
+    }
     val supported = aggCalls.forall {
       case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) => true
       case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
         if a.name == "l_quantity" => true
+      case AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) => true
       case _ => false
     }
     if (!supported) return None
@@ -102,14 +114,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed
     val mvByName = mvRel.output.map(a => a.name -> a).toMap
-    if (!(dims + "mv_cnt" + "mv_sum_l_quantity").subsetOf(mvByName.keySet))
+    if (!(dims + "mv_cnt" + "mv_sum_l_quantity" + "mv_sum_price_cents")
+        .subsetOf(mvByName.keySet))
       return None
     val cntAttr = mvByName("mv_cnt")
+    val priceAttr = mvByName("mv_sum_price_cents")
     val aliases: Seq[NamedExpression] =
       dims.toSeq.sorted.map { d =>
         Alias(mvByName(d), d)(exprId = baseByName(d).exprId)
       } :+ Alias(mvByName("mv_sum_l_quantity"), "l_quantity")(
-        exprId = baseByName("l_quantity").exprId) :+ cntAttr
+        exprId = baseByName("l_quantity").exprId) :+ cntAttr :+ priceAttr
     val mvProject = Project(aliases, mvRel)
     val newChild = filters.foldRight(mvProject: LogicalPlan)(Filter(_, _))
 
@@ -118,6 +132,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         // COUNT(*) over base rows = Σ mv_cnt; coalesce for the global-
         // aggregate-over-empty-input edge where COUNT is 0 but SUM null
         Coalesce(Seq(ae.copy(aggregateFunction = Sum(cntAttr)), Literal(0L)))
+      case ae @ AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) =>
+        ae.copy(aggregateFunction = Sum(priceAttr)) // re-sum exact partials
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
   }

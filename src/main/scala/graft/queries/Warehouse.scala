@@ -2051,7 +2051,8 @@ object Warehouse {
       val res = t(spark, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
       // staged under the conf (optimization happens here), so the
       // returned frame is rewrite-independent and the conf can drop
@@ -2064,7 +2065,8 @@ object Warehouse {
 
   val q96Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      |  SUM(l_quantity) AS sum_qty
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

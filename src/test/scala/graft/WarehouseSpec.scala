@@ -393,7 +393,8 @@ class WarehouseSpec extends SparkSpecBase {
     def dashboard() = graft.engine.Tables.load(spark, sf(), "lineitem")
       .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
       .orderBy(col("l_returnflag"))
     val off = dashboard().collect().toSeq
     spark.conf.set(graft.plans.MvRewriteRule.PathKey, mvPath)
