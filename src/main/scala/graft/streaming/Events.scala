@@ -3659,6 +3659,63 @@ object Events {
       |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
       |FROM u ORDER BY check_name""".stripMargin
 
+  // --------------------------------------------- SLO burn-rate alerting
+  /** Multi-window multi-burn-rate SLO alerting (the SRE-workbook page
+    * rule): with a 99% non-error SLO (1% budget), each hour reports its
+    * trailing 1 h and 6 h error-budget burn rates, and pages only when
+    * BOTH exceed their thresholds (14.4× over 1 h AND 6× over 6 h) —
+    * the long window keeps one bad minute from paging, the short window
+    * keeps the alert fast once the long one agrees. Burn = error share
+    * ÷ budget, in exact integer milli-units (err_ppm div 10 at a 1%
+    * budget); thresholds are the workbook's 14 400/6 000 milli pinned.
+    *
+    * Scale: events fold once to the hourly (n, err) grid; both trailing
+    * windows are RANGE frames over that calendar-bounded grid — never
+    * the events. The global window is over ≤|hours| rows (bounded).
+    */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame =
+    sloBurnOn(events(spark, dir))
+
+  def sloBurnOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = ev
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+    // global RANGE window over the calendar-bounded hour grid (bounded)
+    val w6 = Window.orderBy(col("h")).rangeBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("err6", sum(col("err")).over(w6))
+      .withColumn("burn1_milli", expr("((err * 1000000L) div n) div 10L"))
+      .withColumn("burn6_milli", expr("((err6 * 1000000L) div n6) div 10L"))
+      .withColumn("page",
+        (col("burn1_milli") >= 14400L && col("burn6_milli") >= 6000L)
+          .cast("int"))
+      .select(col("h"), col("n"), col("err"), col("burn1_milli"),
+        col("burn6_milli"), col("page"))
+      .orderBy(col("h"))
+  }
+
+  val sloBurnSql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err
+      |  FROM events GROUP BY 1),
+      |win AS (
+      |  SELECT h, n, err,
+      |    CAST(SUM(n) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6,
+      |    CAST(SUM(err) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS err6
+      |  FROM hourly)
+      |SELECT h, n, err,
+      |  CAST(((err * 1000000) // n) // 10 AS BIGINT) AS burn1_milli,
+      |  CAST(((err6 * 1000000) // n6) // 10 AS BIGINT) AS burn6_milli,
+      |  CASE WHEN ((err * 1000000) // n) // 10 >= 14400
+      |    AND ((err6 * 1000000) // n6) // 10 >= 6000 THEN 1 ELSE 0 END AS page
+      |FROM win ORDER BY h""".stripMargin
+
   // --------------------------------------------- seasonal anomaly score
   /** Seasonality-aware hourly anomaly flags — the readout [[zscore]]
     * gets wrong on weekly-patterned traffic: each observed hour is
@@ -3908,6 +3965,7 @@ object Events {
     "events_dq_gate" -> (dqGate _),
     "events_sequential_test" -> (sequentialTest _),
     "events_seasonal_anomaly" -> (seasonalAnomaly _),
+    "events_slo_burn" -> (sloBurn _),
     "events_late_arrivals" -> (lateArrivals _),
     "events_attribution_shapley" -> (attributionShapley _),
     "events_changepoint" -> (changepoint _),
@@ -3965,6 +4023,7 @@ object Events {
     "events_dq_gate" -> dqGateSql,
     "events_sequential_test" -> sequentialTestSql,
     "events_seasonal_anomaly" -> seasonalAnomalySql,
+    "events_slo_burn" -> sloBurnSql,
     "events_late_arrivals" -> lateArrivalsSql,
     "events_attribution_shapley" -> attributionShapleySql,
     "events_changepoint" -> changepointSql,

@@ -1574,6 +1574,40 @@ class ExtSpec extends SparkSpecBase {
     assert(row.getDouble(5) > 0.0 && row.getLong(6) > 10000L)
   }
 
+  test("slo burn: one hot hour is suppressed by the 6h window, a sustained burn pages") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // 48 hours × 200 events; baseline 1 error/hour (0.5% — inside budget).
+    // Hour 12: a single hot hour (60 errors, 30%) — burn1 breaches but the
+    // 6h window stays under 6× → suppressed. Hours 30–35: sustained 15%
+    // (30 errors/hour × 6h) — both windows breach → pages.
+    val rows = (0 until 48).flatMap { h =>
+      val errs = if (h == 12) 60 else if (h >= 30 && h <= 35) 30 else 1
+      (0 until 200).map { i =>
+        val ty = if (i < errs) "error" else "click"
+        ((h * 200 + i).toLong, new Timestamp(base + h * 3600000L + i * 1000L),
+          (i % 20).toLong, ty, 1.0, "{}")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.Events.sloBurnOn(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getLong(4), x.getInt(5)))
+      .sortBy(_._1)
+    assert(r.length == 48)
+    val h0 = r.head._1
+    val byH = r.map(x => (x._1 - h0) -> x).toMap
+    // the hot hour breaches the fast window but NOT the slow one → no page
+    assert(byH(12)._2 >= 14400L && byH(12)._3 < 6000L && byH(12)._4 == 0)
+    // the sustained burn pages once the 6h window catches up
+    assert((31 to 35).exists(h => byH(h.toLong)._4 == 1))
+    (31 to 35).filter(h => byH(h.toLong)._4 == 1).foreach { h =>
+      assert(byH(h.toLong)._2 >= 14400L && byH(h.toLong)._3 >= 6000L)
+    }
+    // quiet hours never page
+    (0 to 11).foreach(h => assert(byH(h.toLong)._4 == 0, s"hour $h"))
+  }
+
   test("seasonal anomaly: injected spike flags, the periodic baseline never does") {
     import spark.implicits._
     import java.sql.Timestamp
