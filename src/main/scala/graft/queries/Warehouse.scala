@@ -2287,7 +2287,59 @@ object Warehouse {
       |  co AS shared_customers, CAST(cos2_fp AS BIGINT) AS cos2_fp
       |FROM rk WHERE rk <= 3 ORDER BY part, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Classical seasonal index (ratio-to-moving-average): each month's
+    * order volume over the surrounding 12-month window sum, averaged by
+    * calendar month across years — the decomposition step demand
+    * planning runs before comparing months ("is December really up, or
+    * is that just December?"). Exact integers: the ratio is
+    * n·12·10⁶ div Σ₁₂ (multiplying by 12 folds the moving AVERAGE into
+    * the window SUM with no intermediate division), and the per-month
+    * mean divides once at the end. Months without a full 12-month
+    * window are excluded (standard practice at series edges).
+    *
+    * Scale: orders fold once to the ≤|months| grid; the RANGE window
+    * and the 12-row final aggregate live on that bounded grid.
+    */
+  def q101SeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("ym"))
+      .agg(count(lit(1)).as("n"))
+    // global RANGE window over the calendar-bounded month grid (bounded)
+    val w = Window.orderBy(col("ym")).rangeBetween(-6, 5)
+    monthly
+      .withColumn("s12", sum(col("n")).over(w))
+      .withColumn("k12", count(lit(1)).over(w))
+      .filter(col("k12") === 12)
+      .withColumn("idx_ppm", expr("(n * 12L * 1000000L) div s12"))
+      .groupBy(expr("(ym % 12) + 1").cast("long").as("calendar_month"))
+      .agg(count(lit(1)).as("n_years"),
+        expr("sum(idx_ppm) div count(1)").as("seasonal_ppm"),
+        min(col("idx_ppm")).as("min_ppm"), max(col("idx_ppm")).as("max_ppm"))
+      .orderBy(col("calendar_month"))
+  }
+
+  val q101Sql: String =
+    """WITH monthly AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym, COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |win AS (
+      |  SELECT ym, n,
+      |    CAST(SUM(n) OVER (ORDER BY ym RANGE BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS s12,
+      |    COUNT(*) OVER (ORDER BY ym RANGE BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS k12
+      |  FROM monthly),
+      |idx AS (
+      |  SELECT ym, (n * 12 * 1000000) // s12 AS idx_ppm
+      |  FROM win WHERE k12 = 12)
+      |SELECT CAST((ym % 12) + 1 AS BIGINT) AS calendar_month,
+      |  COUNT(*) AS n_years,
+      |  CAST(SUM(idx_ppm) // COUNT(*) AS BIGINT) AS seasonal_ppm,
+      |  CAST(MIN(idx_ppm) AS BIGINT) AS min_ppm,
+      |  CAST(MAX(idx_ppm) AS BIGINT) AS max_ppm
+      |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_seasonal_index" -> (q101SeasonalIndex _),
     "q100_item_cf" -> (q100ItemCf _),
     "q99_wilson_rank" -> (q99WilsonRank _),
     "q98_mv_incremental" -> (q98MvIncremental _),
@@ -2339,6 +2391,7 @@ object Warehouse {
     "q98_mv_incremental" -> q98Sql,
     "q99_wilson_rank" -> q99Sql,
     "q100_item_cf" -> q100Sql,
+    "q101_seasonal_index" -> q101Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

@@ -326,6 +326,28 @@ class WarehouseSpec extends SparkSpecBase {
     assert(r.last._4 == orders.count() - li.select("l_orderkey").distinct().count())
   }
 
+  test("q101 seasonal index: serial ratio-to-moving-average replay") {
+    val monthly = graft.engine.Tables.load(spark, sf(), "orders")
+      .selectExpr("year(o_orderdate) * 12 + month(o_orderdate) AS ym")
+      .groupBy("ym").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).sortBy(_._1)
+    val byYm = monthly.toMap
+    val idx = monthly.flatMap { case (ym, n) =>
+      val win = (ym - 6 to ym + 5).flatMap(byYm.get)
+      if (win.length == 12) Some(ym -> n * 12L * 1000000L / win.sum) else None
+    }
+    val expect = idx.groupBy { case (ym, _) => ym % 12 + 1 }.map {
+      case (m, xs) =>
+        val vs = xs.map(_._2)
+        m -> (xs.length.toLong, vs.sum / vs.length, vs.min, vs.max)
+    }
+    val r = Warehouse.q101SeasonalIndex(spark, sf()).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r.keySet == expect.keySet)
+    expect.foreach { case (m, e) => assert(r(m) == e, s"month $m") }
+  }
+
   test("q100 item CF: dense top-3 ranks, cosine bounded, support floor holds") {
     val r = Warehouse.q100ItemCf(spark, sf()).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
