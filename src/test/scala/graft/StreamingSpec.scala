@@ -1248,6 +1248,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("holt_monitor").count() > finals.size)
   }
 
+  test("streaming SLO burn: final emission == batch pager table") {
+    import graft.streaming.SloBurnIngest
+    val evDir = java.nio.file.Files.createTempDirectory("graft_slo_in").toString
+    val ev = graft.engine.Tables.load(spark, sf(), "events")
+    ev.repartition(3).write.mode("overwrite").parquet(evDir)
+    val q = SloBurnIngest.monitor(spark, evDir, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("slo_monitor")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val all = spark.table("slo_monitor").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)), r.getLong(6)))
+    val top = all.map(_._2).max
+    val finals = all.filter(_._2 == top).map(_._1).toSet
+    val batch = graft.streaming.Events.sloBurnOn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(finals == batch, s"stream=${finals.size} batch=${batch.size}")
+    assert(all.length > finals.size) // re-emitted across micro-batches
+  }
+
   test("streaming seasonal anomaly: final per-cell emission == batch flags") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.SeasonalAnomalyIngest
