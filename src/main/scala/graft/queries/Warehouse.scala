@@ -2338,7 +2338,51 @@ object Warehouse {
       |  CAST(MAX(idx_ppm) AS BIGINT) AS max_ppm
       |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Discount-band volume lift — the pricing team's elasticity proxy:
+    * lineitems bucket by discount percent (the fixture's grid is exact
+    * hundredths, 0–10), and each band reports line count, mean quantity
+    * in centi-units, and the lift vs the zero-discount baseline in ppm.
+    * Quantity means are exact rationals (q·100·|band| algebra — one
+    * truncating division per output cell); the baseline joins back by
+    * broadcast. A flat lift curve on this synthetic fixture is the
+    * honest readout — the operator's value is the exact machinery.
+    *
+    * Scale: one partial+final aggregate on the ≤11-key band grid; the
+    * 1-row baseline broadcasts.
+    */
+  def q102DiscountLift(spark: SparkSession, dir: String): DataFrame = {
+    val bands = t(spark, dir, "lineitem")
+      .groupBy(expr("cast(round(l_discount * 100.0d) as bigint)").as("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("cast(l_quantity as bigint)")).as("qty"))
+      .withColumn("mean_qty_c", expr("(qty * 100L) div n_lines"))
+    val base = bands.filter(col("disc_pct") === 0L)
+      .select(col("qty").as("bqty"), col("n_lines").as("bn"))
+    bands.crossJoin(broadcast(base))
+      // lift vs baseline as a ratio of exact rationals:
+      // (qty/n) / (bqty/bn) = qty·bn / (n·bqty), scaled to ppm
+      .withColumn("lift_ppm",
+        expr("(qty * bn * 1000000L) div (n_lines * bqty)"))
+      .select(col("disc_pct"), col("n_lines"), col("mean_qty_c"),
+        col("lift_ppm"))
+      .orderBy(col("disc_pct"))
+  }
+
+  val q102Sql: String =
+    """WITH bands AS (
+      |  SELECT CAST(round(l_discount * 100.0) AS BIGINT) AS disc_pct,
+      |    COUNT(*) AS n_lines,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1),
+      |base AS (SELECT qty AS bqty, n_lines AS bn FROM bands WHERE disc_pct = 0)
+      |SELECT disc_pct, n_lines,
+      |  CAST((qty * 100) // n_lines AS BIGINT) AS mean_qty_c,
+      |  CAST((qty * bn * 1000000) // (n_lines * bqty) AS BIGINT) AS lift_ppm
+      |FROM bands, base ORDER BY disc_pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_discount_lift" -> (q102DiscountLift _),
     "q101_seasonal_index" -> (q101SeasonalIndex _),
     "q100_item_cf" -> (q100ItemCf _),
     "q99_wilson_rank" -> (q99WilsonRank _),
@@ -2392,6 +2436,7 @@ object Warehouse {
     "q99_wilson_rank" -> q99Sql,
     "q100_item_cf" -> q100Sql,
     "q101_seasonal_index" -> q101Sql,
+    "q102_discount_lift" -> q102Sql,
     "q60_skew_probe" -> q60Sql,
     "q54_histogram" -> q54Sql,
     "q55_merge_upsert" -> q55Sql,

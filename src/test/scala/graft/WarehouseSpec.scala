@@ -326,6 +326,19 @@ class WarehouseSpec extends SparkSpecBase {
     assert(r.last._4 == orders.count() - li.select("l_orderkey").distinct().count())
   }
 
+  test("q102 discount lift: bands partition the lines, baseline lift is exactly 1e6") {
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+    val r = Warehouse.q102DiscountLift(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._2).sum == li.count())          // every line in one band
+    assert(r.map(_._1).toSeq == r.map(_._1).toSeq.sorted)
+    assert(r.forall(x => x._1 >= 0 && x._1 <= 10)) // the fixture's grid
+    val base = r.find(_._1 == 0L).get
+    assert(base._4 == 1000000L)                    // baseline lifts itself by 1
+    // mean_qty_c is the exact truncating rational per band
+    r.foreach(x => assert(x._3 >= 100L && x._3 <= 5000L, x.toString))
+  }
+
   test("q101 seasonal index: serial ratio-to-moving-average replay") {
     val monthly = graft.engine.Tables.load(spark, sf(), "orders")
       .selectExpr("year(o_orderdate) * 12 + month(o_orderdate) AS ym")
