@@ -836,7 +836,11 @@ object Snapshots {
     * retained window references — INCLUDING orphan directories left by
     * aborted commits, which no manifest ever named (caught by the
     * physical listing, exactly why real vacuums list the directory
-    * instead of diffing logs) — then drop the pre-retention manifests,
+    * instead of diffing logs; orphans only go once older than
+    * `orphanGraceMs`, since a live writer's in-flight staging dir is
+    * physically indistinguishable from an aborted one — the keepFrom
+    * overload's retention-interval contract) — then drop the
+    * pre-retention manifests,
     * so time travel beyond the horizon fails explicitly instead of
     * reading files that may be gone. Retention is by VERSION COUNT
     * (keep the newest `keepVersions`); production keys the same
@@ -849,7 +853,16 @@ object Snapshots {
     *
     * Returns (nPathsRemoved, nPathsLive).
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+  /** Production default: 1 h orphan grace (the keepFrom overload's). */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) =
+    vacuum(spark, dir, keepVersions, 3600 * 1000)
+
+  // grace is Int here (vs the keepFrom overload's Long) so the two
+  // overloads don't erase to the same signature; 2^31 ms ≈ 24 days is
+  // far beyond any sane staging grace. No default — Scala allows default
+  // args on only one overload (keepFrom holds it).
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
+      orphanGraceMs: Int): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must retain at least the latest version")
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
@@ -872,7 +885,17 @@ object Snapshots {
     }.toSet
     val local = (referenced ++ physical)
       .filterNot(p => p.startsWith("/") || p.contains("://")) // clone parents
-    val dead = local -- live
+    // never-referenced physical dirs are indistinguishable from a LIVE
+    // writer's in-flight staging — only reclaim them past the grace
+    // window (the keepFrom overload's orphanGraceMs contract, ADVICE
+    // r11); manifest-referenced dead paths were committed and can go now
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val dead = (local -- live).filter { p =>
+      referenced.contains(p) || {
+        val st = new Path(s"$dir/$p")
+        !f.exists(st) || f.getFileStatus(st).getModificationTime < cutoff
+      }
+    }
     dead.toSeq.sorted.foreach(p => f.delete(new Path(s"$dir/$p"), true))
     vs.filterNot(keep.contains).foreach(v => f.delete(manifestPath(dir, v), false))
     (dead.size, live.size)

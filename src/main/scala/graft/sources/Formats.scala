@@ -429,7 +429,11 @@ object Formats {
     ordersV012(spark, dir, table)
     val orphan = new org.apache.hadoop.fs.Path(s"$table/data/batch-9-orphan")
     orphan.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(orphan)
-    val (removed, live) = Snapshots.vacuum(spark, table, keepVersions = 1)
+    // the planted orphan is seconds old; production leaves the default
+    // 1h grace so a live writer's staging survives — the fixture
+    // force-expires it (same convention as SnapshotsSpec's keepFrom tests)
+    val (removed, live) =
+      Snapshots.vacuum(spark, table, keepVersions = 1, orphanGraceMs = -1000)
     Snapshots.read(spark, table, 2).agg(
         count(lit(1)).as("n_rows"),
         dsum(col("o_totalprice")).as("sum_price"),

@@ -2809,9 +2809,10 @@ object Events {
   def ewmaMonitor(spark: SparkSession, dir: String): DataFrame = {
     val hc = events(spark, dir)
       // date_trunc first so the div operand is an exact hour multiple:
-      // truncate == floor there, closing the pre-1970 div-vs-floor gap
-      // against the oracle's `epoch_us(ts) // 3600000000` (the q88 sign
-      // trap this function's own comment guards the EWMA update against).
+      // truncate == floor on an exact multiple, so `div` is safe pre-1970.
+      // The oracle mirrors this with `epoch_us(date_trunc('hour', ts)) //
+      // 3600000000` — DuckDB's `//` truncates toward zero on BIGINT, so
+      // only the date_trunc'd form agrees with floor for negative epochs.
       .select(col("event_type"),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
       .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
@@ -2844,7 +2845,7 @@ object Events {
 
   val ewmaMonitorSql: String =
     """WITH RECURSIVE hc AS (
-      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
       |  FROM events GROUP BY 1, 2),
       |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
       |grid AS (
@@ -2929,7 +2930,7 @@ object Events {
 
   val alertDebounceSql: String =
     """WITH RECURSIVE hc AS (
-      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
       |  FROM events GROUP BY 1, 2),
       |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
       |grid AS (
@@ -3104,7 +3105,7 @@ object Events {
 
   val holtTrendSql: String =
     """WITH RECURSIVE hc AS (
-      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, COUNT(*) AS x
       |  FROM events GROUP BY 1, 2),
       |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
       |grid AS (
@@ -3195,7 +3196,7 @@ object Events {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
       |  FROM events),
       |f AS (
-      |  SELECT epoch_us(ts) // 3600000000 AS h,
+      |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
       |    CASE WHEN wm_us IS NOT NULL AND wm_us - ts_us > 600000000
       |      THEN 1 ELSE 0 END AS late,
       |    CASE WHEN wm_us IS NOT NULL AND wm_us - ts_us > 600000000

@@ -15,13 +15,17 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * Because the state is the complete hourly map, the FINAL emission is
   * bit-equal to the batch operator on the same rows regardless of
   * arrival order (StreamingSpec pins it). The singleton key is safe at
-  * any scale: the state is |hours| pairs, and the per-batch work is the
-  * micro-batch's pre-aggregated hourly counts — Spark shuffles counts,
-  * not events, to the one group.
+  * any scale because the events are combined BEFORE the shuffle: state
+  * operators get no automatic map-side combine, so a `mapPartitions`
+  * pass reduces each input partition to its hourly (h, n, err) partials
+  * first (ADVICE r11) — what reaches the one group is ≤ |hours| rows
+  * per partition per micro-batch, counts, never raw events.
   */
 object SloBurnIngest {
 
   case class HourObs(h: Long, is_err: Long)
+  /** Per-partition hourly partial: n events, err errors in hour h. */
+  case class HourAgg(h: Long, n: Long, err: Long)
   case class BurnRow(h: Long, n: Long, err: Long, burn1_milli: Long,
     burn6_milli: Long, page: Int, n_obs: Long)
 
@@ -51,6 +55,16 @@ object SloBurnIngest {
       .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"),
         when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
       .as[HourObs]
+      // manual map-side combine: state ops get none, so without this
+      // every raw event row would shuffle to the singleton group
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+        it.foreach { r =>
+          val (n, e) = acc.getOrElse(r.h, (0L, 0L))
+          acc(r.h) = (n + 1L, e + r.is_err)
+        }
+        acc.iterator.map { case (h, (n, e)) => HourAgg(h, n, e) }
+      }
       .groupByKey(_ => 0) // singleton monitor: state = the hourly map
       .flatMapGroupsWithState[Map[Long, (Long, Long)], BurnRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -58,7 +72,7 @@ object SloBurnIngest {
           var m = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
           rows.foreach { r =>
             val (n, e) = m.getOrElse(r.h, (0L, 0L))
-            m = m.updated(r.h, (n + 1L, e + r.is_err))
+            m = m.updated(r.h, (n + r.n, e + r.err))
           }
           state.update(m)
           fold(m).iterator

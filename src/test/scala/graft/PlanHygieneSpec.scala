@@ -150,7 +150,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_bm25_topk", "text_bm25_ndcg",
     // conformal: the 1-row calibration-count and radius frames broadcast
     // onto the bounded residual grid / the test-side aggregate
-    "text_conformal")
+    "text_conformal",
+    // discount lift: the 1-row zero-discount baseline frame broadcast
+    // onto the ≤11-row discount-band table (q71_rfm's 1-row-baseline shape)
+    "q102_discount_lift")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed

@@ -638,8 +638,15 @@ class SnapshotsSpec extends SparkSpecBase {
     // orphan from an "aborted commit": no manifest names it
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/data/batch-9-orphan"))
     val before = Snapshots.read(spark, t).collect().map(_.getLong(0)).sorted
-    val (removed, live) = Snapshots.vacuum(spark, t, keepVersions = 1)
-    assert(removed == 3 && live == 1) // A, B, orphan gone; C live
+    // fresh orphan + default grace: the orphan is spared (in-flight
+    // writer contract), manifest-referenced dead batches go immediately
+    val (removed0, live0) = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(removed0 == 2 && live0 == 1) // A, B gone; orphan spared; C live
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/batch-9-orphan")))
+    // expired grace: the orphan is reclaimed
+    val (removed, live) =
+      Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = -1000)
+    assert(removed == 1 && live == 1) // orphan gone; C live
     // retained read reproduces exactly from surviving files
     assert(Snapshots.read(spark, t).collect().map(_.getLong(0)).sorted
       .sameElements(before))

@@ -1328,4 +1328,43 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(census("events.rows.quarantined") == bad.size.toLong)
   }
+
+  test("streaming shard-pack: manifest over final chunk emissions == batch manifest") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.ShardPackIngest
+    val docDir = java.nio.file.Files.createTempDirectory("graft_sp_in").toString
+    graft.engine.Tables.load(spark, sf(), "documents")
+      .repartition(3) // several input files → several micro-batches
+      .write.mode("overwrite").parquet(docDir)
+    val q = ShardPackIngest.monitor(spark, docDir, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("shard_pack")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val all = spark.table("shard_pack")
+    // final emission per chunk = the rows carrying that chunk's max
+    // n_seen (the most complete within-chunk offset table)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.max
+    val finals = all.withColumn("mx",
+        max(col("n_seen")).over(Window.partitionBy(col("chunk"))))
+      .filter(col("n_seen") === col("mx"))
+      .select(col("chunk"), col("media_id"), col("n"), col("pre"))
+      // a chunk completed early re-emits identical final tables once per
+      // later micro-batch touching it — they're bit-identical, dedup
+      .distinct()
+      // the manifest fold self-joins its input; checkpoint so the two
+      // sides don't share the memory-sink view's attribute lineage
+      .localCheckpoint(true)
+    // level 2 (carry + shard fold) is the exact code the batch op runs
+    val streamed = graft.ext.Multimodal.shardManifestFromPre(finals)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val batch = graft.ext.Multimodal.mediaShardPack(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    // statefulness actually exercised: chunks re-emitted across batches
+    assert(all.count() > finals.count())
+  }
 }

@@ -349,7 +349,9 @@ class WarehouseSpec extends SparkSpecBase {
       val win = (ym - 6 to ym + 5).flatMap(byYm.get)
       if (win.length == 12) Some(ym -> n * 12L * 1000000L / win.sum) else None
     }
-    val expect = idx.groupBy { case (ym, _) => ym % 12 + 1 }.map {
+    // ym = year*12 + month → month = ((ym - 1) % 12) + 1 (ADVICE r11:
+    // the naive ym % 12 + 1 labeled January as 2 … December as 1)
+    val expect = idx.groupBy { case (ym, _) => (ym - 1) % 12 + 1 }.map {
       case (m, xs) =>
         val vs = xs.map(_._2)
         m -> (xs.length.toLong, vs.sum / vs.length, vs.min, vs.max)
@@ -429,26 +431,70 @@ class WarehouseSpec extends SparkSpecBase {
       .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
         expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
       .orderBy(col("l_returnflag"))
     val off = dashboard().collect().toSeq
     spark.conf.set(graft.plans.MvRewriteRule.PathKey, mvPath)
+    spark.conf.set(graft.plans.MvRewriteRule.BaseKey,
+      s"${sf()}/lineitem.parquet")
+    def mvUntouched(d: org.apache.spark.sql.DataFrame): Boolean =
+      !d.queryExecution.optimizedPlan.toString.contains("mv_cnt")
     try {
       val on = dashboard()
       val plan = on.queryExecution.optimizedPlan.toString
-      // rewrote: reads the view's partial-state columns, not the fact table
+      // rewrote: reads the view's partial-state columns, not the fact
+      // table — including the AVG column (sum/count re-aggregation;
+      // l_quantity is integral so the partial sums re-add exactly and
+      // the division is bit-identical to base-side AVG)
       assert(plan.contains("mv_cnt"), plan)
       assert(!plan.contains("l_orderkey"), plan)
       assert(on.collect().toSeq == off)
-      // ineligible shapes pass through: a SUM the view doesn't carry, and
-      // a filter on a non-dimension column
+      // ineligible shapes pass through UNTOUCHED, one spec case per
+      // eligibility clause (VERDICT r11 directive 6), each also
+      // result-checked against the base scan where cheap:
+      // (a) a SUM the view doesn't carry
       val inel1 = graft.engine.Tables.load(spark, sf(), "lineitem")
         .groupBy(col("l_returnflag")).agg(sum(col("l_extendedprice")).as("s"))
-      assert(!inel1.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
+      assert(mvUntouched(inel1))
+      // (b) a filter on a non-dimension column
       val inel2 = graft.engine.Tables.load(spark, sf(), "lineitem")
         .filter(col("l_quantity") > 10.0)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      assert(!inel2.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
-    } finally spark.conf.unset(graft.plans.MvRewriteRule.PathKey)
+      assert(mvUntouched(inel2))
+      // (c) a DISTINCT aggregate (not re-aggregable from partial states)
+      val inel3 = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_quantity")).as("nd"))
+      assert(mvUntouched(inel3))
+      // (d) a grouping key that is not a view dimension
+      val inel4 = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      assert(mvUntouched(inel4))
+      // (e) a filter on AVG of a non-quantity column
+      val inel5 = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .groupBy(col("l_returnflag")).agg(avg(col("l_discount")).as("a"))
+      assert(mvUntouched(inel5))
+      // (f) a schema-identical relation over DIFFERENT data: same column
+      // signature, different root path — must not be answered from the
+      // view (the ADVICE r11 wrong-data trap)
+      val otherPath = java.nio.file.Files
+        .createTempDirectory("graft_mv_other").toString + "/li"
+      graft.engine.Tables.load(spark, sf(), "lineitem")
+        .filter(col("l_quantity") <= 5.0)
+        .write.mode("overwrite").parquet(otherPath)
+      val foreign = spark.read.parquet(otherPath)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(mvUntouched(foreign))
+      val expectForeign = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .filter(col("l_quantity") <= 5.0)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(foreign.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == expectForeign)
+    } finally {
+      spark.conf.unset(graft.plans.MvRewriteRule.PathKey)
+      spark.conf.unset(graft.plans.MvRewriteRule.BaseKey)
+    }
   }
 }
