@@ -3301,7 +3301,52 @@ object TextOps {
       |FROM grid g LEFT JOIN pd ON g.k = pd.k LEFT JOIN fv ON g.k = fv.k
       |ORDER BY decile""".stripMargin
 
+  // ------------------------------------------------ n-gram novelty score
+  /** Per-document 5-gram NOVELTY — the memorization/boilerplate screen a
+    * training-data pipeline runs beside dedup: a document whose distinct
+    * word 5-grams mostly FIRST occur in an earlier document (by doc_id,
+    * the corpus's stable ingestion order) is recombined boilerplate even
+    * when no single pair passes a dedup threshold. novelty_ppm = share
+    * of the doc's distinct 5-grams whose global first occurrence is the
+    * doc itself. Shares [[overlapCorpusGrams]]'s extraction (and its
+    * short-doc guard) with the contamination-span operator.
+    *
+    * Scale: the only corpus-size shuffle is gram-keyed (the inverted-
+    * index shape the dedup family already uses); first occurrence is a
+    * MIN with full map-side combine, and the per-doc rollup shuffles
+    * (doc_id, flag) pairs — never text. No window, no self-join.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOn(docs(spark, dir))
+
+  def ngramNoveltyOn(documents: DataFrame): DataFrame = {
+    val g = overlapCorpusGrams(documents, 5)
+      .select(col("doc_id"), col("gram")).distinct()
+    val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("fd"))
+    g.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      |  WHERE len(w) >= 5),
+      |fo AS (SELECT gram, MIN(doc_id) AS fd FROM grams GROUP BY 1)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST((SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) * 1000000)
+      |    // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM grams g JOIN fo f USING (gram)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (ngramNovelty _),
     "text_gopher_rules" -> (gopherRules _),
     "text_token_budget" -> (tokenBudget _),
     "text_token_budget_apply" -> (tokenBudgetApply _),
@@ -3355,6 +3400,7 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_novelty" -> ngramNoveltySql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_token_budget" -> tokenBudgetSql,
     "text_token_budget_apply" -> tokenBudgetApplySql,

@@ -2424,7 +2424,197 @@ object Warehouse {
       |  CAST((qty * bn * 1000000) // (n_lines * bqty) AS BIGINT) AS lift_ppm
       |FROM bands, base ORDER BY disc_pct""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Discount elasticity by OLS — the regression the pricing team fits
+    * after q102's band table: per return flag, the least-squares slope
+    * of quantity on discount percent, EXACT. The classic closed form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * is all integer sums (x = discount in hundredths 0–10, y = quantity
+    * 1–50), so the five moments aggregate distributed in one pass and
+    * the single division happens once per group — computed in
+    * DECIMAL(38,0) with `div` (IntegralDivide is exact on decimals; the
+    * n·Σxy·10⁶ product overflows BIGINT past ~10⁵ rows/group, the q83
+    * gini lesson), mirrored by HUGEINT in the oracle. Intercept in
+    * centi-units the same way.
+    *
+    * Scale: ONE partial+final aggregate on 3 keys — the moments are the
+    * whole shuffle; no second pass, no window, no join.
+    */
+  def q103OlsElasticity(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_discount * 100.0d) as bigint)").as("x"),
+        expr("cast(l_quantity as bigint)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .withColumn("den",
+        expr("cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("slope_ppm", expr(
+        "cast(((cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)" +
+          " * 1000000) div den as bigint)"))
+      .withColumn("intercept_c", expr(
+        "cast(((cast(sy as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sxy)" +
+          " * 100) div den as bigint)"))
+      .select(col("l_returnflag"), col("n"), col("slope_ppm"),
+        col("intercept_c"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q103Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM (SELECT l_returnflag,
+      |          CAST(round(l_discount * 100.0) AS BIGINT) AS x,
+      |          CAST(l_quantity AS BIGINT) AS y
+      |        FROM lineitem) GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+      |    // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+      |    AS slope_ppm,
+      |  CAST(((CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy) * 100)
+      |    // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+      |    AS intercept_c
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** Price–volume–mix revenue bridge — the FP&A decomposition of a
+    * year-over-year revenue change into what PRICING did and what
+    * VOLUME did, per brand: for every part sold in BOTH 1996 and 1997 (full fixture years),
+    *   price effect  = (u1 − u0)·q1       (new volume at the price delta)
+    *   volume effect = u0·(q1 − q0)       (old unit price on the volume delta)
+    *   mix residual  = Δrev − price − volume   (unit-price truncation +
+    *                                            within-part mix)
+    * with u = revenue_cents div quantity (truncating — Spark `div` ≡
+    * DuckDB BIGINT `//`, both engines bit-equal). The residual line
+    * makes the bridge EXACT by construction: the three effects sum to
+    * Δrev per part, so per brand too.
+    *
+    * Scale: lineitem folds once per (year, part) — partial aggregates
+    * do the heavy lifting; the bridge join is per-part (both sides
+    * pre-aggregated, orders of magnitude below the fact table), and
+    * the brand rollup rides the broadcast part dimension.
+    */
+  def q104PriceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          expr("year(o_orderdate)").as("yr")), "l_orderkey")
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("l_partkey"), col("yr"))
+      .agg(sum(expr("cast(l_quantity as bigint)")).as("q"),
+        sum(expr("cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)"))
+          .as("r"))
+    val p0 = li.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("q").as("q0"), col("r").as("r0"))
+    val p1 = li.filter(col("yr") === 1997)
+      .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"))
+    p0.join(p1, "l_partkey")
+      .withColumn("u0", expr("r0 div q0"))
+      .withColumn("u1", expr("r1 div q1"))
+      .withColumn("price_c", expr("(u1 - u0) * q1"))
+      .withColumn("volume_c", expr("u0 * (q1 - q0)"))
+      .withColumn("mix_c", expr("(r1 - r0) - price_c - volume_c"))
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("r0")).as("rev0_c"), sum(col("r1")).as("rev1_c"),
+        sum(col("price_c")).as("price_c"),
+        sum(col("volume_c")).as("volume_c"),
+        sum(col("mix_c")).as("mix_c"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q104Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, year(o.o_orderdate) AS yr,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS r
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE year(o.o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT p0.l_partkey, p0.q AS q0, p0.r AS r0, p1.q AS q1, p1.r AS r1,
+      |    p0.r // p0.q AS u0, p1.r // p1.q AS u1
+      |  FROM (SELECT * FROM li WHERE yr = 1996) p0
+      |  JOIN (SELECT * FROM li WHERE yr = 1997) p1 USING (l_partkey)),
+      |e AS (
+      |  SELECT l_partkey, q0, r0, q1, r1,
+      |    (u1 - u0) * q1 AS price_c, u0 * (q1 - q0) AS volume_c,
+      |    (r1 - r0) - (u1 - u0) * q1 - u0 * (q1 - q0) AS mix_c
+      |  FROM b)
+      |SELECT p.p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(r0) AS BIGINT) AS rev0_c, CAST(SUM(r1) AS BIGINT) AS rev1_c,
+      |  CAST(SUM(price_c) AS BIGINT) AS price_c,
+      |  CAST(SUM(volume_c) AS BIGINT) AS volume_c,
+      |  CAST(SUM(mix_c) AS BIGINT) AS mix_c
+      |FROM e JOIN part p ON e.l_partkey = p.p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  /** Customer segment migration — the year-over-year transition matrix
+    * retention teams read before any intervention: each customer's
+    * annual spend (exact cents) maps to a fixed spend band (0–3, by
+    * powers-of-4 thresholds — fixed bounds, not quantiles, so the
+    * segmentation is stable across years AND engines; ntile would tie-
+    * break differently per engine), and consecutive-year pairs count
+    * into the (year, from-band, to-band) grid, with to-band = -1 for
+    * customers who LAPSE (no orders next year) — churn is a first-class
+    * destination, not a dropped row.
+    *
+    * Scale: orders fold once to (customer, year) — the only corpus-size
+    * shuffle; the self-join is on that aggregate (orders of magnitude
+    * smaller), and the output grid is ≤ years·4·5 rows.
+    */
+  def q105SegmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val cy = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("c"), expr("year(o_orderdate)").as("yr"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100.0d + 0.5d) as bigint)"))
+        .as("spend_c"))
+      // bands at $100k / $300k / $900k annual (cents): all four
+      // populated on the fixture (755/1840/4452/848 customer-years)
+      .withColumn("seg",
+        when(col("spend_c") < 10000000L, 0L)
+          .when(col("spend_c") < 30000000L, 1L)
+          .when(col("spend_c") < 90000000L, 2L).otherwise(3L))
+    val next = cy.select(col("c"), (col("yr") - 1).as("yr"),
+      col("seg").as("seg_to"))
+    cy.join(next, Seq("c", "yr"), "left")
+      .groupBy(col("yr").cast("long").as("year_from"), col("seg").as("seg_from"),
+        coalesce(col("seg_to"), lit(-1L)).as("seg_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      // the corpus's last year has no observable next year — every row
+      // would be a vacuous churn; standard practice drops the edge year
+      .filter(col("year_from") < lit(2001))
+      .orderBy(col("year_from"), col("seg_from"), col("seg_to"))
+  }
+
+  val q105Sql: String =
+    """WITH cy AS (
+      |  SELECT o_custkey AS c, year(o_orderdate) AS yr,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c
+      |  FROM orders GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT c, yr,
+      |    CASE WHEN spend_c < 10000000 THEN 0 WHEN spend_c < 30000000 THEN 1
+      |         WHEN spend_c < 90000000 THEN 2 ELSE 3 END AS seg
+      |  FROM cy)
+      |SELECT CAST(a.yr AS BIGINT) AS year_from,
+      |  CAST(a.seg AS BIGINT) AS seg_from,
+      |  CAST(COALESCE(b.seg, -1) AS BIGINT) AS seg_to,
+      |  COUNT(*) AS n_customers
+      |FROM seg a LEFT JOIN seg b ON a.c = b.c AND b.yr = a.yr + 1
+      |WHERE a.yr < 2001
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_segment_migration" -> (q105SegmentMigration _),
+    "q104_price_volume_mix" -> (q104PriceVolumeMix _),
+    "q103_ols_elasticity" -> (q103OlsElasticity _),
     "q102_discount_lift" -> (q102DiscountLift _),
     "q101_seasonal_index" -> (q101SeasonalIndex _),
     "q100_item_cf" -> (q100ItemCf _),
@@ -2468,6 +2658,9 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q105_segment_migration" -> q105Sql,
+    "q104_price_volume_mix" -> q104Sql,
+    "q103_ols_elasticity" -> q103Sql,
     "q91_record_linkage" -> q91Sql,
     "q92_sequential_rules" -> q92Sql,
     "q93_benford_audit" -> q93Sql,

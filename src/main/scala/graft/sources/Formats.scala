@@ -827,7 +827,52 @@ object Formats {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------- partition-spec evolution
+  /** Partition-spec EVOLUTION (Iceberg's signature layout feature): a
+    * table that started life unpartitioned later switches to
+    * `partitionBy(lang)` — old files keep the old layout, new files land
+    * under lang=<v>/ directories, and a read must merge both without
+    * rewriting history. Here batch A (even doc_ids) is the flat legacy
+    * half, batch B (odd doc_ids) the partitioned half; the language
+    * filter prunes DIRECTORIES on B (PartitionFilters) while A falls
+    * back to row-group stats — exactly the mixed-cost read a 100 TB
+    * table mid-migration serves, where rewriting the old layout would
+    * cost more than it saves. unionByName aligns the two reads' column
+    * orders (the partition column lands last in B's schema).
+    */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val flat = out("pevo_flat", dir)
+    val part = out("pevo_part", dir)
+    val d = docs(spark, dir)
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(flat)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite")
+      .partitionBy("lang").parquet(part)
+    partitionEvolutionReadback(spark, flat, part)
+  }
+
+  /** The merged-layout read side, split out so a spec can inspect its
+    * pruning (the partitionedReadback precedent). */
+  def partitionEvolutionReadback(spark: SparkSession, flat: String,
+      part: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars").map(col)
+    spark.read.parquet(flat).select(cols: _*)
+      .unionByName(spark.read.parquet(part).select(cols: _*))
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val partitionEvolutionSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE lang IN ('en', 'fr')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_partition_evolution" -> (partitionEvolution _),
     "fmt_bloom_skipping" -> (bloomSkipping _),
     "fmt_history" -> (historyAudit _),
     "fmt_replace_where" -> (replaceWhere _),
@@ -848,6 +893,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_partition_evolution" -> partitionEvolutionSql,
     "fmt_bloom_skipping" -> bloomSkippingSql,
     "fmt_history" -> historyAuditSql,
     "fmt_replace_where" -> replaceWhereSql,

@@ -3958,7 +3958,90 @@ object Events {
       |    AS solo_lift
       |FROM grid GROUP BY channel ORDER BY channel""".stripMargin
 
+  // ------------------------------------------- SES walk-forward backtest
+  /** Walk-forward backtest of the α=1/4 SES forecaster over daily event
+    * volume, per type — the evaluation loop a capacity-planning team
+    * runs BEFORE trusting [[ewmaMonitor]]/[[holtTrend]]'s smoothing
+    * constant: each day's one-step-ahead forecast error |x_t − f_t| is
+    * scored against the forecast made from days 1..t−1 ONLY (no
+    * leakage), the first 7 days warm the level up unscored, and the
+    * per-type MAE comes out in ppm of an event. The update is the
+    * nonnegative-form `(3f + x) div 4` (the q88 sign trap doesn't
+    * apply: counts are ≥ 0) and the error fold keeps exact integers, so
+    * the oracle replays every step bit-for-bit as a recursive CTE.
+    *
+    * Same scale shape as [[ewmaMonitor]]: daily counts aggregate
+    * distributed with map-side combine; only the calendar-bounded
+    * per-type count series folds serially, in ONE `aggregate` call.
+    */
+  def sesBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val dc = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+    val range = dc.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = dc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
+    val xs = grid.join(dc, Seq("event_type", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
+        .as("series"))
+    xs.select(col("event_type"),
+        expr("""aggregate(series, CAST(array(-1, 0, 0, 0) AS array<bigint>),
+          |  (acc, x) -> CASE WHEN acc[0] = -1L
+          |    THEN array(x * 1000000L, 0L, 0L, 1L)
+          |    ELSE array(
+          |      (3L * acc[0] + x * 1000000L) div 4L,
+          |      acc[1] + (CASE WHEN acc[3] >= 7L
+          |        THEN abs(x * 1000000L - acc[0]) ELSE 0L END),
+          |      acc[2] + (CASE WHEN acc[3] >= 7L THEN 1L ELSE 0L END),
+          |      acc[3] + 1L)
+          |    END)""".stripMargin).as("st"))
+      .select(col("event_type"),
+        expr("st[3]").as("n_days"), expr("st[2]").as("n_scored"),
+        expr("st[1] div st[2]").as("mae_ppm"),
+        expr("st[0]").as("ses_fp"))
+      .orderBy(col("event_type"))
+  }
+
+  val sesBacktestSql: String =
+    """WITH RECURSIVE dc AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+      |grid AS (
+      |  SELECT t.event_type, g.d
+      |  FROM (SELECT DISTINCT event_type FROM dc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS d FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.d, COALESCE(dc.x, 0) AS x,
+      |    row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.d) AS i
+      |  FROM grid LEFT JOIN dc USING (event_type, d)),
+      |rec AS (
+      |  SELECT event_type, i, CAST(x * 1000000 AS BIGINT) AS f,
+      |    CAST(0 AS BIGINT) AS se, CAST(0 AS BIGINT) AS ns
+      |  FROM xs WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CAST((3 * r.f + x.x * 1000000) // 4 AS BIGINT),
+      |    r.se + CASE WHEN r.i >= 7
+      |      THEN abs(x.x * 1000000 - r.f) ELSE 0 END,
+      |    r.ns + CASE WHEN r.i >= 7 THEN 1 ELSE 0 END
+      |  FROM rec r JOIN xs x ON x.event_type = r.event_type AND x.i = r.i + 1),
+      |last AS (
+      |  SELECT event_type, f, se, ns, i,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+      |  FROM rec)
+      |SELECT event_type, CAST(i AS BIGINT) AS n_days,
+      |  CAST(ns AS BIGINT) AS n_scored, CAST(se // ns AS BIGINT) AS mae_ppm,
+      |  f AS ses_fp
+      |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ses_backtest" -> (sesBacktest _),
     "events_holt_trend" -> (holtTrend _),
     "events_kaplan_meier" -> (kaplanMeier _),
     "events_cuped" -> (cuped _),
@@ -4017,6 +4100,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_ses_backtest" -> sesBacktestSql,
     "events_holt_trend" -> holtTrendSql,
     "events_kaplan_meier" -> kaplanMeierSql,
     "events_cuped" -> cupedSql,

@@ -1816,4 +1816,46 @@ class ExtSpec extends SparkSpecBase {
     // efficiency: credits sum to 24 × (v(full) − v(∅))
     assert(got.values.map(_._1).sum == 24L * (v(15) - v(0)))
   }
+
+  test("ses backtest: serial replay of the walk-forward fold from raw daily counts") {
+    val daily = graft.engine.Tables.load(spark, sf(), "events")
+      .selectExpr("event_type",
+        "unix_micros(date_trunc('day', ts)) div 86400000000 AS d")
+      .groupBy("event_type", "d").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val lo = daily.map(_._2).min; val hi = daily.map(_._2).max
+    val expect = byType.map { case (ty, xs) =>
+      val m = xs.map(t => t._2 -> t._3).toMap
+      val series = (lo to hi).map(m.getOrElse(_, 0L))
+      var f = series.head * 1000000L; var se = 0L; var ns = 0L; var i = 1L
+      series.tail.foreach { x =>
+        if (i >= 7) { se += math.abs(x * 1000000L - f); ns += 1 }
+        f = (3 * f + x * 1000000L) / 4
+        i += 1
+      }
+      ty -> ((i, ns, se / ns, f))
+    }
+    val got = graft.streaming.Events.sesBacktest(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (ty, e) => assert(got(ty) == e, s"type $ty") }
+  }
+
+  test("ngram novelty: first doc fully novel, exact copy fully stale, overlap in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "s", 11L),        // 2 grams, both novel
+      (2L, "a b c d e f", "en", "s", 11L),        // exact copy: 0 novel
+      (3L, "a b c d e x y z w v", "en", "s", 19L),// 6 grams, 1 stale (abcde)
+      (4L, "p q r s", "en", "s", 7L))             // < 5 words: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ext.TextOps.ngramNoveltyOn(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((2L, 2L, 1000000L)))
+    assert(r(2L) == ((2L, 0L, 0L)))
+    assert(r(3L) == ((6L, 5L, 5L * 1000000L / 6L)))
+  }
 }

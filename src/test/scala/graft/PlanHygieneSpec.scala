@@ -153,7 +153,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_conformal",
     // discount lift: the 1-row zero-discount baseline frame broadcast
     // onto the ≤11-row discount-band table (q71_rfm's 1-row-baseline shape)
-    "q102_discount_lift")
+    "q102_discount_lift",
+    // ses backtest: events_ewma_monitor's 1-row (lo, hi) day-range frame
+    // broadcast onto the per-type grid before the zero-fill explode
+    "events_ses_backtest")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed

@@ -127,4 +127,31 @@ class SourcesSpec extends SparkSpecBase {
       .orderBy(col("event_type")).collect().toSeq
     assert(viaRange == directRange)
   }
+
+  test("partition evolution: merged flat+partitioned read prunes directories, never results") {
+    val dir = sf()
+    val base = java.nio.file.Files.createTempDirectory("graft_pevo").toString
+    val (flat, part) = (s"$base/flat", s"$base/bylang")
+    val d = Tables.load(spark, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(flat)
+    d.filter(col("doc_id") % 2 === 1).write.mode("overwrite")
+      .partitionBy("lang").parquet(part)
+    val merged = Formats.partitionEvolutionReadback(spark, flat, part)
+    // the partitioned half's lang predicate lands in PartitionFilters
+    // (directory-level pruning — inputFiles lists pre-pruning, so the
+    // plan line is the honest signal, the PlanSpec partitionedPrune
+    // pattern)
+    val plan = merged.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("lang") &&
+      (l.contains("IN (en,fr") || l.contains("in(lang"))), plan.take(1500))
+    // layout must never change results
+    val direct = d.filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source")).collect().toSeq
+    assert(merged.collect().toSeq == direct)
+  }
 }

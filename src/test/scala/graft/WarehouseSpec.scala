@@ -497,4 +497,70 @@ class WarehouseSpec extends SparkSpecBase {
       spark.conf.unset(graft.plans.MvRewriteRule.BaseKey)
     }
   }
+
+  test("q103 OLS elasticity: closed form replayed in exact BigInt from raw rows") {
+    val rows = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .selectExpr("l_returnflag",
+        "cast(round(l_discount * 100.0d) as bigint) AS x",
+        "cast(l_quantity as bigint) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (f, xs) =>
+      val n = BigInt(xs.length)
+      val sx = xs.map(t => BigInt(t._2)).sum; val sy = xs.map(t => BigInt(t._3)).sum
+      val sxy = xs.map(t => BigInt(t._2) * t._3).sum
+      val sxx = xs.map(t => BigInt(t._2) * t._2).sum
+      val den = n * sxx - sx * sx
+      // BigInt / truncates toward zero for mixed signs? It truncates
+      // toward zero only for positive den; quot semantics match both
+      // engines' truncating integer division (den > 0 always here)
+      f -> (((n * sxy - sx * sy) * 1000000 / den).toLong,
+        ((sy * sxx - sx * sxy) * 100 / den).toLong)
+    }
+    val got = Warehouse.q103OlsElasticity(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (f, e) => assert(got(f) == e, s"flag $f") }
+  }
+
+  test("q104 price-volume-mix: the bridge is exact — effects sum to the revenue delta") {
+    val r = Warehouse.q104PriceVolumeMix(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r.nonEmpty)
+    r.foreach { case (brand, n, rev0, rev1, price, volume, mix) =>
+      assert(n > 0, brand)
+      // the residual line makes the decomposition exact BY CONSTRUCTION,
+      // so this pins the implementation, not the algebra
+      assert(price + volume + mix == rev1 - rev0, s"brand $brand")
+    }
+    // matched-part revenue never exceeds the year's full revenue
+    val full = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .join(graft.engine.Tables.load(spark, sf(), "orders")
+        .selectExpr("o_orderkey AS l_orderkey", "year(o_orderdate) AS yr"),
+        "l_orderkey")
+      .filter(col("yr") === 1996)
+      .selectExpr("sum(cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint))")
+      .head.getLong(0)
+    assert(r.map(_._3).sum <= full)
+  }
+
+  test("q105 segment migration: every observed customer-year routes to exactly one cell") {
+    val cells = Warehouse.q105SegmentMigration(spark, sf()).collect()
+      .map(x => ((x.getLong(0), x.getLong(1), x.getLong(2)), x.getLong(3)))
+    assert(cells.nonEmpty)
+    // seg_to = -1 (lapse) present and never dominant everywhere
+    assert(cells.exists(_._1._3 == -1L))
+    // totals per (year, seg_from) == the year's customer-segment census
+    val census = graft.engine.Tables.load(spark, sf(), "orders")
+      .groupBy(col("o_custkey"), expr("year(o_orderdate)").as("yr"))
+      .agg(expr("sum(cast(floor(o_totalprice * 100.0d + 0.5d) as bigint))").as("s"))
+      .selectExpr("yr", """CAST(CASE WHEN s < 10000000 THEN 0 WHEN s < 30000000 THEN 1
+        WHEN s < 90000000 THEN 2 ELSE 3 END AS BIGINT) AS seg""")
+      .filter(col("yr") < 2001)
+      .groupBy("yr", "seg").count().collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val got = cells.groupBy(c => (c._1._1, c._1._2))
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+    assert(got == census)
+  }
 }
