@@ -3345,7 +3345,58 @@ object TextOps {
       |FROM grams g JOIN fo f USING (gram)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ vocabulary overlap
+  /** Pairwise vocabulary overlap between corpus SOURCES — the mixing
+    * diagnostic run before blending corpora: two sources whose word
+    * vocabularies barely intersect need their own tokenizer coverage
+    * checks, while near-identical vocabularies suggest one is a scrape
+    * of the other. Exact Jaccard over distinct words per source, with
+    * the intersection counted by a WORD-KEYED aggregate: each distinct
+    * word contributes its source-pair combinations (≤ |sources|² per
+    * word, |sources| is small by construction), so there is no
+    * vocab×vocab join anywhere.
+    *
+    * Scale: (word, source) dedup is the only corpus-size shuffle;
+    * everything after lives on ≤|vocab| rows keyed by word, then the
+    * ≤|sources|² grid.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ws = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val sizes = ws.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = ws.as("a").join(ws.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("source").as("sa"), col("v").as("va")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("v").as("vb")), "sb")
+      .withColumn("jaccard_ppm", expr("(i * 1000000L) div (va + vb - i)"))
+      .select(col("sa"), col("sb"), col("va"), col("vb"), col("i"),
+        col("jaccard_ppm"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val vocabOverlapSql: String =
+    """WITH ws AS (
+      |  SELECT DISTINCT source, w
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''),
+      |sizes AS (SELECT source, COUNT(*) AS v FROM ws GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+      |  FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, x.v AS va, y.v AS vb, i,
+      |  CAST((i * 1000000) // (x.v + y.v - i) AS BIGINT) AS jaccard_ppm
+      |FROM inter JOIN sizes x ON sa = x.source
+      |           JOIN sizes y ON sb = y.source
+      |ORDER BY sa, sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_overlap" -> (vocabOverlap _),
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_gopher_rules" -> (gopherRules _),
     "text_token_budget" -> (tokenBudget _),
@@ -3400,6 +3451,7 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_overlap" -> vocabOverlapSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_token_budget" -> tokenBudgetSql,

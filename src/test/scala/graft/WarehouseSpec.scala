@@ -563,4 +563,24 @@ class WarehouseSpec extends SparkSpecBase {
       .map { case (k, xs) => k -> xs.map(_._2).sum }
     assert(got == census)
   }
+
+  test("q106 corr matrix: matches Spark's built-in Pearson corr to 4 digits, bounded") {
+    val got = Warehouse.q106CorrMatrix(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .selectExpr("cast(l_quantity as double) AS qty",
+        "cast(round(l_discount * 100.0d) as double) AS disc",
+        "cast(floor(l_extendedprice) as double) AS price",
+        "cast(round(l_tax * 100.0d) as double) AS tax")
+    def ref(a: String, b: String): Double =
+      li.selectExpr(s"corr($a, $b)").head.getDouble(0)
+    Seq("qty_disc" -> ("qty", "disc"), "qty_price" -> ("qty", "price"),
+      "qty_tax" -> ("qty", "tax"), "disc_price" -> ("disc", "price"),
+      "disc_tax" -> ("disc", "tax"), "price_tax" -> ("price", "tax"))
+      .foreach { case (k, (a, b)) =>
+        assert(math.abs(got(k) - ref(a, b)) < 5e-5, s"$k: ${got(k)} vs ${ref(a, b)}")
+      }
+  }
 }
