@@ -2958,7 +2958,78 @@ object Similarity {
        |FROM taus t LEFT JOIN agg a USING (tau_bp) CROSS JOIN tot
        |ORDER BY t.tau_bp""".stripMargin
 
+  // ------------------------------------------------ ARI cluster stability
+  /** Adjusted Rand Index between the corpus's original labels and the
+    * 3-round KMeans assignment — the clustering-eval number that says
+    * whether training MOVED the partition or just relabeled it, on the
+    * chance-corrected scale (0 ≈ random agreement, 10⁶ = identical).
+    * Everything is exact integers: with P = C(n,2), A = Σᵢ C(aᵢ,2)
+    * (old-label row sums), B = Σⱼ C(bⱼ,2) (new-label column sums),
+    * I = Σᵢⱼ C(nᵢⱼ,2) (contingency cells),
+    *   ARI = (P·I − A·B) / (P·(A+B)/2 − A·B)
+    * and the ppm form multiplies through by 2 so no intermediate ever
+    * divides: ari_ppm = 2·10⁶·(P·I − A·B) div (P·(A+B) − 2·A·B).
+    *
+    * Shape: the contingency table, its row sums, and its column sums
+    * union into ONE tall tagged frame, so the four scalars come from a
+    * single global aggregate — no 1-row broadcast joins anywhere.
+    */
+  def ariStability(spark: SparkSession, dir: String): DataFrame =
+    ariOf(kmeansItersOn(emb(spark, dir), iters = 3)
+      .select(col("old_label").as("a"), col("new_label").as("b")))
+
+  /** ARI over an (a, b) assignment-pair frame — split out so the spec
+    * can pin the formula on constructed partitions. */
+  def ariOf(assign: DataFrame): DataFrame = {
+    val cells = assign.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val c2 = expr("(c * (c - 1L)) div 2L")
+    val tall = cells.select(lit("x").as("tag"), col("c"))
+      .unionAll(cells.groupBy(col("a")).agg(sum(col("c")).as("c"))
+        .select(lit("r").as("tag"), col("c")))
+      .unionAll(cells.groupBy(col("b")).agg(sum(col("c")).as("c"))
+        .select(lit("cl").as("tag"), col("c")))
+    tall.agg(
+        sum(when(col("tag") === "r", col("c"))).as("n"),
+        sum(when(col("tag") === "x", c2).otherwise(0L)).as("i"),
+        sum(when(col("tag") === "r", c2).otherwise(0L)).as("aa"),
+        sum(when(col("tag") === "cl", c2).otherwise(0L)).as("bb"))
+      .withColumn("p", expr("(n * (n - 1L)) div 2L"))
+      // DECIMAL(38,0): P·I·2·10⁶ exceeds BIGINT already at n ≈ 2000
+      // (the q83/q103 pattern; HUGEINT mirrors it in the oracle)
+      .withColumn("ari_ppm", expr(
+        """cast((2 * 1000000 * (cast(p as decimal(38,0)) * i
+          |  - cast(aa as decimal(38,0)) * bb))
+          | div (cast(p as decimal(38,0)) * (aa + bb)
+          |  - 2 * cast(aa as decimal(38,0)) * bb) as bigint)""".stripMargin))
+      .select(col("n"), col("i"), col("aa").as("a_pairs"),
+        col("bb").as("b_pairs"), col("ari_ppm"))
+  }
+
+  val ariStabilitySql: String = {
+    s"""WITH km AS (${kmeansItersSqlFor(3).linesIterator
+         .mkString("\n  ")}),
+       |cells AS (SELECT old_label AS a, new_label AS b, COUNT(*) AS c
+       |          FROM km GROUP BY 1, 2),
+       |tall AS (
+       |  SELECT 'x' AS tag, c FROM cells
+       |  UNION ALL SELECT 'r', CAST(SUM(c) AS BIGINT) FROM cells GROUP BY a
+       |  UNION ALL SELECT 'cl', CAST(SUM(c) AS BIGINT) FROM cells GROUP BY b),
+       |s AS (
+       |  SELECT CAST(SUM(CASE WHEN tag = 'r' THEN c END) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN tag = 'x' THEN (c * (c - 1)) // 2 ELSE 0 END) AS BIGINT) AS i,
+       |    CAST(SUM(CASE WHEN tag = 'r' THEN (c * (c - 1)) // 2 ELSE 0 END) AS BIGINT) AS aa,
+       |    CAST(SUM(CASE WHEN tag = 'cl' THEN (c * (c - 1)) // 2 ELSE 0 END) AS BIGINT) AS bb
+       |  FROM tall)
+       |SELECT n, i, aa AS a_pairs, bb AS b_pairs,
+       |  CAST((2 * 1000000 * (CAST((n * (n - 1)) // 2 AS HUGEINT) * i
+       |      - CAST(aa AS HUGEINT) * bb))
+       |    // (CAST((n * (n - 1)) // 2 AS HUGEINT) * (aa + bb)
+       |      - 2 * CAST(aa AS HUGEINT) * bb) AS BIGINT) AS ari_ppm
+       |FROM s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ari_stability" -> (ariStability _),
     "sim_dominant_direction" -> (dominantDirection _),
     "sim_pca_deflate" -> (pcaDeflate _),
     "sim_ann_graph_search" -> (annGraphSearch _),
@@ -3002,6 +3073,7 @@ object Similarity {
     "sim_triplet_margin" -> (tripletMargin _))
 
   val oracles: Map[String, String] = Map(
+    "sim_ari_stability" -> ariStabilitySql,
     "sim_dominant_direction" -> dominantDirectionSqlFor(3),
     "sim_pca_deflate" -> pcaDeflateSqlFor(3),
     "sim_ann_graph_search" -> annGraphSearchSqlFor(degree = 4, nQueries = 10, hops = 3, beam = 4, k = 3),

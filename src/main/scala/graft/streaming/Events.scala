@@ -4090,7 +4090,60 @@ object Events {
       |FROM dau LEFT JOIN np USING (day)
       |ORDER BY day""".stripMargin
 
+  // --------------------------------------------- first/last-touch credit
+  /** First-touch vs last-touch conversion attribution — the two naive
+    * baselines every marketing report starts from, graded beside the
+    * exact Shapley lattice ([[attributionShapley]]) so the three credit
+    * models can be read against each other: per channel, how many
+    * converting users' FIRST pre-conversion touch it was, and how many
+    * users' LAST. Conversion = the user's first purchase; touches are
+    * the non-purchase events strictly before it, tie-broken by
+    * (ts, event_id) so the replay is deterministic.
+    *
+    * Scale: the first-purchase table is one user-keyed MIN; the touch
+    * windows partition by user (linear per user, no pair join); output
+    * is the ≤|channels| grid.
+    */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, "user_id").filter(col("ts") < col("fp"))
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ranked = touches
+      .withColumn("rf", row_number().over(wAsc))
+      .withColumn("rl", row_number().over(wDesc))
+    ranked.groupBy(col("event_type").as("channel"))
+      .agg(sum(when(col("rf") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rl") === 1, 1L).otherwise(0L)).as("last_touch"))
+      .orderBy(col("channel"))
+  }
+
+  val touchAttributionSql: String =
+    """WITH fp AS (
+      |  SELECT user_id, MIN(ts) AS fp FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |touch AS (
+      |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+      |  FROM events e JOIN fp USING (user_id)
+      |  WHERE e.event_type <> 'purchase' AND e.ts < fp.fp),
+      |rk AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+      |  FROM touch)
+      |SELECT event_type AS channel,
+      |  CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+      |  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_touch_attribution" -> (touchAttribution _),
     "events_cumulative_reach" -> (cumulativeReach _),
     "events_ses_backtest" -> (sesBacktest _),
     "events_holt_trend" -> (holtTrend _),
@@ -4151,6 +4204,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_touch_attribution" -> touchAttributionSql,
     "events_cumulative_reach" -> cumulativeReachSql,
     "events_ses_backtest" -> sesBacktestSql,
     "events_holt_trend" -> holtTrendSql,

@@ -1898,4 +1898,31 @@ class ExtSpec extends SparkSpecBase {
       assert(j == i * 1000000L / (va + vb - i))
     }
   }
+
+  test("touch attribution: first and last credit each conserve the touched-converter count") {
+    val ev = graft.engine.Tables.load(spark, sf(), "events")
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+    val touched = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, "user_id").filter(col("ts") < col("fp"))
+      .select("user_id").distinct().count()
+    val r = graft.streaming.Events.touchAttribution(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.nonEmpty && r.forall(_._1 != "purchase"))
+    assert(r.map(_._2).sum == touched) // every touched converter has ONE first
+    assert(r.map(_._3).sum == touched) // ...and ONE last
+  }
+
+  test("ARI: identity partition scores 10^6, known contingency matches the hand formula") {
+    import spark.implicits._
+    val ident = Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 1L), (2L, 2L))
+      .toDF("a", "b")
+    assert(graft.ext.Similarity.ariOf(ident).head.getLong(4) == 1000000L)
+    // contingency {{2,1},{0,3}}: n=6, P=15, I=C(2,2)+C(3,2)=1+3=4,
+    // A=C(3,2)+C(3,2)=6, B=C(2,2)+C(4,2)=7,
+    // ari = 2*(15*4-42)/(15*13-2*42) = 36/111
+    val mixed = Seq((0L,0L),(0L,0L),(0L,1L),(1L,1L),(1L,1L),(1L,1L)).toDF("a","b")
+    val got = graft.ext.Similarity.ariOf(mixed).head.getLong(4)
+    assert(got == 2L * 1000000L * (15L*4L-42L) / (15L*13L-84L), got.toString)
+  }
 }
