@@ -2685,7 +2685,63 @@ object Warehouse {
       |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_r
       |FROM m ORDER BY pair""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Incremental maintenance of a JOIN view by delta-join algebra —
+    * [[q98MvIncremental]] covers the single-table monoid; this covers
+    * the lakehouse's standing JOIN view (monthly brand revenue over
+    * orders ⋈ lineitem ⋈ part) under BOTH late-arrival modes a real
+    * feed produces: late order HEADERS (ΔR: okey % 10 = 0 — their lines
+    * sat unmatched in the base, the late-arriving-dimension problem)
+    * and late amendment LINES on existing orders (ΔS: linenumber ≥ 5).
+    * The refresh is the textbook expansion
+    *   Δ(R ⋈ S) = R₀⋈ΔS ∪ ΔR⋈S₀ ∪ ΔR⋈ΔS
+    * — all three terms non-empty by construction — folded into the view
+    * by the same abelian-monoid cell merge as q98. The standing base
+    * join R₀⋈S₀ is NEVER rescanned: at 100 TB the delta terms each join
+    * a micro-batch-sized side against one base relation, which is the
+    * entire point of IVM. The driver oracle grades the merged view
+    * against a direct aggregate over the FULL join; WarehouseSpec pins
+    * term disjointness (no pair double-counted, none missed).
+    */
+  def q107MvJoinDelta(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+      expr("year(o_orderdate) * 100 + month(o_orderdate)").cast("long").as("ym"))
+    val l = t(spark, dir, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"), col("l_linenumber"),
+      expr("cast(l_quantity as bigint)").as("q"),
+      expr("cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)").as("r"))
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val o0 = o.filter(expr("l_orderkey % 10 != 0"))
+    val oD = o.filter(expr("l_orderkey % 10 = 0"))
+    val l0 = l.filter(col("l_linenumber") <= 4)
+    val lD = l.filter(col("l_linenumber") >= 5)
+    def term(r: DataFrame, s: DataFrame): DataFrame =
+      r.join(s, "l_orderkey").join(broadcast(p), "l_partkey")
+        .groupBy(col("ym"), col("p_brand"))
+        .agg(count(lit(1)).as("mv_cnt"), sum(col("q")).as("mv_qty"),
+          sum(col("r")).as("mv_rev_c"))
+    val v0 = term(o0, l0)                       // the standing view
+    val deltas = Seq(term(o0, lD), term(oD, l0), term(oD, lD))
+    (v0 +: deltas).reduce(_ unionByName _)      // monoid cell merge
+      .groupBy(col("ym"), col("p_brand"))
+      .agg(sum(col("mv_cnt")).as("mv_cnt"), sum(col("mv_qty")).as("mv_qty"),
+        sum(col("mv_rev_c")).as("mv_rev_c"))
+      .orderBy(col("ym"), col("p_brand"))
+  }
+
+  val q107Sql: String =
+    """SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
+      |  p.p_brand, COUNT(*) AS mv_cnt,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS mv_qty,
+      |  CAST(SUM(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS mv_rev_c
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_mv_join_delta" -> (q107MvJoinDelta _),
     "q106_corr_matrix" -> (q106CorrMatrix _),
     "q105_segment_migration" -> (q105SegmentMigration _),
     "q104_price_volume_mix" -> (q104PriceVolumeMix _),
@@ -2733,6 +2789,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q107_mv_join_delta" -> q107Sql,
     "q106_corr_matrix" -> q106Sql,
     "q105_segment_migration" -> q105Sql,
     "q104_price_volume_mix" -> q104Sql,

@@ -583,4 +583,30 @@ class WarehouseSpec extends SparkSpecBase {
         assert(math.abs(got(k) - ref(a, b)) < 5e-5, s"$k: ${got(k)} vs ${ref(a, b)}")
       }
   }
+
+  test("q107 join-view delta algebra: the four terms partition the full join exactly") {
+    val dir = sf()
+    val o = graft.engine.Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderkey AS l_orderkey", "o_orderkey % 10 = 0 AS late_hdr")
+    val l = graft.engine.Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber >= 5 AS late_line")
+    val j = o.join(l, "l_orderkey")
+    val full = j.count()
+    // the four (header, line) lateness combinations are disjoint and
+    // cover every joined pair — the algebra's correctness condition
+    val parts = Seq((false, false), (false, true), (true, false), (true, true))
+      .map { case (h, ln) =>
+        j.filter(col("late_hdr") === h && col("late_line") === ln).count()
+      }
+    assert(parts.sum == full)
+    assert(parts.forall(_ > 0), parts.mkString(",")) // all terms exercised
+    // merged view conserves line count and revenue cents vs the base scan
+    val v = Warehouse.q107MvJoinDelta(spark, dir)
+    assert(v.agg(sum(col("mv_cnt"))).head.getLong(0) == full)
+    val rev = graft.engine.Tables.load(spark, dir, "lineitem")
+      .join(o.select("l_orderkey"), "l_orderkey")
+      .selectExpr("sum(cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint))")
+      .head.getLong(0)
+    assert(v.agg(sum(col("mv_rev_c"))).head.getLong(0) == rev)
+  }
 }
