@@ -4053,10 +4053,30 @@ object Events {
     * only ordered pass is the running sum over the ≤|days| grid.
     */
   def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = events(spark, dir)
-    val newPerDay = ev.groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("day"))
+    reachCurve(userFirstDays(ev), ev)
+  }
+
+  /** Per-user first active day — the reach curve's whole state, shared
+    * by the batch operator and [[streamingFirstDays]] (the stream
+    * maintains exactly this MIN as a complete-mode aggregation;
+    * StreamingSpec pins stream ≡ batch through [[reachCurve]]).
+    */
+  def userFirstDays(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+
+  /** Streaming half: the (user → first day) MIN as complete-mode state
+    * (the [[streamingSessionBounds]] shape — state is one row per user,
+    * merged by MIN, so arrival order is irrelevant).
+    */
+  def streamingFirstDays(spark: SparkSession, filesDir: String): DataFrame =
+    userFirstDays(eventStream(spark, filesDir))
+
+  /** Curve assembly from a first-day table + the raw events (for daily
+    * actives) — shared by batch and the streaming twin's scoring. */
+  def reachCurve(firstDays: DataFrame, ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val newPerDay = firstDays
       .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
     val dau = ev.select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))

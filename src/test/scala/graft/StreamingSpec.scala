@@ -226,6 +226,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming first-days == batch reach curve (complete-mode MIN, scored on final state)") {
+    val q = Events.streamingFirstDays(spark, eventsDir)
+      .writeStream.format("memory").queryName("reach_fd")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ev = graft.engine.Tables.load(spark, sf(), "events")
+    val streamed = Events.reachCurve(
+        spark.table("reach_fd").localCheckpoint(true), ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = Events.cumulativeReach(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("gaps and islands: consecutive-day streaks, counts, earliest-tie longest") {
     import spark.implicits._
     val t0 = java.time.LocalDate.of(2024, 3, 1)
