@@ -1925,4 +1925,18 @@ class ExtSpec extends SparkSpecBase {
     val got = graft.ext.Similarity.ariOf(mixed).head.getLong(4)
     assert(got == 2L * 1000000L * (15L*4L-42L) / (15L*13L-84L), got.toString)
   }
+
+  test("multiprobe near-dup: strict superset of the wide config, recall dominates") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val mp = graft.ext.Similarity.cosineNearDupMpOn(e, 0.4, 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = graft.ext.Similarity.cosineNearDupOn(e, 0.4, 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the probe set contains every exact band key, so multiprobe's
+    // candidates (hence verified pairs) are a superset by construction
+    assert(wide.subsetOf(mp), s"wide=${wide.size} mp=${mp.size}")
+    val rec = graft.ext.Similarity.multiprobeRecall(spark, sf()).head
+    assert(rec.getLong(3) >= rec.getLong(4)) // recall_mp_bp >= recall_wide_bp
+    assert(rec.getLong(1) >= rec.getLong(2)) // found counts agree with that
+  }
 }

@@ -156,7 +156,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q102_discount_lift",
     // ses backtest: events_ewma_monitor's 1-row (lo, hi) day-range frame
     // broadcast onto the per-type grid before the zero-fill explode
-    "events_ses_backtest")
+    "events_ses_backtest",
+    // multiprobe recall: the 200-vector bounded prefix broadcast for the
+    // exact-pair baseline (every recall harness's whitelisted shape)
+    "sim_multiprobe_recall")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
