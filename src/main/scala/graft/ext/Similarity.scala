@@ -3154,7 +3154,69 @@ object Similarity {
       |FROM s""".stripMargin
   }
 
+  // ------------------------------------------ binary quantization rerank
+  /** Binary-quantization ANN with exact rerank — the memory-bound
+    * serving pattern vector stores ship today: each vector compresses
+    * to a 48-bit sign code (one native `sign_lsh` pass, 48 bits so the
+    * key stays a positive BIGINT on both engines), candidates rank by
+    * Hamming distance (one `bit_count(xor)` per corpus row against the
+    * broadcast 10-query code table — cosineTopK's scan shape, no
+    * shuffle), the top-50 per query rerank by EXACT cosine, and the
+    * top-5 ship. 64-float vectors become 6 bytes in the scan — a ~40×
+    * memory/bandwidth cut; the recall cost of the compression is pinned
+    * in ExtSpec against the brute-force baseline, not assumed.
+    */
+  def binaryRerank(spark: SparkSession, dir: String): DataFrame =
+    binaryRerankOn(emb(spark, dir), nQueries = 10, shortlist = 50, k = 5)
+
+  def binaryRerankOn(e: DataFrame, nQueries: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    val coded = e.select(col("vec_id"), col("embedding"),
+      expr("sign_lsh(embedding, 0, 48)").as("code"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("code").as("qcode"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("h"), col("cid"))
+    val short = coded.select(col("vec_id").as("cid"), col("code"))
+      .join(broadcast(q.select(col("qid"), col("qcode"))),
+        col("qid") =!= col("cid"))
+      .withColumn("h", expr("bit_count(code ^ qcode)"))
+      .withColumn("rn", row_number().over(wH)).filter(col("rn") <= shortlist)
+      .select(col("qid"), col("cid"), col("h"))
+    val wC = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    short
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .join(broadcast(q.select(col("qid"), col("qe"))), "qid")
+      .withColumn("cos", cosine(e))
+      .withColumn("rn2", row_number().over(wC)).filter(col("rn2") <= k)
+      .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
+        col("h").cast("long").as("hamming"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
+  val binaryRerankSql: String =
+    s"""WITH ${lshBandsCte(1, 48)},
+      |codes AS (SELECT vec_id, band_key AS code FROM bands WHERE band = 0),
+      |hm AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    bit_count(xor(q.code, c.code)) AS h
+      |  FROM codes q JOIN codes c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |sl AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY h, cid) AS rn
+      |  FROM hm),
+      |rr AS (
+      |  SELECT sl.qid, sl.cid, sl.h, $cosExprSql AS cos
+      |  FROM sl JOIN embeddings a ON a.vec_id = sl.qid
+      |          JOIN embeddings b ON b.vec_id = sl.cid
+      |  WHERE sl.rn <= 50),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn2 FROM rr)
+      |SELECT qid AS vec_id, cid AS neighbor_id, CAST(h AS BIGINT) AS hamming,
+      |  round(cos, 6) AS cos_sim
+      |FROM rk WHERE rn2 <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_binary_rerank" -> (binaryRerank _),
     "sim_cosine_neardup_mp" -> (cosineNearDupMultiprobe _),
     "sim_multiprobe_recall" -> (multiprobeRecall _),
     "sim_ari_stability" -> (ariStability _),
@@ -3201,6 +3263,7 @@ object Similarity {
     "sim_triplet_margin" -> (tripletMargin _))
 
   val oracles: Map[String, String] = Map(
+    "sim_binary_rerank" -> binaryRerankSql,
     "sim_cosine_neardup_mp" -> cosineNearDupMpSql,
     "sim_multiprobe_recall" -> multiprobeRecallSql,
     "sim_ari_stability" -> ariStabilitySql,

@@ -1939,4 +1939,21 @@ class ExtSpec extends SparkSpecBase {
     assert(rec.getLong(3) >= rec.getLong(4)) // recall_mp_bp >= recall_wide_bp
     assert(rec.getLong(1) >= rec.getLong(2)) // found counts agree with that
   }
+
+  test("binary rerank: recall@5 vs brute force is substantial, hamming ranks sanely") {
+    val e = graft.engine.Tables.load(spark, sf(), "embeddings")
+    val bq = graft.ext.Similarity.binaryRerankOn(e, nQueries = 10,
+        shortlist = 50, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = graft.ext.Similarity.cosineTopKOn(e, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(bq.keySet == exact.keySet && bq.values.forall(_.size == 5))
+    val hits = exact.map { case (q, ex) => (bq(q) & ex).size }.sum
+    // 48-bit codes + 50-shortlist on this near-orthogonal corpus: the
+    // compression is honest about losing SOME recall, but must keep the
+    // majority (measured 0.7+ on the fixture; floor set loosely)
+    assert(hits >= 25, s"recall@5 hits $hits/50")
+  }
 }

@@ -159,7 +159,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "events_ses_backtest",
     // multiprobe recall: the 200-vector bounded prefix broadcast for the
     // exact-pair baseline (every recall harness's whitelisted shape)
-    "sim_multiprobe_recall")
+    "sim_multiprobe_recall",
+    // binary rerank: the 10-query code/embedding table broadcast with
+    // the non-equi qid != cid condition (cosineTopK's shape)
+    "sim_binary_rerank")
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
