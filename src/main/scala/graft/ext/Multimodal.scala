@@ -1095,7 +1095,85 @@ object Multimodal {
       |  MAX(n) AS max_item_bytes
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ padding-waste audit
+  /** Padding waste of fixed-size training batches under two batching
+    * policies — the measurement behind [[aspectBuckets]]-style bucketing:
+    * batches of 32 pad every item to the batch max, so ingest-order
+    * batching wastes bytes proportional to within-batch length variance
+    * while LENGTH-SORTED batching packs near-equal lengths together. One
+    * row per policy with the exact byte waste and its ppm of the padded
+    * total; the savings delta is the business case for the sort.
+    *
+    * Scale shape — both global ranks are TWO-LEVEL, no window ever sees
+    * the corpus: the ingest rank reuses shard-pack's id-chunk carry
+    * (≤1024 ids per chunk by range construction); the length rank is a
+    * distributed counting sort — per-length counts carry over the
+    * bounded distinct-length grid, within-length ties rank by id.
+    */
+  def padWaste(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = docsAsMedia(spark, dir).toDF()
+      .select(col("media_id"), length(col("payload")).cast("long").as("n"))
+    // ingest-order rank: chunk carry (shard-pack's two-level pattern)
+    val ch = items.withColumn("chunk", expr("media_id div 1024"))
+    val chTotals = ch.groupBy(col("chunk")).agg(count(lit(1)).as("ct"))
+      .withColumn("carry", coalesce(sum(col("ct")).over(
+        Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("carry"))
+    val naive = ch
+      .withColumn("wi", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("media_id"))).cast("long"))
+      .join(chTotals, "chunk")
+      .select(col("media_id"), col("n"), (col("carry") + col("wi") - 1).as("rk"))
+    // length-sorted rank: counting-sort carry over per-length counts
+    val lenTotals = items.groupBy(col("n").as("ln")).agg(count(lit(1)).as("ct"))
+      .withColumn("carry", coalesce(sum(col("ct")).over(
+        Window.orderBy(col("ln"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("ln"), col("carry"))
+    val sorted = items
+      .withColumn("wi", row_number().over(
+        Window.partitionBy(col("n")).orderBy(col("media_id"))).cast("long"))
+      .join(lenTotals, col("n") === col("ln"))
+      .select(col("media_id"), col("n"), (col("carry") + col("wi") - 1).as("rk"))
+    def waste(ranked: DataFrame, policy: String): DataFrame = ranked
+      .withColumn("batch", expr("rk div 32"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("bn"), max(col("n")).as("mx"), sum(col("n")).as("s"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(expr("bn * mx")).as("padded_bytes"),
+        sum(expr("bn * mx - s")).as("waste_bytes"))
+      .select(lit(policy).as("policy"), col("n_batches"), col("padded_bytes"),
+        col("waste_bytes"),
+        expr("(waste_bytes * 1000000L) div padded_bytes").as("waste_ppm"))
+    waste(naive, "ingest_order").unionByName(waste(sorted, "length_sorted"))
+      .orderBy(col("policy"))
+  }
+
+  val padWasteSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |nv AS (SELECT n, (row_number() OVER (ORDER BY media_id) - 1) // 32 AS batch FROM b),
+      |sv AS (SELECT n, (row_number() OVER (ORDER BY n, media_id) - 1) // 32 AS batch FROM b),
+      |wn AS (
+      |  SELECT 'ingest_order' AS policy, COUNT(*) AS nb,
+      |    CAST(SUM(bn * mx) AS BIGINT) AS pb, CAST(SUM(bn * mx - s) AS BIGINT) AS wb
+      |  FROM (SELECT batch, COUNT(*) AS bn, MAX(n) AS mx, SUM(n) AS s
+      |        FROM nv GROUP BY 1)),
+      |ws AS (
+      |  SELECT 'length_sorted' AS policy, COUNT(*) AS nb,
+      |    CAST(SUM(bn * mx) AS BIGINT) AS pb, CAST(SUM(bn * mx - s) AS BIGINT) AS wb
+      |  FROM (SELECT batch, COUNT(*) AS bn, MAX(n) AS mx, SUM(n) AS s
+      |        FROM sv GROUP BY 1)),
+      |u AS (SELECT * FROM wn UNION ALL SELECT * FROM ws)
+      |SELECT policy, nb AS n_batches, pb AS padded_bytes, wb AS waste_bytes,
+      |  CAST((wb * 1000000) // pb AS BIGINT) AS waste_ppm
+      |FROM u ORDER BY policy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_pad_waste" -> (padWaste _),
     "multimodal_shard_pack" -> (mediaShardPack _),
     "multimodal_alignment" -> (alignment _),
     "multimodal_aspect_buckets" -> (aspectBuckets _),
@@ -1309,6 +1387,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_alignment" -> alignmentSql,
+    "multimodal_pad_waste" -> padWasteSql,
     "multimodal_shard_pack" -> mediaShardPackSql,
     "multimodal_aspect_buckets" -> aspectBucketsSql,
     "multimodal_keyframes" -> mediaKeyframesSql,

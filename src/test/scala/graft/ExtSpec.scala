@@ -1956,4 +1956,20 @@ class ExtSpec extends SparkSpecBase {
     // majority (measured 0.7+ on the fixture; floor set loosely)
     assert(hits >= 25, s"recall@5 hits $hits/50")
   }
+
+  test("pad waste: length-sorted batching strictly beats ingest order, bytes conserve") {
+    val r = graft.ext.Multimodal.padWaste(spark, sf()).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(r.keySet == Set("ingest_order", "length_sorted"))
+    val total = graft.engine.Tables.load(spark, sf(), "documents")
+      .selectExpr("sum(cast(octet_length(text) as bigint))").head.getLong(0)
+    r.values.foreach { case (nb, padded, waste, ppm) =>
+      assert(padded - waste == total)          // payload bytes conserve
+      assert(ppm == waste * 1000000L / padded)
+      assert(nb > 0 && waste >= 0)
+    }
+    // the whole point: sorting by length cuts the padding bill
+    assert(r("length_sorted")._3 < r("ingest_order")._3)
+  }
 }
