@@ -972,6 +972,107 @@ object Snapshots {
       mergeSchema: Boolean = false): DataFrame =
     read(spark, dir, tagVersion(spark, dir, name), mergeSchema)
 
+  // ------------------------------------------------------------ branches
+  /** Root of a named branch: a shallow clone living INSIDE the parent
+    * table's directory tree (outside `data/`/`deletes/`, so the
+    * parent's vacuum listing never touches it).
+    */
+  def branchDir(dir: String, name: String): String = s"$dir/branches/$name"
+
+  private def forkBasePath(dir: String, name: String) =
+    new Path(s"${branchDir(dir, name)}/_FORK_BASE")
+
+  /** CREATE BRANCH (Iceberg branches, git-style): fork an isolated
+    * WRITABLE line of history at `version` (default: current head) —
+    * zero data copied ([[cloneTable]] mechanics: the branch's v0
+    * references the parent's batches by absolute path). Commits to the
+    * branch land in the branch's own `data/`; the main table never sees
+    * them until [[mergeBranch]]. The fork-base version is recorded for
+    * merge-time fast-forward detection. Returns the fork base.
+    */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      version: Int = -1): Int = {
+    require(refName.pattern.matcher(name).matches(),
+      s"invalid branch name '$name' (want ${refName.regex})")
+    require(dir.startsWith("/") || dir.contains("://"),
+      s"createBranch needs an absolute table path, got $dir")
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    val bd = branchDir(dir, name)
+    cloneTable(spark, dir, bd, v)
+    val f = fs(spark, dir)
+    val out = f.create(forkBasePath(dir, name), false)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** The branch's current state (latest branch version by default). */
+  def readBranch(spark: SparkSession, dir: String, name: String,
+      version: Int = -1, mergeSchema: Boolean = false): DataFrame =
+    read(spark, branchDir(dir, name), version, mergeSchema)
+
+  /** MERGE (fast-forward only): publish the branch head's state as the
+    * main table's next version — pure metadata, no data moves. The
+    * merge REFUSES if main advanced past the fork base (a non-FF merge
+    * needs a rebase policy this store deliberately doesn't guess at —
+    * Iceberg's fast_forward semantics). Entry paths normalize so the
+    * merged manifest stays vacuum-safe on main: paths inside MAIN
+    * re-relativize (they are main's own pre-fork batches and must stay
+    * inside its vacuum's reference set); branch-local paths absolutize
+    * into the branch dir (foreign, vacuum-exempt — the clone-parent
+    * contract; `optimize` on main self-contains them when wanted).
+    * Returns the new main version.
+    */
+  def mergeBranch(spark: SparkSession, dir: String, name: String): Int = {
+    val bd = branchDir(dir, name)
+    val f = fs(spark, dir)
+    require(f.exists(forkBasePath(dir, name)), s"no branch '$name' at $dir")
+    val base = {
+      val in = f.open(forkBasePath(dir, name))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim.toInt
+      finally in.close()
+    }
+    val mainHead = latestVersion(spark, dir)
+    require(mainHead == base,
+      s"non-fast-forward: main advanced $base -> $mainHead since the fork " +
+        s"of '$name'; rebase the branch before merging")
+    val head = latestVersion(spark, bd)
+    def norm(p: String): String = {
+      val abs = resolve(bd, p)
+      if (abs.startsWith(s"$dir/") && !abs.startsWith(s"$bd/"))
+        abs.stripPrefix(s"$dir/")
+      else abs
+    }
+    // txn marks deliberately do NOT merge (the clone rationale: the
+    // branch is its own ingest lineage; replay state must not leak)
+    val entries = entriesAt(spark, bd, head).collect {
+      case b: BatchEntry => render(b.copy(batch = norm(b.batch)))
+      case d: DeleteEntry => render(d.copy(path = norm(d.path)))
+      case m: MaskEntry => render(m.copy(batch = norm(m.batch)))
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val ok = publishIfAbsent(f, dir, mainHead + 1, nonce,
+      s"K\tmerge" +: entries)
+    require(ok, s"concurrent commit to $dir during merge of '$name' — " +
+      "merge aborted; re-check fast-forward and retry")
+    mainHead + 1
+  }
+
+  /** All branches as (name, forkBase), name-sorted. */
+  def branches(spark: SparkSession, dir: String): Seq[(String, Int)] = {
+    val f = fs(spark, dir)
+    val root = new Path(s"$dir/branches")
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => f.exists(forkBasePath(dir, n)))
+      .map { n =>
+        val in = f.open(forkBasePath(dir, n))
+        val base = try new String(org.apache.commons.io.IOUtils
+          .toByteArray(in), "UTF-8").trim.toInt finally in.close()
+        n -> base
+      }.sortBy(_._1)
+  }
+
   private sealed trait ManifestEntry { def path: String }
   /** `bloom` carries a base64 `org.apache.spark.util.sketch.BloomFilter`
     * over the SAME column as `stats` — the point-lookup complement of the

@@ -871,7 +871,69 @@ object Formats {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // --------------------------------------------------- branch + merge
+  /** BRANCH / fast-forward MERGE lifecycle
+    * ([[graft.engine.Snapshots.createBranch]] / `.mergeBranch`) graded
+    * end to end: main builds v0 (keys ≡ 0 mod 3); a branch forks
+    * zero-copy, appends keys ≡ 1 mod 3 AND row-deletes main-inherited
+    * keys ≡ 0 mod 15 — isolated work main cannot see (pinned by the
+    * mid-flight main read); the fast-forward merge publishes the branch
+    * state as main's v1 as pure metadata. Output: one row per state
+    * (main@v0, branch@head, main@merged) summarized — the merged state
+    * must equal the branch head EXACTLY, including the branch's deletes
+    * of parent-inherited rows.
+    */
+  def branchMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snapbr_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table, append = false)
+    Snapshots.createBranch(spark, table, "exp")
+    val bd = Snapshots.branchDir(table, "exp")
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), bd, append = true)
+    import spark.implicits._
+    Snapshots.deleteRows(
+      o.filter(col("o_orderkey") % 15 === 0).select(col("o_orderkey")),
+      bd, "o_orderkey")
+    val mainBefore = Snapshots.read(spark, table) // must still be pure v0
+    Snapshots.mergeBranch(spark, table, "exp")
+    def summarize(df: DataFrame, state: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .select(lit(state).as("state"), col("n_rows"), col("sum_price"),
+          col("min_key"), col("max_key"))
+    summarize(mainBefore, "main_at_fork")
+      .unionByName(summarize(Snapshots.readBranch(spark, table, "exp"),
+        "branch_head"))
+      .unionByName(summarize(Snapshots.read(spark, table), "main_merged"))
+      .orderBy(col("state"))
+  }
+
+  val branchMergeSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |v0 AS (SELECT * FROM o WHERE o_orderkey % 3 = 0),
+      |bh AS (SELECT * FROM o WHERE (o_orderkey % 3 IN (0, 1))
+      |       AND o_orderkey % 15 <> 0),
+      |u AS (
+      |  SELECT 'main_at_fork' AS state, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM v0
+      |  UNION ALL
+      |  SELECT 'branch_head', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |    MIN(o_orderkey), MAX(o_orderkey) FROM bh
+      |  UNION ALL
+      |  SELECT 'main_merged', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+      |    MIN(o_orderkey), MAX(o_orderkey) FROM bh)
+      |SELECT state, n_rows, sum_price, min_key, max_key
+      |FROM u ORDER BY state""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_branch_merge" -> (branchMerge _),
     "fmt_partition_evolution" -> (partitionEvolution _),
     "fmt_bloom_skipping" -> (bloomSkipping _),
     "fmt_history" -> (historyAudit _),
@@ -893,6 +955,7 @@ object Formats {
     "fmt_zorder_layout" -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_branch_merge" -> branchMergeSql,
     "fmt_partition_evolution" -> partitionEvolutionSql,
     "fmt_bloom_skipping" -> bloomSkippingSql,
     "fmt_history" -> historyAuditSql,

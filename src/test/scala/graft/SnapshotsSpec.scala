@@ -814,4 +814,44 @@ class SnapshotsSpec extends SparkSpecBase {
     // 1..100 + masked 101..149 + replacement 150..200, minus deleted 160
     assert(Snapshots.read(spark, t).count() == 199)
   }
+
+  test("branch: isolated writes, fast-forward merge, non-FF refusal, vacuum-safe paths") {
+    val t = freshTable("branch")
+    Snapshots.commit(df(1 to 10), t, append = false)       // main v0
+    Snapshots.createBranch(spark, t, "exp")
+    val bd = Snapshots.branchDir(t, "exp")
+    Snapshots.commit(df(11 to 15), bd, append = true)      // branch-local
+    // isolation: main is untouched mid-flight
+    assert(Snapshots.read(spark, t).count() == 10)
+    assert(Snapshots.readBranch(spark, t, "exp").count() == 15)
+    assert(Snapshots.branches(spark, t) == Seq("exp" -> 0))
+    // fast-forward merge publishes the branch state as main's next version
+    val v = Snapshots.mergeBranch(spark, t, "exp")
+    assert(v == 1 && Snapshots.read(spark, t).count() == 15)
+    assert(Snapshots.read(spark, t).agg(sum(col("id"))).head.getLong(0)
+      == (1 to 15).sum.toLong)
+    // vacuum safety: the merged manifest references main's own pre-fork
+    // batch RELATIVELY (inside the reference set) and branch data
+    // absolutely (clone-parent exempt) — vacuum must reclaim nothing
+    val (removed, live) = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(removed == 0, s"vacuum after merge removed $removed live paths")
+    assert(Snapshots.read(spark, t).count() == 15)
+    // non-fast-forward: main advanced past a second branch's fork base
+    Snapshots.createBranch(spark, t, "exp2")
+    Snapshots.commit(df(100 to 101), t, append = true)     // main moves on
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, t, "exp2")
+    }
+    assert(e.getMessage.contains("non-fast-forward"), e.getMessage)
+    // branch deletes of parent-inherited rows survive the merge
+    val t2 = freshTable("branchdel")
+    Snapshots.commit(df(1 to 10), t2, append = false)
+    Snapshots.createBranch(spark, t2, "del")
+    import spark.implicits._
+    Snapshots.deleteRows(Seq(3L, 4L).toDF("id"),
+      Snapshots.branchDir(t2, "del"), "id")
+    Snapshots.mergeBranch(spark, t2, "del")
+    assert(Snapshots.read(spark, t2).collect().map(_.getLong(0)).sorted.toSeq
+      == ((1 to 10).map(_.toLong).filterNot(Set(3L, 4L))))
+  }
 }
