@@ -157,12 +157,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     // ses backtest: events_ewma_monitor's 1-row (lo, hi) day-range frame
     // broadcast onto the per-type grid before the zero-fill explode
     "events_ses_backtest",
-    // multiprobe recall: the 200-vector bounded prefix broadcast for the
-    // exact-pair baseline (every recall harness's whitelisted shape)
-    "sim_multiprobe_recall",
     // binary rerank: the 10-query code/embedding table broadcast with
     // the non-equi qid != cid condition (cosineTopK's shape)
     "sim_binary_rerank")
+  // sim_multiprobe_recall is NOT listed although its exact baseline
+  // crossJoins a broadcast 200-vector prefix: the three counts resolve
+  // driver-side, so the RETURNED frame is a LocalRelation with no join
+  // in its plan (the staleness check would flag a dead entry).
   // sim_kmeans3 is NOT listed although each round broadcasts its
   // centroid table: the loop's eager per-round localCheckpoint truncates
   // lineage, so the final executed plan starts from the checkpointed
