@@ -4162,7 +4162,75 @@ object Events {
       |  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- Poisson dispersion test
+  /** Overdispersion (Fano factor) audit of hourly event arrivals, per
+    * type — the one-number test between "this traffic is Poisson (bots,
+    * uniform load)" and "this traffic is bursty (humans, incidents)":
+    * dispersion = sample variance / mean of the zero-filled hourly
+    * counts; ≈1 is Poisson, ≫1 is bursty, ≪1 is rate-limited. Exact
+    * fixed point: with the hour count n and moments S₁ = Σx, S₂ = Σx²,
+    *   fano_ppm = 10⁶·(n·S₂ − S₁²) div ((n − 1)·S₁)
+    * (variance·n(n−1) over mean·n(n−1) — one truncating division, no
+    * doubles anywhere).
+    *
+    * Scale: hourly counts aggregate distributed (map-side combine);
+    * the moment fold is a second bounded aggregate over the
+    * calendar-sized grid — zero-filled via the same range broadcast as
+    * [[ewmaMonitor]], because missing hours ARE data here.
+    */
+  def dispersionTest(spark: SparkSession, dir: String): DataFrame = {
+    val hc = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+    val range = hc.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = hc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("h"))
+    grid.join(hc, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("s1"),
+        sum(expr("x * x")).as("s2"))
+      .withColumn("mean_milli", expr("(s1 * 1000L) div n_hours"))
+      // DECIMAL(38,0): 10⁶·(n·S₂ − S₁²) passes BIGINT range once hourly
+      // volumes reach ~10⁷ events/type (the q103/ARI pattern; HUGEINT
+      // mirrors it in the oracle)
+      .withColumn("fano_ppm", expr(
+        """cast((1000000 * (cast(n_hours as decimal(38,0)) * s2
+          |  - cast(s1 as decimal(38,0)) * s1))
+          | div (cast(n_hours - 1 as decimal(38,0)) * s1) as bigint)""".stripMargin))
+      .select(col("event_type"), col("n_hours"), col("s1").as("n_events"),
+        col("mean_milli"), col("fano_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val dispersionTestSql: String =
+    """WITH hc AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS h FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, COALESCE(hc.x, 0) AS x
+      |  FROM grid LEFT JOIN hc USING (event_type, h)),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_hours,
+      |    CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+      |  FROM xs GROUP BY 1)
+      |SELECT event_type, n_hours, s1 AS n_events,
+      |  CAST((s1 * 1000) // n_hours AS BIGINT) AS mean_milli,
+      |  CAST((1000000 * (CAST(n_hours AS HUGEINT) * s2
+      |      - CAST(s1 AS HUGEINT) * s1))
+      |    // (CAST(n_hours - 1 AS HUGEINT) * s1) AS BIGINT) AS fano_ppm
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dispersion" -> (dispersionTest _),
     "events_touch_attribution" -> (touchAttribution _),
     "events_cumulative_reach" -> (cumulativeReach _),
     "events_ses_backtest" -> (sesBacktest _),
@@ -4224,6 +4292,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_dispersion" -> dispersionTestSql,
     "events_touch_attribution" -> touchAttributionSql,
     "events_cumulative_reach" -> cumulativeReachSql,
     "events_ses_backtest" -> sesBacktestSql,

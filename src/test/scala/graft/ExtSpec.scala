@@ -1972,4 +1972,25 @@ class ExtSpec extends SparkSpecBase {
     // the whole point: sorting by length cuts the padding bill
     assert(r("length_sorted")._3 < r("ingest_order")._3)
   }
+
+  test("dispersion: exact BigInt replay from raw hourly counts, Poisson fixture reads ~1") {
+    val hourly = graft.engine.Tables.load(spark, sf(), "events")
+      .selectExpr("event_type",
+        "unix_micros(date_trunc('hour', ts)) div 3600000000 AS h")
+      .groupBy("event_type", "h").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = hourly.map(_._2).min; val hi = hourly.map(_._2).max
+    val expect = hourly.groupBy(_._1).map { case (ty, xs) =>
+      val m = xs.map(t => t._2 -> t._3).toMap
+      val series = (lo to hi).map(m.getOrElse(_, 0L))
+      val n = BigInt(series.length); val s1 = BigInt(series.sum)
+      val s2 = series.map(x => BigInt(x) * x).sum
+      ty -> (1000000 * (n * s2 - s1 * s1) / ((n - 1) * s1)).toLong
+    }
+    val got = graft.streaming.Events.dispersionTest(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == expect)
+    // the generator is Poisson-ish: every type within [0.8, 1.2]
+    got.values.foreach(f => assert(f > 800000L && f < 1200000L, f.toString))
+  }
 }
