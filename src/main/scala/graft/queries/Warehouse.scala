@@ -1040,7 +1040,10 @@ object Warehouse {
       .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_units"),
         max(col("t")).as("t"))
       .select(col("cls"), col("n_parts"), col("rev_units"),
-        expr("rev_units * 10000 div t").as("share_bp"))
+        // DECIMAL(38,0): rev_units·10⁴ exceeds BIGINT at the 10× blowup
+        // (found via q108's identical expression overflowing there)
+        expr("cast((cast(rev_units as decimal(38,0)) * 10000) div t as bigint)")
+          .as("share_bp"))
       .orderBy(col("cls"))
   }
 
@@ -1179,8 +1182,13 @@ object Warehouse {
     val tot = rev.agg(sum(col("rev")).as("trev"))
     rev.join(broadcast(regions), "r_name").crossJoin(broadcast(tot))
       .select(col("r_name"), col("n_name"), col("rev"),
-        expr("rev * 10000 div rrev").as("share_of_region_bp"),
-        expr("rrev * 10000 div trev").as("region_share_bp"))
+        // DECIMAL(38,0): revenue-unit sums are already ×10⁴; a second
+        // ×10⁴ passes BIGINT range near the 10–20× blowups (the q79/q108
+        // overflow class, fixed fleet-wide for rev-scale shares)
+        expr("cast((cast(rev as decimal(38,0)) * 10000) div rrev as bigint)")
+          .as("share_of_region_bp"),
+        expr("cast((cast(rrev as decimal(38,0)) * 10000) div trev as bigint)")
+          .as("region_share_bp"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -1197,8 +1205,8 @@ object Warehouse {
       |rg AS (SELECT r_name, CAST(SUM(rev) AS BIGINT) AS rrev FROM rev GROUP BY 1),
       |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS trev FROM rev)
       |SELECT rev.r_name, rev.n_name, rev.rev,
-      |  rev.rev * 10000 // rg.rrev AS share_of_region_bp,
-      |  rg.rrev * 10000 // t.trev AS region_share_bp
+      |  CAST(CAST(rev.rev AS HUGEINT) * 10000 // rg.rrev AS BIGINT) AS share_of_region_bp,
+      |  CAST(CAST(rg.rrev AS HUGEINT) * 10000 // t.trev AS BIGINT) AS region_share_bp
       |FROM rev JOIN rg USING (r_name), t
       |ORDER BY rev.r_name, rev.n_name""".stripMargin
 
@@ -2740,7 +2748,121 @@ object Warehouse {
       |JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** ABC–XYZ inventory matrix — the two-axis classification every
+    * supply-chain planner keeps on the wall: revenue importance (A/B/C
+    * by cumulative share, [[q79AbcPareto]]'s 80/95 cut points and its
+    * two-level bucketed prefix sum) crossed with demand VARIABILITY
+    * (X/Y/Z by the squared coefficient of variation of monthly shipped
+    * quantity over the part's ACTIVE LIFESPAN — first to last shipping
+    * month; zero months inside the lifespan cost nothing because they
+    * contribute nothing to S₁/S₂ and the lifespan length n comes from
+    * the same per-part aggregate:
+    * cv²_ppm = 10⁶·(n·S₂ − S₁²) div S₁², DECIMAL(38,0)-guarded).
+    * The textbook 0.25/1.0 cut points assume SMOOTH demand; this
+    * fixture's per-part demand is intermittent (measured cv² ∈
+    * [1.46, 7.9] — every part is 'Z' under textbook cuts), so the cut
+    * points here (2.5 / 4.5) are the intermittent-regime terciles:
+    * relatively-steady / mid / erratic, the split a planner actually
+    * uses when ALL SKUs are lumpy (fixture split 233/1546/221).
+    *
+    * Scale: lineitem folds once to (part, month) then to per-part
+    * moments; the ABC prefix is the bounded-bucket two-level scan; the
+    * output is the ≤9-cell matrix.
+    */
+  def q108AbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    // per-(part, ship-month) quantities, then per-part lifespan moments
+    val pm = li.groupBy(col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").as("ym"))
+      .agg(sum(expr("cast(l_quantity as bigint)")).as("q"))
+    val xyz = pm.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("s1"), sum(expr("q * q")).as("s2"),
+        (max(col("ym")) - min(col("ym")) + 1).cast("long").as("nm"))
+      .withColumn("cv2_ppm", expr(
+        """cast((1000000 * (cast(nm as decimal(38,0)) * s2
+          |  - cast(s1 as decimal(38,0)) * s1))
+          | div (cast(s1 as decimal(38,0)) * s1) as bigint)""".stripMargin))
+      .select(col("l_partkey"),
+        when(col("cv2_ppm") < 2500000L, "X")
+          .when(col("cv2_ppm") < 4500000L, "Y").otherwise("Z").as("xyz"))
+    // ABC: q79's bucketed two-level cumulative-share machinery
+    val pr = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("rev"))
+    val bkt = pr.withColumn("bkt", expr("rev div 10000000"))
+    val bucketSums = bkt.groupBy(col("bkt")).agg(sum(col("rev")).as("bs"))
+      .withColumn("above", coalesce(
+        sum(col("bs")).over(Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = pr.agg(sum(col("rev")).as("t"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val abc = bkt
+      .withColumn("wcum", coalesce(sum(col("rev")).over(wIn), lit(0L)))
+      .join(broadcast(bucketSums.select(col("bkt"), col("above"))), "bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("above") + col("wcum"))
+      .withColumn("abc",
+        when(col("cum") * 5 < col("t") * 4, "A")
+          .when(col("cum") * 20 < col("t") * 19, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("abc"), col("rev"), col("t"))
+    abc.join(xyz, "l_partkey")
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_units"),
+        max(col("t")).as("t"))
+      .select(col("abc"), col("xyz"), col("n_parts"),
+        // DECIMAL(38,0): rev_units·10⁴ exceeds BIGINT at the 10× blowup
+        // (corpus revenue units ~2·10¹⁸ there — measured overflow)
+        expr("cast((cast(rev_units as decimal(38,0)) * 10000) div t as bigint)")
+          .as("rev_share_bp"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
+  val q108Sql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey, year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |xyz AS (
+      |  SELECT l_partkey,
+      |    CASE WHEN cv2 < 2500000 THEN 'X' WHEN cv2 < 4500000 THEN 'Y'
+      |         ELSE 'Z' END AS xyz
+      |  FROM (
+      |    SELECT l_partkey,
+      |      CAST((1000000 * (CAST(nm AS HUGEINT) * s2
+      |          - CAST(s1 AS HUGEINT) * s1))
+      |        // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS cv2
+      |    FROM (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS s1,
+      |            CAST(SUM(q * q) AS BIGINT) AS s2,
+      |            MAX(ym) - MIN(ym) + 1 AS nm
+      |          FROM pm GROUP BY 1))),
+      |pr AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS t FROM pr),
+      |c AS (
+      |  SELECT l_partkey, rev,
+      |    COALESCE(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM pr),
+      |abc AS (
+      |  SELECT l_partkey, rev,
+      |    CASE WHEN cum * 5 < (SELECT t FROM t) * 4 THEN 'A'
+      |         WHEN cum * 20 < (SELECT t FROM t) * 19 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM c)
+      |SELECT abc.abc, xyz.xyz, COUNT(*) AS n_parts,
+      |  CAST(CAST(SUM(abc.rev) AS HUGEINT) * 10000
+      |    // CAST((SELECT t FROM t) AS HUGEINT) AS BIGINT) AS rev_share_bp
+      |FROM abc JOIN xyz USING (l_partkey)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_abc_xyz" -> (q108AbcXyz _),
     "q107_mv_join_delta" -> (q107MvJoinDelta _),
     "q106_corr_matrix" -> (q106CorrMatrix _),
     "q105_segment_migration" -> (q105SegmentMigration _),
@@ -2789,6 +2911,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q108_abc_xyz" -> q108Sql,
     "q107_mv_join_delta" -> q107Sql,
     "q106_corr_matrix" -> q106Sql,
     "q105_segment_migration" -> q105Sql,

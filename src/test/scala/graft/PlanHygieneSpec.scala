@@ -98,7 +98,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "events_cuped", "events_did", "events_sequential_test",
     // abc pareto / share-of-parent: the 1-row total-revenue frame
     // broadcast onto the per-part prefix rows / nation grid (q60's shape)
-    "q79_abc_pareto", "q82_share_of_parent",
+    "q79_abc_pareto", "q82_share_of_parent", "q108_abc_xyz",
     // top paths: the 1-row trigram-total frame broadcast onto the
     // ≤|types|³ path counts (q60's shape)
     "events_top_paths",

@@ -609,4 +609,21 @@ class WarehouseSpec extends SparkSpecBase {
       .head.getLong(0)
     assert(v.agg(sum(col("mv_rev_c"))).head.getLong(0) == rev)
   }
+
+  test("q108 ABC-XYZ: partitions all parts, shares sum to ~100%, ABC margins match q79") {
+    val cells = Warehouse.q108AbcXyz(spark, sf()).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3))))
+    assert(cells.nonEmpty)
+    val totalParts = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(cells.map(_._2._1).sum == totalParts)      // every part in one cell
+    val shareSum = cells.map(_._2._2).sum
+    assert(shareSum >= 9990 && shareSum <= 10000, shareSum.toString) // bp, floor-div slack
+    // ABC margins agree with the standalone q79 classification
+    val q79 = Warehouse.q79AbcPareto(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val margins = cells.groupBy(_._1._1)
+      .map { case (a, xs) => a -> xs.map(_._2._1).sum }
+    assert(margins == q79, s"$margins vs $q79")
+  }
 }
