@@ -1136,10 +1136,17 @@ object Events {
         (col("n0") + col("n1")).cast("double"))
       .select(col("n0"), col("k0"), col("rate0_ppm"),
         col("n1"), col("k1"), col("rate1_ppm"),
-        round((col("p0") - col("p1")) /
-          sqrt(col("pp") * (lit(1.0) - col("pp")) *
-            (lit(1.0) / col("n0").cast("double") +
-              lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+        // saturated outcome (everyone or no one converts) has zero
+        // pooled variance: z is 0 by definition, not a division — the
+        // 10× blowup multiplies per-user histories, pushing every user
+        // past the 1×-calibrated threshold, and ANSI mode turns the
+        // naive √0 denominator into DIVIDE_BY_ZERO (found at blowup 10)
+        when(col("k0") + col("k1") === 0L ||
+            col("k0") + col("k1") === col("n0") + col("n1"), lit(0.0))
+          .otherwise(round((col("p0") - col("p1")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n0").cast("double") +
+                lit(1.0) / col("n1").cast("double"))), 6)).as("z"))
   }
 
   val aaTestSql: String =
@@ -1166,10 +1173,11 @@ object Events {
       |  FROM a a0, a a1 WHERE a0.arm = 0 AND a1.arm = 1)
       |SELECT n0, k0, k0 * 1000000 // n0 AS rate0_ppm,
       |  n1, k1, k1 * 1000000 // n1 AS rate1_ppm,
-      |  round((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+      |  CASE WHEN k0 + k1 = 0 OR k0 + k1 = n0 + n1 THEN 0.0
+      |  ELSE round((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
       |    / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
       |      * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
-      |      * (1.0 / n0 + 1.0 / n1)), 6) AS z
+      |      * (1.0 / n0 + 1.0 / n1)), 6) END AS z
       |FROM w""".stripMargin
 
   // --------------------------------------------- peak load summary
