@@ -4237,7 +4237,104 @@ object Events {
       |    // (CAST(n_hours - 1 AS HUGEINT) * s1) AS BIGINT) AS fano_ppm
       |FROM m ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- forecast tournament
+  /** SES vs Holt forecast tournament — the model-selection readout on
+    * top of [[sesBacktest]]: both forecasters run over the SAME daily
+    * series in ONE fold (state = [f_ses, level, trend, sae_ses,
+    * sae_holt, i]), score one-step-ahead absolute error on the SAME
+    * post-warm-up window, and each type reports both MAEs plus the
+    * winner. On a trend-free Poisson fixture SES should win or tie
+    * (Holt pays variance for a trend term that isn't there) — the
+    * readout is the point, and it's exact, not a vibe: every update is
+    * the truncating fixed-point arithmetic both engines share.
+    *
+    * Scale: identical to [[sesBacktest]] — daily counts aggregate
+    * distributed; one serial fold per type over the calendar-bounded
+    * series.
+    */
+  def forecastTourney(spark: SparkSession, dir: String): DataFrame = {
+    val dc = events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+    val range = dc.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = dc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
+    val xs = grid.join(dc, Seq("event_type", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
+        .as("series"))
+    xs.select(col("event_type"),
+        expr("""aggregate(series, CAST(array(0, 0, 0, 0, 0, 0) AS array<bigint>),
+          |  (acc, x) -> CASE WHEN acc[5] = 0L
+          |    THEN array(x * 1000000L, x * 1000000L, 0L, 0L, 0L, 1L)
+          |    ELSE array(
+          |      (3L * acc[0] + x * 1000000L) div 4L,
+          |      (x * 1000000L + 3L * (acc[1] + acc[2])) div 4L,
+          |      (3L * acc[2]
+          |        + ((x * 1000000L + 3L * (acc[1] + acc[2])) div 4L - acc[1])) div 4L,
+          |      acc[3] + (CASE WHEN acc[5] >= 7L
+          |        THEN abs(x * 1000000L - acc[0]) ELSE 0L END),
+          |      acc[4] + (CASE WHEN acc[5] >= 7L
+          |        THEN abs(x * 1000000L - (acc[1] + acc[2])) ELSE 0L END),
+          |      acc[5] + 1L)
+          |    END)""".stripMargin).as("st"))
+      .select(col("event_type"), expr("st[5]").as("n_days"),
+        expr("st[5] - 7L").as("n_scored"),
+        expr("st[3] div (st[5] - 7L)").as("mae_ses_ppm"),
+        expr("st[4] div (st[5] - 7L)").as("mae_holt_ppm"),
+        expr("""CASE WHEN st[3] < st[4] THEN 'ses'
+          |WHEN st[4] < st[3] THEN 'holt' ELSE 'tie' END""".stripMargin)
+          .as("winner"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastTourneySql: String =
+    """WITH RECURSIVE dc AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+      |grid AS (
+      |  SELECT t.event_type, g.d
+      |  FROM (SELECT DISTINCT event_type FROM dc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS d FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.d, COALESCE(dc.x, 0) AS x,
+      |    row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.d) AS i
+      |  FROM grid LEFT JOIN dc USING (event_type, d)),
+      |rec AS (
+      |  SELECT event_type, i, CAST(x * 1000000 AS BIGINT) AS f,
+      |    CAST(x * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+      |    CAST(0 AS BIGINT) AS ses, CAST(0 AS BIGINT) AS ho
+      |  FROM xs WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CAST((3 * r.f + x.x * 1000000) // 4 AS BIGINT),
+      |    CAST((x.x * 1000000 + 3 * (r.l + r.b)) // 4 AS BIGINT),
+      |    CAST((3 * r.b
+      |      + ((x.x * 1000000 + 3 * (r.l + r.b)) // 4 - r.l)) // 4 AS BIGINT),
+      |    r.ses + CASE WHEN r.i >= 7
+      |      THEN abs(x.x * 1000000 - r.f) ELSE 0 END,
+      |    r.ho + CASE WHEN r.i >= 7
+      |      THEN abs(x.x * 1000000 - (r.l + r.b)) ELSE 0 END
+      |  FROM rec r JOIN xs x ON x.event_type = r.event_type AND x.i = r.i + 1),
+      |last AS (
+      |  SELECT event_type, i, ses, ho,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+      |  FROM rec)
+      |SELECT event_type, CAST(i AS BIGINT) AS n_days,
+      |  CAST(i - 7 AS BIGINT) AS n_scored,
+      |  CAST(ses // (i - 7) AS BIGINT) AS mae_ses_ppm,
+      |  CAST(ho // (i - 7) AS BIGINT) AS mae_holt_ppm,
+      |  CASE WHEN ses < ho THEN 'ses' WHEN ho < ses THEN 'holt'
+      |       ELSE 'tie' END AS winner
+      |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_forecast_tourney" -> (forecastTourney _),
     "events_dispersion" -> (dispersionTest _),
     "events_touch_attribution" -> (touchAttribution _),
     "events_cumulative_reach" -> (cumulativeReach _),
@@ -4300,6 +4397,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_forecast_tourney" -> forecastTourneySql,
     "events_dispersion" -> dispersionTestSql,
     "events_touch_attribution" -> touchAttributionSql,
     "events_cumulative_reach" -> cumulativeReachSql,

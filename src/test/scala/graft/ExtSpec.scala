@@ -1993,4 +1993,21 @@ class ExtSpec extends SparkSpecBase {
     // the generator is Poisson-ish: every type within [0.8, 1.2]
     got.values.foreach(f => assert(f > 800000L && f < 1200000L, f.toString))
   }
+
+  test("forecast tourney: SES lane bit-matches the standalone backtest, winner consistent") {
+    val t = graft.streaming.Events.forecastTourney(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    val ses = graft.streaming.Events.sesBacktest(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(t.keySet == ses.keySet)
+    t.foreach { case (ty, (nd, nsc, mSes, mHolt, w)) =>
+      // the shared-fold SES lane must reproduce the standalone operator
+      assert((nd, nsc, mSes) == ses(ty), s"type $ty")
+      assert(w == (if (mSes < mHolt) "ses" else if (mHolt < mSes) "holt" else "tie"))
+    }
+    // trend-free Poisson fixture: Holt's trend term only adds variance
+    assert(t.values.forall(_._5 == "ses"))
+  }
 }

@@ -156,7 +156,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q102_discount_lift",
     // ses backtest: events_ewma_monitor's 1-row (lo, hi) day-range frame
     // broadcast onto the per-type grid before the zero-fill explode
-    "events_ses_backtest", "events_dispersion",
+    "events_ses_backtest", "events_dispersion", "events_forecast_tourney",
     // binary rerank: the 10-query code/embedding table broadcast with
     // the non-equi qid != cid condition (cosineTopK's shape)
     "sim_binary_rerank")
