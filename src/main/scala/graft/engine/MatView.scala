@@ -37,7 +37,11 @@ object MatView {
     lineitem.groupBy(lineitemDims.map(col): _*)
       .agg(count(lit(1)).as("mv_cnt"),
         sum(col("l_quantity")).as("mv_sum_l_quantity"),
-        sum(expr("floor(l_extendedprice * 100.0 + 0.5)")).as("mv_sum_price_cents"))
+        sum(expr("floor(l_extendedprice * 100.0 + 0.5)")).as("mv_sum_price_cents"),
+        // MIN/MAX are re-aggregable monoids like the sums — carried so
+        // the rewrite can answer MIN/MAX(l_quantity) from the view
+        min(col("l_quantity")).as("mv_min_l_quantity"),
+        max(col("l_quantity")).as("mv_max_l_quantity"))
 
   /** Incremental maintenance: fold a DELTA batch of base rows into an
     * existing view state — the partial states are an abelian monoid
@@ -53,5 +57,7 @@ object MatView {
       .groupBy(lineitemDims.map(col): _*)
       .agg(sum(col("mv_cnt")).as("mv_cnt"),
         sum(col("mv_sum_l_quantity")).as("mv_sum_l_quantity"),
-        sum(col("mv_sum_price_cents")).as("mv_sum_price_cents"))
+        sum(col("mv_sum_price_cents")).as("mv_sum_price_cents"),
+        min(col("mv_min_l_quantity")).as("mv_min_l_quantity"),
+        max(col("mv_max_l_quantity")).as("mv_max_l_quantity"))
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, Coalesce, Divide, Expression, Floor, Literal, Multiply, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -24,15 +24,16 @@ import org.apache.spark.sql.internal.SQLConf
   *  - grouping keys are plain columns ⊆ the view's dimensions;
   *  - every filter references dimensions only (a predicate on a
   *    non-dimension column can't be answered post-aggregation);
-  *  - every aggregate call is COUNT(literal), SUM(l_quantity),
-  *    AVG(l_quantity), or the exact-cents revenue sum
+  *  - every aggregate call is COUNT(literal), SUM / AVG / MIN /
+  *    MAX(l_quantity), or the exact-cents revenue sum
   *    SUM(floor(l_extendedprice·100 + 0.5)) — all re-aggregable from
-  *    the three states the view carries. COUNT becomes SUM(mv_cnt)
+  *    the five states the view carries. COUNT becomes SUM(mv_cnt)
   *    (coalesced to 0 for the empty-input edge); the cents sum becomes
   *    SUM(mv_sum_price_cents); SUM(l_quantity) re-sums the partial
   *    sums, which the alias remapping below routes to
   *    `mv_sum_l_quantity` unchanged; AVG re-derives as
-  *    Σ partial-sums / Σ partial-counts.
+  *    Σ partial-sums / Σ partial-counts; MIN/MAX fold the cell
+  *    minima/maxima (monoids, like the sums).
   *
   * Mechanics: the view relation is wrapped in a Project that aliases
   * each view column to the ORIGINAL base attribute's exprId, so the
@@ -133,6 +134,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // already carries: Σ partial-sums / Σ partial-counts
       case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
         if a.name == "l_quantity" && a.dataType == DoubleType => true
+      // MIN/MAX are monoids the view carries as dedicated states
+      case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+        if a.name == "l_quantity" => true
+      case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+        if a.name == "l_quantity" => true
       case _ => false
     }
     if (!supported) return None
@@ -146,16 +152,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed
     val mvByName = mvRel.output.map(a => a.name -> a).toMap
-    if (!(dims + "mv_cnt" + "mv_sum_l_quantity" + "mv_sum_price_cents")
+    if (!(dims + "mv_cnt" + "mv_sum_l_quantity" + "mv_sum_price_cents"
+        + "mv_min_l_quantity" + "mv_max_l_quantity")
         .subsetOf(mvByName.keySet))
       return None
     val cntAttr = mvByName("mv_cnt")
     val priceAttr = mvByName("mv_sum_price_cents")
+    val minAttr = mvByName("mv_min_l_quantity")
+    val maxAttr = mvByName("mv_max_l_quantity")
     val aliases: Seq[NamedExpression] =
       dims.toSeq.sorted.map { d =>
         Alias(mvByName(d), d)(exprId = baseByName(d).exprId)
       } :+ Alias(mvByName("mv_sum_l_quantity"), "l_quantity")(
-        exprId = baseByName("l_quantity").exprId) :+ cntAttr :+ priceAttr
+        exprId = baseByName("l_quantity").exprId) :+ cntAttr :+ priceAttr :+
+        minAttr :+ maxAttr
     val mvProject = Project(aliases, mvRel)
     val newChild = filters.foldRight(mvProject: LogicalPlan)(Filter(_, _))
 
@@ -174,6 +184,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         // null over empty input (Sum is null there)
         Divide(ae.copy(aggregateFunction = Sum(a)),
           Cast(ae.copy(aggregateFunction = Sum(cntAttr)), DoubleType))
+      case ae @ AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+          if a.name == "l_quantity" =>
+        ae.copy(aggregateFunction = Min(minAttr)) // min of cell minima
+      case ae @ AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+          if a.name == "l_quantity" =>
+        ae.copy(aggregateFunction = Max(maxAttr)) // max of cell maxima
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
   }

@@ -2082,8 +2082,11 @@ object Warehouse {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
           // AVG re-derives from the view's sum+count states (rounded to
-          // fixed point so the oracle compare is exact cross-engine)
+          // fixed point so the oracle compare is exact cross-engine);
+          // MIN/MAX fold the view's dedicated monoid states
           expr("round(avg(l_quantity), 6)").as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
           expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
       // staged under the conf (optimization happens here), so the
@@ -2102,6 +2105,7 @@ object Warehouse {
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       |  SUM(l_quantity) AS sum_qty,
       |  round(AVG(l_quantity), 6) AS avg_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
       |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'

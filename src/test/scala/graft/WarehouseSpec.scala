@@ -432,6 +432,7 @@ class WarehouseSpec extends SparkSpecBase {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
         avg(col("l_quantity")).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
         expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
       .orderBy(col("l_returnflag"))
     val off = dashboard().collect().toSeq
