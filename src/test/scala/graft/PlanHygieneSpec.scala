@@ -191,6 +191,21 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("corpus-proportional carries plan no unpartitioned window (VERDICT r12 item 4)") {
+    // these queries' prefix carries run over chunk-total tables that
+    // GROW with the corpus (corpus/1024 rows — ~10⁸ at 100 TB); their
+    // plans must never declare an all-to-one WindowExec. Bounded-grid
+    // windows elsewhere (day calendars, brand tables) are exempt by
+    // construction and not listed here.
+    for (q <- Seq("multimodal_shard_pack", "multimodal_pad_waste",
+        "events_late_arrivals")) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      val wins = PrefixSumSpec.windows(df.queryExecution.executedPlan)
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$q plans an unpartitioned WindowExec")
+    }
+  }
+
   test("whitelisted BNL sites still plan as broadcasts (whitelist not stale)") {
     val stale = bnlAllowed.filterNot { name =>
       SparkEntry.queries(name)(spark, sf())

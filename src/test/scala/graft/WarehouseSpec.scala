@@ -493,9 +493,90 @@ class WarehouseSpec extends SparkSpecBase {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(foreign.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         == expectForeign)
+      // (g) an AVG-ONLY aggregate: the two derived sums (Σ partials,
+      // Σ counts) must carry FRESH resultIds — shared ids bound both
+      // Divide operands to one buffer slot and every group averaged to
+      // 1.0 (ADVICE r12, reproduced on Spark 4.1.2 before the fix)
+      val avgOnly = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+      assert(!mvUntouched(avgOnly)) // the rewrite DOES fire
+      val avgOff = graft.engine.Tables.load(spark, sf(), "lineitem")
+        .filter(col("l_orderkey") >= 0) // non-dim filter: passthrough shape
+        .groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      avgOnly.collect().map(r => r.getString(0) -> r.getDouble(1)).foreach {
+        case (k, v) => assert(math.abs(v - avgOff(k)) < 1e-12, s"flag $k: $v")
+      }
     } finally {
       spark.conf.unset(graft.plans.MvRewriteRule.PathKey)
       spark.conf.unset(graft.plans.MvRewriteRule.BaseKey)
+    }
+  }
+
+  test("MV base guard: a part-file scan INSIDE the base dir never rewrites (ADVICE r12)") {
+    // path-PREFIX matching answered any subdirectory/part-file of the
+    // base — a row SUBSET — from the full view; exact qualified-URI
+    // equality must not
+    graft.plans.MvRewriteRule.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_guard").toString
+    val baseDir = s"$root/li"
+    graft.engine.Tables.load(spark, sf(), "lineitem")
+      .repartition(2).write.parquet(baseDir)
+    val d = graft.engine.MatView.registry("lineitem")
+    graft.engine.MatView.aggregate(spark.read.parquet(baseDir), d)
+      .write.parquet(s"$root/mv")
+    spark.conf.set(d.pathKey, s"$root/mv")
+    spark.conf.set(d.baseKey, baseDir)
+    try {
+      // the full-dir scan DOES rewrite (control)
+      val whole = spark.read.parquet(baseDir)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(whole.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
+      // a single part file under the base is a row subset: untouched,
+      // and its counts come from the FILE, not the view
+      val partFile = new java.io.File(baseDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      val subset = spark.read.parquet(partFile)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(!subset.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
+      val nSub = subset.agg(sum(col("n"))).head.getLong(0)
+      val nAll = whole.agg(sum(col("n"))).head.getLong(0)
+      assert(nSub > 0 && nSub < nAll, s"$nSub vs $nAll")
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.baseKey)
+    }
+  }
+
+  test("MV registry: the orders view answers COUNT + cents-SUM, machinery not lineitem-shaped") {
+    graft.plans.MvRewriteRule.register(spark)
+    val d = graft.engine.MatView.registry("orders")
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft_mv_ord").toString + "/mv"
+    graft.engine.MatView.build(spark, sf(), "orders", mvPath)
+    def dash() = graft.engine.Tables.load(spark, sf(), "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(floor(o_totalprice * 100.0 + 0.5))").as("rev_cents"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    val off = dash().collect().toSeq
+    spark.conf.set(d.pathKey, mvPath)
+    spark.conf.set(d.baseKey, s"${sf()}/orders.parquet")
+    try {
+      val on = dash()
+      val plan = on.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_cnt"), plan)
+      assert(!plan.contains("o_custkey"), plan) // fact scan gone
+      assert(on.collect().toSeq == off)
+      // orders view declares NO measure: AVG/MIN/MAX/SUM of any orders
+      // column pass through untouched
+      val inel = graft.engine.Tables.load(spark, sf(), "orders")
+        .groupBy(col("o_orderstatus")).agg(avg(col("o_totalprice")).as("a"))
+      assert(!inel.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.baseKey)
     }
   }
 
