@@ -45,6 +45,55 @@ object PrefixSum {
   def exclusiveMax(df: DataFrame, key: String, v: String, out: String): DataFrame =
     exclusive(df, key, v, out, isMax = true)
 
+  /** Exact distributed NTILE(buckets) — Spark's `ntile` needs one total
+    * order, which WindowExec executes as an all-to-one partition; this
+    * form is the distributed counting sort instead: per-value counts →
+    * chunked carry ([[exclusiveSum]]) → within-value `row_number`
+    * (partitions = tie groups) → the global rank, then the standard
+    * ntile boundary arithmetic (first n mod k buckets take ⌈n/k⌉). Ties
+    * order by `tie` ascending regardless of direction — `desc = true`
+    * ranks by (value DESC, tie ASC), implemented as the REVERSAL of the
+    * (value ASC, tie DESC) rank, which needs no key negation (keys stay
+    * in [[exclusiveSum]]'s non-negative <2⁴⁰ domain).
+    *
+    * Requirements: `v` integral, ≥ 0, < 2⁴⁰ (quantize first — cents,
+    * days, counts); `tie` unique per row. Bit-compatible with
+    * `NTILE(buckets) OVER (ORDER BY v [DESC], tie)` on both engines.
+    */
+  def ntileByCountingRank(df: DataFrame, buckets: Int, v: String,
+      tie: String, desc: Boolean, out: String): DataFrame = {
+    // the input branches three ways (per-value counts, the ranked rows,
+    // the 1-row n) and callers CHAIN these (one tile column per metric):
+    // unstaged, each level would recompute the whole upstream plan per
+    // branch — multiplicative blowup (measured 17 s for three chained
+    // quartiles over a 0.6 s base). Staged, cost is linear per level.
+    val d = Materialize.stage(df)
+    val counts = d.groupBy(col(v).as("_nt_v")).agg(count(lit(1)).as("_nt_c"))
+    val carry = exclusiveSum(counts, "_nt_v", "_nt_c", "_nt_pre")
+      .select(col("_nt_v"), coalesce(col("_nt_pre"), lit(0L)).as("_nt_carry"))
+    val wTie = Window.partitionBy(col(v))
+      .orderBy(if (desc) col(tie).desc else col(tie).asc)
+    val n = d.agg(count(lit(1)).as("_nt_n"))
+    val ranked = d
+      .withColumn("_nt_w", row_number().over(wTie).cast("long"))
+      .join(broadcast(carry), col(v) === col("_nt_v"))
+      .crossJoin(broadcast(n))
+      .withColumn("_nt_i",
+        if (desc) col("_nt_n") + 1L - (col("_nt_carry") + col("_nt_w"))
+        else col("_nt_carry") + col("_nt_w"))
+    // ntile boundaries: q = n div k, r = n mod k; the first r buckets
+    // hold q+1 rows each
+    val k = buckets.toLong
+    ranked.withColumn(out, expr(
+      s"""CASE WHEN _nt_i <= (_nt_n div $k + 1L) * (_nt_n % $k)
+        |  THEN (_nt_i - 1L) div (_nt_n div $k + 1L) + 1L
+        |  ELSE _nt_n % $k
+        |    + (_nt_i - 1L - (_nt_n div $k + 1L) * (_nt_n % $k))
+        |      div (_nt_n div $k) + 1L
+        |END""".stripMargin))
+      .drop("_nt_v", "_nt_c", "_nt_carry", "_nt_w", "_nt_n", "_nt_i")
+  }
+
   private def exclusive(df: DataFrame, key: String, v: String, out: String,
       isMax: Boolean): DataFrame = {
     def ag(c: Column): Column = if (isMax) max(c) else sum(c)

@@ -867,6 +867,22 @@ object Snapshots {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no snapshot table at $dir")
+    // merged-branch protection: after mergeBranch, MAIN's manifests
+    // reference branch-local batches by absolute path (clone-parent
+    // contract). A branch vacuum only sees the BRANCH's reference set,
+    // so it would reclaim batches main still needs — refuse while any
+    // main manifest points into this branch dir (optimize main to
+    // self-contain the merged entries first; ADVICE r12).
+    dir match {
+      case branchDirPattern(parent, name) =>
+        val mainRefs = versions(spark, parent)
+          .flatMap(v => entriesAt(spark, parent, v).map(_.path))
+        require(!mainRefs.exists(_.startsWith(s"$dir/")),
+          s"branch '$name' is referenced by merged manifests of $parent — " +
+            "vacuuming the branch would break main's merged versions; " +
+            "optimize main to self-contain them first")
+      case _ =>
+    }
     // tagged versions are pinned: a tag promises read(tagVersion(name))
     // reproduces that state, so vacuum must never reclaim it (Iceberg's
     // ref-protected expiry) — the retention window applies to UNTAGGED
@@ -926,6 +942,7 @@ object Snapshots {
 
   private def refsDir(dir: String) = new Path(s"$dir/_refs")
   private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+  private val branchDirPattern = "^(.*)/branches/([A-Za-z0-9][A-Za-z0-9._-]*)$".r
 
   /** Tag `version` (default latest) with an immutable name — the
     * release-pinning primitive (Iceberg tags): `read(tagVersion(...))`
@@ -1020,6 +1037,11 @@ object Snapshots {
     * inside its vacuum's reference set); branch-local paths absolutize
     * into the branch dir (foreign, vacuum-exempt — the clone-parent
     * contract; `optimize` on main self-contains them when wanted).
+    * Those branch batches are then load-bearing for MAIN, so [[vacuum]]
+    * on the BRANCH refuses while any main manifest references the
+    * branch dir (ADVICE r12 — the branch's own reference set can't see
+    * main's claims; deleting the branch directory outright carries the
+    * same hazard and the same remedy: optimize main first).
     * Returns the new main version.
     */
   def mergeBranch(spark: SparkSession, dir: String, name: String): Int = {

@@ -346,12 +346,15 @@ object Warehouse {
     * recent = quartile 1); the combined RFM code is r·100 + f·10 + m.
     *
     * Scale shape: one orders-scale aggregate to a per-customer row,
-    * then three global sort-based windows over the (customers-sized)
-    * frame — at 100 TB you'd range-partition those sorts, which is
-    * exactly what SortExec already does.
+    * then three EXACT distributed ntiles via the counting-sort rank
+    * ([[graft.engine.PrefixSum.ntileByCountingRank]] — per-value counts
+    * + chunked carry + within-tie row_number): a plain `ntile` window
+    * would pull all |customers| rows through ONE partition, ~10⁹ rows
+    * at 100 TB (the r12-item-4 scale-killer class). The quantized keys
+    * (days, counts, cents) keep the carry in the helper's <2⁴⁰ domain;
+    * the tile arithmetic is bit-compatible with both engines' NTILE.
     */
   def q71Rfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = t(spark, dir, "orders")
     val maxD = o.agg(max(col("o_orderdate")).as("mx"))
     val base = o.groupBy(col("o_custkey"))
@@ -361,18 +364,23 @@ object Warehouse {
       .crossJoin(broadcast(maxD))
       .select(col("o_custkey"), datediff(col("mx"), col("last_d")).as("recency"),
         col("frequency"), col("monetary"))
-    // global rank windows over the per-customer aggregate, not line items;
-    // |customers| is the dimension cardinality — at true scale these flip
-    // to the two-level offset-grid rank (classifierLift's shape)
-    val wr = Window.orderBy(col("recency"), col("o_custkey"))
-    val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val wm = Window.orderBy(col("monetary").desc, col("o_custkey"))
-    base
-      .withColumn("r_q", ntile(4).over(wr))
-      .withColumn("f_q", ntile(4).over(wf))
-      .withColumn("m_q", ntile(4).over(wm))
+      .withColumn("recency_l", col("recency").cast("long"))
+      // decimal(18,2) → exact integer cents for the rank key
+      .withColumn("monetary_c", (col("monetary") * 100).cast("long"))
+    // one staged base, three FLAT (custkey → tile) maps joined back —
+    // chaining the tile calls would nest their plans (each level
+    // re-deriving the one below; measured multiplicative)
+    val b = graft.engine.Materialize.stage(base)
+    def tiles(v: String, desc: Boolean, out: String): DataFrame =
+      graft.engine.PrefixSum.ntileByCountingRank(b, 4, v, "o_custkey", desc, out)
+        .select(col("o_custkey"), col(out))
+    val tiled = b
+      .join(tiles("recency_l", desc = false, "r_q"), "o_custkey")
+      .join(tiles("frequency", desc = true, "f_q"), "o_custkey")
+      .join(tiles("monetary_c", desc = true, "m_q"), "o_custkey")
+    tiled
       .select(col("o_custkey"), col("recency"), col("frequency"),
-        // decimal-exact through the aggregate and the ntile ordering;
+        // decimal-exact through the aggregate and the rank keys;
         // double only at the output boundary (the dsum convention)
         col("monetary").cast("double").as("monetary"),
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
@@ -1589,16 +1597,23 @@ object Warehouse {
     * AND equals its own price's max (exact price/size ties are
     * mutually non-dominating and all kept — standard skyline
     * semantics). One aggregate + one broadcast of the price grid; the
-    * only ordered pass runs on distinct prices.
+    * strictly-cheaper running max recurses through
+    * [[graft.engine.PrefixSum.exclusiveMax]] keyed by exact price
+    * CENTS (prices live on the cent grid, so the key is injective and
+    * order-preserving) — distinct prices grow with |parts| at 100 TB,
+    * too many to promise to one unpartitioned window.
     */
   def q90Skyline(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-    val grid = p.groupBy(col("p_retailprice"))
-      .agg(max(col("p_size")).as("ms"))
-      .withColumn("cmax", coalesce(
-        max(col("ms")).over(Window.orderBy(col("p_retailprice"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(-1)))
+    val grid = graft.engine.PrefixSum.exclusiveMax(
+        p.groupBy(col("p_retailprice"))
+          .agg(max(col("p_size").cast("long")).as("ms"))
+          .withColumn("price_c",
+            expr("cast(floor(p_retailprice * 100.0d + 0.5d) as bigint)")),
+        "price_c", "ms", "cmax0")
+      .withColumn("cmax", coalesce(col("cmax0"), lit(-1L)))
+      .select(col("p_retailprice"), col("ms"), col("cmax"))
     p.join(broadcast(grid), "p_retailprice")
       .filter(col("p_size") > col("cmax") && col("p_size") === col("ms"))
       .select(col("p_partkey"), col("p_retailprice"),
@@ -2720,15 +2735,28 @@ object Warehouse {
     * double-counted, none missed) and the view-scan plan shape;
     * [[q110MvJoinZset]] extends the algebra to DELETES.
     */
-  def q107MvJoinDelta(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+  /** The join view's three inputs — shared by [[q107MvJoinDelta]],
+    * [[q110MvJoinZset]], and the streaming twin
+    * ([[graft.streaming.MvJoinIngest]]; StreamingSpec pins stream ≡
+    * batch on the merged view).
+    */
+  def mvJoinOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
       expr("year(o_orderdate) * 100 + month(o_orderdate)").cast("long").as("ym"))
-    val l = t(spark, dir, "lineitem").select(col("l_orderkey"),
+
+  def mvJoinLines(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(col("l_orderkey"),
       col("l_partkey"), col("l_linenumber"),
       expr("cast(l_quantity as bigint)").as("q"),
       expr("cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)").as("r"))
-    val p = t(spark, dir, "part")
-      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+
+  def mvJoinParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+
+  def q107MvJoinDelta(spark: SparkSession, dir: String): DataFrame = {
+    val o = mvJoinOrders(spark, dir)
+    val l = mvJoinLines(spark, dir)
+    val p = mvJoinParts(spark, dir)
     val o0 = o.filter(expr("l_orderkey % 10 != 0"))
     val oD = o.filter(expr("l_orderkey % 10 = 0"))
     val l0 = l.filter(col("l_linenumber") <= 4)
@@ -3000,20 +3028,27 @@ object Warehouse {
     * delta row each.
     */
   def q110MvJoinZset(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
-      expr("year(o_orderdate) * 100 + month(o_orderdate)").cast("long").as("ym"))
-    val l = t(spark, dir, "lineitem").select(col("l_orderkey"),
-      col("l_partkey"), col("l_linenumber"),
-      expr("cast(l_quantity as bigint)").as("q"),
-      expr("cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)").as("r"))
-    val p = t(spark, dir, "part")
-      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-    val s0 = l.filter(col("l_linenumber") <= 5).withColumn("mult", lit(1L))
-    val dIns = l.filter(col("l_linenumber") >= 6).withColumn("mult", lit(1L))
-    val dDel = l.filter(col("l_linenumber") === 5 &&
-      expr("l_orderkey % 3 = 0")).withColumn("mult", lit(-1L))
-    zsetMerge(zsetTerm(o, p, s0), zsetTerm(o, p, dIns.unionByName(dDel)))
+    val o = mvJoinOrders(spark, dir)
+    val p = mvJoinParts(spark, dir)
+    zsetMerge(zsetTerm(o, p, zsetBase(spark, dir)),
+        zsetTerm(o, p, zsetDelta(spark, dir)))
       .orderBy(col("ym"), col("p_brand"))
+  }
+
+  /** The z-set scenario's standing rows (+1 each): lines 1..5. */
+  def zsetBase(spark: SparkSession, dir: String): DataFrame =
+    mvJoinLines(spark, dir).filter(col("l_linenumber") <= 5)
+      .withColumn("mult", lit(1L))
+
+  /** The z-set scenario's signed delta: ≥6 amendments insert (+1), line
+    * 5 of every okey ≡ 0 (mod 3) retracts (−1). Shared with the
+    * streaming twin, which replays exactly these rows as micro-batches.
+    */
+  def zsetDelta(spark: SparkSession, dir: String): DataFrame = {
+    val l = mvJoinLines(spark, dir)
+    l.filter(col("l_linenumber") >= 6).withColumn("mult", lit(1L))
+      .unionByName(l.filter(col("l_linenumber") === 5 &&
+        expr("l_orderkey % 3 = 0")).withColumn("mult", lit(-1L)))
   }
 
   /** One signed delta-join term: γ over R⋈S⋈dim with every state

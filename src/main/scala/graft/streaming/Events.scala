@@ -3984,8 +3984,11 @@ object Events {
     * distributed with map-side combine; only the calendar-bounded
     * per-type count series folds serially, in ONE `aggregate` call.
     */
-  def sesBacktest(spark: SparkSession, dir: String): DataFrame = {
-    val dc = events(spark, dir)
+  def sesBacktest(spark: SparkSession, dir: String): DataFrame =
+    sesBacktestOn(events(spark, dir))
+
+  def sesBacktestOn(ev: DataFrame): DataFrame = {
+    val dc = ev
       .select(col("event_type"),
         expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d"))
       .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
@@ -4011,7 +4014,10 @@ object Events {
           |    END)""".stripMargin).as("st"))
       .select(col("event_type"),
         expr("st[3]").as("n_days"), expr("st[2]").as("n_scored"),
-        expr("st[1] div st[2]").as("mae_ppm"),
+        // ≤7-day corpora score zero days: emit NULL, not a /0 (the
+        // DuckDB twin's `//` RAISES on zero — the engines must agree
+        // outside the fixture too; ADVICE r12, the aaTest guard class)
+        expr("CASE WHEN st[2] > 0L THEN st[1] div st[2] END").as("mae_ppm"),
         expr("st[0]").as("ses_fp"))
       .orderBy(col("event_type"))
   }
@@ -4046,7 +4052,8 @@ object Events {
       |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
       |  FROM rec)
       |SELECT event_type, CAST(i AS BIGINT) AS n_days,
-      |  CAST(ns AS BIGINT) AS n_scored, CAST(se // ns AS BIGINT) AS mae_ppm,
+      |  CAST(ns AS BIGINT) AS n_scored,
+      |  CAST(CASE WHEN ns > 0 THEN se // ns END AS BIGINT) AS mae_ppm,
       |  f AS ses_fp
       |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
 
@@ -4285,8 +4292,12 @@ object Events {
           |    END)""".stripMargin).as("st"))
       .select(col("event_type"), expr("st[5]").as("n_days"),
         expr("st[5] - 7L").as("n_scored"),
-        expr("st[3] div (st[5] - 7L)").as("mae_ses_ppm"),
-        expr("st[4] div (st[5] - 7L)").as("mae_holt_ppm"),
+        // ≤7-day corpora score zero days: NULL, not /0 (sesBacktest's
+        // guard — the DuckDB `//` raises on zero; ADVICE r12)
+        expr("CASE WHEN st[5] > 7L THEN st[3] div (st[5] - 7L) END")
+          .as("mae_ses_ppm"),
+        expr("CASE WHEN st[5] > 7L THEN st[4] div (st[5] - 7L) END")
+          .as("mae_holt_ppm"),
         expr("""CASE WHEN st[3] < st[4] THEN 'ses'
           |WHEN st[4] < st[3] THEN 'holt' ELSE 'tie' END""".stripMargin)
           .as("winner"))
@@ -4329,8 +4340,8 @@ object Events {
       |  FROM rec)
       |SELECT event_type, CAST(i AS BIGINT) AS n_days,
       |  CAST(i - 7 AS BIGINT) AS n_scored,
-      |  CAST(ses // (i - 7) AS BIGINT) AS mae_ses_ppm,
-      |  CAST(ho // (i - 7) AS BIGINT) AS mae_holt_ppm,
+      |  CAST(CASE WHEN i > 7 THEN ses // (i - 7) END AS BIGINT) AS mae_ses_ppm,
+      |  CAST(CASE WHEN i > 7 THEN ho // (i - 7) END AS BIGINT) AS mae_holt_ppm,
       |  CASE WHEN ses < ho THEN 'ses' WHEN ho < ses THEN 'holt'
       |       ELSE 'tie' END AS winner
       |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin

@@ -1843,6 +1843,24 @@ class ExtSpec extends SparkSpecBase {
     expect.foreach { case (ty, e) => assert(got(ty) == e, s"type $ty") }
   }
 
+  test("ses backtest: a <=7-day corpus scores zero days and yields NULL mae, no /0 (ADVICE r12)") {
+    import spark.implicits._
+    // 3 days of events — the warmup never completes, n_scored = 0; the
+    // DuckDB twin's CASE guard emits NULL the same way (its bare `//`
+    // would RAISE on zero)
+    val ev = Seq(
+      ("click", "2024-01-01 10:00:00"), ("click", "2024-01-02 10:00:00"),
+      ("click", "2024-01-03 10:00:00"), ("view", "2024-01-02 11:00:00"))
+      .toDF("event_type", "s").select(col("event_type"),
+        col("s").cast("timestamp_ntz").as("ts"))
+    val r = graft.streaming.Events.sesBacktestOn(ev).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getLong(2) == 0L, s"n_scored for ${x.getString(0)}")
+      assert(x.isNullAt(3), s"mae_ppm for ${x.getString(0)} should be NULL")
+    }
+  }
+
   test("ngram novelty: first doc fully novel, exact copy fully stale, overlap in between") {
     import spark.implicits._
     val docs = Seq(

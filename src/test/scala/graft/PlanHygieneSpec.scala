@@ -198,7 +198,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     // windows elsewhere (day calendars, brand tables) are exempt by
     // construction and not listed here.
     for (q <- Seq("multimodal_shard_pack", "multimodal_pad_waste",
-        "events_late_arrivals")) {
+        "events_late_arrivals", "q71_rfm", "q90_skyline")) {
       val df = SparkEntry.queries(q)(spark, sf())
       val wins = PrefixSumSpec.windows(df.queryExecution.executedPlan)
       assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),

@@ -63,6 +63,32 @@ class PrefixSumSpec extends SparkSpecBase {
     run((0L until 100L).map(k => k -> k * k), isMax = false)
     run((0L until 100L).map(k => k -> (100L - k)), isMax = true)
   }
+
+  test("ntileByCountingRank == ntile window, asc and desc, heavy ties, n % k != 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // 997 rows (997 % 4 = 1 — exercises the uneven-bucket boundary),
+    // values drawn from a SMALL grid so tie groups span tile boundaries
+    val rows = (0L until 997L).map(id => (id, rnd.nextInt(37).toLong))
+    val df = rows.toDF("id", "v").repartition(5)
+    for (desc <- Seq(false, true); k <- Seq(4, 10)) {
+      val got = (if (desc)
+          graft.engine.PrefixSum.ntileByCountingRank(df, k, "v", "id", desc = true, "t")
+        else
+          graft.engine.PrefixSum.ntileByCountingRank(df, k, "v", "id", desc = false, "t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val w = Window.orderBy(if (desc) col("v").desc else col("v").asc, col("id"))
+      val want = df.withColumn("t", ntile(k).over(w))
+        .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+      assert(got == want, s"desc=$desc k=$k")
+    }
+    // no unpartitioned window in the counting form's plan
+    val plan = graft.engine.PrefixSum
+      .ntileByCountingRank(df, 4, "v", "id", desc = true, "t")
+      .queryExecution.executedPlan
+    val wins = PrefixSumSpec.windows(plan)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), plan.toString)
+  }
 }
 
 object PrefixSumSpec {

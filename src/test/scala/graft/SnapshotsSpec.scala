@@ -843,6 +843,26 @@ class SnapshotsSpec extends SparkSpecBase {
       Snapshots.mergeBranch(spark, t, "exp2")
     }
     assert(e.getMessage.contains("non-fast-forward"), e.getMessage)
+    // merged-branch protection (ADVICE r12): the branch's batches are
+    // now load-bearing for MAIN's merged manifest — vacuuming the
+    // BRANCH (whose reference set can't see main) must refuse rather
+    // than silently break main's merged versions
+    Snapshots.commit(df(16 to 18), bd, append = true) // branch moves on
+    val ev = intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, bd, keepVersions = 1)
+    }
+    assert(ev.getMessage.contains("referenced by merged manifests"),
+      ev.getMessage)
+    assert(Snapshots.read(spark, t).count() == 17) // main intact (15 + 2)
+    // a branch main never merged vacuums freely
+    val t3 = freshTable("branchvac")
+    Snapshots.commit(df(1 to 5), t3, append = false)
+    Snapshots.createBranch(spark, t3, "scratch")
+    val bd3 = Snapshots.branchDir(t3, "scratch")
+    Snapshots.commit(df(6 to 7), bd3, append = true)
+    Snapshots.commit(df(8 to 9), bd3, append = true)
+    Snapshots.vacuum(spark, bd3, keepVersions = 1) // no refusal
+    assert(Snapshots.readBranch(spark, t3, "scratch").count() == 9)
     // branch deletes of parent-inherited rows survive the merge
     val t2 = freshTable("branchdel")
     Snapshots.commit(df(1 to 10), t2, append = false)

@@ -1383,4 +1383,39 @@ class StreamingSpec extends SparkSpecBase {
     // statefulness actually exercised: chunks re-emitted across batches
     assert(all.count() > finals.count())
   }
+
+  test("streaming delta-join view: micro-batched signed deltas ⊕ persisted v0 == batch z-set view") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Warehouse
+    val o = Warehouse.mvJoinOrders(spark, sf())
+    val p = Warehouse.mvJoinParts(spark, sf())
+    // the delta feed: q110's exact signed rows, landed as 3 files so the
+    // maintenance genuinely spans micro-batches
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft_mvj_in").toString
+    Warehouse.zsetDelta(spark, sf())
+      .select(col("l_orderkey"), col("l_partkey"), col("q"), col("r"), col("mult"))
+      .repartition(3).write.mode("overwrite").parquet(deltaDir)
+    // the persisted standing view v0 (read back, never recomputed below)
+    val v0Dir = java.nio.file.Files.createTempDirectory("graft_mvj_v0").toString + "/v0"
+    Warehouse.zsetTerm(o, p, Warehouse.zsetBase(spark, sf()))
+      .write.parquet(v0Dir)
+    val q = graft.streaming.MvJoinIngest
+      .monitor(spark, deltaDir, o, p, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("mv_join_ingest")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "delta feed collapsed into a single micro-batch")
+    val merged = Warehouse.zsetMerge(spark.read.parquet(v0Dir),
+        spark.table("mv_join_ingest"))
+      .orderBy(col("ym"), col("p_brand")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val batch = Warehouse.q110MvJoinZset(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(merged.nonEmpty && merged == batch,
+      s"stream=${merged.size} batch=${batch.size}")
+  }
 }

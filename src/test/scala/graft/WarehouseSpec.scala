@@ -174,7 +174,7 @@ class WarehouseSpec extends SparkSpecBase {
 
   test("q71 RFM: quartiles are balanced and the code decomposes") {
     val r = Warehouse.q71Rfm(spark, sf("0.01")).collect()
-    val codes = r.map(_.getInt(4))
+    val codes = r.map(_.getLong(4).toInt)
     assert(codes.forall(c => c >= 111 && c <= 444))
     // ntile(4) balance: each recency quartile within 1 of n/4
     val rq = codes.map(_ / 100).groupBy(identity).view.mapValues(_.size)
@@ -690,6 +690,53 @@ class WarehouseSpec extends SparkSpecBase {
       .selectExpr("sum(cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint))")
       .head.getLong(0)
     assert(v.agg(sum(col("mv_rev_c"))).head.getLong(0) == rev)
+  }
+
+  test("q107 refresh plan scans the PERSISTED view plus three micro-batch terms") {
+    val v = Warehouse.q107MvJoinDelta(spark, sf())
+    val plan = v.queryExecution.optimizedPlan
+    // the standing view arrives via its parquet path, not a recomputed
+    // base join (VERDICT r12 item 2)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val viewScan = plan.collect { case r: LogicalRelation => r }.exists(_.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("graft_mv_join"))
+      case _ => false
+    })
+    assert(viewScan, plan.toString)
+    // exactly the 3 delta terms rebuild joins (2 joins each: ΔR⋈S and
+    // ⋈dim) — a 4th term would mean the base join came back
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins == 6, s"expected 6 Join nodes (3 terms x 2), got $joins\n$plan")
+  }
+
+  test("q110 z-set merge: a fully-retracted cell leaves the view, partial nets down") {
+    import spark.implicits._
+    val o = Seq((1L, 202401L), (2L, 202402L)).toDF("l_orderkey", "ym")
+    val p = Seq((10L, "B1"), (20L, "B2")).toDF("l_partkey", "p_brand")
+    val s0 = Seq((1L, 10L, 2L, 100L, 1L), (1L, 10L, 5L, 250L, 1L),
+        (2L, 20L, 3L, 200L, 1L))
+      .toDF("l_orderkey", "l_partkey", "q", "r", "mult")
+    val ds = Seq((1L, 10L, 5L, 250L, -1L),  // partial retraction in B1
+        (2L, 20L, 3L, 200L, -1L))           // FULL retraction of B2's cell
+      .toDF("l_orderkey", "l_partkey", "q", "r", "mult")
+    val merged = Warehouse.zsetMerge(
+        Warehouse.zsetTerm(o, p, s0), Warehouse.zsetTerm(o, p, ds))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cancelled cell GONE, not present with zeros
+    assert(merged.keySet == Set((202401L, "B1")))
+    assert(merged((202401L, "B1")) == ((1L, 2L, 100L)))
+    // over-retraction nets negative and stays visible (an audit signal,
+    // not silently clamped)
+    val over = Warehouse.zsetMerge(
+        Warehouse.zsetTerm(o, p, s0.filter(col("l_orderkey") === 2L)),
+        Warehouse.zsetTerm(o, p, ds.filter(col("l_orderkey") === 2L)
+          .unionByName(ds.filter(col("l_orderkey") === 2L))))
+      .collect()
+    assert(over.length == 1 && over.head.getLong(2) == -1L)
   }
 
   test("q108 ABC-XYZ: partitions all parts, shares sum to ~100%, ABC margins match q79") {
