@@ -3127,7 +3127,88 @@ object Warehouse {
       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Predictive gains (lift) curve — the validation table behind every
+    * "target the top decile" campaign: score customers by OBSERVED 1996
+    * spend, rank into deciles, and ask how much of the FUTURE (1997)
+    * revenue each cumulative decile captures vs a uniform-targeting
+    * baseline. A model whose top-3 deciles capture 60% of future
+    * revenue justifies its mailing budget; the curve IS that readout.
+    *
+    * Exactness: both spends are exact integer cents; shares are
+    * DECIMAL(38,0)-guarded bp (the q79/q108 overflow class); lift is
+    * bp-of-share over bp-of-population, integer div on both engines.
+    * Scale: the decile rank is [[graft.engine.PrefixSum
+    * .ntileByCountingRank]] — the same no-single-partition counting
+    * sort as q71's RFM, proving the helper generalizes past quartiles;
+    * the cumulative pass runs on the 10-row decile grid only.
+    */
+  def q112GainsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), expr("year(o_orderdate)").as("yr"),
+        expr("cast(floor(o_totalprice * 100.0d + 0.5d) as bigint)").as("c"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("yr") === 1996, col("c")).otherwise(0L)).as("s96"),
+        sum(when(col("yr") === 1997, col("c")).otherwise(0L)).as("s97"))
+      .filter(col("s96") > 0L) // scored population: 1996 buyers
+    val d = graft.engine.PrefixSum.ntileByCountingRank(
+      o, 10, "s96", "o_custkey", desc = true, "decile")
+    // staged: the 10-row decile table branches (totals + cumulative
+    // pass) — unstaged, each branch re-executes the whole rank plan
+    val byDecile = graft.engine.Materialize.stage(d.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("s97")).as("rev97_c")))
+    val tot = byDecile.agg(sum(col("rev97_c")).as("t"),
+      sum(col("n_cust")).as("nc"))
+    // cumulative pass over the 10-row decile grid (bounded by buckets)
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_rev", sum(col("rev97_c")).over(w))
+      .withColumn("cum_cust", sum(col("n_cust")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"), col("rev97_c"),
+        expr("cast((cast(cum_rev as decimal(38,0)) * 10000) div t as bigint)")
+          .as("cum_share_bp"),
+        // denominator t·cum_cust through DECIMAL too: long×long reaches
+        // 10²¹ at 100 TB (the q79 overflow class, guarded up front)
+        expr("""cast((cast(cum_rev as decimal(38,0)) * 10000 * nc)
+          | div (cast(t as decimal(38,0)) * cum_cust) as bigint)""".stripMargin)
+          .as("lift_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val q112Sql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+      |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS s96,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+      |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS s97
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1 HAVING s96 > 0),
+      |d AS (
+      |  SELECT s97, NTILE(10) OVER (ORDER BY s96 DESC, o_custkey) AS decile
+      |  FROM cust),
+      |g AS (
+      |  SELECT decile, COUNT(*) AS n_cust, CAST(SUM(s97) AS BIGINT) AS rev97_c
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(rev97_c) AS HUGEINT) AS t,
+      |        CAST(SUM(n_cust) AS HUGEINT) AS nc FROM g),
+      |c AS (
+      |  SELECT decile, n_cust, rev97_c,
+      |    CAST(SUM(rev97_c) OVER (ORDER BY decile) AS HUGEINT) AS cum_rev,
+      |    CAST(SUM(n_cust) OVER (ORDER BY decile) AS HUGEINT) AS cum_cust
+      |  FROM g)
+      |SELECT decile, n_cust, rev97_c,
+      |  CAST(cum_rev * 10000 // t.t AS BIGINT) AS cum_share_bp,
+      |  CAST(cum_rev * 10000 * t.nc // (t.t * cum_cust) AS BIGINT) AS lift_bp
+      |FROM c, t ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_gains_curve" -> (q112GainsCurve _),
     "q111_mv_rewrite_orders" -> (q111MvRewriteOrders _),
     "q110_mv_join_zset" -> (q110MvJoinZset _),
     "q109_price_index" -> (q109PriceIndex _),
@@ -3180,6 +3261,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q112_gains_curve" -> q112Sql,
     "q111_mv_rewrite_orders" -> q111Sql,
     "q110_mv_join_zset" -> q110Sql,
     "q109_price_index" -> q109Sql,

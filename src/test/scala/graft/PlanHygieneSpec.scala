@@ -159,7 +159,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     "events_ses_backtest", "events_dispersion", "events_forecast_tourney",
     // binary rerank: the 10-query code/embedding table broadcast with
     // the non-equi qid != cid condition (cosineTopK's shape)
-    "sim_binary_rerank")
+    "sim_binary_rerank",
+    // gains curve: the counting-rank ntile's 1-row n frame plus the
+    // 1-row (total revenue, population) frame broadcast onto the
+    // 10-row decile grid (q79's total-broadcast shape)
+    "q112_gains_curve")
   // sim_multiprobe_recall is NOT listed although its exact baseline
   // crossJoins a broadcast 200-vector prefix: the three counts resolve
   // driver-side, so the RETURNED frame is a LocalRelation with no join

@@ -739,6 +739,23 @@ class WarehouseSpec extends SparkSpecBase {
     assert(over.length == 1 && over.head.getLong(2) == -1L)
   }
 
+  test("q112 gains curve: balanced deciles, monotone shares, terminal lift exactly 1x") {
+    val r = Warehouse.q112GainsCurve(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.map(_._1).toSeq == (1L to 10L)) // all ten deciles present
+    // ntile balance: decile sizes within 1 of each other
+    assert(r.map(_._2).max - r.map(_._2).min <= 1, r.map(_._2).mkString(","))
+    // cumulative share is nondecreasing and ends at exactly 100.00%
+    val shares = r.sortBy(_._1).map(_._4)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last == 10000L)
+    // at the full population the lift is exactly 1× by construction
+    assert(r.sortBy(_._1).last._5 == 10000L)
+    // the top decile actually lifts on this fixture (past spend predicts)
+    assert(r.sortBy(_._1).head._5 > 10000L, r.sortBy(_._1).head.toString)
+  }
+
   test("q108 ABC-XYZ: partitions all parts, shares sum to ~100%, ABC margins match q79") {
     val cells = Warehouse.q108AbcXyz(spark, sf()).collect()
       .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3))))
