@@ -38,6 +38,33 @@ final case class MvViewDef(
       cents.map(_ => "mv_sum_price_cents").toSet
 }
 
+/** Declaration of one materialized JOIN-aggregate view — the real
+  * warehouse workhorse: most dashboard aggregates run over the fact ⋈
+  * dim join, not a single table, so a view that pre-joins AND
+  * pre-aggregates removes both the join shuffle and the fact scan. The
+  * def records the two base tables (each by exact column signature +
+  * conf'd root path, the same wrong-data guards as [[MvViewDef]]), the
+  * inner equi-join keys, the grain dimensions (columns of either side),
+  * and the exact-cents revenue state.
+  *
+  * Conf keys are per view: `spark.graft.mv.<name>.path` plus
+  * `.leftBase` / `.rightBase` — all three must be set for
+  * [[graft.plans.MvRewriteRule]] to consider the view.
+  */
+final case class MvJoinViewDef(
+    name: String,
+    leftTable: String, leftSignature: Set[String], leftKey: String,
+    rightTable: String, rightSignature: Set[String], rightKey: String,
+    dims: Seq[String],
+    cents: Option[String]) {
+  def pathKey: String = s"spark.graft.mv.$name.path"
+  def leftBaseKey: String = s"spark.graft.mv.$name.leftBase"
+  def rightBaseKey: String = s"spark.graft.mv.$name.rightBase"
+  /** Columns the built view must expose for the rewrite to trust it. */
+  def requiredViewCols: Set[String] =
+    dims.toSet + "mv_cnt" ++ cents.map(_ => "mv_sum_price_cents").toSet
+}
+
 /** Materialized aggregate views — the summary tables behind
   * [[graft.plans.MvRewriteRule]]'s transparent query rewrite, built and
   * incrementally maintained per [[MvViewDef]].
@@ -73,6 +100,59 @@ object MatView {
       dims = Seq("o_orderstatus", "o_orderpriority", "o_orderdate"),
       measure = None,
       cents = Some("o_totalprice")))
+
+  /** The join-view catalog: fact ⋈ fact summaries keyed by view name.
+    * One entry — lineitem ⋈ orders on the order key, grained on line
+    * return flag × order status × priority — proves the rewrite can
+    * collapse a whole join subtree, not just a scan.
+    */
+  val joinRegistry: Map[String, MvJoinViewDef] = Map(
+    "lineitem_orders" -> MvJoinViewDef("lineitem_orders",
+      leftTable = "lineitem",
+      leftSignature = registry("lineitem").signature,
+      leftKey = "l_orderkey",
+      rightTable = "orders",
+      rightSignature = registry("orders").signature,
+      rightKey = "o_orderkey",
+      dims = Seq("l_returnflag", "o_orderstatus", "o_orderpriority"),
+      cents = Some("l_extendedprice")))
+
+  /** Build the join view's summary from the two base tables at `dir`. */
+  def buildJoin(spark: SparkSession, dir: String, name: String,
+      mvPath: String): Unit = {
+    val d = joinRegistry(name)
+    aggregateJoin(Tables.load(spark, dir, d.leftTable),
+      Tables.load(spark, dir, d.rightTable), d)
+      .write.mode("overwrite").parquet(mvPath)
+  }
+
+  /** The join view's aggregation: inner equi-join then the same
+    * re-aggregable states as [[aggregate]] (row count + exact-cents
+    * revenue partials). Deltas fold with the identical monoid.
+    */
+  def aggregateJoin(left: DataFrame, right: DataFrame,
+      d: MvJoinViewDef): DataFrame = {
+    val states = Seq(count(lit(1)).as("mv_cnt")) ++
+      d.cents.toSeq.map(c =>
+        sum(expr(s"floor($c * 100.0 + 0.5)")).as("mv_sum_price_cents"))
+    left.join(right, left(d.leftKey) === right(d.rightKey))
+      .groupBy(d.dims.map(col): _*).agg(states.head, states.tail: _*)
+  }
+
+  /** Incremental maintenance of a JOIN view: merge a delta STATE batch
+    * (already at view grain — e.g. the streaming twin's complete-mode
+    * aggregation, [[graft.streaming.JoinViewIngest]]) into the standing
+    * view. Count and cents states are abelian sums, so refresh is one
+    * group-sum over the union — the base join is never re-run.
+    */
+  def applyDeltaJoin(mv: DataFrame, deltaState: DataFrame,
+      d: MvJoinViewDef): DataFrame = {
+    val merges = Seq(sum(col("mv_cnt")).as("mv_cnt")) ++
+      d.cents.toSeq.map(_ =>
+        sum(col("mv_sum_price_cents")).as("mv_sum_price_cents"))
+    mv.unionByName(deltaState)
+      .groupBy(d.dims.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
 
   /** Dimension columns of the lineitem view (compat accessor). */
   val lineitemDims: Seq[String] = registry("lineitem").dims

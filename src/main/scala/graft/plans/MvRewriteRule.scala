@@ -5,12 +5,14 @@ import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.types.DoubleType
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.internal.SQLConf
 
-import graft.engine.{MatView, MvViewDef}
+import graft.engine.{MatView, MvJoinViewDef, MvViewDef}
 
 /** Materialized-view query rewrite (the `Rule[LogicalPlan]` tier of the
   * extension ladder, like [[ApproxNdvRule]]): for every view in the
@@ -72,12 +74,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       val base = SQLConf.get.getConfString(d.baseKey, "")
       if (path.isEmpty || base.isEmpty) None else Some((d, path, base))
     }.toSeq
-    if (active.isEmpty) plan
+    val activeJoin = MatView.joinRegistry.values.flatMap { d =>
+      val path = SQLConf.get.getConfString(d.pathKey, "")
+      val lb = SQLConf.get.getConfString(d.leftBaseKey, "")
+      val rb = SQLConf.get.getConfString(d.rightBaseKey, "")
+      if (path.isEmpty || lb.isEmpty || rb.isEmpty) None
+      else Some((d, path, lb, rb))
+    }.toSeq
+    if (active.isEmpty && activeJoin.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
         active.view.flatMap { case (d, path, base) =>
           tryRewrite(agg, d, path, base)
-        }.headOption.getOrElse(agg)
+        }.headOption
+          .orElse(activeJoin.view.flatMap { case (d, path, lb, rb) =>
+            tryRewriteJoin(agg, d, path, lb, rb)
+          }.headOption)
+          .getOrElse(agg)
     }
   }
 
@@ -213,6 +226,142 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(Max(a: AttributeReference), _, false, None, _)
           if isMeasure(a) =>
         derived(ae, Max(mvByName(s"mv_max_${a.name}"))) // max of cell maxima
+    }.asInstanceOf[NamedExpression])
+    Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
+  }
+
+  /** Join-view rewrite: an Aggregate over (pruning Projects / Filters
+    * over) an INNER equi-join of the def's two base relations becomes
+    * the same Aggregate over the pre-joined, pre-aggregated view — the
+    * rewrite that removes the join SHUFFLE, not just the scan, which at
+    * 100 TB is the bigger half of a dashboard aggregate's cost.
+    *
+    * Eligibility mirrors [[tryRewrite]] with three join-specific rules:
+    * the join must be Inner with the condition exactly `leftKey =
+    * rightKey` (any operand order); each side must unwrap to a base
+    * relation matching the def's signature + conf'd root (either side
+    * assignment); and inferred `IsNotNull(joinKey)` filters — which the
+    * optimizer plants under every inner equi-join — are DROPPED rather
+    * than re-applied, because every view row already survived the inner
+    * join (non-null keys by construction). All other filters, wherever
+    * the optimizer pushed them (above the join or into either side),
+    * must reference dimensions only and are re-applied over the view.
+    */
+  private def tryRewriteJoin(agg: Aggregate, d: MvJoinViewDef,
+      mvPath: String, leftBase: String,
+      rightBase: String): Option[LogicalPlan] = {
+    // unwrap down to the Join, collecting filters above it
+    var filters = List.empty[Expression]
+    var cur: LogicalPlan = agg.child
+    var ok = true
+    while (ok && !cur.isInstanceOf[Join]) cur = cur match {
+      case Project(list, child)
+        if list.forall(_.isInstanceOf[AttributeReference]) => child
+      case Filter(cond, child) => filters = filters :+ cond; child
+      case _ => ok = false; cur
+    }
+    if (!ok) return None
+    val join = cur.asInstanceOf[Join]
+    if (join.joinType != Inner) return None
+    // each side unwraps to a relation, collecting side-pushed filters
+    def unwrapSide(p: LogicalPlan): Option[(LogicalRelation, List[Expression])] = {
+      var fs = List.empty[Expression]
+      var c = p
+      while (!c.isInstanceOf[LogicalRelation]) c = c match {
+        case Project(list, child)
+          if list.forall(_.isInstanceOf[AttributeReference]) => child
+        case Filter(cond, child) => fs = fs :+ cond; child
+        case _ => return None
+      }
+      Some((c.asInstanceOf[LogicalRelation], fs))
+    }
+    val sides = for {
+      (l, lf) <- unwrapSide(join.left)
+      (r, rf) <- unwrapSide(join.right)
+    } yield (l, r, lf ++ rf)
+    val (relA, relB, sideFilters) = sides.getOrElse(return None)
+    def matchesDef(rel: LogicalRelation, sig: Set[String], base: String) =
+      rel.output.map(_.name).toSet == sig && isBaseRelation(rel, base)
+    val assigned =
+      if (matchesDef(relA, d.leftSignature, leftBase) &&
+          matchesDef(relB, d.rightSignature, rightBase)) Some((relA, relB))
+      else if (matchesDef(relB, d.leftSignature, leftBase) &&
+          matchesDef(relA, d.rightSignature, rightBase)) Some((relB, relA))
+      else None
+    val (leftRel, rightRel) = assigned.getOrElse(return None)
+    val keysOk = join.condition match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+        Set(a.name, b.name) == Set(d.leftKey, d.rightKey)
+      case _ => false
+    }
+    if (!keysOk) return None
+
+    val dims = d.dims.toSet
+    val keys = Set(d.leftKey, d.rightKey)
+    // split conjunctions first: the optimizer plants `isnotnull(key) AND
+    // <user filter>` as ONE condition, and the key guard must be dropped
+    // per-conjunct, not per-Filter
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // IsNotNull(joinKey) — inferred from the join constraint — is a
+    // no-op over the view's rows; everything else must be dim-only
+    val kept = (filters ++ sideFilters).flatMap(conjuncts).filterNot {
+      case IsNotNull(a: AttributeReference) if keys(a.name) => true
+      case _ => false
+    }
+    if (!kept.forall(_.references.forall(a => dims(a.name)))) return None
+    if (!agg.groupingExpressions.forall {
+      case a: AttributeReference => dims(a.name)
+      case _ => false
+    }) return None
+
+    val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    def isCents(e: Expression): Boolean = e match {
+      case Floor(Add(Multiply(a: AttributeReference, Literal(h, _), _),
+          Literal(half, _), _))
+        if d.cents.contains(a.name) && h == 100.0 && half == 0.5 => true
+      case _ => false
+    }
+    val supported = aggCalls.forall {
+      case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) => true
+      case AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) => true
+      case _ => false
+    }
+    if (!supported) return None
+    val outsideRefs = agg.aggregateExpressions.flatMap(_.collect {
+      case a: AttributeReference => a
+    }).filterNot(a => aggCalls.exists(_.references.contains(a)))
+    if (!outsideRefs.forall(a => dims(a.name))) return None
+
+    // dims may come from EITHER side — alias each view column back to
+    // the originating base attribute's exprId, as in the scan rewrite
+    val baseByName = (leftRel.output ++ rightRel.output)
+      .map(a => a.name -> a).toMap
+    val spark = SparkSession.active
+    val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed
+    val mvByName = mvRel.output.map(a => a.name -> a).toMap
+    if (!d.requiredViewCols.subsetOf(mvByName.keySet)) return None
+    val aliases: Seq[NamedExpression] =
+      d.dims.map { dim =>
+        Alias(mvByName(dim), dim)(exprId = baseByName(dim).exprId)
+      } ++ (mvByName("mv_cnt") +:
+        d.cents.map(_ => mvByName("mv_sum_price_cents")).toSeq)
+    val mvProject = Project(aliases, mvRel)
+    val newChild = kept.foldRight(mvProject: LogicalPlan)(Filter(_, _))
+    def derived(ae: AggregateExpression, f: AggregateFunction) =
+      AggregateExpression(f, ae.mode, ae.isDistinct, ae.filter,
+        NamedExpression.newExprId)
+    val newAggExprs = agg.aggregateExpressions.map(_.transform {
+      case ae @ AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) =>
+        Coalesce(Seq(derived(ae, Sum(mvByName("mv_cnt"))), Literal(0L)))
+      case ae @ AggregateExpression(Sum(c, _), _, false, None, _)
+          if isCents(c) =>
+        derived(ae, Sum(mvByName("mv_sum_price_cents")))
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
   }

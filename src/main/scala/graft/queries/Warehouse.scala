@@ -3207,7 +3207,337 @@ object Warehouse {
       |  CAST(cum_rev * 10000 * t.nc // (t.t * cum_cust) AS BIGINT) AS lift_bp
       |FROM c, t ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Weighted median sale price per brand — quantity-weighted, the
+    * "typical unit actually sold for" readout that an unweighted median
+    * misses when cheap SKUs move in bulk. Definition: smallest price p
+    * with cumulative quantity ≥ half the brand's total (inclusive
+    * prefix, 2·cum ≥ W — no averaging at the midpoint, so every output
+    * is a real observed price and the arithmetic stays exact integer:
+    * cents and centi-quantity).
+    *
+    * Scale: the corpus first COLLAPSES to (brand, price) cells with one
+    * partial+final aggregate, so the per-brand cumulative window runs
+    * over the VALUE-BOUNDED price grid (≤ distinct cents per brand),
+    * never the fact rows — the q79 decomposition's key move. Brands are
+    * few, but the window input being value-bounded means even one brand
+    * holding half a 100 TB corpus stays a small sorted partition. The
+    * part dim broadcasts.
+    */
+  def q113WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)")
+          .as("cents"),
+        expr("cast(floor(l_quantity * 100.0d + 0.5d) as bigint)").as("w"))
+    val cells = li.groupBy(col("p_brand"), col("cents"))
+      .agg(sum(col("w")).as("w"))
+    val tot = cells.groupBy(col("p_brand"))
+      .agg(sum(col("w")).as("tw"), count(lit(1)).as("n_prices"))
+    val wc = Window.partitionBy(col("p_brand")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.withColumn("cum", sum(col("w")).over(wc))
+      .join(broadcast(tot), "p_brand")
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("tw")).as("w_total_cq"), max(col("n_prices")).as("n_prices"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q113Sql: String =
+    """WITH li AS (
+      |  SELECT p.p_brand,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS w
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |cells AS (
+      |  SELECT p_brand, cents, CAST(SUM(w) AS BIGINT) AS w
+      |  FROM li GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT p_brand, CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS n_prices
+      |  FROM cells GROUP BY 1),
+      |cum AS (
+      |  SELECT p_brand, cents, w,
+      |    CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY cents) AS BIGINT)
+      |      AS cum
+      |  FROM cells)
+      |SELECT c.p_brand, MIN(c.cents) AS wmedian_cents,
+      |  MAX(t.tw) AS w_total_cq, MAX(t.n_prices) AS n_prices
+      |FROM cum c JOIN tot t ON c.p_brand = t.p_brand
+      |WHERE c.cum * 2 >= t.tw
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+  /** Croston's method over monthly part demand — the forecaster built
+    * for INTERMITTENT series (most part-months sell nothing), where SES
+    * on the raw series decays to near-zero between demands: smooth the
+    * non-zero demand SIZES and the inter-demand INTERVALS separately
+    * (both α=1/4 SES, the [[graft.streaming.Events.sesBacktest]]
+    * update), forecast = size / interval. Completes the q108 ABC-XYZ
+    * story: XYZ flags the intermittent regime, Croston is what you run
+    * on it. All updates are the exact nonnegative integer form
+    * `(3s + x·10⁶) div 4` in centi-quantity micro fixed point, so the
+    * oracle replays every step as a recursive CTE, bit for bit; the
+    * final size/interval ratio routes through DECIMAL(38,0) (the
+    * q79/q112 overflow guard — size·10⁶ alone reaches 10¹⁸ at 10×).
+    *
+    * Scale: monthly demand aggregates distributed with map-side
+    * combine; only the calendar-bounded per-part month series (≤ months
+    * in range) folds serially, one `aggregate` per part, all parts in
+    * parallel. State: [size_fp, interval_fp, gap, n_demand]; a month
+    * with zero demand only stretches the gap.
+    */
+  def q114Croston(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("(year(l_shipdate) - 1990) * 12 + month(l_shipdate) - 1")
+          .as("m"),
+        expr("cast(floor(l_quantity * 100.0d + 0.5d) as bigint)").as("q"))
+    val md = li.groupBy(col("l_partkey"), col("m")).agg(sum(col("q")).as("q"))
+    val range = md.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    val grid = md.select(col("l_partkey")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("l_partkey"), explode(expr("sequence(lo, hi)")).as("m"))
+    val xs = grid.join(md, Seq("l_partkey", "m"), "left")
+      .withColumn("q", coalesce(col("q"), lit(0L)))
+      .groupBy(col("l_partkey"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, q))), p -> p.q)")
+        .as("series"))
+    xs.select(col("l_partkey"),
+        expr("""aggregate(series, CAST(array(-1, 0, 0, 0) AS array<bigint>),
+          |  (acc, q) -> CASE
+          |    WHEN q = 0L THEN array(acc[0], acc[1], acc[2] + 1L, acc[3])
+          |    WHEN acc[0] = -1L THEN
+          |      array(q * 1000000L, (acc[2] + 1L) * 1000000L, 0L, 1L)
+          |    ELSE array(
+          |      (3L * acc[0] + q * 1000000L) div 4L,
+          |      (3L * acc[1] + (acc[2] + 1L) * 1000000L) div 4L,
+          |      0L, acc[3] + 1L) END)""".stripMargin).as("st"))
+      .select(col("l_partkey"), expr("st[3]").as("n_demand"),
+        expr("CASE WHEN st[3] > 0L THEN st[0] END").as("size_fp"),
+        expr("CASE WHEN st[3] > 0L THEN st[1] END").as("interval_fp"),
+        expr("""CASE WHEN st[3] > 0L AND st[1] > 0L THEN
+          |  cast((cast(st[0] as decimal(38,0)) * 1000000) div st[1] as bigint)
+          |  END""".stripMargin).as("croston_fp"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q114Sql: String =
+    """WITH RECURSIVE md AS (
+      |  SELECT l_partkey,
+      |    (year(l_shipdate) - 1990) * 12 + month(l_shipdate) - 1 AS m,
+      |    CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM md),
+      |grid AS (
+      |  SELECT p.l_partkey, g.m
+      |  FROM (SELECT DISTINCT l_partkey FROM md) p,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS m FROM r) g),
+      |xs AS (
+      |  SELECT grid.l_partkey, grid.m, COALESCE(md.q, 0) AS q,
+      |    row_number() OVER (PARTITION BY grid.l_partkey ORDER BY grid.m)
+      |      AS i
+      |  FROM grid LEFT JOIN md USING (l_partkey, m)),
+      |rec AS (
+      |  SELECT l_partkey, 0 AS i, CAST(-1 AS BIGINT) AS z,
+      |    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS gap,
+      |    CAST(0 AS BIGINT) AS nd
+      |  FROM (SELECT DISTINCT l_partkey FROM md)
+      |  UNION ALL
+      |  SELECT r.l_partkey, r.i + 1,
+      |    CAST(CASE WHEN x.q = 0 THEN r.z
+      |      WHEN r.z = -1 THEN x.q * 1000000
+      |      ELSE (3 * r.z + x.q * 1000000) // 4 END AS BIGINT),
+      |    CAST(CASE WHEN x.q = 0 THEN r.p
+      |      WHEN r.z = -1 THEN (r.gap + 1) * 1000000
+      |      ELSE (3 * r.p + (r.gap + 1) * 1000000) // 4 END AS BIGINT),
+      |    CAST(CASE WHEN x.q = 0 THEN r.gap + 1 ELSE 0 END AS BIGINT),
+      |    r.nd + CASE WHEN x.q = 0 THEN 0 ELSE 1 END
+      |  FROM rec r JOIN xs x ON x.l_partkey = r.l_partkey AND x.i = r.i + 1),
+      |last AS (
+      |  SELECT l_partkey, i, z, p, nd,
+      |    row_number() OVER (PARTITION BY l_partkey ORDER BY i DESC) AS rk
+      |  FROM rec)
+      |SELECT l_partkey, nd AS n_demand,
+      |  CASE WHEN nd > 0 THEN z END AS size_fp,
+      |  CASE WHEN nd > 0 THEN p END AS interval_fp,
+      |  CASE WHEN nd > 0 AND p > 0 THEN
+      |    CAST(CAST(z AS HUGEINT) * 1000000 // p AS BIGINT) END AS croston_fp
+      |FROM last WHERE rk = 1 ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q115
+  /** The JOIN-view materialized rewrite, end to end — the step past
+    * q96/q111 that real warehouses live on: the dashboard aggregate runs
+    * over lineitem ⋈ orders, and [[graft.plans.MvRewriteRule]] collapses
+    * the WHOLE join subtree (scan + scan + shuffle + join) into one scan
+    * of the pre-joined, pre-aggregated
+    * [[graft.engine.MatView.joinRegistry]] view. At 100 TB the join
+    * shuffle is the dominant cost a single-table view can't touch; this
+    * rewrite removes it while the query text stays unchanged. The
+    * oracle runs the same SQL against the BASE tables; the `require`
+    * pins that the rewrite actually fired (the plan scans mv_cnt, no
+    * join remains).
+    */
+  def q115MvRewriteJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.MvRewriteRule.register(spark)
+    val d = graft.engine.MatView.joinRegistry("lineitem_orders")
+    val mvPath = s"${graft.engine.WorkDirs.processScoped("graft_mv_join")}/" +
+      s"mv-${mvNonce.incrementAndGet()}"
+    graft.engine.MatView.buildJoin(spark, dir, "lineitem_orders", mvPath)
+    spark.conf.set(d.pathKey, mvPath)
+    spark.conf.set(d.leftBaseKey, s"$dir/lineitem.parquet")
+    spark.conf.set(d.rightBaseKey, s"$dir/orders.parquet")
+    try {
+      val li = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+      val res = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("l_returnflag"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
+        .orderBy(col("l_returnflag"), col("o_orderstatus"))
+      val staged = graft.engine.Materialize.stage(res)
+      val plan = res.queryExecution.optimizedPlan.toString
+      require(plan.contains("mv_cnt"), "join MV rewrite did not fire")
+      require(!plan.contains("Join"), "join survived the view rewrite")
+      staged
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.leftBaseKey)
+      spark.conf.unset(d.rightBaseKey)
+    }
+  }
+
+  val q115Sql: String =
+    """SELECT l_returnflag, o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS rev_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+  /** Theil-T inequality decomposition of customer spend BY NATION — the
+    * inequality index economists use precisely because it decomposes
+    * EXACTLY: T_total = T_between + Σ share_g·T_within(g), so a revenue
+    * team can answer "is our concentration a few whale NATIONS or whales
+    * inside every nation". Output: one row per nation (customer count,
+    * exact spend share ppm, within-nation Theil ppm) plus `~BETWEEN` and
+    * `~TOTAL` summary rows (tilde sorts after letters in both engines'
+    * binary collation).
+    *
+    * Cross-engine exactness (the [[graft.ext.TextOps]] lm-surprisal
+    * trick): ln is the one transcendental the oracle can't fold, so
+    * every ln is SNAPPED to the 10⁻⁶ grid per DISTINCT argument before
+    * any cross-row aggregation — T = (Σ x·lnfp(x)) div S − (lnfp(S) −
+    * lnfp(N)) is integer arithmetic end to end, order-proof across
+    * partitions; Σ x·lnfp(x) rides DECIMAL(38,0) (x·lnfp ≈ 2·10¹⁵ per
+    * customer — the long sum wraps at ~10⁴ customers, measured before
+    * guarding).
+    *
+    * Scale: one customer-keyed aggregate with map-side combine, two
+    * broadcast dim joins, then a 25-row nation grid — the summary rows
+    * fold that grid, never the corpus.
+    */
+  def q116TheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(cast(floor(o_totalprice * 100.0d + 0.5d) as bigint))")
+        .as("x"))
+      .filter(col("x") > 0L)
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("lnx",
+        expr("cast(round(ln(cast(x as double)) * 1000000.0d) as bigint)"))
+    // per-nation moments; staged — the 25-row grid branches three ways
+    // (nation rows, between fold, total fold)
+    val g = graft.engine.Materialize.stage(x.groupBy(col("n_name")).agg(
+      count(lit(1)).as("ng"),
+      sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("sg"),
+      sum((col("x") * col("lnx"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("lg"))
+      .withColumn("lnsg",
+        expr("cast(round(ln(cast(sg as double)) * 1000000.0d) as bigint)"))
+      .withColumn("lnng",
+        expr("cast(round(ln(cast(ng as double)) * 1000000.0d) as bigint)")))
+    val tot = g.agg(
+      sum(col("ng")).as("n"), sum(col("sg")).as("s"), sum(col("lg")).as("l"),
+      sum(col("sg") * (col("lnsg") - col("lnng"))).as("btw"))
+      .withColumn("lns",
+        expr("cast(round(ln(cast(s as double)) * 1000000.0d) as bigint)"))
+      .withColumn("lnn",
+        expr("cast(round(ln(cast(n as double)) * 1000000.0d) as bigint)"))
+    val natRows = g.crossJoin(broadcast(tot)).select(
+      col("n_name"), col("ng").as("n_cust"),
+      expr(s"cast((sg * 1000000) div s as bigint)").as("share_ppm"),
+      expr("cast((lg div sg) - (lnsg - lnng) as bigint)").as("theil_ppm"))
+    val summary = tot.selectExpr(
+      "stack(2, '~BETWEEN', cast(btw div s as bigint)," +
+        " '~TOTAL', cast(l div s as bigint)) AS (n_name, raw)",
+      "n", "lns", "lnn")
+      .select(col("n_name"), col("n").as("n_cust"),
+        lit(1000000L).as("share_ppm"),
+        (col("raw") - (col("lns") - col("lnn"))).as("theil_ppm"))
+    natRows.unionByName(summary).orderBy(col("n_name"))
+  }
+
+  val q116Sql: String =
+    """WITH x AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY 1 HAVING x > 0),
+      |xl AS (
+      |  SELECT c.c_nationkey, x.x,
+      |    CAST(round(ln(CAST(x.x AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnx
+      |  FROM x JOIN customer c ON x.o_custkey = c.c_custkey),
+      |g AS (
+      |  SELECT n.n_name, COUNT(*) AS ng,
+      |    CAST(SUM(CAST(xl.x AS HUGEINT)) AS HUGEINT) AS sg,
+      |    CAST(SUM(CAST(xl.x AS HUGEINT) * xl.lnx) AS HUGEINT) AS lg
+      |  FROM xl JOIN nation n ON xl.c_nationkey = n.n_nationkey
+      |  GROUP BY 1),
+      |g2 AS (
+      |  SELECT *,
+      |    CAST(round(ln(CAST(sg AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnsg,
+      |    CAST(round(ln(CAST(ng AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnng
+      |  FROM g),
+      |tot AS (
+      |  SELECT CAST(SUM(ng) AS HUGEINT) AS n, SUM(sg) AS s, SUM(lg) AS l,
+      |    SUM(sg * (lnsg - lnng)) AS btw,
+      |    CAST(round(ln(CAST(SUM(sg) AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS lns,
+      |    CAST(round(ln(CAST(SUM(ng) AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS lnn
+      |  FROM g2)
+      |SELECT g2.n_name, g2.ng AS n_cust,
+      |  CAST(g2.sg * 1000000 // t.s AS BIGINT) AS share_ppm,
+      |  CAST((g2.lg // g2.sg) - (g2.lnsg - g2.lnng) AS BIGINT) AS theil_ppm
+      |FROM g2, tot t
+      |UNION ALL
+      |SELECT '~BETWEEN', CAST(n AS BIGINT), 1000000,
+      |  CAST((btw // s) - (lns - lnn) AS BIGINT) FROM tot
+      |UNION ALL
+      |SELECT '~TOTAL', CAST(n AS BIGINT), 1000000,
+      |  CAST((l // s) - (lns - lnn) AS BIGINT) FROM tot
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_theil" -> (q116TheilDecomposition _),
+    "q115_mv_rewrite_join" -> (q115MvRewriteJoin _),
+    "q114_croston" -> (q114Croston _),
+    "q113_weighted_median" -> (q113WeightedMedian _),
     "q112_gains_curve" -> (q112GainsCurve _),
     "q111_mv_rewrite_orders" -> (q111MvRewriteOrders _),
     "q110_mv_join_zset" -> (q110MvJoinZset _),
@@ -3261,6 +3591,10 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q116_theil" -> q116Sql,
+    "q115_mv_rewrite_join" -> q115Sql,
+    "q114_croston" -> q114Sql,
+    "q113_weighted_median" -> q113Sql,
     "q112_gains_curve" -> q112Sql,
     "q111_mv_rewrite_orders" -> q111Sql,
     "q110_mv_join_zset" -> q110Sql,

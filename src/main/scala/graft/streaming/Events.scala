@@ -4346,7 +4346,118 @@ object Events {
       |       ELSE 'tie' END AS winner
       |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- Poisson bootstrap CI
+  /** Poisson-bootstrap confidence interval for mean purchase value — THE
+    * distributed bootstrap: classical resampling draws n rows WITH
+    * replacement per replicate, which needs global coordination, but for
+    * large n the multinomial row-counts converge to independent
+    * Poisson(1) draws, so each row mints its own per-replicate weight
+    * from a hash and every replicate's weighted mean reduces map-side in
+    * one pass. 64 replicates ride one explode — the exchange carries 64
+    * partial (Σwx, Σw) states per task, never rows. Weights are the
+    * inverse-CDF ladder of Poisson(1) on the low 20 bits of
+    * `mix64(event_id·64 + b)` (thresholds = ⌊F(k)·2²⁰⌋, truncated at 6),
+    * value in exact micro-units, so the oracle replays the splitmix64
+    * chain and every weighted sum bit for bit. CI = the
+    * ⌈0.025·B_valid⌉-th / mirrored order statistic of the replicate
+    * means (means sort on a ≤64-row bounded window); replicates whose
+    * total weight is zero are dropped from the order statistics on both
+    * engines (n≥1 corpora would otherwise divide by zero — the
+    * sesBacktest guard class).
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val ev = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        expr("cast(floor(value * 1000000.0d + 0.5d) as bigint)").as("v"))
+    val rep = ev
+      .select(col("event_id"), col("v"),
+        explode(expr("sequence(0L, 63L)")).as("b"))
+      .withColumn("u", expr("pmod(mix64(event_id * 64L + b), 1048576L)"))
+      .withColumn("w", expr(
+        """CASE WHEN u < 385749L THEN 0L WHEN u < 771499L THEN 1L
+          |     WHEN u < 964373L THEN 2L WHEN u < 1028665L THEN 3L
+          |     WHEN u < 1044738L THEN 4L WHEN u < 1047952L THEN 5L
+          |     ELSE 6L END""".stripMargin))
+    // staged: the ≤64-row means grid branches (ranked rows + count + the
+    // rank filter) — unstaged, each branch re-runs the 64× explode pass
+    val means = graft.engine.Materialize.stage(rep.groupBy(col("b"))
+      // Σ w·v through DECIMAL(38,0): long math wraps at ~10¹² rows per
+      // replicate (w ≤ 6, v ≤ 10⁹) — the q79 overflow class, and the
+      // oracle's SUM is HUGEINT anyway
+      .agg(sum((col("w") * col("v")).cast(org.apache.spark.sql.types
+        .DecimalType(38, 0))).as("s"), sum(col("w")).as("n"))
+      .filter(col("n") > 0L)
+      .select(col("b"), expr("cast(s div n as bigint)").as("m")))
+    // order statistics over the ≤64-row replicate grid (bounded window)
+    val ranked = means
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("m"), col("b"))).cast("long"))
+      .crossJoin(broadcast(means.agg(count(lit(1)).as("bv"))))
+    val point = ev.agg(count(lit(1)).as("n_events"),
+      expr("""CASE WHEN count(1) > 0 THEN
+        |cast(sum(cast(v as decimal(38,0))) div count(1) as bigint)
+        |END""".stripMargin).as("mean_micro"))
+    ranked
+      .withColumn("r_lo", expr("(bv * 25 + 999) div 1000"))
+      .filter(col("rk") === col("r_lo") ||
+        col("rk") === col("bv") + 1L - col("r_lo"))
+      .agg(max(col("bv")).as("n_replicates"),
+        min(col("m")).as("ci_lo_micro"), max(col("m")).as("ci_hi_micro"))
+      .crossJoin(broadcast(point))
+      .select(col("n_events"), col("n_replicates"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |rep AS (
+      |  SELECT e.event_id, e.v, g.b,
+      |    (CAST(e.event_id * 64 + g.b AS HUGEINT) + 11400714819323198485)
+      |      % 18446744073709551616 AS z0
+      |  FROM ev e, (SELECT UNNEST(generate_series(0, 63)) AS b) g),
+      |hx AS (
+      |  SELECT event_id, v, b,
+      |    xor(z0, z0 >> 30) AS x1,
+      |    (((x1 * 3210233709) % 4294967296) * 4294967296 + x1 * 484763065)
+      |      % 18446744073709551616 AS z1,
+      |    xor(z1, z1 >> 27) AS x2,
+      |    (((x2 * 2496678331) % 4294967296) * 4294967296 + x2 * 321982955)
+      |      % 18446744073709551616 AS z2,
+      |    xor(z2, z2 >> 31) AS z3,
+      |    CAST(z3 % 1048576 AS BIGINT) AS u
+      |  FROM rep),
+      |w AS (
+      |  SELECT b, v,
+      |    CASE WHEN u < 385749 THEN 0 WHEN u < 771499 THEN 1
+      |         WHEN u < 964373 THEN 2 WHEN u < 1028665 THEN 3
+      |         WHEN u < 1044738 THEN 4 WHEN u < 1047952 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM hx),
+      |means AS (
+      |  SELECT b, CAST(SUM(w * v) // SUM(w) AS BIGINT) AS m
+      |  FROM w GROUP BY b HAVING SUM(w) > 0),
+      |ranked AS (
+      |  SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+      |    COUNT(*) OVER () AS bv
+      |  FROM means),
+      |point AS (
+      |  SELECT COUNT(*) AS n_events,
+      |    CASE WHEN COUNT(*) > 0
+      |      THEN CAST(SUM(v) // COUNT(*) AS BIGINT) END AS mean_micro
+      |  FROM ev)
+      |SELECT p.n_events, CAST(MAX(r.bv) AS BIGINT) AS n_replicates,
+      |  p.mean_micro, MIN(r.m) AS ci_lo_micro, MAX(r.m) AS ci_hi_micro
+      |FROM ranked r, point p
+      |WHERE r.rk = (r.bv * 25 + 999) // 1000
+      |   OR r.rk = r.bv + 1 - (r.bv * 25 + 999) // 1000
+      |GROUP BY p.n_events, p.mean_micro""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bootstrap_ci" -> (bootstrapCi _),
     "events_forecast_tourney" -> (forecastTourney _),
     "events_dispersion" -> (dispersionTest _),
     "events_touch_attribution" -> (touchAttribution _),
@@ -4410,6 +4521,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_bootstrap_ci" -> bootstrapCiSql,
     "events_forecast_tourney" -> forecastTourneySql,
     "events_dispersion" -> dispersionTestSql,
     "events_touch_attribution" -> touchAttributionSql,

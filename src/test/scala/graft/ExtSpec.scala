@@ -2028,4 +2028,37 @@ class ExtSpec extends SparkSpecBase {
     // trend-free Poisson fixture: Holt's trend term only adds variance
     assert(t.values.forall(_._5 == "ses"))
   }
+
+  test("bootstrap CI: exact replay of the Poisson-weight replicate means and order statistics") {
+    val ev = graft.engine.Tables.load(spark, sf(), "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("event_id",
+        "cast(floor(value * 1000000.0d + 0.5d) as bigint) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ev.nonEmpty)
+    def w(u: Long): Long =
+      if (u < 385749L) 0 else if (u < 771499L) 1 else if (u < 964373L) 2
+      else if (u < 1028665L) 3 else if (u < 1044738L) 4
+      else if (u < 1047952L) 5 else 6
+    val means = (0L to 63L).flatMap { b =>
+      var s = BigInt(0); var n = 0L
+      ev.foreach { case (id, v) =>
+        val u = java.lang.Math.floorMod(
+          graft.functions.SketchHash.mix(id * 64L + b, 0), 1048576L)
+        val ww = w(u); s += BigInt(ww) * v; n += ww
+      }
+      if (n > 0) Some((s / n).toLong) else None
+    }.sorted
+    val bv = means.length
+    val rLo = (bv * 25 + 999) / 1000
+    val meanMicro = (ev.map(e => BigInt(e._2)).sum / ev.length).toLong
+    val r = graft.streaming.Events.bootstrapCi(spark, sf()).head
+    assert(r.getLong(0) == ev.length.toLong)   // n_events
+    assert(r.getLong(1) == bv.toLong)          // n_replicates (all valid)
+    assert(r.getLong(2) == meanMicro)          // point estimate
+    assert(r.getLong(3) == means(rLo - 1))     // ci_lo = 2.5% order stat
+    assert(r.getLong(4) == means(bv - rLo))    // ci_hi = mirrored
+    assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
+      "CI brackets the point estimate on this fixture")
+  }
 }

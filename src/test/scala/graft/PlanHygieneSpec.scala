@@ -163,7 +163,16 @@ class PlanHygieneSpec extends SparkSpecBase {
     // gains curve: the counting-rank ntile's 1-row n frame plus the
     // 1-row (total revenue, population) frame broadcast onto the
     // 10-row decile grid (q79's total-broadcast shape)
-    "q112_gains_curve")
+    "q112_gains_curve",
+    // croston: events_ses_backtest's 1-row (lo, hi) month-range frame
+    // broadcast onto the per-part grid before the zero-fill explode
+    "q114_croston",
+    // bootstrap CI: the 1-row replicate-count and point-estimate frames
+    // broadcast onto the ≤64-row means grid (q112's bounded-grid shape)
+    "events_bootstrap_ci",
+    // theil: the 1-row corpus-moments frame broadcast onto the 25-row
+    // nation grid (q79's total-broadcast shape)
+    "q116_theil")
   // sim_multiprobe_recall is NOT listed although its exact baseline
   // crossJoins a broadcast 200-vector prefix: the three counts resolve
   // driver-side, so the RETURNED frame is a LocalRelation with no join

@@ -154,4 +154,51 @@ class SourcesSpec extends SparkSpecBase {
       .orderBy(col("lang"), col("source")).collect().toSeq
     assert(merged.collect().toSeq == direct)
   }
+
+  test("hilbert layout: read-back matches canonical; day-band probe prunes files a 1-dim sort cannot") {
+    val dir = sf()
+    val viaH = Formats.hilbertLayout(spark, dir).collect().toSeq
+    val directH = Tables.load(spark, dir, "events")
+      .filter(col("user_id") % 256 >= 64 && col("user_id") % 256 < 96 &&
+        dayofmonth(col("ts")) >= 10 && dayofmonth(col("ts")) < 20)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(viaH == directH)
+    // curve index is the exact xy2d walk (spot squares: corners + center)
+    assert(Formats.hilbertXy2d(256, 0, 0) == 0L)
+    assert(Formats.hilbertXy2d(256, 255, 0) == 65535L) // curve ends at (n-1,0)
+    // unit-step property on a sample: consecutive d differ by one move
+    val inv = (for (x <- 0 until 16; y <- 0 until 16)
+      yield Formats.hilbertXy2d(16, x, y) -> ((x, y))).toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = inv(d); val (x2, y2) = inv(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // pruning: a DAY-band probe (day in [10,20)) against per-file
+    // (user-bucket, day) envelopes — the 1-dim user-sorted layout puts
+    // every day in every file (prunes nothing); Hilbert files are
+    // compact curve blobs, so some file envelopes miss the band
+    val base = java.nio.file.Files.createTempDirectory("graft_hilb").toString
+    Formats.hilbertWrite(spark, dir, s"$base/hilbert")
+    Tables.load(spark, dir, "events")
+      .repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(s"$base/bysort")
+    def filesIntersectingDayBand(path: String): Int =
+      spark.read.parquet(path).inputFiles.count { f =>
+        val st = spark.read.parquet(f)
+          .agg(min(dayofmonth(col("ts"))), max(dayofmonth(col("ts")))).head
+        !(st.getInt(1) < 10 || st.getInt(0) >= 20)
+      }
+    val hil = filesIntersectingDayBand(s"$base/hilbert")
+    val srt = filesIntersectingDayBand(s"$base/bysort")
+    val total = spark.read.parquet(s"$base/hilbert").inputFiles.length
+    assert(srt == spark.read.parquet(s"$base/bysort").inputFiles.length,
+      "1-dim sort prunes nothing on the day band")
+    assert(hil < total, s"hilbert should prune: $hil of $total")
+    assert(hil < srt, s"hilbert ($hil) must beat the 1-dim sort ($srt)")
+  }
 }

@@ -1418,4 +1418,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(merged.nonEmpty && merged == batch,
       s"stream=${merged.size} batch=${batch.size}")
   }
+
+  test("streaming join-view maintenance: micro-batched fact rows ⊕ persisted v0 == full batch join view") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.engine.MatView.joinRegistry("lineitem_orders")
+    val li = graft.engine.Tables.load(spark, sf(), "lineitem")
+    val o = graft.engine.Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    // base (standing view input) vs the new-arrivals feed, landed as 3
+    // files so the maintenance genuinely spans micro-batches
+    val deltaDir = java.nio.file.Files
+      .createTempDirectory("graft_jvi_in").toString
+    li.filter(col("l_linenumber") >= 5)
+      .repartition(3).write.mode("overwrite").parquet(deltaDir)
+    val v0Dir = java.nio.file.Files
+      .createTempDirectory("graft_jvi_v0").toString + "/v0"
+    graft.engine.MatView
+      .aggregateJoin(li.filter(col("l_linenumber") <= 4), o, d)
+      .write.parquet(v0Dir)
+    val q = graft.streaming.JoinViewIngest
+      .monitor(spark, deltaDir, o, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("join_view_ingest")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "delta feed collapsed into a single micro-batch")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getLong(4))
+    val merged = graft.engine.MatView
+      .applyDeltaJoin(spark.read.parquet(v0Dir),
+        spark.table("join_view_ingest"), d)
+      .orderBy(d.dims.map(col): _*).collect().map(key).toSeq
+    val batch = graft.engine.MatView.aggregateJoin(li, o, d)
+      .orderBy(d.dims.map(col): _*).collect().map(key).toSeq
+    assert(merged.nonEmpty && merged == batch,
+      s"stream=${merged.size} batch=${batch.size}")
+  }
 }

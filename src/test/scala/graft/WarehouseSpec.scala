@@ -797,4 +797,134 @@ class WarehouseSpec extends SparkSpecBase {
     val sums = li.selectExpr("sum(u * q) AS a").head.getLong(0)
     assert(sums > 0) // u1 = u0, q1 = q0 -> L = P = a/a scaled = 10^6 trivially
   }
+
+  test("q113 weighted median: exact replay of the inclusive 2*cum >= W rule") {
+    val raw = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .join(graft.engine.Tables.load(spark, sf(), "part")
+        .selectExpr("p_partkey AS l_partkey", "p_brand"), "l_partkey")
+      .selectExpr("p_brand",
+        "cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint) AS cents",
+        "cast(floor(l_quantity * 100.0d + 0.5d) as bigint) AS w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = raw.groupBy(_._1).map { case (b, xs) =>
+      val cells = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tw = cells.map(_._2).sum
+      var cum = 0L
+      val med = cells.collectFirst {
+        case (c, w0) if { cum += w0; cum * 2 >= tw } => c }.get
+      b -> ((med, tw, cells.size.toLong))
+    }
+    val got = Warehouse.q113WeightedMedian(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (b, e) => assert(got(b) == e, s"brand $b") }
+  }
+
+  test("q114 croston: exact replay of the dual-SES intermittent fold") {
+    val md = graft.engine.Tables.load(spark, sf(), "lineitem")
+      .selectExpr("l_partkey",
+        "(year(l_shipdate) - 1990) * 12 + month(l_shipdate) - 1 AS m",
+        "cast(floor(l_quantity * 100.0d + 0.5d) as bigint) AS q")
+      .groupBy("l_partkey", "m").agg(expr("sum(q)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val lo = md.map(_._2).min; val hi = md.map(_._2).max
+    val expect = md.groupBy(_._1).map { case (pk, xs) =>
+      val byM = xs.map(t => t._2 -> t._3).toMap
+      var z = -1L; var p = 0L; var gap = 0L; var nd = 0L
+      (lo to hi).foreach { mm =>
+        val q = byM.getOrElse(mm, 0L)
+        if (q == 0L) gap += 1
+        else {
+          if (z == -1L) { z = q * 1000000L; p = (gap + 1) * 1000000L }
+          else {
+            z = (3 * z + q * 1000000L) / 4
+            p = (3 * p + (gap + 1) * 1000000L) / 4
+          }
+          gap = 0; nd += 1
+        }
+      }
+      val cr = (BigInt(z) * 1000000 / BigInt(p)).toLong
+      pk -> ((nd, z, p, cr))
+    }
+    val got = Warehouse.q114Croston(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (pk, e) => assert(got(pk) == e, s"part $pk") }
+  }
+
+  test("q115 join-view rewrite: fires, matches the base join-aggregate, ineligible shapes pass through") {
+    graft.plans.MvRewriteRule.register(spark)
+    val d = graft.engine.MatView.joinRegistry("lineitem_orders")
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft_mv_join_spec").toString + "/mv"
+    graft.engine.MatView.buildJoin(spark, sf(), "lineitem_orders", mvPath)
+    def li = graft.engine.Tables.load(spark, sf(), "lineitem")
+    def o = graft.engine.Tables.load(spark, sf(), "orders")
+    def query() = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("l_returnflag"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(floor(l_extendedprice * 100.0 + 0.5))").as("rev_cents"))
+      .orderBy(col("l_returnflag"), col("o_orderstatus"))
+    val base = query().collect().toSeq // confs unset: the plain join plan
+    spark.conf.set(d.pathKey, mvPath)
+    spark.conf.set(d.leftBaseKey, s"${sf()}/lineitem.parquet")
+    spark.conf.set(d.rightBaseKey, s"${sf()}/orders.parquet")
+    try {
+      val rewritten = query()
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_cnt"), plan)
+      assert(!plan.contains("Join"), plan) // the join itself is gone
+      assert(rewritten.collect().toSeq == base)
+      def untouched(df: org.apache.spark.sql.DataFrame): Boolean =
+        !df.queryExecution.optimizedPlan.toString.contains("mv_cnt")
+      // wrong join key: not the view's equi-join
+      assert(untouched(li.join(o, col("l_partkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
+      // filter on a non-dimension column: unanswerable post-aggregation
+      assert(untouched(li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
+      // aggregate the view carries no state for
+      assert(untouched(li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))))
+      // outer join: view rows came through the INNER join only
+      assert(untouched(
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
+      // non-dimension grouping key
+      assert(untouched(li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_shipdate")).agg(count(lit(1)).as("n"))))
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.leftBaseKey)
+      spark.conf.unset(d.rightBaseKey)
+    }
+  }
+
+  test("q116 theil: shares sum to one, decomposition T_total ~= T_between + sum(share_g * T_g)") {
+    val rows = Warehouse.q116TheilDecomposition(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nats = rows.filterNot(_._1.startsWith("~"))
+    val btw = rows.find(_._1 == "~BETWEEN").get
+    val tot = rows.find(_._1 == "~TOTAL").get
+    assert(nats.nonEmpty)
+    // nation shares sum to 10^6 within the floor-division slack
+    val shareSum = nats.map(_._3).sum
+    assert(shareSum > 1000000L - nats.length && shareSum <= 1000000L,
+      shareSum.toString)
+    // summary rows carry the full population
+    assert(btw._2 == nats.map(_._2).sum && tot._2 == btw._2)
+    // the Theil decomposition identity, in ppm with snapping slack:
+    // T_total = T_between + sum_g share_g * T_within(g)
+    val withinMix = nats.map(n => n._3 * n._4).sum / 1000000L
+    val lhs = tot._4; val rhs = btw._4 + withinMix
+    assert(math.abs(lhs - rhs) <= 50L, s"T=$lhs between+within=$rhs")
+    // inequality indices are nonnegative (allow ppm-snapping slack)
+    assert(tot._4 >= -5 && btw._4 >= -5, s"total=${tot._4} between=${btw._4}")
+    nats.foreach(n => assert(n._4 >= -5, s"${n._1}: ${n._4}"))
+  }
 }
