@@ -56,13 +56,17 @@ final case class MvJoinViewDef(
     leftTable: String, leftSignature: Set[String], leftKey: String,
     rightTable: String, rightSignature: Set[String], rightKey: String,
     dims: Seq[String],
+    measure: Option[String],
     cents: Option[String]) {
   def pathKey: String = s"spark.graft.mv.$name.path"
   def leftBaseKey: String = s"spark.graft.mv.$name.leftBase"
   def rightBaseKey: String = s"spark.graft.mv.$name.rightBase"
   /** Columns the built view must expose for the rewrite to trust it. */
   def requiredViewCols: Set[String] =
-    dims.toSet + "mv_cnt" ++ cents.map(_ => "mv_sum_price_cents").toSet
+    dims.toSet + "mv_cnt" ++
+      measure.toSet.flatMap((m: String) =>
+        Set(s"mv_sum_$m", s"mv_min_$m", s"mv_max_$m", s"mv_cntnn_$m")) ++
+      cents.map(_ => "mv_sum_price_cents").toSet
 }
 
 /** Materialized aggregate views — the summary tables behind
@@ -115,6 +119,7 @@ object MatView {
       rightSignature = registry("orders").signature,
       rightKey = "o_orderkey",
       dims = Seq("l_returnflag", "o_orderstatus", "o_orderpriority"),
+      measure = Some("l_quantity"),
       cents = Some("l_extendedprice")))
 
   /** Build the join view's summary from the two base tables at `dir`. */
@@ -127,12 +132,18 @@ object MatView {
   }
 
   /** The join view's aggregation: inner equi-join then the same
-    * re-aggregable states as [[aggregate]] (row count + exact-cents
-    * revenue partials). Deltas fold with the identical monoid.
+    * re-aggregable states as [[aggregate]] (row count, measure
+    * sum/min/max/non-null-count, exact-cents revenue partials). Deltas
+    * fold with the identical monoid.
     */
   def aggregateJoin(left: DataFrame, right: DataFrame,
       d: MvJoinViewDef): DataFrame = {
     val states = Seq(count(lit(1)).as("mv_cnt")) ++
+      d.measure.toSeq.flatMap(m => Seq(
+        sum(col(m)).as(s"mv_sum_$m"),
+        min(col(m)).as(s"mv_min_$m"),
+        max(col(m)).as(s"mv_max_$m"),
+        count(col(m)).as(s"mv_cntnn_$m"))) ++
       d.cents.toSeq.map(c =>
         sum(expr(s"floor($c * 100.0 + 0.5)")).as("mv_sum_price_cents"))
     left.join(right, left(d.leftKey) === right(d.rightKey))
@@ -148,6 +159,11 @@ object MatView {
   def applyDeltaJoin(mv: DataFrame, deltaState: DataFrame,
       d: MvJoinViewDef): DataFrame = {
     val merges = Seq(sum(col("mv_cnt")).as("mv_cnt")) ++
+      d.measure.toSeq.flatMap(m => Seq(
+        sum(col(s"mv_sum_$m")).as(s"mv_sum_$m"),
+        min(col(s"mv_min_$m")).as(s"mv_min_$m"),
+        max(col(s"mv_max_$m")).as(s"mv_max_$m"),
+        sum(col(s"mv_cntnn_$m")).as(s"mv_cntnn_$m"))) ++
       d.cents.toSeq.map(_ =>
         sum(col("mv_sum_price_cents")).as("mv_sum_price_cents"))
     mv.unionByName(deltaState)

@@ -327,9 +327,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         if d.cents.contains(a.name) && h == 100.0 && half == 0.5 => true
       case _ => false
     }
+    def isMeasure(a: AttributeReference): Boolean = d.measure.contains(a.name)
     val supported = aggCalls.forall {
       case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) => true
       case AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) => true
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
+        if isMeasure(a) => true
+      case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+        if isMeasure(a) && a.dataType == DoubleType => true
+      case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+        if isMeasure(a) => true
+      case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+        if isMeasure(a) => true
       case _ => false
     }
     if (!supported) return None
@@ -346,11 +355,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed
     val mvByName = mvRel.output.map(a => a.name -> a).toMap
     if (!d.requiredViewCols.subsetOf(mvByName.keySet)) return None
+    // measure states ride along; SUM(measure) stays textually unchanged
+    // because the alias remap routes it to the partial-sum column (the
+    // single-table rewrite's trick)
+    val stateAttrs: Seq[NamedExpression] =
+      d.measure.toSeq.flatMap(m => Seq(s"mv_min_$m", s"mv_max_$m",
+        s"mv_cntnn_$m").map(mvByName))
     val aliases: Seq[NamedExpression] =
       d.dims.map { dim =>
         Alias(mvByName(dim), dim)(exprId = baseByName(dim).exprId)
-      } ++ (mvByName("mv_cnt") +:
-        d.cents.map(_ => mvByName("mv_sum_price_cents")).toSeq)
+      } ++ d.measure.map { m =>
+        Alias(mvByName(s"mv_sum_$m"), m)(exprId = baseByName(m).exprId)
+      }.toSeq ++ (mvByName("mv_cnt") +: stateAttrs) ++
+        d.cents.map(_ => mvByName("mv_sum_price_cents")).toSeq
     val mvProject = Project(aliases, mvRel)
     val newChild = kept.foldRight(mvProject: LogicalPlan)(Filter(_, _))
     def derived(ae: AggregateExpression, f: AggregateFunction) =
@@ -362,6 +379,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(Sum(c, _), _, false, None, _)
           if isCents(c) =>
         derived(ae, Sum(mvByName("mv_sum_price_cents")))
+      case ae @ AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+          if isMeasure(a) =>
+        Divide(derived(ae, Sum(a)),
+          Cast(derived(ae, Sum(mvByName(s"mv_cntnn_${a.name}"))), DoubleType))
+      case ae @ AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+          if isMeasure(a) =>
+        derived(ae, Min(mvByName(s"mv_min_${a.name}")))
+      case ae @ AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+          if isMeasure(a) =>
+        derived(ae, Max(mvByName(s"mv_max_${a.name}")))
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = newAggExprs, child = newChild))
   }

@@ -1444,8 +1444,9 @@ class StreamingSpec extends SparkSpecBase {
     q.awaitTermination(180000)
     assert(q.recentProgress.count(_.numInputRows > 0) > 1,
       "delta feed collapsed into a single micro-batch")
-    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1),
-      r.getString(2), r.getLong(3), r.getLong(4))
+    // full-row compare: the view also carries the measure states
+    // (sum/min/max of integral-valued doubles — exact at any add order)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq
     val merged = graft.engine.MatView
       .applyDeltaJoin(spark.read.parquet(v0Dir),
         spark.table("join_view_ingest"), d)

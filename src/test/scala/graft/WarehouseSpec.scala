@@ -888,9 +888,24 @@ class WarehouseSpec extends SparkSpecBase {
       assert(untouched(li.join(o, col("l_orderkey") === col("o_orderkey"))
         .filter(col("o_totalprice") > 1000.0)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
-      // aggregate the view carries no state for
+      // aggregate the view carries no state for (raw double sum of a
+      // non-measure column — only the cents idiom of it is a state)
       assert(untouched(li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))))
+        .groupBy(col("l_returnflag")).agg(sum(col("o_totalprice")).as("s"))))
+      // measure states: SUM/AVG/MIN/MAX(l_quantity) rewrite and match
+      def measureQuery() = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity")).as("sq"), avg(col("l_quantity")).as("aq"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+        .orderBy(col("o_orderstatus"))
+      val viaView = measureQuery()
+      assert(viaView.queryExecution.optimizedPlan.toString.contains("mv_cnt"))
+      val gotM = viaView.collect().toSeq
+      spark.conf.unset(d.pathKey) // base plan for the same query
+      val baseM = measureQuery().collect().toSeq
+      spark.conf.set(d.pathKey, mvPath)
+      assert(gotM == baseM, s"$gotM vs $baseM")
       // outer join: view rows came through the INNER join only
       assert(untouched(
         li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
