@@ -120,7 +120,22 @@ object MatView {
       rightKey = "o_orderkey",
       dims = Seq("l_returnflag", "o_orderstatus", "o_orderpriority"),
       measure = Some("l_quantity"),
-      cents = Some("l_extendedprice")))
+      cents = Some("l_extendedprice")),
+    // second entry: different fact, different key pair, dims from both
+    // sides, no measure — proves the join machinery isn't shaped around
+    // lineitem ⋈ orders by accident (the r12 orders-view lesson applied
+    // to the join tier)
+    "orders_customer" -> MvJoinViewDef("orders_customer",
+      leftTable = "orders",
+      leftSignature = registry("orders").signature,
+      leftKey = "o_custkey",
+      rightTable = "customer",
+      rightSignature = Set("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment"),
+      rightKey = "c_custkey",
+      dims = Seq("c_mktsegment", "o_orderstatus", "o_orderpriority"),
+      measure = None,
+      cents = Some("o_totalprice")))
 
   /** Build the join view's summary from the two base tables at `dir`. */
   def buildJoin(spark: SparkSession, dir: String, name: String,

@@ -3592,7 +3592,56 @@ object Warehouse {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** The SECOND join-view rewrite — q115's machinery against a
+    * different join (orders ⋈ customer on the CUSTOMER key, dims from
+    * both sides, no measure): the segment-revenue dashboard aggregate
+    * collapses to one scan of the pre-joined registry view. Same lesson
+    * the r12 orders scan-view taught, applied to the join tier: a second
+    * live entry proves the eligibility machinery (side assignment, key
+    * pair, dim grain) is registry-driven, not lineitem ⋈ orders-shaped
+    * by accident.
+    */
+  def q118MvRewriteJoinCust(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.MvRewriteRule.register(spark)
+    val d = graft.engine.MatView.joinRegistry("orders_customer")
+    val mvPath = s"${graft.engine.WorkDirs.processScoped("graft_mv_jcust")}/" +
+      s"mv-${mvNonce.incrementAndGet()}"
+    graft.engine.MatView.buildJoin(spark, dir, "orders_customer", mvPath)
+    spark.conf.set(d.pathKey, mvPath)
+    spark.conf.set(d.leftBaseKey, s"$dir/orders.parquet")
+    spark.conf.set(d.rightBaseKey, s"$dir/customer.parquet")
+    try {
+      val o = t(spark, dir, "orders")
+      val c = t(spark, dir, "customer")
+      val res = o.join(c, col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(floor(o_totalprice * 100.0 + 0.5))").as("rev_cents"))
+        .orderBy(col("c_mktsegment"))
+      val staged = graft.engine.Materialize.stage(res)
+      val plan = res.queryExecution.optimizedPlan.toString
+      require(plan.contains("mv_cnt"), "customer join MV rewrite did not fire")
+      require(!plan.contains("Join"), "join survived the view rewrite")
+      staged
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.leftBaseKey)
+      spark.conf.unset(d.rightBaseKey)
+    }
+  }
+
+  val q118Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS rev_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_mv_rewrite_join_cust" -> (q118MvRewriteJoinCust _),
     "q117_runtime_filter" -> (q117RuntimeFilter _),
     "q116_theil" -> (q116TheilDecomposition _),
     "q115_mv_rewrite_join" -> (q115MvRewriteJoin _),
@@ -3651,6 +3700,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q118_mv_rewrite_join_cust" -> q118Sql,
     "q117_runtime_filter" -> q117Sql,
     "q116_theil" -> q116Sql,
     "q115_mv_rewrite_join" -> q115Sql,

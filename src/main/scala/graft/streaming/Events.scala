@@ -4366,12 +4366,24 @@ object Events {
     * sesBacktest guard class).
     */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.register(spark)
-    val ev = events(spark, dir).filter(col("event_type") === "purchase")
+    val ev = bootstrapPurchases(spark, dir)
+    bootstrapCiFrom(bootstrapStates(ev), ev)
+  }
+
+  /** The scored population: purchase events in exact micro-units. */
+  def bootstrapPurchases(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).filter(col("event_type") === "purchase")
       .select(col("event_id"),
         expr("cast(floor(value * 1000000.0d + 0.5d) as bigint)").as("v"))
-    val rep = ev
-      .select(col("event_id"), col("v"),
+
+  /** Per-replicate (Σ w·v, Σ w) states — the fold the STREAMING twin
+    * hosts in a complete-mode aggregation ([[BootstrapIngest]]): the
+    * explode + hash-weight projection is stateless, the per-b sums are
+    * an abelian monoid. Shared verbatim with the batch operator.
+    */
+  def bootstrapStates(ev: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(ev.sparkSession)
+    ev.select(col("event_id"), col("v"),
         explode(expr("sequence(0L, 63L)")).as("b"))
       .withColumn("u", expr("pmod(mix64(event_id * 64L + b), 1048576L)"))
       .withColumn("w", expr(
@@ -4379,14 +4391,21 @@ object Events {
           |     WHEN u < 964373L THEN 2L WHEN u < 1028665L THEN 3L
           |     WHEN u < 1044738L THEN 4L WHEN u < 1047952L THEN 5L
           |     ELSE 6L END""".stripMargin))
-    // staged: the ≤64-row means grid branches (ranked rows + count + the
-    // rank filter) — unstaged, each branch re-runs the 64× explode pass
-    val means = graft.engine.Materialize.stage(rep.groupBy(col("b"))
+      .groupBy(col("b"))
       // Σ w·v through DECIMAL(38,0): long math wraps at ~10¹² rows per
       // replicate (w ≤ 6, v ≤ 10⁹) — the q79 overflow class, and the
       // oracle's SUM is HUGEINT anyway
       .agg(sum((col("w") * col("v")).cast(org.apache.spark.sql.types
         .DecimalType(38, 0))).as("s"), sum(col("w")).as("n"))
+  }
+
+  /** CI tail over the replicate states (order statistics + the point
+    * estimate) — read-time on a ≤64-row grid, shared stream/batch.
+    */
+  def bootstrapCiFrom(states: DataFrame, ev: DataFrame): DataFrame = {
+    // staged: the ≤64-row means grid branches (ranked rows + count + the
+    // rank filter) — unstaged, each branch re-runs the 64× explode pass
+    val means = graft.engine.Materialize.stage(states
       .filter(col("n") > 0L)
       .select(col("b"), expr("cast(s div n as bigint)").as("m")))
     // order statistics over the ≤64-row replicate grid (bounded window)

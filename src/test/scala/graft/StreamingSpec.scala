@@ -1456,4 +1456,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(merged.nonEmpty && merged == batch,
       s"stream=${merged.size} batch=${batch.size}")
   }
+
+  test("streaming bootstrap CI: micro-batched replicate states == batch CI readout") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.streaming.Events.bootstrapPurchases(spark, sf())
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("graft_boot_in").toString
+    ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+    val q = graft.streaming.BootstrapIngest
+      .monitor(spark, feedDir, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("bootstrap_ingest")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "feed collapsed into a single micro-batch")
+    val streamed = graft.streaming.Events
+      .bootstrapCiFrom(spark.table("bootstrap_ingest"), ev)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.streaming.Events.bootstrapCi(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=$streamed batch=$batch")
+  }
 }
