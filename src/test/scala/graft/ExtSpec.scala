@@ -2061,4 +2061,23 @@ class ExtSpec extends SparkSpecBase {
     assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
       "CI brackets the point estimate on this fixture")
   }
+
+  test("cluster-aware split: zero leaked pairs by construction, while the doc-level split does leak here") {
+    val r = graft.ext.Dedup.splitByCluster(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._1).sorted.toSeq == Seq("test", "train", "val"))
+    r.foreach { case (s, nd, nc, leaked) =>
+      assert(nd >= nc && nc > 0, s"$s: docs=$nd clusters=$nc")
+      assert(leaked == 0L, s"$s leaked $leaked pairs")
+    }
+    // every doc lands in exactly one split
+    val total = graft.engine.Tables.load(spark, sf(), "documents").count()
+    assert(r.map(_._2).sum == total)
+    // contrast: the doc-level stratified split DOES leak on this corpus
+    // (the audit splitLeakage grades) - the cluster-aware rule is a fix,
+    // not a tautology
+    val docLevel = graft.ext.Dedup.splitLeakage(spark, sf()).collect()
+      .filter(_.getLong(3) == 1L).map(_.getLong(2)).sum
+    assert(docLevel > 0L, "fixture has no cross-split near-dup pairs to fix")
+  }
 }
