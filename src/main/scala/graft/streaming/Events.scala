@@ -4475,7 +4475,125 @@ object Events {
       |   OR r.rk = r.bv + 1 - (r.bv * 25 + 999) // 1000
       |GROUP BY p.n_events, p.mean_micro""".stripMargin
 
+  // ------------------------------------------------- Page–Hinkley drift
+  /** Page–Hinkley drift detector over daily event volume, per type — the
+    * concept-drift monitor streaming-ML systems run beside [[cusumDrift]]:
+    * where CUSUM resets at a control limit, PH tracks the cumulative
+    * deviation's running MINIMUM and alarms when the excursion above
+    * that minimum exceeds λ — so a slow upward drift that never trips a
+    * per-day limit still accumulates distance from its own floor. The
+    * first 7 days fix the baseline (mean in exact micro-units, the
+    * [[sesBacktest]] warmup convention), δ = baseline/10 is the drift
+    * allowance, λ = 3·baseline the alarm threshold; every step is
+    * integer micro fixed point, so the oracle replays the fold as a
+    * recursive CTE bit for bit. Output per type: days, baseline,
+    * the maximum PH statistic, and the first alarm day (NULL when the
+    * excursion never reaches λ — and for ≤7-day corpora, the aaTest
+    * guard class).
+    *
+    * Scale: daily counts aggregate distributed with map-side combine;
+    * only the calendar-bounded per-type series folds serially.
+    */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame =
+    pageHinkleyOn(events(spark, dir))
+
+  def pageHinkleyOn(ev: DataFrame): DataFrame = {
+    val dc = ev
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+    val range = dc.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = dc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
+    val xs = grid.join(dc, Seq("event_type", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
+        .as("series"))
+    // acc = [i, warm_sum, base_fp, cum, m_min, max_ph, alarm_day]
+    xs.select(col("event_type"),
+        expr("""aggregate(series,
+          |  CAST(array(0, 0, -1, 0, 0, 0, -1) AS array<bigint>),
+          |  (acc, x) -> CASE
+          |    WHEN acc[0] < 7L THEN array(acc[0] + 1L, acc[1] + x,
+          |      CASE WHEN acc[0] = 6L THEN (acc[1] + x) * 1000000L div 7L
+          |           ELSE -1L END, 0L, 0L, 0L, -1L)
+          |    ELSE array(acc[0] + 1L, acc[1], acc[2],
+          |      acc[3] + x * 1000000L - acc[2] - acc[2] div 10L,
+          |      least(acc[4], acc[3] + x * 1000000L - acc[2] - acc[2] div 10L),
+          |      greatest(acc[5],
+          |        (acc[3] + x * 1000000L - acc[2] - acc[2] div 10L)
+          |          - least(acc[4], acc[3] + x * 1000000L - acc[2]
+          |              - acc[2] div 10L)),
+          |      CASE WHEN acc[6] >= 0L THEN acc[6]
+          |        WHEN ((acc[3] + x * 1000000L - acc[2] - acc[2] div 10L)
+          |          - least(acc[4], acc[3] + x * 1000000L - acc[2]
+          |              - acc[2] div 10L)) > 3L * acc[2]
+          |        THEN acc[0] + 1L ELSE -1L END)
+          |    END)""".stripMargin).as("st"))
+      .select(col("event_type"), expr("st[0]").as("n_days"),
+        expr("CASE WHEN st[0] >= 7L THEN st[2] END").as("base_fp"),
+        expr("CASE WHEN st[0] >= 7L THEN st[5] END").as("max_ph_fp"),
+        expr("CASE WHEN st[6] >= 0L THEN st[6] END").as("alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val pageHinkleySql: String =
+    """WITH RECURSIVE dc AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+      |grid AS (
+      |  SELECT t.event_type, g.d
+      |  FROM (SELECT DISTINCT event_type FROM dc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS d FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.d, COALESCE(dc.x, 0) AS x,
+      |    row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.d) AS i
+      |  FROM grid LEFT JOIN dc USING (event_type, d)),
+      |rec AS (
+      |  SELECT event_type, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS ws,
+      |    CAST(-1 AS BIGINT) AS base, CAST(0 AS BIGINT) AS cum,
+      |    CAST(0 AS BIGINT) AS mn, CAST(0 AS BIGINT) AS mph,
+      |    CAST(-1 AS BIGINT) AS alarm
+      |  FROM (SELECT DISTINCT event_type FROM dc)
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CASE WHEN r.i < 7 THEN r.ws + x.x ELSE r.ws END,
+      |    CAST(CASE WHEN r.i = 6 THEN (r.ws + x.x) * 1000000 // 7
+      |         WHEN r.i < 7 THEN -1 ELSE r.base END AS BIGINT),
+      |    CAST(CASE WHEN r.i < 7 THEN 0
+      |         ELSE r.cum + x.x * 1000000 - r.base - r.base // 10 END
+      |      AS BIGINT),
+      |    CAST(CASE WHEN r.i < 7 THEN 0
+      |         ELSE least(r.mn, r.cum + x.x * 1000000 - r.base - r.base // 10)
+      |         END AS BIGINT),
+      |    CAST(CASE WHEN r.i < 7 THEN 0
+      |         ELSE greatest(r.mph,
+      |           (r.cum + x.x * 1000000 - r.base - r.base // 10)
+      |             - least(r.mn, r.cum + x.x * 1000000 - r.base - r.base // 10))
+      |         END AS BIGINT),
+      |    CAST(CASE WHEN r.i < 7 THEN -1
+      |         WHEN r.alarm >= 0 THEN r.alarm
+      |         WHEN ((r.cum + x.x * 1000000 - r.base - r.base // 10)
+      |           - least(r.mn, r.cum + x.x * 1000000 - r.base - r.base // 10))
+      |           > 3 * r.base THEN r.i + 1
+      |         ELSE -1 END AS BIGINT)
+      |  FROM rec r JOIN xs x ON x.event_type = r.event_type AND x.i = r.i + 1),
+      |last AS (
+      |  SELECT event_type, i, base, mph, alarm,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+      |  FROM rec)
+      |SELECT event_type, i AS n_days,
+      |  CASE WHEN i >= 7 THEN base END AS base_fp,
+      |  CASE WHEN i >= 7 THEN mph END AS max_ph_fp,
+      |  CASE WHEN alarm >= 0 THEN alarm END AS alarm_day
+      |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_page_hinkley" -> (pageHinkley _),
     "events_bootstrap_ci" -> (bootstrapCi _),
     "events_forecast_tourney" -> (forecastTourney _),
     "events_dispersion" -> (dispersionTest _),
@@ -4540,6 +4658,7 @@ object Events {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_page_hinkley" -> pageHinkleySql,
     "events_bootstrap_ci" -> bootstrapCiSql,
     "events_forecast_tourney" -> forecastTourneySql,
     "events_dispersion" -> dispersionTestSql,

@@ -2080,4 +2080,49 @@ class ExtSpec extends SparkSpecBase {
       .filter(_.getLong(3) == 1L).map(_.getLong(2)).sum
     assert(docLevel > 0L, "fixture has no cross-split near-dup pairs to fix")
   }
+
+  test("page-hinkley: exact replay of the min-tracking drift fold; drift fixture alarms, flat fixture does not") {
+    import spark.implicits._
+    // replay on the real corpus
+    val daily = graft.engine.Tables.load(spark, sf(), "events")
+      .selectExpr("event_type",
+        "unix_micros(date_trunc('day', ts)) div 86400000000 AS d")
+      .groupBy("event_type", "d").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = daily.map(_._2).min; val hi = daily.map(_._2).max
+    val expect = daily.groupBy(_._1).map { case (ty, xs) =>
+      val m = xs.map(t => t._2 -> t._3).toMap
+      val series = (lo to hi).map(m.getOrElse(_, 0L))
+      var i = 0L; var ws = 0L; var base = -1L
+      var cum = 0L; var mn = 0L; var mph = 0L; var alarm = -1L
+      series.foreach { x =>
+        if (i < 7) { ws += x; if (i == 6) base = ws * 1000000L / 7; i += 1 }
+        else {
+          cum += x * 1000000L - base - base / 10
+          mn = math.min(mn, cum)
+          val ph = cum - mn
+          mph = math.max(mph, ph)
+          if (alarm < 0 && ph > 3 * base) alarm = i + 1
+          i += 1
+        }
+      }
+      ty -> ((i, base, mph, alarm))
+    }
+    val got = graft.streaming.Events.pageHinkley(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (ty, e) => assert(got(ty) == e, s"type $ty") }
+    // synthetic contrast: a step-up drift alarms, the flat twin never does
+    def mk(xs: Seq[Int]) = xs.zipWithIndex.map { case (n, day) =>
+      (1 to n).map(k => ("t", f"2024-01-${day + 1}%02d 01:${k % 60}%02d:00"))
+    }.flatten.toDF("event_type", "s")
+      .select(col("event_type"), col("s").cast("timestamp_ntz").as("ts"))
+    val drift = graft.streaming.Events
+      .pageHinkleyOn(mk(Seq.fill(7)(10) ++ Seq.fill(14)(25))).head
+    assert(!drift.isNullAt(4), "step-up must alarm")
+    val flat = graft.streaming.Events
+      .pageHinkleyOn(mk(Seq.fill(21)(10))).head
+    assert(flat.isNullAt(4), "flat series must not alarm")
+  }
 }

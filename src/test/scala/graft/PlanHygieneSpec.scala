@@ -156,7 +156,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q102_discount_lift",
     // ses backtest: events_ewma_monitor's 1-row (lo, hi) day-range frame
     // broadcast onto the per-type grid before the zero-fill explode
+    // (page-hinkley shares the identical grid)
     "events_ses_backtest", "events_dispersion", "events_forecast_tourney",
+    "events_page_hinkley",
     // binary rerank: the 10-query code/embedding table broadcast with
     // the non-equi qid != cid condition (cosineTopK's shape)
     "sim_binary_rerank",
