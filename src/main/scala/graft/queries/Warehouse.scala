@@ -3299,14 +3299,18 @@ object Warehouse {
         expr("cast(floor(l_quantity * 100.0d + 0.5d) as bigint)").as("q"))
     val md = li.groupBy(col("l_partkey"), col("m")).agg(sum(col("q")).as("q"))
     val range = md.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
-    val grid = md.select(col("l_partkey")).distinct()
+    // dense series via map lookup, NOT a grid explode + re-join: the ses
+    // pattern's zero-fill grid is fine for 5 event types, but here it is
+    // |parts| × |months| exploded rows through an extra join shuffle —
+    // the map form keeps one row per part end to end (targeted cold run
+    // 5.58 → 4.80 s; the removed exchange is |parts|-proportional, the
+    // term that matters at 100 TB)
+    val xs = md.groupBy(col("l_partkey"))
+      .agg(expr("map_from_entries(collect_list(struct(m, q)))").as("mm"))
       .crossJoin(broadcast(range))
-      .select(col("l_partkey"), explode(expr("sequence(lo, hi)")).as("m"))
-    val xs = grid.join(md, Seq("l_partkey", "m"), "left")
-      .withColumn("q", coalesce(col("q"), lit(0L)))
-      .groupBy(col("l_partkey"))
-      .agg(expr("transform(array_sort(collect_list(struct(m, q))), p -> p.q)")
-        .as("series"))
+      .select(col("l_partkey"),
+        expr("transform(sequence(lo, hi), i -> coalesce(element_at(mm, i), 0L))")
+          .as("series"))
     xs.select(col("l_partkey"),
         expr("""aggregate(series, CAST(array(-1, 0, 0, 0) AS array<bigint>),
           |  (acc, q) -> CASE
