@@ -3223,7 +3223,106 @@ object Similarity {
       |  round(cos, 6) AS cos_sim
       |FROM rk WHERE rn2 <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
 
+  // -------------------------------------------- hybrid retrieval (RRF)
+  /** Reciprocal-rank fusion of a LEXICAL and a SEMANTIC ranking — the
+    * hybrid-search combiner (Cormack et al.: score(d) = Σ 1/(60+rank))
+    * behind every two-tower retrieval stack. The lexical leg is the
+    * graded BM25 top-20 ([[graft.ext.TextOps.bm25TopK]], 8-term query);
+    * the semantic leg is the exact cosine top-20 to an exemplar query
+    * vector (vec_id 7 — doc ids and vec ids are the SAME id space, the
+    * [[dedupClustersLsh]] alignment). Fusion is pure integer:
+    * 10⁹ div (60 + rank) per leg, absent-from-leg contributes 0, fused
+    * top-10 by score desc / doc_id asc. Scale shape: both legs are
+    * already top-k-bounded (their own graded plans), so the fusion
+    * itself joins two ≤20-row frames — a driver-sized epilogue no
+    * matter the corpus; the rank windows run over ≤20-row sorted
+    * limits (the [[graft.ext.TextOps.bm25TopKOn]] bounded-frame
+    * convention).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(e))
+      .orderBy(col("cos").desc, col("cid")).limit(20)
+    val sem = scored
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("cid"))).cast("long"))
+      .select(col("cid").as("doc_id"), col("sem_rank"))
+    val lex = graft.ext.TextOps.bm25TopK(spark, dir)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        expr("CASE WHEN lex_rank IS NULL THEN 0L ELSE 1000000000L div (60L + lex_rank) END" +
+          " + CASE WHEN sem_rank IS NULL THEN 0L ELSE 1000000000L div (60L + sem_rank) END"))
+      .orderBy(col("rrf_fp").desc, col("doc_id")).limit(10)
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_fp").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"), col("rrf_fp"))
+      .orderBy(col("rank"))
+  }
+
+  val rrfFusionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl,
+      |    COUNT(*) AS n FROM base),
+      |terms AS (SELECT unnest(['spark', 'window', 'merge', 'stream',
+      |    'vector', 'customer', 'hash', 'slow']) AS term),
+      |tf AS (
+      |  SELECT d.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents) d
+      |  JOIN terms t ON d.tok = t.term GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT f.term, o.avgdl,
+      |    CAST(round(ln((o.n - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_fp
+      |  FROM (SELECT DISTINCT doc_id, term FROM tf) f CROSS JOIN tot o
+      |  GROUP BY f.term, o.avgdl, o.n),
+      |lexsc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(SUM(i.idf_fp * (44 * i.avgdl * tf.tf)
+      |      // (20 * i.avgdl * tf.tf + 6 * i.avgdl + 18 * b.dl)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN base b USING (doc_id) JOIN idf i USING (term)
+      |  GROUP BY tf.doc_id
+      |  ORDER BY score_fp DESC, doc_id LIMIT 20),
+      |lex AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS lex_rank
+      |  FROM lexsc),
+      |semsc AS (
+      |  SELECT b.vec_id AS doc_id,
+      |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id = 7 AND b.vec_id <> 7
+      |  ORDER BY cos DESC, doc_id LIMIT 20),
+      |sem AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+      |  FROM semsc),
+      |fused AS (
+      |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex.lex_rank, sem.sem_rank,
+      |    (CASE WHEN lex.lex_rank IS NULL THEN 0
+      |       ELSE 1000000000 // (60 + lex.lex_rank) END
+      |     + CASE WHEN sem.sem_rank IS NULL THEN 0
+      |       ELSE 1000000000 // (60 + sem.sem_rank) END) AS rrf_fp
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      |  ORDER BY rrf_fp DESC, doc_id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, COALESCE(lex_rank, 0) AS lex_rank,
+      |  COALESCE(sem_rank, 0) AS sem_rank, CAST(rrf_fp AS BIGINT) AS rrf_fp
+      |FROM fused ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rrf_fusion" -> (rrfFusion _),
     "sim_binary_rerank" -> (binaryRerank _),
     "sim_cosine_neardup_mp" -> (cosineNearDupMultiprobe _),
     "sim_multiprobe_recall" -> (multiprobeRecall _),
@@ -3271,6 +3370,7 @@ object Similarity {
     "sim_triplet_margin" -> (tripletMargin _))
 
   val oracles: Map[String, String] = Map(
+    "sim_rrf_fusion" -> rrfFusionSql,
     "sim_binary_rerank" -> binaryRerankSql,
     "sim_cosine_neardup_mp" -> cosineNearDupMpSql,
     "sim_multiprobe_recall" -> multiprobeRecallSql,

@@ -1124,26 +1124,43 @@ object Warehouse {
   /** Duplicate-transaction screen — the billing/fraud-ops record-linkage
     * pass: pairs of orders from the SAME customer whose totals are
     * within $1000 and whose dates are within 30 days are flagged as
-    * potential double charges. The join is equi on custkey with the
-    * amount/date bounds as residual predicates — the q64 discipline: the
-    * entity key bounds the pair blowup (a customer's own orders), never
-    * a cartesian, and at 100 TB the shuffle is one clustered pass.
-    * Output: the flagged pairs with their exact gaps, orderkey-ordered
-    * for the case queue.
+    * potential double charges. The pair space is bounded TWICE: the
+    * equi key is (custkey, 30-day date bucket) — the q66 grid-binning
+    * discipline — with the probe side exploded into its own bucket and
+    * the one to the right, so |Δdate| ≤ 30 ⟹ bucket diff ≤ 1 keeps
+    * every qualifying pair reachable exactly once (build side stays
+    * un-exploded; `order_a < order_b` dedupes nothing across buckets
+    * because each (a,b) meets in exactly one bucket: b's own). Without
+    * the bucket, a lifetime-heavy customer contributes C(k,2) pairs; with
+    * it, only same-window orders pair — at 100 TB the difference between
+    * a quadratic-in-history join and a clustered linear pass. Amount
+    * bound stays residual. Output: the flagged pairs with their exact
+    * gaps, orderkey-ordered for the case queue.
     */
-  def q81DuplicateTxn(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders")
+  def q81DuplicateTxn(spark: SparkSession, dir: String): DataFrame =
+    q81DuplicateTxnOn(t(spark, dir, "orders"))
+
+  def q81DuplicateTxnOn(orders: DataFrame): DataFrame = {
+    val o = orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         to_date(col("o_orderdate")).as("d"))
+      .withColumn("bkt", expr("datediff(d, DATE '1990-01-01') div 30"))
+    // probe rows visit their own bucket and the next; the pair (a, b)
+    // with da <= db + 30 meets where a's probe bucket equals b's bucket
     val a = o.select(col("o_orderkey").as("order_a"), col("o_custkey"),
-      col("o_totalprice").as("price_a"), col("d").as("da"))
+        col("o_totalprice").as("price_a"), col("d").as("da"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("bkt"))
     val b = o.select(col("o_orderkey").as("order_b"), col("o_custkey"),
-      col("o_totalprice").as("price_b"), col("d").as("db"))
-    a.join(b, Seq("o_custkey"))
-      .filter(col("order_a") < col("order_b") &&
+      col("o_totalprice").as("price_b"), col("d").as("db"), col("bkt"))
+    a.join(b, Seq("o_custkey", "bkt"))
+      .filter(col("order_a") =!= col("order_b") &&
+        (col("da") < col("db") ||
+          (col("da") === col("db") && col("order_a") < col("order_b"))) &&
         abs(col("price_a") - col("price_b")) < 1000.0 &&
         abs(datediff(col("da"), col("db"))) <= 30)
-      .select(col("o_custkey"), col("order_a"), col("order_b"),
+      .select(col("o_custkey"),
+        least(col("order_a"), col("order_b")).as("order_a"),
+        greatest(col("order_a"), col("order_b")).as("order_b"),
         round(abs(col("price_a") - col("price_b")), 2).as("price_gap"),
         abs(datediff(col("da"), col("db"))).cast("long").as("day_gap"))
       .orderBy(col("order_a"), col("order_b"))
@@ -3644,7 +3661,88 @@ object Warehouse {
       |WHERE o_orderstatus <> 'P'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Join-key discovery — the data-lake "which columns join?" profiler
+    * (the metadata question behind FK inference, schema matching, and
+    * LSH-Ensemble/JOSIE-style joinable-table search, here EXACT over
+    * the star schema's 13 key/FK columns). For every directed column
+    * pair that shares at least one value: |A∩B|, containment
+    * |A∩B|/|A| and Jaccard |A∩B|/|A∪B| in ppm, plus an `fk_flag` at
+    * containment ≥ 99% (A's values live inside B ⟹ A is the FK side).
+    * Scale shape: ONE distinct-pass per column is the only
+    * corpus-sized work (each a partial+final aggregate over its own
+    * table scan); the value-keyed groupBy then carries (value,
+    * column-id) pairs whose fan-out is bounded by the 13-column
+    * catalog — `collect_set` per value is ≤ 13 entries, the exploded
+    * pair stream is ≤ 13² per value, and the final aggregate is over
+    * ≤ 156 directed pairs. At 100 TB the distinct passes dominate and
+    * parallelize per table; the sketch drop-in (per-column MinHash /
+    * HLL, both already in the library) trades exactness for one scan.
+    */
+  def q119FkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "nation" -> "n_regionkey", "customer" -> "c_custkey",
+      "customer" -> "c_nationkey", "supplier" -> "s_suppkey",
+      "supplier" -> "s_nationkey", "part" -> "p_partkey",
+      "orders" -> "o_orderkey", "orders" -> "o_custkey",
+      "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+      "lineitem" -> "l_suppkey")
+    val sets = cols.map { case (tb, c) =>
+      t(spark, dir, tb)
+        .select(lit(s"$tb.$c").as("cname"), col(c).cast("long").as("v"))
+        .distinct()
+    }.reduce(_ unionAll _)
+    val sizes = sets.groupBy(col("cname")).agg(count(lit(1)).as("n"))
+    val inter = sets.groupBy(col("v"))
+      .agg(collect_set(col("cname")).as("cs"))
+      .select(explode(col("cs")).as("col_a"), col("cs"))
+      .select(col("col_a"), explode(col("cs")).as("col_b"))
+      .filter(col("col_a") =!= col("col_b"))
+      .groupBy(col("col_a"), col("col_b")).agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(broadcast(sizes.select(col("cname").as("col_a"), col("n").as("na"))),
+        "col_a")
+      .join(broadcast(sizes.select(col("cname").as("col_b"), col("n").as("nb"))),
+        "col_b")
+      .select(col("col_a"), col("col_b"), col("na").as("n_a"), col("inter_n"),
+        expr("inter_n * 1000000L div na").as("containment_ppm"),
+        expr("inter_n * 1000000L div (na + nb - inter_n)").as("jaccard_ppm"),
+        expr("CAST(CASE WHEN inter_n * 1000000L div na >= 990000L " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("fk_flag"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val q119Sql: String = {
+    val cols = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "nation" -> "n_regionkey", "customer" -> "c_custkey",
+      "customer" -> "c_nationkey", "supplier" -> "s_suppkey",
+      "supplier" -> "s_nationkey", "part" -> "p_partkey",
+      "orders" -> "o_orderkey", "orders" -> "o_custkey",
+      "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+      "lineitem" -> "l_suppkey")
+    val union = cols.map { case (tb, c) =>
+      s"SELECT DISTINCT '$tb.$c' AS cname, CAST($c AS BIGINT) AS v FROM $tb"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+      |  $union),
+      |n AS (SELECT cname, COUNT(*) AS n FROM s GROUP BY 1),
+      |i AS (
+      |  SELECT a.cname AS col_a, b.cname AS col_b, COUNT(*) AS inter_n
+      |  FROM s a JOIN s b ON a.v = b.v AND a.cname <> b.cname
+      |  GROUP BY 1, 2)
+      |SELECT col_a, col_b, na.n AS n_a, inter_n,
+      |  inter_n * 1000000 // na.n AS containment_ppm,
+      |  inter_n * 1000000 // (na.n + nb.n - inter_n) AS jaccard_ppm,
+      |  CAST(CASE WHEN inter_n * 1000000 // na.n >= 990000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS fk_flag
+      |FROM i JOIN n na ON na.cname = i.col_a JOIN n nb ON nb.cname = i.col_b
+      |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_fk_discovery" -> (q119FkDiscovery _),
     "q118_mv_rewrite_join_cust" -> (q118MvRewriteJoinCust _),
     "q117_runtime_filter" -> (q117RuntimeFilter _),
     "q116_theil" -> (q116TheilDecomposition _),
@@ -3704,6 +3802,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q119_fk_discovery" -> q119Sql,
     "q118_mv_rewrite_join_cust" -> q118Sql,
     "q117_runtime_filter" -> q117Sql,
     "q116_theil" -> q116Sql,

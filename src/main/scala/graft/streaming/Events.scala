@@ -3144,6 +3144,210 @@ object Events {
       |  l + b AS forecast_fp, sae AS sae_fp, CAST(i AS BIGINT) AS n_hours
       |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------- autocorrelation function
+  /** ACF at lags 1–7 of the DAILY volume series per event type — the
+    * diagnostic that tells the forecasting family ([[sesBacktestOn]],
+    * [[holtTrendOn]], [[crostonForecast]]'s peers) which structure the
+    * series actually carries: a lag-7 spike says "weekly season, use
+    * [[holtWinters]]"; fast decay says "SES is enough"; a negative
+    * lag-1 says over-differenced/alternating. Exact integer end to end:
+    * with n days and S = Σx, the centered value is multiplied through
+    * by n (c_t = n·x_t − S, no fractional mean), so
+    *
+    *   r_k = Σ_{t≤n−k} c_t·c_{t+k}  div  Σ_t c_t²     (in ppm)
+    *
+    * — numerator and denominator are BIGINT-exact (|c| ≤ n·max(x); at
+    * the 64× blowup Σc² ≈ 4·10¹⁵), and only the final ×10⁶ ratio
+    * widens to DECIMAL(38,0) (the q79/q82 overflow discipline). Both
+    * engines truncate negative quotients toward zero (measured, the
+    * [[holtTrendOn]] note). Scale shape: the corpus-sized work is ONE
+    * partial+final daily aggregate; everything after lives on the
+    * calendar-bounded (type × day) grid, and the lag join fans that
+    * tiny grid out ×7, never the corpus.
+    */
+  def acf(spark: SparkSession, dir: String): DataFrame =
+    acfOn(events(spark, dir))
+
+  def acfOn(ev: DataFrame): DataFrame = {
+    val dc = ev
+      .select(col("event_type"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+    val range = dc.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = dc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
+    val xs = grid.join(dc, Seq("event_type", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val mom = xs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val cx = xs.join(broadcast(mom), "event_type")
+      .select(col("event_type"), col("d"), expr("n * x - s").as("c"))
+    val den = cx.groupBy(col("event_type")).agg(sum(expr("c * c")).as("den"))
+    val lhs = cx.select(col("event_type"), col("d"), col("c").as("cl"),
+      explode(expr("sequence(1, 7)")).as("lag"))
+    val rhs = cx.select(col("event_type").as("et2"), col("d").as("d2"),
+      col("c").as("cr"))
+    lhs.join(rhs, col("et2") === col("event_type") &&
+        col("d2") === col("d") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(expr("cl * cr")).as("num"))
+      .join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        expr("cast((cast(num as decimal(38,0)) * 1000000) div den as bigint)")
+          .as("acf_ppm"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val acfSql: String =
+    """WITH dc AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+      |grid AS (
+      |  SELECT t.event_type, g.d
+      |  FROM (SELECT DISTINCT event_type FROM dc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS d FROM r) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.d, COALESCE(dc.x, 0) AS x
+      |  FROM grid LEFT JOIN dc USING (event_type, d)),
+      |mom AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s FROM xs GROUP BY 1),
+      |cx AS (
+      |  SELECT xs.event_type, xs.d, CAST(m.n * xs.x - m.s AS BIGINT) AS c
+      |  FROM xs JOIN mom m USING (event_type)),
+      |den AS (SELECT event_type, SUM(c * c) AS den FROM cx GROUP BY 1),
+      |lags AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+      |num AS (
+      |  SELECT a.event_type, l.lag, SUM(a.c * b.c) AS num
+      |  FROM cx a CROSS JOIN lags l
+      |  JOIN cx b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+      |  GROUP BY 1, 2)
+      |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+      |  CAST(CAST(n.num AS HUGEINT) * 1000000 // d.den AS BIGINT) AS acf_ppm
+      |FROM num n JOIN den d USING (event_type)
+      |ORDER BY event_type, lag""".stripMargin
+
+  // --------------------------------- Holt–Winters additive smoothing
+  /** Holt–Winters ADDITIVE triple-exponential smoothing (level + trend
+    * + 7-slot weekly season) over the daily volume per event type — the
+    * member of the smoothing family ([[ewmaMonitor]] → [[holtTrendOn]] →
+    * this) that [[acfOn]]'s lag-7 spike asks for. α = β = γ = 1/4, all
+    * fixed-point ppm, with s the seasonal slot t mod 7 (slots seed at 0
+    * and LEARN the season through γ — deterministic, no init heuristic
+    * to replicate):
+    *
+    *   f  = l + b + s                    (one-step forecast)
+    *   l' = (x − s + 3·(l+b))   div 4    (deseasonalized level)
+    *   b' = (3·b + (l' − l))    div 4    (trend)
+    *   s' = (x − l' + 3·s)      div 4    (season, written back to slot)
+    *
+    * Negative dividends truncate toward zero on BOTH engines (the
+    * [[holtTrendOn]] measurement). The first three weeks warm up (the
+    * slots are still absorbing the season) and don't score. Scale shape
+    * identical to Holt: the serial recursion is over the CALENDAR (the
+    * 11-long BIGINT state array folds one bounded per-type series), the
+    * corpus only ever flows through one distributed daily aggregate.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOn(events(spark, dir))
+
+  def holtWintersOn(ev: DataFrame): DataFrame = {
+    val dc = ev
+      .select(col("event_type"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+    val range = dc.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = dc.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
+    val xs = grid.join(dc, Seq("event_type", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
+        .as("series"))
+    // state: [l, b, s0..s6, sae, i] — slot j = i mod 7; l1/s1 inline
+    // (no let-binding in SQL lambdas, the holtTrend convention)
+    val j = "CAST(acc[10] % 7L AS INT)"
+    val s = s"acc[$j + 2]"
+    val l1 = s"((x * 1000000L - $s + 3L * (acc[0] + acc[1])) div 4L)"
+    val b1 = s"((3L * acc[1] + ($l1 - acc[0])) div 4L)"
+    val s1 = s"((x * 1000000L - $l1 + 3L * $s) div 4L)"
+    val slots = (0 until 7)
+      .map(k => s"CASE WHEN $j = $k THEN $s1 ELSE acc[${k + 2}] END")
+      .mkString(",\n          |      ").stripMargin
+    val f = s"(acc[0] + acc[1] + $s)"
+    xs.select(col("event_type"),
+        expr(s"""aggregate(series,
+          |  CAST(array(0,0,0,0,0,0,0,0,0,0,0) AS array<bigint>),
+          |  (acc, x) -> CASE WHEN acc[10] = 0L
+          |    THEN array(x * 1000000L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)
+          |    ELSE array($l1, $b1,
+          |      $slots,
+          |      acc[9] + CASE WHEN acc[10] >= 21L
+          |        THEN abs(x * 1000000L - $f) ELSE 0L END,
+          |      acc[10] + 1L)
+          |    END)""".stripMargin).as("st"))
+      .select(col("event_type"),
+        expr("st[0]").as("level_fp"), expr("st[1]").as("trend_fp"),
+        expr("st[0] + st[1] + st[CAST(st[10] % 7L AS INT) + 2]").as("forecast_fp"),
+        expr("array_max(slice(st, 3, 7)) - array_min(slice(st, 3, 7))")
+          .as("season_amp_fp"),
+        expr("st[9]").as("sae_fp"), expr("st[10]").as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val holtWintersSql: String = {
+    val sj = "CASE r.i % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 " +
+      "WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END"
+    val l1 = s"((x.x * 1000000 - $sj + 3 * (r.l + r.b)) // 4)"
+    val s1 = s"((x.x * 1000000 - $l1 + 3 * $sj) // 4)"
+    val slots = (0 until 7)
+      .map(k => s"CAST(CASE WHEN r.i % 7 = $k THEN $s1 ELSE r.s$k END AS BIGINT)")
+      .mkString(",\n      |    ")
+    s"""WITH RECURSIVE dc AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |rg AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+      |grid AS (
+      |  SELECT t.event_type, g.d
+      |  FROM (SELECT DISTINCT event_type FROM dc) t,
+      |    (SELECT UNNEST(generate_series(lo, hi)) AS d FROM rg) g),
+      |xs AS (
+      |  SELECT grid.event_type, grid.d, COALESCE(dc.x, 0) AS x,
+      |    row_number() OVER (PARTITION BY grid.event_type ORDER BY grid.d) AS i
+      |  FROM grid LEFT JOIN dc USING (event_type, d)),
+      |rec AS (
+      |  SELECT event_type, i, CAST(x * 1000000 AS BIGINT) AS l,
+      |    CAST(0 AS BIGINT) AS b,
+      |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+      |    CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+      |    CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+      |    CAST(0 AS BIGINT) AS s6, CAST(0 AS BIGINT) AS sae
+      |  FROM xs WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CAST($l1 AS BIGINT),
+      |    CAST((3 * r.b + ($l1 - r.l)) // 4 AS BIGINT),
+      |    $slots,
+      |    r.sae + CASE WHEN r.i >= 21
+      |      THEN abs(x.x * 1000000 - (r.l + r.b + $sj)) ELSE 0 END
+      |  FROM rec r JOIN xs x ON x.event_type = r.event_type AND x.i = r.i + 1),
+      |last AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+      |  FROM rec)
+      |SELECT event_type, l AS level_fp, b AS trend_fp,
+      |  l + b + (CASE i % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+      |    WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) AS forecast_fp,
+      |  greatest(s0, s1, s2, s3, s4, s5, s6)
+      |    - least(s0, s1, s2, s3, s4, s5, s6) AS season_amp_fp,
+      |  sae AS sae_fp, CAST(i AS BIGINT) AS n_days
+      |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
+  }
+
   // --------------------------------------------- late-arrival census
   /** Watermark late-data accounting — the batch audit of the question
     * every Structured Streaming job answers implicitly: with a 10-minute
@@ -4655,9 +4859,13 @@ object Events {
     "events_sliding_window" -> (slidingWindow _),
     "events_sessionize" -> (sessionize _),
     "events_forward_fill" -> (forwardFill _),
-    "events_funnel" -> (funnel _))
+    "events_funnel" -> (funnel _),
+    "events_acf" -> (acf _),
+    "events_holt_winters" -> (holtWinters _))
 
   val oracles: Map[String, String] = Map(
+    "events_acf" -> acfSql,
+    "events_holt_winters" -> holtWintersSql,
     "events_page_hinkley" -> pageHinkleySql,
     "events_bootstrap_ci" -> bootstrapCiSql,
     "events_forecast_tourney" -> forecastTourneySql,

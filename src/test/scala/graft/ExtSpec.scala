@@ -2125,4 +2125,81 @@ class ExtSpec extends SparkSpecBase {
       .pageHinkleyOn(mk(Seq.fill(21)(10))).head
     assert(flat.isNullAt(4), "flat series must not alarm")
   }
+
+  test("events_acf: exact ppm on an alternating series; bounded and sorted on real data") {
+    import spark.implicits._
+    // daily counts alternate 10/2 over 14 days: centered values are
+    // exactly ±56, so r_k = ±(n-k)/n — closed-form ppm with truncation
+    def mk(xs: Seq[Int]) = xs.zipWithIndex.flatMap { case (n, day) =>
+      (1 to n).map(k => ("t", f"2024-01-${day + 1}%02d 01:${k % 60}%02d:00"))
+    }.toDF("event_type", "s")
+      .select(col("event_type"), col("s").cast("timestamp_ntz").as("ts"))
+    val alt = graft.streaming.Events.acfOn(
+      mk(Seq.tabulate(14)(d => if (d % 2 == 0) 10 else 2))).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(alt(1L) == -928571L, s"lag1=${alt(1L)}") // -13/14 ppm truncated
+    assert(alt(2L) == 857142L, s"lag2=${alt(2L)}")  //  12/14 ppm truncated
+    assert(alt(7L) == -500000L, s"lag7=${alt(7L)}") //  -7/14
+    // real data: 5 types x 7 lags, |r| <= 1, sorted by (type, lag)
+    val real = graft.streaming.Events.acf(spark, sf()).collect()
+    assert(real.length == 35)
+    assert(real.forall(r => math.abs(r.getLong(2)) <= 1000000L))
+    val keys = real.map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("events_holt_winters: constant series is a fixpoint; periodic series replays the fold exactly") {
+    import spark.implicits._
+    def mk(xs: Seq[Int]) = xs.zipWithIndex.flatMap { case (n, day) =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+      (1 to n).map(k => ("t", f"$d 01:${k % 60}%02d:00"))
+    }.toDF("event_type", "s")
+      .select(col("event_type"), col("s").cast("timestamp_ntz").as("ts"))
+    // constant 12/day: level pins at 12e6, everything else at 0
+    val const = graft.streaming.Events.holtWintersOn(
+      mk(Seq.fill(28)(12))).head
+    assert(const.getLong(1) == 12000000L && const.getLong(2) == 0L)
+    assert(const.getLong(3) == 12000000L) // forecast
+    assert(const.getLong(4) == 0L && const.getLong(5) == 0L)
+    assert(const.getLong(6) == 28L)
+    // weekly spike (24 on slot 0, 10 otherwise) over 35 days: replay the
+    // fold in-test (Long / truncates toward zero, matching div)
+    val xs = Seq.tabulate(35)(d => if (d % 7 == 0) 24 else 10)
+    var (l, b) = (0L, 0L); val s = Array.fill(7)(0L); var sae = 0L; var i = 0L
+    xs.foreach { xi =>
+      val x = xi * 1000000L
+      if (i == 0L) { l = x; i = 1L }
+      else {
+        val j = (i % 7).toInt; val sj = s(j)
+        val f = l + b + sj
+        val l1 = (x - sj + 3L * (l + b)) / 4L
+        val b1 = (3L * b + (l1 - l)) / 4L
+        s(j) = (x - l1 + 3L * sj) / 4L
+        if (i >= 21L) sae += math.abs(x - f)
+        l = l1; b = b1; i += 1L
+      }
+    }
+    val got = graft.streaming.Events.holtWintersOn(mk(xs)).head
+    assert(got.getLong(1) == l, "level")
+    assert(got.getLong(2) == b, "trend")
+    assert(got.getLong(3) == l + b + s((i % 7).toInt), "forecast")
+    assert(got.getLong(4) == s.max - s.min, "season amplitude")
+    assert(got.getLong(5) == sae, "sae")
+    assert(got.getLong(4) > 0L, "periodic series must learn a season")
+  }
+
+  test("sim_rrf_fusion: fused scores recompute from the emitted leg ranks and sort descending") {
+    val rows = Similarity.rrfFusion(spark, sf()).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    rows.foreach { r =>
+      val (lex, sem, fp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val expect = (if (lex > 0) 1000000000L / (60L + lex) else 0L) +
+        (if (sem > 0) 1000000000L / (60L + sem) else 0L)
+      assert(fp == expect, s"doc ${r.getLong(1)}: $fp != $expect")
+      assert(lex > 0 || sem > 0, "a fused doc must come from at least one leg")
+    }
+    val fps = rows.map(_.getLong(4))
+    assert(fps.zip(fps.tail).forall { case (a, z) => a >= z }, "descending")
+  }
 }

@@ -159,6 +159,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     // (page-hinkley shares the identical grid)
     "events_ses_backtest", "events_dispersion", "events_forecast_tourney",
     "events_page_hinkley",
+    // acf / holt-winters: the identical 1-row (lo, hi) day-range frame
+    // broadcast onto the per-type grid before the zero-fill explode
+    "events_acf", "events_holt_winters",
+    // rrf fusion: the semantic leg is cosineTopK's whitelisted shape —
+    // the 1-row exemplar query broadcast with the non-equi qid != cid
+    // condition (the lexical leg and the fusion itself join equi)
+    "sim_rrf_fusion",
     // binary rerank: the 10-query code/embedding table broadcast with
     // the non-equi qid != cid condition (cosineTopK's shape)
     "sim_binary_rerank",

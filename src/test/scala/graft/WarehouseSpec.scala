@@ -920,6 +920,68 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("q81 bucket blocking: equals the brute-force pair set across every boundary case") {
+    import spark.implicits._
+    // cust 5: one order per day for 70 consecutive days sweeps every
+    // 30-day-bucket boundary alignment; handcrafted custs pin the exact
+    // predicate edges (30 vs 31 days, $999.99 vs $1000.00, same-date)
+    val dense = (0 until 70).map { d =>
+      (100L + d, 5L, 100.0,
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).toString)
+    }
+    val hand = Seq(
+      (1L, 1L, 100.0, "2024-01-15"), (2L, 1L, 900.0, "2024-02-14"),  // 30d apart
+      (3L, 1L, 100.0, "2024-02-15"),                                 // 31d from k1
+      (4L, 2L, 500.0, "2024-03-01"), (5L, 2L, 1499.99, "2024-03-01"),
+      (6L, 2L, 1500.0, "2024-03-01"),
+      (7L, 3L, 42.0, "2024-05-05"), (8L, 3L, 42.0, "2024-05-05"),
+      (9L, 3L, 42.0, "2024-05-05"))
+    val orders = (hand ++ dense)
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val got = Warehouse.q81DuplicateTxnOn(orders).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // brute force expected
+    val all = hand ++ dense
+    val expect = (for {
+      a <- all; b <- all
+      if a._2 == b._2 && a._1 < b._1 &&
+        math.abs(a._3 - b._3) < 1000.0 &&
+        math.abs(java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(a._4), java.time.LocalDate.parse(b._4))) <= 30
+    } yield (a._1, b._1)).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // the dense sweep's closed form: sum_{g=1..30} (70 - g) pairs
+    assert(expect.count(_._1 >= 100L) == (1 to 30).map(70 - _).sum)
+    // handcrafted edges: 30d pairs, 31d doesn't; 999.99 pairs, 1000.00 doesn't
+    assert(got.contains((1L, 2L)) && !got.contains((1L, 3L)))
+    assert(got.contains((4L, 5L)) && !got.contains((4L, 6L)) && got.contains((5L, 6L)))
+    assert(Set((7L, 8L), (7L, 9L), (8L, 9L)).subsetOf(got))
+  }
+
+  test("q119 fk discovery: the star schema's FK edges are flagged at full containment") {
+    val rows = Warehouse.q119FkDiscovery(spark, sf()).collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val fks = Seq(
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "lineitem.l_partkey" -> "part.p_partkey",
+      "lineitem.l_suppkey" -> "supplier.s_suppkey",
+      "orders.o_custkey" -> "customer.c_custkey",
+      "customer.c_nationkey" -> "nation.n_nationkey",
+      "supplier.s_nationkey" -> "nation.n_nationkey",
+      "nation.n_regionkey" -> "region.r_regionkey")
+    fks.foreach { e =>
+      val (_, _, cont, _, flag) = m.getOrElse(e, fail(s"missing edge $e"))
+      assert(cont == 1000000L && flag == 1L, s"$e: containment=$cont flag=$flag")
+    }
+    // metric identities on every emitted pair
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "inter <= |A|")
+      assert(r.getLong(5) <= r.getLong(4), "jaccard <= containment")
+    }
+  }
+
   test("q116 theil: shares sum to one, decomposition T_total ~= T_between + sum(share_g * T_g)") {
     val rows = Warehouse.q116TheilDecomposition(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
