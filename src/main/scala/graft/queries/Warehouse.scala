@@ -3741,7 +3741,97 @@ object Warehouse {
       |ORDER BY col_a, col_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q120
+  /** Adamic–Adar link prediction over the co-purchase graph — "which
+    * part pairs are NOT yet co-purchased but share many co-purchase
+    * neighbors?" (the recommender follow-up to [[q58Copurchase]]'s
+    * descriptive pass and [[q100ItemCf]]'s rating-space one: AA is
+    * purely topological). Score(a,b) = Σ_{z ∈ Γa∩Γb} 1/ln(deg z),
+    * down-weighting promiscuous hubs; fixed point via the repo's ln
+    * grid (10⁻⁶, the BM25/PMI convention), each term 10¹² div
+    * lnfp(deg z) — a wedge's hub has deg ≥ 2, so the divisor is
+    * ≥ ln(2)·10⁶ > 0. Top-20 non-adjacent pairs. Scale shape: the edge
+    * list stages once (4 consumers); wedges are the triangle-count
+    * join (Σ deg² bounded by the support-≥3 graph's sparsity — at
+    * retail scale cap per-node degree before wedging, the q58
+    * basket-cap note applied to the graph); existing edges drop via
+    * one anti-join; top-20 is a TakeOrdered, never a global sort.
+    *
+    * Degree cap: wedges enumerate each hub's 64 STRONGEST incident
+    * edges only (support desc, neighbor asc — deterministic), the q58
+    * basket-cap discipline applied to the graph: a hub of degree d
+    * contributes C(min(d,64),2) wedges, so Σdeg² cannot go quadratic
+    * when the graph densifies (the 10× blowup multiplies every pair's
+    * support ×10, promoting support-1 pairs over the ≥3 threshold —
+    * measured 39.7 s uncapped at 10×). AA's down-weighting keeps the
+    * TRUE degree; only the wedge enumeration truncates. A no-op on the
+    * 1× fixture (max degree 1).
+    */
+  def q120LinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    q120LinkPredictionOn(t(spark, dir, "lineitem"))
+
+  def q120LinkPredictionOn(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val edges = graft.engine.Materialize.stage(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3))
+    val und0 = edges.select(col("u").as("z"), col("v").as("nb"), col("support"))
+      .unionAll(edges.select(col("v").as("z"), col("u").as("nb"), col("support")))
+    val deg = und0.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val und = und0
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("z"))
+        .orderBy(col("support").desc, col("nb"))))
+      .filter(col("rn") <= 64).select(col("z"), col("nb"))
+    val wedges = und.as("x").join(und.as("y"),
+        col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("pa"), col("y.nb").as("pb"), col("x.z").as("z"))
+    val scored = wedges.join(deg, "z")
+      .withColumn("aa_term", expr("1000000000000L div " +
+        "cast(round(ln(cast(deg as double)) * 1000000.0d) as bigint)"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_term")).as("aa_fp"))
+    scored.join(edges,
+        scored("pa") === edges("u") && scored("pb") === edges("v"), "left_anti")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_common"), col("aa_fp"))
+      .orderBy(col("aa_fp").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val q120Sql: String =
+    """WITH e AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS support
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |und0 AS (SELECT u AS z, v AS nb, support FROM e
+      |  UNION ALL SELECT v, u, support FROM e),
+      |deg AS (SELECT z, COUNT(*) AS deg FROM und0 GROUP BY 1),
+      |und AS (
+      |  SELECT z, nb FROM (
+      |    SELECT z, nb, row_number() OVER (PARTITION BY z
+      |      ORDER BY support DESC, nb) AS rn
+      |    FROM und0) WHERE rn <= 64),
+      |w AS (
+      |  SELECT x.nb AS pa, y.nb AS pb, x.z
+      |  FROM und x JOIN und y ON x.z = y.z AND x.nb < y.nb),
+      |sc AS (
+      |  SELECT pa, pb, COUNT(*) AS n_common,
+      |    SUM(1000000000000
+      |      // CAST(round(ln(CAST(d.deg AS DOUBLE)) * 1000000) AS BIGINT))
+      |      AS aa_fp
+      |  FROM w JOIN deg d ON d.z = w.z GROUP BY 1, 2),
+      |ne AS (SELECT sc.* FROM sc ANTI JOIN e ON sc.pa = e.u AND sc.pb = e.v)
+      |SELECT pa AS part_a, pb AS part_b, n_common, CAST(aa_fp AS BIGINT) AS aa_fp
+      |FROM ne ORDER BY aa_fp DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_link_prediction" -> (q120LinkPrediction _),
     "q119_fk_discovery" -> (q119FkDiscovery _),
     "q118_mv_rewrite_join_cust" -> (q118MvRewriteJoinCust _),
     "q117_runtime_filter" -> (q117RuntimeFilter _),
@@ -3802,6 +3892,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q120_link_prediction" -> q120Sql,
     "q119_fk_discovery" -> q119Sql,
     "q118_mv_rewrite_join_cust" -> q118Sql,
     "q117_runtime_filter" -> q117Sql,

@@ -2188,6 +2188,47 @@ class ExtSpec extends SparkSpecBase {
     assert(got.getLong(4) > 0L, "periodic series must learn a season")
   }
 
+  test("events_ccf: a series leading its rotated twin by 2 days peaks at lag +2") {
+    import spark.implicits._
+    // type "a" daily counts; type "b" is a's 2-day-later rotation, so
+    // the cross-correlation must peak at lag +2 (a leads b)
+    val xa = Seq(30, 2, 2, 16, 2, 2, 24, 4, 2, 12, 2, 28, 2, 6, 2, 18, 2, 2, 10, 2)
+    val n = xa.length
+    val xb = Seq.tabulate(n)(t => xa(((t - 2) % n + n) % n))
+    val rows = Seq("a" -> xa, "b" -> xb).flatMap { case (ty, xs) =>
+      xs.zipWithIndex.flatMap { case (c, day) =>
+        val date = java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+        (1 to c).map(k => (ty, f"$date 01:${k % 60}%02d:00"))
+      }
+    }
+    val ev = rows.toDF("event_type", "s")
+      .select(col("event_type"), col("s").cast("timestamp_ntz").as("ts"))
+    val ccf = graft.streaming.Events.ccfOn(ev).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(ccf.size == 7, "one (a,b) pair x 7 lags")
+    val peak = ccf.maxBy(_._2)
+    assert(peak._1 == 2L, s"peak at lag ${peak._1}, expected +2: $ccf")
+    assert(peak._2 > 0.8, s"peak ccf ${peak._2}")
+  }
+
+  test("events_ks_test: identical halves accept, a shifted second half rejects at D = 1") {
+    import spark.implicits._
+    def mk(shift: Int) = (for {
+      day <- 0 until 10
+      v <- 1 to 50
+    } yield {
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+      (s"$date 01:00:00", v.toDouble + (if (day >= 5) shift else 0))
+    }).toDF("s", "value")
+      .select(col("s").cast("timestamp_ntz").as("ts"), col("value"))
+    val same = graft.streaming.Events.ksTestOn(mk(0)).head
+    assert(same.getLong(0) == 250L && same.getLong(1) == 250L)
+    assert(same.getLong(3) == 0L && same.getLong(4) == 0L, "identical halves: D=0, accept")
+    val shifted = graft.streaming.Events.ksTestOn(mk(1000)).head
+    assert(shifted.getLong(3) == 1000000L, "disjoint supports: D = 1")
+    assert(shifted.getLong(4) == 1L, "must reject at alpha=0.05")
+  }
+
   test("sim_rrf_fusion: fused scores recompute from the emitted leg ranks and sort descending") {
     val rows = Similarity.rrfFusion(spark, sf()).collect()
     assert(rows.length == 10)

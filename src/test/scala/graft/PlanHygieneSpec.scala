@@ -159,9 +159,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // (page-hinkley shares the identical grid)
     "events_ses_backtest", "events_dispersion", "events_forecast_tourney",
     "events_page_hinkley",
-    // acf / holt-winters: the identical 1-row (lo, hi) day-range frame
-    // broadcast onto the per-type grid before the zero-fill explode
-    "events_acf", "events_holt_winters",
+    // acf / ccf / holt-winters: the identical 1-row (lo, hi) day-range
+    // frame broadcast onto the per-type grid before the zero-fill explode
+    "events_acf", "events_ccf", "events_holt_winters",
+    // ks test: the 1-row midpoint and (n1, n2) totals frames broadcast
+    // onto the per-cent-value counts (events_changepoint's shape)
+    "events_ks_test",
     // rrf fusion: the semantic leg is cosineTopK's whitelisted shape —
     // the 1-row exemplar query broadcast with the non-equi qid != cid
     // condition (the lexical leg and the fusion itself join equi)

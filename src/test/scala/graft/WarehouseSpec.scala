@@ -982,6 +982,33 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("q120 adamic-adar: hub wedges score non-edges, edges are excluded, terms sum exactly") {
+    import spark.implicits._
+    // graph: hub 1 -- {2,3,4} (support 3 each); hub 5 -- {2,3}.
+    // degrees: 1->3, 5->2, 2->2, 3->2, 4->1
+    def basket(ok: Long, parts: Seq[Long]) = parts.map(p => (ok, p))
+    val li = (
+      (1 to 3).flatMap(o => basket(o.toLong, Seq(1L, 2L))) ++
+      (4 to 6).flatMap(o => basket(o.toLong, Seq(1L, 3L))) ++
+      (7 to 9).flatMap(o => basket(o.toLong, Seq(1L, 4L))) ++
+      (10 to 12).flatMap(o => basket(o.toLong, Seq(5L, 2L))) ++
+      (13 to 15).flatMap(o => basket(o.toLong, Seq(5L, 3L)))
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Warehouse.q120LinkPredictionOn(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    def aa(deg: Long): Long =
+      1000000000000L / math.round(math.log(deg.toDouble) * 1000000.0)
+    // (1,5): common neighbors 2 and 3, both degree 2
+    assert(got((1L, 5L)) == ((2L, 2 * aa(2))), got.toString)
+    // (2,3): via hub 1 (deg 3) and hub 5 (deg 2)
+    assert(got((2L, 3L)) == ((2L, aa(3) + aa(2))))
+    // (2,4) and (3,4): via hub 1 only
+    assert(got((2L, 4L)) == ((1L, aa(3))) && got((3L, 4L)) == ((1L, aa(3))))
+    // existing edges never appear
+    assert(!got.contains((1L, 2L)) && !got.contains((5L, 2L)))
+    assert(got.size == 4)
+  }
+
   test("q116 theil: shares sum to one, decomposition T_total ~= T_between + sum(share_g * T_g)") {
     val rows = Warehouse.q116TheilDecomposition(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
