@@ -430,6 +430,67 @@ object Snapshots {
       })
   }
 
+  /** RENAME COLUMN without rewriting a byte (Delta column-mapping
+    * semantics): a metadata-only commit appends a [[RenameEntry]] and
+    * remaps every manifest line that NAMES the column — batch stats
+    * envelopes, per-batch masks, and pending delete-key lines all move
+    * to the new name, so the whole read/prune/point/delete machinery
+    * speaks the logical name from this version on while old batches
+    * keep their physical name on disk ([[readMasked]] applies the
+    * rename at the scan seam). Appends after the rename write the new
+    * name and no-op under the rename line; renames CHAIN (a→b then
+    * b→c reads a-era batches through both, in manifest order).
+    *
+    * Time travel is untouched: versions before the rename carry no R
+    * line and read the old name. Maintenance folds write post-rename
+    * data and carry the R lines for the batches they didn't touch.
+    *
+    * Concurrency: rebases across append/delete/optimize/compact (the
+    * remapped lines are re-derived from whatever landed); aborts on
+    * replace/restore like [[deleteRows]] — the column this rename
+    * targeted may not exist in the replacement state. The `to` name
+    * must be free in the CURRENT schema (schema-merged, so a column an
+    * evolved append introduced counts).
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Int = {
+    val f = fs(spark, dir)
+    require(versions(spark, dir).nonEmpty, s"no snapshot table at $dir")
+    require(from != to, s"rename to the same name '$from' is a no-op — refused")
+    val schema = read(spark, dir, mergeSchema = true).columns.toSet
+    require(schema.contains(from),
+      s"rename source column '$from' not in table at $dir")
+    require(!schema.contains(to),
+      s"rename target column '$to' already exists at $dir")
+    val vEntry = versions(spark, dir).last
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val v = vEntry + 1
+    // stagedRel = "": a pure-metadata commit stages no file, so the
+    // loop's staged-liveness probe degenerates to the table root
+    // (always present) and its mtime refresh is a harmless touch
+    publishLoop(spark, f, dir, nonce, stagedRel = "", v,
+      prev => {
+        val remapped = prev.filterNot(isKindLine).map(parseEntry).map {
+          case b @ BatchEntry(_, Some((c, mn, mx)), _) if c == from =>
+            render(b.copy(stats = Some((to, mn, mx))))
+          case m: MaskEntry if m.col == from => render(m.copy(col = to))
+          case d: DeleteEntry if d.keyCol == from => render(d.copy(keyCol = to))
+          case e => render(e)
+        }
+        s"K\trename" +: (remapped :+ s"R\t$from\t$to")
+      },
+      validateRebase = { latest =>
+        ((vEntry + 1) to latest).foreach { w =>
+          if (kindAt(spark, dir, w).exists(Set("replace", "restore"))) {
+            throw new IllegalStateException(
+              s"table at $dir was replaced (v$w) while the rename was in " +
+                "flight — the source column may not exist in the new " +
+                "state; rerun renameColumn against it")
+          }
+        }
+      })
+  }
+
   /** OVERWRITE BY FILTER as a metadata commit (Delta `replaceWhere` /
     * Iceberg overwrite-by-filter semantics, WITHOUT the rewrite): the
     * new batch replaces every existing row with `column ∈ [lo, hi]`.
@@ -533,7 +594,10 @@ object Snapshots {
     if (dels.isEmpty) return v
     val batches = entries.collect { case b: BatchEntry => b }
     val delFrames = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (c, es) =>
-      c -> spark.read.parquet(es.map(e => resolve(dir, e.path)): _*)
+      // single-column by construction; bind by position — renameColumn
+      // remaps keyCol while the file keeps its physical name (applyDeletes
+      // has the same note)
+      c -> spark.read.parquet(es.map(e => resolve(dir, e.path)): _*).toDF(c)
     }
     // driver-side [min, max] of each delete-key set — a layout-build
     // scalar over the (small) delete files, like manifestPrune's range
@@ -562,7 +626,7 @@ object Snapshots {
         // masks apply before the delete anti-join (a raw read would
         // resurrect overwritten rows into the compacted batch)
         val folded = delFrames.foldLeft(
-          readMasked(spark, dir, rewrite.map(_.batch), masksOf(entries),
+          readMasked(spark, dir, rewrite.map(_.batch), entries,
             mergeSchema = false)) {
             case (df, (c, keys)) => df.join(keys, Seq(c), "left_anti")
           }
@@ -580,10 +644,15 @@ object Snapshots {
       case m: MaskEntry if untouchedSet(m.batch) => render(m)
     }
     val txns = entries.collect { case t: TxnEntry => render(t) }
+    // rename lines survive the fold (untouched batches still carry old
+    // physical names) and must sit BEFORE the folded batch line: a
+    // batch line precedes exactly the renames that postdate its write,
+    // and the folded batch was written through the renamed read
+    val renames = entries.collect { case r: RenameEntry => render(r) }
     val ok = publishIfAbsent(f = fs(spark, dir), dir = dir, v = vNew,
       nonce = nonce,
       batches = "K\tcompact" +: (untouched.map(render) ++ keptMasks ++
-        newLine.toSeq ++ txns))
+        renames ++ newLine.toSeq ++ txns))
     require(ok, s"concurrent commit during compactDeletes at $dir — rerun compaction")
     vNew
   }
@@ -617,6 +686,11 @@ object Snapshots {
     val carried = entries.collect {
       case d: DeleteEntry => render(d)
       case t: TxnEntry => render(t)
+      // rename lines DROP here, like mask lines: optimize folds EVERY
+      // batch, the folded data is written through the renamed read, so
+      // the logical names are baked into the rewrite and no old-named
+      // file survives for an R line to act on (older versions keep
+      // their own manifests for time travel)
     }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val vNew = v + 1
@@ -626,7 +700,7 @@ object Snapshots {
     // only the newer batches carry. Masks apply during the fold (a raw
     // read would resurrect overwritten rows) and are thereby baked into
     // the folded batch — the new manifest carries no mask lines.
-    readMasked(spark, dir, batches.map(_.batch), masksOf(entries),
+    readMasked(spark, dir, batches.map(_.batch), entries,
       mergeSchema = true)
       .write.mode("errorifexists").parquet(s"$dir/$rel")
     // keep pruning envelopes alive across the rewrite: when the caller
@@ -684,6 +758,7 @@ object Snapshots {
       case b: BatchEntry => render(b)
       case d: DeleteEntry => render(d)
       case m: MaskEntry => render(m) // restored state keeps its masks
+      case r: RenameEntry => render(r) // and its column names
     }
     val txns = entriesAt(spark, dir, vLatest).collect {
       case t: TxnEntry => render(t)
@@ -722,7 +797,7 @@ object Snapshots {
     // only satisfies schema-merged
     val base =
       if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0) // schema-preserving empty
-      else readMasked(spark, dir, kept, masksOf(entries), mergeSchema)
+      else readMasked(spark, dir, kept, entries, mergeSchema)
     // row-level deletes apply here too: pruned result == plain filter at
     // the same version, and the plain read anti-joins the delete keys
     applyDeletes(spark, dir, v, base)
@@ -779,7 +854,7 @@ object Snapshots {
     val base =
       if (kept.isEmpty) read(spark, dir, v, mergeSchema).limit(0)
       else readMasked(spark, dir, kept,
-        masksOf(entriesAt(spark, dir, v)), mergeSchema)
+        entriesAt(spark, dir, v), mergeSchema)
     applyDeletes(spark, dir, v, base)
       .filter(col(column).isin(keys: _*))
   }
@@ -819,6 +894,7 @@ object Snapshots {
     val entries = entriesAt(spark, srcDir, v).collect {
       case b: BatchEntry => render(b.copy(batch = resolve(srcDir, b.batch)))
       case d: DeleteEntry => render(d.copy(path = resolve(srcDir, d.path)))
+      case r: RenameEntry => render(r)
       // masks absolutize WITH their batch, or the clone's reads would
       // resurrect the parent's overwritten rows
       case m: MaskEntry => render(m.copy(batch = resolve(srcDir, m.batch)))
@@ -1070,6 +1146,7 @@ object Snapshots {
     val entries = entriesAt(spark, bd, head).collect {
       case b: BatchEntry => render(b.copy(batch = norm(b.batch)))
       case d: DeleteEntry => render(d.copy(path = norm(d.path)))
+      case r: RenameEntry => render(r)
       case m: MaskEntry => render(m.copy(batch = norm(m.batch)))
     }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -1143,6 +1220,21 @@ object Snapshots {
     def path: String = ""
   }
 
+  /** A column rename `R <from> <to>` ([[renameColumn]] — Delta
+    * column-mapping semantics without the rewrite): batches written
+    * BEFORE the rename keep their physical column name on disk; readers
+    * apply the renames in manifest order right after the parquet scan
+    * (`withColumnRenamed` no-ops on batches that already carry the new
+    * name, so post-rename appends and maintenance rewrites need no
+    * special casing). Mask/delete/stats lines are remapped to the new
+    * name AT COMMIT TIME, so everything downstream of the scan speaks
+    * one name. No file behind it; renames chain (a→b then b→c reads
+    * a-era batches through both).
+    */
+  private case class RenameEntry(from: String, to: String) extends ManifestEntry {
+    def path: String = ""
+  }
+
   private def render(e: ManifestEntry): String = e match {
     case BatchEntry(b, None, _) => b
     case BatchEntry(b, Some((c, mn, mx)), None) => s"$b\t$c\t$mn\t$mx"
@@ -1151,6 +1243,7 @@ object Snapshots {
     case MaskEntry(b, c, lo, hi) => s"M\t$b\t$c\t$lo\t$hi"
     case TxnEntry(a, b) => s"T\t$a\t$b"
     case KindEntry(k) => s"K\t$k"
+    case RenameEntry(f, t) => s"R\t$f\t$t"
   }
 
   private def parseEntry(line: String): ManifestEntry =
@@ -1159,6 +1252,7 @@ object Snapshots {
       case Array("M", b, c, lo, hi) => MaskEntry(b, c, lo.toLong, hi.toLong)
       case Array("T", a, b) => TxnEntry(a, b.toLong)
       case Array("K", k) => KindEntry(k)
+      case Array("R", f, t) => RenameEntry(f, t)
       case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
       case Array(b, c, mn, mx, bl) =>
         BatchEntry(b, Some((c, mn.toLong, mx.toLong)), Some(bl))
@@ -1183,19 +1277,42 @@ object Snapshots {
     * in any [lo, hi]). All raw batch reads — [[read]], the pruned and
     * point paths, and the maintenance folds — MUST come through here:
     * a raw `spark.read.parquet` on a masked batch would resurrect
-    * overwritten rows.
+    * overwritten rows. Column renames ([[RenameEntry]]) apply PER
+    * BATCH, by manifest order: a batch line earlier than an R line was
+    * written under the pre-rename physical name and reads through it;
+    * a batch appended after the rename already carries the logical
+    * name and gets nothing applied (chained renames compose in order).
+    * They run right after the scan and BEFORE the mask filter —
+    * mask/delete lines were remapped to post-rename names at the
+    * rename commit, so this is the one seam where physical (on-disk)
+    * names become logical ones.
     */
   private def readMasked(spark: SparkSession, dir: String,
-      batches: Seq[String], masks: Map[String, Seq[MaskEntry]],
+      batches: Seq[String], entries: Seq[ManifestEntry],
       mergeSchema: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
+    val masks = masksOf(entries)
+    // renames that apply to a batch = the R lines AFTER its manifest line
+    val renSuffix: Map[String, Seq[RenameEntry]] = {
+      var acc = List.empty[RenameEntry]
+      val m = Map.newBuilder[String, Seq[RenameEntry]]
+      entries.reverse.foreach {
+        case r: RenameEntry => acc = r :: acc
+        case b: BatchEntry => m += b.batch -> acc
+        case _ => ()
+      }
+      m.result()
+    }
     val groups = batches
-      .groupBy(b => masks.getOrElse(b, Seq.empty)
-        .map(m => (m.col, m.lo, m.hi)).sorted)
+      .groupBy(b => (masks.getOrElse(b, Seq.empty)
+        .map(m => (m.col, m.lo, m.hi)).sorted,
+        renSuffix.getOrElse(b, Seq.empty)))
       .toSeq.sortBy(_._2.head)
-    val frames = groups.map { case (ms, bs) =>
-      val base = spark.read.option("mergeSchema", mergeSchema.toString)
+    val frames = groups.map { case ((ms, rens), bs) =>
+      val raw = spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(bs.map(b => resolve(dir, b)): _*)
+      val base = rens.foldLeft(raw)((df, r) =>
+        df.withColumnRenamed(r.from, r.to))
       ms.foldLeft(base) { case (df, (c, lo, hi)) =>
         df.filter(col(c).isNull || not(col(c).between(lo, hi)))
       }
@@ -1213,7 +1330,11 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val dels = entriesAt(spark, dir, v).collect { case d: DeleteEntry => d }
     dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, es)) =>
-      df.join(spark.read.parquet(es.map(e => resolve(dir, e.path)): _*).select(col(c)),
+      // delete files are single-column by construction (deleteRows writes
+      // keys.select(keyCol)); bind by POSITION, not name — a later
+      // renameColumn remaps the manifest's keyCol while the file on disk
+      // keeps the physical name it was written under
+      df.join(spark.read.parquet(es.map(e => resolve(dir, e.path)): _*).toDF(c),
         Seq(c), "left_anti")
     }
   }
@@ -1233,7 +1354,7 @@ object Snapshots {
     applyDeletes(spark, dir, v,
       readMasked(spark, dir,
         entries.collect { case b: BatchEntry => b.batch },
-        masksOf(entries), mergeSchema))
+        entries, mergeSchema))
   }
 
   /** Change-data feed between two versions: every row added or removed

@@ -3830,7 +3830,64 @@ object Warehouse {
       |SELECT pa AS part_a, pb AS part_b, n_common, CAST(aa_fp AS BIGINT) AS aa_fp
       |FROM ne ORDER BY aa_fp DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Winsorized + trimmed segment means — the robust-location readout
+    * (the outlier-resistant sibling of the plain AVG every dashboard
+    * shows, and the aggregate [[Core.q35Percentiles]]' median family
+    * doesn't cover: a mean you can trust under fat tails). Boundaries
+    * are the exact interpolated P5/P95 per segment from
+    * [[Core.bucketQuantilesOn]] (the two-phase bucket quantile — value-
+    * range-bounded histogram walk, never a per-group rank sort);
+    * trimming is VALUE-inclusive (keep q05 ≤ x ≤ q95) and winsorizing
+    * clamps into [q05, q95] — both well-defined under ties, unlike
+    * rank-k trimming whose tie behavior engines disagree on. Means are
+    * exact: cents BIGINTs, one truncating division. Scale shape: the
+    * join stages once, the quantile pass is the bucket walk, the final
+    * pass is ONE partial+final aggregate against the broadcast 5-row
+    * boundary table.
+    */
+  def q121RobustMean(spark: SparkSession, dir: String): DataFrame = {
+    val j = graft.engine.Materialize.stage(
+      t(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .join(t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("f"), col("o_totalprice").as("x")))
+    val qs = Core.bucketQuantilesOn(j, Seq(0.05 -> "q05v", 0.95 -> "q95v"))
+    j.join(broadcast(qs), "f")
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") >= col("q05v") && col("x") <= col("q95v"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("x") >= col("q05v") && col("x") <= col("q95v"),
+          expr("cast(floor(x * 100.0d + 0.5d) as bigint)"))).as("trim_sum"),
+        sum(expr("cast(floor(least(greatest(x, q05v), q95v) * 100.0d + 0.5d) " +
+          "as bigint)")).as("win_sum"))
+      .select(col("f").as("segment"), col("n"), col("n_kept"),
+        expr("trim_sum div n_kept").as("trim_mean_cents"),
+        expr("win_sum div n").as("winsor_mean_cents"))
+      .orderBy(col("segment"))
+  }
+
+  val q121Sql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment AS f, o_totalprice AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |q AS (SELECT f, quantile_cont(x, 0.05) AS q05v,
+      |    quantile_cont(x, 0.95) AS q95v FROM j GROUP BY 1)
+      |SELECT j.f AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN x >= q05v AND x <= q95v THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN x >= q05v AND x <= q95v
+      |      THEN CAST(floor(x * 100 + 0.5) AS BIGINT) END)
+      |    // SUM(CASE WHEN x >= q05v AND x <= q95v THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS trim_mean_cents,
+      |  CAST(SUM(CAST(floor(least(greatest(x, q05v), q95v) * 100 + 0.5)
+      |      AS BIGINT)) // COUNT(*) AS BIGINT) AS winsor_mean_cents
+      |FROM j JOIN q USING (f) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_robust_mean" -> (q121RobustMean _),
     "q120_link_prediction" -> (q120LinkPrediction _),
     "q119_fk_discovery" -> (q119FkDiscovery _),
     "q118_mv_rewrite_join_cust" -> (q118MvRewriteJoinCust _),
@@ -3892,6 +3949,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q121_robust_mean" -> q121Sql,
     "q120_link_prediction" -> q120Sql,
     "q119_fk_discovery" -> q119Sql,
     "q118_mv_rewrite_join_cust" -> q118Sql,

@@ -474,6 +474,46 @@ object Formats {
       .orderBy(col("legacy"))
   }
 
+  /** RENAME COLUMN lifecycle ([[graft.engine.Snapshots.renameColumn]] —
+    * Delta column-mapping semantics, zero bytes rewritten): v0 commits
+    * orders under the physical name `o_totalprice`; v1 renames it to
+    * `price_usd` as a pure-metadata commit; v2 appends rows already
+    * carrying the logical name. The graded read proves old and new
+    * batches unify under the logical name (per-origin split, typed
+    * aggregation across mixed-era batches), and the in-query requires
+    * pin the metadata physics: the latest schema speaks ONLY the new
+    * name while time travel to v0 still reads the old one.
+    */
+  def renameColumn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snaprename_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table,
+      append = false)
+    Snapshots.renameColumn(spark, table, "o_totalprice", "price_usd")
+    Snapshots.commit(
+      o.filter(col("o_orderkey") % 3 === 1)
+        .withColumnRenamed("o_totalprice", "price_usd"),
+      table, append = true)
+    val latest = Snapshots.read(spark, table)
+    require(latest.columns.contains("price_usd") &&
+      !latest.columns.contains("o_totalprice"),
+      "latest must speak only the logical name")
+    require(Snapshots.read(spark, table, 0).columns.contains("o_totalprice"),
+      "time travel before the rename must keep the physical name")
+    latest
+      .groupBy((col("o_orderkey") % 3).cast("long").as("origin"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("price_usd")).as("sum_price"))
+      .orderBy(col("origin"))
+  }
+
+  val renameColumnSql: String =
+    """SELECT CAST(o_orderkey % 3 AS BIGINT) AS origin, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |GROUP BY 1 ORDER BY origin""".stripMargin
+
   val schemaEvolutionSql: String =
     """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
       |v0 AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_tier
@@ -1022,6 +1062,7 @@ object Formats {
     "fmt_time_travel" -> (timeTravel _),
     "fmt_vacuum" -> (vacuumQuery _),
     "fmt_schema_evolution" -> (schemaEvolution _),
+    "fmt_rename_column" -> (renameColumn _),
     "fmt_restore" -> (restoreVersion _),
     "fmt_shallow_clone" -> (shallowClone _),
     "fmt_compaction" -> (compaction _),
@@ -1045,6 +1086,7 @@ object Formats {
     "fmt_time_travel" -> timeTravelSql,
     "fmt_vacuum" -> vacuumSql,
     "fmt_schema_evolution" -> schemaEvolutionSql,
+    "fmt_rename_column" -> renameColumnSql,
     "fmt_restore" -> restoreVersionSql,
     "fmt_shallow_clone" -> shallowCloneSql,
     "fmt_compaction" -> compactionSql,

@@ -3513,6 +3513,87 @@ object Events {
       |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
       |FROM mx m CROSS JOIN tot t""".stripMargin
 
+  // ------------------------------------- Mann–Whitney U (rank-sum)
+  /** Exact two-sample Mann–Whitney U on the same halves as [[ksTestOn]]
+    * — the LOCATION-shift companion (KS is sensitive to any shape
+    * change; MWU asks specifically "does one half stochastically
+    * dominate?", and is the nonparametric replacement for the t-test
+    * the [[aaTest]] z assumes normality for). Midranks handled exactly
+    * by staying in DOUBLED units: with per-cent-value counts c₁, c₂
+    * (c = c₁+c₂, K = count strictly below),
+    *
+    *   2·R₁ = Σ_v c₁(v)·(2·K(v) + c(v) + 1)        (rank sum, ×2)
+    *   2·U₁ = 2·R₁ − n₁(n₁+1)
+    *
+    * all BIGINT. The α=0.05 two-sided normal-approximation decision is
+    * exact in integers (no sqrt): z² > 1.96² ⟺ 30000·(2U₁ − n₁n₂)²
+    * > 38416·n₁n₂·(N+1), both sides DECIMAL(38,0). No tie correction
+    * in σ (omitting it INFLATES σ — conservative: fewer rejections);
+    * the rank sums themselves are tie-exact via midranks. Effect size:
+    * rank-biserial r = (2U₁ − n₁n₂)/n₁n₂ in ppm. Scale shape: the KS
+    * pipeline exactly — one per-cent aggregate, one chunked-carry
+    * prefix, one global fold.
+    */
+  def mwuTest(spark: SparkSession, dir: String): DataFrame =
+    mwuTestOn(events(spark, dir))
+
+  def mwuTestOn(ev: DataFrame): DataFrame = {
+    val base = ev.select(
+      expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"),
+      expr("cast(round(value * 100.0d) as bigint)").as("q"))
+    val mid = base.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val vc = base.crossJoin(broadcast(mid))
+      .groupBy(col("q"))
+      .agg(sum(when(col("d") <= col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("d") > col("mid"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val cum = graft.engine.PrefixSum.exclusiveSum(vc, "q", "c", "kb")
+    cum
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(expr("c1 * (2L * coalesce(kb, 0L) + c + 1L)")).as("two_r1"))
+      .select(col("n1"), col("n2"),
+        expr("two_r1 - n1 * (n1 + 1L)").as("u1_x2"),
+        expr("2L * n1 * n2 - (two_r1 - n1 * (n1 + 1L))").as("u2_x2"),
+        expr("(two_r1 - n1 * (n1 + 1L) - n1 * n2) * 1000000L div (n1 * n2)")
+          .as("rank_biserial_ppm"),
+        expr("cast(CASE WHEN 30000 * cast(two_r1 - n1 * (n1 + 1L) - n1 * n2 " +
+          "as decimal(38,0)) * (two_r1 - n1 * (n1 + 1L) - n1 * n2) " +
+          "> 38416 * cast(n1 * n2 as decimal(38,0)) * (n1 + n2 + 1L) " +
+          "THEN 1 ELSE 0 END as bigint)").as("reject_05"))
+  }
+
+  val mwuTestSql: String =
+    """WITH base AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    CAST(round(value * 100) AS BIGINT) AS q
+      |  FROM events),
+      |m AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM base),
+      |vc AS (
+      |  SELECT q,
+      |    SUM(CASE WHEN d <= m.mid THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN d > m.mid THEN 1 ELSE 0 END) AS c2,
+      |    COUNT(*) AS c
+      |  FROM base CROSS JOIN m GROUP BY q),
+      |cum AS (
+      |  SELECT q, c1, c2, c,
+      |    COALESCE(SUM(c) OVER (ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kb
+      |  FROM vc),
+      |agg AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    CAST(SUM(c1 * (2 * kb + c + 1)) AS BIGINT) AS two_r1
+      |  FROM cum)
+      |SELECT n1, n2,
+      |  two_r1 - n1 * (n1 + 1) AS u1_x2,
+      |  2 * n1 * n2 - (two_r1 - n1 * (n1 + 1)) AS u2_x2,
+      |  (two_r1 - n1 * (n1 + 1) - n1 * n2) * 1000000 // (n1 * n2)
+      |    AS rank_biserial_ppm,
+      |  CAST(CASE WHEN 30000 * CAST(two_r1 - n1 * (n1 + 1) - n1 * n2 AS HUGEINT)
+      |      * (two_r1 - n1 * (n1 + 1) - n1 * n2)
+      |    > 38416 * CAST(n1 * n2 AS HUGEINT) * (n1 + n2 + 1)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+      |FROM agg""".stripMargin
+
   // --------------------------------------------- late-arrival census
   /** Watermark late-data accounting — the batch audit of the question
     * every Structured Streaming job answers implicitly: with a 10-minute
@@ -5028,12 +5109,14 @@ object Events {
     "events_acf" -> (acf _),
     "events_ccf" -> (ccf _),
     "events_ks_test" -> (ksTest _),
+    "events_mwu" -> (mwuTest _),
     "events_holt_winters" -> (holtWinters _))
 
   val oracles: Map[String, String] = Map(
     "events_acf" -> acfSql,
     "events_ccf" -> ccfSql,
     "events_ks_test" -> ksTestSql,
+    "events_mwu" -> mwuTestSql,
     "events_holt_winters" -> holtWintersSql,
     "events_page_hinkley" -> pageHinkleySql,
     "events_bootstrap_ci" -> bootstrapCiSql,

@@ -2229,6 +2229,31 @@ class ExtSpec extends SparkSpecBase {
     assert(shifted.getLong(4) == 1L, "must reject at alpha=0.05")
   }
 
+  test("events_mwu: midranks exact on ties, disjoint halves give U=0 and reject, identical halves accept") {
+    import spark.implicits._
+    def mk(pairs: Seq[(Int, Double)]) = pairs.map { case (day, v) =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+      (s"$date 01:00:00", v)
+    }.toDF("s", "value")
+      .select(col("s").cast("timestamp_ntz").as("ts"), col("value"))
+    // hand case: sample1 = {1, 2} (days 0-4), sample2 = {2, 3} (days 5-9):
+    // ranks 1, 2.5 | 2.5, 4 -> R1 = 3.5, U1 = 0.5 -> u1_x2 = 1
+    val hand = graft.streaming.Events.mwuTestOn(
+      mk(Seq(0 -> 1.0, 1 -> 2.0, 8 -> 2.0, 9 -> 3.0))).head
+    assert(hand.getLong(2) == 1L, s"u1_x2=${hand.getLong(2)}")
+    assert(hand.getLong(3) == 2L * 2 * 2 - 1L, "u2_x2 complements")
+    // identical halves: U1 = n1*n2/2 exactly, no rejection
+    val vals = (0 until 10).flatMap(day => (1 to 50).map(v => (day, v.toDouble)))
+    val same = graft.streaming.Events.mwuTestOn(mk(vals)).head
+    assert(same.getLong(2) == same.getLong(0) * same.getLong(1), "u1_x2 = n1*n2")
+    assert(same.getLong(4) == 0L && same.getLong(5) == 0L)
+    // disjoint supports, second half larger: U1 = 0, r = -1, reject
+    val shifted = graft.streaming.Events.mwuTestOn(
+      mk(vals.map { case (d, v) => (d, if (d >= 5) v + 1000 else v) })).head
+    assert(shifted.getLong(2) == 0L && shifted.getLong(4) == -1000000L)
+    assert(shifted.getLong(5) == 1L, "must reject")
+  }
+
   test("sim_rrf_fusion: fused scores recompute from the emitted leg ranks and sort descending") {
     val rows = Similarity.rrfFusion(spark, sf()).collect()
     assert(rows.length == 10)

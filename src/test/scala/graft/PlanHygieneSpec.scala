@@ -162,9 +162,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // acf / ccf / holt-winters: the identical 1-row (lo, hi) day-range
     // frame broadcast onto the per-type grid before the zero-fill explode
     "events_acf", "events_ccf", "events_holt_winters",
-    // ks test: the 1-row midpoint and (n1, n2) totals frames broadcast
-    // onto the per-cent-value counts (events_changepoint's shape)
-    "events_ks_test",
+    // ks / mwu tests: the 1-row midpoint (and ks's totals) frames
+    // broadcast onto the per-cent-value counts (events_changepoint's shape)
+    "events_ks_test", "events_mwu",
     // rrf fusion: the semantic leg is cosineTopK's whitelisted shape —
     // the 1-row exemplar query broadcast with the non-equi qid != cid
     // condition (the lexical leg and the fusion itself join equi)

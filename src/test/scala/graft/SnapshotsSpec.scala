@@ -874,4 +874,61 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.read(spark, t2).collect().map(_.getLong(0)).sorted.toSeq
       == ((1 to 10).map(_.toLong).filterNot(Set(3L, 4L))))
   }
+
+  test("renameColumn: metadata-only, old+new batches unify, time travel keeps the old name") {
+    import spark.implicits._
+    val t = freshTable("rename")
+    Snapshots.commit(df(1 to 10), t, append = false) // v0: (id, v)
+    assert(Snapshots.renameColumn(spark, t, "id", "row_id") == 1)
+    // latest speaks the new name, values intact
+    val r = Snapshots.read(spark, t)
+    assert(r.columns.toSeq == Seq("row_id", "v"))
+    assert(r.agg(sum(col("row_id"))).head.getLong(0) == 55L)
+    // appends write the new name; mixed-era batches unify under it
+    Snapshots.commit(
+      (11 to 12).map(i => (i.toLong, s"row$i")).toDF("row_id", "v"),
+      t, append = true)
+    assert(Snapshots.read(spark, t).agg(sum(col("row_id"))).head.getLong(0) == 78L)
+    // time travel BEFORE the rename still reads the physical name
+    assert(Snapshots.read(spark, t, 0).columns.toSeq == Seq("id", "v"))
+    // refusals: unknown source, occupied target, identity
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "row_id", "v"))
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "v", "v"))
+  }
+
+  test("renameColumn remaps pending deletes, masks, and stats; maintenance folds keep working") {
+    import spark.implicits._
+    val t = freshTable("rename_interplay")
+    def rows(r: Range) = r.map(i => (i.toLong, i.toLong * 10)).toDF("id", "x")
+    Snapshots.commit(rows(1 to 10), t, append = false,
+      statsCol = Some("id"))
+    Snapshots.commit(rows(11 to 20), t, append = true,
+      statsCol = Some("id"))
+    // a pending delete keyed on the OLD name + a mask from replaceWhere
+    Snapshots.deleteRows(Seq(3L).toDF("id"), t, "id")
+    Snapshots.overwriteRange(rows(5 to 6), t, "id", 5L, 6L,
+      statsCol = Some("id"))
+    assert(Snapshots.renameColumn(spark, t, "id", "key") > 0)
+    // the renamed read still applies the delete AND the mask
+    val ids = Snapshots.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1 to 20).map(_.toLong).filterNot(_ == 3L), ids.toString)
+    // pruned + point reads work against the REMAPPED stats envelopes
+    assert(Snapshots.readPruned(spark, t, "key", 15L, 17L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(15L, 16L, 17L))
+    assert(Snapshots.readPoint(spark, t, "key", Seq(7L))
+      .head.getLong(0) == 7L)
+    // compactDeletes folds under the new name and the delete stays folded
+    Snapshots.compactDeletes(spark, t, statsCol = Some("key"))
+    val after = Snapshots.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == ids, "fold must preserve the renamed state")
+    // a second rename CHAINS through a-era batches
+    Snapshots.renameColumn(spark, t, "key", "pk")
+    assert(Snapshots.read(spark, t).columns.contains("pk"))
+    assert(Snapshots.read(spark, t).agg(sum(col("pk"))).head.getLong(0)
+      == after.sum)
+  }
 }

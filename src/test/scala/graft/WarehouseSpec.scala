@@ -1009,6 +1009,35 @@ class WarehouseSpec extends SparkSpecBase {
     assert(got.size == 4)
   }
 
+  test("q121 robust means: replay the P5/P95 trim and winsor clamp exactly per segment") {
+    val o = graft.engine.Tables.load(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = graft.engine.Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expect = joined.groupBy(_._1).map { case (seg, rows) =>
+      val xs = rows.map(_._2).sorted
+      def qc(p: Double): Double = {
+        val pos = p * (xs.length - 1)
+        val lo = xs(pos.toInt); val hi = xs(math.ceil(pos).toInt)
+        lo + (pos - math.floor(pos)) * (hi - lo)
+      }
+      val (q05, q95) = (qc(0.05), qc(0.95))
+      val kept = xs.filter(x => x >= q05 && x <= q95)
+      def cents(x: Double) = math.floor(x * 100.0 + 0.5).toLong
+      seg -> ((xs.length.toLong, kept.length.toLong,
+        kept.map(cents).sum / kept.length,
+        xs.map(x => cents(math.min(math.max(x, q05), q95))).sum / xs.length))
+    }
+    val got = Warehouse.q121RobustMean(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (seg, e) => assert(got(seg) == e, s"segment $seg") }
+  }
+
   test("q116 theil: shares sum to one, decomposition T_total ~= T_between + sum(share_g * T_g)") {
     val rows = Warehouse.q116TheilDecomposition(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
