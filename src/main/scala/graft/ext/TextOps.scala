@@ -3395,7 +3395,95 @@ object TextOps {
       |           JOIN sizes y ON sb = y.source
       |ORDER BY sa, sb""".stripMargin
 
+  // --------------------------------- Jensen–Shannon source divergence
+  /** Pairwise Jensen–Shannon divergence between the unigram token
+    * distributions of every source pair — the symmetric, bounded
+    * (≤ ln 2) corpus-mixing diagnostic: [[vocabOverlap]] asks "do two
+    * sources share WORDS", JSD asks "do they share a DISTRIBUTION"
+    * (two sources can share every word and still diverge hard on
+    * frequencies — boilerplate vs prose). Exact fixed point on the
+    * 10⁻⁶ ln grid ([[dsirSampleOn]]'s convention): with per-source
+    * word counts a_w (total T_A), b_w (T_B), the P-half term ×10⁶ is
+    *
+    *   a_w · [lnfp(2·a_w·T_B) − lnfp(a_w·T_B + b_w·T_A)]
+    *
+    * and JSD_ppm = (Σ_P div T_A + Σ_Q div T_B) div 2. A word present
+    * in only one source of the pair contributes the closed form
+    * c·ln2_fp (m = p/2), folded in WITHOUT a second join as
+    * (T − Σ_shared c)·693147 — so one inner pair join covers the full
+    * outer semantics. Every ln argument is an exact BIGINT < 2⁵³
+    * (doubles hold it exactly — both engines grid identically); the
+    * two KL halves are ≥ 0, so jsd_ppm ∈ [0, 693147]. Scale shape:
+    * one (source, word) aggregate over the corpus; the pair stream
+    * fans a word out only to source pairs that contain it (the
+    * [[vocabOverlap]] inverted-pair shape, ≤ C(sources,2) per word);
+    * totals are a |sources|-row broadcast; ONE partial+final aggregate
+    * on the pair key carries all five running sums.
+    */
+  def jsdSources(spark: SparkSession, dir: String): DataFrame =
+    jsdSourcesOn(docs(spark, dir))
+
+  def jsdSourcesOn(documents: DataFrame): DataFrame = {
+    val wc = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val a = wc.join(broadcast(tot), "source")
+      .select(col("source").as("sa"), col("w"), col("c").as("ca"),
+        col("t").as("ta"))
+    val b = wc.join(broadcast(tot), "source")
+      .select(col("source").as("sb"), col("w").as("wb"), col("c").as("cb"),
+        col("t").as("tb"))
+    val lnfp = (x: String) =>
+      s"cast(round(ln(cast($x as double)) * 1000000.0d) as bigint)"
+    a.join(b, col("w") === col("wb") && col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), col("ca"), col("cb"),
+        col("ta"), col("tb"),
+        expr(s"ca * (${lnfp("2L * ca * tb")} - ${lnfp("ca * tb + cb * ta")})")
+          .as("tp"),
+        expr(s"cb * (${lnfp("2L * cb * ta")} - ${lnfp("ca * tb + cb * ta")})")
+          .as("tq"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("tp")).as("sp"), sum(col("tq")).as("sq"),
+        sum(col("ca")).as("ca_sh"), sum(col("cb")).as("cb_sh"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_shared"),
+        expr("((sp + (ta - ca_sh) * 693147L) div ta " +
+          "+ (sq + (tb - cb_sh) * 693147L) div tb) div 2L").as("jsd_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val jsdSourcesSql: String =
+    """WITH wc AS (
+      |  SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM wc GROUP BY 1),
+      |pr AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    a.c AS ca, ta.t AS ta, b.c AS cb, tb.t AS tb
+      |  FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source),
+      |agg AS (
+      |  SELECT sa, sb, COUNT(*) AS n_shared,
+      |    CAST(SUM(ca * (CAST(round(ln(CAST(2 * ca * tb AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      - CAST(round(ln(CAST(ca * tb + cb * ta AS DOUBLE)) * 1000000.0) AS BIGINT))) AS BIGINT) AS sp,
+      |    CAST(SUM(cb * (CAST(round(ln(CAST(2 * cb * ta AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      - CAST(round(ln(CAST(ca * tb + cb * ta AS DOUBLE)) * 1000000.0) AS BIGINT))) AS BIGINT) AS sq,
+      |    CAST(SUM(ca) AS BIGINT) AS ca_sh, CAST(SUM(cb) AS BIGINT) AS cb_sh,
+      |    MAX(ta) AS ta, MAX(tb) AS tb
+      |  FROM pr GROUP BY 1, 2)
+      |SELECT sa AS source_a, sb AS source_b, n_shared,
+      |  ((sp + (ta - ca_sh) * 693147) // ta
+      |    + (sq + (tb - cb_sh) * 693147) // tb) // 2 AS jsd_ppm
+      |FROM agg ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_jsd_sources" -> (jsdSources _),
     "text_vocab_overlap" -> (vocabOverlap _),
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_gopher_rules" -> (gopherRules _),
@@ -3451,6 +3539,7 @@ object TextOps {
     "text_contamination_bloom" -> (contaminationBloom _))
 
   val oracles: Map[String, String] = Map(
+    "text_jsd_sources" -> jsdSourcesSql,
     "text_vocab_overlap" -> vocabOverlapSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_gopher_rules" -> gopherRulesSql,

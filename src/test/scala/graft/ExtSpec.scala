@@ -2254,6 +2254,30 @@ class ExtSpec extends SparkSpecBase {
     assert(shifted.getLong(5) == 1L, "must reject")
   }
 
+  test("text_jsd_sources: identical distributions give 0, near-disjoint approach ln 2, all bounded") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "x y z x", "en", "a", 7L),
+      (1L, "x y z x", "en", "b", 7L),   // identical distribution to a
+      (2L, "p q r s", "en", "c", 7L),   // disjoint from a/b
+      (3L, "x o o o o o o o", "en", "d", 15L)) // one shared token with a
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.jsdSourcesOn(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // identical unigram distributions: every shared term snaps to 0 exactly
+    assert(got(("a", "b")) == ((3L, 0L)), got.toString)
+    // fully disjoint pairs never meet the join — absent by contract
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+    // one shared low-weight token: close to (but below) the ln 2 ceiling
+    val (nd, jd) = got(("a", "d"))
+    assert(nd == 1L && jd > 500000L && jd < 693147L, s"jsd(a,d)=$jd")
+    // bounds hold on the real corpus
+    val real = TextOps.jsdSources(spark, sf()).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 693147L))
+  }
+
   test("sim_rrf_fusion: fused scores recompute from the emitted leg ranks and sort descending") {
     val rows = Similarity.rrfFusion(spark, sf()).collect()
     assert(rows.length == 10)

@@ -1479,4 +1479,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch,
       s"stream=$streamed batch=$batch")
   }
+
+  test("streaming two-sample states reproduce the batch KS and MWU rows exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.TwoSampleIngest
+    // the batch operators' own projection: (epoch day, cent value)
+    val dq = graft.engine.Tables.load(spark, sf(), "events")
+      .select(expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").cast("long").as("d"),
+        expr("cast(round(value * 100.0d) as bigint)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mid = (dq.map(_._1).min + dq.map(_._1).max) / 2
+    val inDir = java.nio.file.Files.createTempDirectory("graft_2s_in")
+    dq.grouped((dq.size + 2) / 3).zipWithIndex.foreach { case (slice, k) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_2s_s$k")
+      slice.toDF("d", "q")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(f"slice-$k%02d.parquet"))
+      inDir.resolve(f"slice-$k%02d.parquet").toFile
+        .setLastModified(1700000000000L + k * 60000L)
+    }
+    val q = TwoSampleIngest.counts(spark, inDir.toString, mid,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("twosample_counts")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // final state per value = the emission with the largest running total
+    val finals = spark.table("twosample_counts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, xs) => xs.maxBy(x => x._2 + x._3) }
+      .toSeq
+    val ksB = graft.streaming.Events.ksTest(spark, sf()).head
+    assert(TwoSampleIngest.ksFromStates(finals) ==
+      ((ksB.getLong(0), ksB.getLong(1), ksB.getLong(2), ksB.getLong(3),
+        ksB.getLong(4))), "KS stream != batch")
+    val mwB = graft.streaming.Events.mwuTest(spark, sf()).head
+    assert(TwoSampleIngest.mwuFromStates(finals) ==
+      ((mwB.getLong(0), mwB.getLong(1), mwB.getLong(2), mwB.getLong(3),
+        mwB.getLong(4), mwB.getLong(5))), "MWU stream != batch")
+  }
 }
