@@ -405,7 +405,11 @@ object Snapshots {
     // a delete line on a column the table doesn't carry would poison
     // every future read (the anti-join fails at scan time) — fail the
     // commit here, before anything is published
-    require(read(spark, dir).columns.contains(keyCol),
+    // schema-merged: on an evolved table the plain union-by-name read
+    // throws before the check even runs, and a delete key living only in
+    // newer batches is still a legal target (pre-evolution rows simply
+    // carry it as null and never match)
+    require(read(spark, dir, mergeSchema = true).columns.contains(keyCol),
       s"delete key column '$keyCol' not in table at $dir")
     val vEntry = versions(spark, dir).last
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -445,12 +449,15 @@ object Snapshots {
     * line and read the old name. Maintenance folds write post-rename
     * data and carry the R lines for the batches they didn't touch.
     *
-    * Concurrency: rebases across append/delete/optimize/compact (the
-    * remapped lines are re-derived from whatever landed); aborts on
-    * replace/restore like [[deleteRows]] — the column this rename
-    * targeted may not exist in the replacement state. The `to` name
-    * must be free in the CURRENT schema (schema-merged, so a column an
-    * evolved append introduced counts).
+    * Concurrency: strictest arbitration, like [[overwriteRange]] — ANY
+    * commit landing after this call read its base version aborts the
+    * rename and the caller reruns. The from/to preconditions are
+    * validated against the base schema; rebasing across an arbitrary
+    * intervening commit could silently no-op (a concurrent rename of
+    * the same column) or collide (an evolved append introducing `to`),
+    * so the loop refuses rather than re-derive. The `to` name must be
+    * free in the base schema (schema-merged, so a column an evolved
+    * append introduced counts).
     */
   def renameColumn(spark: SparkSession, dir: String, from: String,
       to: String): Int = {
@@ -480,13 +487,11 @@ object Snapshots {
         s"K\trename" +: (remapped :+ s"R\t$from\t$to")
       },
       validateRebase = { latest =>
-        ((vEntry + 1) to latest).foreach { w =>
-          if (kindAt(spark, dir, w).exists(Set("replace", "restore"))) {
-            throw new IllegalStateException(
-              s"table at $dir was replaced (v$w) while the rename was in " +
-                "flight — the source column may not exist in the new " +
-                "state; rerun renameColumn against it")
-          }
+        if (latest > vEntry) {
+          throw new IllegalStateException(
+            s"table at $dir advanced (v$latest) while the rename was in " +
+              "flight — the from/to preconditions were validated against " +
+              s"v$vEntry; rerun renameColumn against the new state")
         }
       })
   }
@@ -594,10 +599,11 @@ object Snapshots {
     if (dels.isEmpty) return v
     val batches = entries.collect { case b: BatchEntry => b }
     val delFrames = dels.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (c, es) =>
-      // single-column by construction; bind by position — renameColumn
-      // remaps keyCol while the file keeps its physical name (applyDeletes
-      // has the same note)
-      c -> spark.read.parquet(es.map(e => resolve(dir, e.path)): _*).toDF(c)
+      // single-column by construction; bind by position PER FILE and
+      // union — renameColumn remaps keyCol while each file keeps the
+      // physical name of its own era (applyDeletes has the same note)
+      c -> es.map(e => spark.read.parquet(resolve(dir, e.path)).toDF(c))
+        .reduce(_ unionAll _)
     }
     // driver-side [min, max] of each delete-key set — a layout-build
     // scalar over the (small) delete files, like manifestPrune's range
@@ -640,19 +646,22 @@ object Snapshots {
     // lines — their files were not rewritten, so the masks still gate
     // their reads.
     val untouchedSet = untouched.map(_.batch).toSet
-    val keptMasks = entries.collect {
-      case m: MaskEntry if untouchedSet(m.batch) => render(m)
-    }
     val txns = entries.collect { case t: TxnEntry => render(t) }
-    // rename lines survive the fold (untouched batches still carry old
-    // physical names) and must sit BEFORE the folded batch line: a
-    // batch line precedes exactly the renames that postdate its write,
-    // and the folded batch was written through the renamed read
-    val renames = entries.collect { case r: RenameEntry => render(r) }
+    // untouched batch lines, their masks, and rename lines keep their
+    // ORIGINAL relative order: a batch line precedes exactly the renames
+    // that postdate its write, and an untouched batch appended AFTER a
+    // rename must stay after its R line (hoisting R lines to the end
+    // would spuriously rename a later batch's fresh same-named column).
+    // The folded batch goes last — written through the renamed read, so
+    // every carried R line predates it.
+    val carried = entries.collect {
+      case bch: BatchEntry if untouchedSet(bch.batch) => render(bch)
+      case m: MaskEntry if untouchedSet(m.batch) => render(m)
+      case r: RenameEntry => render(r)
+    }
     val ok = publishIfAbsent(f = fs(spark, dir), dir = dir, v = vNew,
       nonce = nonce,
-      batches = "K\tcompact" +: (untouched.map(render) ++ keptMasks ++
-        renames ++ newLine.toSeq ++ txns))
+      batches = "K\tcompact" +: (carried ++ newLine.toSeq ++ txns))
     require(ok, s"concurrent commit during compactDeletes at $dir — rerun compaction")
     vNew
   }
@@ -1332,10 +1341,14 @@ object Snapshots {
     dels.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, es)) =>
       // delete files are single-column by construction (deleteRows writes
       // keys.select(keyCol)); bind by POSITION, not name — a later
-      // renameColumn remaps the manifest's keyCol while the file on disk
-      // keeps the physical name it was written under
-      df.join(spark.read.parquet(es.map(e => resolve(dir, e.path)): _*).toDF(c),
-        Seq(c), "left_anti")
+      // renameColumn remaps the manifest's keyCol while each file on disk
+      // keeps the physical name it was written under. Read PER FILE and
+      // union: two delete commits straddling a rename carry DIFFERENT
+      // physical names, and a single multi-path read would resolve one
+      // era's keys to NULL (resurrecting its deleted rows).
+      val keys = es.map(e => spark.read.parquet(resolve(dir, e.path)).toDF(c))
+        .reduce(_ unionAll _)
+      df.join(keys, Seq(c), "left_anti")
     }
   }
 

@@ -3691,6 +3691,11 @@ object Warehouse {
     val sets = cols.map { case (tb, c) =>
       t(spark, dir, tb)
         .select(lit(s"$tb.$c").as("cname"), col(c).cast("long").as("v"))
+        // NULL is not a value: the oracle's equi-join drops nulls, and a
+        // groupBy would otherwise pool every column's nulls into one
+        // bucket and fabricate intersections (all 13 profiled columns
+        // are non-null today — this pins the semantics for nullable ones)
+        .filter(col("v").isNotNull)
         .distinct()
     }.reduce(_ unionAll _)
     val sizes = sets.groupBy(col("cname")).agg(count(lit(1)).as("n"))

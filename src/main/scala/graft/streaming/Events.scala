@@ -3168,10 +3168,12 @@ object Events {
   def acf(spark: SparkSession, dir: String): DataFrame =
     acfOn(events(spark, dir))
 
-  /** Shared by [[acfOn]]/[[ccfOn]]: the zero-filled daily grid per type,
-    * centered ×n (c_t = n·x_t − Σx, integer-exact — no fractional mean).
+  /** Shared zero-filled daily grid per type — (event_type, d, x) over
+    * the full calendar span, missing days at 0. The series substrate of
+    * [[acfOn]]/[[ccfOn]]/[[holtWintersOn]] (one definition, so the
+    * correlogram and the smoother can never disagree on the series).
     */
-  private def centeredDaily(ev: DataFrame): DataFrame = {
+  private def dailyGrid(ev: DataFrame): DataFrame = {
     val dc = ev
       .select(col("event_type"),
         expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"))
@@ -3180,8 +3182,15 @@ object Events {
     val grid = dc.select(col("event_type")).distinct()
       .crossJoin(broadcast(range))
       .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
-    val xs = grid.join(dc, Seq("event_type", "d"), "left")
+    grid.join(dc, Seq("event_type", "d"), "left")
       .withColumn("x", coalesce(col("x"), lit(0L)))
+  }
+
+  /** Shared by [[acfOn]]/[[ccfOn]]: [[dailyGrid]] centered ×n
+    * (c_t = n·x_t − Σx, integer-exact — no fractional mean).
+    */
+  private def centeredDaily(ev: DataFrame): DataFrame = {
+    val xs = dailyGrid(ev)
     val mom = xs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
     xs.join(broadcast(mom), "event_type")
@@ -3337,16 +3346,7 @@ object Events {
     holtWintersOn(events(spark, dir))
 
   def holtWintersOn(ev: DataFrame): DataFrame = {
-    val dc = ev
-      .select(col("event_type"),
-        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"))
-      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
-    val range = dc.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val grid = dc.select(col("event_type")).distinct()
-      .crossJoin(broadcast(range))
-      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
-    val xs = grid.join(dc, Seq("event_type", "d"), "left")
-      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val xs = dailyGrid(ev)
       .groupBy(col("event_type"))
       .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
         .as("series"))
@@ -3454,15 +3454,25 @@ object Events {
   def ksTest(spark: SparkSession, dir: String): DataFrame =
     ksTestOn(events(spark, dir))
 
-  def ksTestOn(ev: DataFrame): DataFrame = {
+  /** Shared by [[ksTestOn]]/[[mwuTestOn]]: per-cent-value counts of the
+    * two calendar halves (q, c₁, c₂) — ONE definition of the
+    * quantization and the frozen-midpoint split, so the two tests (and
+    * [[graft.streaming.TwoSampleIngest]]'s twin) can never silently
+    * test different samples.
+    */
+  private def twoSampleCounts(ev: DataFrame): DataFrame = {
     val base = ev.select(
       expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"),
       expr("cast(round(value * 100.0d) as bigint)").as("q"))
     val mid = base.agg(expr("(min(d) + max(d)) div 2").as("mid"))
-    val vc = base.crossJoin(broadcast(mid))
+    base.crossJoin(broadcast(mid))
       .groupBy(col("q"))
       .agg(sum(when(col("d") <= col("mid"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("d") > col("mid"), 1L).otherwise(0L)).as("c2"))
+  }
+
+  def ksTestOn(ev: DataFrame): DataFrame = {
+    val vc = twoSampleCounts(ev)
     val cum = graft.engine.PrefixSum.exclusiveSum(
       graft.engine.PrefixSum.exclusiveSum(vc, "q", "c1", "p1"),
       "q", "c2", "p2")
@@ -3538,14 +3548,7 @@ object Events {
     mwuTestOn(events(spark, dir))
 
   def mwuTestOn(ev: DataFrame): DataFrame = {
-    val base = ev.select(
-      expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"),
-      expr("cast(round(value * 100.0d) as bigint)").as("q"))
-    val mid = base.agg(expr("(min(d) + max(d)) div 2").as("mid"))
-    val vc = base.crossJoin(broadcast(mid))
-      .groupBy(col("q"))
-      .agg(sum(when(col("d") <= col("mid"), 1L).otherwise(0L)).as("c1"),
-        sum(when(col("d") > col("mid"), 1L).otherwise(0L)).as("c2"))
+    val vc = twoSampleCounts(ev)
       .withColumn("c", col("c1") + col("c2"))
     val cum = graft.engine.PrefixSum.exclusiveSum(vc, "q", "c", "kb")
     cum

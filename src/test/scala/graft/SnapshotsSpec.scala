@@ -931,4 +931,29 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.read(spark, t).agg(sum(col("pk"))).head.getLong(0)
       == after.sum)
   }
+
+  test("renameColumn: a later evolved append reusing the old name survives the fold un-renamed") {
+    import spark.implicits._
+    val t = freshTable("rename_order")
+    def rows(r: Range) = r.map(i => (i.toLong, i.toLong * 10)).toDF("id", "x")
+    Snapshots.commit(rows(1 to 5), t, append = false, statsCol = Some("id"))
+    Snapshots.renameColumn(spark, t, "id", "key")
+    // evolved append AFTER the rename carrying a FRESH column that
+    // reuses the rename's old name — legal (only `to` must be free)
+    Snapshots.commit(Seq((6L, 66L)).toDF("key", "id"), t, append = true,
+      statsCol = Some("key"))
+    def idOf6() = Snapshots.read(spark, t, mergeSchema = true)
+      .filter(col("key") === 6L).head.getAs[Long]("id")
+    assert(idOf6() == 66L, "fresh 'id' column must read through un-renamed")
+    // force a fold that rewrites only the OLD batch: the carried R line
+    // must stay BEFORE the post-rename batch (hoisting it to the end
+    // would rename the fresh 'id' and duplicate 'key' at read time)
+    Snapshots.deleteRows(Seq(1L).toDF("key"), t, "key")
+    Snapshots.compactDeletes(spark, t, statsCol = Some("key"))
+    val merged = Snapshots.read(spark, t, mergeSchema = true)
+    assert(merged.columns.count(_ == "key") == 1, merged.columns.mkString(","))
+    assert(merged.columns.contains("id"))
+    assert(idOf6() == 66L, "fold must not spuriously rename the fresh column")
+    assert(merged.filter(col("key") <= 5L).count() == 4L, "delete folded")
+  }
 }
