@@ -106,7 +106,8 @@ object Snapshots {
     * exactly what landed).
     */
   def commit(df: DataFrame, dir: String, append: Boolean,
-      statsCol: Option[String] = None, bloomFpp: Double = 0.0): Int = {
+      statsCol: Option[String] = None, bloomFpp: Double = 0.0,
+      beforePublish: () => Unit = () => ()): Int = {
     require(bloomFpp == 0.0 || statsCol.nonEmpty,
       "bloomFpp needs statsCol: the manifest bloom rides the stats line")
     val spark = df.sparkSession
@@ -128,15 +129,45 @@ object Snapshots {
     val batch = s"data/batch-$v-$nonce"
     df.write.mode("errorifexists").parquet(s"$dir/$batch")
     val entry = statsLine(spark, dir, batch, statsCol, bloomFpp)
+    beforePublish() // test-injection seam (fires after staging, pre-publish)
     // the append case carries the rebased-onto version's full entry list
     // — including its delete lines, so pending row-level deletes survive
     // an append; a replace commit starts from scratch (deletes folded
     // into the new state by whatever computed it) EXCEPT the stream-txn
     // lines, which must outlive any rewrite — dropping them would let a
     // replayed micro-batch double-commit after a compaction/replace
+    val vBase = v - 1
     publishLoop(spark, f, dir, nonce, batch, v,
       prev => s"K\t${if (append) "append" else "replace"}" +:
-        ((if (append) prev.filterNot(isKindLine) else prev.filter(isTxnLine)) :+ entry))
+        ((if (append) prev.filterNot(isKindLine) else prev.filter(isTxnLine)) :+ entry),
+      // ADVICE r13: an append staged under the pre-rename schema must not
+      // rebase past an R line — its batch line would land AFTER the
+      // rename (readMasked applies no remap to it) while the parquet on
+      // disk carries the old physical name: a silent schema fork. Abort
+      // and let the caller re-stage from the renamed view. A replace is
+      // exempt: it drops R lines and its frame IS the new schema.
+      validateRebase = abortIfRenamed(spark, f, dir, append, vBase, batch))
+  }
+
+  /** Shared append-path rebase guard (ADVICE r13): abort (and reclaim the
+    * staged batch) when a RENAME COLUMN landed between this writer's base
+    * version and the version being rebased onto. The staged data was
+    * written under the pre-rename schema; publishing its line after the R
+    * line would fork the schema silently — readMasked remaps only batch
+    * lines that PRECEDE an R line (the "batch precedes exactly the
+    * R-lines that postdate its write" manifest invariant).
+    */
+  private def abortIfRenamed(spark: SparkSession, f: FileSystem, dir: String,
+      append: Boolean, vBase: Int, stagedRel: String): Int => Unit = { latest =>
+    if (append) ((vBase + 1) to latest).foreach { w =>
+      if (kindAt(spark, dir, w).contains("rename")) {
+        f.delete(new Path(s"$dir/$stagedRel"), true) // staged batch is garbage
+        throw new IllegalStateException(
+          s"table at $dir was renamed (v$w) while the append was in " +
+            "flight — the staged batch carries the pre-rename schema; " +
+            "rerun the commit against the renamed state")
+      }
+    }
   }
 
   /** Commit with a CHECK constraint (Delta table constraints / DLT
@@ -257,7 +288,10 @@ object Snapshots {
       "K\tappend" +: (prev.filterNot(isKindLine)
         .filterNot(_.startsWith(s"T\t$appId\t")) :+ entry :+
         s"T\t$appId\t$batchId")
-    }))
+    }, validateRebase =
+      // same pre-rename-schema fork as commit() (ADVICE r13): the
+      // micro-batch re-runs via foreachBatch's at-least-once retry
+      abortIfRenamed(spark, f, dir, append = true, v - 1, batch)))
     catch {
       case AlreadyCovered(_) =>
         // the staged batch is garbage; reclaim it now instead of leaving
@@ -422,13 +456,17 @@ object Snapshots {
       validateRebase = { latest =>
         ((vEntry + 1) to latest).foreach { w =>
           // a RESTORE is a replace for arbitration purposes: the rows
-          // this delete targeted may have been rewound away
-          if (kindAt(spark, dir, w).exists(Set("replace", "restore"))) {
+          // this delete targeted may have been rewound away. A RENAME is
+          // unsafe too (ADVICE r13): the staged D line names the
+          // pre-rename column, and rebasing it past the R line would
+          // publish an anti-join on a column the renamed schema no
+          // longer carries — poisoning every subsequent read
+          if (kindAt(spark, dir, w).exists(Set("replace", "restore", "rename"))) {
             f.delete(new Path(s"$dir/$rel"), true) // staged keys are garbage
             throw new IllegalStateException(
-              s"table at $dir was replaced (v$w) while the delete was in " +
-                "flight — target rows no longer exist; rerun deleteRows " +
-                "against the new state")
+              s"table at $dir was replaced/renamed (v$w) while the delete " +
+                "was in flight — the delete's target/key may no longer " +
+                "exist under that name; rerun deleteRows against the new state")
           }
         }
       })

@@ -3557,7 +3557,11 @@ object Events {
       .select(col("n1"), col("n2"),
         expr("two_r1 - n1 * (n1 + 1L)").as("u1_x2"),
         expr("2L * n1 * n2 - (two_r1 - n1 * (n1 + 1L))").as("u2_x2"),
-        expr("(two_r1 - n1 * (n1 + 1L) - n1 * n2) * 1000000L div (n1 * n2)")
+        // ADVICE r13: (2U₁ − n₁n₂)·10⁶ overflows BIGINT once n₁n₂ >
+        // ~9.2e12 (~6M events — reachable at the 64× blowup); widen
+        // through DECIMAL(38,0) like the adjacent reject_05 / KS d_ppm
+        expr("cast((cast(two_r1 - n1 * (n1 + 1L) - n1 * n2 as decimal(38,0)) " +
+          "* 1000000) div (n1 * n2) as bigint)")
           .as("rank_biserial_ppm"),
         expr("cast(CASE WHEN 30000 * cast(two_r1 - n1 * (n1 + 1L) - n1 * n2 " +
           "as decimal(38,0)) * (two_r1 - n1 * (n1 + 1L) - n1 * n2) " +
@@ -3589,8 +3593,8 @@ object Events {
       |SELECT n1, n2,
       |  two_r1 - n1 * (n1 + 1) AS u1_x2,
       |  2 * n1 * n2 - (two_r1 - n1 * (n1 + 1)) AS u2_x2,
-      |  (two_r1 - n1 * (n1 + 1) - n1 * n2) * 1000000 // (n1 * n2)
-      |    AS rank_biserial_ppm,
+      |  CAST(CAST(two_r1 - n1 * (n1 + 1) - n1 * n2 AS HUGEINT) * 1000000
+      |    // (n1 * n2) AS BIGINT) AS rank_biserial_ppm,
       |  CAST(CASE WHEN 30000 * CAST(two_r1 - n1 * (n1 + 1) - n1 * n2 AS HUGEINT)
       |      * (two_r1 - n1 * (n1 + 1) - n1 * n2)
       |    > 38416 * CAST(n1 * n2 AS HUGEINT) * (n1 + n2 + 1)

@@ -84,7 +84,9 @@ object TwoSampleIngest {
     }
     val u1x2 = twoR1 - n1 * (n1 + 1L)
     val u2x2 = 2L * n1 * n2 - u1x2
-    val rb = (u1x2 - n1 * n2) * 1000000L / (n1 * n2)
+    // BigInt like Events.mwuTestOn's DECIMAL(38,0): the ×10⁶ ratio
+    // overflows Long once n₁n₂ > ~9.2e12 (ADVICE r13)
+    val rb = ((BigInt(u1x2) - BigInt(n1) * n2) * 1000000 / (BigInt(n1) * n2)).toLong
     val reject =
       if (BigInt(30000) * BigInt(u1x2 - n1 * n2).pow(2) >
         BigInt(38416) * (BigInt(n1) * n2) * (n1 + n2 + 1)) 1L else 0L

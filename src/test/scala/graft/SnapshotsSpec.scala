@@ -956,4 +956,65 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(idOf6() == 66L, "fold must not spuriously rename the fresh column")
     assert(merged.filter(col("key") <= 5L).count() == 4L, "delete folded")
   }
+
+  test("deleteRows racing a rename aborts loudly (ADVICE r13) — no stale-name D line") {
+    import spark.implicits._
+    val t = freshTable("race_del_rename")
+    Snapshots.commit(df(1 to 10), t, append = false)
+    val e = intercept[IllegalStateException] {
+      Snapshots.deleteRows(Seq(5L).toDF("id"), t, "id",
+        beforePublish = () =>
+          { Snapshots.renameColumn(spark, t, "id", "row_id"); () })
+    }
+    assert(e.getMessage.contains("renamed"), e.getMessage)
+    // the rename's state is intact and every read still works — the
+    // pre-fix behavior published `D <file> id` AFTER the R line, which
+    // made applyDeletes anti-join on a column the schema no longer had
+    val r = Snapshots.read(spark, t)
+    assert(r.columns.contains("row_id") && !r.columns.contains("id"))
+    assert(r.select("row_id").as[Long].collect().toSet == (1L to 10L).toSet)
+    val delRoot = new java.io.File(s"$t/deletes")
+    assert(!delRoot.exists() || delRoot.listFiles().isEmpty,
+      "aborted delete's staged key file must be reclaimed")
+  }
+
+  test("append racing a rename aborts and reclaims the staged batch (ADVICE r13)") {
+    import spark.implicits._
+    val t = freshTable("race_append_rename")
+    Snapshots.commit(df(1 to 10), t, append = false)
+    val e = intercept[IllegalStateException] {
+      Snapshots.commit(df(11 to 15), t, append = true,
+        beforePublish = () =>
+          { Snapshots.renameColumn(spark, t, "id", "row_id"); () })
+    }
+    assert(e.getMessage.contains("renamed"), e.getMessage)
+    // pre-fix the staged pre-rename batch line rebased past the R line,
+    // silently forking the schema (readMasked applies no rename to batch
+    // lines after the R line). Post-fix: table intact under the new name
+    val r = Snapshots.read(spark, t, mergeSchema = true)
+    assert(r.columns.contains("row_id") && !r.columns.contains("id"))
+    assert(r.count() == 10L, "aborted append must not be visible")
+    // staged batch dir reclaimed — only the one referenced batch remains
+    val dataRoot = new java.io.File(s"$t/data")
+    assert(dataRoot.listFiles().count(_.isDirectory) == 1,
+      dataRoot.listFiles().map(_.getName).mkString(","))
+    // and the RERUN (re-staged from the renamed view) lands cleanly
+    val again = (11 to 15).map(i => (i.toLong, s"row$i")).toDF("row_id", "v")
+    Snapshots.commit(again, t, append = true)
+    assert(Snapshots.read(spark, t).count() == 15L)
+  }
+
+  test("replace racing a rename still rebases (its frame IS the new schema)") {
+    import spark.implicits._
+    val t = freshTable("race_replace_rename")
+    Snapshots.commit(df(1 to 10), t, append = false)
+    val v = Snapshots.commit(df(100 to 102), t, append = false,
+      beforePublish = () =>
+        { Snapshots.renameColumn(spark, t, "id", "row_id"); () })
+    assert(v == 2, "replace rebases past the rename without aborting")
+    // replace drops R lines; its own columns define the state
+    val r = Snapshots.read(spark, t)
+    assert(r.columns.contains("id") && !r.columns.contains("row_id"))
+    assert(r.select("id").as[Long].collect().toSet == (100L to 102L).toSet)
+  }
 }
