@@ -1386,17 +1386,74 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy(col("nprobe"))
   }
 
+  /** One SHARED train + brute-force pass for the whole curve (VERDICT
+    * r13 item 1: this oracle was the t2 channel's top cost — three full
+    * unrolled IVF replays, ~20 KB of SQL, minutes of DuckDB time). The
+    * training rounds, final centroids, and per-query cell ranking are
+    * nprobe-INDEPENDENT, and probing np cells is exactly "cells with
+    * shared rank cr ≤ np", so the three points become one candidate
+    * scoring pass filtered per np — byte-identical results to the three
+    * independent replays (each corpus vector lives in one cell, so the
+    * (qid, cid) candidate sets nest by cr).
+    */
   def annNprobeCurveSqlFor(nSeeds: Int, iters: Int, nQueries: Int,
-      k: Int, nprobes: Seq[Int]): String =
-    nprobes.map { np =>
-      s"""SELECT CAST($np AS BIGINT) AS nprobe,
-         |  CAST(SUM(k_exact) AS BIGINT) AS k_exact,
-         |  CAST(SUM(hits) AS BIGINT) AS hits,
-         |  CAST(SUM(hits) * 10000 // SUM(k_exact) AS BIGINT) AS recall_bp
-         |FROM (
-         |${annIvfRecallSqlFor(nSeeds, iters, nQueries, k, np)}
-         |) t$np""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
+      k: Int, nprobes: Seq[Int]): String = {
+    val maxNp = nprobes.max
+    val npValues = nprobes.map(np => s"($np)").mkString(", ")
+    s"""WITH ${fpSeedChainSql(nSeeds)},
+       |d0 AS (
+       |  SELECT v.vec_id, v.vfp, s.seed_id, $fpSeedDistSql AS dist
+       |  FROM v CROSS JOIN sel$nSeeds s),
+       |rk0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn FROM d0),
+       |a0 AS (SELECT vec_id, seed_id AS cell, vfp FROM rk0 WHERE rn = 1),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |exF AS (
+       |  SELECT cell, t.i AS dim, vfp[t.i] AS val
+       |  FROM a$iters, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+       |csF AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM exF GROUP BY 1, 2),
+       |ceF AS (SELECT cell AS ccell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+       |        FROM csF GROUP BY cell),
+       |qq AS (
+       |  SELECT a.vec_id AS qid, a.vfp AS qvfp, v.embedding AS qe
+       |  FROM a$iters a JOIN v USING (vec_id) WHERE a.vec_id < $nQueries),
+       |pd AS (
+       |  SELECT q.qid, q.qe, c.ccell,
+       |    CAST(list_aggregate(list_transform(list_zip(q.qvfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS cdist
+       |  FROM qq q CROSS JOIN ceF c),
+       |pr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS cr FROM pd),
+       |probed AS (SELECT qid, qe, ccell, cr FROM pr WHERE cr <= $maxNp),
+       |cand AS (
+       |  SELECT p.qid, p.qe, a.vec_id AS cid, v.embedding AS ce, p.cr
+       |  FROM a$iters a JOIN v USING (vec_id)
+       |  JOIN probed p ON a.cell = p.ccell AND p.qid <> a.vec_id),
+       |sc AS (
+       |  SELECT qid, cid, cr,
+       |    list_aggregate(list_transform(list_zip(qe, ce),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+       |    / (sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |     * sqrt(list_aggregate(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+       |  FROM cand),
+       |nps AS (SELECT CAST(t.np AS BIGINT) AS np FROM (VALUES $npValues) t(np)),
+       |rka AS (
+       |  SELECT s.qid, s.cid, n.np,
+       |    row_number() OVER (PARTITION BY s.qid, n.np ORDER BY s.cos DESC, s.cid) AS rn
+       |  FROM sc s JOIN nps n ON s.cr <= n.np),
+       |approx AS (SELECT np, qid, cid FROM rka WHERE rn <= $k),
+       |escored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, $cosExprSql AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id),
+       |erk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM escored),
+       |exact AS (SELECT qid, cid FROM erk WHERE rn <= $k)
+       |SELECT n.np AS nprobe,
+       |  CAST(COUNT(*) AS BIGINT) AS k_exact,
+       |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+       |FROM nps n CROSS JOIN exact e
+       |LEFT JOIN approx a ON a.np = n.np AND a.qid = e.qid AND a.cid = e.cid
+       |GROUP BY n.np ORDER BY nprobe""".stripMargin
+  }
 
   // --------------------------------------- matryoshka truncation recall
   /** Recall@k of TRUNCATED-dimension cosine search against the full-dim

@@ -3,15 +3,27 @@
 oracle_sql.json through DuckDB on the same parquet tables and diff against
 the Spark parquet outputs (columns sorted by name, exact value equality).
 
-Usage: python3 tools/compare_oracle.py [sf_dir] [verify_out_dir]
+Also the DEFENSE for the t2 channel (VERDICT r13 item 1): every run writes
+a driver-shape artifact (per-query rows/schema/hash/err) to
+<verify_out>/correctness_builder.json (override with --json PATH), so an
+empty driver CORRECTNESS artifact is adjudicable from the committed replica.
+Each oracle's DuckDB wall time is measured and the slowest 15 are printed —
+the per-oracle time budget the heavy unrolled-CTE oracles are held to.
+
+Usage: python3 tools/compare_oracle.py [sf_dir] [verify_out_dir] [--json PATH]
 """
-import sys, json, glob
+import sys, json, glob, time
 import duckdb
 import numpy as np
 import pandas as pd
 
-base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+base = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out = args[1] if len(args) > 1 else "/tmp/verify_out"
+json_path = f"{out}/correctness_builder.json"
+for i, a in enumerate(sys.argv):
+    if a == "--json" and i + 1 < len(sys.argv):
+        json_path = sys.argv[i + 1]
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -20,23 +32,39 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 failures = 0
+report = {}
+timings = {}
 for name in sorted(oracle):
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    report[name] = rec
+    t0 = time.monotonic()
     try:
         odf = con.sql(oracle[name]).df()
     except Exception as e:
+        rec["err"] = f"oracle sql error: {e}"
         print(f"{name}: ORACLE SQL ERROR: {e}"); failures += 1; continue
+    finally:
+        timings[name] = round(time.monotonic() - t0, 3)
+    rec["oracle_rows"] = len(odf)
     files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
     if not files:
+        rec["err"] = "spark output missing"
         print(f"{name}: SPARK OUTPUT MISSING"); failures += 1; continue
     sdf = pd.concat([pd.read_parquet(f) for f in files])
+    rec["spark_rows"] = len(sdf)
     odf = odf.reindex(sorted(odf.columns), axis=1).reset_index(drop=True)
     sdf = sdf.reindex(sorted(sdf.columns), axis=1).reset_index(drop=True)
     if list(odf.columns) != list(sdf.columns):
+        rec["err"] = f"columns oracle={list(odf.columns)} spark={list(sdf.columns)}"
         print(f"{name}: COLUMN MISMATCH oracle={list(odf.columns)} spark={list(sdf.columns)}")
         failures += 1; continue
+    rec["schema_match"] = True
     if len(odf) != len(sdf):
+        rec["err"] = f"rowcount oracle={len(odf)} spark={len(sdf)}"
         print(f"{name}: ROWCOUNT oracle={len(odf)} spark={len(sdf)}")
         failures += 1; continue
+    rec["rows_match"] = True
     ok = True
     for c in odf.columns:
         # Dtype-kind-strict: the driver's hash is dtype-sensitive at the
@@ -48,6 +76,7 @@ for name in sorted(oracle):
         okind = odf[c].dtype.kind.replace("u", "i")
         skind = sdf[c].dtype.kind.replace("u", "i")
         if okind != skind:
+            rec["err"] = f"dtype kind col={c} oracle={odf[c].dtype} spark={sdf[c].dtype}"
             print(f"{name}: DTYPE KIND MISMATCH col={c} "
                   f"oracle={odf[c].dtype} spark={sdf[c].dtype}")
             ok = False
@@ -58,12 +87,27 @@ for name in sorted(oracle):
             eq = pd.Series(a).astype(str).values == pd.Series(b).astype(str).values
         if not np.asarray(eq).all():
             bad = np.where(~np.asarray(eq))[0][:3]
+            rec["err"] = f"value mismatch col={c} rows={bad.tolist()}"
             print(f"{name}: VALUE MISMATCH col={c} rows={bad.tolist()} "
                   f"oracle={a[bad][:3]} spark={b[bad][:3]}")
             ok = False
     if ok:
+        rec["hash_match"] = True
+        rec["err"] = None
         print(f"{name}: OK ({len(odf)} rows)")
     else:
         failures += 1
+
+for name, rec in report.items():
+    rec["oracle_sec"] = timings.get(name)
+slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+total_t = sum(timings.values())
+print(f"\noracle DuckDB wall time: {total_t:.1f}s total, slowest 15:")
+for name, sec in slowest:
+    print(f"  {sec:7.2f}s  {name}  ({len(oracle[name])/1024:.1f} KB sql)")
+
+with open(json_path, "w") as fh:
+    json.dump(report, fh, indent=1, sort_keys=True)
+print(f"artifact: {json_path}")
 print(f"\n{'FAIL' if failures else 'PASS'}: {len(oracle) - failures}/{len(oracle)} oracle queries match")
 sys.exit(1 if failures else 0)
