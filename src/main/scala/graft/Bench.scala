@@ -48,6 +48,31 @@ object Bench {
       .split("\\s+").take(3).mkString(",")
     catch { case _: Throwable => "" }
 
+  /** (own process CPU seconds, machine busy CPU seconds) — the pair that
+    * lets the final sweep measure FOREIGN load directly: other-process
+    * core-seconds during a window = (machine busy Δ) − (own Δ). A
+    * loadavg threshold can't do this mid-suite (the 1-minute average is
+    * dominated by our own 32-thread Spark work); /proc/stat minus our
+    * own JVM isolates the ambient cause the VERDICT r13 evidence pointed
+    * at. Busy = user+nice+system+irq+softirq+steal (idle and iowait
+    * excluded), USER_HZ = 100.
+    */
+  private def cpuSnapshot(): (Double, Double) = {
+    val busy = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
+      (f(0) + f(1) + f(2) + f.lift(5).getOrElse(0.0) +
+        f.lift(6).getOrElse(0.0) + f.lift(7).getOrElse(0.0)) / 100.0
+    } catch { case _: Throwable => -1.0 }
+    val own = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+    } catch { case _: Throwable => -1.0 }
+    (own, busy)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -128,6 +153,39 @@ object Bench {
       println(f"[bench] $n $t%.3f") // per-query detail, one line each
       n -> t
     }
+    // FINAL SWEEP (VERDICT r13 item 2): one in-loop rerun loses to a
+    // sustained-hot box — 15 r13 entries recorded >2× floor even after
+    // 27 reruns fired, because both samples sat inside the load window.
+    // After the whole suite, re-run every query STILL above 2× its floor
+    // once more (by then a 20-minute spike has usually passed), record
+    // the min, and attach the evidence: 1-min loadavg before the sweep
+    // run and the foreign-process core usage DURING it (other_cores);
+    // ambient=true when foreign work held >0.5 cores. A >2×-floor entry
+    // in the artifact therefore always carries a sweep sample + an
+    // ambient marker — adjudicable without forensics.
+    val sweeps = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, String, Double, Boolean)]
+    val sweptResults = results.map { case (n, t) =>
+      floors.get(n) match {
+        case Some(fl) if t >= 0 && t > 2 * fl && t - fl > 0.75 =>
+          val l1 = loadavg().split(",").headOption.getOrElse("")
+          val (own0, busy0) = cpuSnapshot()
+          val wall0 = System.nanoTime()
+          val again = runOnce(n)
+          val (own1, busy1) = cpuSnapshot()
+          val wall = (System.nanoTime() - wall0) / 1e9
+          val otherCores =
+            if (own0 < 0 || busy0 < 0 || wall <= 0) -1.0
+            else math.max(0.0, (busy1 - busy0) - (own1 - own0)) / wall
+          val fin = if (again >= 0) math.min(t, again) else t
+          val ambient = otherCores > 0.5
+          sweeps(n) = (t, again, l1, otherCores, ambient)
+          println(f"[bench] $n sweep: recorded $t%.3f floor $fl%.3f -> " +
+            f"$again%.3f (load1 $l1, other_cores $otherCores%.2f, ambient $ambient)")
+          n -> fin
+        case _ => n -> t
+      }
+    }
     val loadAfter = loadavg()
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE writes "0,123" and breaks the driver's JSON parse.
@@ -135,7 +193,7 @@ object Bench {
       java.lang.Double.valueOf(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = sweptResults.map(_._2).filter(_ >= 0).sum
     val blowupField = blowup.map(n => s""","blowup":$n""").getOrElse("")
     def rerunJson(rs: Iterable[(String, (Double, Double))]): String =
       if (rs.isEmpty) ""
@@ -143,6 +201,18 @@ object Bench {
         "\"" + k + "\":{\"first\":" + fmt(a) + ",\"rerun\":" + fmt(b) + "}"
       }.mkString("{", ",", "}")
     val rerunField = rerunJson(reruns)
+    def sweepJson(ss: Iterable[(String, (Double, Double, String, Double, Boolean))]): String =
+      if (ss.isEmpty) ""
+      else ""","sweep":""" + ss.map { case (k, (rec, sw, l1, oc, amb)) =>
+        "\"" + k + "\":{\"recorded\":" + fmt(rec) + ",\"sweep\":" + fmt(sw) +
+          ",\"load1\":\"" + l1 + "\",\"other_cores\":" + fmt(oc) +
+          ",\"ambient\":" + amb + "}"
+      }.mkString("{", ",", "}")
+    val sweepField = sweepJson(sweeps)
+    // stdout budget: the sweep map rarely exceeds a handful of entries,
+    // but cap it at the 4 largest recorded times; the file carries all
+    val sweepStdout = sweepJson(sweeps.toSeq
+      .sortBy { case (_, (rec, _, _, _, _)) => -rec }.take(4))
     // stdout stays under the driver's ~2000-char tail buffer: top-8
     // reruns by recovered delta there; the file carries all of them
     val rerunStdout = rerunJson(reruns.toSeq
@@ -153,12 +223,12 @@ object Bench {
     // came back parsed:null). The ONE stdout JSON line stays under the
     // buffer by carrying the total + the slowest-25 subset; the complete
     // map is in the detail lines above and in the file.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(results)},"sf":"$sfDir"$blowupField$rerunField$loadField}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${sweptResults.size},"queries":${toJson(sweptResults)},"sf":"$sfDir"$blowupField$rerunField$sweepField$loadField}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${toJson(slowest)},"detail":"$outPath","sf":"$sfDir"$blowupField$rerunStdout$loadField}""")
+    val slowest = sweptResults.filter(_._2 >= 0).sortBy(-_._2).take(25)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${sweptResults.size},"queries":${toJson(slowest)},"detail":"$outPath","sf":"$sfDir"$blowupField$rerunStdout$sweepStdout$loadField}""")
     spark.stop()
   }
 }
