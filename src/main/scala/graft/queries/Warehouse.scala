@@ -487,11 +487,16 @@ object Warehouse {
     val custs = t(spark, dir, "customer").select(col("c_custkey"))
     val items = t(spark, dir, "part").select(col("p_partkey"))
     val nItems = items.count()
-    // dense catalog index: the catalog is a dimension table, so the
-    // global order window is a dimension-sized sort, not a fact scan
-    val idx = items.withColumn("iidx",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("p_partkey"))).cast("long") - 1L)
+    // dense catalog index WITHOUT a global-order window: the catalog is
+    // "only" a dimension, but TPC-H part scales with SF (~2×10¹⁰ keys at
+    // 100 TB) — too big for WindowExec's all-to-one partition. Keys are
+    // unique, so index = count of strictly-smaller keys = the recursive
+    // chunked-carry exclusiveSum of ones (bit-equal to
+    // row_number() OVER (ORDER BY p_partkey) - 1, which stays the
+    // oracle's semantic spec).
+    val idx = graft.engine.PrefixSum.exclusiveSum(
+        items.withColumn("one", lit(1L)), "p_partkey", "one", "pre")
+      .select(col("p_partkey"), coalesce(col("pre"), lit(0L)).as("iidx"))
     val seen = t(spark, dir, "orders")
       .join(t(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))

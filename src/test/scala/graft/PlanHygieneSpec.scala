@@ -231,6 +231,65 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
   }
 
+  /** Queries whose plans carry an unpartitioned WindowExec, each with the
+    * argument for WHY the frame is bounded at any corpus size (VERDICT
+    * r13 item 3: boundedness must be an asserted invariant, not a
+    * docstring — a genuinely corpus-proportional window added later must
+    * fail the suite, not hide in the WARN noise).
+    */
+  private val unpartitionedWindowAllowed: Map[String, String] = Map(
+    "dedup_jaccard_hist" -> "21-row jaccard-bucket grid (floor(j*20))",
+    "dedup_sorted_neighborhood" -> ("distinct 6-char-prefix bucket-offset " +
+      "table - orders below corpus, the documented deliberate serial step"),
+    "events_bootstrap_ci" -> "<=64-row replicate-means grid",
+    "events_bot_score" -> "bucketQuantiles' value-bounded quantile bucket grid",
+    "events_changepoint" -> "calendar-bounded daily series",
+    "events_cumulative_reach" -> "calendar day grid",
+    "events_cumulative_users" -> "calendar day grid",
+    "events_kaplan_meier" -> ("distinct-duration risk table, bounded by the " +
+      "observation window in hours"),
+    "events_neyman_sample" -> "5-row stratum allocation grid",
+    "events_peak_load" -> "calendar hour grid",
+    "events_power_users" -> "distinct-activity-count offset grid (Zipf head)",
+    "events_slo_burn" -> "calendar hour grid",
+    "events_sweepline" -> "calendar hour grid (boundary-event hours only)",
+    "multimodal_phash_hist" -> "<=65-row Hamming-distance histogram",
+    "q101_seasonal_index" -> "<=12-row month grid",
+    "q108_abc_xyz" -> "value-bounded revenue-bucket/class grid",
+    "q112_gains_curve" -> "10-row decile grid",
+    "q79_abc_pareto" -> "O(hundreds)-row revenue-bucket grid (rev div 1e7)",
+    "q83_gini" -> "O(hundreds)-row revenue-bucket grid (x div 1e7)",
+    "q97_backlog_curve" -> "calendar day grid",
+    "q99_wilson_rank" -> "<=|brands| table (25 on the fixture schema)",
+    "sim_rrf_fusion" -> "limit(20)/limit(10) fused candidate frames",
+    "text_bm25_ndcg" -> "<=k-row ranked list (limit frame)",
+    "text_bm25_topk" -> "<=k-row ranked list (limit frame)",
+    "text_ccnet_terciles" -> "distinct-count offset grid (rank->tercile cut)",
+    "text_classifier_lift" -> ("distinct-logit lattice - sums of +/-4-bounded " +
+      "weights, O(hundreds) at any corpus size"),
+    "text_conformal" -> "value-bounded calibration residual grid",
+    "text_heaps_law" -> "log-spaced checkpoint bucket grid",
+    "text_quality_calibrate" -> "distinct-logit lattice (classifier_lift's)",
+    "text_t_closeness" -> "<=|langs| class table",
+    "text_vocab_coverage" -> "distinct-count offset grid + 3-row checkpoints")
+
+  test("unpartitioned windows only over value-bounded grids (VERDICT r13 item 3)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val wins = PrefixSumSpec.windows(
+          fn(spark, sf()).queryExecution.executedPlan)
+        Option.when(wins.exists(_.partitionSpec.isEmpty))(name)
+    }.toSet
+    val unlisted = offenders -- unpartitionedWindowAllowed.keySet
+    val stale = unpartitionedWindowAllowed.keySet -- offenders
+    assert(unlisted.isEmpty,
+      s"queries planning an UNLISTED unpartitioned WindowExec (add with a " +
+        s"boundedness argument or repartition the carry): ${unlisted.toSeq.sorted}")
+    assert(stale.isEmpty,
+      s"whitelist entries without an unpartitioned window (remove them): " +
+        s"${stale.toSeq.sorted}")
+  }
+
   test("whitelisted BNL sites still plan as broadcasts (whitelist not stale)") {
     val stale = bnlAllowed.filterNot { name =>
       SparkEntry.queries(name)(spark, sf())
