@@ -127,6 +127,99 @@ object MvAdvisor {
     }.sortBy(c => (-c.queries.size, c.base))
   }
 
+  /** Close the find → BUILD → REGISTER loop (VERDICT r13 item 4): turn
+    * one advisor row into a live view the [[graft.plans.MvRewriteRule]]
+    * answers from — synthesize the [[MvViewDef]]/[[MvJoinViewDef]] from
+    * the candidate (grain = the advised dims; states inferred from the
+    * advised aggregate calls: a plain `sum/avg/min/max(col)` text is the
+    * measure, the exact-cents idiom `sum(FLOOR(col * 100.0 + 0.5))` is
+    * the cents state), build the summary with the SAME builders the
+    * hand registry uses, write it to `mvPath`, register the def in the
+    * dynamic catalog, and set its conf keys so the rewrite arms
+    * immediately. Returns the def (Left = single-table, Right = join).
+    *
+    * The candidate's `base` string is the advisor's own rendering —
+    * qualified root path(s), join key names sorted — so everything the
+    * build needs is recovered from it plus the base tables' schemas
+    * (key → side assignment is by column membership; TPC-H-style
+    * prefixes make that unambiguous, and the require trips if not).
+    */
+  def materialize(spark: SparkSession, c: ViewCandidate, name: String,
+      mvPath: String): Either[MvViewDef, MvJoinViewDef] = {
+    val measures = c.aggs.flatMap {
+      case MeasureAggRe(_, m) => Some(m)
+      case _ => None
+    }.distinct
+    require(measures.size <= 1,
+      s"candidate needs ${measures.size} measure states ($measures); " +
+        "MvViewDef carries one — split the workload or extend the def")
+    val cents = c.aggs.flatMap(centsColOf).distinct
+    require(cents.size <= 1, s"multiple cents states advised: $cents")
+    if (!c.base.contains(" ⋈ ")) {
+      val (dir, table) = splitTablePath(c.base)
+      val base = Tables.load(spark, dir, table)
+      val cols = base.columns.toSet
+      require(c.dims.forall(cols), s"advised dims ${c.dims} not all in $table")
+      val d = MvViewDef(name, cols, c.dims,
+        measures.headOption.filter(cols), cents.headOption.filter(cols))
+      MatView.aggregate(base, d).write.mode("overwrite").parquet(mvPath)
+      MatView.register(d)
+      spark.conf.set(d.pathKey, mvPath)
+      spark.conf.set(d.baseKey, c.base)
+      Left(d)
+    } else {
+      val Array(basesPart, keysPart) = c.base.split(" ON ", 2)
+      val Array(p1, p2) = basesPart.split(" ⋈ ", 2)
+      val keys = keysPart.split(" = ", 2).map(_.trim)
+      val (d1, t1) = splitTablePath(p1.trim)
+      val (d2, t2) = splitTablePath(p2.trim)
+      val f1 = Tables.load(spark, d1, t1)
+      val f2 = Tables.load(spark, d2, t2)
+      val c1 = f1.columns.toSet
+      val c2 = f2.columns.toSet
+      val k1 = keys.filter(c1).toSeq
+      val k2 = keys.filter(c2).toSeq
+      require(k1.size == 1 && k2.size == 1 && k1.head != k2.head,
+        s"cannot assign join keys ${keys.toSeq} to sides unambiguously")
+      require(c.dims.forall(dc => c1(dc) || c2(dc)),
+        s"advised dims ${c.dims} not all in $t1/$t2")
+      val d = MvJoinViewDef(name, t1, c1, k1.head, t2, c2, k2.head, c.dims,
+        measures.headOption.filter(m => c1(m) || c2(m)),
+        cents.headOption.filter(m => c1(m) || c2(m)))
+      MatView.aggregateJoin(f1, f2, d).write.mode("overwrite").parquet(mvPath)
+      MatView.registerJoin(d)
+      spark.conf.set(d.pathKey, mvPath)
+      spark.conf.set(d.leftBaseKey, p1.trim)
+      spark.conf.set(d.rightBaseKey, p2.trim)
+      Right(d)
+    }
+  }
+
+  /** `sum(col)` / `avg(col)` / `min(col)` / `max(col)` over a bare
+    * column — the aggregate texts a measure state answers. */
+  private val MeasureAggRe = "(?i)(sum|avg|min|max)\\((\\w+)\\)".r
+
+  /** Extract the column of the exact-cents idiom
+    * `sum(FLOOR(col * 100.0 + 0.5))` from a canonical aggregate text
+    * (parenthesization varies with the optimizer's rendering, so this
+    * matches structurally: sum-of-floor containing `col * 100.0`).
+    */
+  private[engine] def centsColOf(agg: String): Option[String] = {
+    val a = agg.toLowerCase
+    if (!(a.startsWith("sum(floor(") && a.contains("100.0"))) None
+    else "[a-z_][a-z0-9_]*".r.findAllIn(a.stripPrefix("sum(floor("))
+      .find(t => t != "floor" && t != "cast" && t != "as" &&
+        t != "double" && t != "bigint")
+  }
+
+  /** Split a qualified table root ("…/sf0.01/part.parquet") into the
+    * (directory, table-name) pair [[Tables.load]] expects. */
+  private def splitTablePath(p: String): (String, String) = {
+    val cut = p.lastIndexOf('/')
+    require(cut > 0 && p.endsWith(".parquet"), s"not a table root path: $p")
+    (p.substring(0, cut), p.substring(cut + 1).stripSuffix(".parquet"))
+  }
+
   /** CLI entry: `runMain graft.engine.MvAdvisor <sfDir> <query...>` —
     * prints the view candidates for the named SparkEntry queries.
     */

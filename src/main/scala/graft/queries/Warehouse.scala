@@ -3896,7 +3896,69 @@ object Warehouse {
       |      AS BIGINT)) // COUNT(*) AS BIGINT) AS winsor_mean_cents
       |FROM j JOIN q USING (f) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** The ADVISOR LOOP end to end (VERDICT r13 item 4): q111/q115 prove
+    * the rewrite machinery against HAND registry entries; this proves
+    * the closed loop — a dashboard workload goes through
+    * [[graft.engine.MvAdvisor.advise]] (find), the winning candidate
+    * through [[graft.engine.MvAdvisor.materialize]] (build + register +
+    * arm), and then a workload query runs UNCHANGED and is answered from
+    * the advisor-built summary. The base is PART — a table with no
+    * hand-declared registry entry, so a rewrite firing here can only
+    * come from the synthesized def. At 100 TB this is the operational
+    * difference between "we have view machinery" and "the 300-query
+    * dashboard tier keeps its own view catalog grounded in measured
+    * repetition": advise → materialize is one call, not a hand-authored
+    * def per family. The oracle runs the same SQL against the base
+    * table; the requires pin that the advisor found the family, the
+    * grain covers both members, and the rewrite actually fired.
+    */
+  def q122MvAdvisorLoop(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.MvRewriteRule.register(spark)
+    // the workload family: two dashboard frames over part, different
+    // grains + a filter dimension — exactly what a view catalog sees
+    def brandRev = t(spark, dir, "part")
+      .filter(col("p_size") <= 20)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(floor(p_retailprice * 100.0 + 0.5))").as("rc"))
+    def typeCounts = t(spark, dir, "part")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n"))
+    val cands = graft.engine.MvAdvisor.advise(
+      Map("brand_rev" -> brandRev, "type_counts" -> typeCounts))
+    val cand = cands.find(_.base.endsWith("part.parquet")).getOrElse(
+      sys.error("advisor found no part-table candidate"))
+    require(cand.queries == Seq("brand_rev", "type_counts"),
+      s"family incomplete: ${cand.queries}")
+    require(Set("p_brand", "p_type", "p_size").subsetOf(cand.dims.toSet),
+      s"union grain missing a dimension: ${cand.dims}")
+    val mvPath = s"${graft.engine.WorkDirs.processScoped("graft_mv_adv")}/" +
+      s"mv-${mvNonce.incrementAndGet()}"
+    val d = graft.engine.MvAdvisor
+      .materialize(spark, cand, s"adv_part_${mvNonce.incrementAndGet()}", mvPath)
+      .left.getOrElse(sys.error("expected a single-table def"))
+    try {
+      val res = brandRev.orderBy(col("p_brand"))
+      val staged = graft.engine.Materialize.stage(res)
+      require(res.queryExecution.optimizedPlan.toString.contains("mv_cnt"),
+        "advisor-built MV rewrite did not fire")
+      staged
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.baseKey)
+    }
+  }
+
+  val q122Sql: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS rc
+      |FROM part WHERE p_size <= 20
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_mv_advisor_loop" -> (q122MvAdvisorLoop _),
     "q121_robust_mean" -> (q121RobustMean _),
     "q120_link_prediction" -> (q120LinkPrediction _),
     "q119_fk_discovery" -> (q119FkDiscovery _),
@@ -3959,6 +4021,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q122_mv_advisor_loop" -> q122Sql,
     "q121_robust_mean" -> q121Sql,
     "q120_link_prediction" -> q120Sql,
     "q119_fk_discovery" -> q119Sql,

@@ -49,4 +49,73 @@ class MvAdvisorSpec extends SparkSpecBase {
     // the window-derived aggregate never pollutes a candidate
     assert(cands.forall(c => !c.queries.contains("q4")))
   }
+
+  test("materialize closes the loop: advisor row -> built view -> armed rewrite (VERDICT r13 item 4)") {
+    graft.plans.MvRewriteRule.register(spark)
+    val dir = sf()
+    def su = graft.engine.Tables.load(spark, dir, "supplier")
+    // supplier has NO hand registry entry: a rewrite firing below can
+    // only come from the def materialize synthesized
+    def q1 = su.groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+    def q2 = su.filter(col("s_suppkey") <= 50)
+      .groupBy(col("s_nationkey")).agg(avg(col("s_acctbal")).as("a"))
+    val cand = MvAdvisor.advise(Map("q1" -> q1, "q2" -> q2))
+      .find(_.base.endsWith("supplier.parquet")).get
+    assert(cand.queries == Seq("q1", "q2"))
+    val mvPath = s"${graft.engine.WorkDirs.processScoped("graft_mv_advspec")}/mv-su"
+    val d = MvAdvisor.materialize(spark, cand, "advspec_supplier", mvPath)
+      .left.toOption.get
+    try {
+      assert(d.dims.toSet == Set("s_nationkey", "s_suppkey"))
+      assert(d.measure.contains("s_acctbal"), d)
+      // registered dynamically, visible to the merged catalog
+      assert(graft.engine.MatView.registry.contains("advspec_supplier"))
+      val res = q2.orderBy(col("s_nationkey"))
+      val expected = res.collect().toSeq // rewrite may already fire; see below
+      assert(res.queryExecution.optimizedPlan.toString.contains("mv_cntnn_s_acctbal"),
+        "advisor-built AVG rewrite did not fire")
+      // answered-from-view equals answered-from-base
+      spark.conf.unset(d.pathKey)
+      val fromBase = q2.orderBy(col("s_nationkey")).collect().toSeq
+      assert(expected == fromBase)
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.baseKey)
+    }
+  }
+
+  test("materialize builds and arms a JOIN-view def from an advised join candidate") {
+    graft.plans.MvRewriteRule.register(spark)
+    val dir = sf()
+    def o = graft.engine.Tables.load(spark, dir, "orders")
+    def c = graft.engine.Tables.load(spark, dir, "customer")
+    // same join family as the hand orders_customer entry, but the def
+    // under test is the synthesized one (distinct name + conf keys)
+    def q1 = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(floor(o_totalprice * 100.0 + 0.5))").as("rc"))
+    val cand = MvAdvisor.advise(Map("q1" -> q1))
+      .find(_.base.contains(" ⋈ ")).get
+    val mvPath = s"${graft.engine.WorkDirs.processScoped("graft_mv_advspec")}/mv-oc"
+    val d = MvAdvisor.materialize(spark, cand, "advspec_oc", mvPath)
+      .toOption.get
+    try {
+      // key -> side assignment recovered by schema membership
+      assert(Set(d.leftKey, d.rightKey) == Set("o_custkey", "c_custkey"))
+      assert((d.leftKey == "o_custkey") == (d.leftTable == "orders"))
+      assert(d.cents.contains("o_totalprice"), d)
+      val res = q1.orderBy(col("c_mktsegment"))
+      val got = res.collect().toSeq
+      val plan = res.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mv_cnt") && !plan.contains("Join"),
+        s"advisor-built join rewrite did not fire:\n$plan")
+      spark.conf.unset(d.pathKey)
+      assert(got == q1.orderBy(col("c_mktsegment")).collect().toSeq)
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.leftBaseKey)
+      spark.conf.unset(d.rightBaseKey)
+    }
+  }
 }
