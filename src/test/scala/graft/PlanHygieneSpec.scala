@@ -35,6 +35,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q20_scalar_subquery", "q30_range_join", "q48_cross_join",
     "sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_seeded", "sim_ann_recall",
     "sim_ann_ivf_cached", // same probe core over the reloaded index
+    // append lifecycle: the frozen k×dim quantizer broadcast twice —
+    // the maintenance batch's argmin assignment and the probe's cell
+    // ranking (both the whitelisted sim_ann_ivf shape)
+    "sim_ann_ivf_append",
     "sim_ann_ivf_recall", // composes annIvfSeeded + cosineTopK — same bounded broadcasts
     "sim_ann_nprobe_curve", // three annIvfRecall points — same composition
     // IVF-PQ: the k×dim centroid table and nSub×K codebook broadcast to

@@ -500,6 +500,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming IVF index append == batch frozen-cell append; probe-after-append identical") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IvfAppendIngest
+    val sim = graft.ext.Similarity
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val isNew = expr("vec_id % 7 = 3")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    val (idxBatch, idxStream) = (s"$root/idx_batch", s"$root/idx_stream")
+    val (centDir, newDir, ckpt) = (s"$root/quantizer", s"$root/new", s"$root/ck")
+    val init = e.filter(!isNew).select(col("vec_id"), col("label").as("cell"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))")
+        .as("vfp"))
+    val trained = sim.ivfTrain(init, iters = 2)
+    trained.write.parquet(idxBatch)
+    trained.write.parquet(idxStream)
+    sim.cellCentroids(trained).write.parquet(centDir)
+    e.filter(isNew).repartition(3) // several files → several micro-batches
+      .write.parquet(newDir)
+    // batch append vs stream append of the SAME held-out vectors
+    sim.ivfAssignFrozen(e.filter(isNew), spark.read.parquet(centDir))
+      .write.mode("append").parquet(idxBatch)
+    IvfAppendIngest.start(spark, newDir, centDir, idxStream, ckpt)
+      .awaitTermination(120000)
+    def postings(p: String) = spark.read.parquet(p)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (sp, bp) = (postings(idxStream), postings(idxBatch))
+    assert(sp == bp && sp.nonEmpty, s"stream=${sp.size} batch=${bp.size}")
+    // the graded probe: identical results through the frozen quantizer
+    val cent = spark.read.parquet(centDir)
+    def probe(p: String) = sim.ivfProbe(e, spark.read.parquet(p),
+      nQueries = 10, k = 5, nprobe = 4, centOverride = Some(cent))
+      .collect().map(_.toSeq).toSeq
+    assert(probe(idxStream) == probe(idxBatch))
+  }
+
   test("streaming LM surprisal filter == batch keep set on the same corpus (frozen model)") {
     import graft.streaming.SurprisalFilter
     val docsDir = java.nio.file.Files.createTempDirectory("graft_lm_in").toString
