@@ -3693,9 +3693,18 @@ object Warehouse {
       "orders" -> "o_orderkey", "orders" -> "o_custkey",
       "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
       "lineitem" -> "l_suppkey")
-    val sets = cols.map { case (tb, c) =>
-      t(spark, dir, tb)
-        .select(lit(s"$tb.$c").as("cname"), col(c).cast("long").as("v"))
+    fkProfile(cols.map { case (tb, c) => (s"$tb.$c", t(spark, dir, tb), c) })
+  }
+
+  /** The FK-discovery core over arbitrary (name, frame, column) triples
+    * — factored from [[q119FkDiscovery]] so WarehouseSpec can drive it
+    * with a NULL-bearing fixture (VERDICT r13 item 7: the 13 profiled
+    * fixture columns are all non-null, so the pinned NULL-exclusion
+    * semantics was declared but never exercised).
+    */
+  def fkProfile(framesCols: Seq[(String, DataFrame, String)]): DataFrame = {
+    val sets = framesCols.map { case (nm, df, c) =>
+      df.select(lit(nm).as("cname"), col(c).cast("long").as("v"))
         // NULL is not a value: the oracle's equi-join drops nulls, and a
         // groupBy would otherwise pool every column's nulls into one
         // bucket and fabricate intersections (all 13 profiled columns

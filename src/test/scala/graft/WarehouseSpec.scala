@@ -982,6 +982,26 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("q119 fk discovery excludes NULLs: no pooled-null intersections, all-null columns vanish (VERDICT r13 item 7)") {
+    import spark.implicits._
+    // A = {1,2}+null, B = {2,3}+null, C = all-null: with NULL treated as
+    // a value, A∩B would be 2 (the fabricated null match) and C would
+    // intersect both; the pinned semantics gives A∩B = {2} and drops C
+    val fa = Seq[java.lang.Long](1L, 2L, null).toDF("k")
+    val fb = Seq[java.lang.Long](2L, 3L, null, null).toDF("k")
+    val fc = Seq[java.lang.Long](null, null).toDF("k")
+    val rows = Warehouse.fkProfile(Seq(
+      ("a.k", fa, "k"), ("b.k", fb, "k"), ("c.k", fc, "k"))).collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m.keySet == Set(("a.k", "b.k"), ("b.k", "a.k")),
+      s"unexpected pairs: ${m.keySet}")
+    // n_a counts non-null distinct values only (2, not 3); inter = {2}
+    assert(m(("a.k", "b.k")) == ((2L, 1L, 500000L, 333333L)),
+      m(("a.k", "b.k")).toString)
+    assert(m(("b.k", "a.k")) == ((2L, 1L, 500000L, 333333L)))
+  }
+
   test("q120 adamic-adar: hub wedges score non-edges, edges are excluded, terms sum exactly") {
     import spark.implicits._
     // graph: hub 1 -- {2,3,4} (support 3 each); hub 5 -- {2,3}.
