@@ -44,9 +44,27 @@ object SparkEntry {
     * side).
     */
   def oracleSql: Map[String, String] =
-    Core.oracles ++ Warehouse.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    (Core.oracles ++ Warehouse.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextOps.oracles ++ Multimodal.oracles ++ Events.oracles ++ Formats.oracles ++
-      graft.format.CliGolden.oracles
+      graft.format.CliGolden.oracles).map { case (k, v) =>
+      k -> materializeCtes(v)
+    }
+
+  /** `name AS (SELECT …)` → `name AS MATERIALIZED (SELECT …)` on every
+    * CTE of every oracle (VERDICT r13 item 1 — the t2 channel's cost).
+    * DuckDB 1.0 INLINES a CTE per reference, so a chain whose blocks are
+    * each referenced 2–4 times (the unrolled IVF/BPE/PageRank replays,
+    * scalar subqueries like `(SELECT a FROM b1)`) re-executes its whole
+    * prefix exponentially: measured 46.7 s → 0.3 s on text_bpe_learn and
+    * 249 s → 34 s across the full 370-oracle suite, results
+    * value-identical (spot-verified per heavy oracle, and the whole
+    * gate re-hashes everything against Spark). The SELECT guard keeps
+    * named `WINDOW w AS (…)` clauses and derived-table aliases
+    * untouched; DuckDB accepts MATERIALIZED on recursive CTEs.
+    */
+  private val CteRe = "\\b([a-zA-Z_]\\w*) AS \\((\\s*SELECT\\b)".r
+  private[graft] def materializeCtes(sql: String): String =
+    CteRe.replaceAllIn(sql, "$1 AS MATERIALIZED ($2")
 
   /** Queries whose per-round sf0.1 bench slot is DEFERRED to the 10×
     * blowup grading (SCALING_MEASURED.md / BlowupSpec): correctness is
