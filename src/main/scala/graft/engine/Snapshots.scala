@@ -160,12 +160,12 @@ object Snapshots {
   private def abortIfRenamed(spark: SparkSession, f: FileSystem, dir: String,
       append: Boolean, vBase: Int, stagedRel: String): Int => Unit = { latest =>
     if (append) ((vBase + 1) to latest).foreach { w =>
-      if (kindAt(spark, dir, w).contains("rename")) {
+      if (kindAt(spark, dir, w).exists(Set("rename", "drop"))) {
         f.delete(new Path(s"$dir/$stagedRel"), true) // staged batch is garbage
         throw new IllegalStateException(
-          s"table at $dir was renamed (v$w) while the append was in " +
-            "flight — the staged batch carries the pre-rename schema; " +
-            "rerun the commit against the renamed state")
+          s"table at $dir was renamed/dropped (v$w) while the append was " +
+            "in flight — the staged batch carries the pre-change schema; " +
+            "rerun the commit against the new state")
       }
     }
   }
@@ -461,7 +461,7 @@ object Snapshots {
           // pre-rename column, and rebasing it past the R line would
           // publish an anti-join on a column the renamed schema no
           // longer carries — poisoning every subsequent read
-          if (kindAt(spark, dir, w).exists(Set("replace", "restore", "rename"))) {
+          if (kindAt(spark, dir, w).exists(Set("replace", "restore", "rename", "drop"))) {
             f.delete(new Path(s"$dir/$rel"), true) // staged keys are garbage
             throw new IllegalStateException(
               s"table at $dir was replaced/renamed (v$w) while the delete " +
@@ -530,6 +530,66 @@ object Snapshots {
             s"table at $dir advanced (v$latest) while the rename was in " +
               "flight — the from/to preconditions were validated against " +
               s"v$vEntry; rerun renameColumn against the new state")
+        }
+      })
+  }
+
+  /** DROP COLUMN without rewriting a byte (Delta drop-column semantics):
+    * a metadata-only commit appends a [[DropEntry]]; readers remove the
+    * column right after the scan for every batch written before the
+    * drop (manifest order, folded with renames — [[readMasked]]), so a
+    * later rename or evolved append may reuse the name for a FRESH
+    * column and pre-drop data never resurrects under it. Batch stats
+    * envelopes (and their blooms) on the dropped column are STRIPPED at
+    * commit — a pruning envelope on a column readers can't see would be
+    * dead weight and a re-added same-named column must not inherit it.
+    * Time travel is untouched: versions before the drop carry no X line
+    * and read the column back.
+    *
+    * Refusals (run maintenance first, then drop): pending delete-key
+    * lines on the column (the anti-join would be unresolvable post-drop
+    * — [[compactDeletes]] folds them away) and pending masks on it (the
+    * mask gates REPLACED rows; dropping its column would resurrect them
+    * — [[optimize]] bakes masks in). Concurrency: strictest arbitration,
+    * like [[renameColumn]] — any commit landing after this call read its
+    * base version aborts the drop and the caller reruns.
+    */
+  def dropColumn(spark: SparkSession, dir: String, colName: String): Int = {
+    val f = fs(spark, dir)
+    require(versions(spark, dir).nonEmpty, s"no snapshot table at $dir")
+    val schema = read(spark, dir, mergeSchema = true).columns.toSeq
+    require(schema.contains(colName),
+      s"drop column '$colName' not in table at $dir")
+    require(schema.size > 1, s"cannot drop the only column of $dir")
+    val vEntry = versions(spark, dir).last
+    entriesAt(spark, dir, vEntry).foreach {
+      case DeleteEntry(_, k) if k == colName =>
+        throw new IllegalStateException(
+          s"pending delete keys on '$colName' at $dir — run compactDeletes " +
+            "before dropping the column")
+      case MaskEntry(_, c, _, _) if c == colName =>
+        throw new IllegalStateException(
+          s"pending overwrite masks on '$colName' at $dir — run optimize " +
+            "before dropping the column")
+      case _ => ()
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val v = vEntry + 1
+    publishLoop(spark, f, dir, nonce, stagedRel = "", v,
+      prev => {
+        val remapped = prev.filterNot(isKindLine).map(parseEntry).map {
+          case b @ BatchEntry(_, Some((c, _, _)), _) if c == colName =>
+            render(b.copy(stats = None, bloom = None))
+          case e => render(e)
+        }
+        s"K\tdrop" +: (remapped :+ s"X\t$colName")
+      },
+      validateRebase = { latest =>
+        if (latest > vEntry) {
+          throw new IllegalStateException(
+            s"table at $dir advanced (v$latest) while the drop was in " +
+              s"flight — preconditions were validated against v$vEntry; " +
+              "rerun dropColumn against the new state")
         }
       })
   }
@@ -669,9 +729,12 @@ object Snapshots {
       else {
         // masks apply before the delete anti-join (a raw read would
         // resurrect overwritten rows into the compacted batch)
+        // mergeSchema like optimize's fold: the rewritten batches may
+        // span schemas (evolved appends, a dropColumn boundary) — a
+        // positional union would throw on the width mismatch
         val folded = delFrames.foldLeft(
           readMasked(spark, dir, rewrite.map(_.batch), entries,
-            mergeSchema = false)) {
+            mergeSchema = true)) {
             case (df, (c, keys)) => df.join(keys, Seq(c), "left_anti")
           }
         val rel = s"data/batch-$vNew-$nonce"
@@ -696,6 +759,7 @@ object Snapshots {
       case bch: BatchEntry if untouchedSet(bch.batch) => render(bch)
       case m: MaskEntry if untouchedSet(m.batch) => render(m)
       case r: RenameEntry => render(r)
+      case x: DropEntry => render(x)
     }
     val ok = publishIfAbsent(f = fs(spark, dir), dir = dir, v = vNew,
       nonce = nonce,
@@ -806,6 +870,7 @@ object Snapshots {
       case d: DeleteEntry => render(d)
       case m: MaskEntry => render(m) // restored state keeps its masks
       case r: RenameEntry => render(r) // and its column names
+      case x: DropEntry => render(x)
     }
     val txns = entriesAt(spark, dir, vLatest).collect {
       case t: TxnEntry => render(t)
@@ -942,6 +1007,7 @@ object Snapshots {
       case b: BatchEntry => render(b.copy(batch = resolve(srcDir, b.batch)))
       case d: DeleteEntry => render(d.copy(path = resolve(srcDir, d.path)))
       case r: RenameEntry => render(r)
+      case x: DropEntry => render(x)
       // masks absolutize WITH their batch, or the clone's reads would
       // resurrect the parent's overwritten rows
       case m: MaskEntry => render(m.copy(batch = resolve(srcDir, m.batch)))
@@ -1194,6 +1260,7 @@ object Snapshots {
       case b: BatchEntry => render(b.copy(batch = norm(b.batch)))
       case d: DeleteEntry => render(d.copy(path = norm(d.path)))
       case r: RenameEntry => render(r)
+      case x: DropEntry => render(x)
       case m: MaskEntry => render(m.copy(batch = norm(m.batch)))
     }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -1282,6 +1349,17 @@ object Snapshots {
     def path: String = ""
   }
 
+  /** A column drop `X <col>` ([[dropColumn]] — Delta drop-column
+    * semantics without a rewrite): batches written BEFORE the drop keep
+    * the physical column on disk; readers remove it right after the
+    * scan, folded with renames in manifest order — so a later rename
+    * (or evolved append) may legally reuse the name for a FRESH column
+    * and pre-drop data never resurrects under it. No file behind it.
+    */
+  private case class DropEntry(colName: String) extends ManifestEntry {
+    def path: String = ""
+  }
+
   private def render(e: ManifestEntry): String = e match {
     case BatchEntry(b, None, _) => b
     case BatchEntry(b, Some((c, mn, mx)), None) => s"$b\t$c\t$mn\t$mx"
@@ -1291,6 +1369,7 @@ object Snapshots {
     case TxnEntry(a, b) => s"T\t$a\t$b"
     case KindEntry(k) => s"K\t$k"
     case RenameEntry(f, t) => s"R\t$f\t$t"
+    case DropEntry(c) => s"X\t$c"
   }
 
   private def parseEntry(line: String): ManifestEntry =
@@ -1300,6 +1379,7 @@ object Snapshots {
       case Array("T", a, b) => TxnEntry(a, b.toLong)
       case Array("K", k) => KindEntry(k)
       case Array("R", f, t) => RenameEntry(f, t)
+      case Array("X", c) => DropEntry(c)
       case Array(b, c, mn, mx) => BatchEntry(b, Some((c, mn.toLong, mx.toLong)))
       case Array(b, c, mn, mx, bl) =>
         BatchEntry(b, Some((c, mn.toLong, mx.toLong)), Some(bl))
@@ -1339,12 +1419,15 @@ object Snapshots {
       mergeSchema: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     val masks = masksOf(entries)
-    // renames that apply to a batch = the R lines AFTER its manifest line
-    val renSuffix: Map[String, Seq[RenameEntry]] = {
-      var acc = List.empty[RenameEntry]
-      val m = Map.newBuilder[String, Seq[RenameEntry]]
+    // schema ops that apply to a batch = the R/X lines AFTER its
+    // manifest line, in manifest order (a drop then a rename reusing
+    // the dropped name composes correctly only in order)
+    val opsSuffix: Map[String, Seq[ManifestEntry]] = {
+      var acc = List.empty[ManifestEntry]
+      val m = Map.newBuilder[String, Seq[ManifestEntry]]
       entries.reverse.foreach {
         case r: RenameEntry => acc = r :: acc
+        case x: DropEntry => acc = x :: acc
         case b: BatchEntry => m += b.batch -> acc
         case _ => ()
       }
@@ -1353,13 +1436,18 @@ object Snapshots {
     val groups = batches
       .groupBy(b => (masks.getOrElse(b, Seq.empty)
         .map(m => (m.col, m.lo, m.hi)).sorted,
-        renSuffix.getOrElse(b, Seq.empty)))
+        opsSuffix.getOrElse(b, Seq.empty)))
       .toSeq.sortBy(_._2.head)
-    val frames = groups.map { case ((ms, rens), bs) =>
+    val frames = groups.map { case ((ms, ops), bs) =>
       val raw = spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(bs.map(b => resolve(dir, b)): _*)
-      val base = rens.foldLeft(raw)((df, r) =>
-        df.withColumnRenamed(r.from, r.to))
+      val base = ops.foldLeft(raw)((df, op) => op match {
+        case r: RenameEntry => df.withColumnRenamed(r.from, r.to)
+        // dropColumn refuses while masks/deletes reference the column,
+        // so dropping before the mask filter below can never orphan one
+        case x: DropEntry => df.drop(x.colName)
+        case _ => df
+      })
       ms.foldLeft(base) { case (df, (c, lo, hi)) =>
         df.filter(col(c).isNull || not(col(c).between(lo, hi)))
       }

@@ -375,7 +375,8 @@ object Similarity {
     * silently re-rank cells ([[annIvfAppend]]).
     */
   def ivfProbe(e: DataFrame, assign: DataFrame, nQueries: Int, k: Int,
-      nprobe: Int, centOverride: Option[DataFrame] = None): DataFrame = {
+      nprobe: Int, centOverride: Option[DataFrame] = None,
+      candAssign: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.register(e.sparkSession)
     val distExpr = ivfDistExpr
     val cent = centOverride.getOrElse(cellCentroids(assign))
@@ -391,8 +392,10 @@ object Similarity {
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= nprobe)
       .select(col("qid"), col("qe"), col("ccell"))
-    // search only the probed cells
-    val c = assign.select(col("vec_id").as("cid"), col("cell"))
+    // search only the probed cells; `candAssign` restricts the CANDIDATE
+    // side (metadata-filtered search, [[annIvfFiltered]]) while the
+    // query side keeps reading the full assignment
+    val c = candAssign.getOrElse(assign).select(col("vec_id").as("cid"), col("cell"))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     c.join(broadcast(probed), col("cell") === col("ccell") && col("qid") =!= col("cid"))
@@ -456,6 +459,206 @@ object Similarity {
     ivfProbe(e, spark.read.parquet(idxDir), nQueries = 10, k = 5, nprobe = 4,
       centOverride = Some(spark.read.parquet(centDir)))
   }
+
+  /** IVF INDEX HEALTH after maintenance appends — the monitor that
+    * decides WHEN [[annIvfAppend]]'s retrain-free lifecycle must end in
+    * a retrain: per cell, the base vs appended member counts (occupancy
+    * share and appended fraction) and the mean fixed-point squared-L2
+    * to the FROZEN centroid for each population. Appended vectors
+    * landing systematically farther than the base population mean the
+    * quantizer no longer describes the incoming distribution (drift);
+    * one cell absorbing most appends means skew (hot cell → probe cost
+    * and recall degrade together). Both are exact integers, so the
+    * whole health table hash-grades. Scale shape: one broadcast-
+    * centroid scan over base ∪ appended, one per-cell aggregate; the
+    * 1-row total frame broadcasts back for the share arithmetic (q60's
+    * shape). All means are truncating `div` (NULL when a population is
+    * empty — a base-only cell has no new_mean_d2, not a fake zero).
+    */
+  def annIndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val isNew = expr("vec_id % 7 = 3")
+    val init = e.filter(!isNew).select(col("vec_id"), col("label").as("cell"),
+      expr(vfpExpr).as("vfp"))
+    val assign = ivfTrain(init, iters = 2)
+    val cent = cellCentroids(assign)
+    val members = assign.withColumn("src", lit(0L))
+      .unionByName(ivfAssignFrozen(e.filter(isNew), cent)
+        .withColumn("src", lit(1L)))
+    val d = members.join(broadcast(cent), col("cell") === col("ccell"))
+      .withColumn("d2", expr(ivfDistExpr))
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    d.groupBy(col("cell"))
+      .agg(sum(when(col("src") === 0L, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("src") === 1L, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("src") === 0L, col("d2"))).as("bd2"),
+        sum(when(col("src") === 1L, col("d2"))).as("nd2"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        expr("(n_base + n_new) * 1000000L div n_total").as("share_ppm"),
+        expr("n_new * 1000000L div (n_base + n_new)").as("newshare_ppm"),
+        expr("bd2 div n_base").as("base_mean_d2"),
+        expr("nd2 div nullif(n_new, 0L)").as("new_mean_d2"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB twin of [[annIndexHealth]]: the append oracle's lifecycle
+    * prefix (base-only rounds, frozen centroids, appended assignment),
+    * then the per-cell population/distance aggregate.
+    */
+  def annIndexHealthSqlFor(iters: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell, vfp FROM v WHERE NOT (vec_id % 7 = 3)),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfCentroidsSql(s"a$iters")},
+       |dN AS (
+       |  SELECT v.vec_id, v.vfp, c.ccell,
+       |    CAST(list_aggregate(list_transform(list_zip(v.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+       |  FROM v CROSS JOIN ceF c WHERE v.vec_id % 7 = 3),
+       |rkN AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccell) AS rn FROM dN),
+       |aN AS (SELECT vec_id, ccell AS cell, vfp FROM rkN WHERE rn = 1),
+       |mem AS (SELECT vec_id, cell, vfp, 0 AS src FROM a$iters
+       |  UNION ALL SELECT vec_id, cell, vfp, 1 FROM aN),
+       |dd AS (
+       |  SELECT m.cell, m.src,
+       |    CAST(list_aggregate(list_transform(list_zip(m.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d2
+       |  FROM mem m JOIN ceF c ON m.cell = c.ccell),
+       |tt AS (SELECT COUNT(*) AS n_total FROM dd)
+       |SELECT cell,
+       |  CAST(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |  CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST(COUNT(*) * 1000000 // (SELECT n_total FROM tt) AS BIGINT) AS share_ppm,
+       |  CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS newshare_ppm,
+       |  CAST(SUM(CASE WHEN src = 0 THEN d2 END)
+       |    // SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_mean_d2,
+       |  CAST(SUM(CASE WHEN src = 1 THEN d2 END)
+       |    // nullif(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS new_mean_d2
+       |FROM dd GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** METADATA-FILTERED ANN — production vector search's hard mode:
+    * "top-k neighbors WHERE <predicate>" (tenant, language, license,
+    * freshness). Grades the two standard strategies against the exact
+    * filtered ground truth on the same trained IVF index, one row per
+    * query:
+    *
+    *  - PRE-FILTER (single-stage): the probe's candidate scan is
+    *    restricted to eligible members of the probed cells — full k
+    *    results from eligible vectors only, recall bounded by the cells
+    *    probed (the strategy serving systems prefer until selectivity
+    *    gets extreme);
+    *  - POST-FILTER: search unfiltered top-2k, then drop ineligible —
+    *    the naive strategy, which silently under-fills k when the
+    *    predicate is selective (here: a fifth of the corpus), visible as
+    *    post_recall ≤ pre_recall.
+    *
+    * Predicate: label % 5 = 0 (selectivity ~20%). Queries are vec_id <
+    * 10 regardless of their own eligibility. Scale shape: one trained
+    * index shared by both strategies; each probe is the standard
+    * broadcast-centroid + probed-cell scan; the eligibility join ships
+    * ids only. The exact side is the filtered brute force over the
+    * same query set (nQueries × corpus, the graded-recall convention).
+    */
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (nQ, k, nprobe) = (10, 5, 2)
+    val init = e.select(col("vec_id"), col("label").as("cell"),
+      expr(vfpExpr).as("vfp"))
+    val assign = ivfTrain(init, iters = 2)
+    val eligIds = e.filter(expr("label % 5 = 0")).select(col("vec_id"))
+    val pre = ivfProbe(e, assign, nQ, k, nprobe,
+      candAssign = Some(assign.join(eligIds, "vec_id")))
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"),
+        lit(1L).as("hp"))
+    val post = ivfProbe(e, assign, nQ, 2 * k, nprobe)
+      .join(eligIds.select(col("vec_id").as("neighbor_id")), "neighbor_id")
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"),
+        lit(1L).as("hq"))
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val exact = e.filter(expr("label % 5 = 0"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(e))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"))
+    exact
+      .join(pre, Seq("qid", "cid"), "left")
+      .join(post, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hp"), lit(0L))).as("hits_pre"),
+        sum(coalesce(col("hq"), lit(0L))).as("hits_post"))
+      .select(col("qid").as("vec_id"), col("k_exact"), col("hits_pre"),
+        col("hits_post"),
+        expr("hits_pre * 10000 div k_exact").as("pre_recall_bp"),
+        expr("hits_post * 10000 div k_exact").as("post_recall_bp"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[annIvfFiltered]]: the label-seeded training rounds
+    * unrolled, then BOTH probe strategies and the filtered exact side
+    * over the same `ceF` quantizer, joined per query.
+    */
+  def annIvfFilteredSqlFor(iters: Int, nQueries: Int, k: Int,
+      nprobe: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell, vfp FROM v),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfCentroidsSql(s"a$iters")},
+       |elig AS (SELECT vec_id FROM v WHERE label % 5 = 0),
+       |q AS (
+       |  SELECT a.vec_id AS qid, a.vfp AS qvfp, v.embedding AS qe
+       |  FROM a$iters a JOIN v USING (vec_id) WHERE a.vec_id < $nQueries),
+       |pd AS (
+       |  SELECT q.qid, q.qe, c.ccell,
+       |    CAST(list_aggregate(list_transform(list_zip(q.qvfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS cdist
+       |  FROM q CROSS JOIN ceF c),
+       |pr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS cr FROM pd),
+       |probed AS (SELECT qid, qe, ccell FROM pr WHERE cr <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, p.qe, a.vec_id AS cid, v.embedding AS ce
+       |  FROM a$iters a JOIN v USING (vec_id)
+       |  JOIN probed p ON a.cell = p.ccell AND p.qid <> a.vec_id),
+       |sc AS (
+       |  SELECT qid, cid, cid IN (SELECT vec_id FROM elig) AS is_elig,
+       |    list_aggregate(list_transform(list_zip(qe, ce),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+       |    / (sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       |     * sqrt(list_aggregate(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+       |  FROM cand),
+       |rkPre AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cid) AS rn FROM sc WHERE is_elig),
+       |pre AS (SELECT qid, cid FROM rkPre WHERE rn <= $k),
+       |rkAll AS (SELECT qid, cid, is_elig, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cid) AS rn FROM sc),
+       |post AS (SELECT qid, cid FROM rkAll WHERE rn <= ${2 * k} AND is_elig),
+       |escored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, $cosExprSql AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id
+       |    AND b.label % 5 = 0),
+       |erk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM escored),
+       |exact AS (SELECT qid, cid FROM erk WHERE rn <= $k)
+       |SELECT e.qid AS vec_id, COUNT(*) AS k_exact,
+       |  CAST(SUM(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_pre,
+       |  CAST(SUM(CASE WHEN o.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_post,
+       |  CAST(SUM(CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS pre_recall_bp,
+       |  CAST(SUM(CASE WHEN o.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS post_recall_bp
+       |FROM exact e
+       |LEFT JOIN pre p ON p.qid = e.qid AND p.cid = e.cid
+       |LEFT JOIN post o ON o.qid = e.qid AND o.cid = e.cid
+       |GROUP BY e.qid ORDER BY vec_id""".stripMargin
 
   /** One unrolled IVF training round — shared by the label-seeded and
     * farthest-point-seeded oracles: centroids of a{r−1} by truncated
@@ -3494,6 +3697,8 @@ object Similarity {
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_cached" -> (annIvfCached _),
     "sim_ann_ivf_append" -> (annIvfAppend _),
+    "sim_ann_filtered" -> (annIvfFiltered _),
+    "sim_ann_index_health" -> (annIndexHealth _),
     "sim_ann_ivf_seeded" -> (annIvfSeeded _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ann_ivf_recall" -> (annIvfRecall _),
@@ -3553,6 +3758,8 @@ object Similarity {
     "sim_ann_ivf" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_ivf_cached" -> annIvfSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_ivf_append" -> annIvfAppendSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
+    "sim_ann_filtered" -> annIvfFilteredSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 2),
+    "sim_ann_index_health" -> annIndexHealthSqlFor(iters = 2),
     "sim_ann_ivf_seeded" -> annIvfSeededSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_recall" -> annRecallSqlFor(nQueries = 10, k = 5,

@@ -514,6 +514,101 @@ object Formats {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |GROUP BY 1 ORDER BY origin""".stripMargin
 
+  /** CHECK-constraint ingest gate ([[graft.engine.Snapshots
+    * .commitChecked]], Delta table constraints / DLT expectations)
+    * graded end to end: a clean batch commits under
+    * `CHECK (o_totalprice > 0)`, then a batch carrying one poisoned row
+    * must abort ATOMICALLY — no version published, no partial data
+    * visible, the table still reads exactly the clean commit. That
+    * atomicity is the whole point of an ingest-time gate at 100 TB: a
+    * post-hoc quality scan leaves the bad rows readable until someone
+    * reacts; the gate means downstream never sees them. The graded row
+    * carries the surviving table's aggregate plus the rejection and
+    * version census (requires pin the abort happened and published
+    * nothing).
+    */
+  def checkConstraintQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    import spark.implicits._
+    val table = fresh(spark, out("snapcheck_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val gate = col("o_totalprice") > 0.0
+    Snapshots.commitChecked(o.filter(col("o_orderkey") % 3 === 0), table,
+      append = false, constraint = gate)
+    val dirty = o.filter(col("o_orderkey") % 3 === 1)
+      .unionByName(Seq((-1L, -5.0)).toDF("o_orderkey", "o_totalprice"))
+    val rejected = try {
+      Snapshots.commitChecked(dirty, table, append = true, constraint = gate)
+      0L
+    } catch { case _: IllegalArgumentException => 1L }
+    require(rejected == 1L, "the poisoned batch must be rejected")
+    require(Snapshots.versions(spark, table) == Seq(0),
+      "a rejected commit must publish no version")
+    Snapshots.read(spark, table)
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("n_rows"), col("sum_price"),
+        lit(rejected).as("dirty_rejected"), lit(1L).as("n_versions"))
+  }
+
+  val checkConstraintSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  CAST(1 AS BIGINT) AS dirty_rejected, CAST(1 AS BIGINT) AS n_versions
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin
+
+  /** DROP COLUMN lifecycle ([[graft.engine.Snapshots.dropColumn]])
+    * graded end to end: commit orders WITH a tier column, drop it
+    * (metadata-only), then append a batch REUSING the name — a fresh
+    * column under Delta drop semantics. The graded aggregate proves the
+    * three contracts at once: pre-drop rows read the reused column as
+    * NULL (sum_tier counts only post-drop values — resurrection of the
+    * old physical values would inflate it), the post-drop pre-append
+    * read carries no such column at all, and time travel before the
+    * drop still reads the original values (both pinned by requires; the
+    * v0 sum rides a third output column).
+    */
+  def dropColumnQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snapdrop_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 4).cast("long").as("o_tier"))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), table,
+      append = false)
+    Snapshots.dropColumn(spark, table, "o_tier")
+    require(!Snapshots.read(spark, table).columns.contains("o_tier"),
+      "post-drop read must not carry the column")
+    // append REUSING the dropped name: a FRESH column
+    Snapshots.commit(
+      o.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_tier", (col("o_orderkey") % 7).cast("long")),
+      table, append = true)
+    val v0 = Snapshots.read(spark, table, 0)
+    require(v0.columns.contains("o_tier"),
+      "time travel before the drop must keep the column")
+    val latest = Snapshots.read(spark, table, mergeSchema = true)
+    latest
+      .groupBy((col("o_orderkey") % 3).cast("long").as("origin"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(coalesce(col("o_tier"), lit(0L))).as("sum_tier"),
+        sum(col("o_tier").isNull.cast("long")).as("n_null_tier"))
+      .orderBy(col("origin"))
+  }
+
+  val dropColumnSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |v0 AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_tier
+      |       FROM o WHERE o_orderkey % 3 = 0),
+      |v2 AS (SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 7 AS BIGINT) AS o_tier
+      |       FROM o WHERE o_orderkey % 3 = 1),
+      |u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v2)
+      |SELECT CAST(o_orderkey % 3 AS BIGINT) AS origin, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(COALESCE(o_tier, 0)) AS BIGINT) AS sum_tier,
+      |  CAST(SUM(CASE WHEN o_tier IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier
+      |FROM u GROUP BY 1 ORDER BY origin""".stripMargin
+
   val schemaEvolutionSql: String =
     """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
       |v0 AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_tier
@@ -1063,6 +1158,8 @@ object Formats {
     "fmt_vacuum" -> (vacuumQuery _),
     "fmt_schema_evolution" -> (schemaEvolution _),
     "fmt_rename_column" -> (renameColumn _),
+    "fmt_drop_column" -> (dropColumnQuery _),
+    "fmt_check_constraint" -> (checkConstraintQuery _),
     "fmt_restore" -> (restoreVersion _),
     "fmt_shallow_clone" -> (shallowClone _),
     "fmt_compaction" -> (compaction _),
@@ -1087,6 +1184,8 @@ object Formats {
     "fmt_vacuum" -> vacuumSql,
     "fmt_schema_evolution" -> schemaEvolutionSql,
     "fmt_rename_column" -> renameColumnSql,
+    "fmt_drop_column" -> dropColumnSql,
+    "fmt_check_constraint" -> checkConstraintSql,
     "fmt_restore" -> restoreVersionSql,
     "fmt_shallow_clone" -> shallowCloneSql,
     "fmt_compaction" -> compactionSql,

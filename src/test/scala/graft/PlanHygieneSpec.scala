@@ -39,6 +39,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // the maintenance batch's argmin assignment and the probe's cell
     // ranking (both the whitelisted sim_ann_ivf shape)
     "sim_ann_ivf_append",
+    // filtered ANN: the probe's centroid broadcast twice (pre-filter +
+    // post-filter strategies) plus the exact side's 10-query broadcast
+    // with the non-equi qid != cid condition (cosineTopK's shape);
+    // index health: the frozen quantizer broadcast for assignment and
+    // the per-member distance scan, plus the 1-row total frame (q60)
+    "sim_ann_filtered", "sim_ann_index_health",
     "sim_ann_ivf_recall", // composes annIvfSeeded + cosineTopK — same bounded broadcasts
     "sim_ann_nprobe_curve", // three annIvfRecall points — same composition
     // IVF-PQ: the k×dim centroid table and nSub×K codebook broadcast to

@@ -1004,6 +1004,93 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.read(spark, t).count() == 15L)
   }
 
+  test("dropColumn: metadata-only, fresh reuse after drop, time travel, refusals") {
+    import spark.implicits._
+    val t = freshTable("drop_col")
+    def rows(r: Range) = r.map(i => (i.toLong, i.toLong * 10)).toDF("id", "x")
+    Snapshots.commit(rows(1 to 5), t, append = false)
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .map(s => (s.getPath.getName, s.getLen)).toSet
+    assert(Snapshots.dropColumn(spark, t, "x") == 1)
+    // metadata-only: not a data byte moved
+    val after = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .map(s => (s.getPath.getName, s.getLen)).toSet
+    assert(before == after)
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id"))
+    // time travel before the drop reads the values back
+    assert(Snapshots.read(spark, t, 0).filter(col("id") === 3L)
+      .head.getAs[Long]("x") == 30L)
+    // append reusing the name: FRESH column; old rows read null
+    Snapshots.commit(Seq((6L, 600L)).toDF("id", "x"), t, append = true)
+    val m = Snapshots.read(spark, t, mergeSchema = true)
+    assert(m.filter(col("id") === 3L).head.isNullAt(m.columns.indexOf("x")),
+      "pre-drop physical values must not resurrect under the reused name")
+    assert(m.filter(col("id") === 6L).head.getAs[Long]("x") == 600L)
+    // rename may also reuse the dropped name (drop then a→x composes)
+    Snapshots.renameColumn(spark, t, "x", "y")
+    Snapshots.renameColumn(spark, t, "id", "x")
+    val m2 = Snapshots.read(spark, t, mergeSchema = true)
+    assert(m2.columns.sorted.toSeq == Seq("x", "y"))
+    assert(m2.filter(col("x") === 3L).head.isNullAt(m2.columns.indexOf("y")))
+    // refusal: pending delete keys on the column
+    val t2 = freshTable("drop_col_del")
+    Snapshots.commit(rows(1 to 5), t2, append = false)
+    Snapshots.deleteRows(Seq(10L).toDF("x"), t2, "x")
+    val e1 = intercept[IllegalStateException](Snapshots.dropColumn(spark, t2, "x"))
+    assert(e1.getMessage.contains("compactDeletes"), e1.getMessage)
+    // refusal: pending masks on the column
+    val t3 = freshTable("drop_col_mask")
+    Snapshots.commit(rows(1 to 5), t3, append = false)
+    Snapshots.commit(rows(6 to 8), t3, append = true)
+    Snapshots.overwriteRange(Seq((99L, 45L)).toDF("id", "x"), t3, "x", 40L, 50L)
+    val e2 = intercept[IllegalStateException](Snapshots.dropColumn(spark, t3, "x"))
+    assert(e2.getMessage.contains("optimize"), e2.getMessage)
+    // last-column refusal
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.dropColumn(spark, freshAndCommit(), "id"))
+    assert(e3.getMessage.contains("only column"), e3.getMessage)
+  }
+
+  private def freshAndCommit(): String = {
+    import spark.implicits._
+    val t = freshTable("drop_single")
+    Snapshots.commit(Seq(1L, 2L).toDF("id"), t, append = false)
+    t
+  }
+
+  test("dropColumn: compactDeletes carries the X line before the folded batch") {
+    import spark.implicits._
+    val t = freshTable("drop_compact")
+    def rows(r: Range) = r.map(i => (i.toLong, i.toLong * 10)).toDF("id", "x")
+    Snapshots.commit(rows(1 to 5), t, append = false)
+    Snapshots.dropColumn(spark, t, "x")
+    Snapshots.commit(Seq((6L, 66L)).toDF("id", "x"), t, append = true)
+    // delete on the surviving key column, then fold
+    Snapshots.deleteRows(Seq(2L).toDF("id"), t, "id")
+    Snapshots.compactDeletes(spark, t)
+    val m = Snapshots.read(spark, t, mergeSchema = true)
+    assert(m.select("id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L, 6L))
+    // the fresh column survives the fold un-dropped; old rows stay null
+    assert(m.filter(col("id") === 6L).head.getAs[Long]("x") == 66L)
+    assert(m.filter(col("id") === 3L).head.isNullAt(m.columns.indexOf("x")))
+  }
+
+  test("append racing a drop aborts (pre-drop schema must not land after the X line)") {
+    import spark.implicits._
+    val t = freshTable("race_append_drop")
+    def rows(r: Range) = r.map(i => (i.toLong, i.toLong * 10)).toDF("id", "x")
+    Snapshots.commit(rows(1 to 5), t, append = false)
+    val e = intercept[IllegalStateException] {
+      Snapshots.commit(rows(6 to 8), t, append = true,
+        beforePublish = () => { Snapshots.dropColumn(spark, t, "x"); () })
+    }
+    assert(e.getMessage.contains("renamed/dropped"), e.getMessage)
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id"))
+    assert(Snapshots.read(spark, t).count() == 5L)
+  }
+
   test("replace racing a rename still rebases (its frame IS the new schema)") {
     import spark.implicits._
     val t = freshTable("race_replace_rename")
