@@ -3987,7 +3987,68 @@ object Warehouse {
       |FROM part WHERE p_size <= 20
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** DYNAMIC PARTITION PRUNING end to end — the runtime half of
+    * partition pruning that static `fmt_partitioned_prune` can't show:
+    * the fact is hive-partitioned by ship month, the month dimension is
+    * filtered by QUARTER (a predicate the fact's partition values never
+    * mention), and Catalyst injects the dim's surviving keys into the
+    * fact scan's PartitionFilters at runtime — the fact reads 3 months'
+    * directories out of 84 with no static predicate available. At
+    * 100 TB this is THE mechanism that makes star-schema dashboards
+    * cheap: the dim filter is authored in business terms, the fact
+    * I/O shrinks by the dim's selectivity, and nobody hand-translates
+    * quarter → month list. The require pins that the dynamicpruning
+    * subquery actually attached to the scan (broadcast reuse — the
+    * 84-row dim broadcasts, DPP rides the same exchange for free).
+    * The materialized partitioned fact is process-scoped and written
+    * once (the q53 bucketed-twin convention).
+    */
+  def q123DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val tag = graft.engine.WorkDirs.tag64(dir)
+    val factDir = s"${graft.engine.WorkDirs.processScoped("graft_dpp")}/fact-$tag"
+    val done = new java.io.File(s"$factDir/_GRAFT_DONE")
+    if (!done.exists()) {
+      t(spark, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_extendedprice"))
+        .withColumn("ym",
+          expr("cast(year(l_shipdate) * 100 + month(l_shipdate) as bigint)"))
+        .write.mode("overwrite").partitionBy("ym").parquet(factDir)
+      done.createNewFile()
+    }
+    val fact = spark.read.parquet(factDir)
+    // 84-row month dimension, built arithmetically (no cartesian): the
+    // quarter attribute exists ONLY here — the fact can't prune on it
+    // statically, which is exactly what makes the DPP subquery earn
+    // its keep
+    val ymType = fact.schema("ym").dataType
+    val dim = spark.range(0, 240) // 1990–2009: covers any fixture span
+      .select((expr("1990 + id div 12") * 100 + expr("id % 12 + 1"))
+        .cast(ymType).as("ym"),
+        expr("(id % 12) div 3 + 1").as("qtr"))
+    val res = fact.join(dim.filter(col("qtr") === 2), "ym")
+      .groupBy(col("ym").cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint))")
+          .as("rev_cents"))
+      .orderBy(col("ym"))
+    val plan = res.queryExecution.executedPlan.toString
+    require(plan.contains("dynamicpruning"),
+      "DPP subquery did not attach to the partitioned fact scan")
+    res
+  }
+
+  val q123Sql: String =
+    """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS rev_cents
+      |FROM lineitem
+      |WHERE (month(l_shipdate) - 1) // 3 + 1 = 2
+      |GROUP BY 1 ORDER BY ym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_dynamic_pruning" -> (q123DynamicPruning _),
     "q122_mv_advisor_loop" -> (q122MvAdvisorLoop _),
     "q121_robust_mean" -> (q121RobustMean _),
     "q120_link_prediction" -> (q120LinkPrediction _),
@@ -4051,6 +4112,7 @@ object Warehouse {
     "q90_skyline" -> (q90Skyline _))
 
   val oracles: Map[String, String] = Map(
+    "q123_dynamic_pruning" -> q123Sql,
     "q122_mv_advisor_loop" -> q122Sql,
     "q121_robust_mean" -> q121Sql,
     "q120_link_prediction" -> q120Sql,
