@@ -514,6 +514,45 @@ object Formats {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |GROUP BY 1 ORDER BY origin""".stripMargin
 
+  /** EXACTLY-ONCE streaming ingest ledger ([[graft.engine.Snapshots
+    * .commitWithTxn]], Delta's txn-appId pattern) graded end to end:
+    * two micro-batches commit under one appId with a REPLAY of each
+    * injected (foreachBatch is at-least-once — a crash between the sink
+    * write and the checkpoint commit re-runs the batch with the same
+    * id). Both replays must be no-ops: no version published, no staged
+    * garbage visible, row counts exact — the property that lets a
+    * 100 TB ingest stream restart anywhere without double-counting a
+    * row. The graded row carries the surviving aggregate plus the
+    * commit/replay census (requires pin the ledger behavior).
+    */
+  def exactlyOnceQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Snapshots
+    val table = fresh(spark, out("snaptxn_orders", dir))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def batch(m: Int) = o.filter(col("o_orderkey") % 3 === m)
+    require(Snapshots.commitWithTxn(batch(0), table, "ingest", 0L).contains(0),
+      "first micro-batch must publish v0")
+    require(Snapshots.commitWithTxn(batch(0), table, "ingest", 0L).isEmpty,
+      "replaying batch 0 must be a no-op")
+    require(Snapshots.commitWithTxn(batch(1), table, "ingest", 1L).contains(1),
+      "second micro-batch must publish v1")
+    require(Snapshots.commitWithTxn(batch(1), table, "ingest", 0L).isEmpty,
+      "a stale replay after later progress must be a no-op")
+    require(Snapshots.versions(spark, table) == Seq(0, 1),
+      "replays must publish no versions")
+    Snapshots.read(spark, table)
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("n_rows"), col("sum_price"),
+        lit(2L).as("n_commits"), lit(2L).as("n_replays_skipped"))
+  }
+
+  val exactlyOnceSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  CAST(2 AS BIGINT) AS n_commits, CAST(2 AS BIGINT) AS n_replays_skipped
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin
+
   /** CHECK-constraint ingest gate ([[graft.engine.Snapshots
     * .commitChecked]], Delta table constraints / DLT expectations)
     * graded end to end: a clean batch commits under
@@ -1160,6 +1199,7 @@ object Formats {
     "fmt_rename_column" -> (renameColumn _),
     "fmt_drop_column" -> (dropColumnQuery _),
     "fmt_check_constraint" -> (checkConstraintQuery _),
+    "fmt_exactly_once" -> (exactlyOnceQuery _),
     "fmt_restore" -> (restoreVersion _),
     "fmt_shallow_clone" -> (shallowClone _),
     "fmt_compaction" -> (compaction _),
@@ -1186,6 +1226,7 @@ object Formats {
     "fmt_rename_column" -> renameColumnSql,
     "fmt_drop_column" -> dropColumnSql,
     "fmt_check_constraint" -> checkConstraintSql,
+    "fmt_exactly_once" -> exactlyOnceSql,
     "fmt_restore" -> restoreVersionSql,
     "fmt_shallow_clone" -> shallowCloneSql,
     "fmt_compaction" -> compactionSql,
