@@ -274,7 +274,14 @@ object Similarity {
       k = 5, nprobe = 4)
 
   def annIvfSeededOn(e: DataFrame, nSeeds: Int, iters: Int, nQueries: Int,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    ivfProbe(e, seededAssign(e, nSeeds, iters), nQueries, k, nprobe)
+
+  /** Farthest-point-seeded training alone (seeds → initial assignment →
+    * [[ivfTrain]] rounds), factored so [[annNprobeCurve]] can train ONCE
+    * and share the index across its probe points.
+    */
+  private def seededAssign(e: DataFrame, nSeeds: Int, iters: Int): DataFrame = {
     val vfp = e.select(col("vec_id"), expr(vfpExpr).as("vfp"))
     val seeds = farthestPointSeeds(vfp, nSeeds)
     val wSeed = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("seed_id"))
@@ -284,7 +291,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("seed_id").as("cell"), col("vfp"))
-    annIvfCore(e, init, iters, nQueries, k, nprobe)
+    ivfTrain(init, iters)
   }
 
   /** Farthest-point seed table (seed_id, svfp): splitmix64-argmin first
@@ -1665,23 +1672,53 @@ object Similarity {
   /** The IVF nprobe tuning curve — corpus-level recall@k at nprobe ∈
     * {1, 2, 4}, one row per setting: the table you read before picking
     * the latency/recall point for a deployment (recall climbs with
-    * probed cells, scan cost climbs linearly with it). Each point is
-    * the full [[annIvfRecallOn]] harness aggregated across queries
-    * (total hits over total truth, integer bp). Honest cost note: the
-    * three points retrain the same coarse quantizer three times
-    * (~3× one IVF run) — the index build is deterministic so a
-    * production sweep would share it; keeping the points independent
-    * keeps each one equal to its own graded single-config twin.
+    * probed cells, scan cost climbs linearly with it). Since r14 the
+    * three points SHARE one trained quantizer, one cell ranking, and
+    * one candidate-scoring pass (the training rounds and per-query cell
+    * ranking are nprobe-independent, and probing np cells is exactly
+    * "cells with shared rank cr ≤ np" — candidate sets nest by cr, so
+    * the per-np rank over the filtered set is byte-identical to an
+    * independent run; the oracle replays the same factoring). One exact
+    * brute-force pass serves all three points' ground truth.
     */
   def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = emb(spark, dir)
-    Seq(1, 2, 4).map { np =>
-      annIvfRecallOn(e, nSeeds = 5, iters = 2, nQueries = 10, k = 5,
-        nprobe = np)
-        .agg(sum(col("k_exact")).as("k_exact"), sum(col("hits")).as("hits"))
-        .select(lit(np.toLong).as("nprobe"), col("k_exact"), col("hits"),
-          expr("hits * 10000 div k_exact").as("recall_bp"))
-    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    val (nQ, k, maxNp) = (10, 5, 4)
+    val assign = seededAssign(e, nSeeds = 5, iters = 2)
+    val cent = cellCentroids(assign)
+    val q = assign.filter(col("vec_id") < nQ)
+      .join(e.select(col("vec_id"), col("embedding").as("qe")), "vec_id")
+      .select(col("vec_id").as("qid"), col("vfp"), col("qe"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", expr(ivfDistExpr))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= maxNp)
+      .select(col("qid"), col("qe"), col("ccell"), col("cr"))
+    val c = assign.select(col("vec_id").as("cid"), col("cell"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+    val sc = c.join(broadcast(probed),
+        col("cell") === col("ccell") && col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(e))
+      .select(col("qid"), col("cid"), col("cr"), col("cos"))
+    val nps = Seq(1L, 2L, 4L).toDF("np")
+    val wNp = Window.partitionBy(col("qid"), col("np"))
+      .orderBy(col("cos").desc, col("cid"))
+    val approx = sc.join(broadcast(nps), col("cr") <= col("np"))
+      .withColumn("rn", row_number().over(wNp))
+      .filter(col("rn") <= k)
+      .select(col("np"), col("qid"), col("cid"), lit(1L).as("hit"))
+    val exact = cosineTopKOn(e, nQ, k)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"))
+    exact.crossJoin(broadcast(nps))
+      .join(approx, Seq("np", "qid", "cid"), "left")
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("np").as("nprobe"), col("k_exact"), col("hits"),
+        expr("hits * 10000 div k_exact").as("recall_bp"))
+      .orderBy(col("nprobe"))
   }
 
   /** One SHARED train + brute-force pass for the whole curve (VERDICT
