@@ -547,6 +547,119 @@ object Similarity {
        |    // nullif(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS new_mean_d2
        |FROM dd GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** HOT-CELL SPLIT — the rebalance step [[annIndexHealth]]'s skew
+    * signal triggers, completing the maintenance trilogy (append →
+    * monitor → rebalance) that keeps an IVF index serving without a
+    * full retrain: the most occupied cell (ties to the smaller id)
+    * splits in two by one deterministic 2-means-style pass — seed A =
+    * the member farthest from the cell's centroid, seed B = the member
+    * farthest from A (both ties to the smaller vec_id), every member
+    * joins its nearer seed (ties stay with A), and the B side becomes a
+    * fresh cell id (max + 1). Cost is three scans of ONE cell against
+    * broadcast 1-row seeds — the standing index outside the hot cell is
+    * untouched, which is the entire point at 100 TB (a hot cell is the
+    * probe-latency AND recall problem; re-training everything to fix
+    * one cell is how maintenance windows die). Output: per-cell
+    * occupancy before/after with the split children flagged — the max
+    * share provably drops.
+    */
+  def annIvfSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val init = e.select(col("vec_id"), col("label").as("cell"),
+      expr(vfpExpr).as("vfp"))
+    val assign = graft.engine.Materialize.stage(ivfTrain(init, iters = 2))
+    val occ = assign.groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+    val hot = occ.orderBy(col("n_before").desc, col("cell")).limit(1)
+      .select(col("cell").as("hotcell"))
+    val mx = occ.agg(max(col("cell")).as("maxcell"))
+    val members = assign.join(broadcast(hot), col("cell") === col("hotcell"))
+      .select(col("vec_id"), col("cell"), col("vfp"))
+    val seedA = members
+      .join(broadcast(cellCentroids(assign)), col("cell") === col("ccell"))
+      .withColumn("d", expr(ivfDistExpr))
+      .orderBy(col("d").desc, col("vec_id")).limit(1)
+      .select(col("vfp").as("avfp"))
+    val seedB = members.crossJoin(broadcast(seedA))
+      .withColumn("da", expr(
+        "aggregate(zip_with(vfp, avfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .orderBy(col("da").desc, col("vec_id")).limit(1)
+      .select(col("vfp").as("bvfp"))
+    val sp = members.crossJoin(broadcast(seedA)).crossJoin(broadcast(seedB))
+      .crossJoin(broadcast(mx))
+      .withColumn("da", expr(
+        "aggregate(zip_with(vfp, avfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("db", expr(
+        "aggregate(zip_with(vfp, bvfp, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .select(col("vec_id"),
+        when(col("da") <= col("db"), col("cell"))
+          .otherwise(col("maxcell") + 1).as("cell"))
+    val untouched = assign.join(broadcast(hot),
+        col("cell") === col("hotcell"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+    val after = untouched.unionByName(sp)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_after"))
+    occ.join(after, Seq("cell"), "full_outer")
+      .crossJoin(broadcast(hot)).crossJoin(broadcast(mx))
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("cell") === col("hotcell") ||
+          col("cell") === col("maxcell") + 1).cast("long").as("is_child"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB twin of [[annIvfSplit]]: the label-seeded training rounds,
+    * the same deterministic seed picks (argmax LIMIT 1), the nearer-seed
+    * assignment, and the before/after census.
+    */
+  def annIvfSplitSqlFor(iters: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell, vfp FROM v),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfCentroidsSql(s"a$iters")},
+       |occ AS (SELECT cell, COUNT(*) AS n_before FROM a$iters GROUP BY 1),
+       |hot AS (SELECT cell AS hotcell FROM occ ORDER BY n_before DESC, cell LIMIT 1),
+       |mx AS (SELECT MAX(cell) AS maxcell FROM occ),
+       |mem AS (SELECT a.vec_id, a.cell, a.vfp FROM a$iters a JOIN hot h ON a.cell = h.hotcell),
+       |md AS (
+       |  SELECT m.vec_id, m.vfp,
+       |    CAST(list_aggregate(list_transform(list_zip(m.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d
+       |  FROM mem m JOIN ceF c ON m.cell = c.ccell),
+       |sa AS (SELECT vfp AS avfp FROM md ORDER BY d DESC, vec_id LIMIT 1),
+       |mda AS (
+       |  SELECT m.vec_id, m.vfp,
+       |    CAST(list_aggregate(list_transform(list_zip(m.vfp, s.avfp),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS da
+       |  FROM mem m CROSS JOIN sa s),
+       |sb AS (SELECT vfp AS bvfp FROM mda ORDER BY da DESC, vec_id LIMIT 1),
+       |sp AS (
+       |  SELECT m.vec_id,
+       |    CASE WHEN
+       |      CAST(list_aggregate(list_transform(list_zip(m.vfp, s.avfp),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)
+       |      <= CAST(list_aggregate(list_transform(list_zip(m.vfp, t.bvfp),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)
+       |    THEN m.cell ELSE (SELECT maxcell FROM mx) + 1 END AS cell
+       |  FROM mem m CROSS JOIN sa s CROSS JOIN sb t),
+       |untouched AS (
+       |  SELECT a.vec_id, a.cell FROM a$iters a
+       |  WHERE a.cell <> (SELECT hotcell FROM hot)),
+       |aft AS (
+       |  SELECT cell, COUNT(*) AS n_after FROM (
+       |    SELECT * FROM untouched UNION ALL SELECT * FROM sp) GROUP BY 1)
+       |SELECT CAST(COALESCE(o.cell, a.cell) AS BIGINT) AS cell,
+       |  CAST(COALESCE(o.n_before, 0) AS BIGINT) AS n_before,
+       |  CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       |  CAST(CASE WHEN COALESCE(o.cell, a.cell) = (SELECT hotcell FROM hot)
+       |    OR COALESCE(o.cell, a.cell) = (SELECT maxcell FROM mx) + 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_child
+       |FROM occ o FULL OUTER JOIN aft a ON o.cell = a.cell
+       |ORDER BY cell""".stripMargin
+
   /** METADATA-FILTERED ANN — production vector search's hard mode:
     * "top-k neighbors WHERE <predicate>" (tenant, language, license,
     * freshness). Grades the two standard strategies against the exact
@@ -3736,6 +3849,7 @@ object Similarity {
     "sim_ann_ivf_append" -> (annIvfAppend _),
     "sim_ann_filtered" -> (annIvfFiltered _),
     "sim_ann_index_health" -> (annIndexHealth _),
+    "sim_ann_ivf_split" -> (annIvfSplit _),
     "sim_ann_ivf_seeded" -> (annIvfSeeded _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ann_ivf_recall" -> (annIvfRecall _),
@@ -3797,6 +3911,7 @@ object Similarity {
     "sim_ann_ivf_append" -> annIvfAppendSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_filtered" -> annIvfFilteredSqlFor(iters = 2, nQueries = 10, k = 5, nprobe = 2),
     "sim_ann_index_health" -> annIndexHealthSqlFor(iters = 2),
+    "sim_ann_ivf_split" -> annIvfSplitSqlFor(iters = 2),
     "sim_ann_ivf_seeded" -> annIvfSeededSqlFor(nSeeds = 5, iters = 2,
       nQueries = 10, k = 5, nprobe = 4),
     "sim_ann_recall" -> annRecallSqlFor(nQueries = 10, k = 5,

@@ -45,6 +45,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // index health: the frozen quantizer broadcast for assignment and
     // the per-member distance scan, plus the 1-row total frame (q60)
     "sim_ann_filtered", "sim_ann_index_health",
+    // hot-cell split: 1-row hot/max frames and 1-row seed-vector frames
+    // broadcast onto the single cell's members (three bounded scans)
+    "sim_ann_ivf_split",
     "sim_ann_ivf_recall", // composes annIvfSeeded + cosineTopK — same bounded broadcasts
     "sim_ann_nprobe_curve", // three annIvfRecall points — same composition
     // IVF-PQ: the k×dim centroid table and nSub×K codebook broadcast to
