@@ -1256,66 +1256,97 @@ object Similarity {
       k: Int, nprobe: Int, nSub: Int, subDim: Int, nCodes: Int,
       rerank: Int): DataFrame = {
     graft.plans.GraftExtensions.register(e.sparkSession)
-    val sliceExpr = (src: String) =>
-      s"transform(sequence(0, ${nSub - 1}), s -> slice($src, s * $subDim + 1, $subDim))"
-    val subDist = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
     // ---- coarse trainer: label-seeded cells, truncated-division KMeans
-    var assign = e.select(col("vec_id"), col("label").as("cell"),
-      expr(vfpExpr).as("vfp"))
-    for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("ccell"))
-      assign = assign.crossJoin(broadcast(cellCentroids(assign)))
-        .withColumn("dist", expr(ivfDistExpr))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("ccell").as("cell"), col("vfp"))
-        .localCheckpoint(true)
-    }
+    val assign = ivfTrain(e.select(col("vec_id"), col("label").as("cell"),
+      expr(vfpExpr).as("vfp")), iters)
     val cent = cellCentroids(assign)
-    // ---- residual slices per subspace (one corpus scan, centroids broadcast)
-    val subs = assign.join(broadcast(cent), col("cell") === col("ccell"))
+    val subs = pqResidualSubs(assign, cent, nSub, subDim).localCheckpoint(true)
+    val cb = pqTrainCodebooks(subs, pqIters, nCodes)
+    val codes = pqEncodeFrozen(subs, cb).drop("err_fp")
+    ivfPqProbeTail(assign, cent, cb, codes, nQueries, k, nprobe, nSub,
+      subDim, rerank)
+  }
+
+  private def pqSliceExpr(src: String, nSub: Int, subDim: Int): String =
+    s"transform(sequence(0, ${nSub - 1}), s -> slice($src, s * $subDim + 1, $subDim))"
+
+  private def pqSubDist(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+
+  /** Residual subspace slices of an assignment against its (possibly
+    * FROZEN) coarse centroids: r = vfp − centroid(cell), split into
+    * nSub × subDim slices — one scan with the centroid table broadcast,
+    * the shared front half of PQ training, encoding, and the append
+    * path's frozen-codebook encode.
+    */
+  private[graft] def pqResidualSubs(assign: DataFrame, cent: DataFrame,
+      nSub: Int, subDim: Int): DataFrame =
+    assign.join(broadcast(cent), col("cell") === col("ccell"))
       .withColumn("res", expr("zip_with(vfp, carr, (a, b) -> a - b)"))
       .select(col("vec_id"), col("cell"),
-        posexplode(expr(sliceExpr("res"))).as(Seq("subspace", "sv")))
-      .localCheckpoint(true)
-    // ---- per-subspace K-codeword codebook: vec_id % K init, `pqIters`
-    // KMeans rounds; all subspaces in one frame (subspace = group key)
-    def codebookOf(a: DataFrame): DataFrame = a
-      .select(col("cl"), col("subspace").as("csub"),
-        posexplode(col("sv")).as(Seq("dim", "v")))
-      .groupBy(col("cl"), col("csub"), col("dim"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", expr("s div n"))
-      .groupBy(col("cl"), col("csub"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
-        .as("cw"))
-    val wCode = Window.partitionBy(col("vec_id"), col("subspace"))
-      .orderBy(col("cdist"), col("cl"))
+        posexplode(expr(pqSliceExpr("res", nSub, subDim))).as(Seq("subspace", "sv")))
+
+  /** Truncated-mean codewords of the current (cl, subspace, sv)
+    * assignment — all subspaces in one frame (subspace is a group key). */
+  private def pqCodebookOf(a: DataFrame): DataFrame = a
+    .select(col("cl"), col("subspace").as("csub"),
+      posexplode(col("sv")).as(Seq("dim", "v")))
+    .groupBy(col("cl"), col("csub"), col("dim"))
+    .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    .withColumn("c", expr("s div n"))
+    .groupBy(col("cl"), col("csub"))
+    .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+      .as("cw"))
+
+  private val pqCodeWindow = Window.partitionBy(col("vec_id"), col("subspace"))
+    .orderBy(col("cdist"), col("cl"))
+
+  /** Per-subspace K-codeword codebook trainer: vec_id % K init, `pqIters`
+    * truncated-division KMeans rounds over the residual slices. Returns
+    * the trained (cl, csub, cw) codebook table — KBs, broadcast-ready.
+    */
+  private[graft] def pqTrainCodebooks(subs: DataFrame, pqIters: Int,
+      nCodes: Int): DataFrame = {
     var pqa = subs.withColumn("cl", expr(s"vec_id % $nCodes"))
     for (_ <- 1 to pqIters) {
-      pqa = pqa.drop("cl").join(broadcast(codebookOf(pqa)),
+      pqa = pqa.drop("cl").join(broadcast(pqCodebookOf(pqa)),
           col("subspace") === col("csub"))
-        .withColumn("cdist", expr(subDist("sv", "cw")))
-        .withColumn("rn", row_number().over(wCode))
+        .withColumn("cdist", expr(pqSubDist("sv", "cw")))
+        .withColumn("rn", row_number().over(pqCodeWindow))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cell"), col("subspace"), col("sv"), col("cl"))
         .localCheckpoint(true)
     }
-    val cb = codebookOf(pqa)
-    // ---- scan-side encoding: argmin codeword per (vector, subspace)
-    val codes = subs.join(broadcast(cb), col("subspace") === col("csub"))
-      .withColumn("cdist", expr(subDist("sv", "cw")))
-      .withColumn("rn", row_number().over(wCode))
+    pqCodebookOf(pqa)
+  }
+
+  /** Encode residual slices against a FROZEN codebook: scan-side argmin
+    * codeword per (vector, subspace), ties to the smaller codeword id,
+    * with the exact fixed-point squared error kept — the append path's
+    * one-scan encode and the health monitor's distortion source.
+    */
+  private[graft] def pqEncodeFrozen(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), col("subspace") === col("csub"))
+      .withColumn("cdist", expr(pqSubDist("sv", "cw")))
+      .withColumn("rn", row_number().over(pqCodeWindow))
       .filter(col("rn") === 1)
       .select(col("vec_id").as("cid"), col("cell"), col("subspace"),
-        col("cl").as("code"))
+        col("cl").as("code"), col("cdist").as("err_fp"))
+
+  /** The IVF-PQ query path over prepared index artifacts (assignment,
+    * coarse centroids, codebooks, codes) — factored from [[annIvfPqOn]]
+    * so the append lifecycle can probe a reloaded, appended index
+    * through its FROZEN quantizer and codebooks ([[annIvfPqAppend]]).
+    */
+  private def ivfPqProbeTail(assign: DataFrame, cent: DataFrame,
+      cb: DataFrame, codes: DataFrame, nQueries: Int, k: Int, nprobe: Int,
+      nSub: Int, subDim: Int, rerank: Int): DataFrame = {
     // ---- query probe: nprobe nearest trained cells per query
     val q = assign.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("vfp").as("qvfp"))
     val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
     val probed = q.crossJoin(broadcast(cent))
-      .withColumn("cdist", expr(subDist("qvfp", "carr")))
+      .withColumn("cdist", expr(pqSubDist("qvfp", "carr")))
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= nprobe)
       .select(col("qid"), col("qvfp"), col("ccell"), col("carr"))
@@ -1324,9 +1355,9 @@ object Similarity {
     val adc = probed
       .withColumn("qres", expr("zip_with(qvfp, carr, (a, b) -> a - b)"))
       .select(col("qid"), col("ccell"),
-        posexplode(expr(sliceExpr("qres"))).as(Seq("asub", "qsv")))
+        posexplode(expr(pqSliceExpr("qres", nSub, subDim))).as(Seq("asub", "qsv")))
       .join(broadcast(cb), col("asub") === col("csub"))
-      .withColumn("d", expr(subDist("qsv", "cw")))
+      .withColumn("d", expr(pqSubDist("qsv", "cw")))
       .select(col("qid"), col("ccell"), col("asub"), col("cl").as("acode"),
         col("d"))
     // ---- candidates = codes in probed cells; ADC score = Σ table lookups
@@ -1345,12 +1376,107 @@ object Similarity {
     shortlist
       .join(assign.select(col("vec_id").as("cid"), col("vfp").as("cvfp")), "cid")
       .join(broadcast(q), "qid")
-      .withColumn("dist_fp", expr(subDist("qvfp", "cvfp")))
+      .withColumn("dist_fp", expr(pqSubDist("qvfp", "cvfp")))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"),
         col("dist_fp"), col("cell"))
       .orderBy(col("vec_id"), col("neighbor_id"))
+  }
+
+  /** PQ CODEBOOK MAINTENANCE — the IVF-PQ mirror of [[annIvfAppend]]'s
+    * coarse trilogy (VERDICT r14 item 1): train the full index on the
+    * base corpus (vec_id % 7 ≠ 3), persist ALL FOUR artifacts a serving
+    * deployment keeps — the posting-list assignment, the frozen coarse
+    * quantizer, the frozen per-subspace codebooks, and the code table —
+    * then micro-batch-append the held-out vectors WITHOUT retraining
+    * anything: assign them to the frozen coarse cells
+    * ([[ivfAssignFrozen]]), residual-encode them against the frozen
+    * codebooks in ONE scan with the codebooks broadcast
+    * ([[pqEncodeFrozen]]), append assignment + codes to the persisted
+    * index, and probe the appended index through the frozen quantizer
+    * and codebooks via the full ADC + exact-re-rank path. At 100 TB the
+    * alternative is re-running the PQ KMeans over every residual
+    * nightly; this is O(batch × K) with zero shuffles of the standing
+    * code table. The oracle replays the entire lifecycle — base-only
+    * coarse rounds, base-only codebook rounds, frozen-artifact encoding
+    * of the appended rows, ADC probe over the union — so
+    * probe-after-append is hash-graded, not assumed.
+    */
+  def annIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (iters, pqIters, nSub, subDim, nCodes) = (2, 2, 16, 4, 32)
+    val isNew = expr("vec_id % 7 = 3")
+    val root = s"${graft.engine.WorkDirs.processScoped("graft_pq_app")}/" +
+      s"index-${ivfIdxNonce.incrementAndGet()}"
+    val (idxDir, centDir, cbDir, codesDir) =
+      (s"$root/assign", s"$root/quantizer", s"$root/codebooks", s"$root/codes")
+    val assign = ivfTrain(e.filter(!isNew).select(col("vec_id"),
+      col("label").as("cell"), expr(vfpExpr).as("vfp")), iters)
+    assign.write.mode("overwrite").parquet(idxDir)
+    cellCentroids(assign).write.mode("overwrite").parquet(centDir)
+    val subs = pqResidualSubs(assign, spark.read.parquet(centDir), nSub, subDim)
+      .localCheckpoint(true)
+    val cb = pqTrainCodebooks(subs, pqIters, nCodes)
+    cb.write.mode("overwrite").parquet(cbDir)
+    pqEncodeFrozen(subs, spark.read.parquet(cbDir)).drop("err_fp")
+      .write.mode("overwrite").parquet(codesDir)
+    // the maintenance micro-batch: frozen cells, then frozen codebooks —
+    // nothing retrains, both artifacts are read back from disk
+    val newAssign = ivfAssignFrozen(e.filter(isNew), spark.read.parquet(centDir))
+    newAssign.write.mode("append").parquet(idxDir)
+    pqEncodeFrozen(
+        pqResidualSubs(newAssign, spark.read.parquet(centDir), nSub, subDim),
+        spark.read.parquet(cbDir))
+      .drop("err_fp")
+      .write.mode("append").parquet(codesDir)
+    ivfPqProbeTail(spark.read.parquet(idxDir), spark.read.parquet(centDir),
+      spark.read.parquet(cbDir), spark.read.parquet(codesDir),
+      nQueries = 10, k = 5, nprobe = 4, nSub = nSub, subDim = subDim,
+      rerank = 50)
+  }
+
+  /** PQ CODEBOOK HEALTH — wires [[pqDistortion]]'s report into the
+    * rebuild-trigger gate the coarse cells got in [[annIndexHealth]]
+    * (VERDICT r14 item 1): per (subspace, code), the base vs appended
+    * populations and their exact mean fixed-point residual errors, plus
+    * `drift_bp` = new/base mean error in basis points and a `retrain`
+    * flag at >1.5×. Appended vectors encoding systematically worse than
+    * the base population mean the frozen codebooks no longer describe
+    * the incoming residual distribution — the signal that ends
+    * [[annIvfPqAppend]]'s retrain-free lifecycle. All-integer (means are
+    * truncating `div`, NULL for an empty population; a NULL drift reads
+    * as no-retrain), so the whole gate hash-grades. Scale shape: the
+    * lifecycle's scans plus ONE (subspace, code)-keyed aggregate; the
+    * output is nSub × K rows.
+    */
+  def annIvfPqHealth(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (iters, pqIters, nSub, subDim, nCodes) = (2, 2, 16, 4, 32)
+    val isNew = expr("vec_id % 7 = 3")
+    val assign = ivfTrain(e.filter(!isNew).select(col("vec_id"),
+      col("label").as("cell"), expr(vfpExpr).as("vfp")), iters)
+    val cent = cellCentroids(assign)
+    val subs = pqResidualSubs(assign, cent, nSub, subDim).localCheckpoint(true)
+    val cb = pqTrainCodebooks(subs, pqIters, nCodes)
+    val newAssign = ivfAssignFrozen(e.filter(isNew), cent)
+    val u = pqEncodeFrozen(subs, cb).withColumn("src", lit(0L))
+      .unionByName(pqEncodeFrozen(
+        pqResidualSubs(newAssign, cent, nSub, subDim), cb)
+        .withColumn("src", lit(1L)))
+    u.groupBy(col("subspace"), col("code"))
+      .agg(sum(when(col("src") === 0L, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("src") === 1L, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("src") === 0L, col("err_fp"))).as("be"),
+        sum(when(col("src") === 1L, col("err_fp"))).as("ne"))
+      .select(col("subspace"), col("code"), col("n_base"), col("n_new"),
+        expr("be div nullif(n_base, 0L)").as("base_mean_err"),
+        expr("ne div nullif(n_new, 0L)").as("new_mean_err"))
+      .withColumn("drift_bp",
+        expr("new_mean_err * 10000L div nullif(base_mean_err, 0L)"))
+      .withColumn("retrain",
+        expr("cast(case when drift_bp > 15000 then 1 else 0 end as bigint)"))
+      .orderBy(col("subspace"), col("code"))
   }
 
   /** DuckDB twin of [[annIvfPqOn]]: the [[annIvfSqlFor]] coarse-training
@@ -1360,28 +1486,34 @@ object Similarity {
     * stage integer fixed-point, so the hash grade pins each individual
     * code assignment, every ADC sum, and the final exact distances.
     */
+  /** Fixed-point squared-L2 between two BIGINT lists — the SQL twin of
+    * [[pqSubDist]], shared by every PQ oracle. */
+  private def sqlSubDist(a: String, b: String): String =
+    s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
+
+  /** One codebook KMeans round: truncated means of p{r-1}'s assignment,
+    * then every (vector, subspace) slice reassigned to its nearest
+    * codeword (ties to the smaller codeword id). */
+  private def pqRoundSql(r: Int): String =
+    s"""pex$r AS (
+       |  SELECT cl, subspace AS csub, t.i AS dim, sv[t.i] AS val
+       |  FROM p${r - 1}, UNNEST(generate_series(1, len(sv))) AS t(i)),
+       |pcs$r AS (SELECT cl, csub, dim, SUM(val) AS s, COUNT(*) AS n FROM pex$r GROUP BY 1, 2, 3),
+       |pcb$r AS (SELECT cl, csub, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cw
+       |          FROM pcs$r GROUP BY cl, csub),
+       |pd$r AS (
+       |  SELECT p.vec_id, p.cell, p.subspace, p.sv, b.cl,
+       |    ${sqlSubDist("p.sv", "b.cw")} AS cdist
+       |  FROM p${r - 1} p JOIN pcb$r b ON p.subspace = b.csub),
+       |prk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY cdist, cl) AS rn FROM pd$r),
+       |p$r AS (SELECT vec_id, cell, subspace, sv, cl FROM prk$r WHERE rn = 1)""".stripMargin
+
   def annIvfPqSqlFor(iters: Int, pqIters: Int, nQueries: Int, k: Int,
       nprobe: Int, nSub: Int, subDim: Int, nCodes: Int,
       rerank: Int): String = {
-    val subDistSql = (a: String, b: String) =>
-      s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
-         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)""".stripMargin
-    // one codebook KMeans round: truncated means of p{r-1}'s assignment,
-    // then every (vector, subspace) slice reassigned to its nearest
-    // codeword (ties to the smaller codeword id)
-    def pqRound(r: Int): String =
-      s"""pex$r AS (
-         |  SELECT cl, subspace AS csub, t.i AS dim, sv[t.i] AS val
-         |  FROM p${r - 1}, UNNEST(generate_series(1, len(sv))) AS t(i)),
-         |pcs$r AS (SELECT cl, csub, dim, SUM(val) AS s, COUNT(*) AS n FROM pex$r GROUP BY 1, 2, 3),
-         |pcb$r AS (SELECT cl, csub, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cw
-         |          FROM pcs$r GROUP BY cl, csub),
-         |pd$r AS (
-         |  SELECT p.vec_id, p.cell, p.subspace, p.sv, b.cl,
-         |    ${subDistSql("p.sv", "b.cw")} AS cdist
-         |  FROM p${r - 1} p JOIN pcb$r b ON p.subspace = b.csub),
-         |prk$r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY cdist, cl) AS rn FROM pd$r),
-         |p$r AS (SELECT vec_id, cell, subspace, sv, cl FROM prk$r WHERE rn = 1)""".stripMargin
+    val subDistSql = (a: String, b: String) => sqlSubDist(a, b)
+    def pqRound(r: Int): String = pqRoundSql(r)
     s"""WITH v AS (
        |  SELECT vec_id, label, embedding,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
@@ -1517,6 +1649,135 @@ object Similarity {
        |GROUP BY e.qid ORDER BY vec_id""".stripMargin
 
   val annIvfPqRecallSql: String = annIvfPqRecallSqlFor(2, 2, 10, 5, 4, 16, 4, 32, 50)
+
+  /** Shared WITH-body of the PQ maintenance oracles ([[annIvfPqAppend]]
+    * / [[annIvfPqHealth]]): base-only coarse rounds → frozen ceF →
+    * appended rows assigned to the frozen cells (aN) → base residual
+    * slices → base-only codebook rounds → frozen pcbF → base codes
+    * (codesB) and appended codes through the SAME frozen artifacts
+    * (codesN), both with their exact residual errors.
+    */
+  private def pqAppendLifecycleSql(iters: Int, pqIters: Int, nSub: Int,
+      subDim: Int, nCodes: Int): String =
+    s"""v AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell, vfp FROM v WHERE NOT (vec_id % 7 = 3)),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfCentroidsSql(s"a$iters")},
+       |dN AS (
+       |  SELECT v.vec_id, v.vfp, c.ccell,
+       |    CAST(list_aggregate(list_transform(list_zip(v.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+       |  FROM v CROSS JOIN ceF c WHERE v.vec_id % 7 = 3),
+       |rkN AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccell) AS rn FROM dN),
+       |aN AS (SELECT vec_id, ccell AS cell, vfp FROM rkN WHERE rn = 1),
+       |res AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(a.vfp, c.carr), z -> z[1] - z[2]) AS r
+       |  FROM a$iters a JOIN ceF c ON a.cell = c.ccell),
+       |sub AS (
+       |  SELECT vec_id, cell, CAST(t.s AS INT) AS subspace,
+       |    list_slice(r, t.s * $subDim + 1, t.s * $subDim + $subDim) AS sv
+       |  FROM res, UNNEST(generate_series(0, ${nSub - 1})) AS t(s)),
+       |p0 AS (SELECT vec_id, cell, subspace, sv, vec_id % $nCodes AS cl FROM sub),
+       |${(1 to pqIters).map(pqRoundSql).mkString(",\n")},
+       |pexF AS (
+       |  SELECT cl, subspace AS csub, t.i AS dim, sv[t.i] AS val
+       |  FROM p$pqIters, UNNEST(generate_series(1, len(sv))) AS t(i)),
+       |pcsF AS (SELECT cl, csub, dim, SUM(val) AS s, COUNT(*) AS n FROM pexF GROUP BY 1, 2, 3),
+       |pcbF AS (SELECT cl, csub, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cw
+       |         FROM pcsF GROUP BY cl, csub),
+       |cd AS (
+       |  SELECT sub.vec_id, sub.cell, sub.subspace, b.cl,
+       |    ${sqlSubDist("sub.sv", "b.cw")} AS cdist
+       |  FROM sub JOIN pcbF b ON sub.subspace = b.csub),
+       |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY cdist, cl) AS rn FROM cd),
+       |codesB AS (SELECT vec_id AS cid, cell, subspace, cl AS code, cdist AS err_fp FROM crk WHERE rn = 1),
+       |resN AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(a.vfp, c.carr), z -> z[1] - z[2]) AS r
+       |  FROM aN a JOIN ceF c ON a.cell = c.ccell),
+       |subN AS (
+       |  SELECT vec_id, cell, CAST(t.s AS INT) AS subspace,
+       |    list_slice(r, t.s * $subDim + 1, t.s * $subDim + $subDim) AS sv
+       |  FROM resN, UNNEST(generate_series(0, ${nSub - 1})) AS t(s)),
+       |cdN AS (
+       |  SELECT subN.vec_id, subN.cell, subN.subspace, b.cl,
+       |    ${sqlSubDist("subN.sv", "b.cw")} AS cdist
+       |  FROM subN JOIN pcbF b ON subN.subspace = b.csub),
+       |ncrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY cdist, cl) AS rn FROM cdN),
+       |codesN AS (SELECT vec_id AS cid, cell, subspace, cl AS code, cdist AS err_fp FROM ncrk WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of [[annIvfPqAppend]]: the full maintenance lifecycle
+    * replayed — base-only coarse AND codebook training, the appended
+    * rows assigned and residual-encoded through the frozen artifacts —
+    * then [[annIvfPqSqlFor]]'s ADC + exact-re-rank tail over the base ∪
+    * appended union.
+    */
+  def annIvfPqAppendSqlFor(iters: Int, pqIters: Int, nQueries: Int, k: Int,
+      nprobe: Int, nSub: Int, subDim: Int, nCodes: Int,
+      rerank: Int): String =
+    s"""WITH ${pqAppendLifecycleSql(iters, pqIters, nSub, subDim, nCodes)},
+       |codes AS (SELECT cid, cell, subspace, code FROM codesB
+       |  UNION ALL SELECT cid, cell, subspace, code FROM codesN),
+       |aAll AS (SELECT * FROM a$iters UNION ALL SELECT * FROM aN),
+       |q AS (SELECT vec_id AS qid, vfp AS qvfp FROM aAll WHERE vec_id < $nQueries),
+       |pdq AS (
+       |  SELECT q.qid, q.qvfp, c.ccell, c.carr,
+       |    ${sqlSubDist("q.qvfp", "c.carr")} AS cdist
+       |  FROM q CROSS JOIN ceF c),
+       |prq AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS cr FROM pdq),
+       |probed AS (SELECT qid, qvfp, ccell, carr FROM prq WHERE cr <= $nprobe),
+       |qs AS (
+       |  SELECT qid, ccell, CAST(t.s AS INT) AS asub,
+       |    list_slice(list_transform(list_zip(qvfp, carr), z -> z[1] - z[2]),
+       |      t.s * $subDim + 1, t.s * $subDim + $subDim) AS qsv
+       |  FROM probed, UNNEST(generate_series(0, ${nSub - 1})) AS t(s)),
+       |adc AS (
+       |  SELECT qs.qid, qs.ccell, qs.asub, b.cl AS acode,
+       |    ${sqlSubDist("qs.qsv", "b.cw")} AS d
+       |  FROM qs JOIN pcbF b ON qs.asub = b.csub),
+       |sc AS (
+       |  SELECT adc.qid, codes.cid, codes.cell, CAST(SUM(adc.d) AS BIGINT) AS adc_fp
+       |  FROM codes JOIN adc ON codes.cell = adc.ccell
+       |    AND codes.subspace = adc.asub AND codes.code = adc.acode
+       |    AND adc.qid <> codes.cid
+       |  GROUP BY 1, 2, 3),
+       |srk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_fp, cid) AS rn FROM sc),
+       |short AS (SELECT qid, cid, cell FROM srk WHERE rn <= $rerank),
+       |rr AS (
+       |  SELECT s.qid, s.cid, s.cell,
+       |    ${sqlSubDist("q.qvfp", "a.vfp")} AS dist_fp
+       |  FROM short s JOIN aAll a ON s.cid = a.vec_id JOIN q ON s.qid = q.qid),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist_fp, cid) AS rn FROM rr)
+       |SELECT qid AS vec_id, cid AS neighbor_id, dist_fp, cell
+       |FROM rk WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
+
+  /** DuckDB twin of [[annIvfPqHealth]]: the lifecycle prefix, then the
+    * per-(subspace, code) base/appended population and mean-error
+    * aggregate with the drift/retrain gate arithmetic.
+    */
+  def annIvfPqHealthSqlFor(iters: Int, pqIters: Int, nSub: Int, subDim: Int,
+      nCodes: Int): String =
+    s"""WITH ${pqAppendLifecycleSql(iters, pqIters, nSub, subDim, nCodes)},
+       |u AS (SELECT subspace, code, err_fp, 0 AS src FROM codesB
+       |  UNION ALL SELECT subspace, code, err_fp, 1 FROM codesN),
+       |h AS (
+       |  SELECT subspace, code,
+       |    CAST(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(SUM(CASE WHEN src = 0 THEN err_fp END)
+       |      // nullif(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS base_mean_err,
+       |    CAST(SUM(CASE WHEN src = 1 THEN err_fp END)
+       |      // nullif(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS new_mean_err
+       |  FROM u GROUP BY subspace, code)
+       |SELECT subspace, code, n_base, n_new, base_mean_err, new_mean_err,
+       |  CAST(new_mean_err * 10000 // nullif(base_mean_err, 0) AS BIGINT) AS drift_bp,
+       |  CAST(CASE WHEN new_mean_err * 10000 // nullif(base_mean_err, 0) > 15000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
+       |FROM h ORDER BY subspace, code""".stripMargin
 
   /** DuckDB twin of the banded sign-LSH signature pipeline. "Approximate"
     * here never meant "non-deterministic": the hyperplanes are a fixed
@@ -3855,6 +4116,8 @@ object Similarity {
     "sim_ann_ivf_recall" -> (annIvfRecall _),
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_ivfpq_recall" -> (annIvfPqRecall _),
+    "sim_ann_pq_append" -> (annIvfPqAppend _),
+    "sim_ann_pq_health" -> (annIvfPqHealth _),
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
@@ -3929,6 +4192,11 @@ object Similarity {
     "sim_triplet_margin" -> tripletMarginSqlFor(nBands = 16, bandBits = 8),
     "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallSql,
+    "sim_ann_pq_append" -> annIvfPqAppendSqlFor(iters = 2, pqIters = 2,
+      nQueries = 10, k = 5, nprobe = 4, nSub = 16, subDim = 4, nCodes = 32,
+      rerank = 50),
+    "sim_ann_pq_health" -> annIvfPqHealthSqlFor(iters = 2, pqIters = 2,
+      nSub = 16, subDim = 4, nCodes = 32),
     "sim_matryoshka_recall" -> matryoshkaRecallSql,
     "sim_silhouette" -> silhouetteSql,
     "sim_label_spread" -> labelSpreadSqlFor(k = 3, nBands = 16, bandBits = 8,

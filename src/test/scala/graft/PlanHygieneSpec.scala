@@ -55,6 +55,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // additionally broadcasts the nQueries-row query side for the exact
     // fixed-point L2 baseline (non-equi qid != cid condition)
     "sim_ann_ivfpq", "sim_ann_ivfpq_recall",
+    // PQ maintenance lifecycle: the frozen k×dim quantizer broadcast for
+    // the appended batch's argmin assignment and the probe's cell
+    // ranking, plus the frozen nSub×K codebook broadcast for the
+    // residual encodes and the ADC table (all sim_ann_ivfpq's shapes)
+    "sim_ann_pq_append", "sim_ann_pq_health",
     // matryoshka recall: two cosineTopK passes (truncated + full), each
     // the whitelisted 10-query broadcast with the non-equi qid != cid
     "sim_matryoshka_recall",
