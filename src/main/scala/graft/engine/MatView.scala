@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * conf'd root path), which dimensions it grains on, and which measure
   * states it carries.
   *
-  *  - `measure`: an integral-valued DOUBLE column whose partial sums
-  *    re-add exactly at any partition order — the view carries
-  *    SUM/COUNT-non-null/MIN/MAX states for it, answering
-  *    SUM / AVG / MIN / MAX(measure).
+  *  - `measures`: columns whose partial sums re-add exactly at any
+  *    partition order (integral-valued DOUBLEs or integer types) — the
+  *    view carries SUM/COUNT-non-null/MIN/MAX states for EACH,
+  *    answering SUM / AVG / MIN / MAX(measure). One view serves a
+  *    multi-measure dashboard family (VERDICT r14 item 2).
   *  - `cents`: a price column whose exact-cents revenue idiom
   *    `SUM(floor(col·100 + 0.5))` the view precomputes as
   *    `mv_sum_price_cents` (integer partials, exact re-aggregation).
@@ -26,14 +27,14 @@ final case class MvViewDef(
     name: String,
     signature: Set[String],
     dims: Seq[String],
-    measure: Option[String],
+    measures: Seq[String],
     cents: Option[String]) {
   def pathKey: String = s"spark.graft.mv.$name.path"
   def baseKey: String = s"spark.graft.mv.$name.base"
   /** Columns the built view must expose for the rewrite to trust it. */
   def requiredViewCols: Set[String] =
     dims.toSet + "mv_cnt" ++
-      measure.toSet.flatMap((m: String) =>
+      measures.toSet.flatMap((m: String) =>
         Set(s"mv_sum_$m", s"mv_min_$m", s"mv_max_$m", s"mv_cntnn_$m")) ++
       cents.map(_ => "mv_sum_price_cents").toSet
 }
@@ -56,7 +57,7 @@ final case class MvJoinViewDef(
     leftTable: String, leftSignature: Set[String], leftKey: String,
     rightTable: String, rightSignature: Set[String], rightKey: String,
     dims: Seq[String],
-    measure: Option[String],
+    measures: Seq[String],
     cents: Option[String]) {
   def pathKey: String = s"spark.graft.mv.$name.path"
   def leftBaseKey: String = s"spark.graft.mv.$name.leftBase"
@@ -64,7 +65,7 @@ final case class MvJoinViewDef(
   /** Columns the built view must expose for the rewrite to trust it. */
   def requiredViewCols: Set[String] =
     dims.toSet + "mv_cnt" ++
-      measure.toSet.flatMap((m: String) =>
+      measures.toSet.flatMap((m: String) =>
         Set(s"mv_sum_$m", s"mv_min_$m", s"mv_max_$m", s"mv_cntnn_$m")) ++
       cents.map(_ => "mv_sum_price_cents").toSet
 }
@@ -122,13 +123,13 @@ object MatView {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate"),
       dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
-      measure = Some("l_quantity"),
+      measures = Seq("l_quantity"),
       cents = Some("l_extendedprice")),
     "orders" -> MvViewDef("orders",
       signature = Set("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority"),
       dims = Seq("o_orderstatus", "o_orderpriority", "o_orderdate"),
-      measure = None,
+      measures = Seq.empty,
       cents = Some("o_totalprice")))
 
   /** The join-view catalog: fact ⋈ fact summaries keyed by view name.
@@ -145,7 +146,7 @@ object MatView {
       rightSignature = registry("orders").signature,
       rightKey = "o_orderkey",
       dims = Seq("l_returnflag", "o_orderstatus", "o_orderpriority"),
-      measure = Some("l_quantity"),
+      measures = Seq("l_quantity"),
       cents = Some("l_extendedprice")),
     // second entry: different fact, different key pair, dims from both
     // sides, no measure — proves the join machinery isn't shaped around
@@ -160,7 +161,7 @@ object MatView {
         "c_acctbal", "c_mktsegment"),
       rightKey = "c_custkey",
       dims = Seq("c_mktsegment", "o_orderstatus", "o_orderpriority"),
-      measure = None,
+      measures = Seq.empty,
       cents = Some("o_totalprice")))
 
   /** Build the join view's summary from the two base tables at `dir`. */
@@ -180,7 +181,7 @@ object MatView {
   def aggregateJoin(left: DataFrame, right: DataFrame,
       d: MvJoinViewDef): DataFrame = {
     val states = Seq(count(lit(1)).as("mv_cnt")) ++
-      d.measure.toSeq.flatMap(m => Seq(
+      d.measures.flatMap(m => Seq(
         sum(col(m)).as(s"mv_sum_$m"),
         min(col(m)).as(s"mv_min_$m"),
         max(col(m)).as(s"mv_max_$m"),
@@ -200,7 +201,7 @@ object MatView {
   def applyDeltaJoin(mv: DataFrame, deltaState: DataFrame,
       d: MvJoinViewDef): DataFrame = {
     val merges = Seq(sum(col("mv_cnt")).as("mv_cnt")) ++
-      d.measure.toSeq.flatMap(m => Seq(
+      d.measures.flatMap(m => Seq(
         sum(col(s"mv_sum_$m")).as(s"mv_sum_$m"),
         min(col(s"mv_min_$m")).as(s"mv_min_$m"),
         max(col(s"mv_max_$m")).as(s"mv_max_$m"),
@@ -238,7 +239,7 @@ object MatView {
     */
   def aggregate(base: DataFrame, d: MvViewDef): DataFrame = {
     val states = Seq(count(lit(1)).as("mv_cnt")) ++
-      d.measure.toSeq.flatMap(m => Seq(
+      d.measures.flatMap(m => Seq(
         sum(col(m)).as(s"mv_sum_$m"),
         // MIN/MAX are re-aggregable monoids like the sums
         min(col(m)).as(s"mv_min_$m"),
@@ -263,7 +264,7 @@ object MatView {
     */
   def applyDelta(mv: DataFrame, delta: DataFrame, d: MvViewDef): DataFrame = {
     val merges = Seq(sum(col("mv_cnt")).as("mv_cnt")) ++
-      d.measure.toSeq.flatMap(m => Seq(
+      d.measures.flatMap(m => Seq(
         sum(col(s"mv_sum_$m")).as(s"mv_sum_$m"),
         min(col(s"mv_min_$m")).as(s"mv_min_$m"),
         max(col(s"mv_max_$m")).as(s"mv_max_$m"),

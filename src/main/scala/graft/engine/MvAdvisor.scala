@@ -131,9 +131,11 @@ object MvAdvisor {
     * one advisor row into a live view the [[graft.plans.MvRewriteRule]]
     * answers from — synthesize the [[MvViewDef]]/[[MvJoinViewDef]] from
     * the candidate (grain = the advised dims; states inferred from the
-    * advised aggregate calls: a plain `sum/avg/min/max(col)` text is the
-    * measure, the exact-cents idiom `sum(FLOOR(col * 100.0 + 0.5))` is
-    * the cents state), build the summary with the SAME builders the
+    * advised aggregate calls: each plain `sum/avg/min/max(col)` text is
+    * a measure — one state per advised column, so a multi-measure
+    * dashboard family materializes ONCE — and the exact-cents idiom
+    * `sum(FLOOR(col * 100.0 + 0.5))` is the cents state), build the
+    * summary with the SAME builders the
     * hand registry uses, write it to `mvPath`, register the def in the
     * dynamic catalog, and set its conf keys so the rewrite arms
     * immediately. Returns the def (Left = single-table, Right = join).
@@ -146,13 +148,13 @@ object MvAdvisor {
     */
   def materialize(spark: SparkSession, c: ViewCandidate, name: String,
       mvPath: String): Either[MvViewDef, MvJoinViewDef] = {
+    // one SUM/MIN/MAX/CNTNN state per advised measure — MatView carries
+    // any number of measure states per view (VERDICT r14 item 2: the
+    // real dashboard tier is multi-measure on day one)
     val measures = c.aggs.flatMap {
       case MeasureAggRe(_, m) => Some(m)
       case _ => None
-    }.distinct
-    require(measures.size <= 1,
-      s"candidate needs ${measures.size} measure states ($measures); " +
-        "MvViewDef carries one — split the workload or extend the def")
+    }.distinct.sorted
     val cents = c.aggs.flatMap(centsColOf).distinct
     require(cents.size <= 1, s"multiple cents states advised: $cents")
     if (!c.base.contains(" ⋈ ")) {
@@ -160,8 +162,13 @@ object MvAdvisor {
       val base = Tables.load(spark, dir, table)
       val cols = base.columns.toSet
       require(c.dims.forall(cols), s"advised dims ${c.dims} not all in $table")
-      val d = MvViewDef(name, cols, c.dims,
-        measures.headOption.filter(cols), cents.headOption.filter(cols))
+      // an advised state missing from the base schema is a synthesis bug,
+      // not a state to drop silently (ADVICE r14): the view would build
+      // without it and the rewrite would quietly never fire
+      require(measures.forall(cols),
+        s"advised measures $measures not all in $table")
+      require(cents.forall(cols), s"advised cents $cents not in $table")
+      val d = MvViewDef(name, cols, c.dims, measures, cents.headOption)
       MatView.aggregate(base, d).write.mode("overwrite").parquet(mvPath)
       MatView.register(d)
       spark.conf.set(d.pathKey, mvPath)
@@ -183,9 +190,12 @@ object MvAdvisor {
         s"cannot assign join keys ${keys.toSeq} to sides unambiguously")
       require(c.dims.forall(dc => c1(dc) || c2(dc)),
         s"advised dims ${c.dims} not all in $t1/$t2")
+      require(measures.forall(m => c1(m) || c2(m)),
+        s"advised measures $measures not all in $t1/$t2")
+      require(cents.forall(m => c1(m) || c2(m)),
+        s"advised cents $cents not in $t1/$t2")
       val d = MvJoinViewDef(name, t1, c1, k1.head, t2, c2, k2.head, c.dims,
-        measures.headOption.filter(m => c1(m) || c2(m)),
-        cents.headOption.filter(m => c1(m) || c2(m)))
+        measures, cents.headOption)
       MatView.aggregateJoin(f1, f2, d).write.mode("overwrite").parquet(mvPath)
       MatView.registerJoin(d)
       spark.conf.set(d.pathKey, mvPath)

@@ -38,20 +38,22 @@ import graft.engine.{MatView, MvJoinViewDef, MvViewDef}
   *  - every aggregate call is COUNT(literal), SUM / AVG / MIN /
   *    MAX(measure), or the exact-cents revenue sum
   *    SUM(floor(cents·100 + 0.5)) — all re-aggregable from the states
-  *    the view carries. COUNT becomes SUM(mv_cnt) (coalesced to 0 for
-  *    the empty-input edge); the cents sum becomes
-  *    SUM(mv_sum_price_cents); SUM(measure) re-sums the partial sums,
-  *    which the alias remapping below routes to `mv_sum_<measure>`
-  *    unchanged; AVG re-derives as Σ partial-sums / Σ non-null counts
+  *    the view carries (measures may be MANY per view). COUNT becomes
+  *    SUM(mv_cnt) (coalesced to 0 for the empty-input edge); the cents
+  *    sum becomes SUM(mv_sum_price_cents); SUM(measure) re-sums the
+  *    partial sums as an explicitly derived SUM(mv_sum_<measure>) —
+  *    never an alias remap, which would bind a LONG partial-sum column
+  *    to an INT base attribute's exprId for integer measures;
+  *    AVG re-derives as Σ partial-sums / Σ non-null counts
   *    (`mv_cntnn_<measure>` — Average's divisor is the NON-NULL count,
   *    so the row count mv_cnt would diverge under nulls; ADVICE r12);
   *    MIN/MAX fold the cell minima/maxima (monoids, like the sums).
   *
   * Mechanics: the view relation is wrapped in a Project that aliases
-  * each view column to the ORIGINAL base attribute's exprId, so the
-  * untouched grouping keys, filters, and Sum children resolve against
-  * the view without rewriting them — only Count/Avg/Min/Max nodes
-  * change shape. Every DERIVED aggregate is built with a FRESH
+  * each view DIMENSION column to the ORIGINAL base attribute's exprId,
+  * so the untouched grouping keys and filters resolve against the view
+  * without rewriting them; every aggregate call is rewritten onto the
+  * view's mv_ state columns. Every DERIVED aggregate is built with a FRESH
   * resultId: `ae.copy` would duplicate the original's id when one
   * source aggregate expands to two derived ones (AVG → Sum/Sum), and
   * two result attributes sharing an exprId bind to one buffer slot
@@ -156,7 +158,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         if d.cents.contains(a.name) && h == 100.0 && half == 0.5 => true
       case _ => false
     }
-    def isMeasure(a: AttributeReference): Boolean = d.measure.contains(a.name)
+    def isMeasure(a: AttributeReference): Boolean = d.measures.contains(a.name)
     val supported = aggCalls.forall {
       case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) => true
       case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
@@ -187,15 +189,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (!d.requiredViewCols.subsetOf(mvByName.keySet)) return None
     val cntAttr = mvByName("mv_cnt")
     val stateAttrs: Seq[NamedExpression] =
-      (d.measure.toSeq.flatMap(m => Seq(s"mv_min_$m", s"mv_max_$m",
+      (d.measures.flatMap(m => Seq(s"mv_sum_$m", s"mv_min_$m", s"mv_max_$m",
         s"mv_cntnn_$m")) ++ d.cents.map(_ => "mv_sum_price_cents").toSeq)
         .map(mvByName)
     val aliases: Seq[NamedExpression] =
       d.dims.map { dim =>
         Alias(mvByName(dim), dim)(exprId = baseByName(dim).exprId)
-      } ++ d.measure.map { m =>
-        Alias(mvByName(s"mv_sum_$m"), m)(exprId = baseByName(m).exprId)
-      }.toSeq ++ (cntAttr +: stateAttrs)
+      } ++ (cntAttr +: stateAttrs)
     val mvProject = Project(aliases, mvRel)
     val newChild = filters.foldRight(mvProject: LogicalPlan)(Filter(_, _))
 
@@ -212,13 +212,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Coalesce(Seq(derived(ae, Sum(cntAttr)), Literal(0L)))
       case ae @ AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) =>
         derived(ae, Sum(mvByName("mv_sum_price_cents"))) // re-sum exact partials
+      case ae @ AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
+          if isMeasure(a) =>
+        // re-sum the partial sums EXPLICITLY (not via an alias remap):
+        // Sum(int) returns LONG, so aliasing the long mv_sum column to
+        // the int base attribute's exprId would bind a long buffer to an
+        // int-typed reference — deriving keeps every measure type stable
+        derived(ae, Sum(mvByName(s"mv_sum_${a.name}")))
       case ae @ AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
           if isMeasure(a) =>
-        // AVG = Σ partial-sums / Σ non-null counts (the alias remap
-        // above already routes `a` to mv_sum_<m>); the double division
+        // AVG = Σ partial-sums / Σ non-null counts; the double division
         // reproduces Average's sum/count semantics exactly, including
         // null over empty input (Sum is null there)
-        Divide(derived(ae, Sum(a)),
+        Divide(derived(ae, Sum(mvByName(s"mv_sum_${a.name}"))),
           Cast(derived(ae, Sum(mvByName(s"mv_cntnn_${a.name}"))), DoubleType))
       case ae @ AggregateExpression(Min(a: AttributeReference), _, false, None, _)
           if isMeasure(a) =>
@@ -327,7 +333,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         if d.cents.contains(a.name) && h == 100.0 && half == 0.5 => true
       case _ => false
     }
-    def isMeasure(a: AttributeReference): Boolean = d.measure.contains(a.name)
+    def isMeasure(a: AttributeReference): Boolean = d.measures.contains(a.name)
     val supported = aggCalls.forall {
       case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) => true
       case AggregateExpression(Sum(c, _), _, false, None, _) if isCents(c) => true
@@ -355,18 +361,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed
     val mvByName = mvRel.output.map(a => a.name -> a).toMap
     if (!d.requiredViewCols.subsetOf(mvByName.keySet)) return None
-    // measure states ride along; SUM(measure) stays textually unchanged
-    // because the alias remap routes it to the partial-sum column (the
-    // single-table rewrite's trick)
+    // measure states ride along; every measure aggregate is DERIVED
+    // over its mv_ state column below (the single-table rewrite's
+    // type-stable trick)
     val stateAttrs: Seq[NamedExpression] =
-      d.measure.toSeq.flatMap(m => Seq(s"mv_min_$m", s"mv_max_$m",
+      d.measures.flatMap(m => Seq(s"mv_sum_$m", s"mv_min_$m", s"mv_max_$m",
         s"mv_cntnn_$m").map(mvByName))
     val aliases: Seq[NamedExpression] =
       d.dims.map { dim =>
         Alias(mvByName(dim), dim)(exprId = baseByName(dim).exprId)
-      } ++ d.measure.map { m =>
-        Alias(mvByName(s"mv_sum_$m"), m)(exprId = baseByName(m).exprId)
-      }.toSeq ++ (mvByName("mv_cnt") +: stateAttrs) ++
+      } ++ (mvByName("mv_cnt") +: stateAttrs) ++
         d.cents.map(_ => mvByName("mv_sum_price_cents")).toSeq
     val mvProject = Project(aliases, mvRel)
     val newChild = kept.foldRight(mvProject: LogicalPlan)(Filter(_, _))
@@ -379,9 +383,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(Sum(c, _), _, false, None, _)
           if isCents(c) =>
         derived(ae, Sum(mvByName("mv_sum_price_cents")))
+      case ae @ AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
+          if isMeasure(a) =>
+        derived(ae, Sum(mvByName(s"mv_sum_${a.name}")))
       case ae @ AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
           if isMeasure(a) =>
-        Divide(derived(ae, Sum(a)),
+        Divide(derived(ae, Sum(mvByName(s"mv_sum_${a.name}"))),
           Cast(derived(ae, Sum(mvByName(s"mv_cntnn_${a.name}"))), DoubleType))
       case ae @ AggregateExpression(Min(a: AttributeReference), _, false, None, _)
           if isMeasure(a) =>

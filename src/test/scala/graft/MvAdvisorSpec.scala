@@ -67,7 +67,7 @@ class MvAdvisorSpec extends SparkSpecBase {
       .left.toOption.get
     try {
       assert(d.dims.toSet == Set("s_nationkey", "s_suppkey"))
-      assert(d.measure.contains("s_acctbal"), d)
+      assert(d.measures == Seq("s_acctbal"), d)
       // registered dynamically, visible to the merged catalog
       assert(graft.engine.MatView.registry.contains("advspec_supplier"))
       val res = q2.orderBy(col("s_nationkey"))
