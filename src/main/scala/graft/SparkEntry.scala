@@ -81,18 +81,31 @@ object SparkEntry {
     * SCALING_MEASURED.md). Benching it per-round at sf0.1 graded a
     * 100 TB operator at the wrong scale (VERDICT r9 item 8).
     *
-    * sim_knn_graph / sim_cosine_neardup: the 4-bit band configs exist
-    * for RECALL on the synthetic near-orthogonal corpus, but their
-    * bucket collision count grows super-linearly with corpus size
-    * (measured 217 s / 128 s at 10× vs 17.6 s / 13.7 s for the 8-bit
-    * wide twins — SCALING_MEASURED.md). The wide forms
-    * (sim_knn_graph_wide / sim_cosine_neardup_wide) are the graded
-    * scale-path defaults in the bench suite; the 4-bit forms stay
-    * oracle-graded for correctness + recall and bench only under a
-    * targeted SPARK_GRAFT_QUERIES selection (VERDICT r11 item 3).
+    * sim_knn_graph / sim_cosine_neardup / sim_cosine_neardup_mp: the
+    * 4-bit band configs exist for RECALL on the synthetic
+    * near-orthogonal corpus, but their bucket collision count grows
+    * super-linearly with corpus size (measured 217 s / 128 s / 133 s at
+    * 10× vs 17.6 s / 13.7 s for the 8-bit wide twins —
+    * SCALING_MEASURED.md). The wide forms (sim_knn_graph_wide /
+    * sim_cosine_neardup_wide) are the graded scale-path defaults in the
+    * bench suite; the 4-bit forms stay oracle-graded for correctness +
+    * recall and bench only under a targeted SPARK_GRAFT_QUERIES
+    * selection (VERDICT r11 item 3).
+    *
+    * Each deferred key is PAIRED with the benched production twin that
+    * carries its scale story (VERDICT r14 item 4) — the pairing is the
+    * source of truth for [[benchDeferred]], and BenchDeferredSpec
+    * asserts every twin is a benched, non-deferred graded query, so a
+    * refactor can neither silently promote a 4-bit form into the bench
+    * nor orphan a deferred form from its production path.
     */
-  def benchDeferred: Set[String] =
-    Set("dedup_ngram_prefix", "sim_knn_graph", "sim_cosine_neardup")
+  def benchDeferredProductionTwin: Map[String, String] = Map(
+    "dedup_ngram_prefix" -> "dedup_ngram_jaccard",
+    "sim_knn_graph" -> "sim_knn_graph_wide",
+    "sim_cosine_neardup" -> "sim_cosine_neardup_wide",
+    "sim_cosine_neardup_mp" -> "sim_cosine_neardup_wide")
+
+  def benchDeferred: Set[String] = benchDeferredProductionTwin.keySet
 
   /** Sketch families whose plans compile graft's native sketch/text/
     * vector codegen expressions, each with a cheap representative query
@@ -113,7 +126,8 @@ object SparkEntry {
     // (sim_quantize_pq first run 9.6 s vs 1.9 s warm) and the
     // fixed-point kNN stack (banded + l2sq_i64 + topk_by)
     "simpq" -> ((Set("sim_quantize_pq", "sim_ann_ivfpq",
-      "sim_ann_ivfpq_recall", "sim_pq_distortion"), "sim_quantize_pq")),
+      "sim_ann_ivfpq_recall", "sim_pq_distortion", "sim_ann_pq_append",
+      "sim_ann_pq_health"), "sim_quantize_pq")),
     // the IVF loop (fixed-point l2sq over zip_with + the kmeans
     // update/assign trees) is NOT in sim_ann_lsh's expression set;
     // sim_ann_ivf sorts first in its family and was billing the ~2 s

