@@ -62,9 +62,18 @@ object SparkEntry {
     * named `WINDOW w AS (…)` clauses and derived-table aliases
     * untouched; DuckDB accepts MATERIALIZED on recursive CTEs.
     */
-  private val CteRe = "\\b([a-zA-Z_]\\w*) AS \\((\\s*SELECT\\b)".r
+  private val CteRe = "(?i)\\b([a-zA-Z_]\\w*) AS \\((\\s*SELECT\\b)".r
   private[graft] def materializeCtes(sql: String): String =
     CteRe.replaceAllIn(sql, "$1 AS MATERIALIZED ($2")
+
+  /** INDEPENDENT (deliberately looser: any whitespace, any case) CTE
+    * detector for PlanHygieneSpec: an oracle whose `name as ( select`
+    * spacing slips past [[CteRe]]'s exact form would silently re-inflate
+    * the DuckDB leg (ADVICE r14) — the spec catches it with this pattern
+    * instead of re-running the rewrite's own regex. */
+  private val LooseCteRe = "(?i)\\b([a-zA-Z_]\\w*)\\s+AS\\s*\\(\\s*SELECT\\b".r
+  private[graft] def unmaterializedCte(sql: String): Option[String] =
+    LooseCteRe.findFirstIn(sql)
 
   /** Queries whose per-round sf0.1 bench slot is DEFERRED to the 10×
     * blowup grading (SCALING_MEASURED.md / BlowupSpec): correctness is

@@ -158,14 +158,25 @@ object Snapshots {
     * R-lines that postdate its write" manifest invariant).
     */
   private def abortIfRenamed(spark: SparkSession, f: FileSystem, dir: String,
-      append: Boolean, vBase: Int, stagedRel: String): Int => Unit = { latest =>
-    if (append) ((vBase + 1) to latest).foreach { w =>
-      if (kindAt(spark, dir, w).exists(Set("rename", "drop"))) {
-        f.delete(new Path(s"$dir/$stagedRel"), true) // staged batch is garbage
-        throw new IllegalStateException(
-          s"table at $dir was renamed/dropped (v$w) while the append was " +
-            "in flight — the staged batch carries the pre-change schema; " +
-            "rerun the commit against the new state")
+      append: Boolean, vBase: Int, stagedRel: String): Int => Unit = {
+    // per-retry memo (ADVICE r14): a version's kind is immutable once
+    // published, and the probed range only GROWS at the top on each
+    // contention round — without the memo a long-history table re-read
+    // O(versions) manifests per rebase. `max(vBase + 1, 0)` makes the
+    // fresh-table case (vBase = -1) explicit: v0 cannot be a rename of
+    // anything, but it CAN be a later writer's publish this writer is
+    // rebasing onto, so it is probed like any other version.
+    var checked = math.max(vBase + 1, 0)
+    latest => if (append) {
+      while (checked <= latest) {
+        if (kindAt(spark, dir, checked).exists(Set("rename", "drop"))) {
+          f.delete(new Path(s"$dir/$stagedRel"), true) // staged batch is garbage
+          throw new IllegalStateException(
+            s"table at $dir was renamed/dropped (v$checked) while the append " +
+              "was in flight — the staged batch carries the pre-change " +
+              "schema; rerun the commit against the new state")
+        }
+        checked += 1
       }
     }
   }

@@ -222,6 +222,18 @@ class PlanHygieneSpec extends SparkSpecBase {
       s"oracles without query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("every oracle CTE is MATERIALIZED after assembly (ADVICE r14: case-insensitive rewrite, no silent re-inflation)") {
+    // DuckDB 1.0 inlines CTEs per reference; one unrewritten `as (select`
+    // re-inflates the unrolled-replay oracles exponentially (measured
+    // 46.7 s -> 0.3 s on text_bpe_learn). The assembled map must carry
+    // zero pre-rewrite CTE patterns, whatever the author's casing.
+    val leftovers = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+      SparkEntry.unmaterializedCte(sql).map(m => s"$name: '$m'")
+    }
+    assert(leftovers.isEmpty,
+      s"oracles with unmaterialized CTEs: ${leftovers.mkString("; ")}")
+  }
+
   test("no cartesian products; broadcast-nested-loop only where deliberate") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf()).queryExecution.executedPlan.toString

@@ -17,13 +17,22 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+# --json consumes its VALUE too — without tracking it, `--json out.json`
+# leaked 'out.json' into the positionals and silently became the sf_dir
+args, json_path, skip = [], None, False
+for i, a in enumerate(sys.argv[1:], start=1):
+    if skip:
+        skip = False
+    elif a == "--json":
+        if i + 1 < len(sys.argv):
+            json_path = sys.argv[i + 1]
+        skip = True
+    elif not a.startswith("--"):
+        args.append(a)
 base = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 out = args[1] if len(args) > 1 else "/tmp/verify_out"
-json_path = f"{out}/correctness_builder.json"
-for i, a in enumerate(sys.argv):
-    if a == "--json" and i + 1 < len(sys.argv):
-        json_path = sys.argv[i + 1]
+if json_path is None:
+    json_path = f"{out}/correctness_builder.json"
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
