@@ -5,7 +5,7 @@
 #
 #   bash tools/closing_gate.sh <round-number>
 #
-# Steps (~45 min at 32 cpus):
+# Steps (~55 min at 32 cpus):
 #  1. sbt -batch test                       — check exit code AND the
 #     combined "Passed: Total N, Failed 0" line (ScalaCheck reports apart).
 #  2. Verify at sf0.01 + DuckDB compare     — writes the driver-shape
@@ -14,6 +14,15 @@
 #     bench_full.json is clobbered by every run; floors need both details).
 #  4. Whole-suite 10x blowup.
 #  5. Regenerate tools/bench_floors.json = per-query min of the 1x runs.
+#  6. Bench 1x a THIRD time against the FRESH floors, writing the repo's
+#     committed bench_full.json — so every entry >2x its final floor in
+#     the committed artifact carries the in-loop rerun and final-sweep
+#     (other_cores/ambient) evidence measured against those floors, then
+#     fold run C into the floors (VERDICT r14 item 3: the old sequence
+#     swept against the PREVIOUS round's floors and regenerated after,
+#     leaving >2x entries with no evidence). An entry in C above 2x the
+#     final min(A,B,C) floor is necessarily above 2x the loaded min(A,B)
+#     floor, so its sweep evidence is always attached.
 set -euo pipefail
 R="${1:?round number}"
 cd "$(dirname "$0")/.."
@@ -28,4 +37,9 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=/tmp/bench_gate_b.
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BLOWUP=10 \
   SPARK_GRAFT_BENCH_OUT=/tmp/bench_gate_10x.json sbt -batch "runMain graft.Bench"
 python3 tools/regen_floors.py /tmp/bench_gate_a.json /tmp/bench_gate_b.json
-echo "closing gate done: commit CORRECTNESS_builder_r${R}.json + tools/bench_floors.json"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_full.json \
+  sbt -batch "runMain graft.Bench"
+python3 tools/regen_floors.py /tmp/bench_gate_a.json /tmp/bench_gate_b.json \
+  bench_full.json
+echo "closing gate done: commit CORRECTNESS_builder_r${R}.json +"
+echo "tools/bench_floors.json + bench_full.json (sweep-covered vs final floors)"
