@@ -1338,7 +1338,7 @@ object Similarity {
     * so the append lifecycle can probe a reloaded, appended index
     * through its FROZEN quantizer and codebooks ([[annIvfPqAppend]]).
     */
-  private def ivfPqProbeTail(assign: DataFrame, cent: DataFrame,
+  private[graft] def ivfPqProbeTail(assign: DataFrame, cent: DataFrame,
       cb: DataFrame, codes: DataFrame, nQueries: Int, k: Int, nprobe: Int,
       nSub: Int, subDim: Int, rerank: Int): DataFrame = {
     // ---- query probe: nprobe nearest trained cells per query

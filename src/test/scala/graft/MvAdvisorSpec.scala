@@ -84,6 +84,52 @@ class MvAdvisorSpec extends SparkSpecBase {
     }
   }
 
+  test("materialize synthesizes a MULTI-MEASURE join-view def: states from both sides, both queries answered (VERDICT r14 item 2)") {
+    graft.plans.MvRewriteRule.register(spark)
+    val dir = sf()
+    def o = graft.engine.Tables.load(spark, dir, "orders")
+    def c = graft.engine.Tables.load(spark, dir, "customer")
+    // a two-measure family whose advised states span BOTH join sides:
+    // sum(o_totalprice) from the fact, avg(c_acctbal) from the dim,
+    // plus the cents idiom — one view must carry all three state sets.
+    // round() sits OUTSIDE the agg calls (rewrite-eligible) and snaps
+    // the double sums to their exact 0.01-quantum values so the
+    // view-vs-base compare cannot flake on summation order.
+    def q1 = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 4).as("s"), count(lit(1)).as("n"))
+    def q2 = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(avg(col("c_acctbal")), 4).as("a"),
+        expr("sum(floor(o_totalprice * 100.0 + 0.5))").as("rc"))
+    val cand = MvAdvisor.advise(Map("q1" -> q1, "q2" -> q2))
+      .find(_.base.contains(" ⋈ ")).get
+    assert(cand.queries == Seq("q1", "q2"))
+    val mvPath = s"${graft.engine.WorkDirs.processScoped("graft_mv_advspec")}/mv-mm"
+    val d = MvAdvisor.materialize(spark, cand, "advspec_mm", mvPath)
+      .toOption.get
+    try {
+      assert(d.measures == Seq("c_acctbal", "o_totalprice"), d)
+      assert(d.cents.contains("o_totalprice"), d)
+      for ((nm, f) <- Seq("q1" -> q1.orderBy(col("c_mktsegment")),
+          "q2" -> q2.orderBy(col("o_orderstatus")))) {
+        val got = f.collect().toSeq
+        val plan = f.queryExecution.optimizedPlan.toString
+        assert(plan.contains("mv_cnt") && !plan.contains("Join"),
+          s"multi-measure join rewrite did not fire for $nm:\n$plan")
+        spark.conf.unset(d.pathKey)
+        val base = (if (nm == "q1") q1.orderBy(col("c_mktsegment"))
+          else q2.orderBy(col("o_orderstatus"))).collect().toSeq
+        spark.conf.set(d.pathKey, mvPath)
+        assert(got == base, s"$nm: view != base")
+      }
+    } finally {
+      spark.conf.unset(d.pathKey)
+      spark.conf.unset(d.leftBaseKey)
+      spark.conf.unset(d.rightBaseKey)
+    }
+  }
+
   test("materialize builds and arms a JOIN-view def from an advised join candidate") {
     graft.plans.MvRewriteRule.register(spark)
     val dir = sf()

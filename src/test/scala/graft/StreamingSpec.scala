@@ -536,6 +536,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(probe(idxStream) == probe(idxBatch))
   }
 
+  test("streaming PQ index append == batch frozen-codebook append; ADC probe-after-append identical") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PqAppendIngest
+    val sim = graft.ext.Similarity
+    val (nSub, subDim, nCodes) = (16, 4, 32)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val isNew = expr("vec_id % 7 = 3")
+    val root = java.nio.file.Files.createTempDirectory("graft_pqapp").toString
+    val (idxBatch, idxStream) = (s"$root/idx_batch", s"$root/idx_stream")
+    val (codesBatch, codesStream) = (s"$root/codes_batch", s"$root/codes_stream")
+    val (centDir, cbDir, newDir, ckpt) =
+      (s"$root/quantizer", s"$root/codebooks", s"$root/new", s"$root/ck")
+    val init = e.filter(!isNew).select(col("vec_id"), col("label").as("cell"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))")
+        .as("vfp"))
+    val trained = sim.ivfTrain(init, iters = 2)
+    trained.write.parquet(idxBatch)
+    trained.write.parquet(idxStream)
+    sim.cellCentroids(trained).write.parquet(centDir)
+    val subs = sim.pqResidualSubs(trained, spark.read.parquet(centDir),
+      nSub, subDim).localCheckpoint(true)
+    sim.pqTrainCodebooks(subs, pqIters = 2, nCodes = nCodes).write.parquet(cbDir)
+    val baseCodes = sim.pqEncodeFrozen(subs, spark.read.parquet(cbDir))
+      .drop("err_fp")
+    baseCodes.write.parquet(codesBatch)
+    baseCodes.write.parquet(codesStream)
+    e.filter(isNew).repartition(3) // several files → several micro-batches
+      .write.parquet(newDir)
+    // batch append vs stream append of the SAME held-out vectors,
+    // through the SAME frozen artifacts
+    val newAssign = sim.ivfAssignFrozen(e.filter(isNew),
+      spark.read.parquet(centDir))
+    newAssign.write.mode("append").parquet(idxBatch)
+    sim.pqEncodeFrozen(
+        sim.pqResidualSubs(newAssign, spark.read.parquet(centDir), nSub, subDim),
+        spark.read.parquet(cbDir))
+      .drop("err_fp").write.mode("append").parquet(codesBatch)
+    PqAppendIngest.start(spark, newDir, centDir, cbDir, idxStream,
+      codesStream, ckpt, nSub, subDim).awaitTermination(120000)
+    def codes(p: String) = spark.read.parquet(p)
+      .select("cid", "cell", "subspace", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val (sc, bc) = (codes(codesStream), codes(codesBatch))
+    assert(sc == bc && sc.nonEmpty, s"stream=${sc.size} batch=${bc.size}")
+    // the graded probe: identical ADC + re-rank results through the
+    // frozen quantizer and codebooks
+    def probe(idx: String, cds: String) = sim.ivfPqProbeTail(
+      spark.read.parquet(idx), spark.read.parquet(centDir),
+      spark.read.parquet(cbDir), spark.read.parquet(cds),
+      nQueries = 10, k = 5, nprobe = 4, nSub = nSub, subDim = subDim,
+      rerank = 50).collect().map(_.toSeq).toSeq
+    assert(probe(idxStream, codesStream) == probe(idxBatch, codesBatch))
+  }
+
   test("streaming LM surprisal filter == batch keep set on the same corpus (frozen model)") {
     import graft.streaming.SurprisalFilter
     val docsDir = java.nio.file.Files.createTempDirectory("graft_lm_in").toString
