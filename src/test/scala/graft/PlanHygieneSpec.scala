@@ -132,6 +132,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // burstiness: the 1-row corpus-size frame broadcast onto the
     // per-word aggregate; drift: the 1-row id-split frame onto the scan
     "text_burstiness", "text_stopword_candidates", "sim_embedding_drift",
+    // jl projection: the 1-row packed sign-matrix frame broadcast onto
+    // the corpus scan (the kmeans_step centroid-table shape)
+    "sim_jl_project",
     // cluster sizes: the 1-row doc-total frame broadcast onto the size grid;
     // bfs reach: the 1-row corpus-total and reached-count frames broadcast
     // onto the ≤6-row distance census
