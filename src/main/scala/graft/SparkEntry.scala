@@ -136,7 +136,7 @@ object SparkEntry {
     // fixed-point kNN stack (banded + l2sq_i64 + topk_by)
     "simpq" -> ((Set("sim_quantize_pq", "sim_ann_ivfpq",
       "sim_ann_ivfpq_recall", "sim_pq_distortion", "sim_ann_pq_append",
-      "sim_ann_pq_health"), "sim_quantize_pq")),
+      "sim_ann_pq_health", "sim_ann_pq_split"), "sim_quantize_pq")),
     // the IVF loop (fixed-point l2sq over zip_with + the kmeans
     // update/assign trees) is NOT in sim_ann_lsh's expression set;
     // sim_ann_ivf sorts first in its family and was billing the ~2 s

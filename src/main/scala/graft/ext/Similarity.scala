@@ -1860,6 +1860,175 @@ object Similarity {
        |SELECT qid AS vec_id, cid AS neighbor_id, dist_fp, cell
        |FROM rk WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
 
+  /** PQ HOT-CELL SPLIT — the rebalance step that completes the IVF-PQ
+    * maintenance trilogy (append → health → split), mirroring
+    * [[annIvfSplit]] for the compressed index: the most occupied cell
+    * splits by the same deterministic 2-means pass (seed A = farthest
+    * member from the cell centroid, seed B = farthest from A, members
+    * join the nearer seed, ties to A; B side = max cell id + 1), the
+    * two CHILD centroids are the truncated means of their members, and
+    * ONLY the split cell's members re-encode — residuals against their
+    * child centroid, argmin against the FROZEN codebooks (the
+    * [[pqEncodeFrozen]] scan). The rest of the code table is untouched,
+    * which is the entire point at 100 TB: a hot cell degrades ADC probe
+    * cost and recall together, and the fix is three scans of ONE cell
+    * plus one re-encode of its members — not a codebook retrain. The
+    * graded report is the before/after quantization story per child:
+    * member count and exact total/mean residual error encoded against
+    * the OLD hot centroid vs the NEW child centroid, through the SAME
+    * frozen codebooks — the error drop is the split's earned value,
+    * measured, not assumed.
+    */
+  def annIvfPqSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (iters, pqIters, nSub, subDim, nCodes) = (2, 2, 16, 4, 32)
+    val assign = graft.engine.Materialize.stage(
+      ivfTrain(e.select(col("vec_id"), col("label").as("cell"),
+        expr(vfpExpr).as("vfp")), iters))
+    val cent = cellCentroids(assign)
+    val subs = pqResidualSubs(assign, cent, nSub, subDim).localCheckpoint(true)
+    val cb = pqTrainCodebooks(subs, pqIters, nCodes)
+    // the hot cell and its deterministic 2-means split (annIvfSplit's pass)
+    val occ = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val hot = occ.orderBy(col("n").desc, col("cell")).limit(1)
+      .select(col("cell").as("hotcell"))
+    val mx = occ.agg(max(col("cell")).as("maxcell"))
+    val members = assign.join(broadcast(hot), col("cell") === col("hotcell"))
+      .select(col("vec_id"), col("cell"), col("vfp"))
+    val seedA = members
+      .join(broadcast(cent), col("cell") === col("ccell"))
+      .withColumn("d", expr(ivfDistExpr))
+      .orderBy(col("d").desc, col("vec_id")).limit(1)
+      .select(col("vfp").as("avfp"))
+    val seedB = members.crossJoin(broadcast(seedA))
+      .withColumn("da", expr(pqSubDist("vfp", "avfp")))
+      .orderBy(col("da").desc, col("vec_id")).limit(1)
+      .select(col("vfp").as("bvfp"))
+    val sp = members.crossJoin(broadcast(seedA)).crossJoin(broadcast(seedB))
+      .crossJoin(broadcast(mx))
+      .withColumn("da", expr(pqSubDist("vfp", "avfp")))
+      .withColumn("db", expr(pqSubDist("vfp", "bvfp")))
+      .select(col("vec_id"),
+        when(col("da") <= col("db"), col("cell"))
+          .otherwise(col("maxcell") + 1).as("cell"), col("vfp"))
+      .localCheckpoint(true)
+    val childCent = cellCentroids(sp)
+    // before: the members' standing codes' errors (old hot centroid);
+    // after: re-encode against the child centroids — both through the
+    // FROZEN codebooks, both one scan of one cell
+    val before = pqEncodeFrozen(pqResidualSubs(members, cent, nSub, subDim), cb)
+      .groupBy(col("cid")).agg(sum(col("err_fp")).as("eb"))
+    val after = pqEncodeFrozen(pqResidualSubs(sp, childCent, nSub, subDim), cb)
+      .groupBy(col("cid"), col("cell")).agg(sum(col("err_fp")).as("ea"))
+    after.join(before, "cid")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("eb")).as("sum_err_before"), sum(col("ea")).as("sum_err_after"))
+      .select(col("cell").cast("long").as("cell"), col("n_members"),
+        col("sum_err_before"), col("sum_err_after"),
+        expr("sum_err_before div n_members").as("mean_err_before"),
+        expr("sum_err_after div n_members").as("mean_err_after"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB twin of [[annIvfPqSplit]]: full-corpus coarse + codebook
+    * training, the split's deterministic seed picks and nearer-seed
+    * assignment, child centroids, and both one-cell encodes (old vs
+    * child centroid) through the frozen codebooks.
+    */
+  def annIvfPqSplitSqlFor(iters: Int, pqIters: Int, nSub: Int, subDim: Int,
+      nCodes: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell, vfp FROM v),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfCentroidsSql(s"a$iters")},
+       |res AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(a.vfp, c.carr), z -> z[1] - z[2]) AS r
+       |  FROM a$iters a JOIN ceF c ON a.cell = c.ccell),
+       |sub AS (
+       |  SELECT vec_id, cell, CAST(t.s AS INT) AS subspace,
+       |    list_slice(r, t.s * $subDim + 1, t.s * $subDim + $subDim) AS sv
+       |  FROM res, UNNEST(generate_series(0, ${nSub - 1})) AS t(s)),
+       |p0 AS (SELECT vec_id, cell, subspace, sv, vec_id % $nCodes AS cl FROM sub),
+       |${(1 to pqIters).map(pqRoundSql).mkString(",\n")},
+       |pexF AS (
+       |  SELECT cl, subspace AS csub, t.i AS dim, sv[t.i] AS val
+       |  FROM p$pqIters, UNNEST(generate_series(1, len(sv))) AS t(i)),
+       |pcsF AS (SELECT cl, csub, dim, SUM(val) AS s, COUNT(*) AS n FROM pexF GROUP BY 1, 2, 3),
+       |pcbF AS (SELECT cl, csub, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cw
+       |         FROM pcsF GROUP BY cl, csub),
+       |occ AS (SELECT cell, COUNT(*) AS n FROM a$iters GROUP BY 1),
+       |hot AS (SELECT cell AS hotcell FROM occ ORDER BY n DESC, cell LIMIT 1),
+       |mx AS (SELECT MAX(cell) AS maxcell FROM occ),
+       |mem AS (SELECT a.vec_id, a.cell, a.vfp FROM a$iters a JOIN hot h ON a.cell = h.hotcell),
+       |md AS (
+       |  SELECT m.vec_id, m.vfp,
+       |    CAST(list_aggregate(list_transform(list_zip(m.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d
+       |  FROM mem m JOIN ceF c ON m.cell = c.ccell),
+       |sa AS (SELECT vfp AS avfp FROM md ORDER BY d DESC, vec_id LIMIT 1),
+       |mda AS (
+       |  SELECT m.vec_id, m.vfp,
+       |    CAST(list_aggregate(list_transform(list_zip(m.vfp, s.avfp),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS da
+       |  FROM mem m CROSS JOIN sa s),
+       |sb AS (SELECT vfp AS bvfp FROM mda ORDER BY da DESC, vec_id LIMIT 1),
+       |sp AS (
+       |  SELECT m.vec_id,
+       |    CASE WHEN
+       |      CAST(list_aggregate(list_transform(list_zip(m.vfp, s.avfp),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)
+       |      <= CAST(list_aggregate(list_transform(list_zip(m.vfp, t.bvfp),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)
+       |    THEN m.cell ELSE (SELECT maxcell FROM mx) + 1 END AS cell,
+       |    m.vfp
+       |  FROM mem m CROSS JOIN sa s CROSS JOIN sb t),
+       |chex AS (
+       |  SELECT cell, t.i AS dim, vfp[t.i] AS val
+       |  FROM sp, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+       |chcs AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM chex GROUP BY 1, 2),
+       |chce AS (SELECT cell AS ccell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+       |         FROM chcs GROUP BY cell),
+       |bres AS (
+       |  SELECT m.vec_id,
+       |    list_transform(list_zip(m.vfp, c.carr), z -> z[1] - z[2]) AS r
+       |  FROM mem m JOIN ceF c ON m.cell = c.ccell),
+       |bsub AS (
+       |  SELECT vec_id, CAST(t.s AS INT) AS subspace,
+       |    list_slice(r, t.s * $subDim + 1, t.s * $subDim + $subDim) AS sv
+       |  FROM bres, UNNEST(generate_series(0, ${nSub - 1})) AS t(s)),
+       |bdd AS (
+       |  SELECT bsub.vec_id, bsub.subspace, b.cl,
+       |    ${sqlSubDist("bsub.sv", "b.cw")} AS cdist
+       |  FROM bsub JOIN pcbF b ON bsub.subspace = b.csub),
+       |brk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY cdist, cl) AS rn FROM bdd),
+       |be AS (SELECT vec_id, CAST(SUM(cdist) AS BIGINT) AS eb FROM brk WHERE rn = 1 GROUP BY 1),
+       |ares AS (
+       |  SELECT sp.vec_id, sp.cell,
+       |    list_transform(list_zip(sp.vfp, c.carr), z -> z[1] - z[2]) AS r
+       |  FROM sp JOIN chce c ON sp.cell = c.ccell),
+       |asub AS (
+       |  SELECT vec_id, cell, CAST(t.s AS INT) AS subspace,
+       |    list_slice(r, t.s * $subDim + 1, t.s * $subDim + $subDim) AS sv
+       |  FROM ares, UNNEST(generate_series(0, ${nSub - 1})) AS t(s)),
+       |add_ AS (
+       |  SELECT asub.vec_id, asub.cell, asub.subspace, b.cl,
+       |    ${sqlSubDist("asub.sv", "b.cw")} AS cdist
+       |  FROM asub JOIN pcbF b ON asub.subspace = b.csub),
+       |ark AS (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY cdist, cl) AS rn FROM add_),
+       |ae AS (SELECT vec_id, cell, CAST(SUM(cdist) AS BIGINT) AS ea FROM ark WHERE rn = 1 GROUP BY 1, 2)
+       |SELECT CAST(ae.cell AS BIGINT) AS cell, COUNT(*) AS n_members,
+       |  CAST(SUM(be.eb) AS BIGINT) AS sum_err_before,
+       |  CAST(SUM(ae.ea) AS BIGINT) AS sum_err_after,
+       |  CAST(SUM(be.eb) // COUNT(*) AS BIGINT) AS mean_err_before,
+       |  CAST(SUM(ae.ea) // COUNT(*) AS BIGINT) AS mean_err_after
+       |FROM ae JOIN be ON ae.vec_id = be.vec_id
+       |GROUP BY ae.cell ORDER BY cell""".stripMargin
+
   /** DuckDB twin of [[annIvfPqHealth]]: the lifecycle prefix, then the
     * per-(subspace, code) base/appended population and mean-error
     * aggregate with the drift/retrain gate arithmetic.
@@ -4236,6 +4405,7 @@ object Similarity {
     "sim_ann_ivfpq_recall" -> (annIvfPqRecall _),
     "sim_ann_pq_append" -> (annIvfPqAppend _),
     "sim_ann_pq_health" -> (annIvfPqHealth _),
+    "sim_ann_pq_split" -> (annIvfPqSplit _),
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
@@ -4316,6 +4486,8 @@ object Similarity {
       nQueries = 10, k = 5, nprobe = 4, nSub = 16, subDim = 4, nCodes = 32,
       rerank = 50),
     "sim_ann_pq_health" -> annIvfPqHealthSqlFor(iters = 2, pqIters = 2,
+      nSub = 16, subDim = 4, nCodes = 32),
+    "sim_ann_pq_split" -> annIvfPqSplitSqlFor(iters = 2, pqIters = 2,
       nSub = 16, subDim = 4, nCodes = 32),
     "sim_matryoshka_recall" -> matryoshkaRecallSql,
     "sim_silhouette" -> silhouetteSql,

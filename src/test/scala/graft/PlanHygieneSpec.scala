@@ -60,6 +60,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // ranking, plus the frozen nSub×K codebook broadcast for the
     // residual encodes and the ADC table (all sim_ann_ivfpq's shapes)
     "sim_ann_pq_append", "sim_ann_pq_health",
+    // sim_ann_pq_split is NOT listed although its seed picks crossJoin
+    // broadcast 1-row frames: the split assignment localCheckpoints
+    // eagerly (sim_kmeans3's precedent), so the RETURNED plan starts
+    // from the checkpointed cell assignment and its encodes are all
+    // equi-joins on subspace/cell.
     // matryoshka recall: two cosineTopK passes (truncated + full), each
     // the whitelisted 10-query broadcast with the non-equi qid != cid
     "sim_matryoshka_recall",
