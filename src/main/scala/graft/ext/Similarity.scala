@@ -1077,12 +1077,12 @@ object Similarity {
     * Scale shape: the sign matrix is kDim rows of 64 longs (KBs,
     * broadcast); the full-corpus projection is ONE scan with a per-row
     * HOF fold — no shuffle, 4× smaller output at kDim = 16. The graded
-    * AUDIT consumes only the `nPairs` consecutive-id pairs, and
-    * Catalyst proves the bounded-sample claim in the plan: the pair
-    * filter pushes below the projection fold, so the audit touches
-    * ~nPairs vectors however large the corpus (the 10× ledger ratio is
-    * ~1.0 for exactly this reason — the production projection itself
-    * is the linear corpus pass).
+    * AUDIT consumes only the `nPairs` consecutive-id pairs, and the
+    * bounded-sample claim holds BY CONSTRUCTION: both self-join legs
+    * carry an explicit vec_id bound that pushes below the projection
+    * fold, so the audit touches ~nPairs vectors however large the
+    * corpus (the 10× ledger ratio is ~1.0 for exactly this reason —
+    * the production projection itself is the linear corpus pass).
     */
   def jlProject(spark: SparkSession, dir: String): DataFrame =
     jlProjectOn(emb(spark, dir), kDim = 16, nPairs = 200)
@@ -1107,10 +1107,17 @@ object Similarity {
         .as("yarr"))
     val d2 = (a: String, b: String) =>
       s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    // both legs bounded EXPLICITLY (ADVICE r15): the b-side previously
+    // relied on constraint propagation through the (vec_id - 1) alias
+    // to prune — not guaranteed to fire, and if it doesn't, one leg
+    // re-projects the whole corpus. The direct vec_id <= nPairs filter
+    // matches the DuckDB twin's WHERE and pushes below the projection
+    // fold by construction.
     proj.filter(col("vec_id") < nPairs)
       .select(col("vec_id").as("va"), col("vfp").as("avfp"), col("yarr").as("ay"))
-      .join(proj.select((col("vec_id") - 1).as("va"), col("vfp").as("bvfp"),
-        col("yarr").as("by")), "va")
+      .join(proj.filter(col("vec_id") <= nPairs)
+        .select((col("vec_id") - 1).as("va"), col("vfp").as("bvfp"),
+          col("yarr").as("by")), "va")
       .select(col("va").as("vec_id_a"), (col("va") + 1).as("vec_id_b"),
         expr(d2("avfp", "bvfp")).as("d2_orig"),
         expr(d2("ay", "by")).as("d2_proj"))
@@ -1551,7 +1558,9 @@ object Similarity {
     * the incoming residual distribution — the signal that ends
     * [[annIvfPqAppend]]'s retrain-free lifecycle. All-integer (means are
     * truncating `div`, NULL for an empty population; a NULL drift reads
-    * as no-retrain), so the whole gate hash-grades. Scale shape: the
+    * as no-retrain ONLY for empty populations — zero base error with
+    * nonzero appended error is infinite drift and flags explicitly),
+    * so the whole gate hash-grades. Scale shape: the
     * lifecycle's scans plus ONE (subspace, code)-keyed aggregate; the
     * output is nSub × K rows.
     */
@@ -1579,8 +1588,14 @@ object Similarity {
         expr("ne div nullif(n_new, 0L)").as("new_mean_err"))
       .withColumn("drift_bp",
         expr("new_mean_err * 10000L div nullif(base_mean_err, 0L)"))
+      // base_mean_err = 0 with nonzero appended error is effectively
+      // infinite drift, but nullif() reads it as NULL → no-retrain —
+      // the one case the gate most needs to flag (ADVICE r15). The
+      // explicit branch keeps NULL-means-no-retrain only for genuinely
+      // empty populations.
       .withColumn("retrain",
-        expr("cast(case when drift_bp > 15000 then 1 else 0 end as bigint)"))
+        expr("cast(case when base_mean_err = 0L and new_mean_err > 0L then 1 " +
+          "when drift_bp > 15000 then 1 else 0 end as bigint)"))
       .orderBy(col("subspace"), col("code"))
   }
 
@@ -2049,7 +2064,8 @@ object Similarity {
        |  FROM u GROUP BY subspace, code)
        |SELECT subspace, code, n_base, n_new, base_mean_err, new_mean_err,
        |  CAST(new_mean_err * 10000 // nullif(base_mean_err, 0) AS BIGINT) AS drift_bp,
-       |  CAST(CASE WHEN new_mean_err * 10000 // nullif(base_mean_err, 0) > 15000
+       |  CAST(CASE WHEN base_mean_err = 0 AND new_mean_err > 0 THEN 1
+       |    WHEN new_mean_err * 10000 // nullif(base_mean_err, 0) > 15000
        |    THEN 1 ELSE 0 END AS BIGINT) AS retrain
        |FROM h ORDER BY subspace, code""".stripMargin
 

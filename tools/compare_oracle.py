@@ -12,27 +12,22 @@ the per-oracle time budget the heavy unrolled-CTE oracles are held to.
 
 Usage: python3 tools/compare_oracle.py [sf_dir] [verify_out_dir] [--json PATH]
 """
-import sys, json, glob, time
+import argparse, sys, json, glob, time
 import duckdb
 import numpy as np
 import pandas as pd
 
-# --json consumes its VALUE too — without tracking it, `--json out.json`
-# leaked 'out.json' into the positionals and silently became the sf_dir
-args, json_path, skip = [], None, False
-for i, a in enumerate(sys.argv[1:], start=1):
-    if skip:
-        skip = False
-    elif a == "--json":
-        if i + 1 < len(sys.argv):
-            json_path = sys.argv[i + 1]
-        skip = True
-    elif not a.startswith("--"):
-        args.append(a)
-base = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
-out = args[1] if len(args) > 1 else "/tmp/verify_out"
-if json_path is None:
-    json_path = f"{out}/correctness_builder.json"
+# argparse so a future value-taking --flag can't leak its value into the
+# positional list and silently become sf_dir/out (ADVICE r15 — the exact
+# bug class the hand-rolled --json special case fixed for one flag only)
+_p = argparse.ArgumentParser(description=__doc__)
+_p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+_p.add_argument("verify_out", nargs="?", default="/tmp/verify_out")
+_p.add_argument("--json", dest="json_path", default=None,
+                help="driver-shape artifact path (default <verify_out>/correctness_builder.json)")
+_a = _p.parse_args()
+base, out = _a.sf_dir, _a.verify_out
+json_path = _a.json_path or f"{out}/correctness_builder.json"
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
