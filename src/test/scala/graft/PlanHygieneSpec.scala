@@ -60,6 +60,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // ranking, plus the frozen nSub×K codebook broadcast for the
     // residual encodes and the ADC table (all sim_ann_ivfpq's shapes)
     "sim_ann_pq_append", "sim_ann_pq_health",
+    // pq retrain: the probe tail's quantizer/codebook broadcasts (the
+    // sim_ann_ivfpq shapes) twice — pre- and post-swap — plus two 1-row
+    // frames: the corpus-wide flagged-share (outlier denominator) and
+    // the n_retrained count pinned onto the graded probe rows
+    "sim_ann_pq_retrain",
     // sim_ann_pq_split is NOT listed although its seed picks crossJoin
     // broadcast 1-row frames: the split assignment localCheckpoints
     // eagerly (sim_kmeans3's precedent), so the RETURNED plan starts
