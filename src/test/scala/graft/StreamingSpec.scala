@@ -1152,6 +1152,171 @@ class StreamingSpec extends SparkSpecBase {
     assert(Snapshots.read(spark, table).count() == 40)
   }
 
+  /** Build the CellSplitIngest fixture: a label-seeded 2-round IVF index
+    * over the base corpus (vec_id % 7 ≠ 3), cell ids cast to LONG,
+    * committed as version 0 of the posting + quantizer tables. Returns
+    * the trained postings. */
+  private def splitFixture(assignT: String, centT: String) = {
+    import org.apache.spark.sql.functions._
+    val sim = graft.ext.Similarity
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val init = e.filter(!expr("vec_id % 7 = 3"))
+      .select(col("vec_id"), col("label").cast("long").as("cell"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))")
+          .as("vfp"))
+    val trained = sim.ivfTrain(init, iters = 2)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("vfp"))
+      .localCheckpoint(true)
+    graft.engine.Snapshots.commit(trained, assignT, append = false)
+    graft.engine.Snapshots.commit(sim.cellCentroids(trained), centT,
+      append = false)
+    trained
+  }
+
+  test("streaming hot-cell split: health-fed occupancy gate fires in-stream, final state == batch fold, replays leave byte-identical state (VERDICT r15 item 5)") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Snapshots
+    import graft.streaming.CellSplitIngest
+    val sim = graft.ext.Similarity
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val root = graft.engine.WorkDirs.processScoped("graft_cellsplit")
+    val (assignT, centT) = (s"$root/assign", s"$root/cent")
+    val trained = splitFixture(assignT, centT)
+    // threshold + skewed feed derived from the trained state: batches
+    // clone the hottest cell's members (fresh ids), so that cell's share
+    // crosses hot₀+4 points mid-stream — deterministically, whatever the
+    // training shifted
+    val occ0 = trained.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell")).collect()
+    val tot0 = occ0.map(_.getLong(1)).sum
+    val firePct = (occ0.head.getLong(1) * 100 / tot0).toInt + 4
+    val hotIds = trained.filter(col("cell") === occ0.head.getLong(0))
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val slices = hotIds.grouped((hotIds.length + 2) / 3).toSeq
+    def batchDf(i: Int) = e.filter(col("vec_id").isin(slices(i): _*))
+      .select((col("vec_id") + lit(1000000L * (i + 1))).as("vec_id"),
+        col("embedding"))
+    // ---- stream side: the production foreachBatch body, driven directly
+    val fires = (0 until 3).map { i =>
+      CellSplitIngest.ingestBatch(batchDf(i), assignT, centT, "split1",
+        i.toLong, firePct)
+    }
+    assert(fires.flatten.nonEmpty, s"gate never fired: $fires")
+    // ---- batch side: the same evolution through the batch operators
+    // (ivfAssignFrozen routing + orderBy/limit seed picks — independent
+    // formulations of the ingest's packed argmin / struct-min)
+    val d = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    var centB = sim.cellCentroids(trained).localCheckpoint(true)
+    var assignB = trained
+    val firesB = (0 until 3).map { i =>
+      assignB = assignB.unionByName(sim.ivfAssignFrozen(batchDf(i), centB))
+        .localCheckpoint(true)
+      val occ = assignB.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val cen = occ.agg(sum(col("n")), max(col("cell"))).head()
+      val (tot, maxCell) = (cen.getLong(0), cen.getLong(1))
+      val hot = occ.orderBy(col("n").desc, col("cell")).head()
+      if (hot.getLong(1) * 100 > tot * firePct) {
+        val hc = hot.getLong(0)
+        val members = assignB.filter(col("cell") === hc).localCheckpoint(true)
+        val hcent = centB.filter(col("ccell") === hc).select(col("carr"))
+        val seedA = members.crossJoin(broadcast(hcent))
+          .withColumn("dd", expr(d("vfp", "carr")))
+          .orderBy(col("dd").desc, col("vec_id")).limit(1)
+          .select(col("vfp").as("avfp"))
+        val seedB = members.crossJoin(broadcast(seedA))
+          .withColumn("dd", expr(d("vfp", "avfp")))
+          .orderBy(col("dd").desc, col("vec_id")).limit(1)
+          .select(col("vfp").as("bvfp"))
+        val sp = members.crossJoin(broadcast(seedA)).crossJoin(broadcast(seedB))
+          .withColumn("da", expr(d("vfp", "avfp")))
+          .withColumn("db", expr(d("vfp", "bvfp")))
+          .select(col("vec_id"),
+            when(col("da") <= col("db"), lit(hc))
+              .otherwise(lit(maxCell + 1L)).as("cell"),
+            col("vfp"))
+          .localCheckpoint(true)
+        centB = centB.filter(col("ccell") =!= hc)
+          .unionByName(sim.cellCentroids(sp)).localCheckpoint(true)
+        assignB = assignB.filter(col("cell") =!= hc).unionByName(sp)
+          .localCheckpoint(true)
+        Some(hc)
+      } else None
+    }
+    assert(firesB == fires, s"gate decisions diverged: batch=$firesB stream=$fires")
+    def postings(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postings(Snapshots.read(spark, assignT)) == postings(assignB))
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.select("ccell", "carr").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(cents(Snapshots.read(spark, centT)) == cents(centB))
+    // ---- replay: covered batch ids stage NOTHING, and the gate's
+    // re-evaluation against post-split state is a no-op — both table
+    // directories stay byte-identical (the exactly-once ledger grade)
+    def census(dir: String): Map[String, (Long, String)] = {
+      val rootP = java.nio.file.Paths.get(dir)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val it = java.nio.file.Files.walk(rootP).iterator()
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          out(rootP.relativize(p).toString) =
+            (bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString)
+        }
+      }
+      out.toMap
+    }
+    val before = (census(assignT), census(centT))
+    val firedIdx = fires.indexWhere(_.isDefined)
+    // the batch that fired the split, and a stale pre-fire batch
+    assert(CellSplitIngest.ingestBatch(batchDf(firedIdx), assignT, centT,
+      "split1", firedIdx.toLong, firePct).isEmpty)
+    assert(CellSplitIngest.ingestBatch(batchDf(0), assignT, centT,
+      "split1", 0L, firePct).isEmpty)
+    assert((census(assignT), census(centT)) == before,
+      "a replayed micro-batch must leave both table directories byte-identical")
+  }
+
+  test("CellSplitIngest.start: the live stream drives the same gate + split as the direct foreachBatch body") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Snapshots
+    import graft.streaming.CellSplitIngest
+    val root = graft.engine.WorkDirs.processScoped("graft_cellsplit_live")
+    val (assignS, centS) = (s"$root/assign_s", s"$root/cent_s")
+    val (assignD, centD) = (s"$root/assign_d", s"$root/cent_d")
+    val trained = splitFixture(assignS, centS)
+    splitFixture(assignD, centD)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val occ0 = trained.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell")).head()
+    val hotIds = trained.filter(col("cell") === occ0.getLong(0))
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val feed = e.filter(col("vec_id").isin(hotIds: _*))
+      .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("embedding"))
+    // one input file → one micro-batch (batchId 0, matching the direct
+    // drive); firePct 1 so the single batch fires the gate in-stream
+    val feedDir = s"$root/feed"
+    feed.coalesce(1).write.parquet(feedDir)
+    val q = CellSplitIngest.start(spark, feedDir, assignS, centS,
+      s"$root/ck", "live1", firePct = 1)
+    q.awaitTermination(120000)
+    assert(CellSplitIngest.ingestBatch(spark.read.parquet(feedDir),
+      assignD, centD, "live1", 0L, firePct = 1).isDefined)
+    def postings(t: String) = Snapshots.read(spark, t)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cents(t: String) = Snapshots.read(spark, t)
+      .select("ccell", "carr").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(postings(assignS) == postings(assignD) && postings(assignS).nonEmpty)
+    assert(cents(centS) == cents(centD))
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
