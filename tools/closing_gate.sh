@@ -41,5 +41,9 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=bench_full.json \
   sbt -batch "runMain graft.Bench"
 python3 tools/regen_floors.py /tmp/bench_gate_a.json /tmp/bench_gate_b.json \
   bench_full.json
+#  7. Machine-checked floors census (VERDICT r15 item 4): the round note
+#     quotes THIS tool's output verbatim; it fails the gate if any armed
+#     (>2x floor AND >0.75s delta) entry survived into the final artifact.
+python3 tools/floor_census.py bench_full.json tools/bench_floors.json
 echo "closing gate done: commit CORRECTNESS_builder_r${R}.json +"
-echo "tools/bench_floors.json + bench_full.json (sweep-covered vs final floors)"
+echo "tools/bench_floors.json (quote the census output above in the note)"
