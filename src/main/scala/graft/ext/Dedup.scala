@@ -1072,7 +1072,12 @@ object Dedup {
     val oldLabels = stage(bigStarLabels(
       minhashLshOn(documents.filter(!isNew))
         .select(col("doc_a"), col("doc_b"))))
-    val (sig, bands) = bandedSignatures(documents)
+    val (sig, bands0) = bandedSignatures(documents)
+    // staged: the delta probe (isNew-filtered) and the full band index
+    // both consume the band rows, and the filter breaks the exchange
+    // reuse minhashLshOn's symmetric self-join gets for free — without a
+    // cut the scan-side shingle+minhash projection evaluates twice
+    val bands = stage(bands0)
     val nb = bands.filter(isNew)
       .select(col("doc_id").as("doc_n"), col("band"), col("bkey"))
     val ab = bands.select(col("doc_id").as("doc_o"), col("band").as("b2"),
