@@ -547,6 +547,184 @@ object Similarity {
        |    // nullif(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS new_mean_d2
        |FROM dd GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** COARSE-CELL RE-CENTER — the CONSUMER of [[annIndexHealth]]'s drift
+    * signal, closing the coarse index's append → health → re-center →
+    * atomic-swap loop the way [[annIvfPqRetrain]] closed the codebook
+    * one: the WORST-drifting cell (max new/base mean-d² in bp; a
+    * zero-base cell with nonzero appended error is infinite drift and
+    * sorts first — the [[annIvfPqHealth]] ADVICE-r15 branch mirrored;
+    * ties to the smaller cell id) gets its centroid RE-CENTERED to the
+    * truncated mean of its base + appended members. Top-1 is the same
+    * budgeted-maintenance model as [[annIvfSplit]]'s most-occupied-cell
+    * pick: drift here is homogeneous across cells when appends come
+    * from the base distribution, so a relative-outlier threshold would
+    * fire on nothing or everything — the budget rule always spends one
+    * re-center on the worst cell per cycle. Assignments do NOT change
+    * (members keep their posting rows — re-centering improves how the
+    * quantizer DESCRIBES them); what changes is the probe's cell
+    * ranking through the published quantizer.
+    *
+    * The swap is atomic through the snapshot store exactly as in
+    * [[annIvfPqRetrain]]: v1 = the frozen quantizer, v2 = the swap, the
+    * graded probe-BEFORE reads the frozen version AFTER the swap
+    * exists. Output: both exact-cosine probes under phase 0/1 with
+    * `recentered_cell` pinning the decision. Scale shape: against the
+    * standing [[pqFixture]] coarse artifacts the marginal cost is the
+    * appended batch's one frozen-assign scan, one per-cell health
+    * aggregate, ONE cell's mean, and two bounded probes.
+    */
+  def annIvfRecenter(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val fx = pqMaintFixture(spark, dir)
+    val cent = spark.read.parquet(fx.cent)
+    val newAssign = ivfAssignFrozen(e.filter(expr(PqMaintIsNew)), cent)
+    // consumed by the health aggregate, the worst cell's member mean,
+    // and both probes' query + candidate sides
+    val members = spark.read.parquet(fx.assign).withColumn("src", lit(0L))
+      .unionByName(newAssign.withColumn("src", lit(1L)))
+      .localCheckpoint(true)
+    val h = members.join(broadcast(cent), col("cell") === col("ccell"))
+      .withColumn("d2", expr(ivfDistExpr))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("src") === 0L, col("d2"))).as("bd2"),
+        sum(when(col("src") === 0L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("src") === 1L, col("d2"))).as("nd2"),
+        sum(when(col("src") === 1L, 1L).otherwise(0L)).as("nn"))
+      .select(col("cell"),
+        expr("bd2 div nullif(nb, 0L)").as("bm"),
+        expr("nd2 div nullif(nn, 0L)").as("nm"))
+      .withColumn("drift_bp", expr("nm * 10000L div nullif(bm, 0L)"))
+      .withColumn("infd",
+        expr("case when bm = 0L and nm > 0L then 1 else 0 end"))
+    val worst = broadcast(h
+      .orderBy(col("infd").desc, col("drift_bp").desc_nulls_last, col("cell"))
+      .limit(1).select(col("cell").as("rcell")))
+    val recentered = cellCentroids(
+      members.join(worst, col("cell") === col("rcell"))
+        .select(col("vec_id"), col("cell"), col("vfp")))
+    val snapDir = s"${graft.engine.WorkDirs.processScoped("graft_ivf_rc")}/" +
+      s"cent-${ivfIdxNonce.incrementAndGet()}"
+    val vFrozen = graft.engine.Snapshots.commit(cent, snapDir, append = false)
+    graft.engine.Snapshots.commit(
+      cent.join(worst, col("ccell") === col("rcell"), "left_anti")
+        .unionByName(recentered),
+      snapDir, append = false)
+    val centV1 = graft.engine.Snapshots.read(spark, snapDir, vFrozen)
+    val centV2 = graft.engine.Snapshots.read(spark, snapDir)
+    val assignAll = members.drop("src")
+    // the re-center's EARNED VALUE, measured (the split op's pattern):
+    // the worst cell's mean member d² against the frozen vs the
+    // re-centered centroid — pinned on every graded row, so the hash
+    // carries the improvement even when the probe's top-k is stable
+    val rcm = members.join(worst, col("cell") === col("rcell"))
+    def meanD2(c: DataFrame, alias: String): DataFrame =
+      rcm.join(broadcast(c), col("cell") === col("ccell"))
+        .withColumn("d2", expr(ivfDistExpr))
+        .agg(expr("sum(d2) div count(1)").as(alias))
+    def probe(c: DataFrame): DataFrame =
+      ivfProbe(e, assignAll, nQueries = 10, k = 5, nprobe = 4,
+        centOverride = Some(c))
+    probe(centV1).withColumn("phase", lit(0L))
+      .unionByName(probe(centV2).withColumn("phase", lit(1L)))
+      .crossJoin(worst.select(col("rcell").as("recentered_cell")))
+      .crossJoin(broadcast(meanD2(centV1, "mean_d2_before")))
+      .crossJoin(broadcast(meanD2(centV2, "mean_d2_after")))
+      .select(col("phase"), col("vec_id"), col("neighbor_id"),
+        col("cos_sim"), col("cell"), col("recentered_cell"),
+        col("mean_d2_before"), col("mean_d2_after"))
+      .orderBy(col("phase"), col("vec_id"), col("neighbor_id"))
+  }
+
+  /** DuckDB twin of [[annIvfRecenter]]: the append lifecycle prefix,
+    * the per-cell drift aggregate, the worst-cell pick, the truncated-
+    * mean re-center, and BOTH probe tails (phase 0 = frozen quantizer,
+    * phase 1 = post-swap).
+    */
+  def annIvfRecenterSqlFor(iters: Int, nQueries: Int, k: Int,
+      nprobe: Int): String = {
+    def phase(sfx: String, centCte: String): String =
+      s"""pd$sfx AS (
+         |  SELECT q.qid, q.qe, c.ccell,
+         |    CAST(list_aggregate(list_transform(list_zip(q.qvfp, c.carr),
+         |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS cdist
+         |  FROM q CROSS JOIN $centCte c),
+         |pr$sfx AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, ccell) AS cr FROM pd$sfx),
+         |probed$sfx AS (SELECT qid, qe, ccell FROM pr$sfx WHERE cr <= $nprobe),
+         |cand$sfx AS (
+         |  SELECT p.qid, p.qe, a.vec_id AS cid, v.embedding AS ce, a.cell
+         |  FROM aAll a JOIN v USING (vec_id)
+         |  JOIN probed$sfx p ON a.cell = p.ccell AND p.qid <> a.vec_id),
+         |sc$sfx AS (
+         |  SELECT qid, cid, cell,
+         |    list_aggregate(list_transform(list_zip(qe, ce),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+         |    / (sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |     * sqrt(list_aggregate(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+         |  FROM cand$sfx),
+         |rk$sfx AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM sc$sfx)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vfp
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell, vfp FROM v WHERE NOT (vec_id % 7 = 3)),
+       |${(1 to iters).map(ivfRoundSql).mkString(",\n")},
+       |${ivfCentroidsSql(s"a$iters")},
+       |dN AS (
+       |  SELECT v.vec_id, v.vfp, c.ccell,
+       |    CAST(list_aggregate(list_transform(list_zip(v.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS dist
+       |  FROM v CROSS JOIN ceF c WHERE v.vec_id % 7 = 3),
+       |rkN AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccell) AS rn FROM dN),
+       |aN AS (SELECT vec_id, ccell AS cell, vfp FROM rkN WHERE rn = 1),
+       |mem AS (SELECT vec_id, cell, vfp, 0 AS src FROM a$iters
+       |  UNION ALL SELECT vec_id, cell, vfp, 1 FROM aN),
+       |hd AS (
+       |  SELECT m.cell, m.src,
+       |    CAST(list_aggregate(list_transform(list_zip(m.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT) AS d2
+       |  FROM mem m JOIN ceF c ON m.cell = c.ccell),
+       |hh AS (
+       |  SELECT cell,
+       |    CAST(SUM(CASE WHEN src = 0 THEN d2 END)
+       |      // nullif(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS bm,
+       |    CAST(SUM(CASE WHEN src = 1 THEN d2 END)
+       |      // nullif(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS nm
+       |  FROM hd GROUP BY cell),
+       |hg AS (SELECT cell, CAST(nm * 10000 // nullif(bm, 0) AS BIGINT) AS drift_bp,
+       |    CASE WHEN bm = 0 AND nm > 0 THEN 1 ELSE 0 END AS infd FROM hh),
+       |worst AS (SELECT cell AS rcell FROM hg
+       |  ORDER BY infd DESC, drift_bp DESC NULLS LAST, cell LIMIT 1),
+       |rcmem AS (SELECT m.vec_id, m.cell, m.vfp FROM mem m JOIN worst w ON m.cell = w.rcell),
+       |rcex AS (SELECT cell, t.i AS dim, vfp[t.i] AS val
+       |  FROM rcmem, UNNEST(generate_series(1, len(vfp))) AS t(i)),
+       |rccs AS (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM rcex GROUP BY 1, 2),
+       |rcce AS (SELECT cell AS ccell, list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+       |         FROM rccs GROUP BY cell),
+       |cev2 AS (SELECT ccell, carr FROM ceF WHERE ccell NOT IN (SELECT rcell FROM worst)
+       |  UNION ALL SELECT ccell, carr FROM rcce),
+       |rcb AS (SELECT CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2_before
+       |        FROM hd JOIN worst ON hd.cell = worst.rcell),
+       |rca AS (SELECT CAST(SUM(
+       |    CAST(list_aggregate(list_transform(list_zip(m.vfp, c.carr),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_d2_after
+       |  FROM rcmem m JOIN rcce c ON m.cell = c.ccell),
+       |aAll AS (SELECT vec_id, cell, vfp FROM mem),
+       |q AS (
+       |  SELECT a.vec_id AS qid, a.vfp AS qvfp, v.embedding AS qe
+       |  FROM aAll a JOIN v USING (vec_id) WHERE a.vec_id < $nQueries),
+       |${phase("RB", "ceF")},
+       |${phase("RA", "cev2")}
+       |SELECT CAST(0 AS BIGINT) AS phase, rkRB.qid AS vec_id, rkRB.cid AS neighbor_id,
+       |  round(rkRB.cos, 6) AS cos_sim, rkRB.cell, worst.rcell AS recentered_cell,
+       |  rcb.mean_d2_before, rca.mean_d2_after
+       |FROM rkRB, worst, rcb, rca WHERE rkRB.rn <= $k
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), rkRA.qid, rkRA.cid, round(rkRA.cos, 6), rkRA.cell, worst.rcell,
+       |  rcb.mean_d2_before, rca.mean_d2_after
+       |FROM rkRA, worst, rcb, rca WHERE rkRA.rn <= $k
+       |ORDER BY phase, vec_id, neighbor_id""".stripMargin
+  }
+
   /** HOT-CELL SPLIT — the rebalance step [[annIndexHealth]]'s skew
     * signal triggers, completing the maintenance trilogy (append →
     * monitor → rebalance) that keeps an IVF index serving without a
@@ -4702,6 +4880,7 @@ object Similarity {
     "sim_ann_pq_health" -> (annIvfPqHealth _),
     "sim_ann_pq_split" -> (annIvfPqSplit _),
     "sim_ann_pq_retrain" -> (annIvfPqRetrain _),
+    "sim_ann_ivf_recenter" -> (annIvfRecenter _),
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_cosine_neardup_wide" -> (cosineNearDupWide _),
@@ -4788,6 +4967,8 @@ object Similarity {
     "sim_ann_pq_retrain" -> annIvfPqRetrainSqlFor(iters = 2, pqIters = 2,
       nQueries = 10, k = 5, nprobe = 4, nSub = 16, subDim = 4, nCodes = 32,
       rerank = 50),
+    "sim_ann_ivf_recenter" -> annIvfRecenterSqlFor(iters = 2, nQueries = 10,
+      k = 5, nprobe = 4),
     "sim_matryoshka_recall" -> matryoshkaRecallSql,
     "sim_silhouette" -> silhouetteSql,
     "sim_label_spread" -> labelSpreadSqlFor(k = 3, nBands = 16, bandBits = 8,

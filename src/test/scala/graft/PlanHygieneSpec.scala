@@ -65,6 +65,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // frames: the corpus-wide flagged-share (outlier denominator) and
     // the n_retrained count pinned onto the graded probe rows
     "sim_ann_pq_retrain",
+    // coarse re-center: ivfProbe's whitelisted centroid broadcast twice
+    // (pre-/post-swap quantizers) plus three 1-row frames pinned onto
+    // the graded rows (worst cell, mean d2 before/after)
+    "sim_ann_ivf_recenter",
     // sim_ann_pq_split is NOT listed although its seed picks crossJoin
     // broadcast 1-row frames: the split assignment localCheckpoints
     // eagerly (sim_kmeans3's precedent), so the RETURNED plan starts
