@@ -312,6 +312,55 @@ object Snapshots {
     }
   }
 
+  /** Exactly-once REPLACE for streaming maintenance: rewrite the table
+    * (same semantics as `commit(append = false)` — prior batch lines
+    * drop, stream-txn marks carry forward, R/X lines reset) AND record
+    * `T <appId> <batchId>` in the same atomic manifest publish. This is
+    * the device that lets a maintenance REWRITE (codebook retrain +
+    * re-encode) ride the same ledger as the appends that triggered it:
+    * a replayed micro-batch finds its id covered and returns None
+    * without staging anything. A maintenance trigger needs this — not
+    * just re-evaluation — when the condition that fired it persists
+    * structurally (a drifted batch's rows encode with their own error
+    * profile under ANY codebook, so the drift metric alone would
+    * re-fire forever; only the ledger can say "already handled").
+    */
+  def commitReplaceWithTxn(df: DataFrame, dir: String, appId: String,
+      batchId: Long): Option[Int] = {
+    require(appId.nonEmpty && !appId.exists(_.isWhitespace),
+      s"appId must be non-empty with no whitespace: '$appId'")
+    val spark = df.sparkSession
+    // fast path — a covered replay stages nothing at all
+    if (lastTxn(spark, dir, appId).exists(_ >= batchId)) return None
+    val f = fs(spark, dir)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
+    val batch = s"data/batch-$v-$nonce"
+    df.write.mode("errorifexists").parquet(s"$dir/$batch")
+    val entry = statsLine(spark, dir, batch, None)
+    // no rename-rebase guard: like commit(append = false), the replace
+    // drops R lines and its frame IS the new schema
+    try Some(publishLoop(spark, f, dir, nonce, batch, v, { prev =>
+      // re-checked per attempt: losing a publish race to our own replay
+      // twin must abort, not rebase past it
+      prev.foreach { line =>
+        line.split('\t') match {
+          case Array("T", a, b) if a == appId && b.toLong >= batchId =>
+            throw AlreadyCovered(b.toLong)
+          case _ => ()
+        }
+      }
+      "K\treplace" +: (prev.filter(isTxnLine)
+        .filterNot(_.startsWith(s"T\t$appId\t")) :+ entry :+
+        s"T\t$appId\t$batchId")
+    }))
+    catch {
+      case AlreadyCovered(_) =>
+        f.delete(new Path(s"$dir/$batch"), true)
+        None
+    }
+  }
+
   /** Spark's own `BloomFilter.create(expectedNumItems)` default fpp —
     * used when a maintenance pass must regrow a bloom whose original
     * fpp the manifest doesn't record.

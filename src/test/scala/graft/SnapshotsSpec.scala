@@ -386,6 +386,34 @@ class SnapshotsSpec extends SparkSpecBase {
     } finally Snapshots.coordinator = real
   }
 
+  test("commitReplaceWithTxn: exactly-once maintenance rewrite — covered replays stage nothing, foreign ledgers survive the replace") {
+    val t = freshTable("txnrep")
+    // a stream ingests two batches, then a maintenance pass rewrites the
+    // table carrying its own ledger mark in the same publish
+    assert(Snapshots.commitWithTxn(df(1 to 5), t, "st", 0L) == Some(0))
+    assert(Snapshots.commitWithTxn(df(6 to 9), t, "st", 1L) == Some(1))
+    assert(Snapshots.commitReplaceWithTxn(df(10 to 12), t, "maint", 1L)
+      == Some(2))
+    assert(Snapshots.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 11L, 12L))
+    // the replace carried the INGEST ledger forward (a rewrite cannot
+    // reopen the door to stream replays) and recorded its own mark
+    assert(Snapshots.lastTxn(spark, t, "st") == Some(1L))
+    assert(Snapshots.lastTxn(spark, t, "maint") == Some(1L))
+    assert(Snapshots.commitWithTxn(df(6 to 9), t, "st", 1L) == None)
+    // replayed maintenance at a covered id: no version, no rows, no files
+    assert(Snapshots.commitReplaceWithTxn(df(90 to 99), t, "maint", 1L)
+      == None)
+    assert(Snapshots.commitReplaceWithTxn(df(90 to 99), t, "maint", 0L)
+      == None)
+    assert(Snapshots.versions(spark, t) == Seq(0, 1, 2))
+    // a LATER maintenance batch id replaces again and advances the mark
+    assert(Snapshots.commitReplaceWithTxn(df(20 to 21), t, "maint", 3L)
+      == Some(3))
+    assert(Snapshots.lastTxn(spark, t, "maint") == Some(3L))
+    assert(Snapshots.read(spark, t).count() == 2)
+  }
+
   test("commitWithTxn: replays skip; txn marks survive appends, replaces, and compaction") {
     val t = freshTable("txn")
     assert(Snapshots.commitWithTxn(df(1 to 5), t, "app", 0L) == Some(0))

@@ -1317,6 +1317,161 @@ class StreamingSpec extends SparkSpecBase {
     assert(cents(centS) == cents(centD))
   }
 
+  /** Build the PqRetrainIngest fixture: base-corpus (vec_id % 7 ≠ 3)
+    * coarse index + per-subspace codebooks + err-carrying code table,
+    * each committed as version 0 of its snapshot table. Returns the
+    * codebook table's frozen version id. */
+  private def pqRetrainFixture(assignT: String, centT: String,
+      cbT: String, codesT: String): Int = {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Snapshots
+    val sim = graft.ext.Similarity
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val init = e.filter(!expr("vec_id % 7 = 3"))
+      .select(col("vec_id"), col("label").as("cell"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d) as bigint))")
+          .as("vfp"))
+    val trained = sim.ivfTrain(init, iters = 2).localCheckpoint(true)
+    Snapshots.commit(trained, assignT, append = false)
+    Snapshots.commit(sim.cellCentroids(trained), centT, append = false)
+    val subs = sim.pqResidualSubs(trained, Snapshots.read(spark, centT),
+      nSub = 16, subDim = 4).localCheckpoint(true)
+    val vCb = Snapshots.commit(sim.pqTrainCodebooks(subs, pqIters = 2,
+      nCodes = 32), cbT, append = false)
+    Snapshots.commit(sim.pqEncodeFrozen(subs, Snapshots.read(spark, cbT)),
+      codesT, append = false)
+    vCb
+  }
+
+  /** Feed batches for the retrain tests, cloned from BASE-corpus rows
+    * (fresh ids) so the un-corrupted dims encode like their sources and
+    * the gate reads drift ≈ 1× for them: batch 0 = clean clones (no
+    * fire); batch 1 = the same rows with dims 0–7 scaled ×4 — residuals
+    * of subspaces 0–1 (subDim 4) blow up directly, so the materiality
+    * floor must select at least {0, 1}. */
+  private def pqRetrainBatch(i: Int) = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(expr("not (vec_id % 7 = 3) and vec_id % 5 = 0"))
+      .select((col("vec_id") + lit(1000000L * (i + 1))).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr("transform(embedding, (x, i) -> " +
+           "case when i < 8 then x * cast(4.0 as float) else x end)"))
+          .as("embedding"))
+  }
+
+  test("streaming PQ retrain: drift gate fires in-stream on the corrupted subspaces only, swap publishes a new codebook version (old one stays probe-able), replays leave byte-identical state") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Snapshots
+    import graft.streaming.PqRetrainIngest
+    val sim = graft.ext.Similarity
+    val root = graft.engine.WorkDirs.processScoped("graft_pqretrain")
+    val (assignT, centT, cbT, codesT) =
+      (s"$root/assign", s"$root/cent", s"$root/cb", s"$root/codes")
+    val vFrozen = pqRetrainFixture(assignT, centT, cbT, codesT)
+    val cbFrozen = Snapshots.read(spark, cbT, vFrozen)
+      .select("cl", "csub", "cw").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    // ---- batch 0: clean held-out rows — appends land, gate stays shut
+    val fire0 = PqRetrainIngest.ingestBatch(pqRetrainBatch(0), assignT,
+      codesT, cbT, centT, "rt1", 0L)
+    assert(fire0.isEmpty, s"clean batch must not retrain: $fire0")
+    assert(Snapshots.versions(spark, cbT).last == vFrozen,
+      "no-fire batch must not publish a codebook version")
+    // ---- batch 1: dims 0–7 corrupted ×4 — subspaces 0–1 MUST flag;
+    // the ×4 scale also moves coarse assignments, so other subspaces'
+    // residual distributions legitimately drift past the floor too
+    val fire1 = PqRetrainIngest.ingestBatch(pqRetrainBatch(1), assignT,
+      codesT, cbT, centT, "rt1", 1L)
+    assert(Set(0, 1).subsetOf(fire1.toSet),
+      s"corrupted-subspace batch must flag subspaces 0 and 1: $fire1")
+    val vSwap = Snapshots.versions(spark, cbT).last
+    assert(vSwap > vFrozen, "the swap must publish a NEW codebook version")
+    // atomicity: the pre-swap version is still probe-able, bit-identical
+    assert(Snapshots.read(spark, cbT, vFrozen)
+      .select("cl", "csub", "cw").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet == cbFrozen)
+    // the swap rewrote ONLY the flagged subspaces' codebooks
+    val cbNow = Snapshots.read(spark, cbT)
+      .select("cl", "csub", "cw").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    assert(cbNow.filterNot(c => fire1.contains(c._2)) ==
+      cbFrozen.filterNot(c => fire1.contains(c._2)))
+    assert(cbNow.filter(c => fire1.contains(c._2)) !=
+      cbFrozen.filter(c => fire1.contains(c._2)))
+    // earned value: the corrupted rows' flagged-subspace codes encode
+    // strictly better under the retrained codebooks than the frozen ones
+    val corrupted = sim.pqEncodeFrozen(
+      sim.pqResidualSubs(
+        Snapshots.read(spark, assignT).filter(col("vec_id") >= 2000000L),
+        Snapshots.read(spark, centT), nSub = 16, subDim = 4),
+      Snapshots.read(spark, cbT, vFrozen))
+    val preErr = corrupted.filter(col("subspace").isin(fire1: _*))
+      .agg(sum(col("err_fp"))).head().getLong(0)
+    val postErr = Snapshots.read(spark, codesT)
+      .filter(col("cid") >= 2000000L && col("subspace").isin(fire1: _*))
+      .agg(sum(col("err_fp"))).head().getLong(0)
+    assert(postErr < preErr,
+      s"retrain must cut the drifted residual error: $postErr !< $preErr")
+    // ---- replay: both covered batch ids stage nothing and the gate
+    // does not re-fire (the drift episode ended with the swap) — every
+    // table directory stays byte-identical
+    def census(dir: String): Map[String, (Long, String)] = {
+      val rootP = java.nio.file.Paths.get(dir)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val it = java.nio.file.Files.walk(rootP).iterator()
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          out(rootP.relativize(p).toString) =
+            (bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString)
+        }
+      }
+      out.toMap
+    }
+    val before = Seq(assignT, centT, cbT, codesT).map(census)
+    assert(PqRetrainIngest.ingestBatch(pqRetrainBatch(1), assignT, codesT,
+      cbT, centT, "rt1", 1L).isEmpty)
+    assert(PqRetrainIngest.ingestBatch(pqRetrainBatch(0), assignT, codesT,
+      cbT, centT, "rt1", 0L).isEmpty)
+    assert(Seq(assignT, centT, cbT, codesT).map(census) == before,
+      "a replayed micro-batch must leave every table directory byte-identical")
+  }
+
+  test("PqRetrainIngest.start: the live stream drives the same appends + retrain as the direct foreachBatch body") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Snapshots
+    import graft.streaming.PqRetrainIngest
+    val root = graft.engine.WorkDirs.processScoped("graft_pqretrain_live")
+    val (assignS, centS, cbS, codesS) =
+      (s"$root/assign_s", s"$root/cent_s", s"$root/cb_s", s"$root/codes_s")
+    val (assignD, centD, cbD, codesD) =
+      (s"$root/assign_d", s"$root/cent_d", s"$root/cb_d", s"$root/codes_d")
+    pqRetrainFixture(assignS, centS, cbS, codesS)
+    pqRetrainFixture(assignD, centD, cbD, codesD)
+    // one input file → one micro-batch (batchId 0, matching the direct
+    // drive); the corrupted batch so the retrain fires in-stream
+    val feedDir = s"$root/feed"
+    pqRetrainBatch(1).coalesce(1).write.parquet(feedDir)
+    PqRetrainIngest.start(spark, feedDir, assignS, codesS, cbS, centS,
+      s"$root/ck", "rtlive").awaitTermination(120000)
+    val fireD = PqRetrainIngest.ingestBatch(spark.read.parquet(feedDir),
+      assignD, codesD, cbD, centD, "rtlive", 0L)
+    assert(fireD.nonEmpty)
+    def codes(t: String) = Snapshots.read(spark, t)
+      .select("cid", "subspace", "code", "err_fp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    def cbs(t: String) = Snapshots.read(spark, t)
+      .select("cl", "csub", "cw").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    assert(codes(codesS) == codes(codesD) && codes(codesS).nonEmpty)
+    assert(cbs(cbS) == cbs(cbD))
+    assert(Snapshots.versions(spark, cbS).size ==
+      Snapshots.versions(spark, cbD).size)
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
