@@ -1472,6 +1472,146 @@ class StreamingSpec extends SparkSpecBase {
       Snapshots.versions(spark, cbD).size)
   }
 
+  test("streaming coarse re-center: drift-gate budget pick matches the batch fold, swap is one marked publish, replays leave byte-identical state") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Snapshots
+    import graft.streaming.CellRecenterIngest
+    val sim = graft.ext.Similarity
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val root = graft.engine.WorkDirs.processScoped("graft_recenter")
+    val (assignT, centT) = (s"$root/assign", s"$root/cent")
+    val trained = splitFixture(assignT, centT)
+    val held = e.filter(expr("vec_id % 7 = 3"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val slices = held.grouped((held.length + 1) / 2).toSeq
+    def batchDf(i: Int) = e.filter(col("vec_id").isin(slices(i): _*))
+      .select((col("vec_id") + lit(1000000L * (i + 1))).as("vec_id"),
+        col("embedding"))
+    // ---- stream side: the production foreachBatch body, driven directly
+    val vPre = Snapshots.versions(spark, centT).last
+    val fires = (0 until 2).map { i =>
+      CellRecenterIngest.ingestBatch(batchDf(i), assignT, centT, "rc1",
+        i.toLong)
+    }
+    assert(fires.forall(_.isDefined),
+      s"the budget rule spends its pick every non-replayed batch: $fires")
+    assert(Snapshots.versions(spark, centT).size ==
+      Snapshots.versions(spark, centT).filter(_ <= vPre).size + 2,
+      "each re-center publishes exactly one quantizer version")
+    // ---- batch side: the same evolution through independent
+    // formulations (ivfAssignFrozen routing + orderBy/limit worst pick
+    // vs the ingest's packed argmin + struct-min)
+    val d = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    var centB = sim.cellCentroids(trained).localCheckpoint(true)
+    var assignB = trained.select(col("vec_id"), col("cell"), col("vfp"))
+    val firesB = (0 until 2).map { i =>
+      val routed = sim.ivfAssignFrozen(batchDf(i), centB)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("vfp"))
+      assignB = assignB.unionByName(routed).localCheckpoint(true)
+      val newIds = routed.select(col("vec_id").as("bid"))
+      val m = assignB.join(broadcast(newIds), col("vec_id") === col("bid"),
+          "left_outer")
+        .withColumn("src", when(col("bid").isNull, 0L).otherwise(1L))
+      val h = m.join(broadcast(centB), col("cell") === col("ccell"))
+        .withColumn("d2", expr(d("vfp", "carr")))
+        .groupBy(col("cell"))
+        .agg(sum(when(col("src") === 0L, col("d2"))).as("bd2"),
+          sum(when(col("src") === 0L, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("src") === 1L, col("d2"))).as("nd2"),
+          sum(when(col("src") === 1L, 1L).otherwise(0L)).as("nn"))
+        .select(col("cell"),
+          expr("bd2 div nullif(nb, 0L)").as("bm"),
+          expr("nd2 div nullif(nn, 0L)").as("nm"))
+        .withColumn("drift_bp", expr("nm * 10000L div nullif(bm, 0L)"))
+        .withColumn("infd",
+          expr("case when bm = 0L and nm > 0L then 1L else 0L end"))
+      val worst = h.orderBy(col("infd").desc,
+          col("drift_bp").desc_nulls_last, col("cell"))
+        .limit(1).head().getLong(0)
+      centB = centB.filter(col("ccell") =!= worst)
+        .unionByName(sim.cellCentroids(
+          assignB.filter(col("cell") === worst)))
+        .localCheckpoint(true)
+      worst
+    }
+    assert(fires.map(_.get) == firesB,
+      s"budget picks diverged: stream=$fires batch=$firesB")
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.select("ccell", "carr").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(cents(Snapshots.read(spark, centT)) == cents(centB))
+    def postings(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postings(Snapshots.read(spark, assignT)) == postings(assignB))
+    // ---- earned value: the re-centered cell's members sit closer (in
+    // mean fixed-point d²) to the published centroid than to the
+    // superseded version's — time travel reads both sides of the swap
+    val last = fires(1).get
+    val vNow = Snapshots.versions(spark, centT).last
+    def meanD2(v: Int): Long = Snapshots.read(spark, assignT)
+      .filter(col("cell") === last)
+      .join(broadcast(Snapshots.read(spark, centT, v)
+        .filter(col("ccell") === last)), col("cell") === col("ccell"))
+      .agg(expr(s"sum(${d("vfp", "carr")}) div count(1)")).head().getLong(0)
+    assert(meanD2(vNow) <= meanD2(vNow - 1),
+      "re-centering to the members' truncated mean must not worsen their mean d2")
+    // ---- replay: covered batch ids stage nothing, the budget rule is
+    // not re-evaluated (the swap's ledger mark) — both table
+    // directories stay byte-identical
+    def census(dir: String): Map[String, (Long, String)] = {
+      val rootP = java.nio.file.Paths.get(dir)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val it = java.nio.file.Files.walk(rootP).iterator()
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          out(rootP.relativize(p).toString) =
+            (bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString)
+        }
+      }
+      out.toMap
+    }
+    val before = (census(assignT), census(centT))
+    assert(CellRecenterIngest.ingestBatch(batchDf(1), assignT, centT,
+      "rc1", 1L).isEmpty)
+    assert(CellRecenterIngest.ingestBatch(batchDf(0), assignT, centT,
+      "rc1", 0L).isEmpty)
+    assert((census(assignT), census(centT)) == before,
+      "a replayed micro-batch must leave both table directories byte-identical")
+  }
+
+  test("CellRecenterIngest.start: the live stream drives the same gate + re-center as the direct foreachBatch body") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Snapshots
+    import graft.streaming.CellRecenterIngest
+    val root = graft.engine.WorkDirs.processScoped("graft_recenter_live")
+    val (assignS, centS) = (s"$root/assign_s", s"$root/cent_s")
+    val (assignD, centD) = (s"$root/assign_d", s"$root/cent_d")
+    splitFixture(assignS, centS)
+    splitFixture(assignD, centD)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val feed = e.filter(expr("vec_id % 7 = 3"))
+      .select((col("vec_id") + lit(3000000L)).as("vec_id"), col("embedding"))
+    val feedDir = s"$root/feed"
+    feed.coalesce(1).write.parquet(feedDir)
+    CellRecenterIngest.start(spark, feedDir, assignS, centS,
+      s"$root/ck", "rclive").awaitTermination(120000)
+    assert(CellRecenterIngest.ingestBatch(spark.read.parquet(feedDir),
+      assignD, centD, "rclive", 0L).isDefined)
+    def postings(t: String) = Snapshots.read(spark, t)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cents(t: String) = Snapshots.read(spark, t)
+      .select("ccell", "carr").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(postings(assignS) == postings(assignD) && postings(assignS).nonEmpty)
+    assert(cents(centS) == cents(centD))
+  }
+
   test("streaming dedup within watermark preserves distinct event count") {
     val q = Events.streamingDedup(spark, eventsDir)
       .writeStream.format("memory").queryName("deduped")
