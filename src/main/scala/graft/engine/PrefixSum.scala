@@ -94,8 +94,18 @@ object PrefixSum {
       .drop("_nt_v", "_nt_c", "_nt_carry", "_nt_w", "_nt_n", "_nt_i")
   }
 
-  private def exclusive(df: DataFrame, key: String, v: String, out: String,
+  private def exclusive(df0: DataFrame, key: String, v: String, out: String,
       isMax: Boolean): DataFrame = {
+    // staged: the input feeds BOTH the within-chunk window (l1) and the
+    // chunk-totals aggregate (t1), and their exchanges canonicalize
+    // differently (window exchange vs partial-aggregate exchange), so
+    // ReuseExchange does not share them — un-staged, every caller paid
+    // the input's whole lineage twice, and CHAINED calls (ks/mwu's double
+    // carry, the ntile quartets) compounded multiplicatively (PlanAudit
+    // r16: events_ks_test carried a 46-node subtree ×2, a 45-node ×3 and
+    // a 14-node ×6; guide §1.2). The frame is a per-key count/total
+    // table — KBs to MBs at any corpus size, the cheapest cut available.
+    val df = Materialize.stage(df0)
     def ag(c: Column): Column = if (isMax) max(c) else sum(c)
     // exclusive combine preserving NULL-when-no-predecessor: greatest
     // skips nulls; the sum form must not turn (null, null) into 0

@@ -238,11 +238,16 @@ object Dedup {
       .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
-    val fwd = pairs.select(col("doc_a").as("contained"), col("doc_b").as("container"),
-      (col("inter").cast("double") / col("sza")).as("containment"))
-    val rev = pairs.select(col("doc_b").as("contained"), col("doc_a").as("container"),
-      (col("inter").cast("double") / col("szb")).as("containment"))
-    fwd.unionByName(rev)
+    // both orientations from ONE pass over the candidate join (the union
+    // of two projections evaluated the whole inverted-index join twice —
+    // Spark has no cross-branch subtree CSE; guide §1.2/§2.4)
+    pairs.select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          (col("inter").cast("double") / col("sza")).as("containment")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          (col("inter").cast("double") / col("szb")).as("containment")))).as("o"))
+      .select(col("o.contained").as("contained"), col("o.container").as("container"),
+        col("o.containment").as("containment"))
       .filter(col("containment") >= tau)
       .select(col("contained"), col("container"), round(col("containment"), 6).as("containment"))
       .orderBy(col("contained"), col("container"))
@@ -527,12 +532,16 @@ object Dedup {
     // the between-queries sweep reclaims)
     val pairs = graft.engine.Materialize.stage(
       ngramJaccardOn(documents).select(col("doc_a"), col("doc_b")))
-    val assigned = dedupClustersFrom(documents, pairs)
-      .select(col("doc_id"), col("cluster_id"))
-      .withColumn("bkt", expr("pmod(mix64(cluster_id), 32L)"))
-      .withColumn("split",
-        when(col("bkt") < 26, "train").when(col("bkt") < 29, "val")
-          .otherwise("test"))
+    // staged: the zero-leak census reads this twice (both pair endpoints)
+    // and the per-split aggregate once — un-staged, the clustering tail
+    // re-ran per reference (guide §1.2)
+    val assigned = graft.engine.Materialize.stage(
+      dedupClustersFrom(documents, pairs)
+        .select(col("doc_id"), col("cluster_id"))
+        .withColumn("bkt", expr("pmod(mix64(cluster_id), 32L)"))
+        .withColumn("split",
+          when(col("bkt") < 26, "train").when(col("bkt") < 29, "val")
+            .otherwise("test")))
     val cross = pairs
       .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
@@ -851,14 +860,30 @@ object Dedup {
     */
   val SinglePartitionMaxEdges: Long = 4L << 20
 
+  /** Symmetric closure of a (doc_a, doc_b) pair list in ONE pass over
+    * its lineage: explode each pair into both orientations instead of
+    * `pairs.unionByName(pairs.swap)`. Spark performs no cross-branch CSE
+    * of logical subtrees, so the union form evaluates the pair builder
+    * (the inverted-index candidate join — the expensive half of every
+    * graph query here) once per branch; only the exchanges below it are
+    * deduped by ReuseExchange, and the post-shuffle verify join + filter
+    * ran twice (OPTIMIZATION_r16, guide §1.2/§2.4). Row multiset is
+    * identical to the union form — every consumer aggregates or joins,
+    * so row order is immaterial.
+    */
+  private def symPairs(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+
   def dedupClustersFrom(documents: DataFrame, pairs: DataFrame,
       singlePartitionMaxEdges: Long = SinglePartitionMaxEdges): DataFrame = {
     // Propagation runs ONLY over nodes that have an edge — the near-dup
     // subgraph is a tiny fraction of the corpus (pairs, not documents).
     // Singletons rejoin at the end with cluster_id = self.
     val stage = graft.engine.Materialize.stage _
-    val edgesAll = stage(pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val edgesAll = stage(symPairs(pairs))
     // stage() materialized the frame, so this count is a cached-scan job
     val single = edgesAll.count() <= singlePartitionMaxEdges
     def sized(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
@@ -910,9 +935,16 @@ object Dedup {
     * (cluster_id = self), attach cluster sizes, mark canonicals.
     */
   private def clusterOutput(documents: DataFrame, labels: DataFrame): DataFrame = {
-    val withSingletons = documents.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    // staged: both the size aggregate and the final join consume this
+    // frame — un-staged, the corpus scan + label join ran twice (no
+    // release site: the returned frame is backed by it; the between-
+    // queries sweep reclaims). groupBy+join rather than a count window
+    // so a giant cluster partial-aggregates instead of buffering in one
+    // window partition.
+    val withSingletons = graft.engine.Materialize.stage(
+      documents.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id")))
     val sizes = withSingletons.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     withSingletons.join(sizes, "cluster_id")
@@ -981,6 +1013,10 @@ object Dedup {
     while (!done && round < maxRounds) {
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val lgMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      // `large` is referenced twice (small-star min + join) but reads the
+      // STAGED edge frame — recomputing its tail is cheaper than a per-
+      // round checkpoint write (measured: staging it here was a wash to
+      // slightly slower on the coalesced small-graph path)
       val large = sym.join(lgMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
@@ -1207,10 +1243,12 @@ object Dedup {
     val withDays = pairs
       .join(day.select(col("doc_id").as("doc_a"), col("batch").as("ba")), "doc_a")
       .join(day.select(col("doc_id").as("doc_b"), col("batch").as("bb")), "doc_b")
-    val priorDup = withDays.filter(col("ba") < col("bb"))
-      .select(col("doc_b").as("doc_id"))
-      .union(withDays.filter(col("bb") < col("ba"))
-        .select(col("doc_a").as("doc_id")))
+    // single pass: the two-filter union evaluated the pair build + both
+    // batch joins twice (PlanAudit r16 ×2; guide §1.2) — one conditional
+    // projection emits the same later-side rows
+    val priorDup = withDays.filter(col("ba") =!= col("bb"))
+      .select(when(col("ba") < col("bb"), col("doc_b"))
+        .otherwise(col("doc_a")).as("doc_id"))
       .distinct()
     d.join(priorDup.withColumn("pd", lit(1L)), Seq("doc_id"), "left")
       .groupBy(col("batch"))
@@ -1515,7 +1553,11 @@ object Dedup {
     val tagged = documents.withColumn("is_eval", isEval)
     val (sig, bands) = bandedSignatures(tagged.select(col("doc_id"), col("text")))
     val side = tagged.select(col("doc_id"), col("is_eval"))
-    val bandsTagged = bands.join(side, "doc_id")
+    // staged: the train and eval sides filter this frame differently, so
+    // their subtrees don't canonicalize equal and the minhash band
+    // projection ran once per side (PlanAudit r16 ×2; guide §1.2).
+    // 32 band rows per doc, ids + flag only.
+    val bandsTagged = graft.engine.Materialize.stage(bands.join(side, "doc_id"))
     val trainB = bandsTagged.filter(!col("is_eval"))
       .select(col("doc_id").as("train_id"), col("band"), col("bkey"))
     val evalB = bandsTagged.filter(col("is_eval"))
@@ -1585,9 +1627,13 @@ object Dedup {
       ngramJaccardOn(docs(spark, dir)).select(col("doc_a"), col("doc_b")))
 
   def trianglesFrom(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
-        greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") < col("v")).distinct()
+    // staged: the triangle join reads this edge list on THREE sides —
+    // un-staged, the whole inverted-index pair build ran per side
+    // (PlanAudit r16 ×3; guide §1.2). Id pairs only.
+    val e = graft.engine.Materialize.stage(
+      pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") < col("v")).distinct())
     val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
       .join(e.as("ac"),
         col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
@@ -1697,8 +1743,8 @@ object Dedup {
   private def pagerankLoop(init: DataFrame, pairs: DataFrame,
       iters: Int): DataFrame = {
     val stage = graft.engine.Materialize.stage _
-    val edgesAll = stage(pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    // symPairs: one evaluation of the pair builder (see its doc)
+    val edgesAll = stage(symPairs(pairs))
     val single = edgesAll.count() <= SinglePartitionMaxEdges
     def sized(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
     val edges =
@@ -1707,7 +1753,10 @@ object Dedup {
         graft.engine.Materialize.release(edgesAll)
         e
       } else edgesAll
-    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("d"))
+    // staged: the contrib join re-reads this per round — un-staged, each
+    // of the `iters` rounds re-ran the degree aggregate over the edge set
+    val deg = stage(sized(
+      edges.groupBy(col("doc_a")).agg(count(lit(1)).as("d"))))
     val bases = stage(sized(init.select(col("doc_id"), col("base"))))
     var rank = stage(sized(init.select(col("doc_id"), col("r"))))
     for (_ <- 1 to iters) {
@@ -1950,8 +1999,10 @@ object Dedup {
 
   def lengthBiasOn(documents: DataFrame): DataFrame = {
     val pairs = minhashLshOn(documents)
-    val involved = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    // one pass over the LSH pipeline: the two-projection union evaluated
+    // the whole band/verify chain twice (guide §1.2/§2.4)
+    val involved = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct().withColumn("dup", lit(1L))
     documents.select(col("doc_id"), length(bin(col("n_chars"))).cast("long").as("bucket"))
       .join(involved, Seq("doc_id"), "left")
@@ -2224,8 +2275,8 @@ object Dedup {
   def bfsReachOn(documents: DataFrame, isSeed: Column, maxHops: Int): DataFrame = {
     val stage = graft.engine.Materialize.stage _
     val pairs = ngramJaccardOn(documents).select(col("doc_a"), col("doc_b"))
-    val edges = stage(pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    // symPairs: one evaluation of the inverted-index builder (see its doc)
+    val edges = stage(symPairs(pairs))
     var visited = stage(documents.filter(isSeed)
       .select(col("doc_id"), lit(0).as("dist")))
     var frontier = visited

@@ -387,7 +387,11 @@ object Multimodal {
 
   def mediaChunkContainmentOn(media: DataFrame, chunkBytes: Int,
       tau: Double): DataFrame = {
-    val chunks = media
+    // staged: the per-media sizes and BOTH self-join sides consume the
+    // chunk index — un-staged, the md5 chunking explode ran up to four
+    // times (PlanAudit r16 ×2/×4; guide §1.2). Id + 32-char hash rows —
+    // the payload never checkpoints.
+    val chunks = graft.engine.Materialize.stage(media
       .select(col("media_id"), col("payload"))
       .withColumn("n", length(col("payload")))
       .filter(col("n") > 0)
@@ -395,7 +399,7 @@ object Multimodal {
         s"transform(sequence(0, cast(ceil(n / ${chunkBytes}.0) as int) - 1), " +
           s"i -> md5(cast(hex(substring(payload, i * $chunkBytes + 1, $chunkBytes)) as binary)))"))
         .as("ch"))
-      .distinct()
+      .distinct())
     val sizes = chunks.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
     val a = chunks.select(col("media_id").as("ma"), col("ch"))
     val b = chunks.select(col("media_id").as("mb"), col("ch"))
@@ -535,7 +539,11 @@ object Multimodal {
     * rows → per-payload set sizes, inverted-index candidate join on the
     * chunk hash, Jaccard ≥ τ.
     */
-  private def chunkJaccardPairs(chunks: DataFrame, tau: Double): DataFrame = {
+  private def chunkJaccardPairs(chunks0: DataFrame, tau: Double): DataFrame = {
+    // staged: sizes + both self-join sides — un-staged, the chunk-hash
+    // derivation (fixed or CDC) ran up to four times (PlanAudit r16;
+    // guide §1.2). Id + hash rows only; payloads never checkpoint.
+    val chunks = graft.engine.Materialize.stage(chunks0)
     val sizes = chunks.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
     val a = chunks.select(col("media_id").as("ma"), col("ch"))
     val b = chunks.select(col("media_id").as("mb"), col("ch"))

@@ -180,11 +180,14 @@ object TextOps {
     lmModelFromTris(lmTrigrams(reference))
 
   private def lmModelFromTris(tris: DataFrame): DataFrame = {
+    // prefix totals as a window over the trigram counts instead of a
+    // groupBy + self-join: the join form evaluated the trigram aggregate
+    // once per reference (guide §1.2), and the window needs only the one
+    // exchange on the prefix (bounded fan-in: ≤|alphabet| rows per pfx)
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
-    val c2 = c3.groupBy(expr("substring(tri, 1, 2)").as("pfx"))
-      .agg(sum(col("c3")).as("c2"))
-    c3.withColumn("pfx", expr("substring(tri, 1, 2)"))
-      .join(c2, "pfx")
+    val wPfx = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("substring(tri, 1, 2)"))
+    c3.withColumn("c2", sum(col("c3")).over(wPfx))
       .withColumn("term_fp", expr(
         "cast(round(ln(c3 + 1.0d) * 1000000.0d) as bigint) - " +
           "cast(round(ln(c2 + 96.0d) * 1000000.0d) as bigint)"))
@@ -424,7 +427,11 @@ object TextOps {
         explode(expr(s"winnow_hashes(text, $k, $w)")).as("fp")))
     val hot = fps0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("fp").as("hot_fp"))
-    val fps = fps0.join(hot, col("fp") === col("hot_fp"), "left_anti")
+    // staged: the per-doc fingerprint counts and BOTH self-join sides
+    // consume the df-capped index — un-staged, the hot-key aggregate +
+    // anti-join re-ran per reference (PlanAudit r16; guide §1.2)
+    val fps = graft.engine.Materialize.stage(
+      fps0.join(hot, col("fp") === col("hot_fp"), "left_anti"))
     val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -504,11 +511,16 @@ object TextOps {
     val src = toks.groupBy(col("w")).agg(count(lit(1)).as("cs"))
     val tgt = toks.filter(col("lang") === targetLang)
       .groupBy(col("w")).agg(count(lit(1)).as("ct0"))
-    val model = src.join(tgt, Seq("w"), "left")
+    // staged: the normalizer aggregate and the scoring join both read the
+    // model — un-staged, BOTH corpus token aggregations (source + target)
+    // ran twice (PlanAudit r16 ×2; guide §1.2). |vocab| rows. The token
+    // stream itself stays lazy: checkpointing exploded tokens would write
+    // corpus-scale bytes for no shuffle saved.
+    val model = graft.engine.Materialize.stage(src.join(tgt, Seq("w"), "left")
       .withColumn("ct", coalesce(col("ct0"), lit(0L)))
       .withColumn("term_fp",
         expr(s"${lnfp("ct + 1.0d")} - ${lnfp("cs + 1.0d")}"))
-      .select(col("w"), col("cs"), col("ct"), col("term_fp"))
+      .select(col("w"), col("cs"), col("ct"), col("term_fp")))
     val cfp = model.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"),
         count(lit(1)).as("v"))
       .select(expr(s"${lnfp("ts + v * 1.0d")} - ${lnfp("tt + v * 1.0d")}")
@@ -1921,10 +1933,13 @@ object TextOps {
     sourceDivergenceOn(docs(spark, dir))
 
   def sourceDivergenceOn(documents: DataFrame): DataFrame = {
-    val sw = documents
+    // staged: per-source totals and BOTH self-join sides consume this
+    // count table — un-staged, the corpus explode + aggregate ran up to
+    // four times (PlanAudit r16; guide §1.2). |sources|·|vocab| rows.
+    val sw = graft.engine.Materialize.stage(documents
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val totals = sw.groupBy(col("source")).agg(sum(col("c")).as("t"))
     val p = sw.join(broadcast(totals), "source")
       .select(col("source"), col("w"),
@@ -2554,17 +2569,20 @@ object TextOps {
     tokenBudgetOn(docs(spark, dir))
 
   def tokenBudgetOn(documents: DataFrame): DataFrame = {
-    val n = documents
+    // staged (both frames, |sources| rows each): the totals, the second-
+    // pass leftover aggregate and the final projection each re-ran the
+    // corpus token-count scan un-staged (PlanAudit r16 ×2/×3; guide §1.2)
+    val n = graft.engine.Materialize.stage(documents
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).as("n_tok"))
-      .withColumn("wt", expr("cast(floor(sqrt(cast(n_tok as double))) as bigint)"))
+      .withColumn("wt", expr("cast(floor(sqrt(cast(n_tok as double))) as bigint)")))
     val tot = n.agg(sum(col("n_tok")).as("total"), sum(col("wt")).as("sw"))
-    val alloc = n.crossJoin(broadcast(tot))
+    val alloc = graft.engine.Materialize.stage(n.crossJoin(broadcast(tot))
       .withColumn("budget", expr("total div 3"))
       .withColumn("raw", expr("budget * wt div sw"))
       .withColumn("cap", col("n_tok") * 2)
       .withColumn("capped", (col("raw") > col("cap")).cast("long"))
-      .withColumn("c", least(col("raw"), col("cap")))
+      .withColumn("c", least(col("raw"), col("cap"))))
     val redo = alloc.agg(
       (first(col("budget")) - sum(col("c"))).as("leftover"),
       sum(when(col("capped") === 0, col("wt")).otherwise(lit(0L))).as("sw_u"))
@@ -3424,10 +3442,11 @@ object TextOps {
     jsdSourcesOn(docs(spark, dir))
 
   def jsdSourcesOn(documents: DataFrame): DataFrame = {
-    val wc = documents
+    // staged like sourceDivergenceOn: totals + both self-join sides
+    val wc = graft.engine.Materialize.stage(documents
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("t"))
     val a = wc.join(broadcast(tot), "source")
       .select(col("source").as("sa"), col("w"), col("c").as("ca"),

@@ -293,8 +293,12 @@ object Warehouse {
     * this plan already is that (partial+final on the pair key).
     */
   def q70AssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // staged: the item counts, the order-count ACTION and both sides of
+    // the basket self-join consume this frame — the separate count()
+    // action alone re-ran the distinct (no cross-action reuse exists),
+    // and the main job carried it twice more (guide §1.2)
+    val li = graft.engine.Materialize.stage(t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
     val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
     val nOrders = li.select(col("l_orderkey")).distinct().count()
     val pairs = li.as("a").join(li.as("b"),
@@ -664,12 +668,15 @@ object Warehouse {
     * compared as DATEs on both engines so day arithmetic is exact.
     */
   def q64IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val win = t(spark, dir, "orders")
+    // staged: both interval-join sides consume this per-order frame —
+    // un-staged, the orders⋈lineitem aggregate ran once per side
+    // (PlanAudit r16 ×2; guide §1.2)
+    val win = graft.engine.Materialize.stage(t(spark, dir, "orders")
       .join(t(spark, dir, "lineitem"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_custkey"),
         to_date(col("o_orderdate")).as("s"))
-      .agg(to_date(max(col("l_shipdate"))).as("e"))
+      .agg(to_date(max(col("l_shipdate"))).as("e")))
     val a = win.select(col("o_custkey").as("custkey"),
       col("o_orderkey").as("ka"), col("s").as("sa"), col("e").as("ea"))
     val b = win.select(col("o_custkey").as("custkey"),
@@ -1208,9 +1215,14 @@ object Warehouse {
       .groupBy(col("r_name"), col("n_name"))
       .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))) * 10000)
         .cast("long").as("rev"))
-    val regions = rev.groupBy(col("r_name")).agg(sum(col("rev")).as("rrev"))
-    val tot = rev.agg(sum(col("rev")).as("trev"))
-    rev.join(broadcast(regions), "r_name").crossJoin(broadcast(tot))
+      // staged via the val below: region sums, the grand total and the
+      // final projection all consume it — un-staged, the 4-join lineitem
+      // aggregate ran three times (PlanAudit r16 ×3; guide §1.2);
+      // ≤|nations| rows
+    val revS = graft.engine.Materialize.stage(rev)
+    val regions = revS.groupBy(col("r_name")).agg(sum(col("rev")).as("rrev"))
+    val tot = revS.agg(sum(col("rev")).as("trev"))
+    revS.join(broadcast(regions), "r_name").crossJoin(broadcast(tot))
       .select(col("r_name"), col("n_name"), col("rev"),
         // DECIMAL(38,0): revenue-unit sums are already ×10⁴; a second
         // ×10⁴ passes BIGINT range near the 10–20× blowups (the q79/q108
@@ -1479,19 +1491,26 @@ object Warehouse {
     */
   def q87DegreeDist(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // single-pass shape (guide §1.2): the endpoint explode replaces the
+    // two-projection union (one evaluation of the self-join + distinct
+    // instead of two branches), and n_nodes folds into a global window
+    // over the ≤64-row histogram instead of a second full pass over
+    // `deg`. With both folds the edge join is referenced exactly once,
+    // so no materialization point is needed (a stage() here measured
+    // SLOWER — the checkpoint write bought nothing).
     val edges = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .distinct()
-    val deg = edges.select(col("pa").as("p"))
-      .unionAll(edges.select(col("pb").as("p")))
+    val deg = edges.select(explode(array(col("pa"), col("pb"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-    val tot = deg.agg(count(lit(1)).as("n_nodes"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     deg.groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), min(col("deg")).as("min_deg"),
         max(col("deg")).as("max_deg"))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_nodes", sum(col("n")).over(wAll))
       .select(col("bucket"), col("n"), col("min_deg"), col("max_deg"),
         expr("n * 1000000 div n_nodes").as("share_ppm"))
       .orderBy(col("bucket"))
@@ -1755,10 +1774,13 @@ object Warehouse {
     // the pair join at 512²/customer (never binds on the fixture; see
     // the scale note above). The window shares the join's customer
     // partitioning, so AQE plans one shuffle for both.
-    val cpb = cp.withColumn("bk",
+    // staged: both pair-join sides consume the capped frame — un-staged,
+    // the rank window ran once per side over the cp checkpoint (only its
+    // exchange was shared; PlanAudit r16 ×2; guide §1.2)
+    val cpb = graft.engine.Materialize.stage(cp.withColumn("bk",
         row_number().over(Window.partitionBy(col("c"))
           .orderBy(col("fp"), col("p"))))
-      .filter(col("bk") <= 512).drop("bk")
+      .filter(col("bk") <= 512).drop("bk"))
     cpb.as("a").join(cpb.as("b"),
         col("a.c") === col("b.c") && col("a.fp") < col("b.fp") &&
           col("a.p") =!= col("b.p"))
@@ -2327,16 +2349,22 @@ object Warehouse {
     val nBuy = cp.groupBy(col("p")).agg(count(lit(1)).as("nb"))
     // basket cap: q92's 512-per-customer bound on the pair join (never
     // binds on the fixture — see the scale note above)
-    val cpb = cp.withColumn("bk",
+    // staged: both pair-join sides consume the capped frame (q92's note)
+    val cpb = graft.engine.Materialize.stage(cp.withColumn("bk",
         row_number().over(Window.partitionBy(col("c")).orderBy(col("p"))))
-      .filter(col("bk") <= 512).drop("bk")
+      .filter(col("bk") <= 512).drop("bk"))
     val co = cpb.as("a").join(cpb.as("b"),
         col("a.c") === col("b.c") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= 3)
-    val sym = co.unionByName(co.select(col("pb").as("pa"), col("pa").as("pb"),
-      col("co")))
+    // both orientations from ONE pass: the union form evaluated the
+    // whole capped pair join + aggregate twice (no cross-branch subtree
+    // CSE in Spark; guide §1.2/§2.4) — measured the dominant cost here
+    val sym = co.select(explode(array(
+        struct(col("pa"), col("pb"), col("co")),
+        struct(col("pb").as("pa"), col("pa").as("pb"), col("co")))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"), col("e.co").as("co"))
     val scored = sym
       .join(nBuy.select(col("p").as("pa"), col("nb").as("na")), "pa")
       .join(nBuy.select(col("p").as("pb"), col("nb").as("nb2")), "pb")
@@ -2845,14 +2873,18 @@ object Warehouse {
     val pm = li.groupBy(col("l_partkey"),
         expr("year(l_shipdate) * 12 + month(l_shipdate)").as("ym"))
       .agg(sum(expr("cast(l_quantity as bigint)")).as("q"))
-    val cvs = pm.groupBy(col("l_partkey"))
+    // staged: the tercile prefix-sum, the part total and the XYZ class
+    // all consume this frame — un-staged, the two-level lineitem
+    // aggregation executed three times in one job (PlanAudit r16 ×3;
+    // guide §1.2). ≤|parts| rows of two longs.
+    val cvs = graft.engine.Materialize.stage(pm.groupBy(col("l_partkey"))
       .agg(sum(col("q")).as("s1"), sum(expr("q * q")).as("s2"),
         (max(col("ym")) - min(col("ym")) + 1).cast("long").as("nm"))
       .withColumn("cv2_ppm", expr(
         """cast((1000000 * (cast(nm as decimal(38,0)) * s2
           |  - cast(s1 as decimal(38,0)) * s1))
           | div (cast(s1 as decimal(38,0)) * s1) as bigint)""".stripMargin))
-      .select(col("l_partkey"), col("cv2_ppm"))
+      .select(col("l_partkey"), col("cv2_ppm")))
     // empirical tercile cut points: inclusive cumulative counts over the
     // DISTINCT cv² values (unique keys → recursive chunked carry), then
     // the minimal value reaching each rank
@@ -2869,9 +2901,12 @@ object Warehouse {
         when(col("cv2_ppm") <= col("cut_x"), "X")
           .when(col("cv2_ppm") <= col("cut_y"), "Y").otherwise("Z").as("xyz"))
     // ABC: q79's bucketed two-level cumulative-share machinery
-    val pr = li.groupBy(col("l_partkey"))
+    // staged: bucket sums, the grand total and the per-part class all
+    // re-ran the lineitem revenue aggregate — three more full passes
+    // (PlanAudit r16; guide §1.2). ≤|parts| rows.
+    val pr = graft.engine.Materialize.stage(li.groupBy(col("l_partkey"))
       .agg((sum(col("l_extendedprice").cast(DecimalType(18, 4))) * 10000)
-        .cast("long").as("rev"))
+        .cast("long").as("rev")))
     val bkt = pr.withColumn("bkt", expr("rev div 10000000"))
     val bucketSums = bkt.groupBy(col("bkt")).agg(sum(col("rev")).as("bs"))
       .withColumn("above", coalesce(
@@ -3255,8 +3290,12 @@ object Warehouse {
         expr("cast(floor(l_extendedprice * 100.0d + 0.5d) as bigint)")
           .as("cents"),
         expr("cast(floor(l_quantity * 100.0d + 0.5d) as bigint)").as("w"))
-    val cells = li.groupBy(col("p_brand"), col("cents"))
-      .agg(sum(col("w")).as("w"))
+    // staged: the per-brand totals and the cumulative window both read
+    // this cell table — un-staged, the lineitem⋈part aggregate ran twice
+    // (PlanAudit r16 ×2; guide §1.2). ≤|brands|·|prices| rows.
+    val cells = graft.engine.Materialize.stage(
+      li.groupBy(col("p_brand"), col("cents"))
+        .agg(sum(col("w")).as("w")))
     val tot = cells.groupBy(col("p_brand"))
       .agg(sum(col("w")).as("tw"), count(lit(1)).as("n_prices"))
     val wc = Window.partitionBy(col("p_brand")).orderBy(col("cents"))
@@ -3703,7 +3742,11 @@ object Warehouse {
     * semantics was declared but never exercised).
     */
   def fkProfile(framesCols: Seq[(String, DataFrame, String)]): DataFrame = {
-    val sets = framesCols.map { case (nm, df, c) =>
+    // staged: both the per-column sizes and the intersection aggregate
+    // consume this 13-way union — un-staged, all 13 per-column DISTINCT
+    // aggregations executed twice in one job (PlanAudit r16: a 54-node
+    // 14-aggregate subtree ×2; guide §1.2)
+    val sets = graft.engine.Materialize.stage(framesCols.map { case (nm, df, c) =>
       df.select(lit(nm).as("cname"), col(c).cast("long").as("v"))
         // NULL is not a value: the oracle's equi-join drops nulls, and a
         // groupBy would otherwise pool every column's nulls into one
@@ -3711,7 +3754,7 @@ object Warehouse {
         // are non-null today — this pins the semantics for nullable ones)
         .filter(col("v").isNotNull)
         .distinct()
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _))
     val sizes = sets.groupBy(col("cname")).agg(count(lit(1)).as("n"))
     val inter = sets.groupBy(col("v"))
       .agg(collect_set(col("cname")).as("cs"))
@@ -3816,11 +3859,14 @@ object Warehouse {
     val und0 = edges.select(col("u").as("z"), col("v").as("nb"), col("support"))
       .unionAll(edges.select(col("v").as("z"), col("u").as("nb"), col("support")))
     val deg = und0.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-    val und = und0
+    // staged: both wedge sides consume the capped adjacency — un-staged,
+    // the strongest-64 window ran once per side (only its exchange was
+    // shared; PlanAudit r16 ×2; guide §1.2). ≤64·|nodes| id pairs.
+    val und = graft.engine.Materialize.stage(und0
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy(col("z"))
         .orderBy(col("support").desc, col("nb"))))
-      .filter(col("rn") <= 64).select(col("z"), col("nb"))
+      .filter(col("rn") <= 64).select(col("z"), col("nb")))
     val wedges = und.as("x").join(und.as("y"),
         col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
       .select(col("x.nb").as("pa"), col("y.nb").as("pb"), col("x.z").as("z"))

@@ -771,9 +771,16 @@ object Events extends EventsExperimentation with EventsForecast {
       .agg(count(lit(1)).as("n_events"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
           .as("duration_sec"))
-    val pop = sess.select(lit("n_events").as("f"), col("n_events").cast("double").as("x"))
-      .unionByName(sess.select(lit("duration_sec").as("f"),
-        col("duration_sec").cast("double").as("x")))
+    // single pass + staged: the two-projection union evaluated the
+    // sessionization windows twice, and the quantile + max consumers
+    // multiplied that again (PlanAudit r16 ×3/×6; guide §1.2). The
+    // explode emits both metric rows in one pass; the stage cuts the
+    // remaining fan-out. 2 rows per session.
+    val pop = graft.engine.Materialize.stage(sess.select(explode(array(
+        struct(lit("n_events").as("f"), col("n_events").cast("double").as("x")),
+        struct(lit("duration_sec").as("f"),
+          col("duration_sec").cast("double").as("x")))).as("e"))
+      .select(col("e.f").as("f"), col("e.x").as("x")))
     val qs = graft.queries.Core.bucketQuantilesOn(pop,
       Seq(0.5 -> "med", 0.9 -> "p90"))
     val agg = pop.groupBy(col("f"))

@@ -381,10 +381,13 @@ private[streaming] trait EventsExperimentation { this: Events.type =>
       .agg(sum(when(col("pre"), col("vc")).otherwise(0L)).as("x"),
         sum(when(!col("pre"), col("vc")).otherwise(0L)).as("y"))
       .withColumn("arm", expr("pmod(mix64(user_id), 2)").cast("int"))
-    val arms = pu.groupBy(col("arm"))
+    // staged: the pooled-theta aggregate and the final projection both
+    // read this 2-row frame — un-staged, the per-user events aggregate
+    // ran twice (PlanAudit r16 ×2; guide §1.2)
+    val arms = graft.engine.Materialize.stage(pu.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy")))
     val g = arms.agg(sum(col("n")).as("gn"), sum(col("sx")).as("gsx"),
       sum(col("sy")).as("gsy"), sum(col("sxx")).as("gsxx"),
       sum(col("sxy")).as("gsxy"))
@@ -853,8 +856,12 @@ private[streaming] trait EventsExperimentation { this: Events.type =>
     val spark2 = ev.sparkSession
     val subsets = spark2.range(16).select(col("id").cast("int").as("s"))
     // v(S) = converters whose mask ⊆ S — a ⊆-join on the ≤16×16 lattice
-    val v = subsets.join(broadcast(masks), expr("(mask & s) = mask"), "left")
-      .groupBy(col("s")).agg(coalesce(sum(col("n_conv")), lit(0L)).as("v"))
+    // staged: the Shapley grid joins v(S) twice (S and S∪{bit}) — un-
+    // staged, the events mask aggregation ran once per reference
+    // (PlanAudit r16 ×2; guide §1.2). 16 rows.
+    val v = graft.engine.Materialize.stage(
+      subsets.join(broadcast(masks), expr("(mask & s) = mask"), "left")
+        .groupBy(col("s")).agg(coalesce(sum(col("n_conv")), lit(0L)).as("v")))
     val chan = spark2.createDataFrame(Seq(
         (1, "click"), (2, "error"), (4, "signup"), (8, "view")))
       .toDF("bit", "channel")

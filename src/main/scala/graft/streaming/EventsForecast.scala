@@ -198,7 +198,11 @@ private[streaming] trait EventsForecast { this: Events.type =>
     */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = events(spark, dir)
+    // staged: both sides of the pairwise-slope self-join consume this
+    // frame — un-staged, the recency + min-ts window pair executed once
+    // per side (only the exchange below them is deduped by ReuseExchange;
+    // guide §1.2). ≤128 rows/user of four longs.
+    val base = graft.engine.Materialize.stage(events(spark, dir)
       .withColumn("recency", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("event_id").desc)))
@@ -206,7 +210,7 @@ private[streaming] trait EventsForecast { this: Events.type =>
       .select(col("user_id"), col("event_id"),
         expr("(unix_micros(ts) - min(unix_micros(ts)) over " +
           "(partition by user_id)) div 60000000").as("x"),
-        expr("cast(round(value * 100.0d) as bigint)").as("y"))
+        expr("cast(round(value * 100.0d) as bigint)").as("y")))
     val a = base.select(col("user_id"), col("event_id").as("ia"),
       col("x").as("xa"), col("y").as("ya"))
     val b = base.select(col("user_id"), col("event_id").as("ib"),
@@ -445,10 +449,14 @@ private[streaming] trait EventsForecast { this: Events.type =>
     * correlogram and the smoother can never disagree on the series).
     */
   private def dailyGrid(ev: DataFrame): DataFrame = {
-    val dc = ev
+    // staged: the calendar range, the type list and the left join all
+    // consume this aggregate — un-staged, the events scan + groupBy ran
+    // three times per grid build (PlanAudit r16; guide §1.2).
+    // ≤|types|·|days| rows.
+    val dc = graft.engine.Materialize.stage(ev
       .select(col("event_type"),
         expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").as("d"))
-      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x")))
     val range = dc.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
     val grid = dc.select(col("event_type")).distinct()
       .crossJoin(broadcast(range))
@@ -469,7 +477,10 @@ private[streaming] trait EventsForecast { this: Events.type =>
   }
 
   def acfOn(ev: DataFrame): DataFrame = {
-    val cx = centeredDaily(ev)
+    // staged: the denominator and both lag-join sides consume the
+    // centered series — un-staged, the grid + centering pipeline ran
+    // three times (PlanAudit r16 ×3/×4; guide §1.2)
+    val cx = graft.engine.Materialize.stage(centeredDaily(ev))
     val den = cx.groupBy(col("event_type")).agg(sum(expr("c * c")).as("den"))
     val lhs = cx.select(col("event_type"), col("d"), col("c").as("cl"),
       explode(expr("sequence(1, 7)")).as("lag"))
@@ -538,7 +549,8 @@ private[streaming] trait EventsForecast { this: Events.type =>
     ccfOn(events(spark, dir))
 
   def ccfOn(ev: DataFrame): DataFrame = {
-    val cx = centeredDaily(ev)
+    // staged like acfOn: den + both join sides read the centered series
+    val cx = graft.engine.Materialize.stage(centeredDaily(ev))
     val den = cx.groupBy(col("event_type")).agg(sum(expr("c * c")).as("den"))
     val lhs = cx.select(col("event_type").as("type_a"), col("d"),
       col("c").as("ca"), explode(expr("sequence(-3, 3)")).as("lag"))

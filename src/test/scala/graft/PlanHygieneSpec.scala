@@ -139,7 +139,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "events_neyman_sample",
     // repurchase curve: the 5-row horizon list broadcast onto the gaps;
     // degree dist / power users: the 1-row node/user-total frame (q60)
-    "q84_repurchase_curve", "q87_degree_dist", "events_power_users",
+    // (q87_degree_dist left this list in r16: the node-total crossJoin
+    // folded into a window over the ≤64-row histogram)
+    "q84_repurchase_curve", "events_power_users",
     // peak load: the 1-row peak frame broadcast onto the hour curve;
     // aa test: the two 1-row arm frames joined
     "events_peak_load", "events_aa_test", "events_user_features",
@@ -194,12 +196,17 @@ class PlanHygieneSpec extends SparkSpecBase {
     // (page-hinkley shares the identical grid)
     "events_ses_backtest", "events_dispersion", "events_forecast_tourney",
     "events_page_hinkley",
-    // acf / ccf / holt-winters: the identical 1-row (lo, hi) day-range
-    // frame broadcast onto the per-type grid before the zero-fill explode
-    "events_acf", "events_ccf", "events_holt_winters",
-    // ks / mwu tests: the 1-row midpoint (and ks's totals) frames
-    // broadcast onto the per-cent-value counts (events_changepoint's shape)
-    "events_ks_test", "events_mwu",
+    // holt-winters: the 1-row (lo, hi) day-range frame broadcast onto
+    // the per-type grid before the zero-fill explode. (acf/ccf left this
+    // list in r16: their centered series is staged, so the returned plan
+    // starts from the checkpoint — the grid's bounded crossJoins live in
+    // the staging job, the pq_split precedent. events_mwu likewise: its
+    // count table stages inside PrefixSum and the tail is pure
+    // aggregates.)
+    "events_holt_winters",
+    // ks test: the 1-row totals frame broadcast onto the cumulated
+    // per-cent-value counts (events_changepoint's shape)
+    "events_ks_test",
     // rrf fusion: the semantic leg is cosineTopK's whitelisted shape —
     // the 1-row exemplar query broadcast with the non-equi qid != cid
     // condition (the lexical leg and the fusion itself join equi)
@@ -305,6 +312,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q108_abc_xyz" -> "value-bounded revenue-bucket/class grid",
     "q112_gains_curve" -> "10-row decile grid",
     "q79_abc_pareto" -> "O(hundreds)-row revenue-bucket grid (rev div 1e7)",
+    "q87_degree_dist" -> "<=64-row log2-degree histogram (node total fold)",
     "q83_gini" -> "O(hundreds)-row revenue-bucket grid (x div 1e7)",
     "q97_backlog_curve" -> "calendar day grid",
     "q99_wilson_rank" -> "<=|brands| table (25 on the fixture schema)",
